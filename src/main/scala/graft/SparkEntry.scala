@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> Relational.q1Agg _,
+    "q2_join_filter"   -> Relational.q2JoinFilter _,
+    "q3_topk"          -> Relational.q3TopK _,
+    "q4_window"        -> Relational.q4Window _,
+    "q5_rollup"        -> Relational.q5Rollup _,
+    "q6_semijoin"      -> Relational.q6SemiJoin _,
+    "q7_events_window" -> Relational.q7EventsWindow _,
+    "q8_sessionize"    -> Relational.q8Sessionize _,
+  )
+
+  /** DuckDB-equivalent SQL per query key (same column names, same
+    * decimal-exact aggregation so hashes match bitwise). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"           -> Relational.q1Sql,
+    "q2_join_filter"   -> Relational.q2Sql,
+    "q3_topk"          -> Relational.q3Sql,
+    "q4_window"        -> Relational.q4Sql,
+    "q5_rollup"        -> Relational.q5Sql,
+    "q6_semijoin"      -> Relational.q6Sql,
+    "q7_events_window" -> Relational.q7Sql,
+    "q8_sessionize"    -> Relational.q8Sql,
+  )
 }

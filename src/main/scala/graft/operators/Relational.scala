@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational query core — the general analytics surface.
+  *
+  * Cross-engine determinism: double addition is order-sensitive and Spark
+  * sums in shuffle-arrival order, so every floating aggregate here
+  * accumulates in exact DECIMAL (per-row cast is a deterministic half-up
+  * rounding of identical input doubles on any engine) and casts the exact
+  * result to DOUBLE once at the end. The DuckDB oracles use the same
+  * construction, making results bitwise-comparable.
+  */
+object Relational {
+
+  /** SUM(CAST(c AS DECIMAL(p,s))) :: DOUBLE — order-insensitive exact sum. */
+  def dsum(c: Column, p: Int = 18, s: Int = 2): Column =
+    sum(c.cast(s"decimal($p,$s)")).cast("double")
+
+  /** Grouped aggregation over the fact table (TPC-H Q1 shape).
+    * Scale: pure map-side-combinable hash aggregate; shuffles only the
+    * (flag,status) groups. Survives any fact-table size. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("count_order"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6).as("sum_disc_price"),
+        dsum(col("l_discount"), 18, 4).as("sum_disc"))
+
+  def q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star-schema join + filter + group. Scale: nation/region are broadcast
+    * explicitly; customer⋈orders shuffles on the join key only after the
+    * status filter is pushed to the orders scan. */
+  def q2JoinFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("num_orders"),
+           dsum(col("o_totalprice")).as("total_revenue"))
+  }
+
+  def q2Sql: String =
+    """SELECT r_name, n_name, count(*) AS num_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Deterministic top-k by aggregate (ties broken by key, so the row SET
+    * is stable). Scale: partial agg then a k-row ordered limit — Spark
+    * runs TakeOrderedAndProject, no full sort materialization. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  def q3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Window functions: running spend + dense spend rank per customer.
+    * Scale: single shuffle on o_custkey serves both windows. Running sum
+    * accumulates in DECIMAL so every prefix is exact. */
+  def q4Window(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bySpend = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(byDate).cast("double").as("running_spend"),
+        rank().over(bySpend).as("spend_rank"))
+  }
+
+  def q4Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS spend_rank
+      |FROM orders""".stripMargin
+
+  /** Hierarchical aggregation (ROLLUP region→nation). */
+  def q5Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("total_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_customers"), col("total_acctbal"))
+  }
+
+  def q5Sql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** Left-semi join: customers holding at least one high-value order.
+    * Scale: semi-join shuffles only keys of the filtered orders side. */
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000.0)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  def q6Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""".stripMargin
+
+  /** Event-time tumbling-window aggregation (batch twin of the
+    * Structured Streaming pipeline in graft.streaming). Hour keys are
+    * emitted as strings so both engines compare identically. */
+  def q7EventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           dsum(col("value"), 25, 6).as("total_value"))
+
+  def q7Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity starts a new session).
+    * Scale: one shuffle on user_id; both lag and the running flag-sum ride
+    * the same window partitioning. */
+  def q8Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w) > 1800000L, 1)
+          .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)).as("new_sess"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("new_sess")).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_id"))
+      .select("user_id", "event_id", "session_id")
+  }
+
+  def q8Sql: String =
+    """WITH flags AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+      |         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id
+      |FROM flags""".stripMargin
+}
