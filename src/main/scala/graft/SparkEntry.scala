@@ -20,6 +20,13 @@ object SparkEntry {
     "q6_semijoin"      -> Relational.q6SemiJoin _,
     "q7_events_window" -> Relational.q7EventsWindow _,
     "q8_sessionize"    -> Relational.q8Sessionize _,
+    "q10_kmer_count"   -> Sequence.q10KmerCount _,
+    "q11_high_kmers"   -> Sequence.q11HighKmers _,
+    "q12_kmer_stats"   -> Sequence.q12KmerStats _,
+    "q13_dedup_exact"  -> Sequence.q13DedupExact _,
+    "q14_contained"    -> Sequence.q14NonContained _,
+    "q15_kmer_read_freq" -> Sequence.q15KmerReadFreq _,
+    "q16_trusted"      -> Sequence.q16Trusted _,
   )
 
   /** DuckDB-equivalent SQL per query key (same column names, same
@@ -33,5 +40,12 @@ object SparkEntry {
     "q6_semijoin"      -> Relational.q6Sql,
     "q7_events_window" -> Relational.q7Sql,
     "q8_sessionize"    -> Relational.q8Sql,
+    "q10_kmer_count"   -> Sequence.q10Sql,
+    "q11_high_kmers"   -> Sequence.q11Sql,
+    "q12_kmer_stats"   -> Sequence.q12Sql,
+    "q13_dedup_exact"  -> Sequence.q13Sql,
+    "q14_contained"    -> Sequence.q14Sql,
+    "q15_kmer_read_freq" -> Sequence.q15Sql,
+    "q16_trusted"      -> Sequence.q16Sql,
   )
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sequence / k-mer operators — CloudBrush's preprocess + error-correction
+  * phases generalized from genomic reads to any text corpus.
+  *
+  * Reference semantics: CountKmer (CountKmer.java:40-120) shards reads into
+  * fixed-length k-mers and counts them; BuildHighKmerList
+  * (BuildHighKmerList.java:44-150) keeps k-mers above a frequency cutoff;
+  * KmerStatus (KmerStatus.java) histograms frequencies; RedundantRemoval
+  * (RedundantRemoval.java:47-150) collapses identical reads to one node
+  * with summed coverage; GenNonContainedReads
+  * (GenNonContainedReads.java:43-210) drops reads that are substrings of
+  * longer reads; KmerFrequencyOfReads / IdentifyTrustedReads
+  * (IdentifyTrustedReads.java) classify a read by the frequencies of its
+  * k-mers.
+  *
+  * Spark shape: k-mer extraction is `explode(sequence(...))` +
+  * codegen'd `substring` feeding a hash aggregate — partial (map-side)
+  * aggregation shrinks the shuffle to distinct-kmers-per-partition, so the
+  * explode's ×(len−k+1) row blow-up never crosses the network unaggregated.
+  * That is exactly the scalable shape at 100 TB: no driver state, no
+  * all-pairs work, shuffle keyed by kmer/doc_id only.
+  */
+object Sequence {
+  val K = 8
+  val HighFreq = 100
+  val TrustMinFreq = 2
+  val DedupKeyWords = 4
+
+  /** (doc_id, kmer) — one row per k-mer occurrence. */
+  def kmers(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), expr(s"substring(text, g, $k)").as("kmer"))
+
+  /** q10: k-mer frequency table (freq ≥ 2 to keep the result compact). */
+  def q10KmerCount(spark: SparkSession, dir: String): DataFrame =
+    kmers(spark, dir).groupBy("kmer").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+
+  private def kmerExplodeSql: String =
+    s"""SELECT d.doc_id, substr(d.text, g, $K) AS kmer
+       |FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text)-${K - 1})) AS g) t""".stripMargin
+
+  def q10Sql: String =
+    s"""SELECT kmer, count(*) AS freq FROM ($kmerExplodeSql)
+       |GROUP BY kmer HAVING count(*) >= 2""".stripMargin
+
+  /** q11: high-frequency k-mer list [BuildHighKmerList]. At scale this
+    * output is small and gets broadcast to downstream stages. */
+  def q11HighKmers(spark: SparkSession, dir: String): DataFrame =
+    kmers(spark, dir).groupBy("kmer").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= HighFreq)
+
+  def q11Sql: String =
+    s"""SELECT kmer, count(*) AS freq FROM ($kmerExplodeSql)
+       |GROUP BY kmer HAVING count(*) >= $HighFreq""".stripMargin
+
+  /** q12: k-mer frequency histogram [KmerStatus] — two-level aggregation,
+    * both levels map-side combinable. */
+  def q12KmerStats(spark: SparkSession, dir: String): DataFrame =
+    kmers(spark, dir).groupBy("kmer").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_kmers"))
+
+  def q12Sql: String =
+    s"""SELECT freq, count(*) AS n_kmers FROM (
+       |  SELECT kmer, count(*) AS freq FROM ($kmerExplodeSql) GROUP BY kmer)
+       |GROUP BY freq""".stripMargin
+
+  /** q13: duplicate collapse on a normalized content key (first
+    * $DedupKeyWords words) [RedundantRemoval — identical reads collapse to
+    * a canonical node; the key generalizes "identical" to "same normalized
+    * prefix"]. Output: every doc mapped to its canonical doc and the
+    * group's coverage, CloudBrush's read-multiplicity analogue. */
+  def q13DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, DedupKeyWords), " ").as("ckey"))
+    keyed.groupBy("ckey")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("coverage"))
+      .join(keyed, "ckey")
+      .select(col("doc_id"), col("canonical_id"), col("coverage"),
+              (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  def q13Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, array_to_string(string_split(text, ' ')[:$DedupKeyWords], ' ') AS ckey
+       |  FROM documents),
+       |groups AS (
+       |  SELECT ckey, min(doc_id) AS canonical_id, count(*) AS coverage
+       |  FROM keyed GROUP BY ckey)
+       |SELECT doc_id, canonical_id, coverage, doc_id <> canonical_id AS is_dup
+       |FROM keyed JOIN groups USING (ckey)""".stripMargin
+
+  /** q14: containment dedup [GenNonContainedReads] — keep docs that are
+    * NOT substrings of any other doc.
+    *
+    * Scale shape: instead of the O(n²) contains() cross join, key each
+    * candidate containee by its first-16-char prefix and equi-join against
+    * the container k-mer set (a contained string's prefix must appear as
+    * some k-mer of its container — CloudBrush's MatchPrefix trick,
+    * MatchPrefix.java:60-200). Only the few kmer-colliding pairs reach the
+    * contains() verify. */
+  def q14NonContained(spark: SparkSession, dir: String): DataFrame = {
+    val pk = 16
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    val containerKmers = docs
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - (pk - 1))))
+      .select(col("doc_id").as("b_id"), col("text").as("b_text"),
+              expr(s"substring(text, g, $pk)").as("key"))
+      .dropDuplicates("b_id", "key")
+    val containees = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+                                 expr(s"substring(text, 1, $pk)").as("key"))
+    val containedIds = containees.join(containerKmers, "key")
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_text").contains(col("a_text")))
+      .filter(length(col("b_text")) > length(col("a_text")) ||
+              (length(col("b_text")) === length(col("a_text")) && col("b_id") < col("a_id")))
+      .select(col("a_id")).distinct()
+    docs.join(containedIds, docs("doc_id") === containedIds("a_id"), "left_anti")
+      .select("doc_id", "n_chars")
+  }
+
+  def q14Sql: String =
+    """SELECT doc_id, n_chars FROM documents a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents b
+      |  WHERE b.doc_id <> a.doc_id AND contains(b.text, a.text)
+      |    AND (len(b.text) > len(a.text)
+      |         OR (len(b.text) = len(a.text) AND b.doc_id < a.doc_id)))""".stripMargin
+
+  /** q15: per-doc k-mer frequency profile [KmerFrequencyOfReads]. The
+    * global freq table is re-joined to the per-doc k-mers; at 100 TB the
+    * high-freq end of that table is tiny relative to the corpus and the
+    * join shuffles on kmer, never materializing pairs. */
+  def q15KmerReadFreq(spark: SparkSession, dir: String): DataFrame = {
+    val km = kmers(spark, dir)
+    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
+    km.join(freq, "kmer")
+      .groupBy("doc_id")
+      .agg(min(col("f")).as("min_freq"), max(col("f")).as("max_freq"),
+           count(lit(1)).as("n_kmers"),
+           (sum(col("f")).cast("double") / count(lit(1))).as("avg_freq"))
+  }
+
+  def q15Sql: String =
+    s"""WITH km AS ($kmerExplodeSql),
+       |freq AS (SELECT kmer, count(*) AS f FROM km GROUP BY kmer)
+       |SELECT km.doc_id, min(f) AS min_freq, max(f) AS max_freq,
+       |  count(*) AS n_kmers, CAST(SUM(f) AS DOUBLE)/count(*) AS avg_freq
+       |FROM km JOIN freq USING (kmer) GROUP BY km.doc_id""".stripMargin
+
+  /** q16: trusted docs — all k-mers at or above the trust threshold
+    * [IdentifyTrustedReads]. */
+  def q16Trusted(spark: SparkSession, dir: String): DataFrame = {
+    val km = kmers(spark, dir)
+    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
+    km.join(freq, "kmer")
+      .groupBy("doc_id").agg(min(col("f")).as("min_freq"))
+      .filter(col("min_freq") >= TrustMinFreq)
+      .select("doc_id", "min_freq")
+  }
+
+  def q16Sql: String =
+    s"""WITH km AS ($kmerExplodeSql),
+       |freq AS (SELECT kmer, count(*) AS f FROM km GROUP BY kmer)
+       |SELECT km.doc_id, min(f) AS min_freq
+       |FROM km JOIN freq USING (kmer) GROUP BY km.doc_id
+       |HAVING min(f) >= $TrustMinFreq""".stripMargin
+}
