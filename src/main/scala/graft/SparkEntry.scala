@@ -27,6 +27,16 @@ object SparkEntry {
     "q14_contained"    -> Sequence.q14NonContained _,
     "q15_kmer_read_freq" -> Sequence.q15KmerReadFreq _,
     "q16_trusted"      -> Sequence.q16Trusted _,
+    "q20_overlap_edges" -> GraphOps.q20OverlapEdges _,
+    "q21_reverse_edges" -> GraphOps.q21ReverseEdges _,
+    "q22_transitive_reduction" -> GraphOps.q22TransitiveReduction _,
+    "q23_degrees"      -> GraphOps.q23Degrees _,
+    "q24_tips"         -> GraphOps.q24Tips _,
+    "q25_bubbles"      -> GraphOps.q25Bubbles _,
+    "q26_low_coverage" -> GraphOps.q26LowCoverage _,
+    "q27_chain_compress" -> GraphOps.q27ChainCompress _,
+    "q28_graph_stats"  -> GraphOps.q28GraphStats _,
+    "q29_graph2fasta"  -> GraphOps.q29Graph2Fasta _,
   )
 
   /** DuckDB-equivalent SQL per query key (same column names, same
@@ -47,5 +57,15 @@ object SparkEntry {
     "q14_contained"    -> Sequence.q14Sql,
     "q15_kmer_read_freq" -> Sequence.q15Sql,
     "q16_trusted"      -> Sequence.q16Sql,
+    "q20_overlap_edges" -> GraphOps.q20Sql,
+    "q21_reverse_edges" -> GraphOps.q21Sql,
+    "q22_transitive_reduction" -> GraphOps.q22Sql,
+    "q23_degrees"      -> GraphOps.q23Sql,
+    "q24_tips"         -> GraphOps.q24Sql,
+    "q25_bubbles"      -> GraphOps.q25Sql,
+    "q26_low_coverage" -> GraphOps.q26Sql,
+    "q27_chain_compress" -> GraphOps.q27Sql,
+    "q28_graph_stats"  -> GraphOps.q28Sql,
+    "q29_graph2fasta"  -> GraphOps.q29Sql,
   )
 }

@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** String-graph operators — CloudBrush's overlap / graph-cleaning /
+  * compression phases on the document corpus.
+  *
+  * Graph model: docs are nodes. The *string graph* has an edge a→b when
+  * a's 2-word suffix equals b's 2-word prefix (the fixed-overlap analogue
+  * of MatchPrefix.java:60-200 + VerifyOverlap.java:50-240 keyed
+  * candidate generation — an equi-join, never an all-pairs scan). The
+  * *coarse graph* (1-word key) is denser and exercises transitive
+  * reduction (TransitiveReduction.java:60-430) and bubble finding
+  * (FindBubbles.java:50-400).
+  *
+  * Scale design: the coarse graph's path queries are NOT computed by the
+  * naive edges⋈edges self-join (quadratic at 100 TB). Because edge
+  * existence depends only on (last-word, first-word) classes, mid-node
+  * counts are computed on the quotient graph — a ≤|vocab|² class-count
+  * table built in one linear pass and broadcast — then each edge decides
+  * membership with O(1) arithmetic. CloudBrush runs another full
+  * MapReduce self-join here; the contraction is the Spark-first rethink.
+  */
+object GraphOps {
+  val LowCovThreshold = 70.0
+
+  /** Docs annotated with first/last words and 2-word boundary keys. */
+  private def docsKeyed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("n_chars"),
+        element_at(col("ws"), 1).as("fw"),
+        element_at(col("ws"), -1).as("lw"),
+        array_join(slice(col("ws"), 1, 2), " ").as("pre2"),
+        array_join(expr("slice(ws, -2, 2)"), " ").as("suf2"))
+
+  private val docsKeyedSql: String =
+    """SELECT doc_id, n_chars, ws[1] AS fw, ws[-1] AS lw,
+      |  array_to_string(ws[:2], ' ') AS pre2, array_to_string(ws[-2:], ' ') AS suf2
+      |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)""".stripMargin
+
+  /** String-graph edges: suffix₂(a) = prefix₂(b). */
+  def edges2(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsKeyed(spark, dir)
+    val a = d.select(col("doc_id").as("src"), col("suf2").as("okey"))
+    val b = d.select(col("doc_id").as("dst"), col("pre2").as("okey"))
+    a.join(b, "okey").filter(col("src") =!= col("dst")).select("src", "dst", "okey")
+  }
+
+  private val edges2Sql: String =
+    s"""SELECT a.doc_id AS src, b.doc_id AS dst, b.pre2 AS okey
+       |FROM ($docsKeyedSql) a JOIN ($docsKeyedSql) b
+       |ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id""".stripMargin
+
+  /** Coarse-graph edges: last-word(a) = first-word(b). */
+  private def edges1(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsKeyed(spark, dir)
+    val a = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("k"))
+    val b = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("k"))
+    a.join(b, "k").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("src_fw"), col("k").as("src_lw"),
+              col("k").as("dst_fw"), col("dst_lw"))
+  }
+
+  private val edges1Sql: String =
+    s"""SELECT a.doc_id AS src, b.doc_id AS dst, a.fw AS src_fw, a.lw AS src_lw,
+       |  b.fw AS dst_fw, b.lw AS dst_lw
+       |FROM ($docsKeyedSql) a JOIN ($docsKeyedSql) b
+       |ON a.lw = b.fw AND a.doc_id <> b.doc_id""".stripMargin
+
+  /** q20: the string-graph edge list. */
+  def q20OverlapEdges(spark: SparkSession, dir: String): DataFrame =
+    edges2(spark, dir)
+
+  def q20Sql: String = edges2Sql
+
+  /** q21: edge symmetrization [GenReverseEdge.java:40-130]. */
+  def q21ReverseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir).select("src", "dst")
+    e.withColumn("direction", lit("fwd"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")).withColumn("direction", lit("rev")))
+  }
+
+  def q21Sql: String =
+    s"""WITH e AS (SELECT src, dst FROM ($edges2Sql))
+       |SELECT src, dst, 'fwd' AS direction FROM e
+       |UNION ALL SELECT dst AS src, src AS dst, 'rev' AS direction FROM e""".stripMargin
+
+  /** Quotient-class counts of the coarse graph: how many docs have
+    * (first-word, last-word) = (fw, lw). ≤|vocab|² rows → broadcast. */
+  private def classCounts(spark: SparkSession, dir: String): DataFrame =
+    docsKeyed(spark, dir).groupBy(col("fw"), col("lw")).agg(count(lit(1)).as("cnt"))
+
+  /** q22: transitive reduction on the coarse graph — drop a→b when some
+    * 2-path a→x→b exists. Mid-class arithmetic instead of a path
+    * self-join: a valid mid x has fw = last(a) and lw = first(b) = last(a),
+    * so m = cnt(la, la) − [first(a)=la] − [last(b)=la]; keep edge iff m=0.
+    * One broadcast hash join + codegen arithmetic — linear in |E|. */
+  def q22TransitiveReduction(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges1(spark, dir)
+    val mids = broadcast(classCounts(spark, dir)
+      .filter(col("fw") === col("lw"))
+      .select(col("fw").as("src_lw"), col("cnt")))
+    e.join(mids, Seq("src_lw"), "left")
+      .withColumn("m",
+        coalesce(col("cnt"), lit(0L))
+          - when(col("src_fw") === col("src_lw"), 1L).otherwise(0L)
+          - when(col("dst_lw") === col("src_lw"), 1L).otherwise(0L))
+      .filter(col("m") <= 0)
+      .select("src", "dst")
+  }
+
+  def q22Sql: String =
+    s"""WITH e AS ($edges1Sql)
+       |SELECT src, dst FROM e
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM e x JOIN e y ON x.dst = y.src
+       |  WHERE x.src = e.src AND y.dst = e.dst)""".stripMargin
+
+  /** q23: in/out degrees of the string graph (isolated docs included)
+    * [CountReads.java-style bookkeeping]. */
+  def q23Degrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir)
+    val outd = e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("out_deg"))
+    val ind = e.groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("in_deg"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(outd, Seq("doc_id"), "left").join(ind, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  def q23Sql: String =
+    s"""WITH e AS ($edges2Sql),
+       |o AS (SELECT src AS doc_id, count(*) AS od FROM e GROUP BY src),
+       |i AS (SELECT dst AS doc_id, count(*) AS idg FROM e GROUP BY dst)
+       |SELECT d.doc_id, coalesce(o.od, 0) AS out_deg, coalesce(i.idg, 0) AS in_deg
+       |FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN i USING (doc_id)""".stripMargin
+
+  /** q24: tips — degree-1 pendant nodes hanging off a branching neighbor
+    * [TipsRemoval.java:60-330]. */
+  def q24Tips(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir).select("src", "dst")
+    val inc = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = inc.groupBy("node").agg(count(lit(1)).as("total"))
+    inc.join(deg.filter(col("total") === 1).select("node"), "node")
+      .join(deg.select(col("node").as("nbr"), col("total").as("nbr_deg")), "nbr")
+      .filter(col("nbr_deg") >= 2)
+      .select(col("node").as("tip_id"), col("nbr").as("neighbor_id"))
+  }
+
+  def q24Sql: String =
+    s"""WITH e AS (SELECT src, dst FROM ($edges2Sql)),
+       |inc AS (SELECT src AS node, dst AS nbr FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT node, count(*) AS total FROM inc GROUP BY node)
+       |SELECT i.node AS tip_id, i.nbr AS neighbor_id
+       |FROM inc i JOIN deg dn ON i.node = dn.node JOIN deg dm ON i.nbr = dm.node
+       |WHERE dn.total = 1 AND dm.total >= 2""".stripMargin
+
+  /** q25: bubbles — (a,b) joined by ≥2 distinct 2-paths
+    * [FindBubbles.java:50-400]. Same quotient-class trick as q22: the
+    * candidate pair set is generated through the (≤|vocab|²) class-pair
+    * table with cnt ≥ 2, then corrected exactly per pair. */
+  def q25Bubbles(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsKeyed(spark, dir)
+    val cc = classCounts(spark, dir)
+    // class pairs that can possibly host >= 2 mids (corrections subtract at most 2)
+    val hot = broadcast(cc.filter(col("cnt") >= 2)
+      .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt")))
+    val as_ = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("mid_fw"))
+    val bs = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("mid_lw"))
+    as_.join(hot, "mid_fw")
+      .join(bs, "mid_lw")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("n_paths",
+        col("cnt")
+          - when(col("src_fw") === col("mid_fw") && col("mid_fw") === col("mid_lw"), 1L).otherwise(0L)
+          - when(col("dst_lw") === col("mid_lw") && col("mid_fw") === col("mid_lw"), 1L).otherwise(0L))
+      .filter(col("n_paths") >= 2)
+      .select(col("src"), col("dst"), col("n_paths"))
+  }
+
+  def q25Sql: String =
+    s"""WITH e AS ($edges1Sql)
+       |SELECT x.src, y.dst, count(DISTINCT x.dst) AS n_paths
+       |FROM e x JOIN e y ON x.dst = y.src AND x.src <> y.dst
+       |GROUP BY x.src, y.dst HAVING count(DISTINCT x.dst) >= 2""".stripMargin
+
+  /** q26: low-coverage removal [RemoveLowCoverage.java:40-200] — docs
+    * whose mean k-mer frequency is below threshold (the corpus analogue of
+    * read coverage). */
+  def q26LowCoverage(spark: SparkSession, dir: String): DataFrame =
+    Sequence.q15KmerReadFreq(spark, dir)
+      .filter(col("avg_freq") < LowCovThreshold)
+      .select("doc_id", "avg_freq")
+
+  def q26Sql: String =
+    s"""SELECT doc_id, avg_freq FROM (${Sequence.q15Sql})
+       |WHERE avg_freq < $LowCovThreshold""".stripMargin
+
+  /** Unary-chain parent map: parent(v)=u for compressible edges u→v
+    * (outdeg(u)=1 ∧ indeg(v)=1 — Compressible.java:50-200), else v. */
+  private def parentMap(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir).select("src", "dst")
+    val out1 = e.groupBy("src").agg(count(lit(1)).as("od")).filter(col("od") === 1).select("src")
+    val in1 = e.groupBy("dst").agg(count(lit(1)).as("idg")).filter(col("idg") === 1).select("dst")
+    val comp = e.join(out1, "src").join(in1, "dst")
+      .select(col("dst").as("node"), col("src").as("parent"))
+    Tables.documents(spark, dir).select(col("doc_id").as("node"))
+      .join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("parent"), col("node")).as("parent"))
+  }
+
+  /** q27: chain compression — map every node to the head of its maximal
+    * unary chain [QuickMark/QuickMerge, PairMark/PairMerge iterative
+    * merging]. Spark-first: pointer jumping (p ← p∘p), O(log n) self-join
+    * rounds with localCheckpoint to truncate lineage, instead of
+    * CloudBrush's randomized O(chain-length) mark/merge rounds. Nodes on
+    * pure cycles have no head and are excluded (verified by requiring the
+    * final head to be a genuine root of the one-step map). */
+  def q27ChainCompress(spark: SparkSession, dir: String): DataFrame = {
+    val p0 = parentMap(spark, dir)
+    val n = Tables.documents(spark, dir).count()
+    val iters = math.max(1, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 1)
+    var p = p0.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val hop = p.select(col("node").as("pnode"), col("parent").as("pparent"))
+      p = p.join(hop, p("parent") === hop("pnode"))
+        .select(col("node"), col("pparent").as("parent"))
+        .localCheckpoint(true)
+    }
+    val roots = p0.filter(col("node") === col("parent")).select(col("node").as("root"))
+    p.join(roots, p("parent") === roots("root"))
+      .select(col("node"), col("parent").as("head"))
+  }
+
+  def chainSql: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT src, dst FROM ($edges2Sql)),
+       |odeg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+       |ideg AS (SELECT dst, count(*) AS c FROM e GROUP BY dst),
+       |comp AS (
+       |  SELECT e.src AS parent, e.dst AS node FROM e
+       |  JOIN odeg ON e.src = odeg.src JOIN ideg ON e.dst = ideg.dst
+       |  WHERE odeg.c = 1 AND ideg.c = 1),
+       |heads AS (
+       |  SELECT d.doc_id AS node, d.doc_id AS head FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = d.doc_id)
+       |  UNION ALL
+       |  SELECT comp.node, heads.head FROM heads JOIN comp ON comp.parent = heads.node)""".stripMargin
+
+  def q27Sql: String = chainSql + "\nSELECT node, head FROM heads"
+
+  /** q28: contig statistics incl. N50 [Stats.java:50-250] over the
+    * compressed chains. */
+  def q28GraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val chains = q27ChainCompress(spark, dir)
+    val lens = chains.join(Tables.documents(spark, dir).select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy("head").agg(sum(col("n_chars")).as("clen"))
+    val tot = lens.agg(count(lit(1)).as("n_contigs"), sum(col("clen")).as("total_len"),
+                       max(col("clen")).as("max_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("clen").desc, col("head")).rowsBetween(Long.MinValue, 0)
+    val n50 = lens.select(col("clen"), sum(col("clen")).over(w).as("csum"))
+      .crossJoin(tot.select(col("total_len").as("t")))
+      .filter(col("csum") >= col("t") / 2.0)
+      .orderBy(col("csum")).limit(1)
+      .select(col("clen").as("n50"))
+    tot.crossJoin(n50)
+  }
+
+  def q28Sql: String =
+    chainSql +
+    s""",
+       |lens AS (SELECT head, CAST(SUM(n_chars) AS BIGINT) AS clen
+       |  FROM heads JOIN documents ON doc_id = node GROUP BY head),
+       |tot AS (SELECT count(*) AS n_contigs, CAST(SUM(clen) AS BIGINT) AS total_len,
+       |  max(clen) AS max_len FROM lens),
+       |ord AS (SELECT clen, CAST(SUM(clen) OVER (ORDER BY clen DESC, head) AS BIGINT) AS csum FROM lens)
+       |SELECT n_contigs, total_len, max_len,
+       |  (SELECT clen FROM ord, tot WHERE csum >= total_len / 2.0 ORDER BY csum LIMIT 1) AS n50
+       |FROM tot""".stripMargin
+
+  /** q29: FASTA export [Graph2Fasta.java:40-130]. */
+  def q29Graph2Fasta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit(">doc_"), col("doc_id"), lit("\n"), col("text")).as("fasta"))
+
+  def q29Sql: String =
+    """SELECT doc_id, '>doc_' || doc_id || chr(10) || text AS fasta FROM documents""".stripMargin
+}

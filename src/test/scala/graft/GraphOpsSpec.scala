@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends GraftSpec {
+
+  test("q20 edges have no self loops") {
+    assert(GraphOps.q20OverlapEdges(spark, sf).filter(col("src") === col("dst")).count() == 0)
+  }
+
+  test("q21 symmetrization doubles the edge count") {
+    val e = GraphOps.q20OverlapEdges(spark, sf).count()
+    assert(GraphOps.q21ReverseEdges(spark, sf).count() == 2 * e)
+  }
+
+  test("q22 transitive reduction keeps a subset of edges and uses broadcast, not a path self-join") {
+    val df = GraphOps.q22TransitiveReduction(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "quotient-class counts must be broadcast")
+  }
+
+  test("q23 degrees sum equals edge count on each side") {
+    val e = GraphOps.q20OverlapEdges(spark, sf).count()
+    val d = GraphOps.q23Degrees(spark, sf)
+    assert(d.agg(sum("out_deg")).head().getLong(0) == e)
+    assert(d.agg(sum("in_deg")).head().getLong(0) == e)
+  }
+
+  test("q25 bubbles all have >= 2 paths") {
+    assert(GraphOps.q25Bubbles(spark, sf).filter(col("n_paths") < 2).count() == 0)
+  }
+
+  test("q27 chain heads are fixpoints (a head's head is itself)") {
+    val c = GraphOps.q27ChainCompress(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("head")).toMap
+    val heads = c.values.toSet
+    assert(heads.forall(h => c.get(h).forall(_ == h)))
+  }
+
+  test("q28 stats: n50 <= max_len and totals positive") {
+    val r = GraphOps.q28GraphStats(spark, sf).head()
+    assert(r.getAs[Long]("n50") <= r.getAs[Long]("max_len"))
+    assert(r.getAs[Long]("total_len") > 0 && r.getAs[Long]("n_contigs") > 0)
+  }
+}
