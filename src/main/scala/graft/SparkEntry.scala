@@ -37,6 +37,13 @@ object SparkEntry {
     "q27_chain_compress" -> GraphOps.q27ChainCompress _,
     "q28_graph_stats"  -> GraphOps.q28GraphStats _,
     "q29_graph2fasta"  -> GraphOps.q29Graph2Fasta _,
+    "q30_minhash_sig"  -> Dedup.q30MinhashSig _,
+    "q31_minhash_pairs" -> Dedup.q31MinhashPairs _,
+    "q32_simhash"      -> Dedup.q32Simhash _,
+    "q33_jaccard_pairs" -> Dedup.q33JaccardPairs _,
+    "q34_embed_neardup" -> Dedup.q34EmbedNearDup _,
+    "q40_ann_brute"    -> Similarity.q40AnnBrute _,
+    "q41_ann_ivf"      -> Similarity.q41AnnIvf _,
   )
 
   /** DuckDB-equivalent SQL per query key (same column names, same
@@ -67,5 +74,12 @@ object SparkEntry {
     "q27_chain_compress" -> GraphOps.q27Sql,
     "q28_graph_stats"  -> GraphOps.q28Sql,
     "q29_graph2fasta"  -> GraphOps.q29Sql,
+    "q30_minhash_sig"  -> Dedup.q30Sql,
+    "q31_minhash_pairs" -> Dedup.q31Sql,
+    "q32_simhash"      -> Dedup.q32Sql,
+    "q33_jaccard_pairs" -> Dedup.q33Sql,
+    "q34_embed_neardup" -> Dedup.q34Sql,
+    "q40_ann_brute"    -> Similarity.q40Sql,
+    "q41_ann_ivf"      -> Similarity.q41Sql,
   )
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Vec
+
+/** Near-duplicate detection family for training-data pipelines.
+  *
+  * All hash material is md5 (identical hex output in Spark and DuckDB), so
+  * every stage — signatures, band keys, candidate sets, verified scores —
+  * is bitwise reproducible across engines. LSH/blocking recall is a
+  * *parameter* of the operator, not a correctness concern: both engines
+  * run the same deterministic pipeline.
+  *
+  * Scale design: nothing here is all-pairs. MinHash banding and the
+  * rare-shingle inverted index reduce candidate generation to equi-joins
+  * on band keys / rare shingles; exact verification touches only
+  * candidates. At 100 TB the shuffles are keyed by band/shingle and the
+  * per-doc shingle explode aggregates map-side before shuffling.
+  */
+object Dedup {
+  val ShingleK = 5
+  val MinhashJ = 0.6
+  val JaccardJ = 0.35
+  val RareDf = 20
+  val NearDupCos = 0.45
+
+  /** Distinct char k-shingles per doc. */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - (ShingleK - 1))))
+      .select(col("doc_id"), expr(s"substring(text, g, $ShingleK)").as("s"))
+      .distinct()
+
+  private val shinglesSql: String =
+    s"""SELECT DISTINCT doc_id, substr(text, g, $ShingleK) AS s
+       |FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${ShingleK - 1})) AS g) t""".stripMargin
+
+  /** q30: 8-permutation MinHash signature per doc (hash i = md5("i:"++s)). */
+  def q30MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("s")))).as("s0"),
+           (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"s$i")): _*)
+
+  def q30Sql: String = {
+    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS s$i").mkString(", ")
+    s"""SELECT doc_id, $sigs FROM ($shinglesSql) GROUP BY doc_id"""
+  }
+
+  /** q31: MinHash-LSH near-dup pairs — 2 bands × 4 rows, then exact
+    * Jaccard ≥ $MinhashJ on the candidates only. */
+  def q31MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q30MinhashSig(spark, dir)
+    val bands = sig.select(col("doc_id"),
+        concat(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
+      .unionAll(sig.select(col("doc_id"),
+        concat(col("s4"), col("s5"), col("s6"), col("s7")).as("bk")))
+    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifiedJaccard(spark, dir, cand).filter(col("jaccard") >= MinhashJ)
+  }
+
+  /** Exact Jaccard for a candidate pair set via two shingle joins. */
+  private def verifiedJaccard(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("s2")), "id_b")
+      .filter(col("s") === col("s2"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+  }
+
+  def q31Sql: String = {
+    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS s$i").mkString(", ")
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, s0||s1||s2||s3 AS bk FROM sig
+       |  UNION ALL SELECT doc_id, s4||s5||s6||s7 FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+       |  JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na.n + nb.n - i) AS jaccard
+       |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       |WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= $MinhashJ""".stripMargin
+  }
+
+  /** q32: 16-bit SimHash over word frequencies. Bit j comes from the
+    * high bit of hex digit j of md5(word), weighted ±count. */
+  def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    words
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("w",
+        when(substring(md5(col("word")), col("j") + 1, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+             col("cnt")).otherwise(-col("cnt")))
+      .groupBy("doc_id", "j").agg(sum(col("w")).as("sv"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sv") >= 0, expr("shiftleft(1, j)").cast("long")).otherwise(0L)).cast("long").as("simhash"))
+  }
+
+  def q32Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, word, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY doc_id, word),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN substr(md5(word), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+      |        THEN cnt ELSE -cnt END) AS sv
+      |  FROM words, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) t
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id, CAST(SUM(CASE WHEN sv >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** q33: exact n-gram Jaccard pairs via a rare-shingle inverted index
+    * (prefix-filtering flavor: only shingles with global df ≤ $RareDf act
+    * as candidate keys, bounding the index join to Σ df² over rare
+    * shingles). */
+  def q33JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RareDf && col("df") >= 2).select("s")
+    val idx = sh.join(rare, "s")
+    val cand = idx.as("x").join(idx.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifiedJaccard(spark, dir, cand).filter(col("jaccard") >= JaccardJ)
+  }
+
+  def q33Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND $RareDf),
+       |idx AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM idx x JOIN idx y ON x.s = y.s AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+       |  JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na.n + nb.n - i) AS jaccard
+       |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       |WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= $JaccardJ""".stripMargin
+
+  /** q34: embedding-cosine near-dup pairs. Blocking: 8-dim sign signature
+    * (random-hyperplane LSH with axis planes) — near-identical vectors
+    * share the bucket; candidates get the exact decimal cosine.
+    * See graft.functions.Vec for the cross-engine-exact cosine. */
+  def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vec.signBucket("embedding", 8).as("bucket"))
+    e.as("x").join(e.as("y"), col("x.bucket") === col("y.bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        Vec.cosine("x.embedding", "y.embedding").as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+  }
+
+  def q34Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${Vec.signBucketSqlDuck("embedding", 8)} AS bucket FROM embeddings),
+       |cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |    x.embedding AS ea, y.embedding AS eb
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |ex AS (SELECT id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM cand),
+       |dots AS (SELECT id_a, id_b,
+       |    ${Vec.dotDecSqlDuck("xa", "xb")} AS dot,
+       |    ${Vec.dotDecSqlDuck("xa", "xa")} AS na,
+       |    ${Vec.dotDecSqlDuck("xb", "xb")} AS nb
+       |  FROM ex GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |FROM dots
+       |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpec {
+
+  test("q31 minhash-LSH finds the planted near-duplicate pairs") {
+    val pairs = Dedup.q31MinhashPairs(spark, sf)
+    assert(pairs.count() > 0, "corpus contains planted near-dups; LSH must surface some")
+    assert(pairs.filter(col("jaccard") < Dedup.MinhashJ).count() == 0)
+  }
+
+  test("q31 and q33 agree on jaccard values for pairs both surface") {
+    val a = Dedup.q31MinhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val b = Dedup.q33JaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val common = a.keySet intersect b.keySet
+    assert(common.nonEmpty, "candidate paths should overlap on the strongest dups")
+    common.foreach(k => assert(a(k) == b(k), s"jaccard for $k must be identical"))
+  }
+
+  test("q32 simhash: near-identical docs get close hashes (hamming), disjoint docs do not collide to equal") {
+    val h = Dedup.q32Simhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h.values.toSet.size > 1, "simhash must discriminate")
+  }
+
+  test("q34 embedding near-dup detects crafted duplicates") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val other = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, base.toSeq),
+      org.apache.spark.sql.Row(2L, nearDup.toSeq),
+      org.apache.spark.sql.Row(3L, other.toSeq))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val e = df.select(col("vec_id"), col("embedding"), Vec.signBucket("embedding", 8).as("bucket"))
+    val found = e.as("x").join(e.as("y"), col("x.bucket") === col("y.bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        Vec.cosine("x.embedding", "y.embedding").as("cosine"))
+      .filter(col("cosine") >= Dedup.NearDupCos)
+      .collect()
+    assert(found.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!found.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("q40 top-k: ranks are 1..k per query and cosine non-increasing") {
+    val rows = Similarity.q40AnnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("q41 IVF results are a subset-quality approximation of q40 (same query ids)") {
+    val brute = Similarity.q40AnnBrute(spark, sf).select("query_id").distinct().count()
+    val ivf = Similarity.q41AnnIvf(spark, sf).select("query_id").distinct().count()
+    assert(ivf > 0 && ivf <= brute)
+  }
+}
