@@ -44,6 +44,11 @@ object SparkEntry {
     "q34_embed_neardup" -> Dedup.q34EmbedNearDup _,
     "q40_ann_brute"    -> Similarity.q40AnnBrute _,
     "q41_ann_ivf"      -> Similarity.q41AnnIvf _,
+    "q50_token_count"  -> TextAnalysis.q50TokenCount _,
+    "q51_quality"      -> TextAnalysis.q51Quality _,
+    "q52_langid"       -> TextAnalysis.q52LangId _,
+    "q53_fingerprint"  -> TextAnalysis.q53Fingerprint _,
+    "q60_multimodal"   -> Multimodal.q60Multimodal _,
   )
 
   /** DuckDB-equivalent SQL per query key (same column names, same
@@ -81,5 +86,9 @@ object SparkEntry {
     "q34_embed_neardup" -> Dedup.q34Sql,
     "q40_ann_brute"    -> Similarity.q40Sql,
     "q41_ann_ivf"      -> Similarity.q41Sql,
+    "q50_token_count"  -> TextAnalysis.q50Sql,
+    "q51_quality"      -> TextAnalysis.q51Sql,
+    // q52_langid, q60_multimodal: non-SQL-expressible → rows-only check
+    "q53_fingerprint"  -> TextAnalysis.q53Sql,
   )
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * with a per-partition feature-extraction stage.
+  *
+  * The decode step is a deterministic STUB (image/audio codecs are not in
+  * this container): payload bytes are synthesized from md5(text) and the
+  * "decoder" computes byte-level statistics. Everything around it is the
+  * real production shape — binary column with metadata struct, typed
+  * Dataset, mapPartitions batch processing (the Scala analogue of
+  * mapInPandas batching: one decoder init per partition, streamed rows),
+  * and a schema the downstream pipeline can rely on. Swapping the stub
+  * for a real codec changes only the function body.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int, format: String)
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int, n_bytes: Int,
+                           byte_mean: Double, byte_max: Int)
+
+  /** Attach a binary payload + metadata struct to each doc. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("to_binary(md5(text), 'hex')").as("payload"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("doc_id") % 48 + 1).cast("int").as("height"),
+        lit("fake/v1").as("format"))
+      .as[MediaRow]
+  }
+
+  /** Deterministic stand-in for a real decoder (resize / frame-sample /
+    * feature-extract would live here). Runs per partition: decoder state
+    * would be initialized once per partition, rows streamed through. */
+  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val bytes = r.payload.map(_ & 0xff)
+      MediaFeatures(r.doc_id, r.width, r.height, bytes.length,
+        bytes.sum.toDouble / bytes.length, bytes.max)
+    }
+
+  /** q60: media feature extraction over the binary column. */
+  def q60Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(decodeBatch).toDF()
+  }
+}

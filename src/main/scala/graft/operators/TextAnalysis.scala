@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, fingerprinting. All single-pass,
+  * codegen-friendly column expressions (no UDFs) so they stay inside
+  * WholeStageCodegen on the scan — the shape that streams 100 TB through
+  * executors with zero shuffle (except langid's tiny profile broadcast).
+  */
+object TextAnalysis {
+  val Stopwords = Seq("the", "a", "and", "of", "to")
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** q50: whitespace tokens + regex token count (BPE-ish pre-tokenizer:
+    * letter runs, digit runs, single punctuation). */
+  def q50TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_tokens"))
+
+  def q50Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+      |FROM documents""".stripMargin
+
+  /** q51: quality features + a weighted score. Integer counts feed double
+    * arithmetic with identical expression shape on both engines, so the
+    * doubles are bit-identical. */
+  def q51Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(expr(s"filter(split(text, ' '), w -> w IN $stopList)")).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        ((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens")).as("avg_token_len"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * 2.0 + col("avg_token_len") * 0.1
+          + least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+
+  def q51Sql: String =
+    s"""SELECT doc_id, n_chars, n_tokens, stopword_ratio, avg_token_len,
+       |  stopword_ratio * 2.0 + avg_token_len * 0.1
+       |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |    CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       |    CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS BIGINT) AS n_stop
+       |    FROM documents))""".stripMargin
+
+  /** q52: n-gram language ID (Cavnar–Trenkle flavor). Profiles are the
+    * top-30 char bigrams of each language learned from the deterministic
+    * training slice (doc_id % 5 = 0, labels taken from `lang`); the tiny
+    * profile table is broadcast and every doc scores by matched-bigram
+    * count (ties → lexicographically smaller lang). Not SQL-expressible
+    * compactly → rows-only oracle. */
+  def q52LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - 1)))
+      .select(col("doc_id"), col("lang"), expr("substring(text, g, 2)").as("bg"))
+    val train = bigrams.filter(col("doc_id") % 5 === 0)
+    val wRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bg"))
+    val profiles = broadcast(
+      train.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 30)
+        .select(col("lang").as("plang"), col("bg")))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
+    bigrams.select("doc_id", "bg").distinct()
+      .join(profiles, "bg")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("pred_lang"))
+  }
+
+  /** q53: document fingerprint — md5 over whitespace-normalized text. */
+  def q53Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      md5(trim(regexp_replace(col("text"), " +", " "))).as("fp"))
+
+  def q53Sql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events stream — the streaming
+  * twins of Relational.q7EventsWindow / q8Sessionize.
+  *
+  * Source-agnostic: callers pass any streaming DataFrame with the events
+  * schema (`readStream` from files/Kafka in production, MemoryStream in
+  * specs). Watermarking bounds state; the windowed aggregate emits
+  * append-mode finalized windows.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Stateful per-user running aggregate via mapGroupsWithState —
+    * CloudBrush has no streaming surface; this is the Spark-native shape
+    * for incremental graph/corpus maintenance. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val evs = batch.toSeq
+          val next = UserRunning(uid, prev.n_events + evs.size, prev.total_value + evs.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: file-source stream over a directory of event parquet. */
+  def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Wire a windowed-agg query to a memory sink (specs / demos). */
+  def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedAgg(df).writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+}

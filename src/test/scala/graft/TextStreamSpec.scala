@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class TextStreamSpec extends GraftSpec {
+
+  test("q50 token counts: regex tokens >= whitespace tokens on space-joined words") {
+    val df = TextAnalysis.q50TokenCount(spark, sf)
+    assert(df.filter(col("re_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("q51 quality: ratios are within [0,1] bounds where expected") {
+    val df = TextAnalysis.q51Quality(spark, sf)
+    assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(df.filter(col("avg_token_len") <= 0).count() == 0)
+  }
+
+  test("q52 langid: predicts a known language for every doc") {
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    val preds = TextAnalysis.q52LangId(spark, sf)
+    assert(preds.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+    val predLangs = preds.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(predLangs.subsetOf(langs))
+  }
+
+  test("q53 fingerprint: identical normalized text -> identical fp, and fp is md5-shaped") {
+    val df = TextAnalysis.q53Fingerprint(spark, sf)
+    assert(df.filter(length(col("fp")) =!= 32).count() == 0)
+  }
+
+  test("q60 multimodal: features computed per doc with stable schema") {
+    val df = Multimodal.q60Multimodal(spark, sf)
+    assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(df.filter(col("n_bytes") =!= 16).count() == 0)
+    assert(df.filter(col("byte_mean") < 0 || col("byte_mean") > 255).count() == 0)
+  }
+
+  test("streaming windowedAgg aggregates MemoryStream events into hourly windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("append").start()
+    def ev(id: Long, hour: Int, min: Int, typ: String, v: Double) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00"), 1L, typ, v)
+    mem.addData(ev(1, 0, 10, "click", 1.0), ev(2, 0, 20, "click", 2.0), ev(3, 1, 5, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to finalize hours 0 and 1
+    mem.addData(ev(4, 10, 0, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_test").collect()
+    q.stop()
+    val clicks = rows.find(r => r.getAs[String]("event_type") == "click")
+    assert(clicks.isDefined && clicks.get.getAs[Long]("n_events") == 2L)
+    assert(rows.exists(r => r.getAs[String]("event_type") == "view"))
+  }
+
+  test("streaming stateful user totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.userRunningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    def ev(id: Long, uid: Long, v: Double) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), uid, "click", v)
+    mem.addData(ev(1, 7, 1.5), ev(2, 7, 2.5))
+    q.processAllAvailable()
+    mem.addData(ev(3, 7, 6.0))
+    q.processAllAvailable()
+    val last = spark.table("state_test").filter(col("user_id") === 7)
+      .orderBy(col("n_events").desc).head()
+    q.stop()
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
+  }
+}
