@@ -25,9 +25,20 @@ object Vec {
 
   def dot(a: String, b: String): Column = expr(dotDecExpr(a, b))
 
-  /** Cross-engine-exact cosine similarity. */
+  /** Cross-engine-exact cosine similarity. Prefer [[cosineFromParts]]
+    * with precomputed norms in joins — higher-order array functions run
+    * interpreted, so recomputing both norms per pair costs 3× the lambda
+    * work and re-walks each vector O(candidates) times. */
   def cosine(a: String, b: String): Column =
     expr(s"${dotDecExpr(a, b)} / (sqrt(${dotDecExpr(a, a)}) * sqrt(${dotDecExpr(b, b)}))")
+
+  /** Self dot product (squared norm), for precomputing per vector. */
+  def norm2(a: String): Column = expr(dotDecExpr(a, a))
+
+  /** cosine from a pair dot and two precomputed squared norms — exactly
+    * equal to [[cosine]] because all three parts are exact fixed-point. */
+  def cosineFromParts(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol / (sqrt(na) * sqrt(nb))
 
   /** Sign-signature LSH bucket over the first `dims` coordinates
     * (axis-aligned random-hyperplane hashing). */

@@ -38,16 +38,30 @@ object Dedup {
     s"""SELECT DISTINCT doc_id, substr(text, g, $ShingleK) AS s
        |FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${ShingleK - 1})) AS g) t""".stripMargin
 
-  /** q30: 8-permutation MinHash signature per doc (hash i = md5("i:"++s)). */
+  /** q30: 8-permutation MinHash signature per doc. Two md5 evaluations
+    * per shingle, sliced into 8 independent 32-bit (8-hex-char) hashes —
+    * 4× less hashing than 8 salted md5s for the same signature quality. */
   def q30MinhashSig(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).groupBy("doc_id")
-      .agg(min(md5(concat(lit("0:"), col("s")))).as("s0"),
-           (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"s$i")): _*)
+    shingles(spark, dir)
+      .select(col("doc_id"), md5(col("s")).as("h0"), md5(concat(lit("1:"), col("s"))).as("h1"))
+      .groupBy("doc_id")
+      .agg(min(substring(col("h0"), 1, 8)).as("s0"),
+        Seq(min(substring(col("h0"), 9, 8)).as("s1"),
+            min(substring(col("h0"), 17, 8)).as("s2"),
+            min(substring(col("h0"), 25, 8)).as("s3"),
+            min(substring(col("h1"), 1, 8)).as("s4"),
+            min(substring(col("h1"), 9, 8)).as("s5"),
+            min(substring(col("h1"), 17, 8)).as("s6"),
+            min(substring(col("h1"), 25, 8)).as("s7")): _*)
 
-  def q30Sql: String = {
-    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS s$i").mkString(", ")
-    s"""SELECT doc_id, $sigs FROM ($shinglesSql) GROUP BY doc_id"""
-  }
+  private val sigSqlExprs: String =
+    (0 until 8).map { i =>
+      val (h, off) = if (i < 4) ("md5(s)", 1 + 8 * i) else ("md5('1:' || s)", 1 + 8 * (i - 4))
+      s"min(substr($h, $off, 8)) AS s$i"
+    }.mkString(", ")
+
+  def q30Sql: String =
+    s"""SELECT doc_id, $sigSqlExprs FROM ($shinglesSql) GROUP BY doc_id"""
 
   /** q31: MinHash-LSH near-dup pairs — 2 bands × 4 rows, then exact
     * Jaccard ≥ $MinhashJ on the candidates only. */
@@ -68,10 +82,11 @@ object Dedup {
   private def verifiedJaccard(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
     val sh = shingles(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // second join keys on BOTH (id_b, s): only genuinely shared shingles
+    // materialize, instead of the |sh_a|×|sh_b| per-pair product
     val inter = cand
       .join(sh.select(col("doc_id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("s").as("s2")), "id_b")
-      .filter(col("s") === col("s2"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
@@ -81,9 +96,8 @@ object Dedup {
   }
 
   def q31Sql: String = {
-    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS s$i").mkString(", ")
     s"""WITH sh AS ($shinglesSql),
-       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigSqlExprs FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, s0||s1||s2||s3 AS bk FROM sig
        |  UNION ALL SELECT doc_id, s4||s5||s6||s7 FROM sig),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -104,9 +118,10 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
     words
+      .withColumn("h", md5(col("word"))) // hoisted: one md5 per word, not 16
       .withColumn("j", explode(sequence(lit(0), lit(15))))
       .withColumn("w",
-        when(substring(md5(col("word")), col("j") + 1, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+        when(substring(col("h"), col("j") + 1, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
              col("cnt")).otherwise(-col("cnt")))
       .groupBy("doc_id", "j").agg(sum(col("w")).as("sv"))
       .groupBy("doc_id")
@@ -164,11 +179,13 @@ object Dedup {
   def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        Vec.signBucket("embedding", 8).as("bucket"))
+        Vec.signBucket("embedding", 8).as("bucket"),
+        Vec.norm2("embedding").as("n2"))
     e.as("x").join(e.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        Vec.cosine("x.embedding", "y.embedding").as("cosine"))
+        Vec.cosineFromParts(Vec.dot("x.embedding", "y.embedding"),
+          col("x.n2"), col("y.n2")).as("cosine"))
       .filter(col("cosine") >= NearDupCos)
   }
 

@@ -223,18 +223,36 @@ object GraphOps {
     * final head to be a genuine root of the one-step map). */
   def q27ChainCompress(spark: SparkSession, dir: String): DataFrame = {
     val p0 = parentMap(spark, dir)
-    val n = Tables.documents(spark, dir).count()
-    val iters = math.max(1, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 1)
-    var p = p0.localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    // Only nodes with a compressible incoming edge need resolving — a tiny
+    // subgraph (chain interiors). Everyone else is their own head
+    // immediately, so the pointer-jumping rounds join |chains| rows, not
+    // |corpus| rows.
+    val inChain = p0.filter(col("node") =!= col("parent")).localCheckpoint(true)
+    val selfHead = p0.filter(col("node") === col("parent"))
+      .select(col("node"), col("node").as("head"))
+    var p = inChain
+    var converged = false
+    var rounds = 0
+    // each round: follow parent if the parent is itself a chain-interior
+    // node; a fixpoint means every parent is a root (or a cycle, bounded
+    // by 60 rounds ≈ 2^60-length chains, then excluded below)
+    while (!converged && rounds < 60) {
+      // hop through the CURRENT map (p ∘ p): doubles resolved path length
+      // per round, O(log chain-length) rounds total
       val hop = p.select(col("node").as("pnode"), col("parent").as("pparent"))
-      p = p.join(hop, p("parent") === hop("pnode"))
-        .select(col("node"), col("pparent").as("parent"))
+      val stepped = p.join(hop, p("parent") === hop("pnode"), "left")
+        .select(col("node"),
+          coalesce(col("pparent"), col("parent")).as("parent"),
+          (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
         .localCheckpoint(true)
+      converged = stepped.filter(col("moved")).limit(1).count() == 0
+      p = stepped.select("node", "parent")
+      rounds += 1
     }
-    val roots = p0.filter(col("node") === col("parent")).select(col("node").as("root"))
-    p.join(roots, p("parent") === roots("root"))
+    // exclude cycles: resolved parent must be a genuine root (not interior)
+    val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
       .select(col("node"), col("parent").as("head"))
+    selfHead.unionAll(resolved)
   }
 
   def chainSql: String =

@@ -110,15 +110,19 @@ object Sequence {
   def q14NonContained(spark: SparkSession, dir: String): DataFrame = {
     val pk = 16
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    // candidate generation stays skinny: only (id, key) pairs flow through
+    // the explode and the join; texts are re-attached for the few
+    // candidates that survive, so no 300-char strings ride the wide shuffle
     val containerKmers = docs
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - (pk - 1))))
-      .select(col("doc_id").as("b_id"), col("text").as("b_text"),
-              expr(s"substring(text, g, $pk)").as("key"))
-      .dropDuplicates("b_id", "key")
-    val containees = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"),
-                                 expr(s"substring(text, 1, $pk)").as("key"))
-    val containedIds = containees.join(containerKmers, "key")
+      .select(col("doc_id").as("b_id"), expr(s"substring(text, g, $pk)").as("key"))
+    val containees = docs.select(col("doc_id").as("a_id"), expr(s"substring(text, 1, $pk)").as("key"))
+    val cand = containees.join(containerKmers, "key")
       .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val containedIds = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
       .filter(col("b_text").contains(col("a_text")))
       .filter(length(col("b_text")) > length(col("a_text")) ||
               (length(col("b_text")) === length(col("a_text")) && col("b_id") < col("a_id")))
@@ -140,9 +144,11 @@ object Sequence {
     * high-freq end of that table is tiny relative to the corpus and the
     * join shuffles on kmer, never materializing pairs. */
   def q15KmerReadFreq(spark: SparkSession, dir: String): DataFrame = {
-    val km = kmers(spark, dir)
-    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
-    km.join(freq, "kmer")
+    // window count over the kmer partition ≡ groupBy+self-join but with
+    // one shuffle instead of two plus no recomputed explode branch
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kmer")
+    kmers(spark, dir)
+      .withColumn("f", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(min(col("f")).as("min_freq"), max(col("f")).as("max_freq"),
            count(lit(1)).as("n_kmers"),
@@ -159,9 +165,9 @@ object Sequence {
   /** q16: trusted docs — all k-mers at or above the trust threshold
     * [IdentifyTrustedReads]. */
   def q16Trusted(spark: SparkSession, dir: String): DataFrame = {
-    val km = kmers(spark, dir)
-    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
-    km.join(freq, "kmer")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kmer")
+    kmers(spark, dir)
+      .withColumn("f", count(lit(1)).over(w))
       .groupBy("doc_id").agg(min(col("f")).as("min_freq"))
       .filter(col("min_freq") >= TrustMinFreq)
       .select("doc_id", "min_freq")

@@ -12,23 +12,32 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fact-table loader. The test files are single-row-group parquet, which
+    * caps a scan at one task no matter what maxPartitionBytes says — so
+    * fact tables get an explicit repartition to restore parallelism. On a
+    * real multi-file 100 TB dataset the scan splits naturally and this
+    * shuffle would be dropped (tiny here: the repartition moves megabytes
+    * once and unlocks 32× downstream parallelism). */
+  private def fact(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = fact(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = fact(s, d, "lineitem")
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong, so
     * ts arrives as int64 nanos; truncate to micros exactly like DuckDB
     * does when it reads the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
+    val raw = fact(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
 }
