@@ -27,6 +27,9 @@ object SparkEntry {
     "q14_contained"    -> Sequence.q14NonContained _,
     "q15_kmer_read_freq" -> Sequence.q15KmerReadFreq _,
     "q16_trusted"      -> Sequence.q16Trusted _,
+    "q17_best_overlap" -> GraphOps.q17BestOverlap _,
+    "q18_chimeric_cut" -> GraphOps.q18ChimericCut _,
+    "q19_repeat_nodes" -> GraphOps.q19RepeatNodes _,
     "q20_overlap_edges" -> GraphOps.q20OverlapEdges _,
     "q21_reverse_edges" -> GraphOps.q21ReverseEdges _,
     "q22_transitive_reduction" -> GraphOps.q22TransitiveReduction _,
@@ -69,6 +72,9 @@ object SparkEntry {
     "q14_contained"    -> Sequence.q14Sql,
     "q15_kmer_read_freq" -> Sequence.q15Sql,
     "q16_trusted"      -> Sequence.q16Sql,
+    "q17_best_overlap" -> GraphOps.q17Sql,
+    "q18_chimeric_cut" -> GraphOps.q18Sql,
+    "q19_repeat_nodes" -> GraphOps.q19Sql,
     "q20_overlap_edges" -> GraphOps.q20Sql,
     "q21_reverse_edges" -> GraphOps.q21Sql,
     "q22_transitive_reduction" -> GraphOps.q22Sql,

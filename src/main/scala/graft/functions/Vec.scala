@@ -35,6 +35,12 @@ object Vec {
   /** Self dot product (squared norm), for precomputing per vector. */
   def norm2(a: String): Column = expr(dotDecExpr(a, a))
 
+  /** Native codegen twins (graft.plans.FixedPointDot) — bit-identical to
+    * [[dot]]/[[norm2]]. Caller must have run
+    * GraftExtensions.ensureRegistered(spark) on the session. */
+  def dotN(a: String, b: String): Column = expr(s"CAST(vec_dot_fixed($a, $b) AS DOUBLE)")
+  def norm2N(a: String): Column = expr(s"CAST(vec_dot_fixed($a, $a) AS DOUBLE)")
+
   /** cosine from a pair dot and two precomputed squared norms — exactly
     * equal to [[cosine]] because all three parts are exact fixed-point. */
   def cosineFromParts(dotCol: Column, na: Column, nb: Column): Column =

@@ -177,14 +177,15 @@ object Dedup {
     * share the bucket; candidates get the exact decimal cosine.
     * See graft.functions.Vec for the cross-engine-exact cosine. */
   def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         Vec.signBucket("embedding", 8).as("bucket"),
-        Vec.norm2("embedding").as("n2"))
+        Vec.norm2N("embedding").as("n2"))
     e.as("x").join(e.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        Vec.cosineFromParts(Vec.dot("x.embedding", "y.embedding"),
+        Vec.cosineFromParts(Vec.dotN("x.embedding", "y.embedding"),
           col("x.n2"), col("y.n2")).as("cosine"))
       .filter(col("cosine") >= NearDupCos)
   }

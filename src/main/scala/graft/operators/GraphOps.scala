@@ -70,6 +70,76 @@ object GraphOps {
        |FROM ($docsKeyedSql) a JOIN ($docsKeyedSql) b
        |ON a.lw = b.fw AND a.doc_id <> b.doc_id""".stripMargin
 
+  /** q17: variable-length overlap verification [VerifyOverlap.java:50-240]
+    * — for each candidate pair, the best overlap m ∈ {2,3,4} words (an
+    * m-word overlap is its own alignment, so the edge set is the union of
+    * three equi-joins and m the max that matches). */
+  def q17BestOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val byM = (2 to 4).map { m =>
+      val a = d.select(col("doc_id").as("src"), array_join(expr(s"slice(ws, -$m, $m)"), " ").as("k"))
+      val b = d.select(col("doc_id").as("dst"), array_join(slice(col("ws"), 1, m), " ").as("k"))
+      a.join(b, "k").filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), lit(m).as("m"))
+    }
+    byM.reduce(_ unionAll _).groupBy("src", "dst").agg(max(col("m")).as("overlap_len"))
+  }
+
+  def q17Sql: String = {
+    val unions = (2 to 4).map { m =>
+      s"""SELECT a.doc_id AS src, b.doc_id AS dst, $m AS m
+         |FROM ($docsKeyedSql2) a JOIN ($docsKeyedSql2) b
+         |ON array_to_string(a.ws[-$m:], ' ') = array_to_string(b.ws[:$m], ' ')
+         |  AND a.doc_id <> b.doc_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT src, dst, max(m) AS overlap_len FROM ($unions) GROUP BY src, dst"""
+  }
+
+  private def docsKeyedSql2: String =
+    "SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
+
+  /** q18: chimeric-link cut [CutChimericLinks.java:60-400] — keep an edge
+    * only if its overlap is the best among both its source's out-edges and
+    * its target's in-edges (reciprocal-best filtering). */
+  def q18ChimericCut(spark: SparkSession, dir: String): DataFrame = {
+    val e = q17BestOverlap(spark, dir)
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val wDst = org.apache.spark.sql.expressions.Window.partitionBy("dst")
+    e.withColumn("best_out", max(col("overlap_len")).over(wSrc))
+      .withColumn("best_in", max(col("overlap_len")).over(wDst))
+      .filter(col("overlap_len") === col("best_out") && col("overlap_len") === col("best_in"))
+      .select("src", "dst", "overlap_len")
+  }
+
+  def q18Sql: String =
+    s"""WITH e AS (${q17Sql})
+       |SELECT src, dst, overlap_len FROM (
+       |  SELECT src, dst, overlap_len,
+       |    max(overlap_len) OVER (PARTITION BY src) AS best_out,
+       |    max(overlap_len) OVER (PARTITION BY dst) AS best_in
+       |  FROM e)
+       |WHERE overlap_len = best_out AND overlap_len = best_in""".stripMargin
+
+  /** q19: repeat-boundary nodes [CutRepeatBoundary.java:60-300] — nodes
+    * where ≥2 in-edges meet ≥2 out-edges (the string-graph signature of a
+    * repeated region). */
+  def q19RepeatNodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir)
+    val o = e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("out_deg"))
+    val i = e.groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("in_deg"))
+    o.join(i, "doc_id")
+      .filter(col("out_deg") >= 2 && col("in_deg") >= 2)
+      .select("doc_id", "in_deg", "out_deg")
+  }
+
+  def q19Sql: String =
+    s"""WITH e AS ($edges2Sql),
+       |o AS (SELECT src AS doc_id, count(*) AS out_deg FROM e GROUP BY src),
+       |i AS (SELECT dst AS doc_id, count(*) AS in_deg FROM e GROUP BY dst)
+       |SELECT doc_id, in_deg, out_deg FROM o JOIN i USING (doc_id)
+       |WHERE out_deg >= 2 AND in_deg >= 2""".stripMargin
+
   /** q20: the string-graph edge list. */
   def q20OverlapEdges(spark: SparkSession, dir: String): DataFrame =
     edges2(spark, dir)

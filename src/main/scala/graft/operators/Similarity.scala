@@ -31,14 +31,15 @@ object Similarity {
   /** q40: exact brute-force cosine top-k for query vectors (vec_id <
     * $NumQueries), deterministic tie-break on vec_id. */
   def q40AnnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("n2", Vec.norm2("embedding"))
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val q = broadcast(e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     q.crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Vec.cosineFromParts(Vec.dot("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select("query_id", "vec_id", "rk", "cosine")
@@ -66,13 +67,14 @@ object Similarity {
     * one-pass nearest-centroid assignment, then per-cell top-k for the
     * queries. */
   def q41AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("n2", Vec.norm2("embedding"))
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val cents = broadcast(e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2")))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     val assigned = e.crossJoin(cents)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-        Vec.cosineFromParts(Vec.dot("embedding", "ce"), col("n2"), col("cn2")).as("csim"))
+        Vec.cosineFromParts(Vec.dotN("embedding", "ce"), col("n2"), col("cn2")).as("csim"))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id").as("cell"))
@@ -82,7 +84,7 @@ object Similarity {
     queries.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Vec.cosineFromParts(Vec.dot("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= IvfTopK)
       .select("query_id", "vec_id", "rk", "cosine")
