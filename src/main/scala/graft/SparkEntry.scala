@@ -40,6 +40,10 @@ object SparkEntry {
     "q27_chain_compress" -> GraphOps.q27ChainCompress _,
     "q28_graph_stats"  -> GraphOps.q28GraphStats _,
     "q29_graph2fasta"  -> GraphOps.q29Graph2Fasta _,
+    "q35_mate_consistent" -> GraphOps.q35MateConsistent _,
+    "q36_braids"       -> GraphOps.q36Braids _,
+    "q37_graph2sfa"    -> GraphOps.q37Graph2Sfa _,
+    "q38_consensus"    -> GraphOps.q38Consensus _,
     "q30_minhash_sig"  -> Dedup.q30MinhashSig _,
     "q31_minhash_pairs" -> Dedup.q31MinhashPairs _,
     "q32_simhash"      -> Dedup.q32Simhash _,
@@ -85,6 +89,10 @@ object SparkEntry {
     "q27_chain_compress" -> GraphOps.q27Sql,
     "q28_graph_stats"  -> GraphOps.q28Sql,
     "q29_graph2fasta"  -> GraphOps.q29Sql,
+    "q35_mate_consistent" -> GraphOps.q35Sql,
+    "q36_braids"       -> GraphOps.q36Sql,
+    "q37_graph2sfa"    -> GraphOps.q37Sql,
+    "q38_consensus"    -> GraphOps.q38Sql,
     "q30_minhash_sig"  -> Dedup.q30Sql,
     "q31_minhash_pairs" -> Dedup.q31Sql,
     "q32_simhash"      -> Dedup.q32Sql,

@@ -372,6 +372,125 @@ object GraphOps {
        |  (SELECT clen FROM ord, tot WHERE csum >= total_len / 2.0 ORDER BY csum LIMIT 1) AS n50
        |FROM tot""".stripMargin
 
+  /** q35: mate-pair edge adjustment [AdjustMateEdge.java:60-300]. Mates
+    * pair adjacent ids (d XOR 1). An edge a→b is mate-supported when the
+    * reverse-orientation mate edge mate(b)→mate(a) also exists — emitted
+    * as a flag so downstream can weight or cut. Self-join on the edge
+    * key, shuffle-partitioned by (src,dst); linear at scale. */
+  def q35MateConsistent(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir).select("src", "dst")
+    val mates = e.select((col("dst").bitwiseXOR(1)).as("src"), (col("src").bitwiseXOR(1)).as("dst"))
+      .withColumn("mate_support", lit(true))
+    e.join(mates.distinct(), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("mate_support"), lit(false)).as("mate_support"))
+  }
+
+  def q35Sql: String =
+    s"""WITH e AS (SELECT src, dst FROM ($edges2Sql))
+       |SELECT src, dst,
+       |  EXISTS (SELECT 1 FROM e m WHERE m.src = xor(e.dst, 1) AND m.dst = xor(e.src, 1)) AS mate_support
+       |FROM e""".stripMargin
+
+  /** q36: braid counting [CountBraid.java:50-300] — coarse-graph edges
+    * that coexist with ≥1 parallel 2-path (the braid motif). Same
+    * quotient-class arithmetic as q22, opposite filter, plus the count. */
+  def q36Braids(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges1(spark, dir)
+    val mids = broadcast(classCounts(spark, dir)
+      .filter(col("fw") === col("lw"))
+      .select(col("fw").as("src_lw"), col("cnt")))
+    e.join(mids, Seq("src_lw"), "left")
+      .withColumn("n_braids",
+        coalesce(col("cnt"), lit(0L))
+          - when(col("src_fw") === col("src_lw"), 1L).otherwise(0L)
+          - when(col("dst_lw") === col("src_lw"), 1L).otherwise(0L))
+      .filter(col("n_braids") > 0)
+      .select("src", "dst", "n_braids")
+  }
+
+  def q36Sql: String =
+    s"""WITH e AS ($edges1Sql)
+       |SELECT e.src, e.dst, (
+       |  SELECT count(*) FROM e x JOIN e y ON x.dst = y.src
+       |  WHERE x.src = e.src AND y.dst = e.dst) AS n_braids
+       |FROM e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM e x JOIN e y ON x.dst = y.src
+       |  WHERE x.src = e.src AND y.dst = e.dst)""".stripMargin
+
+  /** q37: SFA export [Graph2Sfa.java:40-130] — tab-separated id/sequence
+    * lines, CloudBrush's intermediate format. */
+  def q37Graph2Sfa(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("doc_id"), lit("\t"), col("text")).as("sfa"))
+
+  def q37Sql: String =
+    """SELECT doc_id, doc_id || chr(9) || text AS sfa FROM documents""".stripMargin
+
+  /** Chain membership with depth below the head (pointer jumping carrying
+    * accumulated hop distance: d(x) doubles alongside the parent map). */
+  private def chainsWithDepth(spark: SparkSession, dir: String): DataFrame = {
+    val p0 = parentMap(spark, dir)
+    val inChain = p0.filter(col("node") =!= col("parent"))
+      .withColumn("d", lit(1L)).localCheckpoint(true)
+    val selfHead = p0.filter(col("node") === col("parent"))
+      .select(col("node"), col("node").as("head"), lit(0L).as("depth"))
+    var p = inChain
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 60) {
+      val hop = p.select(col("node").as("pnode"), col("parent").as("pparent"), col("d").as("pd"))
+      val stepped = p.join(hop, p("parent") === hop("pnode"), "left")
+        .select(col("node"),
+          coalesce(col("pparent"), col("parent")).as("parent"),
+          (col("d") + coalesce(col("pd"), lit(0L))).as("d"),
+          (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
+        .localCheckpoint(true)
+      converged = stepped.filter(col("moved")).limit(1).count() == 0
+      p = stepped.select("node", "parent", "d")
+      rounds += 1
+    }
+    val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
+      .select(col("node"), col("parent").as("head"), col("d").as("depth"))
+    selfHead.unionAll(resolved)
+  }
+
+  /** q38: consensus per compressed chain [DefineConsensus.java:50-300] —
+    * member texts concatenated in chain order (head first). Ordered
+    * aggregation via array_sort over (depth, node, text) structs, the
+    * shuffle-stable Spark idiom for ORDER BY inside an aggregate. */
+  def q38Consensus(spark: SparkSession, dir: String): DataFrame = {
+    val chains = chainsWithDepth(spark, dir)
+    chains.join(Tables.documents(spark, dir).select(col("doc_id").as("node"), col("text")), "node")
+      .groupBy("head")
+      .agg(count(lit(1)).as("n_members"),
+        expr("array_join(transform(array_sort(collect_list(struct(depth, node, text))), x -> x.text), ' | ')")
+          .as("consensus"))
+  }
+
+  def q38Sql: String =
+    chainSqlDepth +
+    s"""
+       |SELECT h.head, count(*) AS n_members,
+       |  string_agg(d.text, ' | ' ORDER BY h.depth, h.node) AS consensus
+       |FROM heads h JOIN documents d ON d.doc_id = h.node
+       |GROUP BY h.head""".stripMargin
+
+  private def chainSqlDepth: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT src, dst FROM ($edges2Sql)),
+       |odeg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+       |ideg AS (SELECT dst, count(*) AS c FROM e GROUP BY dst),
+       |comp AS (
+       |  SELECT e.src AS parent, e.dst AS node FROM e
+       |  JOIN odeg ON e.src = odeg.src JOIN ideg ON e.dst = ideg.dst
+       |  WHERE odeg.c = 1 AND ideg.c = 1),
+       |heads AS (
+       |  SELECT d.doc_id AS node, d.doc_id AS head, 0 AS depth FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = d.doc_id)
+       |  UNION ALL
+       |  SELECT comp.node, heads.head, heads.depth + 1 FROM heads JOIN comp ON comp.parent = heads.node)""".stripMargin
+
   /** q29: FASTA export [Graph2Fasta.java:40-130]. */
   def q29Graph2Fasta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -38,6 +38,24 @@ class GraphOpsSpec extends GraftSpec {
     assert(heads.forall(h => c.get(h).forall(_ == h)))
   }
 
+  test("q35 mate flags cover the whole edge set") {
+    val e = GraphOps.q20OverlapEdges(spark, sf).count()
+    assert(GraphOps.q35MateConsistent(spark, sf).count() == e)
+  }
+
+  test("q36 braids all have positive path counts") {
+    assert(GraphOps.q36Braids(spark, sf).filter(col("n_braids") <= 0).count() == 0)
+  }
+
+  test("q38 consensus: member counts sum to resolved node count and heads lead their chains") {
+    val c = GraphOps.q38Consensus(spark, sf)
+    val total = c.agg(sum("n_members")).head().getLong(0)
+    assert(total == GraphOps.q27ChainCompress(spark, sf).count())
+    // multi-member chains concatenate with the separator
+    assert(c.filter(col("n_members") > 1)
+      .filter(!col("consensus").contains(" | ")).count() == 0)
+  }
+
   test("q28 stats: n50 <= max_len and totals positive") {
     val r = GraphOps.q28GraphStats(spark, sf).head()
     assert(r.getAs[Long]("n50") <= r.getAs[Long]("max_len"))
