@@ -20,6 +20,8 @@ object SparkEntry {
     "q6_semijoin"      -> Relational.q6SemiJoin _,
     "q7_events_window" -> Relational.q7EventsWindow _,
     "q8_sessionize"    -> Relational.q8Sessionize _,
+    "q9_tag_trusted"   -> Sequence.q9TagTrusted _,
+    "q9_precorrect"    -> Sequence.q9PreCorrect _,
     "q10_kmer_count"   -> Sequence.q10KmerCount _,
     "q11_high_kmers"   -> Sequence.q11HighKmers _,
     "q12_kmer_stats"   -> Sequence.q12KmerStats _,
@@ -69,6 +71,8 @@ object SparkEntry {
     "q6_semijoin"      -> Relational.q6Sql,
     "q7_events_window" -> Relational.q7Sql,
     "q8_sessionize"    -> Relational.q8Sql,
+    "q9_tag_trusted"   -> Sequence.q9TagSql,
+    "q9_precorrect"    -> Sequence.q9PreCorrectSql,
     "q10_kmer_count"   -> Sequence.q10Sql,
     "q11_high_kmers"   -> Sequence.q11Sql,
     "q12_kmer_stats"   -> Sequence.q12Sql,

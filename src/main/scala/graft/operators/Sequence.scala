@@ -162,6 +162,48 @@ object Sequence {
        |  count(*) AS n_kmers, CAST(SUM(f) AS DOUBLE)/count(*) AS avg_freq
        |FROM km JOIN freq USING (kmer) GROUP BY km.doc_id""".stripMargin
 
+  /** q9_tag: every doc tagged with its trust status
+    * [TagTrustedReads.java — joins the trusted-read list back onto the
+    * full read set]. */
+  def q9TagTrusted(spark: SparkSession, dir: String): DataFrame = {
+    val trusted = q16Trusted(spark, dir).select(col("doc_id"), lit(true).as("t"))
+    Tables.documents(spark, dir).select("doc_id", "lang", "source")
+      .join(trusted, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("t"), lit(false)).as("trusted"))
+  }
+
+  def q9TagSql: String =
+    s"""WITH km AS ($kmerExplodeSql),
+       |freq AS (SELECT kmer, count(*) AS f FROM km GROUP BY kmer),
+       |tr AS (SELECT km.doc_id FROM km JOIN freq USING (kmer)
+       |  GROUP BY km.doc_id HAVING min(f) >= $TrustMinFreq)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  EXISTS (SELECT 1 FROM tr WHERE tr.doc_id = d.doc_id) AS trusted
+       |FROM documents d""".stripMargin
+
+  /** q9_precorrect: correction candidates [PreCorrect.java — votes on
+    * positions covered only by weak k-mers]: per doc, how many of its
+    * k-mers are singletons (freq 1) and the weak ratio. */
+  def q9PreCorrect(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kmer")
+    kmers(spark, dir)
+      .withColumn("f", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_weak"),
+           count(lit(1)).as("n_kmers"))
+      .select(col("doc_id"), col("n_weak"),
+        (col("n_weak").cast("double") / col("n_kmers")).as("weak_ratio"))
+  }
+
+  def q9PreCorrectSql: String =
+    s"""WITH km AS ($kmerExplodeSql),
+       |freq AS (SELECT kmer, count(*) AS f FROM km GROUP BY kmer)
+       |SELECT km.doc_id,
+       |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak,
+       |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS weak_ratio
+       |FROM km JOIN freq USING (kmer) GROUP BY km.doc_id""".stripMargin
+
   /** q16: trusted docs — all k-mers at or above the trust threshold
     * [IdentifyTrustedReads]. */
   def q16Trusted(spark: SparkSession, dir: String): DataFrame = {
