@@ -26,10 +26,13 @@ object Dedup {
   val RareDf = 20
   val NearDupCos = 0.45
 
-  /** Distinct char k-shingles per doc. */
+  /** Distinct char k-shingles per doc. Docs shorter than k are filtered
+    * before the explode (sequence() flips to step -1 below stop 1 and
+    * would fabricate phantom shingles the oracle never sees). */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= ShingleK)
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - (ShingleK - 1))))
       .select(col("doc_id"), expr(s"substring(text, g, $ShingleK)").as("s"))
       .distinct()
@@ -119,20 +122,27 @@ object Dedup {
   }
 
   /** q32: 16-bit SimHash over word frequencies. Bit j comes from the
-    * high bit of hex digit j of md5(word), weighted ±count. */
+    * high bit of hex digit j of md5(word), weighted ±count.
+    *
+    * Single-aggregation plan: weighting a distinct word by ±cnt equals
+    * weighting every occurrence by ±1, so the 16 bit-sums are 16
+    * conditional ±1 sums in ONE groupBy(doc_id) straight off the word
+    * explode — no 16× row explosion, no (doc_id,word) pre-agg, one
+    * map-side-combinable shuffle keyed by doc_id (was 3 aggregations
+    * across 2 extra shuffles and 22% of the round-1 bench). */
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hiNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    words
-      .withColumn("h", md5(col("word"))) // hoisted: one md5 per word, not 16
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .withColumn("w",
-        when(substring(col("h"), col("j") + 1, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-             col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "j").agg(sum(col("w")).as("sv"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sv") >= 0, expr("shiftleft(1, j)").cast("long")).otherwise(0L)).cast("long").as("simhash"))
+      .withColumn("h", md5(col("word")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(hiNibble: _*), 1L).otherwise(-1L)).as(s"sv$j")
+    }
+    val simhash = (0 until 16)
+      .map(j => when(col(s"sv$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
   def q32Sql: String =
@@ -154,10 +164,14 @@ object Dedup {
     * as candidate keys, bounding the index join to Σ df² over rare
     * shingles). */
   def q33JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint(true)
+    // no materialization: the shingle subtrees are structurally identical,
+    // so ReusedExchange computes the explode+distinct once; eager
+    // localCheckpoints here measured SLOWER at sf0.1 and would pin the
+    // full corpus-shingle table in executor storage at 100 TB
+    val sh = shingles(spark, dir)
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf && col("df") >= 2).select("s")
-    val idx = sh.join(rare, "s").localCheckpoint(true)
+    val idx = sh.join(rare, "s")
     val cand = idx.as("x").join(idx.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))

@@ -284,48 +284,92 @@ object GraphOps {
       .select(col("node"), coalesce(col("parent"), col("node")).as("parent"))
   }
 
-  /** q27: chain compression — map every node to the head of its maximal
-    * unary chain [QuickMark/QuickMerge, PairMark/PairMerge iterative
-    * merging]. Spark-first: pointer jumping (p ← p∘p), O(log n) self-join
-    * rounds with localCheckpoint to truncate lineage, instead of
-    * CloudBrush's randomized O(chain-length) mark/merge rounds. Nodes on
-    * pure cycles have no head and are excluded (verified by requiring the
-    * final head to be a genuine root of the one-step map). */
-  def q27ChainCompress(spark: SparkSession, dir: String): DataFrame = {
+  /** Pointer-jumping resolution of the unary-chain parent map to chain
+    * heads [QuickMark/QuickMerge, PairMark/PairMerge iterative merging],
+    * optionally carrying the hop depth below the head (d(x) doubles
+    * alongside the parent map). Spark-first: p ← p∘p, O(log n) self-join
+    * rounds, instead of CloudBrush's randomized O(chain-length)
+    * mark/merge rounds.
+    *
+    * Scale mechanics:
+    * - only chain INTERIORS enter the loop (nodes with a compressible
+    *   incoming edge) — rounds join |chains| rows, not |corpus| rows;
+    * - the round cap derives from the data: a chain cannot be longer
+    *   than the interior-node count n, so ceil(log2(n+1))+1 rounds
+    *   resolve every genuine chain. Odd-length cycles never drain the
+    *   'moved' flag (the pointer advances by 2^k mod L forever) and
+    *   previously burned a fixed 60 rounds; now they stop at the cap and
+    *   are excluded by the root check below;
+    * - rounds persist at DISK_ONLY (recomputable, never pins executor
+    *   memory) with a reliable checkpoint every 4th round to truncate
+    *   lineage — executor-local localCheckpoint blocks die with any
+    *   executor and are unusable on a real cluster. */
+  private def resolveChains(spark: SparkSession, dir: String, withDepth: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
     val p0 = parentMap(spark, dir)
-    // Only nodes with a compressible incoming edge need resolving — a tiny
-    // subgraph (chain interiors). Everyone else is their own head
-    // immediately, so the pointer-jumping rounds join |chains| rows, not
-    // |corpus| rows.
-    val inChain = p0.filter(col("node") =!= col("parent")).localCheckpoint(true)
-    val selfHead = p0.filter(col("node") === col("parent"))
-      .select(col("node"), col("node").as("head"))
+    val base = p0.filter(col("node") =!= col("parent"))
+    val inChain = (if (withDepth) base.withColumn("d", lit(1L)) else base).checkpoint(true)
+    val selfHead =
+      if (withDepth) p0.filter(col("node") === col("parent"))
+        .select(col("node"), col("node").as("head"), lit(0L).as("depth"))
+      else p0.filter(col("node") === col("parent"))
+        .select(col("node"), col("node").as("head"))
+    val n = inChain.count()
+    val maxRounds =
+      if (n <= 1) 1 else math.ceil(math.log((n + 1).toDouble) / math.log(2.0)).toInt + 1
     var p = inChain
-    var converged = false
+    var pending = List.empty[org.apache.spark.sql.DataFrame]
+    var converged = n == 0
     var rounds = 0
-    // each round: follow parent if the parent is itself a chain-interior
-    // node; a fixpoint means every parent is a root (or a cycle, bounded
-    // by 60 rounds ≈ 2^60-length chains, then excluded below)
-    while (!converged && rounds < 60) {
+    while (!converged && rounds < maxRounds) {
       // hop through the CURRENT map (p ∘ p): doubles resolved path length
       // per round, O(log chain-length) rounds total
-      val hop = p.select(col("node").as("pnode"), col("parent").as("pparent"))
-      val stepped = p.join(hop, p("parent") === hop("pnode"), "left")
-        .select(col("node"),
+      val hop =
+        if (withDepth) p.select(col("node").as("pnode"), col("parent").as("pparent"), col("d").as("pd"))
+        else p.select(col("node").as("pnode"), col("parent").as("pparent"))
+      val joined = p.join(hop, p("parent") === hop("pnode"), "left")
+      val stepped =
+        if (withDepth) joined.select(col("node"),
+          coalesce(col("pparent"), col("parent")).as("parent"),
+          (col("d") + coalesce(col("pd"), lit(0L))).as("d"),
+          (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
+        else joined.select(col("node"),
           coalesce(col("pparent"), col("parent")).as("parent"),
           (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
-        .localCheckpoint(true)
       rounds += 1
+      val mat =
+        if (rounds % 4 == 0) {
+          val c = stepped.checkpoint(true) // reliable; lineage truncated →
+          pending.foreach(_.unpersist(false)) // earlier rounds droppable
+          pending = Nil
+          c
+        } else {
+          val c = stepped.persist(StorageLevel.DISK_ONLY)
+          pending ::= c
+          c
+        }
       // short chains dominate: skip the convergence action for the first
       // rounds (they almost never converge before covering length 8)
-      converged = rounds >= 3 && stepped.filter(col("moved")).limit(1).count() == 0
-      p = stepped.select("node", "parent")
+      converged = rounds >= 3 && mat.filter(col("moved")).limit(1).count() == 0
+      p = mat.drop("moved")
     }
     // exclude cycles: resolved parent must be a genuine root (not interior)
     val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
-      .select(col("node"), col("parent").as("head"))
-    selfHead.unionAll(resolved)
+    val renamed =
+      if (withDepth) resolved.select(col("node"), col("parent").as("head"), col("d").as("depth"))
+      else resolved.select(col("node"), col("parent").as("head"))
+    selfHead.unionAll(renamed)
   }
+
+  /** q27: chain compression — map every node to the head of its maximal
+    * unary chain. Nodes on pure cycles have no head and are excluded
+    * (the final head must be a genuine root of the one-step map). */
+  def q27ChainCompress(spark: SparkSession, dir: String): DataFrame =
+    resolveChains(spark, dir, withDepth = false)
 
   def chainSql: String =
     s"""WITH RECURSIVE
@@ -352,13 +396,21 @@ object GraphOps {
       .groupBy("head").agg(sum(col("n_chars")).as("clen"))
     val tot = lens.agg(count(lit(1)).as("n_contigs"), sum(col("clen")).as("total_len"),
                        max(col("clen")).as("max_len"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("clen").desc, col("head")).rowsBetween(Long.MinValue, 0)
-    val n50 = lens.select(col("clen"), sum(col("clen")).over(w).as("csum"))
-      .crossJoin(tot.select(col("total_len").as("t")))
+    // N50 via a length HISTOGRAM, not a global ordered window: an
+    // unpartitioned running sum funnels every contig into one task, a
+    // single-partition bottleneck at millions of contigs. The histogram
+    // has |distinct lengths| rows (≪ contigs), its triangular self-join
+    // computes each bin's cumulative length in one broadcast-nested-loop
+    // pass, and N50 = the largest length whose descending cumulative sum
+    // reaches total/2 — identical to the row-ordered definition because
+    // the threshold crossing always lands inside that bin.
+    val hist = lens.groupBy("clen").agg(count(lit(1)).as("n"))
+    val csum = hist.as("a").join(broadcast(hist.as("b")), col("b.clen") >= col("a.clen"))
+      .groupBy(col("a.clen").as("bclen"))
+      .agg(sum(col("b.clen") * col("b.n")).as("csum"))
+    val n50 = csum.crossJoin(tot.select(col("total_len").as("t")))
       .filter(col("csum") >= col("t") / 2.0)
-      .orderBy(col("csum")).limit(1)
-      .select(col("clen").as("n50"))
+      .agg(max(col("bclen")).as("n50"))
     tot.crossJoin(n50)
   }
 
@@ -429,33 +481,10 @@ object GraphOps {
   def q37Sql: String =
     """SELECT doc_id, doc_id || chr(9) || text AS sfa FROM documents""".stripMargin
 
-  /** Chain membership with depth below the head (pointer jumping carrying
-    * accumulated hop distance: d(x) doubles alongside the parent map). */
-  private def chainsWithDepth(spark: SparkSession, dir: String): DataFrame = {
-    val p0 = parentMap(spark, dir)
-    val inChain = p0.filter(col("node") =!= col("parent"))
-      .withColumn("d", lit(1L)).localCheckpoint(true)
-    val selfHead = p0.filter(col("node") === col("parent"))
-      .select(col("node"), col("node").as("head"), lit(0L).as("depth"))
-    var p = inChain
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 60) {
-      val hop = p.select(col("node").as("pnode"), col("parent").as("pparent"), col("d").as("pd"))
-      val stepped = p.join(hop, p("parent") === hop("pnode"), "left")
-        .select(col("node"),
-          coalesce(col("pparent"), col("parent")).as("parent"),
-          (col("d") + coalesce(col("pd"), lit(0L))).as("d"),
-          (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
-        .localCheckpoint(true)
-      rounds += 1
-      converged = rounds >= 3 && stepped.filter(col("moved")).limit(1).count() == 0
-      p = stepped.select("node", "parent", "d")
-    }
-    val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
-      .select(col("node"), col("parent").as("head"), col("d").as("depth"))
-    selfHead.unionAll(resolved)
-  }
+  /** Chain membership with depth below the head — the depth-carrying
+    * variant of the shared pointer-jumping loop. */
+  private def chainsWithDepth(spark: SparkSession, dir: String): DataFrame =
+    resolveChains(spark, dir, withDepth = true)
 
   /** q38: consensus per compressed chain [DefineConsensus.java:50-300] —
     * member texts concatenated in chain order (head first). Ordered

@@ -31,12 +31,31 @@ object Sequence {
   val TrustMinFreq = 2
   val DedupKeyWords = 4
 
-  /** (doc_id, kmer) — one row per k-mer occurrence. */
+  /** (doc_id, kmer) — one row per k-mer occurrence. Docs shorter than k
+    * are filtered BEFORE the explode: sequence(1, stop) flips to step -1
+    * when stop < 1 and would emit phantom descending positions, where the
+    * oracle's generate_series is simply empty. */
   def kmers(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= k)
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - (k - 1))))
       .select(col("doc_id"), expr(s"substring(text, g, $k)").as("kmer"))
+
+  /** (doc_id, kmer, c, f): per-doc k-mer occurrence count c + global
+    * frequency f. The 100 TB shape for every per-doc frequency statistic:
+    * one explode feeds a (doc_id,kmer) hash aggregate (map-side
+    * combinable, so the ×(len−k+1) blow-up never crosses the network
+    * unaggregated), the global freq table derives from it with a second
+    * map-side-combinable agg, and the two meet in a shuffle join on kmer
+    * that AQE skew-splitting can cut — unlike the former
+    * Window.partitionBy(kmer), which pinned every occurrence of a hot
+    * k-mer into a single unsplittable window partition. */
+  private def docKmerFreq(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = kmers(spark, dir).groupBy("doc_id", "kmer").agg(count(lit(1)).as("c"))
+    val freq = perDoc.groupBy("kmer").agg(sum(col("c")).as("f"))
+    perDoc.join(freq, "kmer")
+  }
 
   /** q10: k-mer frequency table (freq ≥ 2 to keep the result compact). */
   def q10KmerCount(spark: SparkSession, dir: String): DataFrame =
@@ -114,10 +133,24 @@ object Sequence {
     // the explode and the join; texts are re-attached for the few
     // candidates that survive, so no 300-char strings ride the wide shuffle
     val containerKmers = docs
+      .filter(length(col("text")) >= pk)
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - (pk - 1))))
       .select(col("doc_id").as("b_id"), expr(s"substring(text, g, $pk)").as("key"))
-    val containees = docs.select(col("doc_id").as("a_id"), expr(s"substring(text, 1, $pk)").as("key"))
+    val containees = docs.filter(col("n_chars") >= pk)
+      .select(col("doc_id").as("a_id"), expr(s"substring(text, 1, $pk)").as("key"))
+    // docs shorter than pk can't be keyed by a pk-char prefix — their full
+    // text is the key, matched against container windows of exactly their
+    // length. The distinct short-length set is tiny and broadcast; with no
+    // short docs in the corpus both sides are empty and this path is free.
+    val shortDocs = docs.filter(col("n_chars") < pk && col("n_chars") >= 1)
+    val shortLens = shortDocs.select(col("n_chars").as("slen")).distinct()
+    val shortWindows = docs.crossJoin(broadcast(shortLens))
+      .filter(length(col("text")) >= col("slen"))
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - col("slen") + 1)))
+      .select(col("doc_id").as("b_id"), expr("substring(text, g, slen)").as("key"))
+    val shortContainees = shortDocs.select(col("doc_id").as("a_id"), col("text").as("key"))
     val cand = containees.join(containerKmers, "key")
+      .unionAll(shortContainees.join(shortWindows, "key"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     val containedIds = cand
@@ -143,17 +176,15 @@ object Sequence {
     * global freq table is re-joined to the per-doc k-mers; at 100 TB the
     * high-freq end of that table is tiny relative to the corpus and the
     * join shuffles on kmer, never materializing pairs. */
-  def q15KmerReadFreq(spark: SparkSession, dir: String): DataFrame = {
-    // window count over the kmer partition ≡ groupBy+self-join but with
-    // one shuffle instead of two plus no recomputed explode branch
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("kmer")
-    kmers(spark, dir)
-      .withColumn("f", count(lit(1)).over(w))
+  def q15KmerReadFreq(spark: SparkSession, dir: String): DataFrame =
+    // occurrence-level stats recovered exactly from the (doc,kmer,c,f)
+    // profile: Σ_occurrences f = Σ_kmers f·c, n_occurrences = Σ c — all
+    // exact integer arithmetic, so hashes match the occurrence-level oracle
+    docKmerFreq(spark, dir)
       .groupBy("doc_id")
       .agg(min(col("f")).as("min_freq"), max(col("f")).as("max_freq"),
-           count(lit(1)).as("n_kmers"),
-           (sum(col("f")).cast("double") / count(lit(1))).as("avg_freq"))
-  }
+           sum(col("c")).as("n_kmers"),
+           (sum(col("f") * col("c")).cast("double") / sum(col("c"))).as("avg_freq"))
 
   def q15Sql: String =
     s"""WITH km AS ($kmerExplodeSql),
@@ -185,16 +216,13 @@ object Sequence {
   /** q9_precorrect: correction candidates [PreCorrect.java — votes on
     * positions covered only by weak k-mers]: per doc, how many of its
     * k-mers are singletons (freq 1) and the weak ratio. */
-  def q9PreCorrect(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("kmer")
-    kmers(spark, dir)
-      .withColumn("f", count(lit(1)).over(w))
+  def q9PreCorrect(spark: SparkSession, dir: String): DataFrame =
+    docKmerFreq(spark, dir)
       .groupBy("doc_id")
-      .agg(sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_weak"),
-           count(lit(1)).as("n_kmers"))
+      .agg(sum(when(col("f") === 1, col("c")).otherwise(0L)).as("n_weak"),
+           sum(col("c")).as("n_kmers"))
       .select(col("doc_id"), col("n_weak"),
         (col("n_weak").cast("double") / col("n_kmers")).as("weak_ratio"))
-  }
 
   def q9PreCorrectSql: String =
     s"""WITH km AS ($kmerExplodeSql),
@@ -206,14 +234,11 @@ object Sequence {
 
   /** q16: trusted docs — all k-mers at or above the trust threshold
     * [IdentifyTrustedReads]. */
-  def q16Trusted(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("kmer")
-    kmers(spark, dir)
-      .withColumn("f", count(lit(1)).over(w))
+  def q16Trusted(spark: SparkSession, dir: String): DataFrame =
+    docKmerFreq(spark, dir)
       .groupBy("doc_id").agg(min(col("f")).as("min_freq"))
       .filter(col("min_freq") >= TrustMinFreq)
       .select("doc_id", "min_freq")
-  }
 
   def q16Sql: String =
     s"""WITH km AS ($kmerExplodeSql),

@@ -66,6 +66,7 @@ object TextAnalysis {
   def q52LangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bigrams = docs
+      .filter(length(col("text")) >= 2) // sequence() guard for 1-char docs
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - 1)))
       .select(col("doc_id"), col("lang"), expr("substring(text, g, 2)").as("bg"))
     val train = bigrams.filter(col("doc_id") % 5 === 0)

@@ -21,7 +21,18 @@ object GraftExtensions {
   private val vecDotFixed: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot_fixed"),
     new ExpressionInfo(classOf[FixedPointDot].getName, "vec_dot_fixed"),
-    (children: Seq[Expression]) => FixedPointDot(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "vec_dot_fixed",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      FixedPointDot(children(0), children(1))
+    })
 
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
