@@ -56,6 +56,16 @@ object Vec {
   def signBucketSqlDuck(c: String, dims: Int): String =
     (1 to dims).map(i => s"CASE WHEN $c[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  /** One band of a banded sign-LSH signature: the sign bits of
+    * coordinates offset+1 .. offset+len. */
+  def signBand(c: String, offset: Int, len: Int): Column =
+    expr((1 to len).map(i => s"CASE WHEN element_at($c, ${offset + i}) >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")"))
+
+  /** DuckDB twin of [[signBand]]. */
+  def signBandSqlDuck(c: String, offset: Int, len: Int): String =
+    (1 to len).map(i => s"CASE WHEN $c[${offset + i}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
   /** DuckDB twin of the exact fixed-point dot product, as an aggregate
     * over positionally-unnested element pairs. */
   def dotDecSqlDuck(a: String, b: String): String =

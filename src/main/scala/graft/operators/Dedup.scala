@@ -24,7 +24,9 @@ object Dedup {
   val MinhashJ = 0.6
   val JaccardJ = 0.35
   val RareDf = 20
-  val NearDupCos = 0.45
+  val NearDupCos = 0.42
+  val SignBands = 8
+  val SignBandBits = 8
 
   /** Distinct char k-shingles per doc. Docs shorter than k are filtered
     * before the explode (sequence() flips to step -1 below stop 1 and
@@ -193,30 +195,52 @@ object Dedup {
        |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
        |WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= $JaccardJ""".stripMargin
 
-  /** q34: embedding-cosine near-dup pairs. Blocking: 8-dim sign signature
-    * (random-hyperplane LSH with axis planes) — near-identical vectors
-    * share the bucket; candidates get the exact decimal cosine.
-    * See graft.functions.Vec for the cross-engine-exact cosine. */
+  /** q34: embedding-cosine near-dup pairs. Blocking: BANDED sign LSH —
+    * $SignBands bands of $SignBandBits axis-hyperplane sign bits each; a
+    * pair is a candidate when it agrees on ANY full band (the MinHash
+    * banding construction transplanted to random-hyperplane bits).
+    * Candidates get the exact fixed-point cosine.
+    *
+    * Scale: each band join is an equi-join on (band, bits) — shuffle
+    * keyed by band value, never all-pairs. Recall/bucket-size trade off
+    * via the (bands × bits) shape: more bits per band → smaller buckets
+    * (sub-quadratic verify), more bands → recall back. The former single
+    * 8-bit bucket was both low-recall (0 rows on this corpus) AND
+    * quadratic-per-bucket at scale; banding fixes both axes
+    * independently. */
   def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        Vec.signBucket("embedding", 8).as("bucket"),
-        Vec.norm2N("embedding").as("n2"))
-    e.as("x").join(e.as("y"), col("x.bucket") === col("y.bucket"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        Vec.cosineFromParts(Vec.dotN("x.embedding", "y.embedding"),
-          col("x.n2"), col("y.n2")).as("cosine"))
+      .select(col("vec_id"), col("embedding"), Vec.norm2N("embedding").as("n2"))
+    val bands = e
+      .withColumn("bks", array((0 until SignBands).map(b =>
+        Vec.signBand("embedding", b * SignBandBits, SignBandBits)): _*))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bk")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na2")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb2")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Vec.cosineFromParts(Vec.dotN("ea", "eb"), col("na2"), col("nb2")).as("cosine"))
       .filter(col("cosine") >= NearDupCos)
   }
 
-  def q34Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, ${Vec.signBucketSqlDuck("embedding", 8)} AS bucket FROM embeddings),
-       |cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       |    x.embedding AS ea, y.embedding AS eb
-       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
-       |ex AS (SELECT id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM cand),
+  def q34Sql: String = {
+    val bandArms = (0 until SignBands).map(b =>
+      s"SELECT vec_id, $b AS b, ${Vec.signBandSqlDuck("embedding", b * SignBandBits, SignBandBits)} AS bk FROM e")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bands AS (
+       |  $bandArms),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT id_a, id_b, a.embedding AS ea, b.embedding AS eb
+       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b),
+       |ex AS (SELECT id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs),
        |dots AS (SELECT id_a, id_b,
        |    ${Vec.dotDecSqlDuck("xa", "xb")} AS dot,
        |    ${Vec.dotDecSqlDuck("xa", "xa")} AS na,
@@ -225,4 +249,5 @@ object Dedup {
        |SELECT id_a, id_b, CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
        |FROM dots
        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos""".stripMargin
+  }
 }

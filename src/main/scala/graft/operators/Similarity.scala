@@ -13,17 +13,25 @@ import graft.functions.Vec
   * queries ride the broadcast, so there is no shuffle at all until the
   * per-query top-k, which is a tiny partial-top-k aggregation.
   *
-  * q41 is the scale path: IVF partitioning. A deterministic centroid set
-  * (a real system would k-means sample; the seeding is the deterministic
-  * part here) is broadcast, every vector is assigned to its nearest cell
-  * in one pass, and queries probe only their own cell — turning top-k
-  * from corpus-wide into cell-wide work.
+  * q41 is the scale path: IVF partitioning with TRAINED centroids — a
+  * deterministic Lloyd k-means (fixed seed vectors, $KmeansIters
+  * iterations, exact fixed-point means so both engines compute
+  * bit-identical centroids), then every vector is assigned to its
+  * nearest cell and queries probe only their own cell.
+  *
+  * Assignment is shuffle-free: the centroid table is packed into a
+  * single array-of-structs row and broadcast, and each vector picks its
+  * cell with an `aggregate()` argmax over that array — a pure map
+  * operation over the corpus. The previous shape (crossJoin + per-vector
+  * row_number window) shuffled centroids×corpus rows; at 100 TB that
+  * window shuffle alone dwarfs the actual scan.
   */
 object Similarity {
   val NumQueries = 10
   val TopK = 5
   val NumCentroids = 16
   val IvfTopK = 3
+  val KmeansIters = 2
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -63,21 +71,56 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= $TopK""".stripMargin
 
-  /** q41: IVF ANN — deterministic centroids (vec_id < $NumCentroids),
-    * one-pass nearest-centroid assignment, then per-cell top-k for the
-    * queries. */
+  /** Nearest-centroid assignment as a pure map: pack the (tiny) centroid
+    * table into ONE array-of-structs row, broadcast it, and argmax with a
+    * codegen'd fixed-point dot inside an `aggregate()` HOF. Ties go to
+    * the lowest cent_id (the array is sorted by cent_id and the fold
+    * replaces only on strictly greater cosine). Zero shuffle. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = broadcast(cents
+      .select(struct(col("cent_id"), col("ce"),
+        expr("CAST(vec_dot_fixed(ce, ce) AS DOUBLE)").as("cn2")).as("c"))
+      .groupBy().agg(array_sort(collect_list(col("c"))).as("cents")))
+    e.crossJoin(packed)
+      .withColumn("cell", expr(
+        """aggregate(
+          |  transform(cents, c -> named_struct(
+          |    'cid', c.cent_id,
+          |    'cs', CAST(vec_dot_fixed(embedding, c.ce) AS DOUBLE) / (sqrt(n2) * sqrt(c.cn2)))),
+          |  named_struct('cid', CAST(NULL AS BIGINT), 'cs', CAST(-1e9 AS DOUBLE)),
+          |  (acc, x) -> IF(x.cs > acc.cs, x, acc),
+          |  acc -> acc.cid)""".stripMargin))
+      .drop("cents")
+  }
+
+  /** Exact per-dimension mean: Σ floor(x·1e7) is exact integer
+    * arithmetic (order-free), the division is a fixed expression shape —
+    * both engines produce bit-identical DOUBLE centroids. Map-side
+    * combinable aggregate keyed by (cell, dim). */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)")).as("sx"),
+           count(lit(1)).as("cn"))
+      .select(col("cell"), col("pos"),
+        (col("sx").cast("double") / col("cn").cast("double") / lit(1e7)).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
+      .select(col("cell").as("cent_id"), col("ce"))
+
+  /** q41: IVF ANN — deterministic Lloyd k-means (seeded from the first
+    * $NumCentroids vectors, $KmeansIters exact-mean iterations), then
+    * per-cell top-k for the queries. */
   def q41AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val cents = broadcast(e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-        Vec.cosineFromParts(Vec.dotN("embedding", "ce"), col("n2"), col("cn2")).as("csim"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id").as("cell"))
+    val init = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+    val cents = (1 to KmeansIters).foldLeft(init) { (c, _) =>
+      updateCentroids(assign(e, c))
+    }
+    val assigned = assign(e, cents)
     val queries = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"), col("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
@@ -90,28 +133,41 @@ object Similarity {
       .select("query_id", "vec_id", "rk", "cosine")
   }
 
-  def q41Sql: String = {
-    def cosBlock(tag: String, aTbl: String, aId: String, aVec: String,
-                 bTbl: String, bId: String, bVec: String, cond: String): String =
-      s"""${tag}_ex AS (SELECT $aTbl.$aId AS ia, $bTbl.$bId AS ib,
-         |    unnest($aTbl.$aVec) AS a, unnest($bTbl.$bVec) AS b
-         |  FROM $aTbl, $bTbl ${if (cond.nonEmpty) "WHERE " + cond else ""}),
-         |${tag}_dots AS (SELECT ia, ib,
-         |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
-         |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
-         |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
-         |  FROM ${tag}_ex GROUP BY ia, ib),
-         |${tag}_cos AS (SELECT ia, ib,
-         |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
-         |  FROM ${tag}_dots)""".stripMargin
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids),
-       |e AS (SELECT vec_id, embedding FROM embeddings),
-       |${cosBlock("asg", "e", "vec_id", "embedding", "cents", "cent_id", "ce", "")},
-       |assigned AS (
+  /** DuckDB twin of one assignment pass: nearest centroid by fixed-point
+    * cosine, ties to the lowest cent_id. */
+  private def duckAssign(cTbl: String, out: String): String =
+    s"""${out}_ex AS (SELECT e.vec_id AS ia, $cTbl.cent_id AS ib,
+       |    unnest(e.embedding) AS a, unnest($cTbl.ce) AS b
+       |  FROM e, $cTbl),
+       |${out}_dots AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ${out}_ex GROUP BY ia, ib),
+       |$out AS (
        |  SELECT ia AS vec_id, ib AS cell FROM (
-       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
-       |    FROM asg_cos) WHERE rk = 1),
-       |av AS (SELECT a.vec_id, e.embedding, a.cell FROM assigned a JOIN e ON a.vec_id = e.vec_id),
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM ${out}_dots) WHERE rk = 1)""".stripMargin
+
+  /** DuckDB twin of one exact-mean centroid update. */
+  private def duckUpdate(aTbl: String, out: String): String =
+    s"""${out}_j AS (SELECT $aTbl.cell, e.embedding FROM $aTbl JOIN e USING (vec_id)),
+       |${out}_m AS (SELECT cell, g,
+       |    CAST(SUM(CAST(floor(CAST(embedding[g] AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)/count(*)/1e7 AS m
+       |  FROM ${out}_j, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t
+       |  GROUP BY cell, g),
+       |$out AS (SELECT cell AS cent_id, array_agg(m ORDER BY g) AS ce FROM ${out}_m GROUP BY cell)""".stripMargin
+
+  def q41Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids),
+       |${duckAssign("c0", "a1")},
+       |${duckUpdate("a1", "c1")},
+       |${duckAssign("c1", "a2")},
+       |${duckUpdate("a2", "c2")},
+       |${duckAssign("c2", "af")},
+       |av AS (SELECT af.vec_id, e.embedding, af.cell FROM af JOIN e USING (vec_id)),
        |qv AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM av WHERE vec_id < $NumQueries),
        |cellpairs AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
        |  FROM qv JOIN av USING (cell) WHERE av.vec_id <> qv.query_id),
@@ -127,5 +183,4 @@ object Similarity {
        |SELECT ia AS query_id, ib AS vec_id, rk, cosine FROM (
        |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
        |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
-  }
 }
