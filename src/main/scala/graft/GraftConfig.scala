@@ -1,0 +1,46 @@
+package graft
+
+/** Tunable thresholds for every Graft operator family — the analogue of
+  * the reference's BrushConfig (BrushConfig.java: 408 lines of CLI/job
+  * parameters), as a plain case class.
+  *
+  * Each operator object (Sequence, GraphOps, Dedup, Similarity,
+  * Relational) is the default-configured instance of a class
+  * parameterized by this config; custom thresholds are one constructor
+  * call away:
+  *
+  * {{{
+  * val ops = new graft.operators.SequenceOps(GraftConfig(k = 12))
+  * ops.q10KmerCount(spark, dir)
+  * }}}
+  *
+  * The oracle SQL builders read the same fields, so a reconfigured
+  * instance still carries a matching DuckDB oracle.
+  */
+case class GraftConfig(
+    // k-mer / sequence family [CloudBrush: K, HighFreq thresholds]
+    k: Int = 8,
+    highFreq: Int = 100,
+    trustMinFreq: Int = 2,
+    dedupKeyWords: Int = 4,
+    containPrefixLen: Int = 16,
+    // graph cleaning [CloudBrush: LowCovThreshold, tip/bubble params]
+    lowCovThreshold: Double = 70.0,
+    tipRounds: Int = 3,
+    // dedup family
+    shingleK: Int = 5,
+    minhashJaccard: Double = 0.6,
+    jaccardThreshold: Double = 0.35,
+    rareDf: Int = 20,
+    nearDupCos: Double = 0.42,
+    signBands: Int = 8,
+    signBandBits: Int = 8,
+    // ANN
+    annQueries: Int = 10,
+    annTopK: Int = 5,
+    ivfCentroids: Int = 16,
+    ivfTopK: Int = 3,
+    kmeansIters: Int = 2,
+    // relational
+    sessionGapMs: Long = 1800000L,
+    highValueOrder: Double = 200000.0)

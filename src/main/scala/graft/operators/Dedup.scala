@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 import graft.functions.Vec
 
@@ -19,14 +20,14 @@ import graft.functions.Vec
   * candidates. At 100 TB the shuffles are keyed by band/shingle and the
   * per-doc shingle explode aggregates map-side before shuffling.
   */
-object Dedup {
-  val ShingleK = 5
-  val MinhashJ = 0.6
-  val JaccardJ = 0.35
-  val RareDf = 20
-  val NearDupCos = 0.42
-  val SignBands = 8
-  val SignBandBits = 8
+class DedupOps(val cfg: GraftConfig) {
+  val ShingleK: Int = cfg.shingleK
+  val MinhashJ: Double = cfg.minhashJaccard
+  val JaccardJ: Double = cfg.jaccardThreshold
+  val RareDf: Int = cfg.rareDf
+  val NearDupCos: Double = cfg.nearDupCos
+  val SignBands: Int = cfg.signBands
+  val SignBandBits: Int = cfg.signBandBits
 
   /** Distinct char k-shingles per doc. Docs shorter than k are filtered
     * before the explode (sequence() flips to step -1 below stop 1 and
@@ -251,3 +252,6 @@ object Dedup {
        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos""".stripMargin
   }
 }
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Dedup extends DedupOps(GraftConfig())

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 
 /** String-graph operators — CloudBrush's overlap / graph-cleaning /
@@ -23,8 +24,9 @@ import graft.sources.Tables
   * membership with O(1) arithmetic. CloudBrush runs another full
   * MapReduce self-join here; the contraction is the Spark-first rethink.
   */
-object GraphOps {
-  val LowCovThreshold = 70.0
+class GraphOpsLib(val cfg: GraftConfig) {
+  val LowCovThreshold: Double = cfg.lowCovThreshold
+  private val seqOps = new SequenceOps(cfg)
 
   /** Docs annotated with first/last words and 2-word boundary keys. */
   private def docsKeyed(spark: SparkSession, dir: String): DataFrame =
@@ -263,26 +265,30 @@ object GraphOps {
     * whose mean k-mer frequency is below threshold (the corpus analogue of
     * read coverage). */
   def q26LowCoverage(spark: SparkSession, dir: String): DataFrame =
-    Sequence.q15KmerReadFreq(spark, dir)
+    seqOps.q15KmerReadFreq(spark, dir)
       .filter(col("avg_freq") < LowCovThreshold)
       .select("doc_id", "avg_freq")
 
   def q26Sql: String =
-    s"""SELECT doc_id, avg_freq FROM (${Sequence.q15Sql})
+    s"""SELECT doc_id, avg_freq FROM (${seqOps.q15Sql})
        |WHERE avg_freq < $LowCovThreshold""".stripMargin
 
   /** Unary-chain parent map: parent(v)=u for compressible edges u→v
     * (outdeg(u)=1 ∧ indeg(v)=1 — Compressible.java:50-200), else v. */
-  private def parentMap(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges2(spark, dir).select("src", "dst")
+  private[operators] def parentMapFrom(nodes: DataFrame, e: DataFrame): DataFrame = {
     val out1 = e.groupBy("src").agg(count(lit(1)).as("od")).filter(col("od") === 1).select("src")
     val in1 = e.groupBy("dst").agg(count(lit(1)).as("idg")).filter(col("idg") === 1).select("dst")
     val comp = e.join(out1, "src").join(in1, "dst")
       .select(col("dst").as("node"), col("src").as("parent"))
-    Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    nodes
       .join(comp, Seq("node"), "left")
       .select(col("node"), coalesce(col("parent"), col("node")).as("parent"))
   }
+
+  private def parentMap(spark: SparkSession, dir: String): DataFrame =
+    parentMapFrom(
+      Tables.documents(spark, dir).select(col("doc_id").as("node")),
+      edges2(spark, dir).select("src", "dst"))
 
   /** Pointer-jumping resolution of the unary-chain parent map to chain
     * heads [QuickMark/QuickMerge, PairMark/PairMerge iterative merging],
@@ -304,13 +310,14 @@ object GraphOps {
     *   memory) with a reliable checkpoint every 4th round to truncate
     *   lineage — executor-local localCheckpoint blocks die with any
     *   executor and are unusable on a real cluster. */
-  private def resolveChains(spark: SparkSession, dir: String, withDepth: Boolean): DataFrame = {
+  private[operators] def resolveChainsFrom(
+      spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     }
-    val p0 = parentMap(spark, dir)
+    val p0 = parentMapFrom(nodes, edges)
     val base = p0.filter(col("node") =!= col("parent"))
     val inChain = (if (withDepth) base.withColumn("d", lit(1L)) else base).checkpoint(true)
     val selfHead =
@@ -364,6 +371,11 @@ object GraphOps {
       else resolved.select(col("node"), col("parent").as("head"))
     selfHead.unionAll(renamed)
   }
+
+  private def resolveChains(spark: SparkSession, dir: String, withDepth: Boolean): DataFrame =
+    resolveChainsFrom(spark,
+      Tables.documents(spark, dir).select(col("doc_id").as("node")),
+      edges2(spark, dir).select("src", "dst"), withDepth)
 
   /** q27: chain compression — map every node to the head of its maximal
     * unary chain. Nodes on pure cycles have no head and are excluded
@@ -530,4 +542,194 @@ object GraphOps {
 
   def q29Sql: String =
     """SELECT doc_id, '>doc_' || doc_id || chr(10) || text AS fasta FROM documents""".stripMargin
+
+  /** q39: removal application [EdgeRemoval.java:48-210] — CloudBrush's
+    * detect stages emit removal messages and EdgeRemoval consumes them to
+    * produce the cleaned graph. Graft's removal set is the union of tip
+    * nodes (q24) and low-coverage docs (q26); the cleaned edge set drops
+    * every incident edge. Scale: the removal set is a small fraction of
+    * the corpus → two broadcast anti-joins over the edge list, no
+    * edge-side shuffle. */
+  def q39CleanedGraph(spark: SparkSession, dir: String): DataFrame = {
+    val rem = q24Tips(spark, dir).select(col("tip_id").as("nid"))
+      .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
+      .distinct()
+    edges2(spark, dir)
+      .join(rem.select(col("nid").as("src")), Seq("src"), "left_anti")
+      .join(rem.select(col("nid").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst", "okey")
+  }
+
+  def q39Sql: String =
+    s"""WITH e AS ($edges2Sql),
+       |rem AS (SELECT tip_id AS nid FROM (${q24Sql})
+       |  UNION SELECT doc_id FROM (${q26Sql}))
+       |SELECT src, dst, okey FROM e
+       |WHERE src NOT IN (SELECT nid FROM rem) AND dst NOT IN (SELECT nid FROM rem)""".stripMargin
+
+  /** q42: bubble popping [PopBubbles.java:55-200] — for each bubble
+    * (src,dst with ≥2 parallel 2-paths), keep the best mid path (longest
+    * text, ties to the smallest doc_id) and report how many redundant
+    * mids get merged away. Same quotient-class contraction as q25: each
+    * class carries its top-3 candidates (by length desc, id asc), enough
+    * to survive the ≤2 possible src/dst exclusions, so the per-pair pick
+    * is O(1) arithmetic over a broadcast table — no path self-join. */
+  def q42PopBubbles(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsKeyed(spark, dir)
+    val classTop = d.groupBy("fw", "lw").agg(
+      count(lit(1)).as("cnt"),
+      expr("slice(array_sort(collect_list(named_struct('negl', -n_chars, 'doc_id', doc_id))), 1, 3)").as("top3"))
+    val hot = broadcast(classTop.filter(col("cnt") >= 2)
+      .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt"), col("top3")))
+    val as_ = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("mid_fw"))
+    val bs = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("mid_lw"))
+    as_.join(hot, "mid_fw")
+      .join(bs, "mid_lw")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("n_mids",
+        col("cnt")
+          - when(col("src_fw") === col("mid_fw") && col("mid_fw") === col("mid_lw"), 1L).otherwise(0L)
+          - when(col("dst_lw") === col("mid_lw") && col("mid_fw") === col("mid_lw"), 1L).otherwise(0L))
+      .filter(col("n_mids") >= 2)
+      // try_element_at: the n_mids≥2 guard proves the filtered array is
+      // non-empty, but a consumer stacking its own filter can make
+      // Catalyst evaluate this projection's conjuncts first — the total
+      // (null-returning) form is immune to that reordering under ANSI
+      .withColumn("kept_mid",
+        expr("try_element_at(filter(top3, s -> s.doc_id != src AND s.doc_id != dst), 1).doc_id"))
+      .select(col("src"), col("dst"), col("kept_mid"), (col("n_mids") - 1).as("n_popped"))
+  }
+
+  def q42Sql: String =
+    s"""WITH e AS ($edges1Sql),
+       |paths AS (SELECT x.src, y.dst, x.dst AS mid FROM e x
+       |  JOIN e y ON x.dst = y.src AND x.src <> y.dst),
+       |m AS (SELECT p.src, p.dst, p.mid, d.n_chars FROM paths p
+       |  JOIN documents d ON d.doc_id = p.mid),
+       |ranked AS (SELECT src, dst, mid,
+       |    count(*) OVER (PARTITION BY src, dst) AS n_mids,
+       |    row_number() OVER (PARTITION BY src, dst ORDER BY n_chars DESC, mid) AS rk
+       |  FROM m)
+       |SELECT src, dst, mid AS kept_mid, n_mids - 1 AS n_popped
+       |FROM ranked WHERE rk = 1 AND n_mids >= 2""".stripMargin
+
+  /** One round of tip removal applied to an edge set: detect degree-1
+    * pendants on branching neighbors [TipsRemoval.java:60-330], then
+    * drop their incident edges [EdgeRemoval]. */
+  def removeTips(e: DataFrame): DataFrame = {
+    val inc = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = inc.groupBy("node").agg(count(lit(1)).as("total"))
+    val tips = inc.join(deg.filter(col("total") === 1).select("node"), "node")
+      .join(deg.select(col("node").as("nbr"), col("total").as("nbr_deg")), "nbr")
+      .filter(col("nbr_deg") >= 2)
+      .select(col("node")).distinct()
+    e.join(tips.select(col("node").as("src")), Seq("src"), "left_anti")
+      .join(tips.select(col("node").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+  }
+
+  val TipRounds: Int = cfg.tipRounds
+
+  /** q43: iterated tip cleaning — $TipRounds rounds of detect+remove
+    * (removing a tip can expose its neighbor as the next tip; CloudBrush
+    * loops this inside BrushAssembler.java:588-614). Bounded-round
+    * variant so the oracle can unroll the same three rounds; the
+    * run-to-convergence form is Pipeline.cleanToConvergence. */
+  def q43TipsIterative(spark: SparkSession, dir: String): DataFrame =
+    (1 to TipRounds).foldLeft(edges2(spark, dir).select("src", "dst"))((e, _) => removeTips(e))
+
+  private def tipRoundSql(eIn: String, p: String): String =
+    s"""${p}_inc AS (SELECT src AS node, dst AS nbr FROM $eIn UNION ALL SELECT dst, src FROM $eIn),
+       |${p}_deg AS (SELECT node, count(*) AS total FROM ${p}_inc GROUP BY node),
+       |${p}_tips AS (SELECT DISTINCT i.node FROM ${p}_inc i
+       |  JOIN ${p}_deg dn ON i.node = dn.node JOIN ${p}_deg dm ON i.nbr = dm.node
+       |  WHERE dn.total = 1 AND dm.total >= 2),
+       |${p}_out AS (SELECT src, dst FROM $eIn
+       |  WHERE src NOT IN (SELECT node FROM ${p}_tips)
+       |    AND dst NOT IN (SELECT node FROM ${p}_tips))""".stripMargin
+
+  def q43Sql: String =
+    s"""WITH e0 AS (SELECT src, dst FROM ($edges2Sql)),
+       |${tipRoundSql("e0", "r1")},
+       |${tipRoundSql("r1_out", "r2")},
+       |${tipRoundSql("r2_out", "r3")}
+       |SELECT src, dst FROM r3_out""".stripMargin
+
+  /** q44: two-orientation overlap edges — CloudBrush keys every read in
+    * BOTH orientations (reverse-complement rc, Node.java:2080; MatchPrefix
+    * two-orientation keying, MatchPrefix.java:121-140) and types edges
+    * ff/fr/rf/rr. Text generalization: the reverse strand is the reversed
+    * word sequence; an edge (a,o_a)→(b,o_b) exists when the 2-word suffix
+    * of a's o_a-strand equals the 2-word prefix of b's o_b-strand. One
+    * equi-join over the doubled strand table — same shuffle shape as q20,
+    * 2× the rows. */
+  def q44OrientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val strands = d.select(col("doc_id"), lit("f").as("o"),
+        array_join(slice(col("ws"), 1, 2), " ").as("pre2"),
+        array_join(expr("slice(ws, -2, 2)"), " ").as("suf2"))
+      .unionAll(d.select(col("doc_id"), lit("r").as("o"),
+        array_join(slice(reverse(col("ws")), 1, 2), " ").as("pre2"),
+        array_join(expr("slice(reverse(ws), -2, 2)"), " ").as("suf2")))
+    strands.as("a").join(strands.as("b"), col("a.suf2") === col("b.pre2"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+        concat(col("a.o"), col("b.o")).as("orient"))
+  }
+
+  def q44Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |strands AS (
+       |  SELECT doc_id, 'f' AS o,
+       |    array_to_string(ws[:2], ' ') AS pre2, array_to_string(ws[-2:], ' ') AS suf2
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 'r' AS o,
+       |    array_to_string(list_reverse(ws)[:2], ' ') AS pre2,
+       |    array_to_string(list_reverse(ws)[-2:], ' ') AS suf2
+       |  FROM d)
+       |SELECT a.doc_id AS src, b.doc_id AS dst, a.o || b.o AS orient
+       |FROM strands a JOIN strands b ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id""".stripMargin
+
+  /** q45: error-tolerant overlap verification [VerifyOverlap.java:311
+    * scores overlaps by error rate instead of exact equality] — 3-word
+    * overlaps allowing ≤1 mismatched word. Candidate generation is the
+    * pigeonhole q-gram trick: with at most 1 mismatch among 3 positions,
+    * the pair must agree exactly on one of the 3 masked keys (position p
+    * wildcarded), so candidates come from 3 skinny equi-joins — never an
+    * all-pairs scan — and the mismatch count is O(1) arithmetic on the
+    * joined row. */
+  def q45FuzzyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val sufs = d.select(col("doc_id"), expr("slice(ws, -3, 3)").as("w3"))
+    val pres = d.select(col("doc_id"), slice(col("ws"), 1, 3).as("w3"))
+    val byMask = (1 to 3).map { p =>
+      val keep = (1 to 3).filter(_ != p)
+      def key(c: String) = concat_ws(" ", keep.map(i => element_at(col(c), i)): _*)
+      sufs.select(col("doc_id").as("src"), key("w3").as("mk"), element_at(col("w3"), p).as("wa"))
+        .join(pres.select(col("doc_id").as("dst"), key("w3").as("mk"), element_at(col("w3"), p).as("wb")), "mk")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          when(col("wa") === col("wb"), 0L).otherwise(1L).as("mm"))
+    }
+    byMask.reduce(_ unionAll _)
+      .groupBy("src", "dst").agg(min(col("mm")).as("n_mismatch"))
+  }
+
+  def q45Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |a3 AS (SELECT doc_id, ws[-3:] AS s FROM d WHERE len(ws) >= 3),
+      |b3 AS (SELECT doc_id, ws[:3] AS p FROM d WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS src, b.doc_id AS dst,
+      |  CAST((s[1] <> p[1])::int + (s[2] <> p[2])::int + (s[3] <> p[3])::int AS BIGINT) AS n_mismatch
+      |FROM a3 a, b3 b
+      |WHERE a.doc_id <> b.doc_id
+      |  AND (s[1] <> p[1])::int + (s[2] <> p[2])::int + (s[3] <> p[3])::int <= 1""".stripMargin
 }
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object GraphOps extends GraphOpsLib(GraftConfig())

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** End-to-end composition — CloudBrush's BrushAssembler phase driver
+  * [BrushAssembler.java:256-760] re-expressed as a library of composable
+  * DataFrame→DataFrame stages instead of HDFS-path handoffs between
+  * MapReduce jobs.
+  *
+  * The reference iterates graph cleaning to convergence (tips→compress
+  * loop at BrushAssembler.java:588-614, find→pop bubbles at :622-660);
+  * here each fixpoint is a driver loop over lazy DataFrames with the same
+  * persistence discipline as pointer jumping: rounds persist at
+  * DISK_ONLY, every 4th round takes a reliable checkpoint to truncate
+  * lineage, and convergence is an edge-count fixpoint. At 100 TB each
+  * round is two broadcast anti-joins (the removal set is small) over the
+  * partitioned edge list — no driver-side data, no all-pairs work.
+  */
+object Pipeline {
+
+  /** Iterate tip detect+remove until no tip remains (or maxRounds).
+    *
+    * Every round takes an EAGER RELIABLE checkpoint: removeTips
+    * references its input ~13 times (incidence union, degree joins, two
+    * anti-joins), so without truncation the LOGICAL plan grows 13× per
+    * round and analysis alone OOMs the driver by round 4 — caching the
+    * data is not enough, the lineage itself must be cut. The
+    * checkpointed edge set shrinks monotonically, so the per-round write
+    * is small and recoverable on executor loss. */
+  def cleanToConvergence(spark: SparkSession, edges0: DataFrame, maxRounds: Int = 25): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
+    var e = edges0.select("src", "dst").checkpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged && rounds < maxRounds) {
+      val next = GraphOps.removeTips(e).checkpoint(true)
+      rounds += 1
+      val m = next.count()
+      converged = m == n // no edge removed → no tip existed
+      n = m
+      e = next
+    }
+    e
+  }
+
+  /** Full assembly: overlap edges → tip cleaning to convergence → chain
+    * compression on the cleaned graph → ordered consensus per chain.
+    * One call from the raw document table to "contigs", mirroring the
+    * reference driver's preprocess→graph→clean→merge→output chain. */
+  def assemble(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cleaned = cleanToConvergence(spark, GraphOps.edges2(spark, dir).select("src", "dst"))
+    val chains = GraphOps.resolveChainsFrom(spark,
+      docs.select(col("doc_id").as("node")), cleaned, withDepth = true)
+    chains.join(docs.select(col("doc_id").as("node"), col("text")), "node")
+      .groupBy("head")
+      .agg(count(lit(1)).as("n_members"),
+        expr("array_join(transform(array_sort(collect_list(struct(depth, node, text))), x -> x.text), ' | ')")
+          .as("consensus"))
+  }
+
+  /** q46: the assembled contig table (rows-only check: the convergence
+    * loop's round count is data-dependent, so there is no fixed-depth SQL
+    * oracle; correctness of each stage is covered by q20/q24/q27/q38/q43
+    * and the PipelineSpec fixpoint properties). */
+  def q46Assembly(spark: SparkSession, dir: String): DataFrame =
+    assemble(spark, dir)
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 
 /** Relational query core — the general analytics surface.
@@ -14,7 +15,9 @@ import graft.sources.Tables
   * result to DOUBLE once at the end. The DuckDB oracles use the same
   * construction, making results bitwise-comparable.
   */
-object Relational {
+class RelationalOps(val cfg: GraftConfig) {
+  private val SessionGapMs: Long = cfg.sessionGapMs
+  private val HighValueOrder: Double = cfg.highValueOrder
 
   /** SUM(CAST(c AS DECIMAL(p,s))) :: DOUBLE — order-insensitive exact sum. */
   def dsum(c: Column, p: Int = 18, s: Int = 2): Column =
@@ -128,16 +131,16 @@ object Relational {
   /** Left-semi join: customers holding at least one high-value order.
     * Scale: semi-join shuffles only keys of the filtered orders side. */
   def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000.0)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > HighValueOrder)
     Tables.customer(spark, dir)
       .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
   def q6Sql: String =
-    """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE EXISTS (SELECT 1 FROM orders
-      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""".stripMargin
+    s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |  WHERE o_custkey = c_custkey AND o_totalprice > $HighValueOrder)""".stripMargin
 
   /** Event-time tumbling-window aggregation (batch twin of the
     * Structured Streaming pipeline in graft.streaming). Hour keys are
@@ -163,7 +166,7 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
-        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w) > 1800000L, 1)
+        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w) > SessionGapMs, 1)
           .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)).as("new_sess"))
       .select(col("user_id"), col("event_id"), col("ts"),
         sum(col("new_sess")).over(
@@ -173,14 +176,17 @@ object Relational {
   }
 
   def q8Sql: String =
-    """WITH flags AS (
-      |  SELECT user_id, event_id, ts,
-      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
-      |         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
-      |         ELSE 0 END AS new_sess
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      |SELECT user_id, event_id,
-      |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      |FROM flags""".stripMargin
+    s"""WITH flags AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $SessionGapMs THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id,
+       |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |FROM flags""".stripMargin
 }
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Relational extends RelationalOps(GraftConfig())

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 
 /** Sequence / k-mer operators — CloudBrush's preprocess + error-correction
@@ -25,11 +26,11 @@ import graft.sources.Tables
   * That is exactly the scalable shape at 100 TB: no driver state, no
   * all-pairs work, shuffle keyed by kmer/doc_id only.
   */
-object Sequence {
-  val K = 8
-  val HighFreq = 100
-  val TrustMinFreq = 2
-  val DedupKeyWords = 4
+class SequenceOps(val cfg: GraftConfig) {
+  val K: Int = cfg.k
+  val HighFreq: Int = cfg.highFreq
+  val TrustMinFreq: Int = cfg.trustMinFreq
+  val DedupKeyWords: Int = cfg.dedupKeyWords
 
   /** (doc_id, kmer) — one row per k-mer occurrence. Docs shorter than k
     * are filtered BEFORE the explode: sequence(1, stop) flips to step -1
@@ -127,7 +128,7 @@ object Sequence {
     * MatchPrefix.java:60-200). Only the few kmer-colliding pairs reach the
     * contains() verify. */
   def q14NonContained(spark: SparkSession, dir: String): DataFrame = {
-    val pk = 16
+    val pk = cfg.containPrefixLen
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
     // candidate generation stays skinny: only (id, key) pairs flow through
     // the explode and the join; texts are re-attached for the few
@@ -247,3 +248,6 @@ object Sequence {
        |FROM km JOIN freq USING (kmer) GROUP BY km.doc_id
        |HAVING min(f) >= $TrustMinFreq""".stripMargin
 }
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Sequence extends SequenceOps(GraftConfig())

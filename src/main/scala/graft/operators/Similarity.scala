@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 import graft.functions.Vec
 
@@ -26,12 +27,12 @@ import graft.functions.Vec
   * row_number window) shuffled centroids×corpus rows; at 100 TB that
   * window shuffle alone dwarfs the actual scan.
   */
-object Similarity {
-  val NumQueries = 10
-  val TopK = 5
-  val NumCentroids = 16
-  val IvfTopK = 3
-  val KmeansIters = 2
+class SimilarityOps(val cfg: GraftConfig) {
+  val NumQueries: Int = cfg.annQueries
+  val TopK: Int = cfg.annTopK
+  val NumCentroids: Int = cfg.ivfCentroids
+  val IvfTopK: Int = cfg.ivfTopK
+  val KmeansIters: Int = cfg.kmeansIters
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -184,3 +185,6 @@ object Similarity {
        |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
        |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
 }
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Similarity extends SimilarityOps(GraftConfig())
