@@ -30,4 +30,12 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Reliable-checkpoint dir for iterative operators; on a cluster this
+    * should be configured to HDFS/object storage instead. */
+  def ensureCheckpointDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
 }

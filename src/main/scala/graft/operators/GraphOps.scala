@@ -313,10 +313,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private[operators] def resolveChainsFrom(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-    }
+    graft.GraftSession.ensureCheckpointDir(spark)
     val p0 = parentMapFrom(nodes, edges)
     val base = p0.filter(col("node") =!= col("parent"))
     val inChain = (if (withDepth) base.withColumn("d", lit(1L)) else base).checkpoint(true)
@@ -635,9 +632,15 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * (removing a tip can expose its neighbor as the next tip; CloudBrush
     * loops this inside BrushAssembler.java:588-614). Bounded-round
     * variant so the oracle can unroll the same three rounds; the
-    * run-to-convergence form is Pipeline.cleanToConvergence. */
-  def q43TipsIterative(spark: SparkSession, dir: String): DataFrame =
-    (1 to TipRounds).foldLeft(edges2(spark, dir).select("src", "dst"))((e, _) => removeTips(e))
+    * run-to-convergence form is Pipeline.cleanToConvergence.
+    * Per-round reliable checkpoints: removeTips references its input
+    * ~13×, so an unchecked 3-round lazy plan is 13³ copies of the edge
+    * subtree and Catalyst analysis alone dominates the runtime. */
+  def q43TipsIterative(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    (1 to TipRounds).foldLeft(edges2(spark, dir).select("src", "dst"))(
+      (e, _) => removeTips(e).checkpoint(true))
+  }
 
   private def tipRoundSql(eIn: String, p: String): String =
     s"""${p}_inc AS (SELECT src AS node, dst AS nbr FROM $eIn UNION ALL SELECT dst, src FROM $eIn),

@@ -31,10 +31,7 @@ object Pipeline {
     * checkpointed edge set shrinks monotonically, so the per-round write
     * is small and recoverable on executor loss. */
   def cleanToConvergence(spark: SparkSession, edges0: DataFrame, maxRounds: Int = 25): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-    }
+    graft.GraftSession.ensureCheckpointDir(spark)
     var e = edges0.select("src", "dst").checkpoint(true)
     var n = e.count()
     var rounds = 0
