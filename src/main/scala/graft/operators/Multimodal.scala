@@ -49,4 +49,23 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions(decodeBatch).toDF()
   }
+
+  /** DuckDB oracle for the PLUMBING: the synthesized payload is
+    * md5(text) bytes, so byte statistics are recomputable from the hex
+    * string (two hex chars per byte, values via strpos arithmetic) —
+    * the mapPartitions path, schema, and metadata columns are all
+    * verified cross-engine; only a real codec would leave SQL's reach. */
+  def q60Sql: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS hx, n_chars FROM documents),
+      |b AS (SELECT doc_id, n_chars,
+      |    (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS bv
+      |  FROM h, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) t)
+      |SELECT doc_id,
+      |  CAST(n_chars % 64 + 1 AS INT) AS width,
+      |  CAST(doc_id % 48 + 1 AS INT) AS height,
+      |  CAST(count(*) AS INT) AS n_bytes,
+      |  CAST(SUM(bv) AS DOUBLE) / count(*) AS byte_mean,
+      |  CAST(MAX(bv) AS INT) AS byte_max
+      |FROM b GROUP BY doc_id, n_chars""".stripMargin
 }

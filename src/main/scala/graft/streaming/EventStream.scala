@@ -51,4 +51,40 @@ object EventStream {
   def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     windowedAgg(df).writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append()).start()
+
+  /** q47: the streaming pipeline driven end-to-end through the Verify
+    * gate — file-source stream over the events parquet, hourly
+    * event-time aggregation, complete-mode memory sink, result returned
+    * once the stream drains. Complete mode (not append+watermark) so a
+    * bounded replay emits every window and the result equals the batch
+    * oracle bit-for-bit; the production shape with watermarked append is
+    * [[windowedAgg]]. No countDistinct: streaming aggregation forbids
+    * it, so this is q7 minus the distinct-users column. */
+  def q47StreamWindow(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source wants a directory: stream the sf dir, glob-filtered
+    // down to the events file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+    val q = agg.writeStream.format("memory").queryName("graft_q47")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q47")
+  }
+
+  def q47Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
 }
