@@ -43,4 +43,8 @@ case class GraftConfig(
     kmeansIters: Int = 2,
     // relational
     sessionGapMs: Long = 1800000L,
-    highValueOrder: Double = 200000.0)
+    highValueOrder: Double = 200000.0,
+    // text analysis
+    stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+    langIdTrainMod: Int = 5,
+    langIdProfileSize: Int = 30)

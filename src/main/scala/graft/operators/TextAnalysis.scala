@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 
 /** Text-analysis operators for training-data curation: token counting,
@@ -11,8 +12,10 @@ import graft.sources.Tables
   * WholeStageCodegen on the scan — the shape that streams 100 TB through
   * executors with zero shuffle (except langid's tiny profile broadcast).
   */
-object TextAnalysis {
-  val Stopwords = Seq("the", "a", "and", "of", "to")
+class TextAnalysisOps(val cfg: GraftConfig) {
+  val Stopwords: Seq[String] = cfg.stopwords
+  val LangIdTrainMod: Int = cfg.langIdTrainMod
+  val LangIdProfileSize: Int = cfg.langIdProfileSize
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** q50: whitespace tokens + regex token count (BPE-ish pre-tokenizer:
@@ -58,22 +61,22 @@ object TextAnalysis {
        |    FROM documents))""".stripMargin
 
   /** q52: n-gram language ID (Cavnar–Trenkle flavor). Profiles are the
-    * top-30 char bigrams of each language learned from the deterministic
-    * training slice (doc_id % 5 = 0, labels taken from `lang`); the tiny
-    * profile table is broadcast and every doc scores by matched-bigram
-    * count (ties → lexicographically smaller lang). Not SQL-expressible
-    * compactly → rows-only oracle. */
+    * top-$LangIdProfileSize char bigrams of each language learned from
+    * the deterministic training slice (doc_id % $LangIdTrainMod = 0,
+    * labels taken from `lang`); the tiny profile table is broadcast and
+    * every doc scores by matched-bigram count (ties → lexicographically
+    * smaller lang). */
   def q52LangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bigrams = docs
       .filter(length(col("text")) >= 2) // sequence() guard for 1-char docs
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - 1)))
       .select(col("doc_id"), col("lang"), expr("substring(text, g, 2)").as("bg"))
-    val train = bigrams.filter(col("doc_id") % 5 === 0)
+    val train = bigrams.filter(col("doc_id") % LangIdTrainMod === 0)
     val wRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bg"))
     val profiles = broadcast(
       train.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 30)
+        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= LangIdProfileSize)
         .select(col("lang").as("plang"), col("bg")))
     val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
     bigrams.select("doc_id", "bg").distinct()
@@ -82,6 +85,23 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
       .select(col("doc_id"), col("plang").as("pred_lang"))
   }
+
+  def q52Sql: String =
+    s"""WITH bigrams AS (
+       |  SELECT doc_id, lang, substr(text, g, 2) AS bg
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-1)) AS g) t
+       |  WHERE len(text) >= 2),
+       |train AS (SELECT lang, bg FROM bigrams WHERE doc_id % $LangIdTrainMod = 0),
+       |counts AS (SELECT lang, bg, count(*) AS cnt FROM train GROUP BY lang, bg),
+       |profiles AS (SELECT lang AS plang, bg FROM (
+       |  SELECT lang, bg, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rk
+       |  FROM counts) WHERE rk <= $LangIdProfileSize),
+       |db AS (SELECT DISTINCT doc_id, bg FROM bigrams),
+       |hits AS (SELECT doc_id, plang, count(*) AS h FROM db JOIN profiles USING (bg)
+       |  GROUP BY doc_id, plang)
+       |SELECT doc_id, plang AS pred_lang FROM (
+       |  SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, plang) AS rk
+       |  FROM hits) WHERE rk = 1""".stripMargin
 
   /** q53: document fingerprint — md5 over whitespace-normalized text. */
   def q53Fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -92,3 +112,6 @@ object TextAnalysis {
     """SELECT doc_id, md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 }
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object TextAnalysis extends TextAnalysisOps(GraftConfig())
