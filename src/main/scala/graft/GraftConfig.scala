@@ -27,6 +27,10 @@ case class GraftConfig(
     // graph cleaning [CloudBrush: LowCovThreshold, tip/bubble params]
     lowCovThreshold: Double = 70.0,
     tipRounds: Int = 3,
+    // quotient-class tables (q22/q25/q36/q42) are ≤|vocab|² rows; with a
+    // bounded vocabulary they broadcast. For corpora whose boundary-word
+    // vocabulary is unbounded, set false to fall back to a shuffle join.
+    broadcastQuotientClasses: Boolean = true,
     // dedup family
     shingleK: Int = 5,
     minhashJaccard: Double = 0.6,

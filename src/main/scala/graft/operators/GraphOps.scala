@@ -165,6 +165,12 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private def classCounts(spark: SparkSession, dir: String): DataFrame =
     docsKeyed(spark, dir).groupBy(col("fw"), col("lw")).agg(count(lit(1)).as("cnt"))
 
+  /** Quotient-class tables are ≤|vocab|² rows and broadcast by default;
+    * cfg.broadcastQuotientClasses=false falls back to a shuffle join for
+    * corpora with unbounded boundary-word vocabularies. */
+  private def quotient(df: DataFrame): DataFrame =
+    if (cfg.broadcastQuotientClasses) broadcast(df) else df
+
   /** q22: transitive reduction on the coarse graph — drop a→b when some
     * 2-path a→x→b exists. Mid-class arithmetic instead of a path
     * self-join: a valid mid x has fw = last(a) and lw = first(b) = last(a),
@@ -172,7 +178,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * One broadcast hash join + codegen arithmetic — linear in |E|. */
   def q22TransitiveReduction(spark: SparkSession, dir: String): DataFrame = {
     val e = edges1(spark, dir)
-    val mids = broadcast(classCounts(spark, dir)
+    val mids = quotient(classCounts(spark, dir)
       .filter(col("fw") === col("lw"))
       .select(col("fw").as("src_lw"), col("cnt")))
     e.join(mids, Seq("src_lw"), "left")
@@ -240,7 +246,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val d = docsKeyed(spark, dir)
     val cc = classCounts(spark, dir)
     // class pairs that can possibly host >= 2 mids (corrections subtract at most 2)
-    val hot = broadcast(cc.filter(col("cnt") >= 2)
+    val hot = quotient(cc.filter(col("cnt") >= 2)
       .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt")))
     val as_ = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("mid_fw"))
     val bs = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("mid_lw"))
@@ -459,7 +465,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * quotient-class arithmetic as q22, opposite filter, plus the count. */
   def q36Braids(spark: SparkSession, dir: String): DataFrame = {
     val e = edges1(spark, dir)
-    val mids = broadcast(classCounts(spark, dir)
+    val mids = quotient(classCounts(spark, dir)
       .filter(col("fw") === col("lw"))
       .select(col("fw").as("src_lw"), col("cnt")))
     e.join(mids, Seq("src_lw"), "left")
@@ -576,7 +582,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val classTop = d.groupBy("fw", "lw").agg(
       count(lit(1)).as("cnt"),
       expr("slice(array_sort(collect_list(named_struct('negl', -n_chars, 'doc_id', doc_id))), 1, 3)").as("top3"))
-    val hot = broadcast(classTop.filter(col("cnt") >= 2)
+    val hot = quotient(classTop.filter(col("cnt") >= 2)
       .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt"), col("top3")))
     val as_ = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("mid_fw"))
     val bs = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("mid_lw"))
