@@ -316,7 +316,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     *   memory) with a reliable checkpoint every 4th round to truncate
     *   lineage — executor-local localCheckpoint blocks die with any
     *   executor and are unusable on a real cluster. */
-  private[operators] def resolveChainsFrom(
+  def resolveChainsFrom(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     graft.GraftSession.ensureCheckpointDir(spark)

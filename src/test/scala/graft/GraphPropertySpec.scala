@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.GraphOps
+import scala.util.Random
+
+/** Randomized property tests: the distributed graph primitives must
+  * agree with naive single-machine reference implementations on random
+  * graphs (seeded, so failures reproduce). */
+class GraphPropertySpec extends GraftSpec {
+
+  private def randomEdges(rnd: Random, n: Int, m: Int): Seq[(Long, Long)] =
+    Iterator.continually((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (s, d) => s != d }
+      .take(m).toSeq.distinct
+
+  private def refRemoveTips(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val inc = edges.flatMap { case (s, d) => Seq(s -> d, d -> s) }
+    val deg = inc.groupBy(_._1).view.mapValues(_.size).toMap
+    val tips = inc.collect { case (nd, nb) if deg(nd) == 1 && deg(nb) >= 2 => nd }.toSet
+    edges.filterNot { case (s, d) => tips(s) || tips(d) }.toSet
+  }
+
+  private def refChainHeads(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.size).toMap
+    val parent = edges.collect {
+      case (u, v) if out.getOrElse(u, 0) == 1 && in.getOrElse(v, 0) == 1 => v -> u
+    }.toMap
+    nodes.flatMap { n =>
+      var cur = n
+      var seen = Set.empty[Long]
+      var cycle = false
+      while (parent.contains(cur) && !cycle) {
+        if (seen(cur)) cycle = true
+        else { seen += cur; cur = parent(cur) }
+      }
+      if (cycle) None else Some(n -> cur)
+    }.toMap
+  }
+
+  test("removeTips agrees with the naive reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    for (_ <- 1 to 12) {
+      val n = 3 + rnd.nextInt(25)
+      val edges = randomEdges(rnd, n, 1 + rnd.nextInt(2 * n))
+      val got = GraphOps.removeTips(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == refRemoveTips(edges), s"edges=$edges")
+    }
+  }
+
+  test("pointer-jumping chain heads agree with the naive reference (incl. cycles)") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val cases = Seq(
+      // a pure 3-cycle, a 2-cycle plus chain, and a long chain: the
+      // shapes that previously burned the fixed round budget
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L),
+      Seq(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 5L),
+      (1L to 14L).sliding(2).map(p => p.head -> p.last).toSeq
+    ) ++ (1 to 5).map { _ =>
+      val n = 3 + rnd.nextInt(15)
+      randomEdges(rnd, n, 1 + rnd.nextInt(n + 4))
+    }
+    cases.foreach { edges =>
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val got = GraphOps.resolveChainsFrom(spark,
+          nodes.toDF("node"), edges.toDF("src", "dst"), withDepth = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refChainHeads(nodes, edges), s"edges=$edges")
+    }
+  }
+}
