@@ -111,6 +111,33 @@ class TextAnalysisOps(val cfg: GraftConfig) {
   def q53Sql: String =
     """SELECT doc_id, md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
+
+  /** q54: char-bigram Simpson diversity (1 − Σp²) per doc — a
+    * repetitiveness/quality signal like n-gram entropy but free of
+    * transcendentals, so both engines compute bit-identical doubles
+    * (Σc² and Σc are exact integers, the division shape is fixed).
+    * Single map-side-combinable aggregation keyed by doc. */
+  def q54Diversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - 1)))
+      .select(col("doc_id"), expr("substring(text, g, 2)").as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("n"))
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        (lit(1.0) - col("s2").cast("double") / (col("n").cast("double") * col("n").cast("double")))
+          .as("bigram_simpson"))
+
+  def q54Sql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, substr(text, g, 2) AS bg
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-1)) AS g) t
+      |  WHERE len(text) >= 2),
+      |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  1.0 - CAST(SUM(c*c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS bigram_simpson
+      |FROM cnt GROUP BY doc_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -12,14 +12,18 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Fact-table loader. The test files are single-row-group parquet, which
-    * caps a scan at one task no matter what maxPartitionBytes says — so
-    * fact tables get an explicit repartition to restore parallelism. On a
-    * real multi-file 100 TB dataset the scan splits naturally and this
-    * shuffle would be dropped (tiny here: the repartition moves megabytes
-    * once and unlocks 32× downstream parallelism). */
-  private def fact(spark: SparkSession, dir: String, name: String): DataFrame =
-    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+  /** Fact-table loader. The test files are single-row-group parquet,
+    * which caps a scan at one task no matter what maxPartitionBytes says
+    * — so fact tables get a repartition to restore parallelism, but ONLY
+    * when the scan actually under-splits: on a real multi-file 100 TB
+    * dataset the scan splits naturally and the check drops the shuffle
+    * (the round-1 audit flagged the unconditional version as q1's main
+    * cost on real data). */
+  private def fact(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
