@@ -702,6 +702,47 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |SELECT a.doc_id AS src, b.doc_id AS dst, a.o || b.o AS orient
        |FROM strands a JOIN strands b ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id""".stripMargin
 
+  /** q48: CHAR-level variable-length overlap — the reference verifies
+    * overlaps on raw bases, not words (VerifyOverlap.java:50-240); this
+    * is the same keyed equi-join family as q17 at character granularity:
+    * best overlap m ∈ {16,24,32} chars where suffix_m(a) = prefix_m(b).
+    * Three skinny equi-joins + max, never an all-pairs scan. */
+  def q48CharOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val byM = Seq(16, 24, 32).map { m =>
+      val a = d.filter(length(col("text")) >= m)
+        .select(col("doc_id").as("src"), expr(s"substring(text, length(text)-$m+1, $m)").as("k"))
+      val b = d.filter(length(col("text")) >= m)
+        .select(col("doc_id").as("dst"), expr(s"substring(text, 1, $m)").as("k"))
+      a.join(b, "k").filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), lit(m).as("m"))
+    }
+    byM.reduce(_ unionAll _).groupBy("src", "dst").agg(max(col("m")).as("overlap_chars"))
+  }
+
+  def q48Sql: String = {
+    val unions = Seq(16, 24, 32).map { m =>
+      s"""SELECT a.doc_id AS src, b.doc_id AS dst, $m AS m
+         |FROM documents a JOIN documents b
+         |ON substr(a.text, len(a.text)-$m+1, $m) = substr(b.text, 1, $m)
+         |  AND a.doc_id <> b.doc_id
+         |WHERE len(a.text) >= $m AND len(b.text) >= $m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT src, dst, max(m) AS overlap_chars FROM ($unions) GROUP BY src, dst"""
+  }
+
+  /** q49: assembled-contig FASTA export — Graph2Fasta applied to the
+    * chain-compressed consensus (the reference exports the cleaned,
+    * merged graph, not raw reads — Graph2Fasta.java:40-130). */
+  def q49ContigsFasta(spark: SparkSession, dir: String): DataFrame =
+    q38Consensus(spark, dir)
+      .select(col("head"),
+        concat(lit(">contig_"), col("head"), lit("\n"), col("consensus")).as("fasta"))
+
+  def q49Sql: String =
+    s"""WITH cons AS (${q38Sql})
+       |SELECT head, '>contig_' || head || chr(10) || consensus AS fasta FROM cons""".stripMargin
+
   /** q45: error-tolerant overlap verification [VerifyOverlap.java:311
     * scores overlaps by error rate instead of exact equality] — 3-word
     * overlaps allowing ≤1 mismatched word. Candidate generation is the
