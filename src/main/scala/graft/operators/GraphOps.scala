@@ -552,7 +552,9 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * nodes (q24) and low-coverage docs (q26); the cleaned edge set drops
     * every incident edge. Scale: the removal set is a small fraction of
     * the corpus → two broadcast anti-joins over the edge list, no
-    * edge-side shuffle. */
+    * edge-side shuffle. This one-shot form re-derives the edge list per
+    * stage; when composing many removal stages, materialize the edge
+    * list once instead (Pipeline.cleanToConvergence checkpoints it). */
   def q39CleanedGraph(spark: SparkSession, dir: String): DataFrame = {
     val rem = q24Tips(spark, dir).select(col("tip_id").as("nid"))
       .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
