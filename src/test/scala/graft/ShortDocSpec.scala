@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Dedup, Sequence}
+import org.apache.spark.sql.functions._
+
+/** Exercises the short-document paths: docs shorter than k must vanish
+  * from k-mer/shingle explodes (not emit phantom descending positions),
+  * and containment dedup must catch contained docs shorter than the
+  * 16-char prefix key via the full-text key fallback. */
+class ShortDocSpec extends GraftSpec {
+
+  private lazy val dir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shortdocs").toString
+    import spark.implicits._
+    val docs = Seq(
+      // (doc_id, text)
+      (1L, "abc"),                                       // 3 chars: below every k
+      (2L, "hello world foo bar baz quux lorem ipsum dolor sit amet"),
+      (3L, "o world"),                                   // 7 chars, substring of doc 2
+      (4L, "independent words that nothing else contains anywhere"),
+      (5L, "abc")                                        // exact duplicate of doc 1
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("docs shorter than k emit no k-mers and no phantom positions") {
+    val km = Sequence.kmers(spark, dir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(km == Set(2L, 4L)) // 1, 3, 5 are shorter than k=8
+    // every emitted k-mer has exactly length k
+    val lens = Sequence.kmers(spark, dir).select(length(col("kmer"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(lens == Set(Sequence.K))
+  }
+
+  test("shingles exclude docs shorter than the shingle length") {
+    val sh = Dedup.shingles(spark, dir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sh == Set(2L, 3L, 4L)) // doc 3 (7 chars) >= ShingleK=5; docs 1,5 (3 chars) excluded
+  }
+
+  test("containment dedup catches short contained docs and equal-text ties") {
+    val kept = Sequence.q14NonContained(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 ("o world", 7 chars) is a substring of doc 2 → dropped via the
+    // short-doc full-text key; doc 5 duplicates doc 1 and loses the id
+    // tie-break; docs 1, 2, 4 survive
+    assert(kept == Set(1L, 2L, 4L))
+  }
+}
