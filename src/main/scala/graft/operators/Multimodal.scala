@@ -50,6 +50,45 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions(decodeBatch).toDF()
   }
 
+  case class VideoRow(doc_id: Long, payload: Array[Byte], n_frames: Int)
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** A fake "video": 64 synthesized payload bytes = 4 frames × 16 bytes
+    * (a real table would carry the encoded stream + frame count). */
+  def videoTable(spark: SparkSession, dir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("to_binary(concat(md5(text), md5(concat('1:', text)), " +
+          "md5(concat('2:', text)), md5(concat('3:', text))), 'hex')").as("payload"),
+        lit(4).as("n_frames"))
+      .as[VideoRow]
+  }
+
+  /** q61: frame sampling — byte-level frame extraction in executors
+    * (flatMap over the typed rows slices the payload into fixed-stride
+    * frames, exactly the shape of real video frame-sampling with the
+    * codec swapped for a stride), then a per-frame fingerprint. The
+    * oracle recomputes the fingerprints from hex-string arithmetic
+    * (byte slices align with 2-hex-char slices). */
+  def q61FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .flatMap(r => r.payload.grouped(16).zipWithIndex.map {
+        case (bytes, i) => Frame(r.doc_id, i, bytes)
+      })
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), md5(hex(col("frame"))).as("frame_sig"))
+  }
+
+  def q61Sql: String =
+    """WITH v AS (SELECT doc_id,
+      |    upper(md5(text) || md5('1:' || text) || md5('2:' || text) || md5('3:' || text)) AS hx
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |  md5(substr(hx, i*32 + 1, 32)) AS frame_sig
+      |FROM v, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) t""".stripMargin
+
   /** DuckDB oracle for the PLUMBING: the synthesized payload is
     * md5(text) bytes, so byte statistics are recomputable from the hex
     * string (two hex chars per byte, values via strpos arithmetic) —
