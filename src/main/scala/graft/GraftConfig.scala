@@ -51,4 +51,6 @@ case class GraftConfig(
     // text analysis
     stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
     langIdTrainMod: Int = 5,
-    langIdProfileSize: Int = 30)
+    langIdProfileSize: Int = 30,
+    winnowK: Int = 5,
+    winnowWindow: Int = 4)

@@ -16,6 +16,8 @@ class TextAnalysisOps(val cfg: GraftConfig) {
   val Stopwords: Seq[String] = cfg.stopwords
   val LangIdTrainMod: Int = cfg.langIdTrainMod
   val LangIdProfileSize: Int = cfg.langIdProfileSize
+  val WinnowK: Int = cfg.winnowK
+  val WinnowWindow: Int = cfg.winnowWindow
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** q50: whitespace tokens + regex token count (BPE-ish pre-tokenizer:
@@ -111,6 +113,39 @@ class TextAnalysisOps(val cfg: GraftConfig) {
   def q53Sql: String =
     """SELECT doc_id, md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
+
+  /** q55: winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+    * rolling-hash document fingerprinting used by MOSS): hash every char
+    * k-gram, slide a w-position window, keep the minimum hash per
+    * window, emit the distinct selected hashes. Guarantees any shared
+    * run of ≥ w+k−1 chars shares a fingerprint — the local-similarity
+    * complement to q53's whole-doc hash. The window partitions by
+    * doc_id (bounded by doc length, no hot-key risk). */
+  def q55Winnow(spark: SparkSession, dir: String): DataFrame = {
+    val k = WinnowK
+    val w = WinnowWindow
+    val kg = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k)
+      .withColumn("pos", explode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(expr(s"substring(text, pos, $k)")), 1, 8).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    kg.withColumn("mh", min(col("h")).over(win))
+      .filter(col("pos") >= w) // only full windows select fingerprints
+      .select(col("doc_id"), col("mh").as("fingerprint"))
+      .distinct()
+  }
+
+  def q55Sql: String =
+    s"""WITH kg AS (
+       |  SELECT doc_id, g AS pos, substr(md5(substr(text, g, $WinnowK)), 1, 8) AS h
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${WinnowK - 1})) AS g) t
+       |  WHERE len(text) >= $WinnowK),
+       |w AS (SELECT doc_id, pos,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${WinnowWindow - 1} PRECEDING AND CURRENT ROW) AS mh
+       |  FROM kg)
+       |SELECT DISTINCT doc_id, mh AS fingerprint FROM w WHERE pos >= $WinnowWindow""".stripMargin
 
   /** q54: char-bigram Simpson diversity (1 − Σp²) per doc — a
     * repetitiveness/quality signal like n-gram entropy but free of
