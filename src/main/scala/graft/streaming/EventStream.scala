@@ -87,4 +87,28 @@ object EventStream {
       |  count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q56: streaming stateful deduplication — dropDuplicates over the
+    * stream (the state-store-backed primitive behind streaming exact
+    * dedup in a training-data pipeline) feeding a running aggregate;
+    * equals batch count-distinct once the bounded stream drains. A
+    * production unbounded stream would use
+    * dropDuplicatesWithinWatermark to bound the dedup state. */
+  def q56StreamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = raw.select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val q = agg.writeStream.format("memory").queryName("graft_q56")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q56")
+  }
+
+  def q56Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
 }
