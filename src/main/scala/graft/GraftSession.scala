@@ -32,10 +32,19 @@ object GraftSession {
   }
 
   /** Reliable-checkpoint dir for iterative operators; on a cluster this
-    * should be configured to HDFS/object storage instead. */
+    * should be configured to HDFS/object storage instead. The temp dir
+    * is removed on JVM exit so repeated Bench/Verify/test runs don't
+    * accumulate per-round checkpoint files in /tmp. */
   def ensureCheckpointDir(spark: SparkSession): Unit =
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        catch { case _: Throwable => () }
+      }))
     }
 }

@@ -57,9 +57,11 @@ object Vec {
     (1 to dims).map(i => s"CASE WHEN $c[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   /** One band of a banded sign-LSH signature: the sign bits of
-    * coordinates offset+1 .. offset+len. */
+    * coordinates offset+1 .. offset+len. try_element_at: a band layout
+    * wider than the embedding dimension must degrade to '0' bits (like
+    * the DuckDB twin's out-of-range NULL), not throw under ANSI. */
   def signBand(c: String, offset: Int, len: Int): Column =
-    expr((1 to len).map(i => s"CASE WHEN element_at($c, ${offset + i}) >= 0 THEN '1' ELSE '0' END")
+    expr((1 to len).map(i => s"CASE WHEN try_element_at($c, ${offset + i}) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")"))
 
   /** DuckDB twin of [[signBand]]. */

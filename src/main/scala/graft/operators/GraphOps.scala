@@ -217,18 +217,25 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |SELECT d.doc_id, coalesce(o.od, 0) AS out_deg, coalesce(i.idg, 0) AS in_deg
        |FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN i USING (doc_id)""".stripMargin
 
-  /** q24: tips — degree-1 pendant nodes hanging off a branching neighbor
-    * [TipsRemoval.java:60-330]. */
-  def q24Tips(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges2(spark, dir).select("src", "dst")
+  /** (tip node, branching neighbor) pairs of an edge set: degree-1
+    * pendants hanging off a neighbor of degree ≥ 2 — the single tip
+    * definition shared by detection (q24), removal application
+    * (q39/q43), and the pipeline fixpoint. */
+  private[operators] def tipsWithNeighbor(e: DataFrame): DataFrame = {
     val inc = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
     val deg = inc.groupBy("node").agg(count(lit(1)).as("total"))
     inc.join(deg.filter(col("total") === 1).select("node"), "node")
       .join(deg.select(col("node").as("nbr"), col("total").as("nbr_deg")), "nbr")
       .filter(col("nbr_deg") >= 2)
-      .select(col("node").as("tip_id"), col("nbr").as("neighbor_id"))
+      .select("node", "nbr")
   }
+
+  /** q24: tips — degree-1 pendant nodes hanging off a branching neighbor
+    * [TipsRemoval.java:60-330]. */
+  def q24Tips(spark: SparkSession, dir: String): DataFrame =
+    tipsWithNeighbor(edges2(spark, dir).select("src", "dst"))
+      .select(col("node").as("tip_id"), col("nbr").as("neighbor_id"))
 
   def q24Sql: String =
     s"""WITH e AS (SELECT src, dst FROM ($edges2Sql)),
@@ -367,6 +374,14 @@ class GraphOpsLib(val cfg: GraftConfig) {
       converged = rounds >= 3 && mat.filter(col("moved")).limit(1).count() == 0
       p = mat.drop("moved")
     }
+    // drain round persistence: checkpoint the final map so the rounds
+    // still registered in `pending` can be unpersisted instead of
+    // leaking DISK_ONLY blocks for the session lifetime
+    if (pending.nonEmpty) {
+      p = p.checkpoint(true)
+      pending.foreach(_.unpersist(false))
+      pending = Nil
+    }
     // exclude cycles: resolved parent must be a genuine root (not interior)
     val resolved = p.join(inChain.select(col("node").as("pn")), p("parent") === col("pn"), "left_anti")
     val renamed =
@@ -501,18 +516,21 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private def chainsWithDepth(spark: SparkSession, dir: String): DataFrame =
     resolveChains(spark, dir, withDepth = true)
 
-  /** q38: consensus per compressed chain [DefineConsensus.java:50-300] —
-    * member texts concatenated in chain order (head first). Ordered
-    * aggregation via array_sort over (depth, node, text) structs, the
-    * shuffle-stable Spark idiom for ORDER BY inside an aggregate. */
-  def q38Consensus(spark: SparkSession, dir: String): DataFrame = {
-    val chains = chainsWithDepth(spark, dir)
-    chains.join(Tables.documents(spark, dir).select(col("doc_id").as("node"), col("text")), "node")
+  /** Ordered consensus per chain [DefineConsensus.java:50-300]: member
+    * texts concatenated head-first. Ordered aggregation via array_sort
+    * over (depth, node, text) structs, the shuffle-stable Spark idiom
+    * for ORDER BY inside an aggregate. Shared by q38 and
+    * Pipeline.assemble so the definition can't silently diverge. */
+  private[operators] def consensusFrom(chains: DataFrame, docs: DataFrame): DataFrame =
+    chains.join(docs.select(col("doc_id").as("node"), col("text")), "node")
       .groupBy("head")
       .agg(count(lit(1)).as("n_members"),
         expr("array_join(transform(array_sort(collect_list(struct(depth, node, text))), x -> x.text), ' | ')")
           .as("consensus"))
-  }
+
+  /** q38: consensus per compressed chain. */
+  def q38Consensus(spark: SparkSession, dir: String): DataFrame =
+    consensusFrom(chainsWithDepth(spark, dir), Tables.documents(spark, dir))
 
   def q38Sql: String =
     chainSqlDepth +
@@ -618,17 +636,11 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |SELECT src, dst, mid AS kept_mid, n_mids - 1 AS n_popped
        |FROM ranked WHERE rk = 1 AND n_mids >= 2""".stripMargin
 
-  /** One round of tip removal applied to an edge set: detect degree-1
-    * pendants on branching neighbors [TipsRemoval.java:60-330], then
-    * drop their incident edges [EdgeRemoval]. */
+  /** One round of tip removal applied to an edge set: detect
+    * [TipsRemoval.java:60-330] via the shared tip definition, then drop
+    * the incident edges [EdgeRemoval]. */
   def removeTips(e: DataFrame): DataFrame = {
-    val inc = e.select(col("src").as("node"), col("dst").as("nbr"))
-      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
-    val deg = inc.groupBy("node").agg(count(lit(1)).as("total"))
-    val tips = inc.join(deg.filter(col("total") === 1).select("node"), "node")
-      .join(deg.select(col("node").as("nbr"), col("total").as("nbr_deg")), "nbr")
-      .filter(col("nbr_deg") >= 2)
-      .select(col("node")).distinct()
+    val tips = tipsWithNeighbor(e).select(col("node")).distinct()
     e.join(tips.select(col("node").as("src")), Seq("src"), "left_anti")
       .join(tips.select(col("node").as("dst")), Seq("dst"), "left_anti")
       .select("src", "dst")
@@ -660,12 +672,16 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |  WHERE src NOT IN (SELECT node FROM ${p}_tips)
        |    AND dst NOT IN (SELECT node FROM ${p}_tips))""".stripMargin
 
-  def q43Sql: String =
+  def q43Sql: String = {
+    // unrolled from the SAME cfg.tipRounds the Spark side runs, so a
+    // reconfigured instance keeps a matching oracle
+    val rounds = (1 to TipRounds)
+      .map(i => tipRoundSql(if (i == 1) "e0" else s"r${i - 1}_out", s"r$i"))
+      .mkString(",\n")
     s"""WITH e0 AS (SELECT src, dst FROM ($edges2Sql)),
-       |${tipRoundSql("e0", "r1")},
-       |${tipRoundSql("r1_out", "r2")},
-       |${tipRoundSql("r2_out", "r3")}
-       |SELECT src, dst FROM r3_out""".stripMargin
+       |$rounds
+       |SELECT src, dst FROM r${TipRounds}_out""".stripMargin
+  }
 
   /** q44: two-orientation overlap edges — CloudBrush keys every read in
     * BOTH orientations (reverse-complement rc, Node.java:2080; MatchPrefix

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** End-to-end composition — CloudBrush's BrushAssembler phase driver
@@ -12,11 +11,10 @@ import graft.sources.Tables
   *
   * The reference iterates graph cleaning to convergence (tips→compress
   * loop at BrushAssembler.java:588-614, find→pop bubbles at :622-660);
-  * here each fixpoint is a driver loop over lazy DataFrames with the same
-  * persistence discipline as pointer jumping: rounds persist at
-  * DISK_ONLY, every 4th round takes a reliable checkpoint to truncate
-  * lineage, and convergence is an edge-count fixpoint. At 100 TB each
-  * round is two broadcast anti-joins (the removal set is small) over the
+  * here each fixpoint is a driver loop whose rounds take eager reliable
+  * checkpoints (see cleanToConvergence for why lineage must be cut every
+  * round) and converge on an edge-count fixpoint. At 100 TB each round
+  * is two broadcast anti-joins (the removal set is small) over the
   * partitioned edge list — no driver-side data, no all-pairs work.
   */
 object Pipeline {
@@ -56,11 +54,7 @@ object Pipeline {
     val cleaned = cleanToConvergence(spark, GraphOps.edges2(spark, dir).select("src", "dst"))
     val chains = GraphOps.resolveChainsFrom(spark,
       docs.select(col("doc_id").as("node")), cleaned, withDepth = true)
-    chains.join(docs.select(col("doc_id").as("node"), col("text")), "node")
-      .groupBy("head")
-      .agg(count(lit(1)).as("n_members"),
-        expr("array_join(transform(array_sort(collect_list(struct(depth, node, text))), x -> x.text), ' | ')")
-          .as("consensus"))
+    GraphOps.consensusFrom(chains, docs)
   }
 
   /** q46: the assembled contig table (rows-only check: the convergence

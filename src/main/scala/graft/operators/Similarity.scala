@@ -160,14 +160,17 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  GROUP BY cell, g),
        |$out AS (SELECT cell AS cent_id, array_agg(m ORDER BY g) AS ce FROM ${out}_m GROUP BY cell)""".stripMargin
 
-  def q41Sql: String =
+  def q41Sql: String = {
+    // one (assign, update) CTE pair per configured Lloyd iteration, so a
+    // reconfigured instance keeps a matching oracle
+    val training = (1 to KmeansIters).map { i =>
+      s"""${duckAssign(s"c${i - 1}", s"a$i")},
+         |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
+    }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids),
-       |${duckAssign("c0", "a1")},
-       |${duckUpdate("a1", "c1")},
-       |${duckAssign("c1", "a2")},
-       |${duckUpdate("a2", "c2")},
-       |${duckAssign("c2", "af")},
+       |$training,
+       |${duckAssign(s"c$KmeansIters", "af")},
        |av AS (SELECT af.vec_id, e.embedding, af.cell FROM af JOIN e USING (vec_id)),
        |qv AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM av WHERE vec_id < $NumQueries),
        |cellpairs AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
@@ -184,6 +187,7 @@ class SimilarityOps(val cfg: GraftConfig) {
        |SELECT ia AS query_id, ib AS vec_id, rk, cosine FROM (
        |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
        |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -19,10 +19,18 @@ object Tables {
     * dataset the scan splits naturally and the check drops the shuffle
     * (the round-1 audit flagged the unconditional version as q1's main
     * cost on real data). */
+  private val underSplit =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
   private def fact(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    // the split decision needs a physical-planning pass (df.rdd); a
+    // static file's split count can't change, so memoize per table
+    // rather than re-planning on every loader call
+    val need = underSplit.getOrElseUpdate((dir, name),
+      df.rdd.getNumPartitions < target / 2)
+    if (need) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

@@ -3,7 +3,9 @@ package graft.tools
 /** Timing probe for the pointer-jumping loop (q27/q38). */
 object ChainProbe {
   def main(args: Array[String]): Unit = {
-    // session configured exactly like Bench's (not GraftSession)
+    // session configured exactly like Bench's (NOT GraftSession): probe
+    // timings must reproduce bench behavior, and GraftSession's larger
+    // broadcast threshold can flip join strategies
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

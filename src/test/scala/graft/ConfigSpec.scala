@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, SequenceOps}
+import graft.operators.{DedupOps, GraphOpsLib, SequenceOps, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 class ConfigSpec extends GraftSpec {
@@ -16,6 +16,13 @@ class ConfigSpec extends GraftSpec {
     assert(ops.q11Sql.contains(">= 7"))
     val d = new DedupOps(GraftConfig(nearDupCos = 0.9))
     assert(d.q34Sql.contains(">= 0.9"))
+  }
+
+  test("iterative oracles unroll from the configured round counts") {
+    val g = new GraphOpsLib(GraftConfig(tipRounds = 2))
+    assert(g.q43Sql.contains("r2_out") && !g.q43Sql.contains("r3_out"))
+    val s = new SimilarityOps(GraftConfig(kmeansIters = 1))
+    assert(s.q41Sql.contains("c1") && !s.q41Sql.contains("c2"))
   }
 
   test("default objects equal default-config instances") {
