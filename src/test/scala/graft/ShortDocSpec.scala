@@ -18,7 +18,8 @@ class ShortDocSpec extends GraftSpec {
       (2L, "hello world foo bar baz quux lorem ipsum dolor sit amet"),
       (3L, "o world"),                                   // 7 chars, substring of doc 2
       (4L, "independent words that nothing else contains anywhere"),
-      (5L, "abc")                                        // exact duplicate of doc 1
+      (5L, "abc"),                                       // exact duplicate of doc 1
+      (6L, "xyz hello world foo bar baz qq")             // long shared run with doc 2
     ).toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")))
       .withColumn("lang", lit("en"))
@@ -30,7 +31,7 @@ class ShortDocSpec extends GraftSpec {
   test("docs shorter than k emit no k-mers and no phantom positions") {
     val km = Sequence.kmers(spark, dir).select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    assert(km == Set(2L, 4L)) // 1, 3, 5 are shorter than k=8
+    assert(km == Set(2L, 4L, 6L)) // 1, 3, 5 are shorter than k=8
     // every emitted k-mer has exactly length k
     val lens = Sequence.kmers(spark, dir).select(length(col("kmer"))).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -40,7 +41,7 @@ class ShortDocSpec extends GraftSpec {
   test("shingles exclude docs shorter than the shingle length") {
     val sh = Dedup.shingles(spark, dir).select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    assert(sh == Set(2L, 3L, 4L)) // doc 3 (7 chars) >= ShingleK=5; docs 1,5 (3 chars) excluded
+    assert(sh == Set(2L, 3L, 4L, 6L)) // doc 3 (7 chars) >= ShingleK=5; docs 1,5 (3 chars) excluded
   }
 
   test("containment dedup catches short contained docs and equal-text ties") {
@@ -48,7 +49,16 @@ class ShortDocSpec extends GraftSpec {
       .collect().map(_.getLong(0)).toSet
     // doc 3 ("o world", 7 chars) is a substring of doc 2 → dropped via the
     // short-doc full-text key; doc 5 duplicates doc 1 and loses the id
-    // tie-break; docs 1, 2, 4 survive
-    assert(kept == Set(1L, 2L, 4L))
+    // tie-break; docs 1, 2, 4, 6 survive
+    assert(kept == Set(1L, 2L, 4L, 6L))
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 chars share a fingerprint") {
+    // docs 2 and 6 share the 24-char run "hello world foo bar baz " (>= 4+5-1 = 8)
+    val fp = graft.operators.TextAnalysis.q55Winnow(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val d2 = fp.collect { case (2L, f) => f }.toSet
+    val d6 = fp.collect { case (6L, f) => f }.toSet
+    assert(d6.nonEmpty && (d2 & d6).nonEmpty)
   }
 }
