@@ -540,13 +540,13 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |FROM heads h JOIN documents d ON d.doc_id = h.node
        |GROUP BY h.head""".stripMargin
 
-  private def chainSqlDepth: String =
-    s"""WITH RECURSIVE
-       |e AS (SELECT src, dst FROM ($edges2Sql)),
-       |odeg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
-       |ideg AS (SELECT dst, count(*) AS c FROM e GROUP BY dst),
+  /** Depth-carrying chain CTEs over an arbitrary edge CTE (must appear
+    * in a WITH RECURSIVE list). */
+  private def chainDepthCtesFrom(edgeCte: String): String =
+    s"""odeg AS (SELECT src, count(*) AS c FROM $edgeCte GROUP BY src),
+       |ideg AS (SELECT dst, count(*) AS c FROM $edgeCte GROUP BY dst),
        |comp AS (
-       |  SELECT e.src AS parent, e.dst AS node FROM e
+       |  SELECT e.src AS parent, e.dst AS node FROM $edgeCte e
        |  JOIN odeg ON e.src = odeg.src JOIN ideg ON e.dst = ideg.dst
        |  WHERE odeg.c = 1 AND ideg.c = 1),
        |heads AS (
@@ -554,6 +554,31 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |  WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = d.doc_id)
        |  UNION ALL
        |  SELECT comp.node, heads.head, heads.depth + 1 FROM heads JOIN comp ON comp.parent = heads.node)""".stripMargin
+
+  private def chainSqlDepth: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT src, dst FROM ($edges2Sql)),
+       |${chainDepthCtesFrom("e")}""".stripMargin
+
+  /** Oracle for the full assembly pipeline: the tip fixpoint is unrolled
+    * $unrollRounds times — tip removal is IDEMPOTENT once converged, so
+    * any unroll count ≥ the data's convergence round count is exact (the
+    * corpus converges in ≤6 rounds at every tested sf; 12 is 2× margin)
+    * — then the recursive chain CTEs and ordered consensus run over the
+    * cleaned edge set. */
+  private[operators] def assembleSql(unrollRounds: Int): String = {
+    val rounds = (1 to unrollRounds)
+      .map(i => tipRoundSql(if (i == 1) "e0" else s"t${i - 1}_out", s"t$i"))
+      .mkString(",\n")
+    s"""WITH RECURSIVE
+       |e0 AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),
+       |$rounds,
+       |${chainDepthCtesFrom(s"t${unrollRounds}_out")}
+       |SELECT h.head, count(*) AS n_members,
+       |  string_agg(d.text, ' | ' ORDER BY h.depth, h.node) AS consensus
+       |FROM heads h JOIN documents d ON d.doc_id = h.node
+       |GROUP BY h.head""".stripMargin
+  }
 
   /** q29: FASTA export [Graph2Fasta.java:40-130]. */
   def q29Graph2Fasta(spark: SparkSession, dir: String): DataFrame =
@@ -662,13 +687,17 @@ class GraphOpsLib(val cfg: GraftConfig) {
       (e, _) => removeTips(e).checkpoint(true))
   }
 
+  /** MATERIALIZED: each round references its input ~4× and rounds
+    * chain — inlined CTEs would fan out 4^rounds scans (the exact DuckDB
+    * analogue of the lazy-DataFrame plan explosion the Spark side cuts
+    * with per-round checkpoints). */
   private def tipRoundSql(eIn: String, p: String): String =
-    s"""${p}_inc AS (SELECT src AS node, dst AS nbr FROM $eIn UNION ALL SELECT dst, src FROM $eIn),
-       |${p}_deg AS (SELECT node, count(*) AS total FROM ${p}_inc GROUP BY node),
-       |${p}_tips AS (SELECT DISTINCT i.node FROM ${p}_inc i
+    s"""${p}_inc AS MATERIALIZED (SELECT src AS node, dst AS nbr FROM $eIn UNION ALL SELECT dst, src FROM $eIn),
+       |${p}_deg AS MATERIALIZED (SELECT node, count(*) AS total FROM ${p}_inc GROUP BY node),
+       |${p}_tips AS MATERIALIZED (SELECT DISTINCT i.node FROM ${p}_inc i
        |  JOIN ${p}_deg dn ON i.node = dn.node JOIN ${p}_deg dm ON i.nbr = dm.node
        |  WHERE dn.total = 1 AND dm.total >= 2),
-       |${p}_out AS (SELECT src, dst FROM $eIn
+       |${p}_out AS MATERIALIZED (SELECT src, dst FROM $eIn
        |  WHERE src NOT IN (SELECT node FROM ${p}_tips)
        |    AND dst NOT IN (SELECT node FROM ${p}_tips))""".stripMargin
 

@@ -57,10 +57,11 @@ object Pipeline {
     GraphOps.consensusFrom(chains, docs)
   }
 
-  /** q46: the assembled contig table (rows-only check: the convergence
-    * loop's round count is data-dependent, so there is no fixed-depth SQL
-    * oracle; correctness of each stage is covered by q20/q24/q27/q38/q43
-    * and the PipelineSpec fixpoint properties). */
+  /** q46: the assembled contig table. */
   def q46Assembly(spark: SparkSession, dir: String): DataFrame =
     assemble(spark, dir)
+
+  /** Oracle: 12 unrolled tip rounds (idempotent past convergence; every
+    * tested sf converges in ≤6) + recursive chain CTEs + consensus. */
+  def q46Sql: String = GraphOps.assembleSql(12)
 }
