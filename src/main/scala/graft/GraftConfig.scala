@@ -31,6 +31,10 @@ case class GraftConfig(
     // bounded vocabulary they broadcast. For corpora whose boundary-word
     // vocabulary is unbounded, set false to fall back to a shuffle join.
     broadcastQuotientClasses: Boolean = true,
+    // graph stats [CloudBrush: Stats cutoffs array + min contig length]
+    statsMinLen: Long = 100L,
+    // bubble popping [FindBubbles.java:207 BUBBLEEDITRATE]
+    bubbleEditRate: Double = 0.05,
     // dedup family
     shingleK: Int = 5,
     minhashJaccard: Double = 0.6,
@@ -39,12 +43,21 @@ case class GraftConfig(
     nearDupCos: Double = 0.42,
     signBands: Int = 8,
     signBandBits: Int = 8,
+    // simhash hamming pairing: 16 fingerprint bits split into bands ×
+    // bits; pigeonhole-sound for hamming ≤ bands − 1
+    simhashBands: Int = 4,
+    simhashBandBits: Int = 4,
+    simhashMaxHamming: Int = 3,
+    // correction votes [PreCorrect]: a substitution is voted only when
+    // the corrected k-mer reaches this global frequency
+    voteStrongFreq: Int = 3,
     // ANN
     annQueries: Int = 10,
     annTopK: Int = 5,
     ivfCentroids: Int = 16,
     ivfTopK: Int = 3,
     kmeansIters: Int = 2,
+    ivfNprobe: Int = 2,
     // relational
     sessionGapMs: Long = 1800000L,
     highValueOrder: Double = 200000.0,

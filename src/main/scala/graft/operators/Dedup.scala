@@ -230,6 +230,189 @@ class DedupOps(val cfg: GraftConfig) {
       .filter(col("cosine") >= NearDupCos)
   }
 
+  /** q58: SimHash hamming-distance near-dup pairs — the pairing half the
+    * fingerprint (q32) exists for. The 16-bit fingerprint is banded into
+    * $SimhashBands × $SimhashBandBits bit slices; a pair collides when ANY
+    * band matches (pigeonhole: hamming ≤ bands−1 ⇒ some band is
+    * untouched, so recall is exact for hamming ≤ $SimhashMaxHamming with
+    * the default 4×4 split). Verification is `bit_count(xor)` — exact
+    * integer arithmetic in both engines.
+    *
+    * Scale: band join is an equi-join keyed by (band, slice) — never
+    * all-pairs; the verify join touches candidates only. */
+  def q58SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q32Simhash(spark, dir)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until cfg.simhashBands).map(b =>
+        shiftright(col("simhash"), b * cfg.simhashBandBits)
+          .bitwiseAND(lit((1 << cfg.simhashBandBits) - 1))): _*)).as(Seq("b", "bk")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= cfg.simhashMaxHamming)
+  }
+
+  def q58Sql: String =
+    s"""WITH sig AS (${q32Sql}),
+       |bands AS (SELECT doc_id, b,
+       |    (simhash >> (b * ${cfg.simhashBandBits})) & ${(1 << cfg.simhashBandBits) - 1} AS bk
+       |  FROM sig, LATERAL (SELECT unnest(generate_series(0, ${cfg.simhashBands - 1})) AS b) t),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${cfg.simhashMaxHamming}""".stripMargin
+
+  /** Near-dup pair edges from BOTH text-space generators in one pass:
+    * MinHash-LSH band candidates (verified at ≥ $MinhashJ) ∪ rare-shingle
+    * candidates (verified at ≥ $JaccardJ). Each candidate pair is tagged
+    * with its generator(s) and exact Jaccard is computed ONCE — half the
+    * verify work of running q31 + q33 separately. */
+  private def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sig = minhashSig(sh)
+    val bands = sig.select(col("doc_id"),
+        concat(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
+      .unionAll(sig.select(col("doc_id"),
+        concat(col("s4"), col("s5"), col("s6"), col("s7")).as("bk")))
+    val candMh = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(true).as("mh"), lit(false).as("rare"))
+    val rareSh = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RareDf && col("df") >= 2).select("s")
+    val idx = sh.join(rareSh, "s")
+    val candRare = idx.as("x").join(idx.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(false).as("mh"), lit(true).as("rare"))
+    val cand = candMh.unionAll(candRare)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("mh")).as("mh"), max(col("rare")).as("rare"))
+    verifiedJaccard(sh, cand.select("id_a", "id_b"))
+      .join(cand, Seq("id_a", "id_b"))
+      .filter((col("mh") && col("jaccard") >= MinhashJ) ||
+              (col("rare") && col("jaccard") >= JaccardJ))
+      .select("id_a", "id_b")
+  }
+
+  private def nearDupEdgesSql: String =
+    s"""sh AS MATERIALIZED ($shinglesSql),
+       |sig AS (SELECT doc_id, $sigSqlExprs FROM sh GROUP BY doc_id),
+       |mbands AS (SELECT doc_id, s0||s1||s2||s3 AS bk FROM sig
+       |  UNION ALL SELECT doc_id, s4||s5||s6||s7 FROM sig),
+       |cand_mh AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM mbands x JOIN mbands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND $RareDf),
+       |idx AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+       |cand_rare AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM idx x JOIN idx y ON x.s = y.s AND x.doc_id < y.doc_id),
+       |cand AS (SELECT id_a, id_b,
+       |    max(mh) AS mh, max(rare) AS rare FROM (
+       |    SELECT id_a, id_b, true AS mh, false AS rare FROM cand_mh
+       |    UNION ALL SELECT id_a, id_b, false, true FROM cand_rare)
+       |  GROUP BY id_a, id_b),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+       |  JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+       |  GROUP BY id_a, id_b),
+       |jac AS (SELECT id_a, id_b, CAST(i AS DOUBLE)/(na.n + nb.n - i) AS jaccard
+       |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id),
+       |pairs AS MATERIALIZED (SELECT j.id_a, j.id_b
+       |  FROM jac j JOIN cand USING (id_a, id_b)
+       |  WHERE (cand.mh AND j.jaccard >= $MinhashJ)
+       |     OR (cand.rare AND j.jaccard >= $JaccardJ))""".stripMargin
+
+  /** q57: dedup FAMILIES — the step that turns near-dup PAIRS into an
+    * actionable dedup verdict [the pipeline analogue of CloudBrush's
+    * chain merging, QuickMerge.java:60-400: group related nodes, keep one
+    * representative]. Connected components over the union pair graph
+    * (min-label propagation with a pointer-jump hop, so label paths halve
+    * per round), then a deterministic keeper per family: longest text,
+    * ties to the smallest doc_id. Every doc gets a row — singletons are
+    * their own keeper — so a pipeline can anti-join `is_dup` in one pass.
+    *
+    * Scale: near-dup families are small (bounded by how many true
+    * near-copies a doc has), so rounds ≈ log(family diameter); each round
+    * is two shuffle joins keyed by node id, checkpointed to cut lineage.
+    * The keeper choice is two aggregates, never a window over a family. */
+  def q57DedupFamilies(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val pairs = nearDupEdges(spark, dir)
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    var lbl = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
+      .select(col("node"), least(col("node"), col("l")).as("lbl"))
+      .checkpoint(true)
+    val nNodes = lbl.count()
+    // the convergence check is the real exit (the pointer-jump hop makes
+    // that ≈ log(family diameter) rounds in practice); the cap is the
+    // always-sufficient pure-propagation bound, diameter < |nodes|, so
+    // hitting it can never leave labels unresolved
+    val maxRounds = math.max(1L, nNodes).toInt
+    var converged = nNodes == 0
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = und.join(lbl.select(col("node").as("v"), col("lbl").as("vl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
+      val prop = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // pointer-jump hop: lbl(v) ← lbl(lbl(v)) — labels are node ids, so
+      // chase one hop through the label map itself (path halving)
+      val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
+      val next = prop.join(hop, prop("lbl") === hop("hn"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl"))
+        .checkpoint(true)
+      val changed = next.join(lbl.select(col("node"), col("lbl").as("prev")), "node")
+        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      converged = changed == 0
+      lbl = next
+      rounds += 1
+    }
+    und.unpersist(false)
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val fam = docs.join(lbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), coalesce(col("lbl"), col("doc_id")).as("family_id"))
+    val sz = fam.groupBy("family_id")
+      .agg(count(lit(1)).as("family_size"), max(col("n_chars")).as("mx"))
+    val keeper = fam.join(sz, "family_id")
+      .filter(col("n_chars") === col("mx"))
+      .groupBy("family_id").agg(min(col("doc_id")).as("keeper_id"))
+    fam.join(sz.select("family_id", "family_size"), "family_id")
+      .join(keeper, "family_id")
+      .select(col("doc_id"), col("family_id"), col("keeper_id"), col("family_size"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+  }
+
+  /** Oracle: exact min-reachable-id via a recursive transitive closure —
+    * fine at verification scale, where the pair graph is tiny. */
+  def q57Sql: String =
+    s"""WITH RECURSIVE
+       |$nearDupEdgesSql,
+       |und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
+       |fam AS (SELECT d.doc_id, d.n_chars, coalesce(l.family_id, d.doc_id) AS family_id
+       |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+       |fsz AS (SELECT family_id, count(*) AS family_size, max(n_chars) AS mx
+       |  FROM fam GROUP BY family_id),
+       |keeper AS (SELECT f.family_id, min(f.doc_id) AS keeper_id
+       |  FROM fam f JOIN fsz USING (family_id) WHERE f.n_chars = fsz.mx
+       |  GROUP BY f.family_id)
+       |SELECT f.doc_id, f.family_id, k.keeper_id, s.family_size,
+       |  f.doc_id <> k.keeper_id AS is_dup
+       |FROM fam f JOIN fsz s USING (family_id) JOIN keeper k USING (family_id)""".stripMargin
+
   def q34Sql: String = {
     val bandArms = (0 until SignBands).map(b =>
       s"SELECT vec_id, $b AS b, ${Vec.signBandSqlDuck("embedding", b * SignBandBits, SignBandBits)} AS bk FROM e")

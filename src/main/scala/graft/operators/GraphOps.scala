@@ -103,13 +103,17 @@ class GraphOpsLib(val cfg: GraftConfig) {
 
   /** q18: chimeric-link cut [CutChimericLinks.java:60-400] — keep an edge
     * only if its overlap is the best among both its source's out-edges and
-    * its target's in-edges (reciprocal-best filtering). */
+    * its target's in-edges (reciprocal-best filtering).
+    *
+    * Per-node maxima come from two groupBy aggregates joined back, NOT
+    * Window.partitionBy(src)/(dst): a hub node's whole edge list would
+    * land in one unsplittable window partition, and AQE can split a
+    * skewed shuffle *join* but not a window. */
   def q18ChimericCut(spark: SparkSession, dir: String): DataFrame = {
     val e = q17BestOverlap(spark, dir)
-    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    val wDst = org.apache.spark.sql.expressions.Window.partitionBy("dst")
-    e.withColumn("best_out", max(col("overlap_len")).over(wSrc))
-      .withColumn("best_in", max(col("overlap_len")).over(wDst))
+    val bestOut = e.groupBy("src").agg(max(col("overlap_len")).as("best_out"))
+    val bestIn = e.groupBy("dst").agg(max(col("overlap_len")).as("best_in"))
+    e.join(bestOut, "src").join(bestIn, "dst")
       .filter(col("overlap_len") === col("best_out") && col("overlap_len") === col("best_in"))
       .select("src", "dst", "overlap_len")
   }
@@ -456,6 +460,47 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |  (SELECT clen FROM ord, tot WHERE csum >= total_len / 2.0 ORDER BY csum LIMIT 1) AS n50
        |FROM tot""".stripMargin
 
+  /** q28b: multi-cutoff contig statistics [Stats.java:186-196 reports an
+    * N10…N90 cutoff band; Stats.java:54 filters contigs below a minimum
+    * length]. Same histogram machinery as q28 — one triangular
+    * broadcast join over |distinct lengths| rows serves every cutoff, so
+    * adding cutoffs is free — with the reference's min-length filter
+    * ($statsMinLen) applied before any statistic. The cutoff fractions
+    * 0.25/0.50/0.75 are exact binary fractions, so threshold arithmetic
+    * is bit-identical across engines. */
+  def q28bStatsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val chains = q27ChainCompress(spark, dir)
+    val lens = chains.join(Tables.documents(spark, dir).select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy("head").agg(sum(col("n_chars")).as("clen"))
+      .filter(col("clen") >= cfg.statsMinLen)
+    val tot = lens.agg(count(lit(1)).as("n_contigs"), sum(col("clen")).as("total_len"),
+                       max(col("clen")).as("max_len"))
+    val hist = lens.groupBy("clen").agg(count(lit(1)).as("n"))
+    val csum = hist.as("a").join(broadcast(hist.as("b")), col("b.clen") >= col("a.clen"))
+      .groupBy(col("a.clen").as("bclen"))
+      .agg(sum(col("b.clen") * col("b.n")).as("csum"))
+    val cuts = csum.crossJoin(tot.select(col("total_len").as("t")))
+      .agg(max(when(col("csum") >= col("t") * 0.25, col("bclen"))).as("n25"),
+           max(when(col("csum") >= col("t") * 0.50, col("bclen"))).as("n50"),
+           max(when(col("csum") >= col("t") * 0.75, col("bclen"))).as("n75"))
+    tot.crossJoin(cuts)
+  }
+
+  def q28bSql: String =
+    chainSql +
+    s""",
+       |lens AS (SELECT head, CAST(SUM(n_chars) AS BIGINT) AS clen
+       |  FROM heads JOIN documents ON doc_id = node GROUP BY head
+       |  HAVING CAST(SUM(n_chars) AS BIGINT) >= ${cfg.statsMinLen}),
+       |tot AS (SELECT count(*) AS n_contigs, CAST(SUM(clen) AS BIGINT) AS total_len,
+       |  max(clen) AS max_len FROM lens),
+       |ord AS (SELECT clen, CAST(SUM(clen) OVER (ORDER BY clen DESC, head) AS BIGINT) AS csum FROM lens)
+       |SELECT n_contigs, total_len, max_len,
+       |  (SELECT max(clen) FROM ord, tot WHERE csum >= total_len * 0.25) AS n25,
+       |  (SELECT max(clen) FROM ord, tot WHERE csum >= total_len * 0.50) AS n50,
+       |  (SELECT max(clen) FROM ord, tot WHERE csum >= total_len * 0.75) AS n75
+       |FROM tot""".stripMargin
+
   /** q35: mate-pair edge adjustment [AdjustMateEdge.java:60-300]. Mates
     * pair adjacent ids (d XOR 1). An edge a→b is mate-supported when the
     * reverse-orientation mate edge mate(b)→mate(a) also exists — emitted
@@ -599,11 +644,14 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * stage; when composing many removal stages, materialize the edge
     * list once instead (Pipeline.cleanToConvergence checkpoints it). */
   def q39CleanedGraph(spark: SparkSession, dir: String): DataFrame = {
-    val rem = q24Tips(spark, dir).select(col("tip_id").as("nid"))
+    // single edge-list subtree shared by tip detection and the final
+    // anti-joins (structurally identical → one ReusedExchange), instead
+    // of re-deriving edges2 through q24's loader a second time
+    val e = edges2(spark, dir)
+    val rem = tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
       .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
       .distinct()
-    edges2(spark, dir)
-      .join(rem.select(col("nid").as("src")), Seq("src"), "left_anti")
+    e.join(rem.select(col("nid").as("src")), Seq("src"), "left_anti")
       .join(rem.select(col("nid").as("dst")), Seq("dst"), "left_anti")
       .select("src", "dst", "okey")
   }
@@ -617,18 +665,59 @@ class GraphOpsLib(val cfg: GraftConfig) {
 
   /** q42: bubble popping [PopBubbles.java:55-200] — for each bubble
     * (src,dst with ≥2 parallel 2-paths), keep the best mid path (longest
-    * text, ties to the smallest doc_id) and report how many redundant
-    * mids get merged away. Same quotient-class contraction as q25: each
-    * class carries its top-3 candidates (by length desc, id asc), enough
-    * to survive the ≤2 possible src/dst exclusions, so the per-pair pick
-    * is O(1) arithmetic over a broadcast table — no path self-join. */
-  def q42PopBubbles(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsKeyed(spark, dir)
+    * text, ties to the smallest doc_id) and count how many of the other
+    * mids get popped. A mid is poppable only when its text is genuinely
+    * similar to the kept path [FindBubbles.java:207-212: BUBBLEEDITRATE
+    * = 0.05 edit-distance gate between the two path sequences]:
+    * levenshtein(kept, mid) ≤ $bubbleEditRate × max(len) — without the
+    * gate, popping would merge genuinely distinct content.
+    *
+    * Same quotient-class contraction as q25, with the edit gate computed
+    * at CLASS granularity: each class compares its ≤3 keeper candidates
+    * against its members (Σ 3·|class| levenshteins — linear in corpus
+    * size, never per-bubble-pair), and the per-pair answer assembles
+    * from broadcast (class, candidate) tables with O(1) lookups:
+    * n_popped(src,dst) = n_ok(class, kept) − [src within gate] − [dst
+    * within gate], where the src/dst corrections are left-join hits on
+    * the same broadcast table (a row exists iff the node is in the mid
+    * class AND within the gate of the keeper). */
+  def q42PopBubbles(spark: SparkSession, dir: String): DataFrame =
+    popBubblesFrom(Tables.documents(spark, dir))
+
+  /** Core of q42 over any documents frame with (doc_id, n_chars, text) —
+    * spec-testable on constructed corpora where mids ARE within the gate. */
+  private[graft] def popBubblesFrom(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select("doc_id", "n_chars", "text")
+    val d = docs
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("n_chars"),
+        element_at(col("ws"), 1).as("fw"),
+        element_at(col("ws"), -1).as("lw"))
     val classTop = d.groupBy("fw", "lw").agg(
       count(lit(1)).as("cnt"),
       expr("slice(array_sort(collect_list(named_struct('negl', -n_chars, 'doc_id', doc_id))), 1, 3)").as("top3"))
+    // ≤3 keeper candidates per class, texts re-attached by id so the
+    // wide text column stays out of the collect_list aggregation
+    val cands = classTop.select(col("fw"), col("lw"), explode(col("top3")).as("c"))
+      .select(col("fw"), col("lw"), col("c.doc_id").as("cand_id"), (-col("c.negl")).as("cand_len"))
+      .join(docs.select(col("doc_id").as("cand_id"), col("text").as("cand_text")), "cand_id")
+    // members × same-class candidates: the only levenshtein pass
+    val mem = docs
+      .select(col("doc_id"), col("n_chars"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        element_at(col("ws"), 1).as("fw"), element_at(col("ws"), -1).as("lw"))
+    val levOk = mem.join(cands, Seq("fw", "lw"))
+      .filter(col("doc_id") =!= col("cand_id"))
+      .filter(levenshtein(col("text"), col("cand_text")) <=
+        lit(cfg.bubbleEditRate) * greatest(col("n_chars"), col("cand_len")))
+      .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"),
+        col("cand_id"), col("doc_id").as("member_id"))
+    val nOk = quotient(levOk.groupBy("mid_fw", "mid_lw", "cand_id")
+      .agg(count(lit(1)).as("n_ok")))
+    val okPairs = quotient(levOk)
     val hot = quotient(classTop.filter(col("cnt") >= 2)
-      .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt"), col("top3")))
+      .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt"),
+        expr("transform(top3, s -> s.doc_id)").as("top3ids")))
     val as_ = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("mid_fw"))
     val bs = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("mid_lw"))
     as_.join(hot, "mid_fw")
@@ -644,22 +733,39 @@ class GraphOpsLib(val cfg: GraftConfig) {
       // Catalyst evaluate this projection's conjuncts first — the total
       // (null-returning) form is immune to that reordering under ANSI
       .withColumn("kept_mid",
-        expr("try_element_at(filter(top3, s -> s.doc_id != src AND s.doc_id != dst), 1).doc_id"))
-      .select(col("src"), col("dst"), col("kept_mid"), (col("n_mids") - 1).as("n_popped"))
+        expr("try_element_at(filter(top3ids, i -> i != src AND i != dst), 1)"))
+      .join(nOk.withColumnRenamed("cand_id", "kept_mid"),
+        Seq("mid_fw", "mid_lw", "kept_mid"), "left")
+      .join(okPairs.select(col("mid_fw"), col("mid_lw"),
+          col("cand_id").as("kept_mid"), col("member_id").as("src"), lit(true).as("src_ok")),
+        Seq("mid_fw", "mid_lw", "kept_mid", "src"), "left")
+      .join(okPairs.select(col("mid_fw"), col("mid_lw"),
+          col("cand_id").as("kept_mid"), col("member_id").as("dst"), lit(true).as("dst_ok")),
+        Seq("mid_fw", "mid_lw", "kept_mid", "dst"), "left")
+      .select(col("src"), col("dst"), col("kept_mid"),
+        (coalesce(col("n_ok"), lit(0L))
+          - when(coalesce(col("src_ok"), lit(false)), 1L).otherwise(0L)
+          - when(coalesce(col("dst_ok"), lit(false)), 1L).otherwise(0L)).as("n_popped"))
   }
 
   def q42Sql: String =
     s"""WITH e AS ($edges1Sql),
        |paths AS (SELECT x.src, y.dst, x.dst AS mid FROM e x
        |  JOIN e y ON x.dst = y.src AND x.src <> y.dst),
-       |m AS (SELECT p.src, p.dst, p.mid, d.n_chars FROM paths p
+       |m AS (SELECT p.src, p.dst, p.mid, d.n_chars, d.text FROM paths p
        |  JOIN documents d ON d.doc_id = p.mid),
-       |ranked AS (SELECT src, dst, mid,
+       |ranked AS MATERIALIZED (SELECT src, dst, mid, n_chars, text,
        |    count(*) OVER (PARTITION BY src, dst) AS n_mids,
        |    row_number() OVER (PARTITION BY src, dst ORDER BY n_chars DESC, mid) AS rk
-       |  FROM m)
-       |SELECT src, dst, mid AS kept_mid, n_mids - 1 AS n_popped
-       |FROM ranked WHERE rk = 1 AND n_mids >= 2""".stripMargin
+       |  FROM m),
+       |kept AS MATERIALIZED (SELECT src, dst, mid AS kept_mid, n_chars AS klen, text AS ktext
+       |  FROM ranked WHERE rk = 1 AND n_mids >= 2),
+       |pop AS (SELECT k.src, k.dst, count(*) AS n_popped
+       |  FROM kept k JOIN ranked r ON r.src = k.src AND r.dst = k.dst AND r.rk > 1
+       |  WHERE levenshtein(k.ktext, r.text) <= ${cfg.bubbleEditRate} * greatest(k.klen, r.n_chars)
+       |  GROUP BY k.src, k.dst)
+       |SELECT k.src, k.dst, k.kept_mid, coalesce(p.n_popped, 0) AS n_popped
+       |FROM kept k LEFT JOIN pop p ON p.src = k.src AND p.dst = k.dst""".stripMargin
 
   /** One round of tip removal applied to an edge set: detect
     * [TipsRemoval.java:60-330] via the shared tip definition, then drop

@@ -233,6 +233,76 @@ class SequenceOps(val cfg: GraftConfig) {
        |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS weak_ratio
        |FROM km JOIN freq USING (kmer) GROUP BY km.doc_id""".stripMargin
 
+  /** q59: per-position correction VOTES [PreCorrect.java:93-230 — the
+    * reducer accumulates per-position base votes from the k-mers covering
+    * each read position and emits corrections where the evidence is
+    * unambiguous]. A weak (frequency-1) k-mer occurrence votes to replace
+    * the char at window offset i when substituting exactly that char
+    * yields a k-mer with global frequency ≥ $VoteStrongFreq; a position
+    * is emitted only when ALL its votes agree on one replacement char.
+    * Votes are a table, never an in-place text mutation — exactly the
+    * reference's message shape.
+    *
+    * Scale shape: candidate substitutions come from the pigeonhole mask
+    * join (the q45 trick at char granularity): wildcard each of the k
+    * offsets once, equi-join weak-occurrence masks against strong-k-mer
+    * masks on (offset, mask) — k skinny equi-joins' worth of work in one
+    * shuffle, never |alphabet|×k probe lookups nor any all-pairs scan. */
+  def q59CorrectionVotes(spark: SparkSession, dir: String): DataFrame = {
+    val k = K
+    val km = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= k)
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), col("g"), expr(s"substring(text, g, $k)").as("kmer"))
+    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
+    val weak = km.join(freq.filter(col("f") === 1).select("kmer"), "kmer")
+    val strong = freq.filter(col("f") >= cfg.voteStrongFreq).select("kmer")
+    val wa = weak
+      .withColumn("mi", explode(sequence(lit(1), lit(k))))
+      .select(col("doc_id"), (col("g") + col("mi") - 1).cast("long").as("pos"), col("mi"),
+        expr(s"concat(substring(kmer, 1, mi - 1), substring(kmer, mi + 1, $k - mi))").as("mk"),
+        expr("substring(kmer, mi, 1)").as("from_char"))
+    val sa = strong
+      .withColumn("mi", explode(sequence(lit(1), lit(k))))
+      .select(col("mi"),
+        expr(s"concat(substring(kmer, 1, mi - 1), substring(kmer, mi + 1, $k - mi))").as("mk"),
+        expr("substring(kmer, mi, 1)").as("to_char"))
+    wa.join(sa, Seq("mi", "mk"))
+      .filter(col("from_char") =!= col("to_char"))
+      .groupBy("doc_id", "pos", "from_char")
+      .agg(countDistinct(col("to_char")).as("n_alts"),
+           min(col("to_char")).as("to_char"),
+           count(lit(1)).as("n_votes"))
+      .filter(col("n_alts") === 1)
+      .select("doc_id", "pos", "from_char", "to_char", "n_votes")
+  }
+
+  def q59Sql: String =
+    s"""WITH km AS MATERIALIZED ($kmerExplodeSqlPos),
+       |freq AS (SELECT kmer, count(*) AS f FROM km GROUP BY kmer),
+       |weak AS (SELECT km.doc_id, km.g, km.kmer FROM km
+       |  JOIN freq USING (kmer) WHERE f = 1),
+       |strong AS (SELECT kmer FROM freq WHERE f >= ${cfg.voteStrongFreq}),
+       |wa AS (SELECT doc_id, CAST(g + i - 1 AS BIGINT) AS pos, i AS mi,
+       |    substr(kmer, 1, i - 1) || substr(kmer, i + 1, $K - i) AS mk,
+       |    substr(kmer, i, 1) AS from_char
+       |  FROM weak, LATERAL (SELECT unnest(generate_series(1, $K)) AS i) t),
+       |sa AS (SELECT i AS mi,
+       |    substr(kmer, 1, i - 1) || substr(kmer, i + 1, $K - i) AS mk,
+       |    substr(kmer, i, 1) AS to_char
+       |  FROM strong, LATERAL (SELECT unnest(generate_series(1, $K)) AS i) t),
+       |v AS (SELECT wa.doc_id, wa.pos, wa.from_char, sa.to_char
+       |  FROM wa JOIN sa ON wa.mi = sa.mi AND wa.mk = sa.mk
+       |  WHERE wa.from_char <> sa.to_char)
+       |SELECT doc_id, pos, from_char, min(to_char) AS to_char, count(*) AS n_votes
+       |FROM v GROUP BY doc_id, pos, from_char
+       |HAVING count(DISTINCT to_char) = 1""".stripMargin
+
+  private def kmerExplodeSqlPos: String =
+    s"""SELECT d.doc_id, g, substr(d.text, g, $K) AS kmer
+       |FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text)-${K - 1})) AS g) t""".stripMargin
+
   /** q16: trusted docs — all k-mers at or above the trust threshold
     * [IdentifyTrustedReads]. */
   def q16Trusted(spark: SparkSession, dir: String): DataFrame =

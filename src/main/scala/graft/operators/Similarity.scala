@@ -109,9 +109,29 @@ class SimilarityOps(val cfg: GraftConfig) {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
       .select(col("cell").as("cent_id"), col("ce"))
 
+  /** Query-side cell ranking: each query ranks ALL centroids (broadcast,
+    * so the crossJoin is map-side) and probes its $Nprobe nearest cells —
+    * reference-grade IVF recall decays with centroid count when only the
+    * argmax cell is probed. The window is over queries×centroids rows
+    * (tiny); the corpus side never sees it. */
+  private def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val c = broadcast(cents.select(col("cent_id"), col("ce"),
+      expr("CAST(vec_dot_fixed(ce, ce) AS DOUBLE)").as("cn2")))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    q.crossJoin(c)
+      .select(col("vec_id"), col("cent_id"),
+        (expr("CAST(vec_dot_fixed(embedding, ce) AS DOUBLE)")
+          / (sqrt(col("n2")) * sqrt(col("cn2")))).as("ccos"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
   /** q41: IVF ANN — deterministic Lloyd k-means (seeded from the first
     * $NumCentroids vectors, $KmeansIters exact-mean iterations), then
-    * per-cell top-k for the queries. */
+    * top-k for the queries over their $Nprobe nearest cells. Every
+    * corpus vector lives in exactly one cell, so multi-probe needs no
+    * dedup — the probe list fans the (tiny) query side out ≤ $Nprobe×. */
   def q41AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
@@ -122,8 +142,10 @@ class SimilarityOps(val cfg: GraftConfig) {
       updateCentroids(assign(e, c))
     }
     val assigned = assign(e, cents)
-    val queries = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"), col("cell"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val queries = probeCells(qv, cents, cfg.ivfNprobe)
+      .join(qv.select(col("vec_id"), col("embedding").as("qe"), col("n2").as("qn2")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("qe"), col("qn2"), col("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     queries.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
@@ -172,7 +194,13 @@ class SimilarityOps(val cfg: GraftConfig) {
        |$training,
        |${duckAssign(s"c$KmeansIters", "af")},
        |av AS (SELECT af.vec_id, e.embedding, af.cell FROM af JOIN e USING (vec_id)),
-       |qv AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM av WHERE vec_id < $NumQueries),
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries)
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT q.query_id, e.embedding AS qe, q.cell
+       |  FROM qprobe q JOIN e ON e.vec_id = q.query_id),
        |cellpairs AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
        |  FROM qv JOIN av USING (cell) WHERE av.vec_id <> qv.query_id),
        |top_ex AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM cellpairs),

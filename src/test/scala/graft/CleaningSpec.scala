@@ -18,7 +18,29 @@ class CleaningSpec extends GraftSpec {
   test("q42 popped bubbles keep a mid distinct from both endpoints") {
     val b = GraphOps.q42PopBubbles(spark, sf)
     assert(b.filter(col("kept_mid") === col("src") || col("kept_mid") === col("dst")).count() == 0)
-    assert(b.filter(col("n_popped") < 1).count() == 0)
+    // edit-gated popping: counts are bounded by the ungated mid count and
+    // never negative (this corpus's mids are genuinely distinct → 0)
+    assert(b.filter(col("n_popped") < 0).count() == 0)
+  }
+
+  test("q42 edit gate pops near-identical mids and spares distinct ones") {
+    import spark.implicits._
+    // bubble src→{mid}→dst with class (a,b): mid 1/2 differ by ONE char
+    // (within 5% of 40), mid 3 is shorter and wholly different text
+    val docs = Seq(
+      (1L, "s a"),
+      (2L, "a quick brown fox jumps over the lazy dog b"),   // kept (longest, min id)
+      (3L, "a quick brown fox jumps over the hazy dog b"),   // 1 edit → popped
+      (4L, "a completely different middle words x b"),        // distinct → spared
+      (5L, "b t"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = GraphOps.popBubblesFrom(docs)
+      .filter(col("src") === 1L && col("dst") === 5L)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("kept_mid") == 2L)
+    assert(out(0).getAs[Long]("n_popped") == 1L)
   }
 
   test("q42 agrees with q25 bubble pairs") {

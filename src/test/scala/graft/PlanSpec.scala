@@ -19,8 +19,12 @@ class PlanSpec extends GraftSpec {
     assert(windows(plan("q28_graph_stats")) == 0)
   }
 
-  test("q41 IVF: the only window is the final per-query top-k (assignment is a map)") {
-    assert(windows(plan("q41_ann_ivf")) == 1)
+  test("q18 reciprocal-best never windows over src/dst (hub-node skew)") {
+    assert(windows(plan("q18_chimeric_cut")) == 0)
+  }
+
+  test("q41 IVF: windows only on the tiny query side (probe rank + final top-k)") {
+    assert(windows(plan("q41_ann_ivf")) == 2)
   }
 
   test("dimension joins broadcast (q2 star joins)") {
