@@ -242,21 +242,20 @@ class DedupOps(val cfg: GraftConfig) {
     * all-pairs; the verify join touches candidates only. */
   def q58SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = q32Simhash(spark, dir)
-    val bands = sig.select(col("doc_id"),
+    // fingerprints ride along in the band table (+8 bytes/row), so the
+    // hamming verify happens INSIDE the band join and failed candidates
+    // die before the dedup shuffle — no per-doc signature re-join
+    val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until cfg.simhashBands).map(b =>
         shiftright(col("simhash"), b * cfg.simhashBandBits)
           .bitwiseAND(lit((1 << cfg.simhashBandBits) - 1))): _*)).as(Seq("b", "bk")))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("ha")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("hb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= cfg.simhashMaxHamming)
+      .distinct()
   }
 
   def q58Sql: String =

@@ -644,10 +644,13 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * stage; when composing many removal stages, materialize the edge
     * list once instead (Pipeline.cleanToConvergence checkpoints it). */
   def q39CleanedGraph(spark: SparkSession, dir: String): DataFrame = {
-    // single edge-list subtree shared by tip detection and the final
-    // anti-joins (structurally identical → one ReusedExchange), instead
-    // of re-deriving edges2 through q24's loader a second time
-    val e = edges2(spark, dir)
+    // the edge list feeds five consumers (incidence union ×2, two
+    // anti-joins, the output projection); one eager checkpoint beats
+    // five re-derivations of the scan+join subtree — same discipline as
+    // Pipeline.cleanToConvergence, which hands removal stages a
+    // materialized edge list
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val e = edges2(spark, dir).checkpoint(true)
     val rem = tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
       .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
       .distinct()
@@ -706,8 +709,12 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .select(col("doc_id"), col("n_chars"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("n_chars"), col("text"),
         element_at(col("ws"), 1).as("fw"), element_at(col("ws"), -1).as("lw"))
+    // explicit repartition: the member×candidate join output is tiny in
+    // BYTES but each row costs an O(len²) levenshtein — AQE coalesces by
+    // bytes and would funnel every edit distance into one task
     val levOk = mem.join(cands, Seq("fw", "lw"))
       .filter(col("doc_id") =!= col("cand_id"))
+      .repartition(docs0.sparkSession.sparkContext.defaultParallelism)
       .filter(levenshtein(col("text"), col("cand_text")) <=
         lit(cfg.bubbleEditRate) * greatest(col("n_chars"), col("cand_len")))
       .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"),
