@@ -1,15 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    // GraftSession.builder carries the tuning every query was designed
+    // against (AQE, skew-join split, 64 MB broadcast threshold, shuffle
+    // partitions = cores); benching a vanilla session measured different
+    // plans than Verify ran. cleanCheckpoints lets the ContextCleaner
+    // delete reliable checkpoint files once their RDDs are GC'd, so 63
+    // queries sharing one JVM don't accumulate every iterative round's
+    // checkpoint on disk for the whole run.
+    val spark = GraftSession.builder()
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: parquet footer reads + JIT + codegen caches
@@ -17,6 +18,16 @@ object Bench {
         "customer", "nation", "region", "supplier", "part")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
                catch { case _: Throwable => () })
+    // Cross-query hygiene: drop cached/persisted blocks and force a GC so
+    // the ContextCleaner reclaims shuffle files + checkpoints from the
+    // previous query. Without this, later queries inherit the memory and
+    // disk pressure of everything benched before them (round-3 artifact:
+    // q1_agg 21 s in the shared JVM vs 1.6 s isolated).
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // two evaluations per query: the first pays one-off plan analysis +
     // whole-stage-codegen compilation + JIT; the reported time is the
     // second (steady-state) run, which is what repeated production use
@@ -30,7 +41,8 @@ object Bench {
         catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      once()
+      reset(); once()
+      reset()
       name -> once()
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -274,8 +274,15 @@ class DedupOps(val cfg: GraftConfig) {
     * candidates (verified at ≥ $JaccardJ). Each candidate pair is tagged
     * with its generator(s) and exact Jaccard is computed ONCE — half the
     * verify work of running q31 + q33 separately. */
-  private def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  private[graft] def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
+    // six consumers (signature agg, df agg, inverted-index join, two
+    // verify joins, size agg) each re-run the explode+distinct otherwise:
+    // ReusedExchange shares the shuffle but every consumer still pays the
+    // post-shuffle dedup aggregation. One eager in-memory materialization
+    // of the (small: distinct shingles only) table feeds them all.
+    // localCheckpoint, not reliable checkpoint: no fanout-growth here —
+    // this is a straight-line DAG, we only want compute-once semantics.
+    val sh = shingles(spark, dir).localCheckpoint(true)
     val sig = minhashSig(sh)
     val bands = sig.select(col("doc_id"),
         concat(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
@@ -344,13 +351,16 @@ class DedupOps(val cfg: GraftConfig) {
     * The keeper choice is two aggregates, never a window over a family. */
   def q57DedupFamilies(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    val pairs = nearDupEdges(spark, dir)
+    // eager checkpoint: the union below references pairs twice, and a lazy
+    // pairs would run the whole minhash+rare-shingle verify pipeline once
+    // per union arm (it dominated q57's round-3 runtime)
+    val pairs = nearDupEdges(spark, dir).localCheckpoint(true)
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var lbl = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
       .select(col("node"), least(col("node"), col("l")).as("lbl"))
-      .checkpoint(true)
+      .localCheckpoint(true)
     val nNodes = lbl.count()
     // the convergence check is the real exit (the pointer-jump hop makes
     // that ≈ log(family diameter) rounds in practice); the cap is the
@@ -367,14 +377,23 @@ class DedupOps(val cfg: GraftConfig) {
       // pointer-jump hop: lbl(v) ← lbl(lbl(v)) — labels are node ids, so
       // chase one hop through the label map itself (path halving)
       val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
+      // localCheckpoint: the loop body references lbl with fanout k=2
+      // (prop + hop), so an eager in-memory cut per round is enough to
+      // stop plan growth without a per-round reliable-checkpoint write
       val next = prop.join(hop, prop("lbl") === hop("hn"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl"))
-        .checkpoint(true)
-      val changed = next.join(lbl.select(col("node"), col("lbl").as("prev")), "node")
-        .filter(col("lbl") =!= col("prev")).limit(1).count()
-      converged = changed == 0
-      lbl = next
+        .localCheckpoint(true)
       rounds += 1
+      // converge-check every 2nd round: the pointer-jump hop halves label
+      // paths, so odd rounds are rarely the stopping point, and each
+      // check is its own join+count job — at worst this trades one spare
+      // (cheap, already-converged) round for half the check jobs
+      if (rounds % 2 == 0 || rounds >= maxRounds) {
+        val changed = next.join(lbl.select(col("node"), col("lbl").as("prev")), "node")
+          .filter(col("lbl") =!= col("prev")).limit(1).count()
+        converged = changed == 0
+      }
+      lbl = next
     }
     und.unpersist(false)
     val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
 import graft.sources.Tables
@@ -690,15 +690,29 @@ class GraphOpsLib(val cfg: GraftConfig) {
   /** Core of q42 over any documents frame with (doc_id, n_chars, text) —
     * spec-testable on constructed corpora where mids ARE within the gate. */
   private[graft] def popBubblesFrom(docs0: DataFrame): DataFrame = {
+    // levOk (the O(len²) member×candidate levenshtein pass) feeds three
+    // consumers — nOk and the two okPairs broadcast lookups; broadcast
+    // exchanges don't reuse across those branches, so an unmaterialized
+    // levOk re-ran the whole docs→classTop→cands→join→levenshtein subtree
+    // per consumer (18.7 s vs 1.8 s in round 3). One eager in-memory
+    // materialization of the (tiny: verified pairs only) table fixes it;
+    // classTop deliberately stays lazy — with levOk cut, its two
+    // remaining consumers re-run only a cheap small aggregation, cheaper
+    // than an extra eager materialization job per query invocation.
     val docs = docs0.select("doc_id", "n_chars", "text")
     val d = docs
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("n_chars"),
         element_at(col("ws"), 1).as("fw"),
         element_at(col("ws"), -1).as("lw"))
+    // classTop's eager materialization is ALSO load-bearing for plan
+    // quality, not just reuse: as an ExistingRDD with known (tiny) size it
+    // broadcasts into the cands join, where the lazy groupBy's unknown
+    // stats flipped that join to shuffle and tripled the query (measured)
     val classTop = d.groupBy("fw", "lw").agg(
       count(lit(1)).as("cnt"),
       expr("slice(array_sort(collect_list(named_struct('negl', -n_chars, 'doc_id', doc_id))), 1, 3)").as("top3"))
+      .localCheckpoint(true)
     // ≤3 keeper candidates per class, texts re-attached by id so the
     // wide text column stays out of the collect_list aggregation
     val cands = classTop.select(col("fw"), col("lw"), explode(col("top3")).as("c"))
@@ -719,14 +733,48 @@ class GraphOpsLib(val cfg: GraftConfig) {
         lit(cfg.bubbleEditRate) * greatest(col("n_chars"), col("cand_len")))
       .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"),
         col("cand_id"), col("doc_id").as("member_id"))
-    val nOk = quotient(levOk.groupBy("mid_fw", "mid_lw", "cand_id")
-      .agg(count(lit(1)).as("n_ok")))
-    val okPairs = quotient(levOk)
+      .localCheckpoint(true)
+    // The output below is QUADRATIC in the corpus (every bubble (src,dst)
+    // pair), so nothing may cost a per-output-row join or interpreted
+    // expression: each extra broadcast-join stage re-copies every output
+    // row (3 lookup joins measured ~2× the whole pipeline), and array
+    // higher-order functions don't participate in whole-stage codegen.
+    // Instead every lookup is pre-folded into the SMALL join inputs:
+    //  - hot (≤|vocab|² classes) carries top-3 candidate ids t1..t3 AND
+    //    their ok-member counts n1..n3 (cand_id identifies its class
+    //    uniquely — a doc belongs to exactly one (fw,lw) class);
+    //  - the src/dst sides (|corpus| rows, pre-blowup) each carry the ≤3
+    //    candidate ids the doc is gate-ok with, as scalar columns.
+    // The per-output-row work is then one CASE chain of long equality
+    // checks inside one codegen stage — no post-join stages at all.
+    val nOk = levOk.groupBy("cand_id").agg(count(lit(1)).as("n_ok"))
     val hot = quotient(classTop.filter(col("cnt") >= 2)
       .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"), col("cnt"),
-        expr("transform(top3, s -> s.doc_id)").as("top3ids")))
+        posexplode(col("top3")).as(Seq("p", "c")))
+      .select(col("mid_fw"), col("mid_lw"), col("cnt"), col("p"), col("c.doc_id").as("cand_id"))
+      .join(nOk, Seq("cand_id"), "left")
+      .groupBy("mid_fw", "mid_lw", "cnt")
+      .agg(max(when(col("p") === 0, col("cand_id"))).as("t1"),
+        max(when(col("p") === 1, col("cand_id"))).as("t2"),
+        max(when(col("p") === 2, col("cand_id"))).as("t3"),
+        max(when(col("p") === 0, col("n_ok"))).as("n1"),
+        max(when(col("p") === 1, col("n_ok"))).as("n2"),
+        max(when(col("p") === 2, col("n_ok"))).as("n3")))
+    // per doc: the ≤3 candidates it is within the edit gate of, as scalars
+    val okOf = levOk.groupBy(col("member_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("cand_id"))).as("oks"))
+      .select(col("doc_id"),
+        expr("try_element_at(oks, 1)").as("ok1"),
+        expr("try_element_at(oks, 2)").as("ok2"),
+        expr("try_element_at(oks, 3)").as("ok3"))
     val as_ = d.select(col("doc_id").as("src"), col("fw").as("src_fw"), col("lw").as("mid_fw"))
+      .join(okOf.select(col("doc_id").as("src"), col("ok1").as("sk1"),
+        col("ok2").as("sk2"), col("ok3").as("sk3")), Seq("src"), "left")
     val bs = d.select(col("doc_id").as("dst"), col("lw").as("dst_lw"), col("fw").as("mid_lw"))
+      .join(okOf.select(col("doc_id").as("dst"), col("ok1").as("dk1"),
+        col("ok2").as("dk2"), col("ok3").as("dk3")), Seq("dst"), "left")
+    def hit(k: String*): Column =
+      k.map(c => col("kept_mid") === col(c)).reduce(_ || _)
     as_.join(hot, "mid_fw")
       .join(bs, "mid_lw")
       .filter(col("src") =!= col("dst"))
@@ -735,24 +783,21 @@ class GraphOpsLib(val cfg: GraftConfig) {
           - when(col("src_fw") === col("mid_fw") && col("mid_fw") === col("mid_lw"), 1L).otherwise(0L)
           - when(col("dst_lw") === col("mid_lw") && col("mid_fw") === col("mid_lw"), 1L).otherwise(0L))
       .filter(col("n_mids") >= 2)
-      // try_element_at: the n_mids≥2 guard proves the filtered array is
-      // non-empty, but a consumer stacking its own filter can make
-      // Catalyst evaluate this projection's conjuncts first — the total
-      // (null-returning) form is immune to that reordering under ANSI
+      // first of t1/t2/t3 that is neither src nor dst, in top3 order —
+      // exactly try_element_at(filter(top3ids, i -> i != src AND i != dst), 1)
+      // (a null tK nulls its own condition and falls through, like the
+      // HOF filter skipping absent elements)
       .withColumn("kept_mid",
-        expr("try_element_at(filter(top3ids, i -> i != src AND i != dst), 1)"))
-      .join(nOk.withColumnRenamed("cand_id", "kept_mid"),
-        Seq("mid_fw", "mid_lw", "kept_mid"), "left")
-      .join(okPairs.select(col("mid_fw"), col("mid_lw"),
-          col("cand_id").as("kept_mid"), col("member_id").as("src"), lit(true).as("src_ok")),
-        Seq("mid_fw", "mid_lw", "kept_mid", "src"), "left")
-      .join(okPairs.select(col("mid_fw"), col("mid_lw"),
-          col("cand_id").as("kept_mid"), col("member_id").as("dst"), lit(true).as("dst_ok")),
-        Seq("mid_fw", "mid_lw", "kept_mid", "dst"), "left")
+        when(col("t1") =!= col("src") && col("t1") =!= col("dst"), col("t1"))
+          .when(col("t2") =!= col("src") && col("t2") =!= col("dst"), col("t2"))
+          .when(col("t3") =!= col("src") && col("t3") =!= col("dst"), col("t3")))
       .select(col("src"), col("dst"), col("kept_mid"),
-        (coalesce(col("n_ok"), lit(0L))
-          - when(coalesce(col("src_ok"), lit(false)), 1L).otherwise(0L)
-          - when(coalesce(col("dst_ok"), lit(false)), 1L).otherwise(0L)).as("n_popped"))
+        (coalesce(
+          when(col("kept_mid") === col("t1"), col("n1"))
+            .when(col("kept_mid") === col("t2"), col("n2"))
+            .when(col("kept_mid") === col("t3"), col("n3")), lit(0L))
+          - when(hit("sk1", "sk2", "sk3"), 1L).otherwise(0L)
+          - when(hit("dk1", "dk2", "dk3"), 1L).otherwise(0L)).as("n_popped"))
   }
 
   def q42Sql: String =
