@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
 import graft.sources.Tables
@@ -46,21 +46,33 @@ class DedupOps(val cfg: GraftConfig) {
 
   /** q30: 8-permutation MinHash signature per doc. Two md5 evaluations
     * per shingle, sliced into 8 independent 32-bit (8-hex-char) hashes —
-    * 4× less hashing than 8 salted md5s for the same signature quality. */
-  def q30MinhashSig(spark: SparkSession, dir: String): DataFrame =
-    minhashSig(shingles(spark, dir))
+    * 4× less hashing than 8 salted md5s for the same signature quality.
+    *
+    * The signature mins aggregate as LONGS (each 8-hex slice parsed once
+    * per shingle): min over a string column falls back to SortAggregate
+    * (strings aren't a fixed-size mutable agg buffer), which sorted the
+    * full shingle table per signature arm; long mins stay in codegen
+    * HashAggregate with map-side partial combine. q30 formats back to the
+    * md5-hex slice on its (per-doc, tiny) output — zero-padded lowercase
+    * hex of equal width preserves ordering, so min-then-format equals
+    * format-then-min and the DuckDB oracle matches bitwise. */
+  def q30MinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val hexed = (0 to 7).map(i =>
+      lpad(lower(hex(col(s"s$i"))), 8, "0").as(s"s$i"))
+    minhashSig(shingles(spark, dir)).select(col("doc_id") +: hexed: _*)
+  }
 
-  private def minhashSig(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), md5(col("s")).as("h0"), md5(concat(lit("1:"), col("s"))).as("h1"))
+  /** Internal signature table: s0..s7 are the 32-bit slice mins as longs. */
+  private def minhashSig(sh: DataFrame): DataFrame = {
+    def slice(h: Column, off: Int): Column =
+      conv(substring(h, off, 8), 16, 10).cast("long")
+    sh.select(col("doc_id") +:
+        (0 to 3).map(i => slice(md5(col("s")), 1 + 8 * i).as(s"v$i")) ++:
+        (0 to 3).map(i => slice(md5(concat(lit("1:"), col("s"))), 1 + 8 * i).as(s"v${i + 4}")): _*)
       .groupBy("doc_id")
-      .agg(min(substring(col("h0"), 1, 8)).as("s0"),
-        Seq(min(substring(col("h0"), 9, 8)).as("s1"),
-            min(substring(col("h0"), 17, 8)).as("s2"),
-            min(substring(col("h0"), 25, 8)).as("s3"),
-            min(substring(col("h1"), 1, 8)).as("s4"),
-            min(substring(col("h1"), 9, 8)).as("s5"),
-            min(substring(col("h1"), 17, 8)).as("s6"),
-            min(substring(col("h1"), 25, 8)).as("s7")): _*)
+      .agg(min(col("v0")).as("s0"),
+        (1 to 7).map(i => min(col(s"v$i")).as(s"s$i")): _*)
+  }
 
   private val sigSqlExprs: String =
     (0 until 8).map { i =>
@@ -80,11 +92,7 @@ class DedupOps(val cfg: GraftConfig) {
     // subtrees, so Spark's ReusedExchange already computes them once (a
     // manual checkpoint measured 4× slower by defeating that reuse)
     val sh = shingles(spark, dir)
-    val sig = minhashSig(sh)
-    val bands = sig.select(col("doc_id"),
-        concat(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
-      .unionAll(sig.select(col("doc_id"),
-        concat(col("s4"), col("s5"), col("s6"), col("s7")).as("bk")))
+    val bands = minhashBands(minhashSig(sh))
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -92,20 +100,50 @@ class DedupOps(val cfg: GraftConfig) {
     verifiedJaccard(sh, cand).filter(col("jaccard") >= MinhashJ)
   }
 
-  /** Exact Jaccard for a candidate pair set via two shingle joins. */
+  /** LSH band keys over the long signature: one 64-bit hash per 4-slice
+    * band instead of a 32-hex-char concat — long equi-join keys, and a
+    * (verification-safe) hash collision can only ADD a candidate pair.
+    * No per-arm salt: the oracle's concat-string bands match across arms
+    * when the slice tuples coincide, and fixed-width slices make concat
+    * equality ⇔ tuple equality, so unsalted tuple hashing preserves the
+    * candidate set exactly (modulo verification-safe collisions). */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+        xxhash64(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
+      .unionAll(sig.select(col("doc_id"),
+        xxhash64(col("s4"), col("s5"), col("s6"), col("s7")).as("bk")))
+
+  /** Exact Jaccard for a candidate pair set.
+    *
+    * Shape: fold each doc's (distinct) shingles into one sorted array row,
+    * join the candidate PAIRS to two array rows, and intersect per pair.
+    * The per-pair work is |A|+|B| hashing, and — unlike the previous
+    * join-on-(doc,shingle) formulation — no intermediate row per SHARED
+    * SHINGLE ever materializes (candidates × avg-shingles rows whose
+    * groupBy re-shuffled most of the corpus bytes). Scale: the array rows
+    * are the same bytes the shingle join would have shuffled, one row per
+    * doc instead of one per shingle; candidate fan-out is bounded by the
+    * band/rare-shingle generators, never all-pairs. */
   private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // second join keys on BOTH (id_b, s): only genuinely shared shingles
-    // materialize, instead of the |sh_a|×|sh_b| per-pair product
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+    val docArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"), count(lit(1)).as("n"))
+    // every cand column is passed through to the output so callers never
+    // join the (expensive) candidate pipeline a second time to recover
+    // generator flags
+    val passthrough = cand.columns.toSeq.map(col)
+    cand
+      // repartition BEFORE the (broadcast) array joins: candidate rows are
+      // small in BYTES but each costs an O(|A|+|B|) hash-set intersection —
+      // AQE coalesces the candidate aggregation by bytes and would funnel
+      // every intersection into 1-2 tasks. Broadcast joins preserve the
+      // round-robin partitioning, so the intersect fuses into this
+      // full-parallelism stage.
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism)
+      .join(docArr.select(col("doc_id").as("id_a"), col("ss").as("sa"), col("n").as("na")), "id_a")
+      .join(docArr.select(col("doc_id").as("id_b"), col("ss").as("sb"), col("n").as("nb")), "id_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(passthrough :+
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"): _*)
   }
 
   def q31Sql: String = {
@@ -283,18 +321,17 @@ class DedupOps(val cfg: GraftConfig) {
     // localCheckpoint, not reliable checkpoint: no fanout-growth here —
     // this is a straight-line DAG, we only want compute-once semantics.
     val sh = shingles(spark, dir).localCheckpoint(true)
-    val sig = minhashSig(sh)
-    val bands = sig.select(col("doc_id"),
-        concat(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
-      .unionAll(sig.select(col("doc_id"),
-        concat(col("s4"), col("s5"), col("s6"), col("s7")).as("bk")))
+    val bands = minhashBands(minhashSig(sh))
     val candMh = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(true).as("mh"), lit(false).as("rare"))
     val rareSh = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf && col("df") >= 2).select("s")
-    val idx = sh.join(rareSh, "s")
+    // rareSh is the df-capped shingle list (small by construction); the
+    // planner once flipped this join to broadcast the full corpus-sized
+    // shingle table instead — pin the build side
+    val idx = sh.join(broadcast(rareSh), "s")
     val candRare = idx.as("x").join(idx.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
@@ -302,8 +339,9 @@ class DedupOps(val cfg: GraftConfig) {
     val cand = candMh.unionAll(candRare)
       .groupBy("id_a", "id_b")
       .agg(max(col("mh")).as("mh"), max(col("rare")).as("rare"))
-    verifiedJaccard(sh, cand.select("id_a", "id_b"))
-      .join(cand, Seq("id_a", "id_b"))
+    // the generator flags ride through the verify join — joining back to
+    // cand here re-derived the entire candidate pipeline a second time
+    verifiedJaccard(sh, cand)
       .filter((col("mh") && col("jaccard") >= MinhashJ) ||
               (col("rare") && col("jaccard") >= JaccardJ))
       .select("id_a", "id_b")
@@ -399,15 +437,17 @@ class DedupOps(val cfg: GraftConfig) {
     val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
     val fam = docs.join(lbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"), coalesce(col("lbl"), col("doc_id")).as("family_id"))
-    val sz = fam.groupBy("family_id")
-      .agg(count(lit(1)).as("family_size"), max(col("n_chars")).as("mx"))
-    val keeper = fam.join(sz, "family_id")
-      .filter(col("n_chars") === col("mx"))
-      .groupBy("family_id").agg(min(col("doc_id")).as("keeper_id"))
-    fam.join(sz.select("family_id", "family_size"), "family_id")
-      .join(keeper, "family_id")
-      .select(col("doc_id"), col("family_id"), col("keeper_id"), col("family_size"),
-        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      .localCheckpoint(true)
+    // one aggregation for size AND keeper: min over (-n_chars, doc_id)
+    // structs is lexicographic, i.e. longest text with ties to the
+    // smallest doc_id — replaces the old sz + keeper-filter + two-join
+    // cascade (three more derivations of fam, four more shuffles)
+    val agg = fam.groupBy("family_id").agg(
+      count(lit(1)).as("family_size"),
+      min(struct((-col("n_chars")).as("negl"), col("doc_id").as("id"))).as("k"))
+    fam.join(agg, "family_id")
+      .select(col("doc_id"), col("family_id"), col("k.id").as("keeper_id"),
+        col("family_size"), (col("doc_id") =!= col("k.id")).as("is_dup"))
   }
 
   /** Oracle: exact min-reachable-id via a recursive transitive closure —

@@ -18,7 +18,7 @@ object JobProbe {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val desc = Option(j.properties.getProperty("spark.job.description")).getOrElse("")
         val site = Option(j.properties.getProperty("callSite.short")).getOrElse("")
-        starts(j.jobId) = (j.time, s"$site $desc".take(90))
+        starts(j.jobId) = (j.time, s"stages=${j.stageIds.mkString(",")} $site $desc".take(120))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.get(j.jobId).foreach { case (t0, d) =>
