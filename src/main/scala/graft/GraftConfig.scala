@@ -31,6 +31,16 @@ case class GraftConfig(
     // bounded vocabulary they broadcast. For corpora whose boundary-word
     // vocabulary is unbounded, set false to fall back to a shuffle join.
     broadcastQuotientClasses: Boolean = true,
+    // full-assembly composition round bounds [BrushAssembler phase loops:
+    // chimeric ≤2 (BrushAssembler.java:347 `round < 2`), the other loops
+    // run to convergence there — bounded here so the oracle can unroll
+    // the same counts; each stage is idempotent once converged, so any
+    // bound ≥ the data's convergence round count is exact]
+    asmChimericRounds: Int = 2,
+    asmTipRounds: Int = 4,
+    asmPopRounds: Int = 2,
+    asmPostLowcovTipRounds: Int = 3,
+    asmRepeatRounds: Int = 2,
     // graph stats [CloudBrush: Stats cutoffs array + min contig length]
     statsMinLen: Long = 100L,
     // bubble popping [FindBubbles.java:207 BUBBLEEDITRATE]

@@ -625,6 +625,168 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |GROUP BY h.head""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Edge-set-parameterized stages for the full BrushAssembler
+  // composition (q62/q63). Unlike the standalone detectors (q18/q22/
+  // q25/q42), which run on the RAW corpus graph and therefore need the
+  // quotient-class machinery to stay linear, these run on the CURRENT
+  // (already chimeric-cut / reduced / tip-cleaned) edge set, whose
+  // degrees are bounded by reciprocal-best filtering — so the direct
+  // join formulations are linear in |E| and compose over any stage
+  // order, exactly like the reference's EdgeRemoval-between-stages.
+  // ------------------------------------------------------------------
+
+  /** One chimeric-link round [CutChimericLinks.java:60-400]: keep an edge
+    * iff its overlap is best among its source's out-edges AND its
+    * target's in-edges. Input/output: (src, dst, overlap_len). */
+  private[operators] def reciprocalBestFrom(e: DataFrame): DataFrame = {
+    val bestOut = e.groupBy("src").agg(max(col("overlap_len")).as("best_out"))
+    val bestIn = e.groupBy("dst").agg(max(col("overlap_len")).as("best_in"))
+    e.join(bestOut, "src").join(bestIn, "dst")
+      .filter(col("overlap_len") === col("best_out") && col("overlap_len") === col("best_in"))
+      .select("src", "dst", "overlap_len")
+  }
+
+  private[operators] def reciprocalBestSql(eIn: String, p: String): String =
+    s"""${p}_bo AS MATERIALIZED (SELECT src, max(overlap_len) AS best_out FROM $eIn GROUP BY src),
+       |${p}_bi AS MATERIALIZED (SELECT dst, max(overlap_len) AS best_in FROM $eIn GROUP BY dst),
+       |${p}_out AS MATERIALIZED (SELECT e.src, e.dst, e.overlap_len FROM $eIn e
+       |  JOIN ${p}_bo USING (src) JOIN ${p}_bi USING (dst)
+       |  WHERE e.overlap_len = best_out AND e.overlap_len = best_in)""".stripMargin
+
+  /** Transitive reduction on the current edge set [TransitiveReduction
+    * .java:60-430]: drop a→b when a 2-path a→x→b survives. Post-chimeric
+    * degrees are reciprocal-best-bounded, so the 2-path join is linear —
+    * the raw-graph variant (q22) uses quotient-class arithmetic instead. */
+  private[operators] def transReduceFrom(e: DataFrame): DataFrame = {
+    val paths = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst")).distinct()
+    e.join(paths, Seq("src", "dst"), "left_anti")
+  }
+
+  private[operators] def transReduceSql(eIn: String, p: String): String =
+    s"""${p}_paths AS MATERIALIZED (SELECT DISTINCT x.src, y.dst
+       |  FROM $eIn x JOIN $eIn y ON x.dst = y.src),
+       |${p}_out AS MATERIALIZED (SELECT e.src, e.dst FROM $eIn e
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}_paths t
+       |    WHERE t.src = e.src AND t.dst = e.dst))""".stripMargin
+
+  /** One bubble find+pop round on the current edge set [FindBubbles +
+    * PopBubbles + EdgeRemoval]: per (src,dst) with ≥2 parallel 2-paths,
+    * keep the longest mid (ties to smallest id) and remove the other
+    * mids that sit within the BUBBLEEDITRATE gate of the kept text.
+    * The cleaned graph's path count is degree-bounded, so the direct
+    * path join + per-group min-struct stays linear (the raw-graph
+    * bubble queries q25/q42 use the quotient contraction instead). */
+  private[operators] def popRoundFrom(e: DataFrame, docs: DataFrame): DataFrame = {
+    val paths = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .filter(col("x.src") =!= col("y.dst"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"), col("x.dst").as("mid"))
+    val m = paths.join(docs.select(col("doc_id").as("mid"), col("n_chars"), col("text")), "mid")
+    val kept = m.groupBy("src", "dst").agg(
+        count(lit(1)).as("n_mids"),
+        min(struct((-col("n_chars")).as("negl"), col("mid").as("kmid"), col("text").as("ktext"))).as("k"))
+      .filter(col("n_mids") >= 2)
+      .select(col("src"), col("dst"), col("k.kmid").as("kept_mid"),
+        col("k.ktext").as("ktext"), (-col("k.negl")).as("klen"))
+    val popped = m.join(kept, Seq("src", "dst"))
+      .filter(col("mid") =!= col("kept_mid"))
+      .filter(levenshtein(col("text"), col("ktext")) <=
+        lit(cfg.bubbleEditRate) * greatest(col("n_chars"), col("klen")))
+      .select(col("mid").as("nid")).distinct()
+    e.join(popped.select(col("nid").as("src")), Seq("src"), "left_anti")
+      .join(popped.select(col("nid").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+  }
+
+  private[operators] def popRoundSql(eIn: String, p: String): String =
+    s"""${p}_m AS MATERIALIZED (SELECT x.src, y.dst, x.dst AS mid, d.n_chars, d.text
+       |  FROM $eIn x JOIN $eIn y ON x.dst = y.src AND x.src <> y.dst
+       |  JOIN documents d ON d.doc_id = x.dst),
+       |${p}_rk AS MATERIALIZED (SELECT src, dst, mid, n_chars, text,
+       |    count(*) OVER (PARTITION BY src, dst) AS n_mids,
+       |    row_number() OVER (PARTITION BY src, dst ORDER BY n_chars DESC, mid) AS rk
+       |  FROM ${p}_m),
+       |${p}_pop AS MATERIALIZED (SELECT DISTINCT r.mid AS nid
+       |  FROM ${p}_rk r JOIN ${p}_rk k ON k.src = r.src AND k.dst = r.dst AND k.rk = 1
+       |  WHERE r.rk > 1 AND k.n_mids >= 2
+       |    AND levenshtein(k.text, r.text) <= ${cfg.bubbleEditRate} * greatest(k.n_chars, r.n_chars)),
+       |${p}_out AS MATERIALIZED (SELECT src, dst FROM $eIn
+       |  WHERE src NOT IN (SELECT nid FROM ${p}_pop)
+       |    AND dst NOT IN (SELECT nid FROM ${p}_pop))""".stripMargin
+
+  /** One repeat-boundary adjustment round [CutRepeatBoundary.java:300-520
+    * + EdgeRemoval, driven by BrushAssembler.edgeAdjustment:431-460]: at
+    * every repeat boundary (≥2 in AND ≥2 out), keep only the
+    * deterministic best in/out edge (smallest neighbor id — the text
+    * analogue of the consensus-matching edge) and cut the rest. */
+  private[operators] def repeatCutRoundFrom(e: DataFrame): DataFrame = {
+    val o = e.groupBy("src").agg(count(lit(1)).as("od"), min(col("dst")).as("keep_dst"))
+    val i = e.groupBy("dst").agg(count(lit(1)).as("idg"), min(col("src")).as("keep_src"))
+    val rep = o.select(col("src").as("node"), col("od"), col("keep_dst"))
+      .join(i.select(col("dst").as("node"), col("idg"), col("keep_src")), "node")
+      .filter(col("od") >= 2 && col("idg") >= 2)
+    e.join(rep.select(col("node").as("src"), col("keep_dst")), Seq("src"), "left")
+      .join(rep.select(col("node").as("dst"), col("keep_src")), Seq("dst"), "left")
+      .filter((col("keep_dst").isNull || col("dst") === col("keep_dst")) &&
+              (col("keep_src").isNull || col("src") === col("keep_src")))
+      .select("src", "dst")
+  }
+
+  private[operators] def repeatCutRoundSql(eIn: String, p: String): String =
+    s"""${p}_o AS MATERIALIZED (SELECT src AS node, count(*) AS od, min(dst) AS keep_dst
+       |  FROM $eIn GROUP BY src),
+       |${p}_i AS MATERIALIZED (SELECT dst AS node, count(*) AS idg, min(src) AS keep_src
+       |  FROM $eIn GROUP BY dst),
+       |${p}_rep AS MATERIALIZED (SELECT node, keep_dst, keep_src
+       |  FROM ${p}_o JOIN ${p}_i USING (node) WHERE od >= 2 AND idg >= 2),
+       |${p}_out AS MATERIALIZED (SELECT e.src, e.dst FROM $eIn e
+       |  LEFT JOIN ${p}_rep a ON a.node = e.src
+       |  LEFT JOIN ${p}_rep b ON b.node = e.dst
+       |  WHERE (a.node IS NULL OR e.dst = a.keep_dst)
+       |    AND (b.node IS NULL OR e.src = b.keep_src))""".stripMargin
+
+  /** Expose the shared tip-round SQL builder to the Pipeline oracle. */
+  private[operators] def tipRoundSqlFrom(eIn: String, p: String): String =
+    tipRoundSql(eIn, p)
+
+  /** q63: repeat-boundary edge adjustment on the string graph — the
+    * standalone form of BrushAssembler.edgeAdjustment (:431-460), which
+    * alternates CutRepeatBoundary + EdgeRemoval with re-compression.
+    * Each round cuts all but the deterministic best in/out edge at every
+    * repeat boundary (q19's ≥2-in/≥2-out nodes), then runs one tip
+    * cleanup round over the newly exposed pendants. Rounds are
+    * config-bounded ($asmRepeatRounds, matching the unrolled oracle);
+    * cuts are idempotent once no repeat boundary remains. */
+  def q63RepeatAdjust(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    var e = edges2(spark, dir).select("src", "dst")
+    for (_ <- 1 to cfg.asmRepeatRounds) {
+      // per-round eager cuts: repeatCut references its input ~5× and
+      // removeTips ~13×, so an uncut 2-round lazy plan is 65² subtrees
+      e = repeatCutRoundFrom(e).localCheckpoint(true)
+      e = removeTips(e).localCheckpoint(true)
+    }
+    e
+  }
+
+  def q63Sql: String = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = "e0"
+    for (i <- 1 to cfg.asmRepeatRounds) {
+      stages += repeatCutRoundSql(cur, s"rc$i"); cur = s"rc${i}_out"
+      stages += tipRoundSql(cur, s"rt$i"); cur = s"rt${i}_out"
+    }
+    s"""WITH e0 AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),
+       |${stages.mkString(",\n")}
+       |SELECT src, dst FROM $cur""".stripMargin
+  }
+
+  private[operators] def q17SqlFrom: String = q17Sql
+  private[operators] def q26SqlFrom: String = q26Sql
+  private[operators] def chainDepthCtesFromEdges(edgeCte: String): String =
+    chainDepthCtesFrom(edgeCte)
+
   /** q29: FASTA export [Graph2Fasta.java:40-130]. */
   def q29Graph2Fasta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -64,4 +64,89 @@ object Pipeline {
   /** Oracle: 12 unrolled tip rounds (idempotent past convergence; every
     * tested sf converges in ≤6) + recursive chain CTEs + consensus. */
   def q46Sql: String = GraphOps.assembleSql(12)
+
+  private val cfg = graft.GraftConfig()
+
+  /** q62: the FULL BrushAssembler phase chain [BrushAssembler.java:826-894
+    * drives: preprocess → buildOverlap → buildStringGraph (chimeric-cut
+    * loop :345-370 → transitive reduction + removal :372-383) →
+    * removeTips loop :565-618 → popallbubbles loop :623-673 →
+    * removelowcov (+ tips) :678-700 → edgeAdjustment repeat-boundary
+    * loop :400-460 → contigs]. Every stage is an existing Graft operator
+    * applied to the CURRENT edge set; rounds are the config-bounded
+    * counts the oracle unrolls identically. Per-stage eager reliable
+    * checkpoints cut the k^rounds lineage growth (removeTips references
+    * its input ~13×) and keep each phase restartable on a real cluster,
+    * mirroring the reference's materialized HDFS handoffs between jobs. */
+  def assembleFull(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val docs = Tables.documents(spark, dir)
+    // eager localCheckpoint per stage: cuts the k^stages lineage growth
+    // (removeTips references its input ~13×) at in-memory cost. On a real
+    // multi-executor cluster flip these to reliable checkpoint(true) —
+    // executor loss invalidates localCheckpoint blocks — mirroring the
+    // reference's HDFS handoffs; the fixpoint loops that NEED durability
+    // (resolveChainsFrom) already use reliable checkpoints internally.
+    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // build string graph: chimeric-cut rounds on the variable-length
+    // overlap graph, then transitive reduction
+    var oe = ck(GraphOps.q17BestOverlap(spark, dir))
+    for (_ <- 1 to cfg.asmChimericRounds) oe = ck(GraphOps.reciprocalBestFrom(oe))
+    var e = ck(GraphOps.transReduceFrom(oe.select("src", "dst")))
+    // tip rounds, bubble pop rounds
+    for (_ <- 1 to cfg.asmTipRounds) e = ck(GraphOps.removeTips(e))
+    for (_ <- 1 to cfg.asmPopRounds) e = ck(GraphOps.popRoundFrom(e, docs))
+    // low-coverage node removal + post-lowcov tip rounds
+    val low = GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))
+    e = ck(e.join(low.select(col("nid").as("src")), Seq("src"), "left_anti")
+      .join(low.select(col("nid").as("dst")), Seq("dst"), "left_anti"))
+    for (_ <- 1 to cfg.asmPostLowcovTipRounds) e = ck(GraphOps.removeTips(e))
+    // repeat-boundary edge adjustment rounds
+    for (_ <- 1 to cfg.asmRepeatRounds) e = ck(GraphOps.repeatCutRoundFrom(e))
+    // contigs: compress + ordered consensus
+    val chains = GraphOps.resolveChainsFrom(spark,
+      docs.select(col("doc_id").as("node")), e, withDepth = true)
+    GraphOps.consensusFrom(chains, docs)
+  }
+
+  def q62FullAssembly(spark: SparkSession, dir: String): DataFrame =
+    assembleFull(spark, dir)
+
+  /** Oracle: the same phase chain as staged MATERIALIZED CTEs — each
+    * round's CTE is built by the stage's own SQL builder from the
+    * previous round's output, with round counts read from the SAME
+    * config the Spark side runs. */
+  def q62Sql: String = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = "oe0"
+    stages += s"oe0 AS MATERIALIZED (${GraphOps.q17SqlFrom})"
+    for (i <- 1 to cfg.asmChimericRounds) {
+      stages += GraphOps.reciprocalBestSql(cur, s"c$i"); cur = s"c${i}_out"
+    }
+    stages += GraphOps.transReduceSql(cur, "tr"); cur = "tr_out"
+    for (i <- 1 to cfg.asmTipRounds) {
+      stages += GraphOps.tipRoundSqlFrom(cur, s"t$i"); cur = s"t${i}_out"
+    }
+    for (i <- 1 to cfg.asmPopRounds) {
+      stages += GraphOps.popRoundSql(cur, s"p$i"); cur = s"p${i}_out"
+    }
+    stages += s"""lc AS MATERIALIZED (SELECT doc_id FROM (${GraphOps.q26SqlFrom})),
+      |lc_out AS MATERIALIZED (SELECT src, dst FROM $cur
+      |  WHERE src NOT IN (SELECT doc_id FROM lc)
+      |    AND dst NOT IN (SELECT doc_id FROM lc))""".stripMargin
+    cur = "lc_out"
+    for (i <- 1 to cfg.asmPostLowcovTipRounds) {
+      stages += GraphOps.tipRoundSqlFrom(cur, s"u$i"); cur = s"u${i}_out"
+    }
+    for (i <- 1 to cfg.asmRepeatRounds) {
+      stages += GraphOps.repeatCutRoundSql(cur, s"r$i"); cur = s"r${i}_out"
+    }
+    s"""WITH RECURSIVE
+       |${stages.mkString(",\n")},
+       |${GraphOps.chainDepthCtesFromEdges(cur)}
+       |SELECT h.head, count(*) AS n_members,
+       |  string_agg(d.text, ' | ' ORDER BY h.depth, h.node) AS consensus
+       |FROM heads h JOIN documents d ON d.doc_id = h.node
+       |GROUP BY h.head""".stripMargin
+  }
 }

@@ -111,4 +111,53 @@ object EventStream {
   def q56Sql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
+
+  case class UEvent(user_id: Long, value: java.math.BigDecimal)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: java.math.BigDecimal)
+
+  /** q64: the custom-state primitive (mapGroupsWithState, the typed
+    * KeyValueGroupedDataset API) driven end-to-end through the Verify
+    * gate — per-user running event counts and value totals, maintained
+    * as explicit GroupState exactly like [[userRunningTotals]].
+    *
+    * Determinism: values are cast to DECIMAL(25,6) BEFORE entering the
+    * typed stream and accumulated with exact BigDecimal adds inside the
+    * state function, so the per-group fold order (shuffle-dependent)
+    * cannot perturb bits; the final cast to double happens once, equal
+    * to the oracle's decimal-sum-then-cast. State is keyed by user_id —
+    * shuffle-partitioned, no driver-side accumulation; an unbounded
+    * production stream would add a GroupStateTimeout to expire idle
+    * users. */
+  def q64UserTotals(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    import spark.implicits._
+    val evs = raw.select(col("user_id"), col("value").cast("decimal(25,6)").as("value"))
+      .as[UEvent]
+    val totals = evs.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, java.math.BigDecimal.ZERO))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot = tot.add(e.value) }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+    // update-mode memory sink; the bounded single-file source drains in
+    // one batch, so the sink holds exactly the final state row per user
+    val q = totals.toDF().writeStream.format("memory").queryName("graft_q64")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q64")
+      .select(col("user_id"), col("n_events"), col("total_value").cast("double").as("total_value"))
+  }
+
+  def q64Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin
 }
