@@ -27,6 +27,12 @@ case class GraftConfig(
     // graph cleaning [CloudBrush: LowCovThreshold, tip/bubble params]
     lowCovThreshold: Double = 70.0,
     tipRounds: Int = 3,
+    // hot-key guard on overlap candidate generation [MatchPrefix.java:
+    // 155-156 skips keys on the BuildHighKmerList list]: a boundary key
+    // occurring more than this many times (suffix+prefix occurrences) is
+    // excluded from edge candidate generation — one viral phrase would
+    // otherwise create an O(n²) join bucket no AQE skew-split can cap
+    maxOverlapKeyDf: Int = 1000,
     // quotient-class tables (q22/q25/q36/q42) are ≤|vocab|² rows; with a
     // bounded vocabulary they broadcast. For corpora whose boundary-word
     // vocabulary is unbounded, set false to fall back to a shuffle join.

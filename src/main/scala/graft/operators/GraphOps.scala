@@ -29,8 +29,8 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private val seqOps = new SequenceOps(cfg)
 
   /** Docs annotated with first/last words and 2-word boundary keys. */
-  private def docsKeyed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[graft] def docsKeyedFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("n_chars"),
         element_at(col("ws"), 1).as("fw"),
@@ -38,23 +38,49 @@ class GraphOpsLib(val cfg: GraftConfig) {
         array_join(slice(col("ws"), 1, 2), " ").as("pre2"),
         array_join(expr("slice(ws, -2, 2)"), " ").as("suf2"))
 
+  private def docsKeyed(spark: SparkSession, dir: String): DataFrame =
+    docsKeyedFrom(Tables.documents(spark, dir))
+
   private val docsKeyedSql: String =
     """SELECT doc_id, n_chars, ws[1] AS fw, ws[-1] AS lw,
       |  array_to_string(ws[:2], ' ') AS pre2, array_to_string(ws[-2:], ' ') AS suf2
       |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)""".stripMargin
 
-  /** String-graph edges: suffix₂(a) = prefix₂(b). */
-  def edges2(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsKeyed(spark, dir)
+  /** Over-frequent join keys of a candidate-generating key table — the
+    * hot-key guard CloudBrush applies by SKIPPING any candidate key on
+    * the high-frequency-k-mer list [MatchPrefix.java:155-156, list built
+    * by BuildHighKmerList]. A key shared by n docs makes an O(n²) join
+    * bucket; AQE skew-split can share that shuffle but cannot cap the
+    * candidate explosion itself, so at 100 TB one viral boundary phrase
+    * would otherwise go quadratic. The over-threshold list is tiny by
+    * construction → broadcast anti-join, no extra shuffle on the edge
+    * path. */
+  private[graft] def hotKeys(keys: DataFrame, keyCol: String): DataFrame =
+    broadcast(keys.groupBy(keyCol).agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") > cfg.maxOverlapKeyDf).select(keyCol))
+
+  /** String-graph edges: suffix₂(a) = prefix₂(b), hot keys skipped. */
+  private[graft] def edges2From(d: DataFrame): DataFrame = {
     val a = d.select(col("doc_id").as("src"), col("suf2").as("okey"))
     val b = d.select(col("doc_id").as("dst"), col("pre2").as("okey"))
-    a.join(b, "okey").filter(col("src") =!= col("dst")).select("src", "dst", "okey")
+    val hot = hotKeys(
+      d.select(col("suf2").as("okey")).unionAll(d.select(col("pre2").as("okey"))), "okey")
+    a.join(hot, Seq("okey"), "left_anti")
+      .join(b, "okey").filter(col("src") =!= col("dst")).select("src", "dst", "okey")
   }
+
+  def edges2(spark: SparkSession, dir: String): DataFrame =
+    edges2From(docsKeyed(spark, dir))
 
   private val edges2Sql: String =
     s"""SELECT a.doc_id AS src, b.doc_id AS dst, b.pre2 AS okey
        |FROM ($docsKeyedSql) a JOIN ($docsKeyedSql) b
-       |ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id""".stripMargin
+       |ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id
+       |  AND a.suf2 NOT IN (
+       |    SELECT okey FROM (
+       |      SELECT suf2 AS okey FROM ($docsKeyedSql)
+       |      UNION ALL SELECT pre2 FROM ($docsKeyedSql))
+       |    GROUP BY okey HAVING count(*) > ${cfg.maxOverlapKeyDf})""".stripMargin
 
   /** Coarse-graph edges: last-word(a) = first-word(b). */
   private def edges1(spark: SparkSession, dir: String): DataFrame = {
@@ -1049,7 +1075,11 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .unionAll(d.select(col("doc_id"), lit("r").as("o"),
         array_join(slice(reverse(col("ws")), 1, 2), " ").as("pre2"),
         array_join(expr("slice(reverse(ws), -2, 2)"), " ").as("suf2")))
-    strands.as("a").join(strands.as("b"), col("a.suf2") === col("b.pre2"))
+    // hot-key guard over the doubled strand key table [MatchPrefix skip]
+    val hot = hotKeys(
+      strands.select(col("suf2").as("okey")).unionAll(strands.select(col("pre2").as("okey"))), "okey")
+    strands.as("a").join(hot.withColumnRenamed("okey", "suf2"), Seq("suf2"), "left_anti")
+      .as("a").join(strands.as("b"), col("a.suf2") === col("b.pre2"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         concat(col("a.o"), col("b.o")).as("orient"))
@@ -1065,9 +1095,13 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |  SELECT doc_id, 'r' AS o,
        |    array_to_string(list_reverse(ws)[:2], ' ') AS pre2,
        |    array_to_string(list_reverse(ws)[-2:], ' ') AS suf2
-       |  FROM d)
+       |  FROM d),
+       |shot AS (SELECT okey FROM (
+       |    SELECT suf2 AS okey FROM strands UNION ALL SELECT pre2 FROM strands)
+       |  GROUP BY okey HAVING count(*) > ${cfg.maxOverlapKeyDf})
        |SELECT a.doc_id AS src, b.doc_id AS dst, a.o || b.o AS orient
-       |FROM strands a JOIN strands b ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id""".stripMargin
+       |FROM strands a JOIN strands b ON a.suf2 = b.pre2 AND a.doc_id <> b.doc_id
+       |WHERE a.suf2 NOT IN (SELECT okey FROM shot)""".stripMargin
 
   /** q48: CHAR-level variable-length overlap — the reference verifies
     * overlaps on raw bases, not words (VerifyOverlap.java:50-240); this
@@ -1081,7 +1115,10 @@ class GraphOpsLib(val cfg: GraftConfig) {
         .select(col("doc_id").as("src"), expr(s"substring(text, length(text)-$m+1, $m)").as("k"))
       val b = d.filter(length(col("text")) >= m)
         .select(col("doc_id").as("dst"), expr(s"substring(text, 1, $m)").as("k"))
-      a.join(b, "k").filter(col("src") =!= col("dst"))
+      // per-length hot-key guard [MatchPrefix skip]
+      val hot = hotKeys(a.select("k").unionAll(b.select("k")), "k")
+      a.join(hot, Seq("k"), "left_anti")
+        .join(b, "k").filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), lit(m).as("m"))
     }
     byM.reduce(_ unionAll _).groupBy("src", "dst").agg(max(col("m")).as("overlap_chars"))
@@ -1093,7 +1130,12 @@ class GraphOpsLib(val cfg: GraftConfig) {
          |FROM documents a JOIN documents b
          |ON substr(a.text, len(a.text)-$m+1, $m) = substr(b.text, 1, $m)
          |  AND a.doc_id <> b.doc_id
-         |WHERE len(a.text) >= $m AND len(b.text) >= $m""".stripMargin
+         |WHERE len(a.text) >= $m AND len(b.text) >= $m
+         |  AND substr(a.text, len(a.text)-$m+1, $m) NOT IN (
+         |    SELECT k FROM (
+         |      SELECT substr(text, len(text)-$m+1, $m) AS k FROM documents WHERE len(text) >= $m
+         |      UNION ALL SELECT substr(text, 1, $m) FROM documents WHERE len(text) >= $m)
+         |    GROUP BY k HAVING count(*) > ${cfg.maxOverlapKeyDf})""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""SELECT src, dst, max(m) AS overlap_chars FROM ($unions) GROUP BY src, dst"""
   }
