@@ -141,8 +141,12 @@ class SequenceOps(val cfg: GraftConfig) {
       .select(col("doc_id").as("a_id"), expr(s"substring(text, 1, $pk)").as("key"))
     // docs shorter than pk can't be keyed by a pk-char prefix — their full
     // text is the key, matched against container windows of exactly their
-    // length. The distinct short-length set is tiny and broadcast; with no
-    // short docs in the corpus both sides are empty and this path is free.
+    // length. The distinct short-length set is broadcast and STRUCTURALLY
+    // bounded: every slen is in [1, pk-1], so even an adversarial corpus
+    // yields at most pk-1 = ${pk - 1} distinct lengths and the window
+    // explode is ≤ (pk-1)·Σ|text| rows — a fixed linear factor, never
+    // corpus-size × unbounded-lengths. With no short docs both sides are
+    // empty and this path is free.
     val shortDocs = docs.filter(col("n_chars") < pk && col("n_chars") >= 1)
     val shortLens = shortDocs.select(col("n_chars").as("slen")).distinct()
     val shortWindows = docs.crossJoin(broadcast(shortLens))
