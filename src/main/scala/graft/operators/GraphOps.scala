@@ -395,7 +395,11 @@ class GraphOpsLib(val cfg: GraftConfig) {
           pending = Nil
           c
         } else {
-          val c = stepped.persist(StorageLevel.DISK_ONLY)
+          // MEMORY_AND_DISK: the round map is (node, parent, depth) over
+          // chain INTERIORS only — a small fraction of the corpus — so it
+          // fits storage memory and spills gracefully; pure DISK_ONLY
+          // paid a write+read round trip on every tiny round
+          val c = stepped.persist(StorageLevel.MEMORY_AND_DISK)
           pending ::= c
           c
         }
@@ -665,7 +669,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
   /** One chimeric-link round [CutChimericLinks.java:60-400]: keep an edge
     * iff its overlap is best among its source's out-edges AND its
     * target's in-edges. Input/output: (src, dst, overlap_len). */
-  private[operators] def reciprocalBestFrom(e: DataFrame): DataFrame = {
+  private[graft] def reciprocalBestFrom(e: DataFrame): DataFrame = {
     val bestOut = e.groupBy("src").agg(max(col("overlap_len")).as("best_out"))
     val bestIn = e.groupBy("dst").agg(max(col("overlap_len")).as("best_in"))
     e.join(bestOut, "src").join(bestIn, "dst")
@@ -684,7 +688,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * .java:60-430]: drop a→b when a 2-path a→x→b survives. Post-chimeric
     * degrees are reciprocal-best-bounded, so the 2-path join is linear —
     * the raw-graph variant (q22) uses quotient-class arithmetic instead. */
-  private[operators] def transReduceFrom(e: DataFrame): DataFrame = {
+  private[graft] def transReduceFrom(e: DataFrame): DataFrame = {
     val paths = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .select(col("x.src").as("src"), col("y.dst").as("dst")).distinct()
     e.join(paths, Seq("src", "dst"), "left_anti")
@@ -704,7 +708,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * The cleaned graph's path count is degree-bounded, so the direct
     * path join + per-group min-struct stays linear (the raw-graph
     * bubble queries q25/q42 use the quotient contraction instead). */
-  private[operators] def popRoundFrom(e: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def popRoundFrom(e: DataFrame, docs: DataFrame): DataFrame = {
     val paths = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"), col("x.dst").as("mid"))
@@ -746,7 +750,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * every repeat boundary (≥2 in AND ≥2 out), keep only the
     * deterministic best in/out edge (smallest neighbor id — the text
     * analogue of the consensus-matching edge) and cut the rest. */
-  private[operators] def repeatCutRoundFrom(e: DataFrame): DataFrame = {
+  private[graft] def repeatCutRoundFrom(e: DataFrame): DataFrame = {
     val o = e.groupBy("src").agg(count(lit(1)).as("od"), min(col("dst")).as("keep_dst"))
     val i = e.groupBy("dst").agg(count(lit(1)).as("idg"), min(col("src")).as("keep_src"))
     val rep = o.select(col("src").as("node"), col("od"), col("keep_dst"))
