@@ -40,4 +40,29 @@ class PlanSpec extends GraftSpec {
     assert(scanLines.contains("o_totalprice") && scanLines.contains("> 200000.0"),
       "high-value filter must reach the orders scan")
   }
+
+  test("minhash signature aggregation stays in HashAggregate (long mins, not string SortAggregate)") {
+    Seq("q30_minhash_sig", "q31_minhash_pairs").foreach { n =>
+      assert(!plan(n).contains("SortAggregate"),
+        s"$n fell back to SortAggregate — signature mins must aggregate as longs")
+    }
+  }
+
+  test("hot-key guard: overlap candidate generation anti-joins the over-frequent key list") {
+    Seq("q20_overlap_edges", "q44_oriented_edges", "q48_char_overlap").foreach { n =>
+      assert(plan(n).contains("LeftAnti"), s"$n is missing the hot-key anti-join")
+    }
+  }
+
+  test("q42 pop-bubbles: no per-output-row lookup joins after the quadratic blowup") {
+    // exactly 5 joins: the two quadratic candidate joins (as_ × hot × bs)
+    // plus three PRE-blowup small-side joins (n_ok folded into hot, ok
+    // candidates folded onto each of as_/bs). Every n_ok / ok-membership
+    // lookup is pre-folded into those inputs; a 6th join means a lookup
+    // leaked back onto the quadratic output stream (the round-3 row-copy
+    // regression: each post-blowup join re-copies every output row)
+    val joins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan("q42_pop_bubbles")).length
+    assert(joins <= 5, s"q42 has $joins joins — a lookup leaked onto the quadratic stream")
+  }
 }
