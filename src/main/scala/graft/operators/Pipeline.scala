@@ -88,21 +88,39 @@ object Pipeline {
     // reference's HDFS handoffs; the fixpoint loops that NEED durability
     // (resolveChainsFrom) already use reliable checkpoints internally.
     def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // Round loops exit early on an unchanged edge count — the reference's
+    // own `remaining > 0` loop exits [BrushAssembler.java:411,577,633].
+    // Sound because every stage is removal-only (count unchanged ⇔ the
+    // round removed nothing ⇔ converged), and EXACT against the fully
+    // unrolled oracle because converged rounds are idempotent no-ops.
+    def rounds(e0: DataFrame, maxRounds: Int)(round: DataFrame => DataFrame): DataFrame = {
+      var e = e0
+      var n = e.count()
+      var i = 0
+      var stop = false
+      while (i < maxRounds && !stop) {
+        val next = ck(round(e))
+        val m = next.count()
+        stop = m == n
+        n = m; e = next; i += 1
+      }
+      e
+    }
     // build string graph: chimeric-cut rounds on the variable-length
     // overlap graph, then transitive reduction
-    var oe = ck(GraphOps.q17BestOverlap(spark, dir))
-    for (_ <- 1 to cfg.asmChimericRounds) oe = ck(GraphOps.reciprocalBestFrom(oe))
+    val oe = rounds(ck(GraphOps.q17BestOverlap(spark, dir)), cfg.asmChimericRounds)(
+      GraphOps.reciprocalBestFrom)
     var e = ck(GraphOps.transReduceFrom(oe.select("src", "dst")))
     // tip rounds, bubble pop rounds
-    for (_ <- 1 to cfg.asmTipRounds) e = ck(GraphOps.removeTips(e))
-    for (_ <- 1 to cfg.asmPopRounds) e = ck(GraphOps.popRoundFrom(e, docs))
+    e = rounds(e, cfg.asmTipRounds)(GraphOps.removeTips)
+    e = rounds(e, cfg.asmPopRounds)(GraphOps.popRoundFrom(_, docs))
     // low-coverage node removal + post-lowcov tip rounds
     val low = GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))
     e = ck(e.join(low.select(col("nid").as("src")), Seq("src"), "left_anti")
       .join(low.select(col("nid").as("dst")), Seq("dst"), "left_anti"))
-    for (_ <- 1 to cfg.asmPostLowcovTipRounds) e = ck(GraphOps.removeTips(e))
+    e = rounds(e, cfg.asmPostLowcovTipRounds)(GraphOps.removeTips)
     // repeat-boundary edge adjustment rounds
-    for (_ <- 1 to cfg.asmRepeatRounds) e = ck(GraphOps.repeatCutRoundFrom(e))
+    e = rounds(e, cfg.asmRepeatRounds)(GraphOps.repeatCutRoundFrom)
     // contigs: compress + ordered consensus
     val chains = GraphOps.resolveChainsFrom(spark,
       docs.select(col("doc_id").as("node")), e, withDepth = true)
