@@ -108,7 +108,12 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val byM = (2 to 4).map { m =>
       val a = d.select(col("doc_id").as("src"), array_join(expr(s"slice(ws, -$m, $m)"), " ").as("k"))
       val b = d.select(col("doc_id").as("dst"), array_join(slice(col("ws"), 1, m), " ").as("k"))
-      a.join(b, "k").filter(col("src") =!= col("dst"))
+      // per-length hot-key guard [MatchPrefix.java:155-156] — q17 seeds
+      // the chimeric/assembly chain (q18, q62), so a viral m-word
+      // boundary phrase must not explode candidate generation here either
+      val hot = hotKeys(a.select("k").unionAll(b.select("k")), "k")
+      a.join(hot, Seq("k"), "left_anti")
+        .join(b, "k").filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), lit(m).as("m"))
     }
     byM.reduce(_ unionAll _).groupBy("src", "dst").agg(max(col("m")).as("overlap_len"))
@@ -119,7 +124,12 @@ class GraphOpsLib(val cfg: GraftConfig) {
       s"""SELECT a.doc_id AS src, b.doc_id AS dst, $m AS m
          |FROM ($docsKeyedSql2) a JOIN ($docsKeyedSql2) b
          |ON array_to_string(a.ws[-$m:], ' ') = array_to_string(b.ws[:$m], ' ')
-         |  AND a.doc_id <> b.doc_id""".stripMargin
+         |  AND a.doc_id <> b.doc_id
+         |WHERE array_to_string(a.ws[-$m:], ' ') NOT IN (
+         |  SELECT k FROM (
+         |    SELECT array_to_string(ws[-$m:], ' ') AS k FROM ($docsKeyedSql2)
+         |    UNION ALL SELECT array_to_string(ws[:$m], ' ') FROM ($docsKeyedSql2))
+         |  GROUP BY k HAVING count(*) > ${cfg.maxOverlapKeyDf})""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""SELECT src, dst, max(m) AS overlap_len FROM ($unions) GROUP BY src, dst"""
   }
@@ -1163,7 +1173,13 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * the pair must agree exactly on one of the 3 masked keys (position p
     * wildcarded), so candidates come from 3 skinny equi-joins — never an
     * all-pairs scan — and the mismatch count is O(1) arithmetic on the
-    * joined row. */
+    * joined row.
+    *
+    * The hot-key guard (edges2/q17/q44/q48) is deliberately NOT applied
+    * to the masked keys: ≤1-mismatch recall is the operator's contract,
+    * and dropping a hot masked key silently loses genuine fuzzy matches.
+    * A corpus where this explodes should raise maxOverlapKeyDf-style
+    * capping at the CALLER by pre-filtering boilerplate docs instead. */
   def q45FuzzyOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
