@@ -47,6 +47,13 @@ case class GraftConfig(
     asmPopRounds: Int = 2,
     asmPostLowcovTipRounds: Int = 3,
     asmRepeatRounds: Int = 2,
+    // stage handoffs in the assembly composition: false = eager
+    // localCheckpoint (in-memory, right for single-JVM/local). On a
+    // multi-executor cluster set true — stage cuts become reliable
+    // checkpoints (the checkpoint dir must point at HDFS/object storage
+    // via SparkContext.setCheckpointDir), surviving executor loss exactly
+    // like the reference's HDFS handoffs between MapReduce jobs.
+    reliableStageCheckpoints: Boolean = false,
     // graph stats [CloudBrush: Stats cutoffs array + min contig length]
     statsMinLen: Long = 100L,
     // bubble popping [FindBubbles.java:207 BUBBLEEDITRATE]

@@ -287,7 +287,13 @@ class DedupOps(val cfg: GraftConfig) {
       posexplode(array((0 until cfg.simhashBands).map(b =>
         shiftright(col("simhash"), b * cfg.simhashBandBits)
           .bitwiseAND(lit((1 << cfg.simhashBandBits) - 1))): _*)).as(Seq("b", "bk")))
-    bands.as("x").join(bands.as("y"),
+    // pin the join parallelism: the band table is tiny in BYTES, so AQE
+    // coalesces the self-join to one partition — but with 4-bit band keys
+    // the join OUTPUT is bucket-quadratic CPU (measured 5.6 s single-task
+    // at sf0.1). An explicit key repartition keeps the bucket work spread;
+    // the aligned y side inherits the partition count.
+    bands.repartition(spark.sparkContext.defaultParallelism, col("b"), col("bk"))
+      .as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
@@ -435,9 +441,12 @@ class DedupOps(val cfg: GraftConfig) {
     }
     und.unpersist(false)
     val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    // fam stays lazy: its two consumers (the keeper aggregate and the
+    // final join) each re-run only a docs scan + a broadcast probe of the
+    // checkpointed label table — cheaper than an extra eager
+    // materialization job per invocation
     val fam = docs.join(lbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"), coalesce(col("lbl"), col("doc_id")).as("family_id"))
-      .localCheckpoint(true)
     // one aggregation for size AND keeper: min over (-n_chars, doc_id)
     // structs is lexicographic, i.e. longest text with ties to the
     // smallest doc_id — replaces the old sz + keeper-filter + two-join

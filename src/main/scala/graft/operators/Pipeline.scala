@@ -81,13 +81,16 @@ object Pipeline {
   def assembleFull(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val docs = Tables.documents(spark, dir)
-    // eager localCheckpoint per stage: cuts the k^stages lineage growth
-    // (removeTips references its input ~13×) at in-memory cost. On a real
-    // multi-executor cluster flip these to reliable checkpoint(true) —
-    // executor loss invalidates localCheckpoint blocks — mirroring the
-    // reference's HDFS handoffs; the fixpoint loops that NEED durability
-    // (resolveChainsFrom) already use reliable checkpoints internally.
-    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // eager checkpoint per stage: cuts the k^stages lineage growth
+    // (removeTips references its input ~13×). local (in-memory) by
+    // default; cfg.reliableStageCheckpoints=true flips every stage cut to
+    // a reliable checkpoint for multi-executor clusters — executor loss
+    // invalidates localCheckpoint blocks — mirroring the reference's HDFS
+    // handoffs. The fixpoint loops that always need durability
+    // (resolveChainsFrom) use reliable checkpoints internally regardless.
+    def ck(df: DataFrame): DataFrame =
+      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // Round loops exit early on an unchanged edge count — the reference's
     // own `remaining > 0` loop exits [BrushAssembler.java:411,577,633].
     // Sound because every stage is removal-only (count unchanged ⇔ the
