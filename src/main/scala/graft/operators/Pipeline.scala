@@ -72,7 +72,10 @@ object Pipeline {
     * loop :345-370 → transitive reduction + removal :372-383) →
     * removeTips loop :565-618 → popallbubbles loop :623-673 →
     * removelowcov (+ tips) :678-700 → edgeAdjustment repeat-boundary
-    * loop :400-460 → contigs]. Every stage is an existing Graft operator
+    * loop :400-460 → contigs]. The one reference phase NOT mirrored is
+    * pairedgeAdjustment — the reference itself ships it commented out
+    * (BrushAssembler.java:873-880); its mate-support signal exists as
+    * q35_mate_consistent. Every stage is an existing Graft operator
     * applied to the CURRENT edge set; rounds are the config-bounded
     * counts the oracle unrolls identically. Per-stage eager reliable
     * checkpoints cut the k^rounds lineage growth (removeTips references
