@@ -103,20 +103,28 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * m-word overlap is its own alignment, so the edge set is the union of
     * three equi-joins and m the max that matches). */
   def q17BestOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // one exploded key table for all three overlap lengths (3 rows/doc,
+    // each carrying the m-word suffix and prefix), so candidate
+    // generation is ONE (m, key) equi-join and the hot-key guard
+    // [MatchPrefix.java:155-156 — q17 seeds the chimeric/assembly chain,
+    // so a viral m-word boundary phrase must not explode it either] is
+    // ONE aggregation, instead of 3 arms × (2 scans + agg + anti-join)
+    val keys = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val byM = (2 to 4).map { m =>
-      val a = d.select(col("doc_id").as("src"), array_join(expr(s"slice(ws, -$m, $m)"), " ").as("k"))
-      val b = d.select(col("doc_id").as("dst"), array_join(slice(col("ws"), 1, m), " ").as("k"))
-      // per-length hot-key guard [MatchPrefix.java:155-156] — q17 seeds
-      // the chimeric/assembly chain (q18, q62), so a viral m-word
-      // boundary phrase must not explode candidate generation here either
-      val hot = hotKeys(a.select("k").unionAll(b.select("k")), "k")
-      a.join(hot, Seq("k"), "left_anti")
-        .join(b, "k").filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), lit(m).as("m"))
-    }
-    byM.reduce(_ unionAll _).groupBy("src", "dst").agg(max(col("m")).as("overlap_len"))
+      .select(col("doc_id"), explode(array((2 to 4).map(m => struct(
+        lit(m).as("m"),
+        array_join(expr(s"slice(ws, -$m, $m)"), " ").as("sk"),
+        array_join(slice(col("ws"), 1, m), " ").as("pk"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.m").as("m"), col("x.sk").as("sk"), col("x.pk").as("pk"))
+    val occ = keys.select(col("m"), col("sk").as("k"))
+      .unionAll(keys.select(col("m"), col("pk").as("k")))
+    val hot = broadcast(occ.groupBy("m", "k").agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") > cfg.maxOverlapKeyDf).select("m", "k"))
+    keys.select(col("doc_id").as("src"), col("m"), col("sk").as("k"))
+      .join(hot, Seq("m", "k"), "left_anti")
+      .join(keys.select(col("doc_id").as("dst"), col("m"), col("pk").as("k")), Seq("m", "k"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(max(col("m")).as("overlap_len"))
   }
 
   def q17Sql: String = {
