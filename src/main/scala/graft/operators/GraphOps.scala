@@ -1131,19 +1131,27 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * best overlap m ∈ {16,24,32} chars where suffix_m(a) = prefix_m(b).
     * Three skinny equi-joins + max, never an all-pairs scan. */
   def q48CharOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val byM = Seq(16, 24, 32).map { m =>
-      val a = d.filter(length(col("text")) >= m)
-        .select(col("doc_id").as("src"), expr(s"substring(text, length(text)-$m+1, $m)").as("k"))
-      val b = d.filter(length(col("text")) >= m)
-        .select(col("doc_id").as("dst"), expr(s"substring(text, 1, $m)").as("k"))
-      // per-length hot-key guard [MatchPrefix skip]
-      val hot = hotKeys(a.select("k").unionAll(b.select("k")), "k")
-      a.join(hot, Seq("k"), "left_anti")
-        .join(b, "k").filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), lit(m).as("m"))
-    }
-    byM.reduce(_ unionAll _).groupBy("src", "dst").agg(max(col("m")).as("overlap_chars"))
+    // same single-explode fusion as q17: one key table for all three
+    // lengths, one (m, key) join, one hot-key aggregation [MatchPrefix
+    // skip]; docs shorter than m yield null keys for that m and are
+    // filtered (the per-arm formulation's length predicate)
+    val keys = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(Seq(16, 24, 32).map(m => struct(
+        lit(m).as("m"),
+        when(length(col("text")) >= m,
+          expr(s"substring(text, length(text)-$m+1, $m)")).as("sk"),
+        when(length(col("text")) >= m, expr(s"substring(text, 1, $m)")).as("pk"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.m").as("m"), col("x.sk").as("sk"), col("x.pk").as("pk"))
+      .filter(col("sk").isNotNull)
+    val occ = keys.select(col("m"), col("sk").as("k"))
+      .unionAll(keys.select(col("m"), col("pk").as("k")))
+    val hot = broadcast(occ.groupBy("m", "k").agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") > cfg.maxOverlapKeyDf).select("m", "k"))
+    keys.select(col("doc_id").as("src"), col("m"), col("sk").as("k"))
+      .join(hot, Seq("m", "k"), "left_anti")
+      .join(keys.select(col("doc_id").as("dst"), col("m"), col("pk").as("k")), Seq("m", "k"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(max(col("m")).as("overlap_chars"))
   }
 
   def q48Sql: String = {
