@@ -219,6 +219,14 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private def quotient(df: DataFrame): DataFrame =
     if (cfg.broadcastQuotientClasses) broadcast(df) else df
 
+  /** Stage/round lineage cut: eager localCheckpoint locally, reliable
+    * checkpoint on clusters (cfg.reliableStageCheckpoints) — one knob for
+    * every iterative loop's durability, same contract as
+    * Pipeline.assembleFull's stage handoffs. */
+  private def stageCk(df: DataFrame): DataFrame =
+    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** q22: transitive reduction on the coarse graph — drop a→b when some
     * 2-path a→x→b exists. Mid-class arithmetic instead of a path
     * self-join: a valid mid x has fw = last(a) and lw = first(b) = last(a),
@@ -367,17 +375,19 @@ class GraphOpsLib(val cfg: GraftConfig) {
     *   'moved' flag (the pointer advances by 2^k mod L forever) and
     *   previously burned a fixed 60 rounds; now they stop at the cap and
     *   are excluded by the root check below;
-    * - rounds persist at DISK_ONLY (recomputable, never pins executor
-    *   memory) with a reliable checkpoint every 4th round to truncate
-    *   lineage — executor-local localCheckpoint blocks die with any
-    *   executor and are unusable on a real cluster. */
+    * - rounds persist at MEMORY_AND_DISK (the map covers chain interiors
+    *   only, so it fits storage and spills gracefully) with a stageCk cut
+    *   every 4th round to truncate lineage; stageCk is localCheckpoint
+    *   locally and a reliable checkpoint under
+    *   cfg.reliableStageCheckpoints — executor-local blocks die with any
+    *   executor, so clusters flip the knob. */
   def resolveChainsFrom(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     graft.GraftSession.ensureCheckpointDir(spark)
     val p0 = parentMapFrom(nodes, edges)
     val base = p0.filter(col("node") =!= col("parent"))
-    val inChain = (if (withDepth) base.withColumn("d", lit(1L)) else base).checkpoint(true)
+    val inChain = stageCk(if (withDepth) base.withColumn("d", lit(1L)) else base)
     val selfHead =
       if (withDepth) p0.filter(col("node") === col("parent"))
         .select(col("node"), col("node").as("head"), lit(0L).as("depth"))
@@ -408,7 +418,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
       rounds += 1
       val mat =
         if (rounds % 4 == 0) {
-          val c = stepped.checkpoint(true) // reliable; lineage truncated →
+          val c = stageCk(stepped) // lineage truncated →
           pending.foreach(_.unpersist(false)) // earlier rounds droppable
           pending = Nil
           c
@@ -430,7 +440,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // still registered in `pending` can be unpersisted instead of
     // leaking DISK_ONLY blocks for the session lifetime
     if (pending.nonEmpty) {
-      p = p.checkpoint(true)
+      p = stageCk(p)
       pending.foreach(_.unpersist(false))
       pending = Nil
     }
@@ -860,7 +870,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // Pipeline.cleanToConvergence, which hands removal stages a
     // materialized edge list
     graft.GraftSession.ensureCheckpointDir(spark)
-    val e = edges2(spark, dir).checkpoint(true)
+    val e = stageCk(edges2(spark, dir))
     val rem = tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
       .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
       .distinct()
@@ -1052,7 +1062,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
   def q43TipsIterative(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     (1 to TipRounds).foldLeft(edges2(spark, dir).select("src", "dst"))(
-      (e, _) => removeTips(e).checkpoint(true))
+      (e, _) => stageCk(removeTips(e)))
   }
 
   /** MATERIALIZED: each round references its input ~4× and rounds

@@ -11,7 +11,7 @@ import graft.sources.Tables
   *
   * The reference iterates graph cleaning to convergence (tips→compress
   * loop at BrushAssembler.java:588-614, find→pop bubbles at :622-660);
-  * here each fixpoint is a driver loop whose rounds take eager reliable
+  * here each fixpoint is a driver loop whose rounds take eager
   * checkpoints (see cleanToConvergence for why lineage must be cut every
   * round) and converge on an edge-count fixpoint. At 100 TB each round
   * is two broadcast anti-joins (the removal set is small) over the
@@ -19,23 +19,34 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  private val cfg = graft.GraftConfig()
+
+  /** Stage/round lineage cut for pipeline fixpoints: eager
+    * localCheckpoint locally, reliable checkpoint on clusters
+    * (cfg.reliableStageCheckpoints) — the one durability knob shared
+    * with GraphOps' iterative loops. */
+  private def stageCut(spark: SparkSession, df: DataFrame): DataFrame =
+    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Iterate tip detect+remove until no tip remains (or maxRounds).
     *
-    * Every round takes an EAGER RELIABLE checkpoint: removeTips
+    * Every round takes an EAGER checkpoint (stageCut): removeTips
     * references its input ~13 times (incidence union, degree joins, two
     * anti-joins), so without truncation the LOGICAL plan grows 13× per
     * round and analysis alone OOMs the driver by round 4 — caching the
     * data is not enough, the lineage itself must be cut. The
-    * checkpointed edge set shrinks monotonically, so the per-round write
-    * is small and recoverable on executor loss. */
+    * checkpointed edge set shrinks monotonically, so the per-round cut
+    * is small (and, with reliableStageCheckpoints, recoverable on
+    * executor loss). */
   def cleanToConvergence(spark: SparkSession, edges0: DataFrame, maxRounds: Int = 25): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    var e = edges0.select("src", "dst").checkpoint(true)
+    var e = stageCut(spark, edges0.select("src", "dst"))
     var n = e.count()
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
-      val next = GraphOps.removeTips(e).checkpoint(true)
+      val next = stageCut(spark, GraphOps.removeTips(e))
       rounds += 1
       val m = next.count()
       converged = m == n // no edge removed → no tip existed
@@ -65,8 +76,6 @@ object Pipeline {
     * tested sf converges in ≤6) + recursive chain CTEs + consensus. */
   def q46Sql: String = GraphOps.assembleSql(12)
 
-  private val cfg = graft.GraftConfig()
-
   /** q62: the FULL BrushAssembler phase chain [BrushAssembler.java:826-894
     * drives: preprocess → buildOverlap → buildStringGraph (chimeric-cut
     * loop :345-370 → transitive reduction + removal :372-383) →
@@ -77,10 +86,11 @@ object Pipeline {
     * (BrushAssembler.java:873-880); its mate-support signal exists as
     * q35_mate_consistent. Every stage is an existing Graft operator
     * applied to the CURRENT edge set; rounds are the config-bounded
-    * counts the oracle unrolls identically. Per-stage eager reliable
-    * checkpoints cut the k^rounds lineage growth (removeTips references
-    * its input ~13×) and keep each phase restartable on a real cluster,
-    * mirroring the reference's materialized HDFS handoffs between jobs. */
+    * counts the oracle unrolls identically. Per-stage eager checkpoints
+    * cut the k^rounds lineage growth (removeTips references its input
+    * ~13×); with reliableStageCheckpoints each phase is also restartable
+    * on a real cluster, mirroring the reference's materialized HDFS
+    * handoffs between jobs. */
   def assembleFull(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val docs = Tables.documents(spark, dir)
