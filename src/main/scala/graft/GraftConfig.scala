@@ -90,3 +90,23 @@ case class GraftConfig(
     langIdProfileSize: Int = 30,
     winnowK: Int = 5,
     winnowWindow: Int = 4)
+
+/** The single shared instance behind every entry-point object
+  * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side
+  * and its oracle SQL builder must read round counts and thresholds from
+  * the SAME config, and the durability knob must flip every iterative
+  * loop at once, not one object's private copy.
+  *
+  * `reliableStageCheckpoints` is runtime-settable — no source edit
+  * needed on a cluster: JVM property `-Dgraft.reliableStageCheckpoints=
+  * true` or env `GRAFT_RELIABLE_STAGE_CHECKPOINTS=true` on the driver
+  * (checkpoint mode is chosen during driver-side plan building, so a
+  * driver-side setting is sufficient). Pair it with
+  * `SparkContext.setCheckpointDir` on HDFS/object storage. */
+object GraftConfig {
+  val default: GraftConfig = GraftConfig(
+    reliableStageCheckpoints = sys.props
+      .get("graft.reliableStageCheckpoints")
+      .orElse(sys.env.get("GRAFT_RELIABLE_STAGE_CHECKPOINTS"))
+      .exists(_.trim.equalsIgnoreCase("true")))
+}

@@ -21,6 +21,17 @@ import graft.functions.Vec
   * per-doc shingle explode aggregates map-side before shuffling.
   */
 class DedupOps(val cfg: GraftConfig) {
+
+  /** Round lineage cut for the q57 CC loop: eager localCheckpoint
+    * locally, reliable checkpoint when cfg.reliableStageCheckpoints —
+    * the same one durability knob as GraphOps/Pipeline's iterative
+    * loops. Straight-line materializations (shingles, the pair list)
+    * stay localCheckpoint unconditionally: they exist for compute-once
+    * semantics, and losing one recomputes a non-iterative subtree. */
+  private def stageCk(df: DataFrame): DataFrame =
+    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   val ShingleK: Int = cfg.shingleK
   val MinhashJ: Double = cfg.minhashJaccard
   val JaccardJ: Double = cfg.jaccardThreshold
@@ -106,7 +117,18 @@ class DedupOps(val cfg: GraftConfig) {
     * No per-arm salt: the oracle's concat-string bands match across arms
     * when the slice tuples coincide, and fixed-width slices make concat
     * equality ⇔ tuple equality, so unsalted tuple hashing preserves the
-    * candidate set exactly (modulo verification-safe collisions). */
+    * candidate set exactly (modulo verification-safe collisions).
+    *
+    * Accepted divergence risk vs the DuckDB oracle: the oracle bands on
+    * the exact concat string, so an xxhash64 collision between two
+    * DIFFERENT slice tuples adds a candidate the oracle never sees — if
+    * that extra pair then passes the Jaccard gate, outputs diverge.
+    * Probability ≈ n²/2⁶⁴ over n banded docs (~10⁻¹⁰ at 10⁸ docs), and
+    * "colliding docs that also share ≥60% shingles yet no true band" is
+    * rarer still; recall is unaffected either way. Accepted rather than
+    * mirrored into the SQL because DuckDB's hash() is not xxhash64-
+    * compatible and the string-band oracle is the semantically honest
+    * spec of the candidate set. */
   private def minhashBands(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
         xxhash64(col("s0"), col("s1"), col("s2"), col("s3")).as("bk"))
@@ -402,9 +424,9 @@ class DedupOps(val cfg: GraftConfig) {
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    var lbl = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
-      .select(col("node"), least(col("node"), col("l")).as("lbl"))
-      .localCheckpoint(true)
+    var lbl = stageCk(
+      und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
+        .select(col("node"), least(col("node"), col("l")).as("lbl")))
     val nNodes = lbl.count()
     // the convergence check is the real exit (the pointer-jump hop makes
     // that ≈ log(family diameter) rounds in practice); the cap is the
@@ -421,12 +443,13 @@ class DedupOps(val cfg: GraftConfig) {
       // pointer-jump hop: lbl(v) ← lbl(lbl(v)) — labels are node ids, so
       // chase one hop through the label map itself (path halving)
       val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
-      // localCheckpoint: the loop body references lbl with fanout k=2
-      // (prop + hop), so an eager in-memory cut per round is enough to
-      // stop plan growth without a per-round reliable-checkpoint write
-      val next = prop.join(hop, prop("lbl") === hop("hn"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      // stageCk: an eager cut per round stops the k=2 fanout (prop +
+      // hop) plan growth; with cfg.reliableStageCheckpoints the cut is
+      // a reliable checkpoint so executor loss mid-loop cannot drop a
+      // round's blocks on a cluster
+      val next = stageCk(
+        prop.join(hop, prop("lbl") === hop("hn"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")))
       rounds += 1
       // converge-check every 2nd round: the pointer-jump hop halves label
       // paths, so odd rounds are rarely the stopping point, and each
@@ -504,4 +527,4 @@ class DedupOps(val cfg: GraftConfig) {
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */
-object Dedup extends DedupOps(GraftConfig())
+object Dedup extends DedupOps(GraftConfig.default)

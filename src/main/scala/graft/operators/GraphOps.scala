@@ -822,8 +822,8 @@ class GraphOpsLib(val cfg: GraftConfig) {
     for (_ <- 1 to cfg.asmRepeatRounds) {
       // per-round eager cuts: repeatCut references its input ~5× and
       // removeTips ~13×, so an uncut 2-round lazy plan is 65² subtrees
-      e = repeatCutRoundFrom(e).localCheckpoint(true)
-      e = removeTips(e).localCheckpoint(true)
+      e = stageCk(repeatCutRoundFrom(e))
+      e = stageCk(removeTips(e))
     }
     e
   }
@@ -1237,4 +1237,4 @@ class GraphOpsLib(val cfg: GraftConfig) {
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */
-object GraphOps extends GraphOpsLib(GraftConfig())
+object GraphOps extends GraphOpsLib(GraftConfig.default)

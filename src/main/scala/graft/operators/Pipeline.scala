@@ -19,7 +19,7 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  private val cfg = graft.GraftConfig()
+  private val cfg = graft.GraftConfig.default
 
   /** Stage/round lineage cut for pipeline fixpoints: eager
     * localCheckpoint locally, reliable checkpoint on clusters
@@ -99,8 +99,9 @@ object Pipeline {
     // default; cfg.reliableStageCheckpoints=true flips every stage cut to
     // a reliable checkpoint for multi-executor clusters — executor loss
     // invalidates localCheckpoint blocks — mirroring the reference's HDFS
-    // handoffs. The fixpoint loops that always need durability
-    // (resolveChainsFrom) use reliable checkpoints internally regardless.
+    // handoffs. The internal fixpoint loops (resolveChainsFrom, tip
+    // rounds) route through the same knob: nothing survives executor
+    // loss unless reliableStageCheckpoints is set.
     def ck(df: DataFrame): DataFrame =
       if (cfg.reliableStageCheckpoints) df.checkpoint(true)
       else df.localCheckpoint(true)

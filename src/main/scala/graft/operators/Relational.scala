@@ -189,4 +189,4 @@ class RelationalOps(val cfg: GraftConfig) {
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */
-object Relational extends RelationalOps(GraftConfig())
+object Relational extends RelationalOps(GraftConfig.default)

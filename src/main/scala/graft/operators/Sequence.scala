@@ -324,4 +324,4 @@ class SequenceOps(val cfg: GraftConfig) {
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */
-object Sequence extends SequenceOps(GraftConfig())
+object Sequence extends SequenceOps(GraftConfig.default)

@@ -219,4 +219,4 @@ class SimilarityOps(val cfg: GraftConfig) {
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */
-object Similarity extends SimilarityOps(GraftConfig())
+object Similarity extends SimilarityOps(GraftConfig.default)

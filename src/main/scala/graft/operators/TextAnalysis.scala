@@ -176,4 +176,4 @@ class TextAnalysisOps(val cfg: GraftConfig) {
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */
-object TextAnalysis extends TextAnalysisOps(GraftConfig())
+object TextAnalysis extends TextAnalysisOps(GraftConfig.default)

@@ -30,4 +30,26 @@ class ConfigSpec extends GraftSpec {
     assert(graft.operators.Dedup.NearDupCos == GraftConfig().nearDupCos)
     assert(graft.operators.GraphOps.TipRounds == GraftConfig().tipRounds)
   }
+
+  test("every entry-point object shares the one default config instance") {
+    // the durability knob (and any env/prop override) must hit ALL loops
+    // at once — a private GraftConfig() copy in one object would silently
+    // keep that object's loops on localCheckpoint
+    assert(graft.operators.Sequence.cfg eq GraftConfig.default)
+    assert(graft.operators.GraphOps.cfg eq GraftConfig.default)
+    assert(graft.operators.Dedup.cfg eq GraftConfig.default)
+    assert(graft.operators.Similarity.cfg eq GraftConfig.default)
+    assert(graft.operators.Relational.cfg eq GraftConfig.default)
+    assert(graft.operators.TextAnalysis.cfg eq GraftConfig.default)
+  }
+
+  test("reliableStageCheckpoints=true runs the iterative loops on reliable checkpoints") {
+    // exercises the cluster-durability path end-to-end: q57's CC loop and
+    // q63's repeat-adjust rounds cut lineage via checkpoint(true), which
+    // requires (and writes to) the session checkpoint dir
+    val d = new DedupOps(GraftConfig(reliableStageCheckpoints = true))
+    assert(d.q57DedupFamilies(spark, sf).count() > 0)
+    val g = new GraphOpsLib(GraftConfig(reliableStageCheckpoints = true))
+    assert(g.q63RepeatAdjust(spark, sf).count() > 0)
+  }
 }
