@@ -420,7 +420,7 @@ class DedupOps(val cfg: GraftConfig) {
     // eager checkpoint: the union below references pairs twice, and a lazy
     // pairs would run the whole minhash+rare-shingle verify pipeline once
     // per union arm (it dominated q57's round-3 runtime)
-    val pairs = nearDupEdges(spark, dir).localCheckpoint(true)
+    val pairs = graft.Trace("q57.pairs")(nearDupEdges(spark, dir).localCheckpoint(true))
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -447,9 +447,9 @@ class DedupOps(val cfg: GraftConfig) {
       // hop) plan growth; with cfg.reliableStageCheckpoints the cut is
       // a reliable checkpoint so executor loss mid-loop cannot drop a
       // round's blocks on a cluster
-      val next = stageCk(
+      val next = graft.Trace(s"q57.round${rounds + 1}.ck")(stageCk(
         prop.join(hop, prop("lbl") === hop("hn"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")))
+          .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl"))))
       rounds += 1
       // converge-check every 2nd round: the pointer-jump hop halves label
       // paths, so odd rounds are rarely the stopping point, and each

@@ -342,22 +342,15 @@ class GraphOpsLib(val cfg: GraftConfig) {
     s"""SELECT doc_id, avg_freq FROM (${seqOps.q15Sql})
        |WHERE avg_freq < $LowCovThreshold""".stripMargin
 
-  /** Unary-chain parent map: parent(v)=u for compressible edges u→v
-    * (outdeg(u)=1 ∧ indeg(v)=1 — Compressible.java:50-200), else v. */
-  private[operators] def parentMapFrom(nodes: DataFrame, e: DataFrame): DataFrame = {
+  /** Compressible-edge parent rows: (node=v, parent=u) for edges u→v
+    * with outdeg(u)=1 ∧ indeg(v)=1 [Compressible.java:50-200]. One row
+    * per chain interior — nodes absent here are their own head. */
+  private[operators] def compressibleFrom(e: DataFrame): DataFrame = {
     val out1 = e.groupBy("src").agg(count(lit(1)).as("od")).filter(col("od") === 1).select("src")
     val in1 = e.groupBy("dst").agg(count(lit(1)).as("idg")).filter(col("idg") === 1).select("dst")
-    val comp = e.join(out1, "src").join(in1, "dst")
+    e.join(out1, "src").join(in1, "dst")
       .select(col("dst").as("node"), col("src").as("parent"))
-    nodes
-      .join(comp, Seq("node"), "left")
-      .select(col("node"), coalesce(col("parent"), col("node")).as("parent"))
   }
-
-  private def parentMap(spark: SparkSession, dir: String): DataFrame =
-    parentMapFrom(
-      Tables.documents(spark, dir).select(col("doc_id").as("node")),
-      edges2(spark, dir).select("src", "dst"))
 
   /** Pointer-jumping resolution of the unary-chain parent map to chain
     * heads [QuickMark/QuickMerge, PairMark/PairMerge iterative merging],
@@ -381,25 +374,33 @@ class GraphOpsLib(val cfg: GraftConfig) {
     *   locally and a reliable checkpoint under
     *   cfg.reliableStageCheckpoints — executor-local blocks die with any
     *   executor, so clusters flip the knob. */
+  private def traced[T](tag: String)(f: => T): T = graft.Trace(tag)(f)
+
   def resolveChainsFrom(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     graft.GraftSession.ensureCheckpointDir(spark)
-    val p0 = parentMapFrom(nodes, edges)
-    val base = p0.filter(col("node") =!= col("parent"))
-    val inChain = stageCk(if (withDepth) base.withColumn("d", lit(1L)) else base)
+    // one parent-map derivation per call: the old formulation left-joined
+    // nodes to the compressible rows and split self/non-self AFTER — the
+    // un-materialized self side re-ran the whole edges+degrees subtree a
+    // second time in the final union (measured: ~half of q27's runtime)
+    val base = compressibleFrom(edges).filter(col("node") =!= col("parent"))
+    val inChain = traced("chain.inChain")(stageCk(if (withDepth) base.withColumn("d", lit(1L)) else base))
+    // every node WITHOUT a compressible incoming edge is its own head —
+    // an anti-join against the (tiny, already-materialized) interior set
+    val selfBase = nodes.join(inChain.select("node"), Seq("node"), "left_anti")
     val selfHead =
-      if (withDepth) p0.filter(col("node") === col("parent"))
-        .select(col("node"), col("node").as("head"), lit(0L).as("depth"))
-      else p0.filter(col("node") === col("parent"))
-        .select(col("node"), col("node").as("head"))
+      if (withDepth) selfBase.select(col("node"), col("node").as("head"), lit(0L).as("depth"))
+      else selfBase.select(col("node"), col("node").as("head"))
     val n = inChain.count()
     val maxRounds =
       if (n <= 1) 1 else math.ceil(math.log((n + 1).toDouble) / math.log(2.0)).toInt + 1
+    graft.Trace.log(s"chain.n=$n maxRounds=$maxRounds")
     var p = inChain
     var pending = List.empty[org.apache.spark.sql.DataFrame]
     var converged = n == 0
     var rounds = 0
+    var prevMovers = -1L
     while (!converged && rounds < maxRounds) {
       // hop through the CURRENT map (p ∘ p): doubles resolved path length
       // per round, O(log chain-length) rounds total
@@ -418,7 +419,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
       rounds += 1
       val mat =
         if (rounds % 4 == 0) {
-          val c = stageCk(stepped) // lineage truncated →
+          val c = traced(s"chain.round$rounds.ck")(stageCk(stepped)) // lineage truncated →
           pending.foreach(_.unpersist(false)) // earlier rounds droppable
           pending = Nil
           c
@@ -432,8 +433,21 @@ class GraphOpsLib(val cfg: GraftConfig) {
           c
         }
       // short chains dominate: skip the convergence action for the first
-      // rounds (they almost never converge before covering length 8)
-      converged = rounds >= 3 && mat.filter(col("moved")).limit(1).count() == 0
+      // rounds (they almost never converge before covering length 8).
+      // Exit on 0 movers OR a mover-count plateau: genuine chain nodes
+      // strictly decrease the count every round (each unresolved node's
+      // root distance shrinks, and chain distances are contiguous, so
+      // every doubling band resolves someone) — a plateau means only
+      // cycle/rho components remain, whose pointers circulate forever;
+      // the root check below excludes exactly those, so further rounds
+      // cannot change the output. Without this, one cycle anywhere in
+      // the graph forced the full log2(n) round cap (measured: 12
+      // rounds instead of ~7 on the cleaned sf0.1 graph).
+      if (rounds >= 3) {
+        val movers = traced(s"chain.round$rounds.conv")(mat.filter(col("moved")).count())
+        converged = movers == 0 || movers == prevMovers
+        prevMovers = movers
+      }
       p = mat.drop("moved")
     }
     // drain round persistence: checkpoint the final map so the rounds
@@ -818,12 +832,13 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * cuts are idempotent once no repeat boundary remains. */
   def q63RepeatAdjust(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    var e = edges2(spark, dir).select("src", "dst")
-    for (_ <- 1 to cfg.asmRepeatRounds) {
+    // cut before round 1: repeatCutRoundFrom references its input ~5×
+    var e = graft.Trace("q63.edges")(stageCk(edges2(spark, dir).select("src", "dst")))
+    for (i <- 1 to cfg.asmRepeatRounds) {
       // per-round eager cuts: repeatCut references its input ~5× and
       // removeTips ~13×, so an uncut 2-round lazy plan is 65² subtrees
-      e = stageCk(repeatCutRoundFrom(e))
-      e = stageCk(removeTips(e))
+      e = graft.Trace(s"q63.cut$i")(stageCk(repeatCutRoundFrom(e)))
+      e = graft.Trace(s"q63.tips$i")(stageCk(removeTips(e)))
     }
     e
   }
@@ -871,11 +886,16 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // materialized edge list
     graft.GraftSession.ensureCheckpointDir(spark)
     val e = stageCk(edges2(spark, dir))
-    val rem = tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
-      .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
-      .distinct()
-    e.join(rem.select(col("nid").as("src")), Seq("src"), "left_anti")
-      .join(rem.select(col("nid").as("dst")), Seq("dst"), "left_anti")
+    // the removal set feeds BOTH anti-join arms; its low-coverage half
+    // rides on the q15 per-doc k-mer profile — the single heaviest
+    // subtree here — so materialize the (small) node list once and
+    // broadcast it instead of re-deriving the profile per arm
+    val rem = stageCk(
+      tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
+        .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
+        .distinct())
+    e.join(broadcast(rem.select(col("nid").as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(rem.select(col("nid").as("dst"))), Seq("dst"), "left_anti")
       .select("src", "dst", "okey")
   }
 
@@ -1061,7 +1081,9 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * subtree and Catalyst analysis alone dominates the runtime. */
   def q43TipsIterative(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    (1 to TipRounds).foldLeft(edges2(spark, dir).select("src", "dst"))(
+    // cut BEFORE round 1 too: removeTips references its input ~13×, and
+    // a lazy edges2 would be re-planned under every reference
+    (1 to TipRounds).foldLeft(stageCk(edges2(spark, dir).select("src", "dst")))(
       (e, _) => stageCk(removeTips(e)))
   }
 

@@ -110,13 +110,13 @@ object Pipeline {
     // Sound because every stage is removal-only (count unchanged ⇔ the
     // round removed nothing ⇔ converged), and EXACT against the fully
     // unrolled oracle because converged rounds are idempotent no-ops.
-    def rounds(e0: DataFrame, maxRounds: Int)(round: DataFrame => DataFrame): DataFrame = {
+    def rounds(tag: String, e0: DataFrame, maxRounds: Int)(round: DataFrame => DataFrame): DataFrame = {
       var e = e0
       var n = e.count()
       var i = 0
       var stop = false
       while (i < maxRounds && !stop) {
-        val next = ck(round(e))
+        val next = graft.Trace(s"asm.$tag.${i + 1}")(ck(round(e)))
         val m = next.count()
         stop = m == n
         n = m; e = next; i += 1
@@ -125,23 +125,29 @@ object Pipeline {
     }
     // build string graph: chimeric-cut rounds on the variable-length
     // overlap graph, then transitive reduction
-    val oe = rounds(ck(GraphOps.q17BestOverlap(spark, dir)), cfg.asmChimericRounds)(
-      GraphOps.reciprocalBestFrom)
-    var e = ck(GraphOps.transReduceFrom(oe.select("src", "dst")))
+    val oe = rounds("chimeric", graft.Trace("asm.q17")(ck(GraphOps.q17BestOverlap(spark, dir))),
+      cfg.asmChimericRounds)(GraphOps.reciprocalBestFrom)
+    var e = graft.Trace("asm.transred")(ck(GraphOps.transReduceFrom(oe.select("src", "dst"))))
     // tip rounds, bubble pop rounds
-    e = rounds(e, cfg.asmTipRounds)(GraphOps.removeTips)
-    e = rounds(e, cfg.asmPopRounds)(GraphOps.popRoundFrom(_, docs))
-    // low-coverage node removal + post-lowcov tip rounds
-    val low = GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))
-    e = ck(e.join(low.select(col("nid").as("src")), Seq("src"), "left_anti")
-      .join(low.select(col("nid").as("dst")), Seq("dst"), "left_anti"))
-    e = rounds(e, cfg.asmPostLowcovTipRounds)(GraphOps.removeTips)
+    e = rounds("tips", e, cfg.asmTipRounds)(GraphOps.removeTips)
+    e = rounds("pop", e, cfg.asmPopRounds)(GraphOps.popRoundFrom(_, docs))
+    // low-coverage node removal + post-lowcov tip rounds. The removal
+    // list rides on the q15 per-doc k-mer profile (the heaviest subtree
+    // in this phase) and feeds two anti-joins — materialize it once and
+    // broadcast (it is the small set of BELOW-threshold docs), instead
+    // of re-deriving the profile per join arm
+    val low = graft.Trace("asm.lowcov.list")(
+      ck(GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))))
+    e = graft.Trace("asm.lowcov")(ck(
+      e.join(broadcast(low.select(col("nid").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(low.select(col("nid").as("dst"))), Seq("dst"), "left_anti")))
+    e = rounds("tips2", e, cfg.asmPostLowcovTipRounds)(GraphOps.removeTips)
     // repeat-boundary edge adjustment rounds
-    e = rounds(e, cfg.asmRepeatRounds)(GraphOps.repeatCutRoundFrom)
+    e = rounds("repeat", e, cfg.asmRepeatRounds)(GraphOps.repeatCutRoundFrom)
     // contigs: compress + ordered consensus
-    val chains = GraphOps.resolveChainsFrom(spark,
-      docs.select(col("doc_id").as("node")), e, withDepth = true)
-    GraphOps.consensusFrom(chains, docs)
+    val chains = graft.Trace("asm.chains")(GraphOps.resolveChainsFrom(spark,
+      docs.select(col("doc_id").as("node")), e, withDepth = true))
+    graft.Trace("asm.consensus.plan")(GraphOps.consensusFrom(chains, docs))
   }
 
   def q62FullAssembly(spark: SparkSession, dir: String): DataFrame =
