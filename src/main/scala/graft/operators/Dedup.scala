@@ -348,7 +348,7 @@ class DedupOps(val cfg: GraftConfig) {
     // of the (small: distinct shingles only) table feeds them all.
     // localCheckpoint, not reliable checkpoint: no fanout-growth here —
     // this is a straight-line DAG, we only want compute-once semantics.
-    val sh = shingles(spark, dir).localCheckpoint(true)
+    val sh = graft.Trace("nde.sh")(shingles(spark, dir).localCheckpoint(true))
     val bands = minhashBands(minhashSig(sh))
     val candMh = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -421,9 +421,11 @@ class DedupOps(val cfg: GraftConfig) {
     // pairs would run the whole minhash+rare-shingle verify pipeline once
     // per union arm (it dominated q57's round-3 runtime)
     val pairs = graft.Trace("q57.pairs")(nearDupEdges(spark, dir).localCheckpoint(true))
+    // no persist: pairs is already an eager checkpoint, and this is a
+    // narrow union over its in-memory blocks — re-deriving it per round
+    // is cheaper than a DISK_ONLY write+read cycle
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var lbl = stageCk(
       und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
         .select(col("node"), least(col("node"), col("l")).as("lbl")))
@@ -462,7 +464,6 @@ class DedupOps(val cfg: GraftConfig) {
       }
       lbl = next
     }
-    und.unpersist(false)
     val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
     // fam stays lazy: its two consumers (the keeper aggregate and the
     // final join) each re-run only a docs scan + a broadcast probe of the
