@@ -376,6 +376,18 @@ class GraphOpsLib(val cfg: GraftConfig) {
     *   executor, so clusters flip the knob. */
   private def traced[T](tag: String)(f: => T): T = graft.Trace(tag)(f)
 
+  /** Edit-rate gate lev(a,b) ≤ rate·maxLen via THRESHOLDED levenshtein:
+    * the 3-arg form runs a banded O(threshold·min(len)) DP with early
+    * exit instead of the full O(len²) table — the win grows with doc
+    * length since the threshold is a small fraction of it. Returns -1
+    * iff the distance exceeds the per-row integer threshold, and
+    * distances are integers, so `≥ 0` against floor(rate·maxLen) is
+    * exactly the original ≤-predicate; the oracle keeps the plain
+    * 2-arg form and hash-matches. */
+  private def editGate(a: Column, b: Column, maxLen: Column): Column =
+    call_function("levenshtein", a, b,
+      floor(lit(cfg.bubbleEditRate) * maxLen).cast("int")) >= 0
+
   def resolveChainsFrom(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -763,8 +775,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
         col("k.ktext").as("ktext"), (-col("k.negl")).as("klen"))
     val popped = m.join(kept, Seq("src", "dst"))
       .filter(col("mid") =!= col("kept_mid"))
-      .filter(levenshtein(col("text"), col("ktext")) <=
-        lit(cfg.bubbleEditRate) * greatest(col("n_chars"), col("klen")))
+      .filter(editGate(col("text"), col("ktext"), greatest(col("n_chars"), col("klen"))))
       .select(col("mid").as("nid")).distinct()
     e.join(popped.select(col("nid").as("src")), Seq("src"), "left_anti")
       .join(popped.select(col("nid").as("dst")), Seq("dst"), "left_anti")
@@ -969,8 +980,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val levOk = mem.join(cands, Seq("fw", "lw"))
       .filter(col("doc_id") =!= col("cand_id"))
       .repartition(docs0.sparkSession.sparkContext.defaultParallelism)
-      .filter(levenshtein(col("text"), col("cand_text")) <=
-        lit(cfg.bubbleEditRate) * greatest(col("n_chars"), col("cand_len")))
+      .filter(editGate(col("text"), col("cand_text"), greatest(col("n_chars"), col("cand_len"))))
       .select(col("fw").as("mid_fw"), col("lw").as("mid_lw"),
         col("cand_id"), col("doc_id").as("member_id"))
       .localCheckpoint(true)

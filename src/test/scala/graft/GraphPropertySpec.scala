@@ -58,7 +58,16 @@ class GraphPropertySpec extends GraftSpec {
       // shapes that previously burned the fixed round budget
       Seq(1L -> 2L, 2L -> 3L, 3L -> 1L),
       Seq(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 5L),
-      (1L to 14L).sliding(2).map(p => p.head -> p.last).toSeq
+      (1L to 14L).sliding(2).map(p => p.head -> p.last).toSeq,
+      // adversarial for the plateau exit: an odd cycle holds the mover
+      // count at 3 every round while a LONG chain is still resolving —
+      // the plateau must not fire until the chain nodes all reach their
+      // head (chain movers strictly decrease, so counts keep changing)
+      Seq(101L -> 102L, 102L -> 103L, 103L -> 101L) ++
+        (1L to 30L).sliding(2).map(p => p.head -> p.last).toSeq,
+      // even cycle: pointer jumping converges it to self-parents, which
+      // the root check must still exclude (parent stays interior)
+      Seq(201L -> 202L, 202L -> 203L, 203L -> 204L, 204L -> 201L)
     ) ++ (1 to 5).map { _ =>
       val n = 3 + rnd.nextInt(15)
       randomEdges(rnd, n, 1 + rnd.nextInt(n + 4))
