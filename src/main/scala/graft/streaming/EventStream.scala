@@ -160,4 +160,100 @@ object EventStream {
     """SELECT user_id, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id""".stripMargin
+
+  case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    value: java.math.BigDecimal)
+  case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long,
+                         total_value: java.math.BigDecimal)
+  case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                     n_events: Long, total_value: java.math.BigDecimal)
+
+  private val SessionGapMs: Long = graft.GraftConfig.default.sessionGapMs
+
+  /** q66: streaming SESSIONIZATION via flatMapGroupsWithState — the
+    * multi-row-emitting custom-state API (q64 covers the one-row
+    * mapGroupsWithState form). Per user, events fold into an open
+    * session; a gap > $SessionGapMs CLOSES the current session, emits it
+    * downstream, and opens the next. The user's final session stays in
+    * state — on an unbounded production stream a watermark +
+    * EventTimeTimeout would flush it once no earlier event can arrive;
+    * a bounded replay has no such signal, so the query's contract (and
+    * its oracle) is exactly the CLOSED sessions: every session of a
+    * user except their last.
+    *
+    * Determinism: per-batch events sort by (ts, event_id) — the same
+    * total tie-break order as q8 — gap arithmetic is integer epoch-ms
+    * on both engines, and values accumulate as exact DECIMAL(25,6) with
+    * one final cast to double. State is keyed by user_id, shuffle-
+    * partitioned; per-user per-batch event counts bound the in-memory
+    * sort. */
+  /** The session fold itself, reusable over any SEvent stream (file
+    * source in q66, MemoryStream in specs): open sessions live in
+    * GroupState across micro-batches; only CLOSED sessions are
+    * emitted. */
+  def sessionize(evs: Dataset[SEvent]): Dataset[Session] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[SEvent], state: GroupState[OpenSession]) =>
+          val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            open match {
+              case Some(o) if ms - o.last_ms > SessionGapMs =>
+                closed += Session(uid, o.start_ms, o.last_ms, o.n_events, o.total_value)
+                open = Some(OpenSession(ms, ms, 1L, e.value))
+              case Some(o) =>
+                open = Some(OpenSession(o.start_ms, ms, o.n_events + 1, o.total_value.add(e.value)))
+              case None =>
+                open = Some(OpenSession(ms, ms, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  def q66StreamSessions(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    import spark.implicits._
+    val evs = withTs.select(col("event_id"), col("ts"), col("user_id"),
+        col("value").cast("decimal(25,6)").as("value")).as[SEvent]
+    val q = sessionize(evs).toDF().writeStream.format("memory").queryName("graft_q66")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q66")
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), col("total_value").cast("double").as("total_value"))
+  }
+
+  def q66Sql: String =
+    s"""WITH flags AS (
+       |  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(25,6)) AS dv,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $SessionGapMs THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, dv,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flags),
+       |agg AS (
+       |  SELECT user_id, sid,
+       |    min(epoch_ms(ts)) AS session_start_ms, max(epoch_ms(ts)) AS session_end_ms,
+       |    count(*) AS n_events, CAST(SUM(dv) AS DOUBLE) AS total_value
+       |  FROM sess GROUP BY user_id, sid)
+       |SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
+       |FROM agg QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin
 }

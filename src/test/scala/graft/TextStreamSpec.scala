@@ -60,6 +60,38 @@ class TextStreamSpec extends GraftSpec {
     assert(rows.exists(r => r.getAs[String]("event_type") == "view"))
   }
 
+  test("streaming sessionize closes sessions across batches, keeps the open one in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SEvent]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    def ev(id: Long, hhmm: String, v: Double) =
+      EventStream.SEvent(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 7L,
+        java.math.BigDecimal.valueOf(v))
+    // session 1: two events 10 min apart (gap 30 min)
+    mem.addData(ev(1, "00:00", 1.0), ev(2, "00:10", 2.0))
+    q.processAllAvailable()
+    // batch 2 opens session 2 → session 1 must close with state carried
+    // over from batch 1
+    mem.addData(ev(3, "02:00", 4.0), ev(4, "02:05", 8.0))
+    q.processAllAvailable()
+    // batch 3 opens session 3 → session 2 closes; session 3 stays open
+    mem.addData(ev(5, "05:00", 16.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_test").orderBy("session_start_ms").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2L
+      && rows(0).getAs[java.math.BigDecimal]("total_value").doubleValue() == 3.0)
+    assert(rows(1).getAs[Long]("n_events") == 2L
+      && rows(1).getAs[java.math.BigDecimal]("total_value").doubleValue() == 12.0)
+    val startHours = rows.map(r => new java.sql.Timestamp(r.getAs[Long]("session_start_ms")))
+    assert(startHours(0).toString.startsWith("2024-01-01 00:00") &&
+      startHours(1).toString.startsWith("2024-01-01 02:00"))
+  }
+
   test("streaming stateful user totals accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
