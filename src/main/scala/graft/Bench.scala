@@ -45,10 +45,15 @@ object Bench {
       reset()
       name -> once()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal formatting: the driver captures only the tail of stdout,
+    // and 9-digit doubles across ~68 queries pushed the single JSON line
+    // past that capture window (BENCH_r04 lost the line's head, incl.
+    // the total). ms precision is below run-to-run noise anyway.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,7 +89,21 @@ case class GraftConfig(
     langIdTrainMod: Int = 5,
     langIdProfileSize: Int = 30,
     winnowK: Int = 5,
-    winnowWindow: Int = 4)
+    winnowWindow: Int = 4,
+    // corpus curation (Curation.scala)
+    // train/eval contamination: word-n-gram size, boilerplate df cap
+    // (also the inverted-index join's per-key fanout bound), and the
+    // deterministic split modulus (doc_id % mod ≥ mod-2 → eval)
+    contamNgramWords: Int = 8,
+    contamMaxTrainDf: Int = 50,
+    contamEvalMod: Int = 10,
+    // md5-bucket split bounds: first-2-hex-chars upper bounds for the
+    // train and val buckets (0x00-0xcc train ≈80%, 0xcd-0xe5 val ≈10%,
+    // rest test); compared as fixed-width hex strings on both engines
+    splitTrainUpper: String = "cd",
+    splitValUpper: String = "e6",
+    vocabTopK: Int = 100,
+    bigramMinCount: Int = 5)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

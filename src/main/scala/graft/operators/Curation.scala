@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+import graft.sources.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and training: train/eval contamination detection,
+  * deterministic hash splits, vocabulary building, n-gram LM tables.
+  * CloudBrush has no counterpart — these extend the engine the same way
+  * the dedup/similarity families do (first-class `SparkEntry` keys with
+  * DuckDB oracles).
+  *
+  * Scale shape: everything here is either a single-pass scan aggregate
+  * (q68), a partial-top-k (q69, TakeOrderedAndProject — per-partition
+  * top-k before a single bounded merge), or an inverted-index equi-join
+  * whose per-key fanout is capped by config (q67) — no all-pairs work,
+  * no driver-side data.
+  */
+class CurationOps(val cfg: GraftConfig) {
+  private val N = cfg.contamNgramWords
+  private val MaxTrainDf = cfg.contamMaxTrainDf
+  private val EvalMod = cfg.contamEvalMod
+  private val TopK = cfg.vocabTopK
+  private val MinPair = cfg.bigramMinCount
+
+  /** Distinct word `N`-grams per doc (1-based start offsets, so the
+    * Spark `slice` and DuckDB's 1-based list slicing line up). */
+  private def wordNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= N)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - (N - 1))))
+      .select(col("doc_id"), concat_ws(" ", slice(col("ws"), col("g"), lit(N))).as("s"))
+      .distinct()
+
+  private val wordNgramsSql: String =
+    s"""SELECT DISTINCT doc_id, array_to_string(ws[g:g+${N - 1}], ' ') AS s
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws)-${N - 1})) AS g) t
+       |WHERE len(ws) >= $N""".stripMargin
+
+  /** q67: train/eval contamination — for every eval-split doc
+    * (doc_id % $EvalMod ≥ ${EvalMod - 2}), the distinct word-$N-grams it
+    * shares with the train split and the distinct train docs it shares
+    * them with. The df cap drops boilerplate n-grams appearing in more
+    * than $MaxTrainDf train docs: they signal template text, not
+    * leakage, and (the scale point) they bound the inverted-index join
+    * to ≤ $MaxTrainDf train rows per n-gram key — the same hot-key
+    * discipline as the overlap-edge guard [MatchPrefix.java:155-156].
+    * Only contaminated eval docs appear (inner join). */
+  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val ng = wordNgrams(spark, dir)
+    val isEval = (col("doc_id") % EvalMod) >= (EvalMod - 2)
+    val train = ng.filter(!isEval).select(col("s"), col("doc_id").as("train_id"))
+    // train ngrams are distinct per (doc, s), so count(*) per s IS the
+    // train-doc df; the kept-key list is df-bounded, not corpus-bounded
+    val keep = train.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxTrainDf).select("s")
+    ng.filter(isEval)
+      .join(keep, "s")
+      .join(train, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+  }
+
+  def q67Sql: String =
+    s"""WITH ng AS ($wordNgramsSql),
+       |tr AS (SELECT s, doc_id AS train_id FROM ng WHERE doc_id % $EvalMod < ${EvalMod - 2}),
+       |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM tr GROUP BY s)
+       |  WHERE df <= $MaxTrainDf),
+       |ev AS (SELECT s, doc_id FROM ng WHERE doc_id % $EvalMod >= ${EvalMod - 2})
+       |SELECT ev.doc_id, count(DISTINCT ev.s) AS n_shared,
+       |  count(DISTINCT tr.train_id) AS n_train_docs
+       |FROM ev JOIN keep USING (s) JOIN tr USING (s)
+       |GROUP BY ev.doc_id""".stripMargin
+
+  /** Deterministic md5 split bucket: the first two hex chars of
+    * md5(doc_id). Comparing the HEX STRING against fixed-width bounds
+    * ('${cfg.splitTrainUpper}'/'${cfg.splitValUpper}') is numeric
+    * comparison (fixed width, lowercase both engines), so no hex→int
+    * conversion is needed and the bucketing runs identically in Spark
+    * and DuckDB. ~80/10/10. Content-stable: the split of a doc never
+    * depends on corpus size or row order, the property that keeps
+    * train/val membership fixed across pipeline re-runs. */
+  private def splitCol: Column = {
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    when(b < cfg.splitTrainUpper, "train")
+      .when(b < cfg.splitValUpper, "val").otherwise("test")
+  }
+
+  /** q68: per-split corpus stats — one scan, one 3-group aggregate.
+    * Decimal-accumulate-then-double for the char sum (hash-order-proof,
+    * see Relational.dsum). */
+  def q68SplitStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(splitCol.as("split"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars").cast("decimal(25,6)")).cast("double").as("total_chars"))
+      .withColumn("avg_chars", col("total_chars") / col("n_docs"))
+
+  def q68Sql: String =
+    s"""SELECT split, count(*) AS n_docs,
+       |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) AS total_chars,
+       |  CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_chars
+       |FROM (SELECT *, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}' THEN 'train'
+       |  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitValUpper}' THEN 'val'
+       |  ELSE 'test' END AS split FROM documents)
+       |GROUP BY split""".stripMargin
+
+  /** q69: corpus vocabulary — the $TopK most frequent whitespace tokens
+    * with a total tie order (count desc, token asc). The plan is
+    * TakeOrderedAndProject over the token aggregate: each partition
+    * keeps its own top-$TopK and only those K·partitions rows reach the
+    * driver-side merge — never a global sort of the vocabulary. */
+  def q69Vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(TopK)
+
+  def q69Sql: String =
+    s"""SELECT token, count(*) AS cnt
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT $TopK""".stripMargin
+
+  /** q71: bigram LM table — P(w2|w1) over adjacent word pairs with
+    * count ≥ $MinPair. The conditional denominator is a window sum over
+    * the AGGREGATED bigram table (|vocab|² rows at most), so no second
+    * shuffle of the corpus and no skewed raw-token partition ever feeds
+    * a window. Double division with identical expression shape on both
+    * engines (int counts → exact doubles). */
+  def q71BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(element_at(col("ws"), col("g")).as("w1"),
+        element_at(col("ws"), col("g") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt").cast("double") / sum(col("cnt")).over(w))
+      .filter(col("cnt") >= MinPair)
+  }
+
+  def q71Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT ws[g] AS w1, ws[g+1] AS w2
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2),
+       |agg AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2)
+       |SELECT w1, w2, cnt,
+       |  CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY w1) AS p
+       |FROM agg QUALIFY cnt >= $MinPair""".stripMargin
+}
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Curation extends CurationOps(GraftConfig.default)

@@ -161,6 +161,43 @@ object EventStream {
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** q70: stream-STATIC join — the standard streaming-enrichment shape
+    * (clickstream × slowly-changing dimension): the events stream joins
+    * the static customer→nation dimension, then aggregates per nation ×
+    * event type. The static side is broadcast (it is re-read per
+    * micro-batch, so on a cluster the dimension stays a map-side hash
+    * join — no stream-side shuffle for the join, only the aggregate's).
+    * Inner stream-static joins are stateless in Structured Streaming:
+    * nothing about the static side enters the state store. Complete-mode
+    * memory sink so the bounded replay equals the batch oracle. */
+  def q70StreamEnrich(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = broadcast(
+      graft.sources.Tables.customer(spark, dir)
+        .join(graft.sources.Tables.nation(spark, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val agg = raw
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name").as("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+    val q = agg.writeStream.format("memory").queryName("graft_q70")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q70")
+  }
+
+  def q70Sql: String =
+    """SELECT n_name AS nation, event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                     value: java.math.BigDecimal)
   case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long,

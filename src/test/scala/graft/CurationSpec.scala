@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Curation, CurationOps}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Curation operators (q67-q71): semantics on hand-built corpora plus
+  * plan-shape checks for the scale-critical pieces. */
+class CurationSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val ops = new CurationOps(GraftConfig(
+    contamNgramWords = 2, contamMaxTrainDf = 2, contamEvalMod = 10,
+    vocabTopK = 3, bigramMinCount = 1))
+
+  private def docs(rows: (Long, String)*) = {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q67: eval docs report shared-ngram and train-doc counts; boilerplate df-capped") {
+    // docs 8, 9 are eval (mod 10 ≥ 8). "a b" appears in train docs 0,1
+    // (df=2, kept → doc 8 reports it); "x y" appears in train docs
+    // 2,3,4 (df=3 > cap 2 → dropped as boilerplate, so eval doc 9,
+    // whose only shared n-gram it is, reports nothing).
+    val dir = docs(
+      0L -> "a b c", 1L -> "a b d", 2L -> "x y",
+      3L -> "x y", 4L -> "x y",
+      8L -> "a b e", 9L -> "x y")
+    val got = ops.q67Contamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((8L, 1L, 2L))) // doc 8 shares "a b" with train docs 0 and 1
+  }
+
+  test("q68: md5 split is deterministic and covers every doc exactly once") {
+    val dir = docs((0L until 40L).map(i => i -> s"tok$i words here"): _*)
+    val rows = ops.q68SplitStats(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == 40L) // n_docs partitions the corpus
+    val again = ops.q68SplitStats(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("q69: top-k vocabulary with total tie order, partial-top-k plan") {
+    val dir = docs(0L -> "b a a c b a", 1L -> "c d")
+    val got = ops.q69Vocab(spark, dir).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L))) // ties: token asc
+    // scale shape: global top-k must be TakeOrderedAndProject (per-
+    // partition top-k), never a full Sort + GlobalLimit of the vocab
+    val plan = ops.q69Vocab(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q71: bigram conditional probabilities sum to 1 per w1 (pre-threshold)") {
+    val noMin = new CurationOps(GraftConfig(bigramMinCount = 1))
+    val dir = docs(0L -> "a b", 1L -> "a c", 2L -> "a b")
+    val got = noMin.q71BigramLm(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((2L, 2.0 / 3.0)))
+    assert(got(("a", "c")) == ((1L, 1.0 / 3.0)))
+  }
+
+  test("q70: stream-static enrichment equals the batch join on sf0.001") {
+    val streamed = EventStream.q70StreamEnrich(spark, sf)
+      .select("nation", "event_type", "n_events", "total_value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val events = graft.sources.Tables.events(spark, sf)
+    val dim = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+    val expect = events.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name").as("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == expect && streamed.nonEmpty)
+  }
+}
