@@ -896,14 +896,19 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // Pipeline.cleanToConvergence, which hands removal stages a
     // materialized edge list
     graft.GraftSession.ensureCheckpointDir(spark)
+    // the low-coverage half of the removal set rides on the q15 per-doc
+    // k-mer profile — the single heaviest subtree here — and shares
+    // nothing with the edge build: submit it from a second driver
+    // thread so its scan-side jobs interleave with the edge
+    // checkpoint's (graft.Par: scheduling-only overlap)
+    val lowF = graft.Par.async(
+      stageCk(q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))))
     val e = stageCk(edges2(spark, dir))
-    // the removal set feeds BOTH anti-join arms; its low-coverage half
-    // rides on the q15 per-doc k-mer profile — the single heaviest
-    // subtree here — so materialize the (small) node list once and
-    // broadcast it instead of re-deriving the profile per arm
+    // the removal set feeds BOTH anti-join arms → materialize the
+    // (small) node list once and broadcast it per arm
     val rem = stageCk(
       tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
-        .unionAll(q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))
+        .unionAll(lowF())
         .distinct())
     e.join(broadcast(rem.select(col("nid").as("src"))), Seq("src"), "left_anti")
       .join(broadcast(rem.select(col("nid").as("dst"))), Seq("dst"), "left_anti")

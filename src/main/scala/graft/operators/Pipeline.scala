@@ -105,6 +105,14 @@ object Pipeline {
     def ck(df: DataFrame): DataFrame =
       if (cfg.reliableStageCheckpoints) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // The low-coverage removal list rides on the q15 per-doc k-mer
+    // profile — the heaviest SCAN-side subtree here — and depends on
+    // nothing the graph phases compute: submit it from a second driver
+    // thread now so its jobs fill the scheduler gaps the small
+    // chimeric/tip/pop rounds leave idle, and await it at the lowcov
+    // stage (graft.Par: scheduling-only overlap, results unchanged)
+    val lowF = graft.Par.async(graft.Trace("asm.lowcov.list")(
+      ck(GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))))
     // Round loops exit early on an unchanged edge count — the reference's
     // own `remaining > 0` loop exits [BrushAssembler.java:411,577,633].
     // Sound because every stage is removal-only (count unchanged ⇔ the
@@ -132,12 +140,9 @@ object Pipeline {
     e = rounds("tips", e, cfg.asmTipRounds)(GraphOps.removeTips)
     e = rounds("pop", e, cfg.asmPopRounds)(GraphOps.popRoundFrom(_, docs))
     // low-coverage node removal + post-lowcov tip rounds. The removal
-    // list rides on the q15 per-doc k-mer profile (the heaviest subtree
-    // in this phase) and feeds two anti-joins — materialize it once and
-    // broadcast (it is the small set of BELOW-threshold docs), instead
-    // of re-deriving the profile per join arm
-    val low = graft.Trace("asm.lowcov.list")(
-      ck(GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))))
+    // list was materialized concurrently above (small: the set of
+    // BELOW-threshold docs) and feeds two broadcast anti-joins
+    val low = lowF()
     e = graft.Trace("asm.lowcov")(ck(
       e.join(broadcast(low.select(col("nid").as("src"))), Seq("src"), "left_anti")
         .join(broadcast(low.select(col("nid").as("dst"))), Seq("dst"), "left_anti")))
