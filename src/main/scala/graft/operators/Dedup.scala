@@ -40,16 +40,31 @@ class DedupOps(val cfg: GraftConfig) {
   val SignBands: Int = cfg.signBands
   val SignBandBits: Int = cfg.signBandBits
 
-  /** Distinct char k-shingles per doc. Docs shorter than k are filtered
-    * before the explode (sequence() flips to step -1 below stop 1 and
-    * would fabricate phantom shingles the oracle never sees). */
-  def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** Per-doc DISTINCT shingle array, computed entirely inside the row
+    * by the native codegen'd shingle_set expression
+    * (graft.plans.ShingleSet): a doc's shingles all live in its own
+    * text, so per-doc dedup needs NO shuffle — the old explode + global
+    * distinct() paid a full corpus-shingle-table exchange for a set the
+    * scan computes for free. (A transform/array_distinct formulation
+    * was tried first: higher-order functions run interpreted and
+    * measured 2.7× slower than the old shuffle.) One compact row per
+    * doc, consumed directly by the Jaccard verifier and exploded lazily
+    * by the row-shaped consumers. Docs shorter than k are filtered for
+    * oracle parity (no windows exist; the expression returns an empty
+    * array for them anyway). */
+  def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= ShingleK)
-      .withColumn("g", explode(sequence(lit(1), length(col("text")) - (ShingleK - 1))))
-      .select(col("doc_id"), expr(s"substring(text, g, $ShingleK)").as("s"))
-      .distinct()
+      .select(col("doc_id"), expr(s"shingle_set(text, $ShingleK)").as("ss"))
+  }
+
+  /** Distinct char k-shingles per doc, one row per (doc, shingle) —
+    * the exploded view of [[shingleArrays]] (already distinct per doc,
+    * so no post-explode dedup shuffle). */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
 
   private val shinglesSql: String =
     s"""SELECT DISTINCT doc_id, substr(text, g, $ShingleK) AS s
@@ -99,16 +114,16 @@ class DedupOps(val cfg: GraftConfig) {
     * table feeds four consumers (signatures, sizes, two verify joins), so
     * it is checkpointed once instead of re-exploding the corpus per use. */
   def q31MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // no checkpoint here: the four consumers are structurally identical
-    // subtrees, so Spark's ReusedExchange already computes them once (a
-    // manual checkpoint measured 4× slower by defeating that reuse)
-    val sh = shingles(spark, dir)
-    val bands = minhashBands(minhashSig(sh))
+    // no checkpoint here: the shingle arrays are a shuffle-free scan
+    // expression, so each consumer re-running it costs one pruned
+    // parquet scan, cheaper than pinning the corpus-shingle table
+    val arr = shingleArrays(spark, dir)
+    val bands = minhashBands(minhashSig(shingles(spark, dir)))
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifiedJaccard(sh, cand).filter(col("jaccard") >= MinhashJ)
+    verifiedJaccard(arr, cand).filter(col("jaccard") >= MinhashJ)
   }
 
   /** LSH band keys over the long signature: one 64-bit hash per 4-slice
@@ -146,9 +161,12 @@ class DedupOps(val cfg: GraftConfig) {
     * are the same bytes the shingle join would have shuffled, one row per
     * doc instead of one per shingle; candidate fan-out is bounded by the
     * band/rare-shingle generators, never all-pairs. */
-  private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val docArr = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("s"))).as("ss"), count(lit(1)).as("n"))
+  private def verifiedJaccard(arr: DataFrame, cand: DataFrame): DataFrame = {
+    // the per-doc sorted arrays come straight off the scan
+    // (shingleArrays) — the old groupBy + collect_list re-shuffled the
+    // full exploded shingle table to rebuild rows the scan already had
+    val docArr = arr.select(col("doc_id"), col("ss"),
+      size(col("ss")).cast("long").as("n"))
     // every cand column is passed through to the output so callers never
     // join the (expensive) candidate pipeline a second time to recover
     // generator flags
@@ -227,10 +245,10 @@ class DedupOps(val cfg: GraftConfig) {
     * as candidate keys, bounding the index join to Σ df² over rare
     * shingles). */
   def q33JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // no materialization: the shingle subtrees are structurally identical,
-    // so ReusedExchange computes the explode+distinct once; eager
-    // localCheckpoints here measured SLOWER at sf0.1 and would pin the
-    // full corpus-shingle table in executor storage at 100 TB
+    // no materialization: the shingle arrays are a shuffle-free scan
+    // expression (shingleArrays), so re-deriving them per consumer costs
+    // one pruned parquet scan; eager localCheckpoints here measured
+    // SLOWER at sf0.1 and would pin the corpus-shingle table at 100 TB
     val sh = shingles(spark, dir)
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf && col("df") >= 2).select("s")
@@ -239,7 +257,7 @@ class DedupOps(val cfg: GraftConfig) {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifiedJaccard(sh, cand).filter(col("jaccard") >= JaccardJ)
+    verifiedJaccard(shingleArrays(spark, dir), cand).filter(col("jaccard") >= JaccardJ)
   }
 
   def q33Sql: String =
@@ -341,14 +359,14 @@ class DedupOps(val cfg: GraftConfig) {
     * with its generator(s) and exact Jaccard is computed ONCE — half the
     * verify work of running q31 + q33 separately. */
   private[graft] def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
-    // six consumers (signature agg, df agg, inverted-index join, two
-    // verify joins, size agg) each re-run the explode+distinct otherwise:
-    // ReusedExchange shares the shuffle but every consumer still pays the
-    // post-shuffle dedup aggregation. One eager in-memory materialization
-    // of the (small: distinct shingles only) table feeds them all.
+    // one eager materialization of the COMPACT per-doc array table (one
+    // row per doc) feeds all six consumers; the exploded row view is a
+    // cheap narrow explode over its in-memory blocks, so no consumer
+    // re-runs the scan and nothing shuffles to build the shingle set.
     // localCheckpoint, not reliable checkpoint: no fanout-growth here —
     // this is a straight-line DAG, we only want compute-once semantics.
-    val sh = graft.Trace("nde.sh")(shingles(spark, dir).localCheckpoint(true))
+    val arr = graft.Trace("nde.sh")(shingleArrays(spark, dir).localCheckpoint(true))
+    val sh = arr.select(col("doc_id"), explode(col("ss")).as("s"))
     val bands = minhashBands(minhashSig(sh))
     val candMh = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -369,7 +387,7 @@ class DedupOps(val cfg: GraftConfig) {
       .agg(max(col("mh")).as("mh"), max(col("rare")).as("rare"))
     // the generator flags ride through the verify join — joining back to
     // cand here re-derived the entire candidate pipeline a second time
-    verifiedJaccard(sh, cand)
+    verifiedJaccard(arr, cand)
       .filter((col("mh") && col("jaccard") >= MinhashJ) ||
               (col("rare") && col("jaccard") >= JaccardJ))
       .select("id_a", "id_b")

@@ -13,8 +13,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * contract passes us its own).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotFixed)
+    ext.injectFunction(GraftExtensions.shingleSet)
+  }
 }
 
 object GraftExtensions {
@@ -34,11 +36,29 @@ object GraftExtensions {
       FixedPointDot(children(0), children(1))
     })
 
+  private val shingleSet: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_set"),
+    new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2 || !children(1).foldable) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "shingle_set",
+            "expectedNum" -> "2 (text, literal k)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      ShingleSet(children(0), children(1).eval().asInstanceOf[Number].intValue())
+    })
+
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(vecDotFixed._1)) {
-      reg.registerFunction(vecDotFixed._1, vecDotFixed._2, vecDotFixed._3)
+    Seq(vecDotFixed, shingleSet).foreach { fn =>
+      if (!reg.functionExists(fn._1)) {
+        reg.registerFunction(fn._1, fn._2, fn._3)
+      }
     }
   }
 }
