@@ -103,7 +103,11 @@ case class GraftConfig(
     splitTrainUpper: String = "cd",
     splitValUpper: String = "e6",
     vocabTopK: Int = 100,
-    bigramMinCount: Int = 5)
+    bigramMinCount: Int = 5,
+    // repetition quality filter (Gopher/MassiveText-style): char k-gram
+    // size and the max-frequency fraction above which a doc is flagged
+    repShingleK: Int = 10,
+    repMaxFrac: Double = 0.05)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

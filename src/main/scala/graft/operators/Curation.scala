@@ -150,6 +150,70 @@ class CurationOps(val cfg: GraftConfig) {
       .filter(col("cnt") >= MinPair)
   }
 
+  /** q73: repetition quality filter (the Gopher/MassiveText-style
+    * duplicated-n-gram signal): per-doc char ${cfg.repShingleK}-gram
+    * window count, distinct count, max single-gram frequency, and the
+    * repetition fraction max_freq/n_windows, flagged above
+    * ${cfg.repMaxFrac}. Computed entirely IN-ROW by the native
+    * shingle_stats expression (graft.plans.ShingleStats): a doc's
+    * repetition depends only on its own text, so the filter is a pure
+    * scan at 100 TB — the declarative explode → groupBy(doc, gram) →
+    * max(doc) formulation shuffles every corpus k-gram twice. */
+  def q73Repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val K = cfg.repShingleK
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"), expr(s"shingle_stats(text, $K)").as("st"))
+      .select(col("doc_id"), col("st.n_windows").as("n_windows"),
+        col("st.n_distinct").as("n_distinct"), col("st.max_freq").as("max_freq"))
+      .withColumn("rep_frac", col("max_freq").cast("double") / col("n_windows"))
+      .withColumn("is_repetitive", col("rep_frac") > cfg.repMaxFrac)
+  }
+
+  def q73Sql: String = {
+    val K = cfg.repShingleK
+    s"""WITH w AS (
+       |  SELECT doc_id, substr(text, g, $K) AS s
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${K - 1})) AS g) t
+       |  WHERE len(text) >= $K),
+       |f AS (SELECT doc_id, s, count(*) AS c FROM w GROUP BY doc_id, s),
+       |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+       |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_freq
+       |  FROM f GROUP BY doc_id)
+       |SELECT doc_id, n_windows, n_distinct, max_freq,
+       |  CAST(max_freq AS DOUBLE) / n_windows AS rep_frac,
+       |  CAST(max_freq AS DOUBLE) / n_windows > ${cfg.repMaxFrac} AS is_repetitive
+       |FROM st""".stripMargin
+  }
+
+  /** q74: cross-split leakage on the q13 dedup key — eval docs whose
+    * normalized content key (first ${cfg.dedupKeyWords} words, the same
+    * key RedundantRemoval collapses on) matches a train doc, with the
+    * number of colliding train docs. The exact-key companion to q67's
+    * near-duplicate contamination: one content-key join, train side
+    * pre-aggregated to (key, count) so the join fanout is one row per
+    * key no matter how often boilerplate repeats in train. */
+  def q74CrossLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = (col("doc_id") % EvalMod) >= (EvalMod - 2)
+    val key = array_join(slice(split(col("text"), " "), 1, cfg.dedupKeyWords), " ")
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(!isEval).select(key.as("ckey"))
+      .groupBy("ckey").agg(count(lit(1)).as("n_train_dups"))
+    docs.filter(isEval).select(col("doc_id"), key.as("ckey"))
+      .join(train, "ckey")
+      .select("doc_id", "n_train_dups")
+  }
+
+  def q74Sql: String =
+    s"""WITH keyed AS (SELECT doc_id,
+       |    array_to_string(string_split(text, ' ')[:${cfg.dedupKeyWords}], ' ') AS ckey
+       |  FROM documents),
+       |train AS (SELECT ckey, count(*) AS n_train_dups FROM keyed
+       |  WHERE doc_id % $EvalMod < ${EvalMod - 2} GROUP BY ckey)
+       |SELECT doc_id, n_train_dups FROM keyed JOIN train USING (ckey)
+       |WHERE doc_id % $EvalMod >= ${EvalMod - 2}""".stripMargin
+
   def q71Sql: String =
     s"""WITH pairs AS (
        |  SELECT ws[g] AS w1, ws[g+1] AS w2

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotFixed)
     ext.injectFunction(GraftExtensions.shingleSet)
+    ext.injectFunction(GraftExtensions.shingleStats)
   }
 }
 
@@ -52,10 +53,26 @@ object GraftExtensions {
       ShingleSet(children(0), children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  private val shingleStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_stats"),
+    new ExpressionInfo(classOf[ShingleStats].getName, "shingle_stats"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2 || !children(1).foldable) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "shingle_stats",
+            "expectedNum" -> "2 (text, literal k)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      ShingleStats(children(0), children(1).eval().asInstanceOf[Number].intValue())
+    })
+
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(vecDotFixed, shingleSet).foreach { fn =>
+    Seq(vecDotFixed, shingleSet, shingleStats).foreach { fn =>
       if (!reg.functionExists(fn._1)) {
         reg.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -64,6 +64,29 @@ class CurationSpec extends GraftSpec {
     assert(got(("a", "c")) == ((1L, 1.0 / 3.0)))
   }
 
+  test("q73: shingle_stats repetition fractions match hand counts") {
+    val rep = new CurationOps(GraftConfig(repShingleK = 2, repMaxFrac = 0.5))
+    // "aaaa": 2-grams aa,aa,aa → windows=3, distinct=1, max=3, frac=1.0
+    // "abcd": ab,bc,cd → windows=3, distinct=3, max=1, frac=1/3
+    val dir = docs(0L -> "aaaa", 1L -> "abcd")
+    val got = rep.q73Repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got(0L) == ((3L, 1L, 3L, 1.0, true)))
+    assert(got(1L) == ((3L, 3L, 1L, 1.0 / 3.0, false)))
+  }
+
+  test("q74: eval docs sharing the q13 content key with train are reported") {
+    val leak = new CurationOps(GraftConfig(dedupKeyWords = 2, contamEvalMod = 10))
+    // key = first 2 words. eval doc 9 shares "a b" with train docs 0,1;
+    // eval doc 8's key "z z" has no train match.
+    val dir = docs(0L -> "a b c", 1L -> "a b d", 2L -> "q r",
+      8L -> "z z", 9L -> "a b x")
+    val got = leak.q74CrossLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((9L, 2L)))
+  }
+
   test("q70: stream-static enrichment equals the batch join on sf0.001") {
     val streamed = EventStream.q70StreamEnrich(spark, sf)
       .select("nation", "event_type", "n_events", "total_value").collect()
