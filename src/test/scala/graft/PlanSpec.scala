@@ -65,4 +65,30 @@ class PlanSpec extends GraftSpec {
       .findAllIn(plan("q42_pop_bubbles")).length
     assert(joins <= 5, s"q42 has $joins joins — a lookup leaked onto the quadratic stream")
   }
+
+  // semantic shuffles only: the loader's under-split parallelism restore
+  // (RoundRobin REPARTITION_BY_NUM on the single-row-group test files)
+  // is not a data-dependent exchange and disappears on real multi-file
+  // datasets
+  private def semanticExchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+
+  test("q73 repetition filter is a pure scan: zero semantic exchanges, native shingle_stats") {
+    val p = plan("q73_repetition")
+    assert(semanticExchanges(p) == 0,
+      "q73 must not shuffle — repetition stats are row-local (shingle_stats)")
+    assert(p.contains("shingle_stats"))
+  }
+
+  test("q68 split stats is one scan + one 3-group aggregate (single semantic exchange)") {
+    val n = semanticExchanges(plan("q68_split_stats"))
+    assert(n <= 1, s"q68 has $n semantic exchanges — the split bucket must fold into one agg")
+  }
+
+  test("dedup shingle sets come from the native scan expression, not explode+distinct") {
+    Seq("q30_minhash_sig", "q31_minhash_pairs", "q33_jaccard_pairs").foreach { n =>
+      assert(plan(n).contains("shingle_set"),
+        s"$n lost the shuffle-free shingle_set scan expression")
+    }
+  }
 }
