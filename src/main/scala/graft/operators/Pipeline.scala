@@ -29,6 +29,20 @@ object Pipeline {
     if (cfg.reliableStageCheckpoints) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Stage cut + row count in ONE job: a LAZY localCheckpoint stores its
+    * blocks during the count() action, so each fixpoint round costs one
+    * Spark job instead of materialize-then-count's two — at sf0.1 the
+    * assembly compositions spend more in per-round job overhead than in
+    * data. Reliable mode keeps the eager cut (a lazy reliable checkpoint
+    * recomputes the RDD once more for the checkpoint write); its count
+    * over materialized blocks is cheap. */
+  private def cutAndCount(df: DataFrame): (DataFrame, Long) =
+    if (cfg.reliableStageCheckpoints) {
+      val c = df.checkpoint(true); (c, c.count())
+    } else {
+      val c = df.localCheckpoint(false); (c, c.count())
+    }
+
   /** Iterate tip detect+remove until no tip remains (or maxRounds).
     *
     * Every round takes an EAGER checkpoint (stageCut): removeTips
@@ -41,14 +55,12 @@ object Pipeline {
     * executor loss). */
   def cleanToConvergence(spark: SparkSession, edges0: DataFrame, maxRounds: Int = 25): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    var e = stageCut(spark, edges0.select("src", "dst"))
-    var n = e.count()
+    var (e, n) = cutAndCount(edges0.select("src", "dst"))
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
-      val next = stageCut(spark, GraphOps.removeTips(e))
+      val (next, m) = cutAndCount(GraphOps.removeTips(e))
       rounds += 1
-      val m = next.count()
       converged = m == n // no edge removed → no tip existed
       n = m
       e = next
@@ -118,14 +130,15 @@ object Pipeline {
     // Sound because every stage is removal-only (count unchanged ⇔ the
     // round removed nothing ⇔ converged), and EXACT against the fully
     // unrolled oracle because converged rounds are idempotent no-ops.
+    // cutAndCount: lazy localCheckpoint + count share ONE job per round
+    // (reliable mode stays eager inside cutAndCount)
     def rounds(tag: String, e0: DataFrame, maxRounds: Int)(round: DataFrame => DataFrame): DataFrame = {
       var e = e0
       var n = e.count()
       var i = 0
       var stop = false
       while (i < maxRounds && !stop) {
-        val next = graft.Trace(s"asm.$tag.${i + 1}")(ck(round(e)))
-        val m = next.count()
+        val (next, m) = graft.Trace(s"asm.$tag.${i + 1}")(cutAndCount(round(e)))
         stop = m == n
         n = m; e = next; i += 1
       }
