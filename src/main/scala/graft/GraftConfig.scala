@@ -107,7 +107,10 @@ case class GraftConfig(
     // repetition quality filter (Gopher/MassiveText-style): char k-gram
     // size and the max-frequency fraction above which a doc is flagged
     repShingleK: Int = 10,
-    repMaxFrac: Double = 0.05)
+    repMaxFrac: Double = 0.05,
+    // deterministic sampling: first-4-hex-chars md5 bucket upper bound
+    // ('3333' ≈ 0x3333/0x10000 = 20%), hash keyed by (source, doc_id)
+    sampleHexUpper: String = "3333")
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

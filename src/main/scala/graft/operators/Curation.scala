@@ -214,6 +214,24 @@ class CurationOps(val cfg: GraftConfig) {
        |SELECT doc_id, n_train_dups FROM keyed JOIN train USING (ckey)
        |WHERE doc_id % $EvalMod >= ${EvalMod - 2}""".stripMargin
 
+  /** q75: deterministic sampling — keep a doc iff the first 4 hex chars
+    * of md5(source:doc_id) fall under '${cfg.sampleHexUpper}' (≈20%).
+    * Content-stable like the q68 split: membership never depends on
+    * corpus size, row order, or partitioning, so re-running the
+    * pipeline (or running it shard-by-shard at 100 TB) reproduces the
+    * exact sample — the property `df.sample()` cannot give. Keying the
+    * hash by (source, doc_id) decorrelates the sample across sources;
+    * a pure scan filter, no shuffle. */
+  def q75Sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))), 1, 4)
+        < cfg.sampleHexUpper)
+      .select("doc_id", "lang", "source", "n_chars")
+
+  def q75Sql: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE substr(md5(source || ':' || doc_id::VARCHAR), 1, 4) < '${cfg.sampleHexUpper}'""".stripMargin
+
   def q71Sql: String =
     s"""WITH pairs AS (
        |  SELECT ws[g] AS w1, ws[g+1] AS w2

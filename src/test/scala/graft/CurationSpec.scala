@@ -87,6 +87,18 @@ class CurationSpec extends GraftSpec {
     assert(got == Set((9L, 2L)))
   }
 
+  test("q75: deterministic sample is content-stable and subset-consistent") {
+    val dir = docs((0L until 60L).map(i => i -> s"text number $i"): _*)
+    val s1 = Curation.q75Sample(spark, dir).collect().map(_.getLong(0)).toSet
+    val s2 = Curation.q75Sample(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 60)
+    // shard-stability: sampling half the corpus yields exactly the
+    // sample's intersection with that half (membership is per-row)
+    val halfDir = docs((0L until 30L).map(i => i -> s"text number $i"): _*)
+    val sHalf = Curation.q75Sample(spark, halfDir).collect().map(_.getLong(0)).toSet
+    assert(sHalf == s1.filter(_ < 30L))
+  }
+
   test("q70: stream-static enrichment equals the batch join on sf0.001") {
     val streamed = EventStream.q70StreamEnrich(spark, sf)
       .select("nation", "event_type", "n_events", "total_value").collect()
