@@ -89,6 +89,94 @@ object Multimodal {
       |  md5(substr(hx, i*32 + 1, 32)) AS frame_sig
       |FROM v, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) t""".stripMargin
 
+  case class PpmStats(doc_id: Long, width: Int, height: Int, maxval: Int,
+                      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** A valid binary P6 PPM image per doc: the 11-byte ASCII header
+    * `P6\n4 4\n255\n` followed by 48 interleaved RGB bytes derived from
+    * three md5s of the text. Built entirely with codegen'd binary
+    * expressions — this is the "encoded media column" a real pipeline
+    * would have ingested. */
+  def ppmTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(
+          expr("cast('P6\n4 4\n255\n' as binary)"),
+          expr("to_binary(md5(text), 'hex')"),
+          expr("to_binary(md5(concat(text, '1')), 'hex')"),
+          expr("to_binary(md5(concat(text, '2')), 'hex')")).as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** q76: a REAL format decoder, end-to-end — parses the binary P6 PPM
+    * payload (magic, ASCII dimensions, maxval, raster) in a
+    * mapPartitions stage and emits per-channel pixel sums. Unlike
+    * q60/q61's byte-statistics stand-ins, nothing here knows how the
+    * payload was synthesized: the decoder sees only bytes and fails on
+    * malformed input, exactly like a production codec. The oracle
+    * recomputes the channel sums from the md5 hex strings, so the whole
+    * encode→bytes→parse→decode path is hash-verified cross-engine.
+    * Integer channel SUMS, not means: exact on both engines. */
+  def q76PpmDecode(spark: SparkSession, dir: String): DataFrame =
+    decodePpm(ppmTable(spark, dir))
+
+  private[graft] def decodePpm(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val (w, h, maxval, off) = parsePpmHeader(bytes)
+      val n = w * h
+      var (r, g, b) = (0L, 0L, 0L)
+      var i = 0
+      while (i < n) {
+        r += bytes(off + 3 * i) & 0xff
+        g += bytes(off + 3 * i + 1) & 0xff
+        b += bytes(off + 3 * i + 2) & 0xff
+        i += 1
+      }
+      PpmStats(id, w, h, maxval, r, g, b)
+    }).toDF()
+  }
+
+  /** Test hook: run the decoder over an arbitrary payload table. */
+  private[graft] def decodeForTest(ds: Dataset[(Long, Array[Byte])]): DataFrame =
+    decodePpm(ds)
+
+  /** Minimal strict P6 parser: returns (width, height, maxval, raster
+    * offset). Throws on bad magic, malformed header, or short raster —
+    * decoder semantics, not stub semantics. */
+  private def parsePpmHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var i = 2
+    def token(): Int = {
+      while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
+      var v = 0
+      require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9', "bad PPM header")
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = token(); val h = token(); val m = token()
+    i += 1 // single whitespace after maxval, then raster
+    require(bytes.length - i >= 3 * w * h, "truncated PPM raster")
+    (w, h, m, i)
+  }
+
+  def q76Sql: String =
+    """WITH h3 AS (SELECT doc_id, md5(text) || md5(text || '1') || md5(text || '2') AS hx
+      |  FROM documents),
+      |b AS (SELECT doc_id, k,
+      |    (strpos('0123456789abcdef', substr(hx, 2*k+1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 2*k+2, 1)) - 1) AS bv
+      |  FROM h3, LATERAL (SELECT unnest(generate_series(0, 47)) AS k) t)
+      |SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+      |  CAST(255 AS INT) AS maxval,
+      |  CAST(SUM(CASE WHEN k % 3 = 0 THEN bv END) AS BIGINT) AS r_sum,
+      |  CAST(SUM(CASE WHEN k % 3 = 1 THEN bv END) AS BIGINT) AS g_sum,
+      |  CAST(SUM(CASE WHEN k % 3 = 2 THEN bv END) AS BIGINT) AS b_sum
+      |FROM b GROUP BY doc_id""".stripMargin
+
   /** DuckDB oracle for the PLUMBING: the synthesized payload is
     * md5(text) bytes, so byte statistics are recomputable from the hex
     * string (two hex chars per byte, values via strpos arithmetic) —

@@ -39,6 +39,31 @@ class TextStreamSpec extends GraftSpec {
     assert(df.filter(col("byte_mean") < 0 || col("byte_mean") > 255).count() == 0)
   }
 
+  test("q76 PPM decoder: decodes a hand-built image and rejects malformed payloads") {
+    import spark.implicits._
+    // 2x1 image, pixels (1,2,3) and (250,0,255) — header with the same
+    // single-whitespace shape the writer emits
+    val good = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 250.toByte, 0, 255.toByte)
+    val decoded = Multimodal.decodeForTest(Seq((7L, good)).toDS()).collect().head
+    assert((decoded.getLong(0), decoded.getInt(1), decoded.getInt(2), decoded.getInt(3)) ==
+      ((7L, 2, 1, 255)))
+    assert((decoded.getLong(4), decoded.getLong(5), decoded.getLong(6)) == ((251L, 2L, 258L)))
+    val one = Multimodal.q76PpmDecode(spark, sf).filter(col("doc_id") === 0).collect().head
+    assert(one.getInt(1) == 4 && one.getInt(2) == 4 && one.getInt(3) == 255)
+    // channel sums of 16 pixels of bytes are within [0, 16*255]
+    Seq(4, 5, 6).foreach(i => assert(one.getLong(i) >= 0 && one.getLong(i) <= 16L * 255))
+    // malformed payloads must throw, not decode garbage
+    val bad = Seq((1L, "P5\n2 1\n255\nxxxxxx".getBytes("US-ASCII"))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeForTest(bad).collect()
+    }
+    val short = Seq((2L, "P6\n4 4\n255\nxx".getBytes("US-ASCII"))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeForTest(short).collect()
+    }
+  }
+
   test("streaming windowedAgg aggregates MemoryStream events into hourly windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
