@@ -198,6 +198,49 @@ object EventStream {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** q77: stream-STREAM join — the remaining stateful Structured
+    * Streaming primitive (q47 windows, q56 dedup state, q64/q66 custom
+    * state, q70 stream-static): every error within 30 minutes AFTER a
+    * click by the same user, as an event-time range join between two
+    * watermarked streams. The watermarks + the range condition bound
+    * BOTH sides' join state: a click's state expires once the error
+    * watermark passes click_ts + 30 min, so an unbounded run holds a
+    * sliding window of state, never the full history — this is the
+    * production shape, not a demo simplification. Bounded replay in
+    * append mode emits exactly the batch join's matches. */
+  def q77StreamJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def stream(): DataFrame = {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    }
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val errors = stream().filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val joined = clicks.join(errors,
+      col("user_id") === col("e_user") &&
+        col("err_ts") >= col("click_ts") &&
+        col("err_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("click_id"), col("error_id"))
+    val q = joined.writeStream.format("memory").queryName("graft_q77")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q77")
+  }
+
+  def q77Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+      |FROM events c JOIN events e
+      |ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+      |AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                     value: java.math.BigDecimal)
   case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long,
