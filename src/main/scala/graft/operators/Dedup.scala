@@ -74,30 +74,28 @@ class DedupOps(val cfg: GraftConfig) {
     * per shingle, sliced into 8 independent 32-bit (8-hex-char) hashes —
     * 4× less hashing than 8 salted md5s for the same signature quality.
     *
-    * The signature mins aggregate as LONGS (each 8-hex slice parsed once
-    * per shingle): min over a string column falls back to SortAggregate
-    * (strings aren't a fixed-size mutable agg buffer), which sorted the
-    * full shingle table per signature arm; long mins stay in codegen
-    * HashAggregate with map-side partial combine. q30 formats back to the
-    * md5-hex slice on its (per-doc, tiny) output — zero-padded lowercase
-    * hex of equal width preserves ordering, so min-then-format equals
-    * format-then-min and the DuckDB oracle matches bitwise. */
+    * The signature is computed per ROW by the native minhash_sig
+    * expression (graft.plans.MinHashSig) over the doc's distinct
+    * shingle array: signatures are per-doc state over per-doc input, so
+    * the old corpus-wide explode → md5 → slice → groupBy-min pipeline
+    * shuffled one row per shingle for values each row computes in one
+    * pass. Bit parity: digest word i equals conv(substr(md5hex,1+8i,8),
+    * 16,10), so mins match the declarative formulation exactly; q30
+    * formats back to the md5-hex slice (zero-padded lowercase hex of
+    * equal width preserves ordering, so min-then-format equals
+    * format-then-min and the DuckDB oracle matches bitwise). */
   def q30MinhashSig(spark: SparkSession, dir: String): DataFrame = {
     val hexed = (0 to 7).map(i =>
       lpad(lower(hex(col(s"s$i"))), 8, "0").as(s"s$i"))
-    minhashSig(shingles(spark, dir)).select(col("doc_id") +: hexed: _*)
+    minhashSig(shingleArrays(spark, dir)).select(col("doc_id") +: hexed: _*)
   }
 
-  /** Internal signature table: s0..s7 are the 32-bit slice mins as longs. */
-  private def minhashSig(sh: DataFrame): DataFrame = {
-    def slice(h: Column, off: Int): Column =
-      conv(substring(h, off, 8), 16, 10).cast("long")
-    sh.select(col("doc_id") +:
-        (0 to 3).map(i => slice(md5(col("s")), 1 + 8 * i).as(s"v$i")) ++:
-        (0 to 3).map(i => slice(md5(concat(lit("1:"), col("s"))), 1 + 8 * i).as(s"v${i + 4}")): _*)
-      .groupBy("doc_id")
-      .agg(min(col("v0")).as("s0"),
-        (1 to 7).map(i => min(col(s"v$i")).as(s"s$i")): _*)
+  /** Internal signature table from the per-doc shingle ARRAY table:
+    * s0..s7 are the 32-bit slice mins as longs (native one-pass). */
+  private def minhashSig(arr: DataFrame): DataFrame = {
+    arr.select(col("doc_id"), expr("minhash_sig(ss)").as("sig"))
+      .select(col("doc_id") +:
+        (0 to 7).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
   }
 
   private val sigSqlExprs: String =
@@ -118,7 +116,7 @@ class DedupOps(val cfg: GraftConfig) {
     // expression, so each consumer re-running it costs one pruned
     // parquet scan, cheaper than pinning the corpus-shingle table
     val arr = shingleArrays(spark, dir)
-    val bands = minhashBands(minhashSig(shingles(spark, dir)))
+    val bands = minhashBands(minhashSig(arr))
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -367,7 +365,7 @@ class DedupOps(val cfg: GraftConfig) {
     // this is a straight-line DAG, we only want compute-once semantics.
     val arr = graft.Trace("nde.sh")(shingleArrays(spark, dir).localCheckpoint(true))
     val sh = arr.select(col("doc_id"), explode(col("ss")).as("s"))
-    val bands = minhashBands(minhashSig(sh))
+    val bands = minhashBands(minhashSig(arr))
     val candMh = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),

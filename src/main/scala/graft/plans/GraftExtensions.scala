@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotFixed)
     ext.injectFunction(GraftExtensions.shingleSet)
     ext.injectFunction(GraftExtensions.shingleStats)
+    ext.injectFunction(GraftExtensions.minhashSig)
   }
 }
 
@@ -69,10 +70,26 @@ object GraftExtensions {
       ShingleStats(children(0), children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  private val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      if (children.length != 1) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "minhash_sig",
+            "expectedNum" -> "1 (array<string>)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      MinHashSig(children(0))
+    })
+
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(vecDotFixed, shingleSet, shingleStats).foreach { fn =>
+    Seq(vecDotFixed, shingleSet, shingleStats, minhashSig).foreach { fn =>
       if (!reg.functionExists(fn._1)) {
         reg.registerFunction(fn._1, fn._2, fn._3)
       }

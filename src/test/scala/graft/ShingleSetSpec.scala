@@ -22,6 +22,26 @@ class ShingleSetSpec extends GraftSpec {
     assert(df.count() == 6) // every text except "ab" passes the length filter
   }
 
+  test("minhash_sig matches the declarative md5-slice-min formulation bitwise") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val texts = Seq("abcdefgh", "the quick brown fox", "aaaaaaaaaa", "héllo wörld")
+    val df = texts.toDF("t")
+      .select(expr("shingle_set(t, 3)").as("ss"))
+      .select(col("ss"), expr("minhash_sig(ss)").as("got"))
+      .select(col("got"), explode(col("ss")).as("s"))
+    val declarative = (0 to 3).map(i =>
+      min(expr(s"cast(conv(substring(md5(s), ${1 + 8 * i}, 8), 16, 10) as long)"))) ++
+      (0 to 3).map(i =>
+        min(expr(s"cast(conv(substring(md5(concat('1:', s)), ${1 + 8 * i}, 8), 16, 10) as long)")))
+    val rows = df.groupBy("got").agg(declarative.head, declarative.tail: _*).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      val decl = (1 to 8).map(r.getLong(_))
+      assert(native == decl, s"native=$native declarative=$decl")
+    }
+    assert(rows.length == texts.length)
+  }
+
   test("short text yields an empty set; k=1 yields the distinct chars") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val r = Seq(("ab", 0), ("abcba", 1)).toDF("t", "tag")
