@@ -804,10 +804,16 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * deterministic best in/out edge (smallest neighbor id — the text
     * analogue of the consensus-matching edge) and cut the rest. */
   private[graft] def repeatCutRoundFrom(e: DataFrame): DataFrame = {
-    val o = e.groupBy("src").agg(count(lit(1)).as("od"), min(col("dst")).as("keep_dst"))
-    val i = e.groupBy("dst").agg(count(lit(1)).as("idg"), min(col("src")).as("keep_src"))
-    val rep = o.select(col("src").as("node"), col("od"), col("keep_dst"))
-      .join(i.select(col("dst").as("node"), col("idg"), col("keep_src")), "node")
+    // one incidence-union aggregation instead of two per-direction
+    // degree aggs + an inner join: same shuffled bytes (2|E| rows once
+    // vs |E| rows twice), one exchange and no node-join to build the
+    // boundary table — the repeat set and keep choices are identical
+    val inc = e.select(col("src").as("node"), col("dst").as("nbr"), lit(1).as("out"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr"), lit(0).as("out")))
+    val rep = inc.groupBy("node").agg(
+        sum(col("out")).as("od"), sum(lit(1) - col("out")).as("idg"),
+        min(when(col("out") === 1, col("nbr"))).as("keep_dst"),
+        min(when(col("out") === 0, col("nbr"))).as("keep_src"))
       .filter(col("od") >= 2 && col("idg") >= 2)
     e.join(rep.select(col("node").as("src"), col("keep_dst")), Seq("src"), "left")
       .join(rep.select(col("node").as("dst"), col("keep_src")), Seq("dst"), "left")
