@@ -99,6 +99,49 @@ class CurationSpec extends GraftSpec {
     assert(sHalf == s1.filter(_ < 30L))
   }
 
+  test("q67/q73/q74 agree with naive references on random corpora") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def randDoc(): String =
+      Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val repOps = new CurationOps(GraftConfig(repShingleK = 3))
+    for (_ <- 1 to 3) {
+      val corpus = (0L until 30L).map(i => i -> randDoc())
+      val dir = docs(corpus: _*)
+      // q67 naive (2-word ngrams, df cap 2, eval = id%10>=8)
+      def ngrams(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val byDoc = corpus.toMap.map { case (id, t) => id -> ngrams(t) }
+      val (ev, tr) = byDoc.partition { case (id, _) => id % 10 >= 8 }
+      val df = tr.toSeq.flatMap(_._2.toSeq).groupBy(identity).map { case (s, o) => s -> o.size }
+      val kept = df.filter(_._2 <= 2).keySet
+      val want67 = ev.map { case (id, ss) =>
+        val shared = ss intersect kept
+        val trainDocs = tr.filter(_._2.exists(shared)).keySet
+        (id, shared.size.toLong, trainDocs.size.toLong)
+      }.filter(_._2 > 0).toSet
+      val got67 = ops.q67Contamination(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got67 == want67, s"q67 corpus=$corpus")
+      // q73 naive (char 3-grams)
+      val got73 = repOps.q73Repetition(spark, dir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      corpus.filter(_._2.length >= 3).foreach { case (id, t) =>
+        val ws = t.sliding(3).toSeq
+        val freq = ws.groupBy(identity).map(_._2.size)
+        assert(got73(id) == ((ws.size.toLong, freq.size.toLong, freq.max.toLong)),
+          s"q73 doc=$id text=$t")
+      }
+      // q74 naive (key = first 4 words by default cfg)
+      val key = (t: String) => t.split(" ").take(4).mkString(" ")
+      val trKeys = tr.keys.map(id => key(corpus.toMap.apply(id))).toSeq
+        .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+      val want74 = ev.keys.flatMap(id => trKeys.get(key(corpus.toMap.apply(id))).map(id -> _)).toSet
+      val got74 = Curation.q74CrossLeakage(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got74 == want74, s"q74 corpus=$corpus")
+    }
+  }
+
   test("q70: stream-static enrichment equals the batch join on sf0.001") {
     val streamed = EventStream.q70StreamEnrich(spark, sf)
       .select("nation", "event_type", "n_events", "total_value").collect()
