@@ -442,9 +442,13 @@ class DedupOps(val cfg: GraftConfig) {
     // is cheaper than a DISK_ONLY write+read cycle
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    var lbl = stageCk(
-      und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
-        .select(col("node"), least(col("node"), col("l")).as("lbl")))
+    // lazy cut + count in ONE job (Pipeline.cutAndCount's trick): the
+    // lazy localCheckpoint stores its blocks during the count action
+    val lbl0 = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
+      .select(col("node"), least(col("node"), col("l")).as("lbl"))
+    var lbl =
+      if (cfg.reliableStageCheckpoints) lbl0.checkpoint(true)
+      else lbl0.localCheckpoint(false)
     val nNodes = lbl.count()
     // the convergence check is the real exit (the pointer-jump hop makes
     // that ≈ log(family diameter) rounds in practice); the cap is the
