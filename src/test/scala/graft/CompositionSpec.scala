@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
 class CompositionSpec extends GraftSpec {
   import spark.implicits._
 
+  test("Graft.assembleToFasta: corpus -> full assembly -> FASTA files on disk") {
+    val out = java.nio.file.Files.createTempDirectory("graft-asm").toString + "/contigs.fa"
+    val n = Graft.assembleToFasta(spark, sf, out)
+    val expected = graft.operators.Pipeline.q62FullAssembly(spark, sf).count()
+    assert(n == expected && n > 0)
+    // the written records parse back losslessly through the real source
+    val back = graft.sources.Fasta.read(spark, out)
+    assert(back.count() == expected)
+    assert(back.filter(length(col("text")) === 0).count() == 0)
+  }
+
   test("reciprocalBestFrom keeps only mutually-best overlap edges") {
     // 1→2 is best for both; 1→3 loses on 1's out side (len 2 < 4);
     // 4→2 loses on 2's in side (len 3 < 4)
