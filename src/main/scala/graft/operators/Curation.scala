@@ -214,6 +214,60 @@ class CurationOps(val cfg: GraftConfig) {
        |SELECT doc_id, n_train_dups FROM keyed JOIN train USING (ckey)
        |WHERE doc_id % $EvalMod >= ${EvalMod - 2}""".stripMargin
 
+  /** q78: single-scan corpus featurization — every per-doc quality
+    * feature a filtering model consumes (token counts, stopword ratio,
+    * average token length, repetition fraction, content fingerprint,
+    * split bucket) computed in ONE pass over the scan with zero joins
+    * and zero shuffles. At 100 TB this is the difference between one
+    * streaming read of the corpus and five feature queries joined on
+    * doc_id afterwards; every feature is row-local (the repetition
+    * stats via the native shingle_stats expression), so Catalyst keeps
+    * the whole plan inside a single WholeStageCodegen over the scan.
+    * rep_frac is null for docs shorter than the k-gram window, not
+    * dropped — featurization must keep every row. */
+  def q78Features(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val stopList = cfg.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_tokens"),
+        size(expr(s"filter(split(text, ' '), w -> w IN $stopList)")).cast("long").as("n_stop"),
+        expr(s"shingle_stats(text, ${cfg.repShingleK})").as("st"),
+        md5(trim(regexp_replace(col("text"), " +", " "))).as("fp"),
+        splitCol.as("split"))
+      .select(col("doc_id"), col("n_chars"), col("ws_tokens"), col("re_tokens"),
+        (col("n_stop").cast("double") / col("ws_tokens")).as("stopword_ratio"),
+        ((col("n_chars") - col("ws_tokens") + 1).cast("double") / col("ws_tokens")).as("avg_token_len"),
+        when(col("st.n_windows") > 0,
+          col("st.max_freq").cast("double") / col("st.n_windows")).as("rep_frac"),
+        col("fp"), col("split"))
+  }
+
+  def q78Sql: String = {
+    val K = cfg.repShingleK
+    val stopList = cfg.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH w AS (
+       |  SELECT doc_id, substr(text, g, $K) AS s
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${K - 1})) AS g) t
+       |  WHERE len(text) >= $K),
+       |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows, CAST(max(c) AS BIGINT) AS max_freq
+       |  FROM (SELECT doc_id, s, count(*) AS c FROM w GROUP BY doc_id, s) GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_chars,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+       |  CAST(len(list_filter(string_split(d.text, ' '), x -> x IN $stopList)) AS DOUBLE)
+       |    / len(string_split(d.text, ' ')) AS stopword_ratio,
+       |  CAST(d.n_chars - len(string_split(d.text, ' ')) + 1 AS DOUBLE)
+       |    / len(string_split(d.text, ' ')) AS avg_token_len,
+       |  CAST(st.max_freq AS DOUBLE) / st.n_windows AS rep_frac,
+       |  md5(trim(regexp_replace(d.text, ' +', ' ', 'g'))) AS fp,
+       |  CASE WHEN substr(md5(d.doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}' THEN 'train'
+       |    WHEN substr(md5(d.doc_id::VARCHAR), 1, 2) < '${cfg.splitValUpper}' THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""".stripMargin
+  }
+
   /** q75: deterministic sampling — keep a doc iff the first 4 hex chars
     * of md5(source:doc_id) fall under '${cfg.sampleHexUpper}' (≈20%).
     * Content-stable like the q68 split: membership never depends on

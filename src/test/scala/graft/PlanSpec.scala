@@ -80,6 +80,13 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("shingle_stats"))
   }
 
+  test("q78 featurization is one scan: zero semantic exchanges, every feature row-local") {
+    val p = plan("q78_features")
+    assert(semanticExchanges(p) == 0,
+      "q78 must not shuffle — single-scan featurization is its whole point")
+    assert(p.contains("shingle_stats"))
+  }
+
   test("q68 split stats is one scan + one 3-group aggregate (single semantic exchange)") {
     val n = semanticExchanges(plan("q68_split_stats"))
     assert(n <= 1, s"q68 has $n semantic exchanges — the split bucket must fold into one agg")
