@@ -142,6 +142,22 @@ class CurationSpec extends GraftSpec {
     }
   }
 
+  test("curation family is total on an empty corpus (no crashes, empty results)") {
+    val dir = java.nio.file.Files.createTempDirectory("curation-empty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Curation.q67Contamination(spark, dir).count() == 0)
+    assert(Curation.q68SplitStats(spark, dir).count() == 0)
+    assert(Curation.q69Vocab(spark, dir).count() == 0)
+    assert(Curation.q71BigramLm(spark, dir).count() == 0)
+    assert(Curation.q73Repetition(spark, dir).count() == 0)
+    assert(Curation.q74CrossLeakage(spark, dir).count() == 0)
+    assert(Curation.q75Sample(spark, dir).count() == 0)
+    assert(Curation.q78Features(spark, dir).count() == 0)
+  }
+
   test("q70: stream-static enrichment equals the batch join on sf0.001") {
     val streamed = EventStream.q70StreamEnrich(spark, sf)
       .select("nation", "event_type", "n_events", "total_value").collect()
