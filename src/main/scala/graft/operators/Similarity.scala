@@ -132,15 +132,40 @@ class SimilarityOps(val cfg: GraftConfig) {
     * top-k for the queries over their $Nprobe nearest cells. Every
     * corpus vector lives in exactly one cell, so multi-probe needs no
     * dedup — the probe list fans the (tiny) query side out ≤ $Nprobe×. */
-  def q41AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def q41AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    searchWithCentroids(spark, dir, trainIndex(spark, dir))
+
+  /** Train the IVF index: deterministic Lloyd k-means (seeded from the
+    * first $NumCentroids vectors, $KmeansIters exact-mean iterations).
+    * The (cent_id, ce) centroid table IS the entire index state —
+    * corpus cell assignment is recomputable from it in one broadcast
+    * argmax pass — so persisting an index is one small parquet write
+    * ([[saveIndex]]/[[loadIndex]]), the production shape where training
+    * runs once and probe queries run forever after. */
+  def trainIndex(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val init = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
-    val cents = (1 to KmeansIters).foldLeft(init) { (c, _) =>
+    (1 to KmeansIters).foldLeft(init) { (c, _) =>
       updateCentroids(assign(e, c))
     }
+  }
+
+  /** Persist / restore the trained index. Parquet round-trips the
+    * DOUBLE centroid arrays bit-exactly, so a loaded index searches
+    * identically to a freshly trained one (spec-pinned). */
+  def saveIndex(spark: SparkSession, dir: String, path: String): Unit =
+    trainIndex(spark, dir).write.mode("overwrite").parquet(path)
+
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe-and-rank against a given centroid table (trained or loaded). */
+  def searchWithCentroids(spark: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val assigned = assign(e, cents)
     val qv = e.filter(col("vec_id") < NumQueries)
     val queries = probeCells(qv, cents, cfg.ivfNprobe)

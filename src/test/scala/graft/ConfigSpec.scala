@@ -25,6 +25,17 @@ class ConfigSpec extends GraftSpec {
     assert(s.q41Sql.contains("c1") && !s.q41Sql.contains("c2"))
   }
 
+  test("a saved-and-loaded IVF index searches identically to a fresh one") {
+    // parquet round-trips the DOUBLE centroid arrays bit-exactly, so
+    // train-once-probe-forever gives the same results as retraining
+    val s = new SimilarityOps(GraftConfig(kmeansIters = 1))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    s.saveIndex(spark, sf, idxPath)
+    val fromLoaded = s.searchWithCentroids(spark, sf, s.loadIndex(spark, idxPath)).collect().toSet
+    val fresh = s.q41AnnIvf(spark, sf).collect().toSet
+    assert(fromLoaded == fresh && fresh.nonEmpty)
+  }
+
   test("default objects equal default-config instances") {
     assert(graft.operators.Sequence.K == GraftConfig().k)
     assert(graft.operators.Dedup.NearDupCos == GraftConfig().nearDupCos)
