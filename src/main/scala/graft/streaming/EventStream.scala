@@ -218,21 +218,27 @@ object EventStream {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     }
-    val clicks = stream().filter(col("event_type") === "click")
+    val q = clickErrorJoin(stream(), stream())
+      .writeStream.format("memory").queryName("graft_q77")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q77")
+  }
+
+  /** The q77 join itself, over any two event-schema streams (file
+    * streams in q77, MemoryStreams in specs). */
+  private[graft] def clickErrorJoin(clickSrc: DataFrame, errorSrc: DataFrame): DataFrame = {
+    val clicks = clickSrc.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
-    val errors = stream().filter(col("event_type") === "error")
+    val errors = errorSrc.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("err_ts"))
       .withWatermark("err_ts", "2 hours")
-    val joined = clicks.join(errors,
+    clicks.join(errors,
       col("user_id") === col("e_user") &&
         col("err_ts") >= col("click_ts") &&
         col("err_ts") <= col("click_ts") + expr("interval 30 minutes"))
       .select(col("user_id"), col("click_id"), col("error_id"))
-    val q = joined.writeStream.format("memory").queryName("graft_q77")
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q77")
   }
 
   def q77Sql: String =

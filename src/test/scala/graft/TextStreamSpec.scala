@@ -64,6 +64,28 @@ class TextStreamSpec extends GraftSpec {
     }
   }
 
+  test("q77 stream-stream join matches only errors within 30min after a click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStream.Event]
+    val errors = MemoryStream[EventStream.Event]
+    val q = EventStream.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    def ev(id: Long, min: Int, typ: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), 1L, typ, 1.0)
+    clicks.addData(ev(1, 0, "click"))
+    errors.addData(
+      ev(10, 10, "error"),  // within 30min → match
+      ev(11, 45, "error"),  // outside window → no match
+      ev(12, 5, "click"))   // wrong type on the error stream → filtered
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, 1L, 10L)))
+  }
+
   test("streaming windowedAgg aggregates MemoryStream events into hourly windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
