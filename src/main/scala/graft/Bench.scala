@@ -32,7 +32,7 @@ object Bench {
     // whole-stage-codegen compilation + JIT; the reported time is the
     // second (steady-state) run, which is what repeated production use
     // and any long-running engine comparison actually measures
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val both = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink: evaluates every projected column (count() would let
@@ -41,19 +41,37 @@ object Bench {
         catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      reset(); once()
+      reset(); val r1 = once()
       reset()
-      name -> once()
+      name -> (r1, once())
     }
+    val results = both.map { case (k, (_, r2)) => k -> r2 }
     // 3-decimal formatting: the driver captures only the tail of stdout,
     // and 9-digit doubles across ~68 queries pushed the single JSON line
     // past that capture window (BENCH_r04 lost the line's head, incl.
     // the total). ms precision is below run-to-run noise anyway.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Both runs per query go to a local file (they don't fit the stdout
+    // tail the driver captures): run1 pays JIT/codegen, run2 is the
+    // reported steady state. run2 ≫ run1 is physically impossible from
+    // the plan alone — it means environment contention landed on run2
+    // (round-5 artifact: q57 37.9 s benched vs 6.85 s isolated), so
+    // those queries are ALSO flagged inline in the artifact's "contam"
+    // map with their run1 time as the better estimate.
+    val detail = both.map { case (k, (r1, r2)) =>
+      s"\"" + k + "\":[" + f(r1) + "," + f(r2) + "]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"runs":"[run1,run2] per query; reported=run2","queries":$detail,"sf":"$sfDir"}
+""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val contam = both.collect {
+      case (k, (r1, r2)) if r1 >= 0 && r2 > r1 * 1.5 + 0.5 => s"\"" + k + "\":" + f(r1)
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"contam":$contam,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -356,7 +356,15 @@ class DedupOps(val cfg: GraftConfig) {
     * candidates (verified at ≥ $JaccardJ). Each candidate pair is tagged
     * with its generator(s) and exact Jaccard is computed ONCE — half the
     * verify work of running q31 + q33 separately. */
-  private[graft] def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupEdges(spark: SparkSession, dir: String): DataFrame =
+    nearDupEdgesScratch(spark, dir)._1
+
+  /** As [[nearDupEdges]], but also returns the eager corpus-sized
+    * shingle-array checkpoint so a caller that materializes the edge
+    * list (q57) can release those blocks instead of pinning them for
+    * the whole query — under a memory-pressured shared JVM the pinned
+    * corpus-sized blocks turn into spill/GC churn. */
+  private[graft] def nearDupEdgesScratch(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // one eager materialization of the COMPACT per-doc array table (one
     // row per doc) feeds all six consumers; the exploded row view is a
     // cheap narrow explode over its in-memory blocks, so no consumer
@@ -385,10 +393,11 @@ class DedupOps(val cfg: GraftConfig) {
       .agg(max(col("mh")).as("mh"), max(col("rare")).as("rare"))
     // the generator flags ride through the verify join — joining back to
     // cand here re-derived the entire candidate pipeline a second time
-    verifiedJaccard(arr, cand)
+    val edges = verifiedJaccard(arr, cand)
       .filter((col("mh") && col("jaccard") >= MinhashJ) ||
               (col("rare") && col("jaccard") >= JaccardJ))
       .select("id_a", "id_b")
+    (edges, arr)
   }
 
   private def nearDupEdgesSql: String =
@@ -436,7 +445,12 @@ class DedupOps(val cfg: GraftConfig) {
     // eager checkpoint: the union below references pairs twice, and a lazy
     // pairs would run the whole minhash+rare-shingle verify pipeline once
     // per union arm (it dominated q57's round-3 runtime)
-    val pairs = graft.Trace("q57.pairs")(nearDupEdges(spark, dir).localCheckpoint(true))
+    val (edges, arr) = nearDupEdgesScratch(spark, dir)
+    val pairs = graft.Trace("q57.pairs")(edges.localCheckpoint(true))
+    // pairs is materialized; the corpus-sized shingle-array checkpoint
+    // existed only to build it — release its blocks before the CC loop
+    // so they can't become spill/GC pressure across the rounds
+    arr.unpersist(false)
     // no persist: pairs is already an eager checkpoint, and this is a
     // narrow union over its in-memory blocks — re-deriving it per round
     // is cheaper than a DISK_ONLY write+read cycle
@@ -482,8 +496,17 @@ class DedupOps(val cfg: GraftConfig) {
           .filter(col("lbl") =!= col("prev")).limit(1).count()
         converged = changed == 0
       }
+      // the superseded round's checkpoint blocks are dead once `next` is
+      // materialized and the convergence check above has read them —
+      // same drain discipline as the chain loop (resolveChainsFrom);
+      // no-op under reliable checkpoints (files reclaimed by the
+      // ContextCleaner), block release under localCheckpoint
+      lbl.unpersist(false)
       lbl = next
     }
+    // post-loop, the output needs only the final label table + a docs
+    // scan: the pair-list checkpoint fed the rounds and is now dead too
+    pairs.unpersist(false)
     val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
     // fam stays lazy: its two consumers (the keeper aggregate and the
     // final join) each re-run only a docs scan + a broadcast probe of the
