@@ -227,6 +227,17 @@ class GraphOpsLib(val cfg: GraftConfig) {
     if (cfg.reliableStageCheckpoints) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Cut + count fused into ONE job for SMALL per-round tables (removal
+    * node lists, boundary-keep maps): lazy localCheckpoint stores its
+    * blocks during the count action. Reliable mode keeps the eager cut
+    * (a lazy reliable checkpoint recomputes the RDD for the write). */
+  private def ckCount(df: DataFrame): (DataFrame, Long) =
+    if (cfg.reliableStageCheckpoints) {
+      val c = df.checkpoint(true); (c, c.count())
+    } else {
+      val c = df.localCheckpoint(false); (c, c.count())
+    }
+
   /** q22: transitive reduction on the coarse graph — drop a→b when some
     * 2-path a→x→b exists. Mid-class arithmetic instead of a path
     * self-join: a valid mid x has fw = last(a) and lw = first(b) = last(a),
@@ -280,11 +291,18 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private[operators] def tipsWithNeighbor(e: DataFrame): DataFrame = {
     val inc = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
-    val deg = inc.groupBy("node").agg(count(lit(1)).as("total"))
-    inc.join(deg.filter(col("total") === 1).select("node"), "node")
-      .join(deg.select(col("node").as("nbr"), col("total").as("nbr_deg")), "nbr")
-      .filter(col("nbr_deg") >= 2)
-      .select("node", "nbr")
+    // ONE incidence aggregation: a degree-1 node's single neighbor IS
+    // min(nbr), so the pendant table needs no join back to inc — the
+    // old inc⋈deg⋈deg shape paid three ~2|E| shuffles where one
+    // suffices. The pendant set is small (broadcast side); the nbr-
+    // degree lookup probes the big deg agg output map-side.
+    val deg = inc.groupBy("node").agg(
+      count(lit(1)).as("total"), min(col("nbr")).as("only_nbr"))
+    val pendants = deg.filter(col("total") === 1)
+      .select(col("node").as("tip"), col("only_nbr").as("tnbr"))
+    deg.join(broadcast(pendants), col("node") === col("tnbr"))
+      .filter(col("total") >= 2)
+      .select(col("tip").as("node"), col("tnbr").as("nbr"))
   }
 
   /** q24: tips — degree-1 pendant nodes hanging off a branching neighbor
@@ -763,6 +781,16 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * path join + per-group min-struct stays linear (the raw-graph
     * bubble queries q25/q42 use the quotient contraction instead). */
   private[graft] def popRoundFrom(e: DataFrame, docs: DataFrame): DataFrame = {
+    val popped = poppedMidsFrom(e, docs)
+    e.join(popped.select(col("node").as("src")), Seq("src"), "left_anti")
+      .join(popped.select(col("node").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+  }
+
+  /** The (small) popped-mid node list of one bubble-pop round — the
+    * detect half of [[popRoundFrom]], usable by [[nodeRemovalLoopFrom]]
+    * so pop rounds never rewrite the edge set. */
+  private[graft] def poppedMidsFrom(e: DataFrame, docs: DataFrame): DataFrame = {
     val paths = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"), col("x.dst").as("mid"))
@@ -773,13 +801,10 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .filter(col("n_mids") >= 2)
       .select(col("src"), col("dst"), col("k.kmid").as("kept_mid"),
         col("k.ktext").as("ktext"), (-col("k.negl")).as("klen"))
-    val popped = m.join(kept, Seq("src", "dst"))
+    m.join(kept, Seq("src", "dst"))
       .filter(col("mid") =!= col("kept_mid"))
       .filter(editGate(col("text"), col("ktext"), greatest(col("n_chars"), col("klen"))))
-      .select(col("mid").as("nid")).distinct()
-    e.join(popped.select(col("nid").as("src")), Seq("src"), "left_anti")
-      .join(popped.select(col("nid").as("dst")), Seq("dst"), "left_anti")
-      .select("src", "dst")
+      .select(col("mid").as("node")).distinct()
   }
 
   private[operators] def popRoundSql(eIn: String, p: String): String =
@@ -803,24 +828,35 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * every repeat boundary (≥2 in AND ≥2 out), keep only the
     * deterministic best in/out edge (smallest neighbor id — the text
     * analogue of the consensus-matching edge) and cut the rest. */
-  private[graft] def repeatCutRoundFrom(e: DataFrame): DataFrame = {
-    // one incidence-union aggregation instead of two per-direction
-    // degree aggs + an inner join: same shuffled bytes (2|E| rows once
-    // vs |E| rows twice), one exchange and no node-join to build the
-    // boundary table — the repeat set and keep choices are identical
+  private[graft] def repeatCutRoundFrom(e: DataFrame): DataFrame =
+    applyRepeatKeeps(e, repeatKeeps(e))
+
+  /** The (small) repeat-boundary keep map of an edge set: one row per
+    * ≥2-in/≥2-out node with its deterministic best in/out neighbor.
+    * One incidence-union aggregation instead of two per-direction
+    * degree aggs + an inner join: same shuffled bytes (2|E| rows once
+    * vs |E| rows twice), one exchange and no node-join to build the
+    * boundary table — the repeat set and keep choices are identical. */
+  private[graft] def repeatKeeps(e: DataFrame): DataFrame = {
     val inc = e.select(col("src").as("node"), col("dst").as("nbr"), lit(1).as("out"))
       .unionAll(e.select(col("dst").as("node"), col("src").as("nbr"), lit(0).as("out")))
-    val rep = inc.groupBy("node").agg(
+    inc.groupBy("node").agg(
         sum(col("out")).as("od"), sum(lit(1) - col("out")).as("idg"),
         min(when(col("out") === 1, col("nbr"))).as("keep_dst"),
         min(when(col("out") === 0, col("nbr"))).as("keep_src"))
       .filter(col("od") >= 2 && col("idg") >= 2)
-    e.join(rep.select(col("node").as("src"), col("keep_dst")), Seq("src"), "left")
-      .join(rep.select(col("node").as("dst"), col("keep_src")), Seq("dst"), "left")
+      .select("node", "keep_dst", "keep_src")
+  }
+
+  /** Apply a keep map: drop every boundary edge that is not the kept
+    * in/out choice. The keep map is a small fraction of the corpus →
+    * two broadcast left joins, no edge-side shuffle. */
+  private[graft] def applyRepeatKeeps(e: DataFrame, rep: DataFrame): DataFrame =
+    e.join(broadcast(rep.select(col("node").as("src"), col("keep_dst"))), Seq("src"), "left")
+      .join(broadcast(rep.select(col("node").as("dst"), col("keep_src"))), Seq("dst"), "left")
       .filter((col("keep_dst").isNull || col("dst") === col("keep_dst")) &&
               (col("keep_src").isNull || col("src") === col("keep_src")))
       .select("src", "dst")
-  }
 
   private[operators] def repeatCutRoundSql(eIn: String, p: String): String =
     s"""${p}_o AS MATERIALIZED (SELECT src AS node, count(*) AS od, min(dst) AS keep_dst
@@ -849,15 +885,29 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * cuts are idempotent once no repeat boundary remains. */
   def q63RepeatAdjust(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    // cut before round 1: repeatCutRoundFrom references its input ~5×
-    var e = graft.Trace("q63.edges")(stageCk(edges2(spark, dir).select("src", "dst")))
-    for (i <- 1 to cfg.asmRepeatRounds) {
-      // per-round eager cuts: repeatCut references its input ~5× and
-      // removeTips ~13×, so an uncut 2-round lazy plan is 65² subtrees
-      e = graft.Trace(s"q63.cut$i")(stageCk(repeatCutRoundFrom(e)))
-      e = graft.Trace(s"q63.tips$i")(stageCk(removeTips(e)))
+    // cut before round 1: every round's detect pass re-scans the edge
+    // blocks through the lazy broadcast-filter chain below
+    val e0 = graft.Trace("q63.edges")(stageCk(edges2(spark, dir).select("src", "dst")))
+    // Two jobs per round: (1) materialize the SMALL boundary keep map,
+    // (2) apply it as broadcast map-side filters and fuse the tip
+    // detect+remove+materialize+count of the shrunk remainder into one
+    // ckCount. Materializing rep first matters: an unmaterialized rep
+    // inside the round job gets its aggregation re-evaluated once per
+    // broadcast arm. Early exit when a round removes nothing —
+    // converged rounds are idempotent no-ops, so the unrolled oracle
+    // stays exact.
+    var cur: DataFrame = e0
+    var n = -1L
+    var done = false
+    for (i <- 1 to cfg.asmRepeatRounds if !done) {
+      val (rep, nRep) = graft.Trace(s"q63.keeps$i")(ckCount(repeatKeeps(cur)))
+      val cutApplied = if (nRep > 0) applyRepeatKeeps(cur, rep) else cur
+      val (next, m) = graft.Trace(s"q63.tips$i")(ckCount(removeTips(cutApplied)))
+      done = m == n
+      n = m
+      cur = next
     }
-    e
+    cur
   }
 
   def q63Sql: String = {
@@ -1084,10 +1134,72 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * [TipsRemoval.java:60-330] via the shared tip definition, then drop
     * the incident edges [EdgeRemoval]. */
   def removeTips(e: DataFrame): DataFrame = {
-    val tips = tipsWithNeighbor(e).select(col("node")).distinct()
-    e.join(tips.select(col("node").as("src")), Seq("src"), "left_anti")
-      .join(tips.select(col("node").as("dst")), Seq("dst"), "left_anti")
+    // one broadcast build shared by both anti arms: identical plans
+    // (no per-arm rename) canonicalize equal, so the second arm is a
+    // ReusedExchange instead of a second evaluation of the detect agg
+    val tips = broadcast(tipsWithNeighbor(e).select(col("node")).distinct())
+    e.join(tips, e("src") === tips("node"), "left_anti")
+      .join(tips, e("dst") === tips("node"), "left_anti")
       .select("src", "dst")
+  }
+
+  /** The (small) tip-node list of an edge set — the detect half of
+    * [[removeTips]], shaped for [[nodeRemovalLoopFrom]]. */
+  private[graft] def tipNodesFrom(e: DataFrame): DataFrame =
+    tipsWithNeighbor(e).select(col("node")).distinct()
+
+  /** Node-removal fixpoint WITHOUT per-round full-edge materialization.
+    *
+    * Every round materializes only the (small) NEW removal-node list;
+    * the current edge set stays a LAZY constant-size plan — the entry
+    * checkpoint minus two broadcast anti-joins against the accumulated
+    * removal set. Node removal is monotone (a removed node's edges are
+    * gone, so it can never be detected again), hence
+    * e_k = e0 ∖ incident(rem_1 ∪ … ∪ rem_k) is EXACTLY the sequential
+    * detect→remove iterate; rounds exit early once a round detects
+    * nothing new, and bounded-round oracles unroll identically because
+    * converged rounds are idempotent no-ops.
+    *
+    * Scale: the old shape rewrote the full edge set per round (one
+    * checkpoint each); at 100 TB that is rounds × corpus of write
+    * traffic. Here the corpus-sized edge list is written ONCE and each
+    * round costs one aggregation pass over its lazily-filtered blocks
+    * plus a tiny removal-list job; the accumulated removal set is a
+    * small fraction of the corpus by the same argument as q39's
+    * broadcast anti-joins. Round removal lists are cut+counted in one
+    * job (ckCount) and superseded lists are released as they are
+    * replaced — the q57/chain-loop drain discipline. */
+  private[graft] def nodeRemovalLoopFrom(spark: SparkSession, e0: DataFrame,
+      maxRounds: Int, tag: String, cutEntry: Boolean = true)(
+      detect: DataFrame => DataFrame): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    // cutEntry=false: the caller's input is already a materialized
+    // checkpoint — re-cutting it would copy the full edge set once more
+    val e = if (cutEntry) stageCk(e0.select("src", "dst")) else e0.select("src", "dst")
+    var cur: DataFrame = e
+    var rem: DataFrame = null
+    var n = 0L
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val t = detect(cur)
+      val (remNext, m) = graft.Trace(s"$tag.${rounds + 1}")(
+        ckCount(if (rem == null) t else rem.unionAll(t)))
+      converged = m == n
+      rounds += 1
+      if (converged) {
+        // cur still reads the PREVIOUS round's list through its
+        // anti-joins — drop only the (identical-content) new copy
+        remNext.unpersist(false)
+      } else {
+        if (rem != null) rem.unpersist(false)
+        rem = remNext
+        n = m
+        cur = e.join(broadcast(rem.select(col("node").as("src"))), Seq("src"), "left_anti")
+          .join(broadcast(rem.select(col("node").as("dst"))), Seq("dst"), "left_anti")
+      }
+    }
+    cur
   }
 
   val TipRounds: Int = cfg.tipRounds
@@ -1102,10 +1214,20 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * subtree and Catalyst analysis alone dominates the runtime. */
   def q43TipsIterative(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
-    // cut BEFORE round 1 too: removeTips references its input ~13×, and
-    // a lazy edges2 would be re-planned under every reference
-    (1 to TipRounds).foldLeft(stageCk(edges2(spark, dir).select("src", "dst")))(
-      (e, _) => stageCk(removeTips(e)))
+    // one fused job per round (detect+remove+materialize+count) with an
+    // early exit on an unchanged edge count — converged rounds are
+    // idempotent no-ops, so the bounded-round oracle unrolls identically
+    var (e, n) = ckCount(edges2(spark, dir).select("src", "dst"))
+    var rounds = 0
+    var converged = n == 0
+    while (!converged && rounds < TipRounds) {
+      val (next, m) = graft.Trace(s"q43.tips.${rounds + 1}")(ckCount(removeTips(e)))
+      rounds += 1
+      converged = m == n
+      n = m
+      e = next
+    }
+    e
   }
 
   /** MATERIALIZED: each round references its input ~4× and rounds

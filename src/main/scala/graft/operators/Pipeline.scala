@@ -45,21 +45,20 @@ object Pipeline {
 
   /** Iterate tip detect+remove until no tip remains (or maxRounds).
     *
-    * Every round takes an EAGER checkpoint (stageCut): removeTips
-    * references its input ~13 times (incidence union, degree joins, two
-    * anti-joins), so without truncation the LOGICAL plan grows 13× per
-    * round and analysis alone OOMs the driver by round 4 — caching the
-    * data is not enough, the lineage itself must be cut. The
-    * checkpointed edge set shrinks monotonically, so the per-round cut
-    * is small (and, with reliableStageCheckpoints, recoverable on
-    * executor loss). */
+    * One job per round: cutAndCount fuses the round's detect+remove
+    * with its materialization and convergence count. The checkpointed
+    * edge set shrinks monotonically, so only round 1 writes anything
+    * corpus-sized — measured faster at sf0.1 than the accumulated-
+    * removal shape (nodeRemovalLoopFrom), whose every round re-scans
+    * the FULL entry edge set: here the big shrink happens in round 1
+    * and later rounds fly over the small materialized remainder. */
   def cleanToConvergence(spark: SparkSession, edges0: DataFrame, maxRounds: Int = 25): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     var (e, n) = cutAndCount(edges0.select("src", "dst"))
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
-      val (next, m) = cutAndCount(GraphOps.removeTips(e))
+      val (next, m) = graft.Trace(s"clean.tips.${rounds + 1}")(cutAndCount(GraphOps.removeTips(e)))
       rounds += 1
       converged = m == n // no edge removed → no tip existed
       n = m
@@ -149,9 +148,14 @@ object Pipeline {
     val oe = rounds("chimeric", graft.Trace("asm.q17")(ck(GraphOps.q17BestOverlap(spark, dir))),
       cfg.asmChimericRounds)(GraphOps.reciprocalBestFrom)
     var e = graft.Trace("asm.transred")(ck(GraphOps.transReduceFrom(oe.select("src", "dst"))))
-    // tip rounds, bubble pop rounds
-    e = rounds("tips", e, cfg.asmTipRounds)(GraphOps.removeTips)
-    e = rounds("pop", e, cfg.asmPopRounds)(GraphOps.popRoundFrom(_, docs))
+    // tip rounds, bubble pop rounds — node-removal fixpoints: each
+    // phase checkpoints the edge set ONCE and per round materializes
+    // only the small removal list (GraphOps.nodeRemovalLoopFrom); the
+    // old per-round cutAndCount rewrote the full edge set every round
+    e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmTipRounds, "asm.tips",
+      cutEntry = false)(GraphOps.tipNodesFrom)
+    e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmPopRounds, "asm.pop")(
+      GraphOps.poppedMidsFrom(_, docs))
     // low-coverage node removal + post-lowcov tip rounds. The removal
     // list was materialized concurrently above (small: the set of
     // BELOW-threshold docs) and feeds two broadcast anti-joins
@@ -159,9 +163,22 @@ object Pipeline {
     e = graft.Trace("asm.lowcov")(ck(
       e.join(broadcast(low.select(col("nid").as("src"))), Seq("src"), "left_anti")
         .join(broadcast(low.select(col("nid").as("dst"))), Seq("dst"), "left_anti")))
-    e = rounds("tips2", e, cfg.asmPostLowcovTipRounds)(GraphOps.removeTips)
-    // repeat-boundary edge adjustment rounds
-    e = rounds("repeat", e, cfg.asmRepeatRounds)(GraphOps.repeatCutRoundFrom)
+    e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmPostLowcovTipRounds, "asm.tips2",
+      cutEntry = false)(GraphOps.tipNodesFrom)
+    // repeat-boundary edge adjustment rounds: same lazy shape — keep
+    // maps are small, so each round is a ckCount of the boundary table
+    // plus two broadcast joins stacked on the phase entry checkpoint
+    e = {
+      graft.GraftSession.ensureCheckpointDir(spark)
+      var cur = stageCut(spark, e.select("src", "dst"))
+      var done = false
+      for (i <- 1 to cfg.asmRepeatRounds if !done) {
+        val (rep, nRep) = graft.Trace(s"asm.repeat.$i")(cutAndCount(GraphOps.repeatKeeps(cur)))
+        if (nRep > 0) cur = GraphOps.applyRepeatKeeps(cur, rep)
+        done = nRep == 0
+      }
+      cur
+    }
     // contigs: compress + ordered consensus
     val chains = graft.Trace("asm.chains")(GraphOps.resolveChainsFrom(spark,
       docs.select(col("doc_id").as("node")), e, withDepth = true))
