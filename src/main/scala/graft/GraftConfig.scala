@@ -110,7 +110,12 @@ case class GraftConfig(
     repMaxFrac: Double = 0.05,
     // deterministic sampling: first-4-hex-chars md5 bucket upper bound
     // ('3333' ≈ 0x3333/0x10000 = 20%), hash keyed by (source, doc_id)
-    sampleHexUpper: String = "3333")
+    sampleHexUpper: String = "3333",
+    // scratch base for the source round-trip queries (q65/q72/q79) —
+    // MUST point at a shared filesystem on a multi-node cluster
+    // (driver-local tmp is invisible to off-node executors); local
+    // mode defaults to java.io.tmpdir
+    scratchDir: String = System.getProperty("java.io.tmpdir"))
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side
@@ -129,5 +134,8 @@ object GraftConfig {
     reliableStageCheckpoints = sys.props
       .get("graft.reliableStageCheckpoints")
       .orElse(sys.env.get("GRAFT_RELIABLE_STAGE_CHECKPOINTS"))
-      .exists(_.trim.equalsIgnoreCase("true")))
+      .exists(_.trim.equalsIgnoreCase("true")),
+    scratchDir = sys.props.get("graft.scratchDir")
+      .orElse(sys.env.get("GRAFT_SCRATCH_DIR"))
+      .getOrElse(System.getProperty("java.io.tmpdir")))
 }

@@ -46,8 +46,7 @@ object Fasta {
     * verifies losslessness of the full write→split→parse cycle. */
   def q65FastaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_fasta_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val path = Scratch.dir("fasta", dir)
     write(docs, path)
     read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
   }

@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   * first TAB is the separator; later TABs stay in the sequence. */
 object Sfa {
 
-  /** Write (id, sequence) rows as SFA lines. */
+  /** Write (id, sequence) rows as SFA lines. A sequence containing a
+    * line break cannot round-trip through a line-structured format —
+    * such rows fail fast (raise_error) instead of silently corrupting
+    * the file. */
   def write(df: DataFrame, path: String, idCol: String = "doc_id",
             seqCol: String = "text"): Unit =
     df.select(concat(col(idCol).cast("string"), lit("\t"),
-        col(seqCol).cast("string")).as("value"))
+        when(instr(col(seqCol).cast("string"), "\n") > 0 ||
+             instr(col(seqCol).cast("string"), "\r") > 0,
+          raise_error(concat(lit("Sfa.write: sequence contains a line break at id="),
+            col(idCol).cast("string"))))
+          .otherwise(col(seqCol).cast("string"))).as("value"))
       .write.mode("overwrite").text(path)
 
   /** Read SFA lines into (header, text) rows, splitting at the FIRST
@@ -40,8 +47,7 @@ object Sfa {
     * hash gate verifies the write→split→parse cycle is lossless. */
   def q72SfaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_sfa_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val path = Scratch.dir("sfa", dir)
     write(docs, path)
     read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
   }
