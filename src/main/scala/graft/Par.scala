@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
@@ -15,10 +16,25 @@ import scala.concurrent.duration.Duration
 object Par {
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  /** Start `f` now on another thread; the returned thunk blocks until
-    * it finishes (rethrowing any failure at the await site). */
-  def async[T](f: => T): () => T = {
-    val fut = Future(f)
-    () => Await.result(fut, Duration.Inf)
+  /** A running background subtree: `apply()` blocks for the result
+    * (rethrowing any failure); `cancelJobs()` kills its Spark jobs —
+    * call it when the MAIN phase chain fails, so the background work
+    * neither runs on unobserved nor hangs the driver's await. */
+  final class Async[T] private[Par] (fut: Future[T], doCancel: () => Unit) {
+    def apply(): T = Await.result(fut, Duration.Inf)
+    def cancelJobs(): Unit = doCancel()
+  }
+
+  /** Start `f` now on another thread inside its own Spark job group
+    * (interrupt-on-cancel), returning a handle that can await the
+    * result or cancel the group's jobs. The job group is thread-local
+    * and cleared in a finally, so pooled-thread reuse cannot leak it. */
+  def async[T](spark: SparkSession, group: String)(f: => T): Async[T] = {
+    val fut = Future {
+      spark.sparkContext.setJobGroup(group, s"graft background: $group",
+        interruptOnCancel = true)
+      try f finally spark.sparkContext.clearJobGroup()
+    }
+    new Async[T](fut, () => spark.sparkContext.cancelJobGroup(group))
   }
 }

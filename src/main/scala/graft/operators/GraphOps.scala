@@ -526,9 +526,20 @@ class GraphOpsLib(val cfg: GraftConfig) {
 
   /** q28: contig statistics incl. N50 [Stats.java:50-250] over the
     * compressed chains. */
-  def q28GraphStats(spark: SparkSession, dir: String): DataFrame = {
-    val chains = q27ChainCompress(spark, dir)
-    val lens = chains.join(Tables.documents(spark, dir).select(col("doc_id").as("node"), col("n_chars")), "node")
+  def q28GraphStats(spark: SparkSession, dir: String): DataFrame =
+    statsFromChains(q27ChainCompress(spark, dir), Tables.documents(spark, dir))
+
+  /** Contig statistics of a graph state, for any docs frame with
+    * (doc_id, n_chars): the per-phase form the reference's driver runs
+    * after every phase [BrushAssembler.java:839-885 computeStats]. */
+  private[graft] def statsFromEdges(spark: SparkSession, docs: DataFrame,
+      e: DataFrame): DataFrame =
+    statsFromChains(resolveChainsFrom(spark,
+      docs.select(col("doc_id").as("node")), e.select("src", "dst"),
+      withDepth = false), docs)
+
+  private[graft] def statsFromChains(chains: DataFrame, docs: DataFrame): DataFrame = {
+    val lens = chains.join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
       .groupBy("head").agg(sum(col("n_chars")).as("clen"))
     val tot = lens.agg(count(lit(1)).as("n_contigs"), sum(col("clen")).as("total_len"),
                        max(col("clen")).as("max_len"))
@@ -907,6 +918,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
       n = m
       cur = next
     }
+    graft.Convergence.check("q63.repeat", cfg.asmRepeatRounds, done)
     cur
   }
 
@@ -957,18 +969,22 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // nothing with the edge build: submit it from a second driver
     // thread so its scan-side jobs interleave with the edge
     // checkpoint's (graft.Par: scheduling-only overlap)
-    val lowF = graft.Par.async(
+    val lowF = graft.Par.async(spark, "graft-q39-lowcov")(
       stageCk(q26LowCoverage(spark, dir).select(col("doc_id").as("nid"))))
-    val e = stageCk(edges2(spark, dir))
-    // the removal set feeds BOTH anti-join arms → materialize the
-    // (small) node list once and broadcast it per arm
-    val rem = stageCk(
-      tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
-        .unionAll(lowF())
-        .distinct())
-    e.join(broadcast(rem.select(col("nid").as("src"))), Seq("src"), "left_anti")
-      .join(broadcast(rem.select(col("nid").as("dst"))), Seq("dst"), "left_anti")
-      .select("src", "dst", "okey")
+    // if the main chain fails, kill the background jobs instead of
+    // leaving them running unobserved with their failure swallowed
+    try {
+      val e = stageCk(edges2(spark, dir))
+      // the removal set feeds BOTH anti-join arms → materialize the
+      // (small) node list once and broadcast it per arm
+      val rem = stageCk(
+        tipsWithNeighbor(e.select("src", "dst")).select(col("node").as("nid"))
+          .unionAll(lowF())
+          .distinct())
+      e.join(broadcast(rem.select(col("nid").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(rem.select(col("nid").as("dst"))), Seq("dst"), "left_anti")
+        .select("src", "dst", "okey")
+    } catch { case t: Throwable => lowF.cancelJobs(); throw t }
   }
 
   def q39Sql: String =
@@ -1199,6 +1215,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
           .join(broadcast(rem.select(col("node").as("dst"))), Seq("dst"), "left_anti")
       }
     }
+    graft.Convergence.check(tag, maxRounds, converged)
     cur
   }
 
@@ -1227,6 +1244,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
       n = m
       e = next
     }
+    graft.Convergence.check("q43.tips", TipRounds, converged)
     e
   }
 

@@ -64,6 +64,7 @@ object Pipeline {
       n = m
       e = next
     }
+    graft.Convergence.check("clean.tips", maxRounds, converged)
     e
   }
 
@@ -102,9 +103,25 @@ object Pipeline {
     * ~13×); with reliableStageCheckpoints each phase is also restartable
     * on a real cluster, mirroring the reference's materialized HDFS
     * handoffs between jobs. */
-  def assembleFull(spark: SparkSession, dir: String): DataFrame = {
+  def assembleFull(spark: SparkSession, dir: String): DataFrame =
+    assembleFull(spark, dir, null)
+
+  /** As [[assembleFull]], with the reference driver's after-every-phase
+    * stats hook [BrushAssembler.java:839-885 calls computeStats after
+    * preprocess/overlap/graph/cleaning]: when `onPhaseStats` is
+    * non-null it receives (phase tag, one-row stats DataFrame — the
+    * q28 shape: n_contigs/total_len/max_len/n50 of the CURRENT graph)
+    * after each phase. The chain-resolution fixpoint behind the stats
+    * runs at hook time; the final aggregate is left lazy for the
+    * caller to collect/write. The default (null) path pays nothing and
+    * q62's output and oracle are untouched. */
+  def assembleFull(spark: SparkSession, dir: String,
+      onPhaseStats: (String, DataFrame) => Unit): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val docs = Tables.documents(spark, dir)
+    def phaseStats(tag: String, e: DataFrame): Unit =
+      if (onPhaseStats != null)
+        onPhaseStats(tag, GraphOps.statsFromEdges(spark, docs, e))
     // eager checkpoint per stage: cuts the k^stages lineage growth
     // (removeTips references its input ~13×). local (in-memory) by
     // default; cfg.reliableStageCheckpoints=true flips every stage cut to
@@ -122,8 +139,11 @@ object Pipeline {
     // thread now so its jobs fill the scheduler gaps the small
     // chimeric/tip/pop rounds leave idle, and await it at the lowcov
     // stage (graft.Par: scheduling-only overlap, results unchanged)
-    val lowF = graft.Par.async(graft.Trace("asm.lowcov.list")(
+    val lowF = graft.Par.async(spark, "graft-asm-lowcov")(graft.Trace("asm.lowcov.list")(
       ck(GraphOps.q26LowCoverage(spark, dir).select(col("doc_id").as("nid")))))
+    // if any phase before the lowcov await fails, kill the background
+    // jobs instead of leaving them running with their failure swallowed
+    try {
     // Round loops exit early on an unchanged edge count — the reference's
     // own `remaining > 0` loop exits [BrushAssembler.java:411,577,633].
     // Sound because every stage is removal-only (count unchanged ⇔ the
@@ -141,21 +161,26 @@ object Pipeline {
         stop = m == n
         n = m; e = next; i += 1
       }
+      graft.Convergence.check(s"asm.$tag", maxRounds, stop)
       e
     }
     // build string graph: chimeric-cut rounds on the variable-length
     // overlap graph, then transitive reduction
     val oe = rounds("chimeric", graft.Trace("asm.q17")(ck(GraphOps.q17BestOverlap(spark, dir))),
       cfg.asmChimericRounds)(GraphOps.reciprocalBestFrom)
+    phaseStats("chimeric", oe)
     var e = graft.Trace("asm.transred")(ck(GraphOps.transReduceFrom(oe.select("src", "dst"))))
+    phaseStats("transred", e)
     // tip rounds, bubble pop rounds — node-removal fixpoints: each
     // phase checkpoints the edge set ONCE and per round materializes
     // only the small removal list (GraphOps.nodeRemovalLoopFrom); the
     // old per-round cutAndCount rewrote the full edge set every round
     e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmTipRounds, "asm.tips",
       cutEntry = false)(GraphOps.tipNodesFrom)
+    phaseStats("tips", e)
     e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmPopRounds, "asm.pop")(
       GraphOps.poppedMidsFrom(_, docs))
+    phaseStats("pop", e)
     // low-coverage node removal + post-lowcov tip rounds. The removal
     // list was materialized concurrently above (small: the set of
     // BELOW-threshold docs) and feeds two broadcast anti-joins
@@ -163,8 +188,10 @@ object Pipeline {
     e = graft.Trace("asm.lowcov")(ck(
       e.join(broadcast(low.select(col("nid").as("src"))), Seq("src"), "left_anti")
         .join(broadcast(low.select(col("nid").as("dst"))), Seq("dst"), "left_anti")))
+    phaseStats("lowcov", e)
     e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmPostLowcovTipRounds, "asm.tips2",
       cutEntry = false)(GraphOps.tipNodesFrom)
+    phaseStats("tips2", e)
     // repeat-boundary edge adjustment rounds: same lazy shape — keep
     // maps are small, so each round is a ckCount of the boundary table
     // plus two broadcast joins stacked on the phase entry checkpoint
@@ -177,12 +204,15 @@ object Pipeline {
         if (nRep > 0) cur = GraphOps.applyRepeatKeeps(cur, rep)
         done = nRep == 0
       }
+      graft.Convergence.check("asm.repeat", cfg.asmRepeatRounds, done)
       cur
     }
+    phaseStats("repeat", e)
     // contigs: compress + ordered consensus
     val chains = graft.Trace("asm.chains")(GraphOps.resolveChainsFrom(spark,
       docs.select(col("doc_id").as("node")), e, withDepth = true))
     graft.Trace("asm.consensus.plan")(GraphOps.consensusFrom(chains, docs))
+    } catch { case t: Throwable => lowF.cancelJobs(); throw t }
   }
 
   def q62FullAssembly(spark: SparkSession, dir: String): DataFrame =

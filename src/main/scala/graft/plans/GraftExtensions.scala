@@ -38,6 +38,25 @@ object GraftExtensions {
       FixedPointDot(children(0), children(1))
     })
 
+  /** Validate the evaluated k of a registered shingle function: these
+    * are user-facing SQL surfaces, so a NULL k must not NPE and k < 1
+    * must not reach the expression (k = 0 would silently emit
+    * empty-string shingles; negative k could throw from substring). */
+  private def literalK(fn: String, e: Expression): Int = e.eval() match {
+    case null =>
+      throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_PARAMETER_VALUE.NULL",
+        Map("parameter" -> "k", "functionName" -> s"`$fn`"),
+        Option.empty[Throwable])
+    case n: Number if n.intValue() >= 1 => n.intValue()
+    case other =>
+      throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_PARAMETER_VALUE.INTEGER",
+        Map("parameter" -> "k", "functionName" -> s"`$fn`",
+          "invalidValue" -> s"$other (k must be an integer >= 1)"),
+        Option.empty[Throwable])
+  }
+
   private val shingleSet: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_set"),
     new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
@@ -51,7 +70,7 @@ object GraftExtensions {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }
-      ShingleSet(children(0), children(1).eval().asInstanceOf[Number].intValue())
+      ShingleSet(children(0), literalK("shingle_set", children(1)))
     })
 
   private val shingleStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -67,7 +86,7 @@ object GraftExtensions {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }
-      ShingleStats(children(0), children(1).eval().asInstanceOf[Number].intValue())
+      ShingleStats(children(0), literalK("shingle_stats", children(1)))
     })
 
   private val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

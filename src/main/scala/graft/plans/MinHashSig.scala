@@ -29,6 +29,11 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // also null for an EMPTY (or all-null-element) shingle array: eight
+  // Long.MaxValue sentinels would make every empty doc pair band-collide
+  // as a "near-duplicate" through the registered SQL function (in-repo
+  // callers filter length >= k first, but the function has no guard)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(a: Any): Any =
@@ -36,7 +41,8 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.MinHashSig.compute($c);")
+      s"""${ev.value} = graft.plans.MinHashSig.compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,6 +51,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 object MinHashSig {
   private val salt = "1:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  // per-thread digest: whole-stage codegen calls compute once per row,
+  // and a fresh MessageDigest allocation per row is pure hot-path
+  // garbage (digest() leaves the instance reset for reuse)
+  private val mdTl: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** Digest word i (0..3) as an unsigned 32-bit long — equals
     * conv(substr(md5hex, 1+8i, 8), 16, 10). */
   private def word(d: Array[Byte], i: Int): Long =
@@ -52,11 +67,16 @@ object MinHashSig {
       ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL))
 
   def compute(arr: ArrayData): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdTl.get()
+    md.reset()
     val mins = Array.fill(8)(Long.MaxValue)
     val n = arr.numElements()
+    var hashed = 0
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 } // skip null elements (type allows them)
+      else {
+      hashed += 1
       val sBytes = arr.getUTF8String(i).getBytes
       val d0 = md.digest(sBytes)
       var j = 0
@@ -75,7 +95,9 @@ object MinHashSig {
         j += 1
       }
       i += 1
+      }
     }
-    new GenericArrayData(mins.map(Long.box(_).asInstanceOf[Any]))
+    if (hashed == 0) null
+    else new GenericArrayData(mins.map(Long.box(_).asInstanceOf[Any]))
   }
 }

@@ -52,4 +52,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
+
+  /** Write `df` as a bucketed+sorted managed table — the write-side
+    * half of the no-exchange join pattern (BucketingSpec evidences the
+    * read side: two tables bucketed on the same key sort-merge-join
+    * with NO exchange on either side). At 100 TB this turns the
+    * per-query corpus shuffle of every stable-key join (doc_id
+    * enrichment, edge⋈docs, dedup-family⋈docs) into a one-time layout
+    * cost at ingest: pick `buckets` so a bucket's rows fit one
+    * executor's memory (corpus bytes / ~256 MB is a sane start), and
+    * use the SAME bucket count and key on every table that joins this
+    * one, or the planner re-shuffles the mismatched side. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

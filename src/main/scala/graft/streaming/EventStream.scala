@@ -112,6 +112,18 @@ object EventStream {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Bounded-state streaming dedup — the production twin of q56's
+    * dropDuplicates for UNBOUNDED streams: with an event-time
+    * watermark, dropDuplicatesWithinWatermark holds a key's dedup
+    * state only until the watermark passes its event time plus the
+    * delay, so state is a sliding window of recent keys instead of all
+    * history (duplicate deliveries cluster near the original in event
+    * time — the at-least-once-delivery case this exists for). Emits
+    * each key's first arrival, append mode. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UEvent(user_id: Long, value: java.math.BigDecimal)
   case class UserTotal(user_id: Long, n_events: Long, total_value: java.math.BigDecimal)
 

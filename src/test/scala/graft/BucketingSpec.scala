@@ -12,10 +12,9 @@ class BucketingSpec extends GraftSpec {
   test("bucketed doc tables join without a shuffle on either side") {
     // default warehouse dir (static conf); DROP TABLE cleans the managed data
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text", "n_chars")
-    docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("graft_docs_a")
-    docs.select("doc_id", "n_chars").write.mode("overwrite")
-      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("graft_docs_b")
+    graft.sources.Tables.writeBucketed(docs, "graft_docs_a", "doc_id", buckets = 8)
+    graft.sources.Tables.writeBucketed(docs.select("doc_id", "n_chars"),
+      "graft_docs_b", "doc_id", buckets = 8)
     try {
       // merge hint: at test scale the planner would broadcast the small
       // side (bypassing bucketed scans entirely); at 100 TB neither side

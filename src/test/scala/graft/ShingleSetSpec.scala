@@ -42,6 +42,29 @@ class ShingleSetSpec extends GraftSpec {
     assert(rows.length == texts.length)
   }
 
+  test("registered builders reject null and non-positive k with AnalysisException") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val one = Seq(("abc", 1)).toDF("t", "tag")
+    Seq("shingle_set(t, null)", "shingle_set(t, 0)", "shingle_set(t, -2)",
+        "shingle_stats(t, null)", "shingle_stats(t, 0)").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        one.select(expr(bad)).collect()
+      }
+      assert(e.getMessage.contains("k"), s"$bad -> ${e.getMessage}")
+    }
+  }
+
+  test("minhash_sig: null for empty arrays, null elements skipped") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT minhash_sig(cast(array() AS array<string>)) AS empty,
+        |  minhash_sig(array(cast(null AS string))) AS allnull,
+        |  minhash_sig(array('x', cast(null AS string))) AS mixed,
+        |  minhash_sig(array('x')) AS just_x""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(!r.isNullAt(2) && r.getSeq[Long](2) == r.getSeq[Long](3))
+  }
+
   test("short text yields an empty set; k=1 yields the distinct chars") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val r = Seq(("ab", 0), ("abcba", 1)).toDF("t", "tag")

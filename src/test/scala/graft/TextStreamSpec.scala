@@ -86,6 +86,24 @@ class TextStreamSpec extends GraftSpec {
     assert(rows == Set((1L, 1L, 10L)))
   }
 
+  test("dedupWithinWatermark drops redelivered events, emits first arrivals once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append").start()
+    def ev(id: Long, min: Int) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), 1L, "click", 1.0)
+    mem.addData(ev(1, 0), ev(1, 0), ev(2, 5)) // same-batch redelivery
+    q.processAllAvailable()
+    mem.addData(ev(1, 1), ev(3, 6)) // cross-batch redelivery within the watermark
+    q.processAllAvailable()
+    val ids = spark.table("dedup_wm_test").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("streaming windowedAgg aggregates MemoryStream events into hourly windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
