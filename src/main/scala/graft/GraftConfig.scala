@@ -111,6 +111,8 @@ case class GraftConfig(
     // deterministic sampling: first-4-hex-chars md5 bucket upper bound
     // ('3333' ≈ 0x3333/0x10000 = 20%), hash keyed by (source, doc_id)
     sampleHexUpper: String = "3333",
+    // stratified sampling (q81): per-language doc cap, md5-ordered
+    stratifiedCap: Int = 50,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -139,12 +139,7 @@ class CurationOps(val cfg: GraftConfig) {
     * engines (int counts → exact doubles). */
   def q71BigramLm(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
-      .select(element_at(col("ws"), col("g")).as("w1"),
-        element_at(col("ws"), col("g") + 1).as("w2"))
+    docBigrams(spark, dir)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .withColumn("p", col("cnt").cast("double") / sum(col("cnt")).over(w))
       .filter(col("cnt") >= MinPair)
@@ -296,6 +291,72 @@ class CurationOps(val cfg: GraftConfig) {
        |SELECT w1, w2, cnt,
        |  CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY w1) AS p
        |FROM agg QUALIFY cnt >= $MinPair""".stripMargin
+
+  /** Per-doc adjacent word pairs — shared by the q71 LM aggregate and
+    * the q80 coverage scorer. */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(col("doc_id"), element_at(col("ws"), col("g")).as("w1"),
+        element_at(col("ws"), col("g") + 1).as("w2"))
+
+  /** q80: LM-coverage quality score — the fluency-filter primitive a
+    * perplexity gate reduces to when scores must be engine-portable:
+    * per doc, how many of its adjacent word pairs are covered by the
+    * corpus bigram LM (q71's cnt ≥ $MinPair table). Integer counts +
+    * one exact double ratio keep the oracle hash bitwise (log-based
+    * perplexity would diverge between libm and the JVM in final ulps).
+    *
+    * Scale: the LM side is the count-thresholded bigram table (≪
+    * corpus); the join is keyed by (w1, w2) where the LM side is
+    * UNIQUE, so even "of the"-grade hot bigrams fan out 1:1 — no
+    * skew amplification; the per-doc aggregate is map-side partial. */
+  def q80LmCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val lm = q71BigramLm(spark, dir).select(col("w1"), col("w2"), lit(1).as("kw"))
+    docBigrams(spark, dir)
+      .join(lm, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count(col("kw")).as("n_known"))
+      .withColumn("known_frac",
+        col("n_known").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  def q80Sql: String =
+    s"""WITH dp AS (
+       |  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2),
+       |lm AS (SELECT w1, w2 FROM dp GROUP BY w1, w2 HAVING count(*) >= $MinPair)
+       |SELECT doc_id, count(*) AS n_bigrams, count(l.w1) AS n_known,
+       |  CAST(count(l.w1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS known_frac
+       |FROM dp LEFT JOIN lm l USING (w1, w2) GROUP BY doc_id""".stripMargin
+
+  /** q81: deterministic STRATIFIED sampling — at most
+    * ${cfg.stratifiedCap} docs per language, chosen by md5 order (the
+    * per-stratum twin of q75's global md5-bucket sample; every engine
+    * ranks the same docs the same way, no RNG). The rank≤k filter over
+    * a per-stratum window is Spark 4's WindowGroupLimit shape: the
+    * limit pushes into each map task as a partial top-k, so no stratum
+    * is ever globally sorted — the 100 TB plan is partial top-k per
+    * partition, one shuffle of the survivors per stratum. */
+  def q81StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfg.stratifiedCap)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
+  def q81Sql: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+       |FROM documents
+       |QUALIFY rk <= ${cfg.stratifiedCap}""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -158,6 +158,24 @@ class CurationSpec extends GraftSpec {
     assert(Curation.q78Features(spark, dir).count() == 0)
   }
 
+  test("q80 LM coverage: fractions bounded, known never exceeds total") {
+    val df = Curation.q80LmCoverage(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter(col("n_known") > col("n_bigrams")).count() == 0)
+    assert(df.filter(col("known_frac") < 0 || col("known_frac") > 1).count() == 0)
+  }
+
+  test("q81 stratified sample: per-language cap respected, ranks dense, deterministic") {
+    val df = Curation.q81StratifiedSample(spark, sf)
+    val cap = graft.GraftConfig.default.stratifiedCap
+    val perLang = df.groupBy("lang").agg(count(lit(1)).as("n"), max(col("rk")).as("mx"))
+    assert(perLang.filter(col("n") > cap).count() == 0)
+    // ranks are exactly 1..n within each language (dense, no gaps)
+    assert(perLang.filter(col("mx") =!= col("n")).count() == 0)
+    val again = Curation.q81StratifiedSample(spark, sf)
+    assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
+  }
+
   test("q70: stream-static enrichment equals the batch join on sf0.001") {
     val streamed = EventStream.q70StreamEnrich(spark, sf)
       .select("nation", "event_type", "n_events", "total_value").collect()
