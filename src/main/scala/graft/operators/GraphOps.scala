@@ -561,6 +561,49 @@ class GraphOpsLib(val cfg: GraftConfig) {
     tot.crossJoin(n50)
   }
 
+  /** Per-phase contig stats for SEVERAL graph states in ONE pass [the
+    * reference driver's computeStats-after-every-phase loop,
+    * BrushAssembler.java:839-885]: the phase tag is folded into the node
+    * identity (struct(ph, id)), the union of all phases' edge sets runs
+    * through a SINGLE pointer-jump chain resolution, and grouped
+    * aggregations emit one q28-shaped row per phase.
+    *
+    * The scale point: [[resolveChainsFrom]] costs O(log longest-chain)
+    * self-join ROUNDS, each a driver-synchronized job — resolving k
+    * phases separately pays that round overhead k times on mostly-
+    * overlapping graphs. Namespacing makes the union one graph whose
+    * round count is the MAX over phases, not the sum, and every
+    * per-round shuffle carries all phases' frontiers together. */
+  private[graft] def multiPhaseStatsFromEdges(spark: SparkSession, docs: DataFrame,
+      phases: Seq[(String, DataFrame)]): DataFrame = {
+    val edges = phases.map { case (tag, e) =>
+      e.select(lit(tag).as("ph"), col("src"), col("dst")) }.reduce(_ unionAll _)
+      .select(struct(col("ph"), col("src").as("id")).as("src"),
+              struct(col("ph"), col("dst").as("id")).as("dst"))
+    val nodes = docs.select(
+        explode(array(phases.map(p => lit(p._1)): _*)).as("ph"), col("doc_id"))
+      .select(struct(col("ph"), col("doc_id").as("id")).as("node"))
+    val chains = resolveChainsFrom(spark, nodes, edges, withDepth = false)
+    val lens = chains.select(col("head"), col("node.id").as("node_id"))
+      .join(docs.select(col("doc_id").as("node_id"), col("n_chars")), "node_id")
+      .groupBy("head").agg(sum(col("n_chars")).as("clen"))
+      .select(col("head.ph").as("phase"), col("clen"))
+    val tot = lens.groupBy("phase").agg(count(lit(1)).as("n_contigs"),
+      sum(col("clen")).as("total_len"), max(col("clen")).as("max_len"))
+    // per-phase histogram N50 (see statsFromChains): the triangular join
+    // is phase-local, still broadcast-sized (|distinct lengths| per phase)
+    val hist = lens.groupBy("phase", "clen").agg(count(lit(1)).as("n"))
+    val csum = hist.as("a").join(broadcast(hist.as("b")),
+        col("a.phase") === col("b.phase") && col("b.clen") >= col("a.clen"))
+      .groupBy(col("a.phase").as("phase"), col("a.clen").as("bclen"))
+      .agg(sum(col("b.clen") * col("b.n")).as("csum"))
+    val n50 = csum.join(tot.select(col("phase"), col("total_len").as("t")), "phase")
+      .filter(col("csum") >= col("t") / 2.0)
+      .groupBy("phase").agg(max(col("bclen")).as("n50"))
+    tot.join(n50, "phase")
+      .select(col("phase"), col("n_contigs"), col("total_len"), col("max_len"), col("n50"))
+  }
+
   def q28Sql: String =
     chainSql +
     s""",
@@ -936,6 +979,34 @@ class GraphOpsLib(val cfg: GraftConfig) {
 
   private[operators] def q17SqlFrom: String = q17Sql
   private[operators] def q26SqlFrom: String = q26Sql
+  /** Prefixed per-phase contig stats CTEs for the q82 oracle: chain
+    * compression of `edgeCte` (recursive heads CTE) + the q28 stats
+    * aggregate, all CTE names prefixed with `p` so several phases
+    * coexist in one WITH RECURSIVE. Emits `<p>_st`: one row
+    * (phase, n_contigs, total_len, max_len, n50). */
+  private[operators] def phaseStatsSql(edgeCte: String, p: String, tag: String): String =
+    s"""${p}_odeg AS (SELECT src, count(*) AS c FROM $edgeCte GROUP BY src),
+       |${p}_ideg AS (SELECT dst, count(*) AS c FROM $edgeCte GROUP BY dst),
+       |${p}_comp AS (
+       |  SELECT e.src AS parent, e.dst AS node FROM $edgeCte e
+       |  JOIN ${p}_odeg o ON e.src = o.src JOIN ${p}_ideg i ON e.dst = i.dst
+       |  WHERE o.c = 1 AND i.c = 1),
+       |${p}_heads AS (
+       |  SELECT d.doc_id AS node, d.doc_id AS head FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}_comp c WHERE c.node = d.doc_id)
+       |  UNION ALL
+       |  SELECT c.node, h.head FROM ${p}_heads h JOIN ${p}_comp c ON c.parent = h.node),
+       |${p}_lens AS (SELECT head, CAST(SUM(n_chars) AS BIGINT) AS clen
+       |  FROM ${p}_heads JOIN documents ON doc_id = node GROUP BY head),
+       |${p}_tot AS (SELECT count(*) AS n_contigs, CAST(SUM(clen) AS BIGINT) AS total_len,
+       |  max(clen) AS max_len FROM ${p}_lens),
+       |${p}_ord AS (SELECT clen, CAST(SUM(clen) OVER (ORDER BY clen DESC, head) AS BIGINT) AS csum
+       |  FROM ${p}_lens),
+       |${p}_st AS (SELECT '$tag' AS phase, n_contigs, total_len, max_len,
+       |  (SELECT clen FROM ${p}_ord, ${p}_tot WHERE csum >= total_len / 2.0
+       |   ORDER BY csum LIMIT 1) AS n50
+       |  FROM ${p}_tot)""".stripMargin
+
   private[operators] def chainDepthCtesFromEdges(edgeCte: String): String =
     chainDepthCtesFrom(edgeCte)
 

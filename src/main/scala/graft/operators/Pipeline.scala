@@ -116,12 +116,23 @@ object Pipeline {
     * caller to collect/write. The default (null) path pays nothing and
     * q62's output and oracle are untouched. */
   def assembleFull(spark: SparkSession, dir: String,
-      onPhaseStats: (String, DataFrame) => Unit): DataFrame = {
+      onPhaseStats: (String, DataFrame) => Unit): DataFrame =
+    assembleFullWithPhases(spark, dir,
+      if (onPhaseStats == null) null
+      else (tag: String, e: DataFrame) => onPhaseStats(tag,
+        GraphOps.statsFromEdges(spark, Tables.documents(spark, dir), e)))
+
+  /** Core of [[assembleFull]]: `onPhase` (nullable) receives each
+    * phase's (tag, edge state). The stats adapter above computes one
+    * chain resolution per phase — fine for a driver printing progress;
+    * q82 instead collects the edge states and resolves ALL phases'
+    * chains in ONE namespaced pointer-jump pass. */
+  private[graft] def assembleFullWithPhases(spark: SparkSession, dir: String,
+      onPhase: (String, DataFrame) => Unit): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val docs = Tables.documents(spark, dir)
     def phaseStats(tag: String, e: DataFrame): Unit =
-      if (onPhaseStats != null)
-        onPhaseStats(tag, GraphOps.statsFromEdges(spark, docs, e))
+      if (onPhase != null) onPhase(tag, e)
     // eager checkpoint per stage: cuts the k^stages lineage growth
     // (removeTips references its input ~13×). local (in-memory) by
     // default; cfg.reliableStageCheckpoints=true flips every stage cut to
@@ -222,31 +233,48 @@ object Pipeline {
     * round's CTE is built by the stage's own SQL builder from the
     * previous round's output, with round counts read from the SAME
     * config the Spark side runs. */
-  def q62Sql: String = {
+  /** The q62 phase chain as staged CTEs; returns (stage CTE list,
+    * (phase tag, CTE holding that phase's edge state) marks, final
+    * edge CTE). Shared by the q62 contigs oracle and the q82 per-phase
+    * stats oracle so both unroll the SAME chain from the SAME config. */
+  private def asmStagesSql(): (Seq[String], Seq[(String, String)], String) = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    val marks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var cur = "oe0"
     stages += s"oe0 AS MATERIALIZED (${GraphOps.q17SqlFrom})"
     for (i <- 1 to cfg.asmChimericRounds) {
       stages += GraphOps.reciprocalBestSql(cur, s"c$i"); cur = s"c${i}_out"
     }
+    marks += ("chimeric" -> cur)
     stages += GraphOps.transReduceSql(cur, "tr"); cur = "tr_out"
+    marks += ("transred" -> cur)
     for (i <- 1 to cfg.asmTipRounds) {
       stages += GraphOps.tipRoundSqlFrom(cur, s"t$i"); cur = s"t${i}_out"
     }
+    marks += ("tips" -> cur)
     for (i <- 1 to cfg.asmPopRounds) {
       stages += GraphOps.popRoundSql(cur, s"p$i"); cur = s"p${i}_out"
     }
+    marks += ("pop" -> cur)
     stages += s"""lc AS MATERIALIZED (SELECT doc_id FROM (${GraphOps.q26SqlFrom})),
       |lc_out AS MATERIALIZED (SELECT src, dst FROM $cur
       |  WHERE src NOT IN (SELECT doc_id FROM lc)
       |    AND dst NOT IN (SELECT doc_id FROM lc))""".stripMargin
     cur = "lc_out"
+    marks += ("lowcov" -> cur)
     for (i <- 1 to cfg.asmPostLowcovTipRounds) {
       stages += GraphOps.tipRoundSqlFrom(cur, s"u$i"); cur = s"u${i}_out"
     }
+    marks += ("tips2" -> cur)
     for (i <- 1 to cfg.asmRepeatRounds) {
       stages += GraphOps.repeatCutRoundSql(cur, s"r$i"); cur = s"r${i}_out"
     }
+    marks += ("repeat" -> cur)
+    (stages.toSeq, marks.toSeq, cur)
+  }
+
+  def q62Sql: String = {
+    val (stages, _, cur) = asmStagesSql()
     s"""WITH RECURSIVE
        |${stages.mkString(",\n")},
        |${GraphOps.chainDepthCtesFromEdges(cur)}
@@ -254,5 +282,36 @@ object Pipeline {
        |  string_agg(d.text, ' | ' ORDER BY h.depth, h.node) AS consensus
        |FROM heads h JOIN documents d ON d.doc_id = h.node
        |GROUP BY h.head""".stripMargin
+  }
+
+  /** q82: the reference driver's OBSERVABILITY surface as a query —
+    * one q28-shaped stats row per assembly phase (the after-every-phase
+    * computeStats calls, BrushAssembler.java:839-885), built on the
+    * [[assembleFull]] onPhaseStats hook. The oracle unrolls the same
+    * phase chain and computes each phase's chain-compressed contig
+    * stats with prefixed CTEs, so the whole per-phase trajectory is
+    * hash-gated, not just the final contigs. */
+  def q82PhaseStats(spark: SparkSession, dir: String): DataFrame = {
+    // collect each phase's (already stage-checkpointed) edge state, then
+    // resolve ALL phases' chains in one namespaced pointer-jump pass —
+    // one O(log chain) loop total instead of one per phase (the
+    // per-phase statsFromEdges adapter measured 21.5 s at sf0.1; the
+    // fused pass runs at q62-plus-one-resolution cost)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    assembleFullWithPhases(spark, dir,
+      (tag, e) => acc += (tag -> e.select("src", "dst")))
+    GraphOps.multiPhaseStatsFromEdges(spark, Tables.documents(spark, dir), acc.toSeq)
+  }
+
+  def q82Sql: String = {
+    val (stages, marks, _) = asmStagesSql()
+    val statsCtes = marks.map { case (tag, cte) =>
+      GraphOps.phaseStatsSql(cte, s"st_$tag", tag)
+    }
+    s"""WITH RECURSIVE
+       |${stages.mkString(",\n")},
+       |${statsCtes.mkString(",\n")}
+       |${marks.map { case (tag, _) => s"SELECT * FROM st_${tag}_st" }
+          .mkString("\nUNION ALL\n")}""".stripMargin
   }
 }

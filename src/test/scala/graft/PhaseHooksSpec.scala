@@ -22,6 +22,25 @@ class PhaseHooksSpec extends GraftSpec {
     assert(contigs.count() == Pipeline.assembleFull(spark, sf).count())
   }
 
+  test("fused multi-phase stats match per-phase statsFromEdges exactly") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    val docs = (1L to 10L).map(i => (i, 100L + i)).toDF("doc_id", "n_chars")
+    // phase a: two chains; phase b: a chain sharing nodes with a 2-cycle
+    // (cycle nodes must be excluded identically on both paths)
+    val phaseA = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val phaseB = Seq((7L, 8L), (8L, 9L), (9L, 10L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val phases = Seq("a" -> phaseA, "b" -> phaseB)
+    val fused = GraphOps.multiPhaseStatsFromEdges(spark, docs, phases)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val separate = phases.map { case (tag, e) =>
+      val r = GraphOps.statsFromEdges(spark, docs, e).collect()(0)
+      tag -> (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }.toMap
+    assert(fused == separate)
+  }
+
   test("bounded loops warn when the round budget is exhausted mid-cleaning") {
     import spark.implicits._
     val warns = scala.collection.mutable.ArrayBuffer.empty[String]
