@@ -54,6 +54,14 @@ case class GraftConfig(
     // via SparkContext.setCheckpointDir), surviving executor loss exactly
     // like the reference's HDFS handoffs between MapReduce jobs.
     reliableStageCheckpoints: Boolean = false,
+    // partition sizing for stage-checkpointed graph tables (GraphOps.
+    // sizedCk): target rows per partition when re-cutting a counted
+    // stage output. Fixpoint rounds pay task scheduling + AQE stage
+    // latency PER PARTITION, so a small stage table must not carry the
+    // corpus-sized parallelism of the scan/join plan that built it;
+    // 1M edge rows ≈ tens of MB per task, the same bytes-per-task
+    // discipline AQE applies to shuffle outputs.
+    stageRowsPerPartition: Long = 1L << 20,
     // graph stats [CloudBrush: Stats cutoffs array + min contig length]
     statsMinLen: Long = 100L,
     // bubble popping [FindBubbles.java:207 BUBBLEEDITRATE]

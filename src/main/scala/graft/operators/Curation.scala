@@ -191,7 +191,9 @@ class CurationOps(val cfg: GraftConfig) {
     * key no matter how often boilerplate repeats in train. */
   def q74CrossLeakage(spark: SparkSession, dir: String): DataFrame = {
     val isEval = (col("doc_id") % EvalMod) >= (EvalMod - 2)
-    val key = array_join(slice(split(col("text"), " "), 1, cfg.dedupKeyWords), " ")
+    // preWords ≡ array_join(slice(split(text), 1, m)) (BoundaryKeySpec)
+    // without allocating the doc's full word array on the scan
+    val key = GraphOps.preWords(col("text"), cfg.dedupKeyWords)
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(!isEval).select(key.as("ckey"))
       .groupBy("ckey").agg(count(lit(1)).as("n_train_dups"))

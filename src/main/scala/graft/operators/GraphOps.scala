@@ -28,15 +28,32 @@ class GraphOpsLib(val cfg: GraftConfig) {
   val LowCovThreshold: Double = cfg.lowCovThreshold
   private val seqOps = new SequenceOps(cfg)
 
+  /** First m words of `text`, single-space delimited — WITHOUT splitting
+    * the doc into a word array: substring_index stops scanning at the
+    * m-th delimiter, split allocates every word of a multi-KB doc just
+    * to read its boundary (measured: the split formulation burned ~14 s
+    * of executor CPU in edges2's hot-key pass alone at sf0.1). Semantics
+    * pinned to split+slice by BoundaryKeySpec: fewer than m words →
+    * the whole text (slice(ws, 1, m) caps at the array length). */
+  private[graft] def preWords(text: Column, m: Int): Column =
+    substring_index(text, " ", m)
+
+  /** Last m words of `text` — split+slice-equivalent: slice(ws, -m, m)
+    * returns EMPTY when the doc has fewer than m words (so a short doc
+    * never suffix-matches), and fewer than m words ⟺ fewer than m−1
+    * delimiters ⟺ substring_index(text, m−1) is the whole text. */
+  private[graft] def sufWords(text: Column, m: Int): Column =
+    if (m <= 1) substring_index(text, " ", -1)
+    else when(substring_index(text, " ", m - 1) === text, lit(""))
+      .otherwise(substring_index(text, " ", -m))
+
   /** Docs annotated with first/last words and 2-word boundary keys. */
   private[graft] def docsKeyedFrom(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("n_chars"),
-        element_at(col("ws"), 1).as("fw"),
-        element_at(col("ws"), -1).as("lw"),
-        array_join(slice(col("ws"), 1, 2), " ").as("pre2"),
-        array_join(expr("slice(ws, -2, 2)"), " ").as("suf2"))
+    docs.select(col("doc_id"), col("n_chars"),
+      preWords(col("text"), 1).as("fw"),
+      sufWords(col("text"), 1).as("lw"),
+      preWords(col("text"), 2).as("pre2"),
+      sufWords(col("text"), 2).as("suf2"))
 
   private def docsKeyed(spark: SparkSession, dir: String): DataFrame =
     docsKeyedFrom(Tables.documents(spark, dir))
@@ -110,11 +127,10 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // so a viral m-word boundary phrase must not explode it either] is
     // ONE aggregation, instead of 3 arms × (2 scans + agg + anti-join)
     val keys = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(array((2 to 4).map(m => struct(
         lit(m).as("m"),
-        array_join(expr(s"slice(ws, -$m, $m)"), " ").as("sk"),
-        array_join(slice(col("ws"), 1, m), " ").as("pk"))): _*)).as("x"))
+        sufWords(col("text"), m).as("sk"),
+        preWords(col("text"), m).as("pk"))): _*)).as("x"))
       .select(col("doc_id"), col("x.m").as("m"), col("x.sk").as("sk"), col("x.pk").as("pk"))
     val occ = keys.select(col("m"), col("sk").as("k"))
       .unionAll(keys.select(col("m"), col("pk").as("k")))
@@ -237,6 +253,26 @@ class GraphOpsLib(val cfg: GraftConfig) {
     } else {
       val c = df.localCheckpoint(false); (c, c.count())
     }
+
+  /** Right-size a just-COUNTED, materialized stage table's partitioning.
+    *
+    * Stage outputs inherit the parallelism of the corpus-sized scan/join
+    * plans that built them (64+ thin partitions for a 26k-row edge set at
+    * sf0.1), and every fixpoint round downstream then pays task scheduling
+    * and AQE stage latency PER PARTITION — measured ~3× of a cleaning
+    * round's cost, with identical results. One extra narrow re-cut at
+    * phase entry buys every round after it (round outputs inherit the
+    * sized partitioning through narrow broadcast joins).
+    *
+    * rows→partitions ratio is cfg.stageRowsPerPartition: 26k edges → 1
+    * partition locally; 10B edges at corpus scale → ~10k partitions on a
+    * cluster — the bytes-per-task discipline AQE applies to shuffles,
+    * extended to checkpoint scans AQE cannot re-plan. Only ever shrinks
+    * (and only on a ≥2× gap, so a well-sized table passes through). */
+  private[operators] def sizedCk(e: DataFrame, n: Long): DataFrame = {
+    val want = math.max(1L, (n + cfg.stageRowsPerPartition - 1) / cfg.stageRowsPerPartition)
+    if (want * 2 <= e.rdd.getNumPartitions) stageCk(e.coalesce(want.toInt)) else e
+  }
 
   /** q22: transitive reduction on the coarse graph — drop a→b when some
     * 2-path a→x→b exists. Mid-class arithmetic instead of a path
@@ -940,8 +976,12 @@ class GraphOpsLib(val cfg: GraftConfig) {
   def q63RepeatAdjust(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     // cut before round 1: every round's detect pass re-scans the edge
-    // blocks through the lazy broadcast-filter chain below
-    val e0 = graft.Trace("q63.edges")(stageCk(edges2(spark, dir).select("src", "dst")))
+    // blocks through the lazy broadcast-filter chain below; sized so the
+    // per-round aggregation passes don't pay the build plan's task count
+    val e0 = graft.Trace("q63.edges") {
+      val (c, n) = ckCount(edges2(spark, dir).select("src", "dst"))
+      sizedCk(c, n)
+    }
     // Two jobs per round: (1) materialize the SMALL boundary keep map,
     // (2) apply it as broadcast map-side filters and fuse the tip
     // detect+remove+materialize+count of the shrunk remainder into one
@@ -1045,7 +1085,10 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // if the main chain fails, kill the background jobs instead of
     // leaving them running unobserved with their failure swallowed
     try {
-      val e = stageCk(edges2(spark, dir))
+      val e = {
+        val (c, n) = ckCount(edges2(spark, dir))
+        sizedCk(c, n)
+      }
       // the removal set feeds BOTH anti-join arms → materialize the
       // (small) node list once and broadcast it per arm
       val rem = stageCk(
@@ -1099,11 +1142,9 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // remaining consumers re-run only a cheap small aggregation, cheaper
     // than an extra eager materialization job per query invocation.
     val docs = docs0.select("doc_id", "n_chars", "text")
-    val d = docs
-      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("n_chars"),
-        element_at(col("ws"), 1).as("fw"),
-        element_at(col("ws"), -1).as("lw"))
+    val d = docs.select(col("doc_id"), col("n_chars"),
+      preWords(col("text"), 1).as("fw"),
+      sufWords(col("text"), 1).as("lw"))
     // classTop's eager materialization is ALSO load-bearing for plan
     // quality, not just reuse: as an ExistingRDD with known (tiny) size it
     // broadcasts into the cands join, where the lazy groupBy's unknown
@@ -1118,10 +1159,8 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .select(col("fw"), col("lw"), col("c.doc_id").as("cand_id"), (-col("c.negl")).as("cand_len"))
       .join(docs.select(col("doc_id").as("cand_id"), col("text").as("cand_text")), "cand_id")
     // members × same-class candidates: the only levenshtein pass
-    val mem = docs
-      .select(col("doc_id"), col("n_chars"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("n_chars"), col("text"),
-        element_at(col("ws"), 1).as("fw"), element_at(col("ws"), -1).as("lw"))
+    val mem = docs.select(col("doc_id"), col("n_chars"), col("text"),
+      preWords(col("text"), 1).as("fw"), sufWords(col("text"), 1).as("lw"))
     // explicit repartition: the member×candidate join output is tiny in
     // BYTES but each row costs an O(len²) levenshtein — AQE coalesces by
     // bytes and would funnel every edit distance into one task
@@ -1261,8 +1300,14 @@ class GraphOpsLib(val cfg: GraftConfig) {
       detect: DataFrame => DataFrame): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     // cutEntry=false: the caller's input is already a materialized
-    // checkpoint — re-cutting it would copy the full edge set once more
-    val e = if (cutEntry) stageCk(e0.select("src", "dst")) else e0.select("src", "dst")
+    // checkpoint — re-cutting it would copy the full edge set once more.
+    // Either way, right-size the partitioning before the rounds (the
+    // count over materialized blocks is cheap; sizedCk no-ops when the
+    // caller's entry is already sized)
+    val e = {
+      val base = if (cutEntry) stageCk(e0.select("src", "dst")) else e0.select("src", "dst")
+      if (base.rdd.getNumPartitions <= 2) base else sizedCk(base, base.count())
+    }
     var cur: DataFrame = e
     var rem: DataFrame = null
     var n = 0L
@@ -1306,6 +1351,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // early exit on an unchanged edge count — converged rounds are
     // idempotent no-ops, so the bounded-round oracle unrolls identically
     var (e, n) = ckCount(edges2(spark, dir).select("src", "dst"))
+    e = sizedCk(e, n) // rounds inherit the sized partitioning
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < TipRounds) {

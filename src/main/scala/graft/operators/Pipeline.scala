@@ -55,6 +55,7 @@ object Pipeline {
   def cleanToConvergence(spark: SparkSession, edges0: DataFrame, maxRounds: Int = 25): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     var (e, n) = cutAndCount(edges0.select("src", "dst"))
+    e = GraphOps.sizedCk(e, n) // rounds inherit the sized partitioning
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
@@ -165,6 +166,10 @@ object Pipeline {
     def rounds(tag: String, e0: DataFrame, maxRounds: Int)(round: DataFrame => DataFrame): DataFrame = {
       var e = e0
       var n = e.count()
+      // size the phase entry once; every round (and every later phase,
+      // whose loops inherit this partitioning) stops paying the build
+      // plan's task count per round
+      e = GraphOps.sizedCk(e, n)
       var i = 0
       var stop = false
       while (i < maxRounds && !stop) {

@@ -28,7 +28,12 @@ object JobProbe {
         val i = s.stageInfo
         val run = i.taskMetrics.executorRunTime / 1e3
         val cpu = i.taskMetrics.executorCpuTime / 1e9
-        lines += f"  STAGE ${i.stageId}%3d tasks=${i.numTasks}%3d run=$run%7.2fs cpu=$cpu%7.2fs ${i.name.take(60)}"
+        // first graft frame in the callsite stack: the AQE future wrapper
+        // hides the real site in `name`, but `details` keeps the stack
+        val site = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("JobProbe"))
+          .map(_.trim.take(70)).getOrElse(i.name.take(60))
+        lines += f"  STAGE ${i.stageId}%3d tasks=${i.numTasks}%3d run=$run%7.2fs cpu=$cpu%7.2fs $site"
       }
     }
     spark.sparkContext.addSparkListener(listener)
