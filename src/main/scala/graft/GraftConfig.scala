@@ -121,6 +121,13 @@ case class GraftConfig(
     sampleHexUpper: String = "3333",
     // stratified sampling (q81): per-language doc cap, md5-ordered
     stratifiedCap: Int = 50,
+    // sequence packing (q83): context-window token budget per packed
+    // bin, and the md5-hex prefix length that defines packing shards
+    // (16^len shards; each shard's window sorts on one task, so the
+    // shard count must scale with the corpus — 2 hex = 256 shards for
+    // local testing, 4 hex = 65k shards ≈ 1.5 GB/shard at 100 TB)
+    packCtxTokens: Long = 2048L,
+    packShardHexLen: Int = 2,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -359,6 +359,74 @@ class CurationOps(val cfg: GraftConfig) {
        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
        |FROM documents
        |QUALIFY rk <= ${cfg.stratifiedCap}""".stripMargin
+
+  /** q83: deterministic sequence PACKING — assign every doc to a packed
+    * training bin of ≤ ~${cfg.packCtxTokens} tokens: docs are sharded by
+    * an md5-hex prefix of the q75 content key, ordered within the shard
+    * by the full hash, and a running token cumsum divides into
+    * fixed-budget bins (the batch-construction step of an LM data
+    * pipeline, where documents are concatenated into context windows).
+    *
+    * Scale shape: ONE window per shard (never a global window — an
+    * unsharded cumsum funnels the corpus into a single task), shard
+    * count from cfg.packShardHexLen so it grows with the corpus, and
+    * membership is content-stable: like q75/q68, re-runs and
+    * shard-by-shard runs reproduce identical bins — no RNG, no
+    * row-order dependence. */
+  def q83Pack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("shard", substring(col("h"), 1, cfg.packShardHexLen))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_toks"),
+        expr(s"cum_before div ${cfg.packCtxTokens}").as("bin_id"))
+  }
+
+  def q83Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents)
+       |SELECT doc_id, substr(h, 1, ${cfg.packShardHexLen}) AS shard, n_toks,
+       |  COALESCE(SUM(n_toks) OVER (
+       |    PARTITION BY substr(h, 1, ${cfg.packShardHexLen})
+       |    ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${cfg.packCtxTokens} AS bin_id
+       |FROM t""".stripMargin
+
+  /** q84: stopword SCRUB — the normalization pass a dedup/fingerprint
+    * stage runs before hashing: drop the configured stopwords, collapse
+    * the gaps, and fingerprint the scrubbed text. Row-local end to end
+    * (regex + md5 inside one codegen'd scan projection — no shuffle, no
+    * join; the 100 TB cost is exactly one corpus read). n_stop counts
+    * the removed words via the same filter-on-split the q78 featurizer
+    * uses, so the count and the regex agree on what a stopword is. */
+  def q84StopwordScrub(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = cfg.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val pat = cfg.stopwords.mkString("\\b(?:", "|", ")\\b")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr(s"filter(split(text, ' '), w -> w IN $stopList)")).cast("long").as("n_stop"),
+        trim(regexp_replace(regexp_replace(col("text"), pat, ""), " +", " ")).as("scrubbed"))
+      .select(col("doc_id"), col("n_stop"),
+        length(col("scrubbed")).cast("long").as("scrub_chars"),
+        md5(col("scrubbed")).as("scrub_fp"))
+  }
+
+  def q84Sql: String = {
+    val stopList = cfg.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val pat = cfg.stopwords.mkString("\\b(?:", "|", ")\\b")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS BIGINT) AS n_stop,
+       |  CAST(len(trim(regexp_replace(regexp_replace(text, '$pat', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS scrub_chars,
+       |  md5(trim(regexp_replace(regexp_replace(text, '$pat', '', 'g'), ' +', ' ', 'g'))) AS scrub_fp
+       |FROM documents""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

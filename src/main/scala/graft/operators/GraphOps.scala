@@ -126,12 +126,18 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // [MatchPrefix.java:155-156 — q17 seeds the chimeric/assembly chain,
     // so a viral m-word boundary phrase must not explode it either] is
     // ONE aggregation, instead of 3 arms × (2 scans + agg + anti-join)
-    val keys = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array((2 to 4).map(m => struct(
-        lit(m).as("m"),
-        sufWords(col("text"), m).as("sk"),
-        preWords(col("text"), m).as("pk"))): _*)).as("x"))
-      .select(col("doc_id"), col("x.m").as("m"), col("x.sk").as("sk"), col("x.pk").as("pk"))
+    // materialized once, sized: the keys table feeds FOUR subtrees (two
+    // occ arms, two join sides) — lazy, each re-ran the scan+explode
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val keys = {
+      val (c, n) = ckCount(Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array((2 to 4).map(m => struct(
+          lit(m).as("m"),
+          sufWords(col("text"), m).as("sk"),
+          preWords(col("text"), m).as("pk"))): _*)).as("x"))
+        .select(col("doc_id"), col("x.m").as("m"), col("x.sk").as("sk"), col("x.pk").as("pk")))
+      sizedCk(c, n)
+    }
     val occ = keys.select(col("m"), col("sk").as("k"))
       .unionAll(keys.select(col("m"), col("pk").as("k")))
     val hot = broadcast(occ.groupBy("m", "k").agg(count(lit(1)).as("kdf"))
