@@ -121,6 +121,32 @@ case class GraftConfig(
     sampleHexUpper: String = "3333",
     // stratified sampling (q81): per-language doc cap, md5-ordered
     stratifiedCap: Int = 50,
+    // temporal joins (Temporal.scala): as-of event types (left row takes
+    // the latest right row at-or-before it, per user) and the
+    // point-in-interval query's point event type; bucket width for the
+    // interval join's explode-to-buckets equi-join
+    asofLeftType: String = "purchase",
+    asofRightType: String = "view",
+    intervalPointType: String = "error",
+    intervalBucketMs: Long = 3600000L,
+    // term ranking (Ranking.scala): per-doc top-k tf-idf terms; BM25
+    // parameters and the scored query-term list
+    tfidfTopK: Int = 3,
+    bm25K1: Double = 1.2,
+    bm25B: Double = 0.75,
+    bm25Terms: Seq[String] = Seq("spark", "join", "window"),
+    // Count-Min sketch (Sketch.scala): salted hash rows, bucket-id hex
+    // prefix length (16^len buckets per row), heavy-hitter report size
+    cmRows: Int = 4,
+    cmHexChars: Int = 2,
+    cmHeavyK: Int = 20,
+    // analytics (Analytics.scala): nearest-rank percentile levels and
+    // PageRank's iteration count + fixed-point scale (integer ranks =
+    // SCALE ≙ 1.0, so every engine agrees bit-for-bit; keep
+    // iters × log10(n × scale × 85) under long range)
+    percentileLevels: Seq[Int] = Seq(50, 90, 99),
+    pagerankIters: Int = 3,
+    pagerankScale: Long = 1000000000000L,
     // sequence packing (q83): context-window token budget per packed
     // bin, and the md5-hex prefix length that defines packing shards
     // (16^len shards; each shard's window sorts on one task, so the

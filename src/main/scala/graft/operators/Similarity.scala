@@ -181,6 +181,44 @@ class SimilarityOps(val cfg: GraftConfig) {
       .select("query_id", "vec_id", "rk", "cosine")
   }
 
+  /** q89: int8 scalar quantization of the embedding column — the
+    * compression step before an ANN index ships to serving (4× smaller
+    * than float32, dot products in integer SIMD). Per vector: qscale =
+    * max|x|/127, code_i = round(x_i/qscale) ∈ [−127, 127]; all-zero
+    * vectors quantize to all-zero codes with qscale 0. Codes are
+    * emitted as one comma-joined string per vector so the row
+    * hash-compares across engines.
+    *
+    * Scale: a pure scan projection — per-row arithmetic over the
+    * vector array, zero shuffles, codegen'd `transform`/`aggregate`
+    * HOFs. Determinism: abs/max/divide/round are all single
+    * correctly-rounded IEEE ops (no transcendentals); Spark and DuckDB
+    * both round halves away from zero, and the integral double→int
+    * cast is exact. */
+  def q89Quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("amax"))
+      .select(col("vec_id"),
+        when(col("amax") === 0.0, lit(0.0)).otherwise(col("amax") / 127.0).as("qscale"),
+        expr("""CASE WHEN amax = 0.0
+               |  THEN array_join(transform(embedding, x -> '0'), ',')
+               |  ELSE array_join(transform(embedding, x ->
+               |    CAST(CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT) AS STRING)), ',')
+               |END""".stripMargin).as("codes"))
+
+  def q89Sql: String =
+    """SELECT vec_id,
+      |  CASE WHEN amax = 0.0 THEN 0.0 ELSE amax / 127.0 END AS qscale,
+      |  CASE WHEN amax = 0.0
+      |    THEN array_to_string(list_transform(embedding, x -> '0'), ',')
+      |    ELSE array_to_string(list_transform(embedding, x ->
+      |      CAST(CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT) AS VARCHAR)), ',')
+      |  END AS codes
+      |FROM (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings)""".stripMargin
+
   /** DuckDB twin of one assignment pass: nearest centroid by fixed-point
     * cosine, ties to the lowest cent_id. */
   private def duckAssign(cTbl: String, out: String): String =

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+import graft.sources.Tables
+
+/** Temporal join operators Spark has no built-in physical operator for:
+  * the as-of join (each left event takes the latest right event
+  * at-or-before it) and the point-in-interval range join. Both are
+  * re-expressed as shapes Catalyst CAN optimize — a single keyed window
+  * pass and a bucketed equi-join — instead of the naive inequality
+  * joins, whose per-key candidate sets grow O(left × right).
+  *
+  * Cross-engine determinism: every comparison, ordering, and output is
+  * in epoch MILLISECONDS (`unix_millis` / `epoch_ms`) — the proven q8
+  * idiom. The raw parquet timestamps are nanosecond-precision, which
+  * Spark truncates to microseconds on read and DuckDB keeps; comparing
+  * at ms truncates identically on both engines, and ms ties are broken
+  * by event_id.
+  */
+class TemporalOps(val cfg: GraftConfig) {
+  private val LeftType = cfg.asofLeftType
+  private val RightType = cfg.asofRightType
+  private val PointType = cfg.intervalPointType
+  private val BucketMs = cfg.intervalBucketMs
+  private val DayMs = 86400000L
+
+  /** q85: as-of join — for each $LeftType event, the latest $RightType
+    * event by the same user with ts ≤ the left event's ts (ms ties
+    * admit the right row; among equal-ms right rows the max event_id
+    * wins). The classic quotes↔trades alignment.
+    *
+    * Scale: the union-tag formulation — tag both sides, ONE shuffle on
+    * user_id, and a running `last(_, ignoreNulls)` window carries the
+    * most recent right row forward onto each left row. O(n log n) per
+    * user partition vs the naive per-key product join the oracle runs
+    * (every right row at-or-before EVERY left row, then rank). Skewed
+    * users are one window partition — bounded by that user's events,
+    * never by the cross product. */
+  def q85AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin(LeftType, RightType))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === RightType, 0).otherwise(1).as("tag"))
+    // right rows sort before left rows at equal ms (tag 0 < 1), so the
+    // carried value implements ts <= ts; event_id asc makes `last` pick
+    // the max event_id among equal-ms right rows
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("view_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ms",
+        last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("view_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ms").as("purchase_ms"), col("view_id"), col("view_ms"),
+        (col("ms") - col("view_ms")).as("lag_ms"))
+  }
+
+  def q85Sql: String =
+    s"""WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |  WHERE event_type = '$RightType'),
+       |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |  WHERE event_type = '$LeftType'),
+       |j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ms AS purchase_ms,
+       |    v.event_id AS view_id, v.ms AS view_ms,
+       |    row_number() OVER (PARTITION BY p.event_id
+       |      ORDER BY v.ms DESC, v.event_id DESC) AS rn
+       |  FROM p JOIN v ON v.user_id = p.user_id AND v.ms <= p.ms)
+       |SELECT purchase_id, user_id, purchase_ms, view_id, view_ms,
+       |  purchase_ms - view_ms AS lag_ms
+       |FROM j WHERE rn = 1""".stripMargin
+
+  /** q86: point-in-interval range join — each user's daily activity
+    * interval [min ms, max ms] counts the $PointType events of OTHER
+    * users that fall inside it (zero-count intervals kept).
+    *
+    * Scale: the bucketed-range-join pattern. Each interval explodes to
+    * the $BucketMs buckets it covers (≤ 24 for a day interval at the
+    * 1-hour default); each point carries exactly ONE bucket, so it can
+    * match at most one exploded row per interval — counts are exact
+    * with NO distinct/dedup shuffle. The join is a plain equi-join on
+    * the bucket (+ residual range filter), sharded across buckets, vs
+    * the oracle's naive inequality join whose candidate set is
+    * |intervals| × |points| per overlapping day. AQE skew-split handles
+    * a hot hour. */
+  def q86IntervalErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+    val iv = ev.groupBy(col("user_id"), expr(s"ms div $DayMs").as("day"))
+      .agg(min("ms").as("a_start"), max("ms").as("a_end"))
+    val ivx = iv.withColumn("h",
+      explode(expr(s"sequence(a_start div $BucketMs, a_end div $BucketMs)")))
+    val pts = ev.filter(col("event_type") === PointType)
+      .select(col("user_id").as("p_user"), col("ms").as("p_ms"),
+        expr(s"ms div $BucketMs").as("ph"))
+    ivx.join(pts,
+        ivx("h") === pts("ph") && pts("p_user") =!= ivx("user_id") &&
+          pts("p_ms") >= ivx("a_start") && pts("p_ms") <= ivx("a_end"),
+        "left")
+      .groupBy("user_id", "day", "a_start", "a_end")
+      .agg(count(col("p_ms")).as("n_errors"))
+  }
+
+  def q86Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |iv AS (SELECT user_id, ms // $DayMs AS day,
+       |    min(ms) AS a_start, max(ms) AS a_end
+       |  FROM ev GROUP BY 1, 2),
+       |pts AS (SELECT user_id AS p_user, ms AS p_ms FROM ev
+       |  WHERE event_type = '$PointType')
+       |SELECT iv.user_id, iv.day, iv.a_start, iv.a_end,
+       |  count(p.p_ms) AS n_errors
+       |FROM iv LEFT JOIN pts p
+       |  ON p.p_user <> iv.user_id AND p.p_ms BETWEEN iv.a_start AND iv.a_end
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+}
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Temporal extends TemporalOps(GraftConfig.default)

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Ranking, RankingOps, Sketch, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Term ranking (q87 tf-idf, q90 bm25), Count-Min sketch (q88), and int8
+  * quantization (q89): semantics on hand corpora + invariants on real data. */
+class RankingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ranking").toString
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q87: rare term outranks common term; ties break by token asc") {
+    val dir = docs(
+      0L -> "common rare common",
+      1L -> "common common",
+      2L -> "common zebra")
+    val top = Ranking.q87Tfidf(spark, dir)
+      .filter(col("rk") === 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // 'rare' (df 1) beats 'common' (df 3) in doc 0 despite tf 2 for common:
+    // common: 2*(4/4)=2.0 < rare: 1*(4/2)=2.0 — tie! token asc → 'common'.
+    // Use the df gap harder: doc 2 'zebra' df1 tf1 = 2.0 vs common 1.0.
+    assert(top(2L) == "zebra")
+    assert(top(1L) == "common")
+  }
+
+  test("q87: emits at most top-k rows per doc with dense ranks 1..k") {
+    val out = Ranking.q87Tfidf(spark, sf).cache()
+    try {
+      val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        min("rk").as("lo"), max("rk").as("hi"))
+      assert(perDoc.filter(col("n") > Ranking.TfidfTopK).count() == 0)
+      assert(perDoc.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q90: score saturates below k1+1 and grows with tf at fixed dl") {
+    val dir = docs(
+      0L -> "spark spark spark spark other words here",
+      1L -> "spark filler filler filler filler stuff uh")
+    val rows = Ranking.q90Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val hi = rows((0L, "spark")) // tf 4, dl 7
+    val lo = rows((1L, "spark")) // tf 1, dl 7
+    assert(hi > lo && hi < Ranking.K1 + 1.0 && lo > 0.0)
+  }
+
+  test("q90: only docs containing a query term appear") {
+    val out = Ranking.q90Bm25(spark, sf)
+    assert(out.filter(col("tf") <= 0).count() == 0)
+    assert(out.filter(!col("token").isin(Ranking.Terms: _*)).count() == 0)
+  }
+
+  test("q88: sketch estimate is an upper bound that equals truth absent collisions") {
+    val out = Sketch.q88Countmin(spark, sf).collect()
+    assert(out.length == Sketch.CmHeavyK)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"cm_est ${r.getLong(2)} < true ${r.getLong(1)} for ${r.getString(0)}")
+    }
+  }
+
+  test("q88: estimates are exact on a collision-free tiny vocabulary") {
+    val dir = docs(0L -> "x x x y y z")
+    val got = Sketch.q88Countmin(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("x" -> (3L, 3L), "y" -> (2L, 2L), "z" -> (1L, 1L)))
+  }
+
+  test("q89: codes bounded by ±127, max-magnitude element hits exactly 127") {
+    val out = Similarity.q89Quantize(spark, sf).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val codes = r.getString(2).split(",").map(_.toLong)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (r.getDouble(1) > 0.0) assert(codes.map(math.abs).max == 127L)
+    }
+  }
+}

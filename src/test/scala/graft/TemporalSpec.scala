@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** As-of join (q85) and point-in-interval range join (q86): semantics on
+  * hand-built event logs plus invariants on the real table. */
+class TemporalSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Write a minimal events.parquet: (event_id, user_id, ms, type). */
+  private def events(rows: (Long, Long, Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("temporal").toString
+    rows.toSeq.toDF("event_id", "user_id", "ms", "event_type")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q85: latest at-or-before view wins; ms ties admit the view, max event_id breaks them") {
+    val dir = events(
+      (1L, 1L, 10L, "view"),
+      (2L, 1L, 20L, "view"),
+      (3L, 1L, 20L, "view"),     // same ms as purchase AND as event 2 → id 3 wins
+      (4L, 1L, 20L, "purchase"), // ties at 20 ms
+      (5L, 1L, 15L, "purchase"), // latest view ≤ 15 is id 1 (ms 10)
+      (6L, 2L, 30L, "purchase"), // user 2 has no views → dropped
+      (7L, 3L, 40L, "view"))     // view with no purchase → no output row
+    val got = Temporal.q85AsofJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (4L, 3L, 20L, 0L),  // purchase 4 ← view 3 (ms tie, max id)
+      (5L, 1L, 10L, 5L))) // purchase 5 ← view 1, lag 5 ms
+  }
+
+  test("q85: real data — one row per matched purchase, view never after purchase") {
+    val out = Temporal.q85AsofJoin(spark, sf).cache()
+    try {
+      assert(out.filter(col("view_ms") > col("purchase_ms")).count() == 0)
+      assert(out.filter(col("lag_ms") < 0).count() == 0)
+      val n = out.count()
+      assert(n > 0 && out.select("purchase_id").distinct().count() == n)
+    } finally out.unpersist()
+  }
+
+  private val H = 3600000L // ms per hour
+
+  test("q86: counts other-user points inside the daily interval, keeps zero-count intervals") {
+    val day0 = 0L
+    val dir = events(
+      // user 1 active 01:00–05:00 on day 0
+      (1L, 1L, day0 + 1 * H, "click"),
+      (2L, 1L, day0 + 5 * H, "click"),
+      // user 1's own error inside its interval must NOT count
+      (3L, 1L, day0 + 2 * H, "error"),
+      // user 2 errors: one inside user 1's interval, one outside
+      (4L, 2L, day0 + 3 * H, "error"),
+      (5L, 2L, day0 + 7 * H, "error"),
+      // user 3: no errors near it → zero-count interval
+      (6L, 3L, day0 + 10 * H, "click"))
+    val got = Temporal.q86IntervalErrors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    // user 1 interval [1h,5h]: user-2 error at 3h → 1
+    assert(got(1L) == 1L)
+    // user 2 interval [3h,7h]: user-1 error at 2h outside? no — 2h < 3h;
+    // no other-user errors in [3h,7h] except... user 1's error at 2h is
+    // before a_start → 0
+    assert(got(2L) == 0L)
+    assert(got(3L) == 0L)
+  }
+
+  test("q86: bucketed equi-join equals the naive inequality join on real data") {
+    val fast = Temporal.q86IntervalErrors(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+    val iv = ev.groupBy(col("user_id"), expr("ms div 86400000").as("day"))
+      .agg(min("ms").as("a_start"), max("ms").as("a_end"))
+    val pts = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("p_user"), col("ms").as("p_ms"))
+    val naive = iv.join(pts,
+        pts("p_user") =!= iv("user_id") &&
+          pts("p_ms") >= iv("a_start") && pts("p_ms") <= iv("a_end"), "left")
+      .groupBy("user_id", "day", "a_start", "a_end")
+      .agg(count(col("p_ms")).as("n_errors"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}
