@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+import graft.sources.Tables
+
+/** Distribution analytics: exact nearest-rank percentiles and graph
+  * centrality (PageRank) — both in integer arithmetic so the oracle
+  * hashes match bitwise. Interpolated percentiles and damped floating
+  * PageRank involve engine-divergent float summation orders; the
+  * nearest-rank definition and a fixed-point rank (SCALE ≙ 1.0, integer
+  * floor division) are the portable exact forms. */
+class AnalyticsOps(val cfg: GraftConfig) {
+  val Levels: Seq[Int] = cfg.percentileLevels
+  val PrIters: Int = cfg.pagerankIters
+  val PrScale: Long = cfg.pagerankScale
+
+  /** q91: exact nearest-rank percentiles of order value per priority
+    * class — value at 1-based rank ⌈p·n/100⌉ = (n·p + 99) div 100, the
+    * classic nearest-rank definition (no interpolation, so the output
+    * is an actual data value and engine-exact). Scale: ONE shuffle on
+    * the group key serves both window passes (rank + group count); the
+    * conditional-max pivot aggregates in the same partitioning. The
+    * per-group sort is the exact path — at 100 TB swap in a sketch
+    * (approx_percentile) when nearest-rank exactness isn't required. */
+  def q91Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy("o_orderpriority")
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(wRank).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+    val pivots = Levels.map(p =>
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("o_totalprice")))
+        .as(s"p$p"))
+    ranked.groupBy("o_orderpriority", "n").agg(pivots.head, pivots.tail: _*)
+  }
+
+  def q91Sql: String = {
+    val pivots = Levels.map(p =>
+      s"max(CASE WHEN rn = (n * $p + 99) // 100 THEN o_totalprice END) AS p$p")
+      .mkString(",\n|  ")
+    s"""WITH ranked AS (SELECT o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice, o_orderkey) AS rn,
+       |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |SELECT o_orderpriority, n,
+       |  $pivots
+       |FROM ranked GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q92: PageRank over the document overlap graph (q20's edges), in
+    * FIXED-POINT integers: rank starts at $PrScale (≙ 1.0), each
+    * iteration sends rank div out_degree along edges and damps as
+    * 0.15 + 0.85·Σ — computed as (15·SCALE) div 100 + (85·Σ) div 100,
+    * all long arithmetic, so the Σ is order-free and both engines agree
+    * exactly. Dangling nodes leak rank (the standard simplification);
+    * isolated docs keep the base rank.
+    *
+    * Scale: textbook distributed PageRank — per iteration one join of
+    * the edge list with the rank table on src and one aggregate on dst.
+    * The edge⋈outdeg subtree is identical across iterations, so the
+    * single final action reuses its exchange (ReusedExchange) instead
+    * of recomputing the candidate join per round. Long-chain runs
+    * (iters ≫ 3) should stage-checkpoint the rank table per round like
+    * the GraphOps fixpoints. */
+  def q92Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    val e = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
+    val od = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val eo = e.join(od, "src")
+    val base = lit(15L * PrScale / 100)
+    var r = docs.select(col("node"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = eo.join(r, eo("src") === r("node"))
+        .select(col("dst").as("node"), expr("pr div od").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      r = docs.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    }
+    r.select(col("node").as("doc_id"), col("pr"))
+  }
+
+  def q92Sql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT eo.dst AS node, CAST(SUM(r${i - 1}.pr // eo.od) AS BIGINT) AS s
+         |  FROM eo JOIN r${i - 1} ON r${i - 1}.node = eo.src GROUP BY 1),
+         |r$i AS (SELECT d.node,
+         |    (15 * $PrScale) // 100 + (85 * COALESCE(c$i.s, 0)) // 100 AS pr
+         |  FROM (SELECT doc_id AS node FROM documents) d
+         |  LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT src, dst FROM (${GraphOps.q20Sql})),
+       |od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+       |eo AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src)),
+       |r0 AS (SELECT doc_id AS node, CAST($PrScale AS BIGINT) AS pr FROM documents),
+       |$iters
+       |SELECT node AS doc_id, pr FROM r$PrIters""".stripMargin
+  }
+}
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Analytics extends AnalyticsOps(GraftConfig.default)

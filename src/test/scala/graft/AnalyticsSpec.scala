@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Nearest-rank percentiles (q91) and fixed-point PageRank (q92). */
+class AnalyticsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("q91: nearest-rank picks exact data values on a known distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics").toString
+    (1 to 10).map(i => (i.toLong, "P", i.toDouble)).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Analytics.q91Percentiles(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 10L)                  // n
+    assert(row.getDouble(2) == 5.0)                // p50: ceil(10*50/100)=5th
+    assert(row.getDouble(3) == 9.0)                // p90: ceil(9)=9th
+    assert(row.getDouble(4) == 10.0)               // p99: ceil(9.9)=10th
+  }
+
+  test("q91: real data — percentiles are monotone and are actual data values") {
+    val out = Analytics.q91Percentiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  private def docs(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("analytics").toString
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q92: a 3-cycle holds the stationary rank exactly (0.15·S + 0.85·S = S)") {
+    // suffix→prefix 2-word overlaps form the cycle 0→1→2→0, each node
+    // with out-degree 1, so rank S is a fixed point in exact arithmetic
+    val dir = docs(
+      0L -> "a b x y",
+      1L -> "x y c d",
+      2L -> "c d a b")
+    val r = Analytics.q92Pagerank(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> Analytics.PrScale, 1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
+  }
+
+  test("q92: real data — every doc ranked once, ranks at least the damping base") {
+    val out = Analytics.q92Pagerank(spark, sf).cache()
+    try {
+      val nDocs = graft.sources.Tables.documents(spark, sf).count()
+      assert(out.count() == nDocs)
+      assert(out.select("doc_id").distinct().count() == nDocs)
+      val base = 15L * Analytics.PrScale / 100
+      assert(out.filter(col("pr") < base).count() == 0)
+    } finally out.unpersist()
+  }
+}
