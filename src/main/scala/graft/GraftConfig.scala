@@ -89,6 +89,9 @@ case class GraftConfig(
     ivfTopK: Int = 3,
     kmeansIters: Int = 2,
     ivfNprobe: Int = 2,
+    // semantic dedup (q94): within-cell cosine threshold above which
+    // the higher-id vector is dropped
+    semDedupCos: Double = 0.42,
     // relational
     sessionGapMs: Long = 1800000L,
     highValueOrder: Double = 200000.0,

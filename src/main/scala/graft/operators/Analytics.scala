@@ -86,6 +86,58 @@ class AnalyticsOps(val cfg: GraftConfig) {
     r.select(col("node").as("doc_id"), col("pr"))
   }
 
+  /** q93: per-node triangle counts on the undirected overlap graph —
+    * the clustering-coefficient numerator. Spark side uses the
+    * DEGREE-ORDERED edge orientation (orient every edge toward the
+    * higher (degree, id) endpoint, enumerate wedges only from each
+    * edge's lower endpoint, close them against oriented edges): the
+    * classic trick that caps any vertex's wedge fanout at O(√m), so a
+    * hub with a million neighbors generates bounded work instead of a
+    * quadratic neighbor-pair blowup. The triangle SET is
+    * orientation-invariant, so the oracle closes id-ordered triads —
+    * different join shape, identical rows.
+    *
+    * Scale: two equi-joins (wedge build on the low endpoint, closure on
+    * the (b,c) edge key) over the oriented edge list; per-node counts
+    * are a map-side-combinable explode+agg of the triangle rows. */
+  def q93Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
+    val und = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient toward the higher (degree, id): a = lower endpoint
+    val keyed = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val o = keyed.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("a"), col("v").as("b"), col("du").as("da"), col("dv").as("db")))
+        .otherwise(
+          struct(col("v").as("a"), col("u").as("b"), col("dv").as("da"), col("du").as("db")))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+    val wedges = o.select(col("a"), col("b"), col("db"))
+      .join(o.select(col("a"), col("b").as("c"), col("db").as("dc")), "a")
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    val tri = wedges.join(o.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      .select("a", "b", "c")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def q93Sql: String =
+    s"""WITH e AS (SELECT src, dst FROM (${GraphOps.q20Sql})),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src <> dst),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |nodes AS (SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY 1""".stripMargin
+
   def q92Sql: String = {
     val iters = (1 to PrIters).map { i =>
       s"""c$i AS (SELECT eo.dst AS node, CAST(SUM(r${i - 1}.pr // eo.od) AS BIGINT) AS s

@@ -33,6 +33,7 @@ class SimilarityOps(val cfg: GraftConfig) {
   val NumCentroids: Int = cfg.ivfCentroids
   val IvfTopK: Int = cfg.ivfTopK
   val KmeansIters: Int = cfg.kmeansIters
+  val SemCos: Double = cfg.semDedupCos
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -245,9 +246,11 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  GROUP BY cell, g),
        |$out AS (SELECT cell AS cent_id, array_agg(m ORDER BY g) AS ce FROM ${out}_m GROUP BY cell)""".stripMargin
 
-  def q41Sql: String = {
-    // one (assign, update) CTE pair per configured Lloyd iteration, so a
-    // reconfigured instance keeps a matching oracle
+  /** Shared oracle preamble: deterministic k-means training CTEs ending
+    * at `av` (vec_id, embedding, cell) — one (assign, update) CTE pair
+    * per configured Lloyd iteration, so a reconfigured instance keeps a
+    * matching oracle. Used by q41 and q94. */
+  private def trainedAssignCtes: String = {
     val training = (1 to KmeansIters).map { i =>
       s"""${duckAssign(s"c${i - 1}", s"a$i")},
          |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
@@ -256,7 +259,11 @@ class SimilarityOps(val cfg: GraftConfig) {
        |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids),
        |$training,
        |${duckAssign(s"c$KmeansIters", "af")},
-       |av AS (SELECT af.vec_id, e.embedding, af.cell FROM af JOIN e USING (vec_id)),
+       |av AS (SELECT af.vec_id, e.embedding, af.cell FROM af JOIN e USING (vec_id))""".stripMargin
+  }
+
+  def q41Sql: String =
+    s"""$trainedAssignCtes,
        |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
        |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
        |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
@@ -278,7 +285,52 @@ class SimilarityOps(val cfg: GraftConfig) {
        |SELECT ia AS query_id, ib AS vec_id, rk, cosine FROM (
        |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
        |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
+
+  /** q94: SemDeDup-style semantic deduplication (Abbas et al. '23):
+    * cluster the corpus with the trained IVF k-means, then mark
+    * near-duplicates WITHIN each cell — a vector is dropped when a
+    * lower-id cell-mate sits at cosine ≥ $SemCos. Greedy-by-id keeper
+    * choice is deterministic (no transitive chaining), and restricting
+    * pairs to cells is exactly what makes semantic dedup tractable:
+    * the pair space is Σ|cell|² instead of n², and each cell's
+    * comparisons are one partition's work after the cell-key shuffle.
+    * At 100 TB: more centroids → smaller cells → the quadratic term is
+    * capped by the cell-size distribution the index already balances. */
+  def q94SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val assigned = assign(e, trainIndex(spark, dir))
+    val x = assigned.select(col("cell"), col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val y = assigned.select(col("cell"), col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val dups = x.join(y, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      .filter(Vec.cosineFromParts(Vec.dotN("ea", "eb"), col("na"), col("nb")) >= SemCos)
+      .select(col("idb").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
   }
+
+  def q94Sql: String =
+    s"""$trainedAssignCtes,
+       |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |p_ex AS (SELECT ida, idb, unnest(ea) AS a, unnest(eb) AS b FROM pairs),
+       |p_dots AS (SELECT ida, idb,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM p_ex GROUP BY ida, idb),
+       |dropped AS (SELECT DISTINCT idb FROM p_dots
+       |  WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= $SemCos)
+       |SELECT av.vec_id, av.cell,
+       |  av.vec_id IN (SELECT idb FROM dropped) AS dropped
+       |FROM av""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -50,6 +50,43 @@ class AnalyticsSpec extends GraftSpec {
     assert(r == Map(0L -> Analytics.PrScale, 1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
   }
 
+  test("q93: the 3-cycle docs form one triangle counted once per vertex") {
+    val dir = docs(
+      0L -> "a b x y",
+      1L -> "x y c d",
+      2L -> "c d a b")
+    val r = Analytics.q93Triangles(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("q93: degree-ordered enumeration equals the naive id-ordered closure on real data") {
+    val fast = Analytics.q93Triangles(spark, sf)
+    val e = graft.operators.GraphOps.q20OverlapEdges(spark, sf).select("src", "dst")
+    val und = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e1 = und.select(col("u").as("a"), col("v").as("b"))
+    val e2 = und.select(col("u").as("b"), col("v").as("c"))
+    val e3 = und.select(col("u").as("a"), col("v").as("c"))
+    val naive = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("q94: one row per vector; a cell's lowest id is never dropped") {
+    val out = graft.operators.Similarity.q94SemanticDedup(spark, sf).cache()
+    try {
+      val n = graft.sources.Tables.embeddings(spark, sf).count()
+      assert(out.count() == n)
+      val minPerCell = out.groupBy("cell").agg(min("vec_id").as("vec_id"))
+      val minDropped = out.join(minPerCell, Seq("cell", "vec_id"))
+        .filter(col("dropped")).count()
+      assert(minDropped == 0)
+    } finally out.unpersist()
+  }
+
   test("q92: real data — every doc ranked once, ranks at least the damping base") {
     val out = Analytics.q92Pagerank(spark, sf).cache()
     try {
