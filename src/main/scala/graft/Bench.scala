@@ -23,9 +23,14 @@ object Bench {
     // previous query. Without this, later queries inherit the memory and
     // disk pressure of everything benched before them (round-3 artifact:
     // q1_agg 21 s in the shared JVM vs 1.6 s isolated).
+    // blocking unpersist: the async variant returns while executors are
+    // still dropping the previous run's blocks, and that removal storm
+    // racing a checkpoint-heavy query's next run measured 16 s → 45 s on
+    // q82 (run2 ≫ run1 with an idle machine). Draining removals before
+    // the timer starts costs idle time, not measured time.
     def reset(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
     // two evaluations per query: the first pays one-off plan analysis +

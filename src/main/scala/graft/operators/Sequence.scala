@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
 import graft.sources.Tables
@@ -251,7 +252,11 @@ class SequenceOps(val cfg: GraftConfig) {
     * join (the q45 trick at char granularity): wildcard each of the k
     * offsets once, equi-join weak-occurrence masks against strong-k-mer
     * masks on (offset, mask) — k skinny equi-joins' worth of work in one
-    * shuffle, never |alphabet|×k probe lookups nor any all-pairs scan. */
+    * shuffle, never |alphabet|×k probe lookups nor any all-pairs scan.
+    * The corpus k-mer table is shuffled by kmer exactly ONCE: a window
+    * count gives every occurrence its global frequency in place (weak =
+    * filter, no km⋈freq re-shuffle of the corpus), and the strong-kmer
+    * distinct rides the window's partitioning exchange-free. */
   def q59CorrectionVotes(spark: SparkSession, dir: String): DataFrame = {
     val k = K
     val km = Tables.documents(spark, dir)
@@ -259,9 +264,10 @@ class SequenceOps(val cfg: GraftConfig) {
       .filter(length(col("text")) >= k)
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - (k - 1))))
       .select(col("doc_id"), col("g"), expr(s"substring(text, g, $k)").as("kmer"))
-    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
-    val weak = km.join(freq.filter(col("f") === 1).select("kmer"), "kmer")
-    val strong = freq.filter(col("f") >= cfg.voteStrongFreq).select("kmer")
+    val kmF = km.withColumn("f",
+      count(lit(1)).over(Window.partitionBy("kmer")))
+    val weak = kmF.filter(col("f") === 1)
+    val strong = kmF.filter(col("f") >= cfg.voteStrongFreq).select("kmer").distinct()
     val wa = weak
       .withColumn("mi", explode(sequence(lit(1), lit(k))))
       .select(col("doc_id"), (col("g") + col("mi") - 1).cast("long").as("pos"), col("mi"),

@@ -54,6 +54,42 @@ class SketchOps(val cfg: GraftConfig) {
       .agg(min(col("c")).as("cm_est"))
   }
 
+  /** q95: the STREAMING Count-Min — the same sketch maintained
+    * incrementally over a documents stream (file source here; Kafka in
+    * production). This is the sketch's real habitat: the streaming
+    * aggregation state is the sketch itself — $CmRows × 16^$CmHexChars
+    * counters, BOUNDED BY CONSTRUCTION no matter how much stream
+    * passes — where an exact streaming vocabulary count's state grows
+    * with every distinct token. Complete-mode drain of the bounded
+    * replay equals the batch sketch bit-for-bit (spec-pinned). */
+  def q95StreamCountmin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val sketch = raw
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(explode(bucketStructs(col("token"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val q = sketch.writeStream.format("memory").queryName("graft_q95")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q95")
+  }
+
+  def q95Sql: String = {
+    val rowList = (0 until CmRows).mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT t AS token FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |rows AS (SELECT unnest($rowList) AS r),
+       |bucketed AS (SELECT r.r,
+       |    substr(md5(CAST(r.r AS VARCHAR) || ':' || toks.token), 1, $CmHexChars) AS b
+       |  FROM toks CROSS JOIN rows r)
+       |SELECT r, b, count(*) AS c FROM bucketed GROUP BY 1, 2""".stripMargin
+  }
+
   def q88Sql: String = {
     val rowList = (0 until CmRows).mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT t AS token FROM

@@ -75,6 +75,18 @@ class RankingSpec extends GraftSpec {
     assert(got == Map("x" -> (3L, 3L), "y" -> (2L, 2L), "z" -> (1L, 1L)))
   }
 
+  test("q95: streaming sketch equals the batch sketch after the bounded replay drains") {
+    val streamed = Sketch.q95StreamCountmin(spark, sf)
+    val batch = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(explode(array((0 until Sketch.CmRows).map(r => struct(lit(r).as("r"),
+        substring(md5(concat(lit(s"$r:"), col("token"))), 1, Sketch.CmHexChars).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q89: codes bounded by ±127, max-magnitude element hits exactly 127") {
     val out = Similarity.q89Quantize(spark, sf).collect()
     assert(out.length > 0)
