@@ -51,10 +51,11 @@ class TemporalOps(val cfg: GraftConfig) {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ms"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("view_id",
-        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("view_ms",
-        last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w))
+    // one select carries BOTH carried columns so they plan as a single
+    // Window operator (two withColumns stack two window passes)
+    e.select(col("user_id"), col("event_id"), col("ms"), col("tag"),
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w).as("view_id"),
+        last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w).as("view_ms"))
       .filter(col("tag") === 1 && col("view_id").isNotNull)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ms").as("purchase_ms"), col("view_id"), col("view_ms"),
