@@ -90,6 +90,63 @@ class SketchOps(val cfg: GraftConfig) {
        |SELECT r, b, count(*) AS c FROM bucketed GROUP BY 1, 2""".stripMargin
   }
 
+  /** q96: HyperLogLog register state (Flajolet et al. '07) — the
+    * mergeable distinct-count sketch: bucket = md5-hex prefix
+    * (16^$CmHexChars registers), register value = max over the
+    * bucket's tokens of ρ = 1 + leading-zero-bits of the remaining
+    * 120-bit hash suffix. The registers ARE the artifact: distinct
+    * counts over any shard union merge by element-wise register max
+    * (spec-pinned), which is what lets 1000 executors sketch 100 TB
+    * independently and combine in 16^k longs. The estimate itself
+    * (α·m²/Σ2^-M_j) needs an order-sensitive float harmonic sum, so
+    * Graft emits the exact integer registers and leaves the final
+    * scalar to the caller — integer state keeps the oracle bitwise.
+    * Absent buckets are empty registers (0) under merge. */
+  def q96HllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    toks
+      .select(md5(col("token")).as("h"))
+      .select(substring(col("h"), 1, CmHexChars).as("bucket"),
+        substring(col("h"), CmHexChars + 1, 32 - CmHexChars).as("sfx"))
+      .select(col("bucket"),
+        length(regexp_extract(col("sfx"), "^0*", 0)).as("z"), col("sfx"))
+      .select(col("bucket"), col("z"),
+        expr(s"substring(sfx, z + 1, 1)").as("nib"))
+      .select(col("bucket"),
+        when(col("nib") === "",
+          lit(4 * (32 - CmHexChars) + 1))
+          .otherwise(col("z") * 4 + lit(1) +
+            when(col("nib") === "1", 3)
+              .when(col("nib").isin("2", "3"), 2)
+              .when(col("nib").isin("4", "5", "6", "7"), 1)
+              .otherwise(0))
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).cast("long").as("max_rho"))
+  }
+
+  def q96Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    s"""WITH toks AS (SELECT t AS token FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |hashed AS (SELECT md5(token) AS h FROM toks),
+       |parts AS (SELECT substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx
+       |  FROM hashed),
+       |zs AS (SELECT bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs)
+       |SELECT bucket, max(rho) AS max_rho FROM rhos GROUP BY 1""".stripMargin
+  }
+
   def q88Sql: String = {
     val rowList = (0 until CmRows).mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT t AS token FROM

@@ -87,6 +87,20 @@ class RankingSpec extends GraftSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q96: registers of a union equal the element-wise max-merge of the parts") {
+    val a = docs(0L -> "alpha beta gamma delta", 1L -> "epsilon zeta eta")
+    val b = docs(0L -> "beta theta iota", 1L -> "kappa alpha mu nu xi")
+    val u = docs(
+      0L -> "alpha beta gamma delta", 1L -> "epsilon zeta eta",
+      2L -> "beta theta iota", 3L -> "kappa alpha mu nu xi")
+    def regs(dir: String) = Sketch.q96HllRegisters(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (ra, rb, ru) = (regs(a), regs(b), regs(u))
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
+    assert(ru == merged)
+  }
+
   test("q89: codes bounded by ±127, max-magnitude element hits exactly 127") {
     val out = Similarity.q89Quantize(spark, sf).collect()
     assert(out.length > 0)
