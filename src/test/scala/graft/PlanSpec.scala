@@ -54,6 +54,36 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q85 as-of: exactly one Window pass, no join at all") {
+    val p = plan("q85_asof_join")
+    assert(windows(p) == 1, "as-of must carry both columns in one Window pass")
+    assert(!p.contains("Join"), "union-tag as-of must not plan a join")
+  }
+
+  test("q86 range join: bucketed equi-join, never a nested-loop/cartesian product") {
+    val p = plan("q86_interval_errors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "point-in-interval must stay an equi-join on the time bucket")
+  }
+
+  test("q87 tf-idf: per-doc rank filter plans as a window group limit") {
+    assert(plan("q87_tfidf").contains("WindowGroupLimit"))
+  }
+
+  test("q89 quantize is a pure scan projection: zero semantic exchanges") {
+    assert(semanticExchanges(plan("q89_quantize")) == 0,
+      "q89 must not shuffle — quantization is row-local")
+  }
+
+  test("q90 bm25: one per-doc aggregate — no tf-to-dl join on doc_id") {
+    // the only joins are the scalar avgdl broadcast (nested-loop on a
+    // 1-row side); a per-doc tf⋈dl equi-join would add a HashJoin
+    val p = plan("q90_bm25")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      "q90 must fuse tf and dl into one aggregate (stack unpivot), not join them")
+  }
+
   test("q42 pop-bubbles: no per-output-row lookup joins after the quadratic blowup") {
     // exactly 5 joins: the two quadratic candidate joins (as_ × hot × bs)
     // plus three PRE-blowup small-side joins (n_ok folded into hot, ok
