@@ -29,6 +29,23 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q97: deletes drop, updates win, inserts land, untouched rows pass through") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics").toString
+    // keys 10 (delete), 11 (update), 12 (insert source), 13 (untouched)
+    Seq((10L, 1L, "O", 100.0), (11L, 2L, "O", 200.0),
+        (12L, 3L, "F", 300.0), (13L, 4L, "O", 400.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.q97CdcApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    assert(!got.contains(10L))                         // deleted
+    assert(got(11L) == ((2L, "O", 1200.0)))            // updated price
+    assert(got(12L) == ((3L, "F", 300.0)))             // original key 12 kept
+    assert(got(10000012L) == ((3L, "F", 1300.0)))      // insert re-keyed
+    assert(got(13L) == ((4L, "O", 400.0)))             // untouched
+    assert(got.size == 4)
+  }
+
   private def docs(rows: (Long, String)*): String = {
     val dir = java.nio.file.Files.createTempDirectory("analytics").toString
     rows.toSeq.toDF("doc_id", "text")
