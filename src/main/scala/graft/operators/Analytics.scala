@@ -138,6 +138,40 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
        |SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY 1""".stripMargin
 
+  /** Bit-interleave expression text for a 16-bit Z-order curve, built
+    * once and rendered with each engine's integer-division operator so
+    * the arithmetic is textually identical: bit i of x lands at 2i,
+    * bit i of y at 2i+1. */
+  private def zExpr(divOp: String): String =
+    (0 until 16).map { i =>
+      val (px, py) = (1L << i, 1L << i)
+      s"((zx $divOp $px) % 2) * ${1L << (2 * i)} + ((zy $divOp $py) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** q98: Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    * the multi-dimensional layout complement to
+    * [[graft.sources.Tables.writeBucketed]]: sort a table by zkey at
+    * write time and BOTH part-range and supplier-range scans prune to a
+    * contiguous fraction of files, where a single-column sort only ever
+    * serves one dimension. Pure integer bit arithmetic (sum of masked
+    * powers of two — order-free), computed as a scan projection with
+    * zero shuffles; the sort it would feed is the writer's business.
+    * The interleave is a bijection on 16-bit pairs (spec decodes it
+    * back). */
+  def q98Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 65536).as("zx"),
+        (col("l_suppkey") % 65536).as("zy"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("zx"), col("zy"),
+        expr(zExpr("div")).as("zkey"))
+
+  def q98Sql: String =
+    s"""SELECT l_orderkey, l_linenumber, zx, zy, ${zExpr("//")} AS zkey
+       |FROM (SELECT l_orderkey, l_linenumber,
+       |    l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
+       |  FROM lineitem)""".stripMargin
+
   def q92Sql: String = {
     val iters = (1 to PrIters).map { i =>
       s"""c$i AS (SELECT eo.dst AS node, CAST(SUM(r${i - 1}.pr // eo.od) AS BIGINT) AS s

@@ -46,6 +46,21 @@ class AnalyticsSpec extends GraftSpec {
     assert(got.size == 4)
   }
 
+  test("q98: the interleave is invertible — decoding zkey recovers (zx, zy)") {
+    val rows = Analytics.q98Zorder(spark, sf).limit(2000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zx, zy, zkey) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      var x = 0L
+      var y = 0L
+      for (i <- 0 until 16) {
+        x |= ((zkey >> (2 * i)) & 1L) << i
+        y |= ((zkey >> (2 * i + 1)) & 1L) << i
+      }
+      assert(x == zx && y == zy, s"zkey $zkey decodes to ($x,$y), expected ($zx,$zy)")
+    }
+  }
+
   private def docs(rows: (Long, String)*): String = {
     val dir = java.nio.file.Files.createTempDirectory("analytics").toString
     rows.toSeq.toDF("doc_id", "text")
