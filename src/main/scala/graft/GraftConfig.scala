@@ -157,6 +157,18 @@ case class GraftConfig(
     // local testing, 4 hex = 65k shards ≈ 1.5 GB/shard at 100 TB)
     packCtxTokens: Long = 2048L,
     packShardHexLen: Int = 2,
+    // segment family (Segments.scala): word-window width for exact
+    // segment-level dedup/scrub (the paragraph unit of Lee et al.'s
+    // exact-substring dedup, adapted to newline-free corpora), the
+    // distinct-doc frequency at which a segment counts as boilerplate,
+    // RAG chunking char window/stride, and the inverted-index posting
+    // cap (full lists shard by term at 100 TB; the capped head is the
+    // portable exact slice)
+    segWords: Int = 12,
+    boilerplateMinDf: Int = 3,
+    chunkChars: Int = 200,
+    chunkStride: Int = 150,
+    postingsCap: Int = 50,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+import graft.sources.Tables
+
+/** Segment-granular curation — the exact-substring/boilerplate layer of
+  * a training-data pipeline (Lee et al. 2021 dedup at paragraph
+  * granularity; CCNet/RefinedWeb line-level scrubbing), adapted to
+  * newline-free corpora by taking fixed word windows as the segment
+  * unit. CloudBrush has no counterpart — this extends the engine the
+  * way the dedup/curation families do (first-class `SparkEntry` keys
+  * with DuckDB oracles).
+  *
+  * Scale shape: segments are generated in-row from the scan (explode of
+  * a bounded per-doc range — never a corpus-wide string table held
+  * wide), the only shuffles are the segment-key aggregate and the
+  * doc-id re-aggregate, and the df table joined back is pre-aggregated
+  * to one row per distinct segment text, so join fanout is bounded by
+  * content, not corpus repetition. Chunking (q101) is a pure scan —
+  * zero shuffles, the explode factor is len/stride per doc.
+  */
+class SegmentOps(val cfg: GraftConfig) {
+  private val W = cfg.segWords
+  private val MinDf = cfg.boilerplateMinDf
+  private val C = cfg.chunkChars
+  private val S = cfg.chunkStride
+  private val Cap = cfg.postingsCap
+
+  /** Non-overlapping word-`W` segments per doc, with their 1-based
+    * segment ordinal `g` (the tail keeps its short remainder — scrub
+    * must be able to reconstruct every word). The ordinal is emitted so
+    * downstream can reassemble docs in order. */
+  private def segments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("g", explode(expr(s"sequence(1, (size(ws) + ${W - 1}) div $W)")))
+      .select(col("doc_id"), col("g"),
+        concat_ws(" ", slice(col("ws"), (col("g") - 1) * W + 1, lit(W))).as("seg"))
+
+  private val segmentsSql: String =
+    s"""SELECT doc_id, g, array_to_string(ws[(g-1)*$W+1 : (g-1)*$W+$W], ' ') AS seg
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, (len(ws) + ${W - 1}) // $W)) AS g) t""".stripMargin
+
+  /** Distinct-doc frequency per segment text — the df table both q99
+    * and q100 join back. One row per distinct segment, so the join adds
+    * no fanout however often a segment repeats inside one doc. */
+  private def segDf(segs: DataFrame): DataFrame =
+    segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("seg_df"))
+
+  private val segDfSql: String =
+    s"SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg"
+
+  /** q99: exact segment-level dedup stats — per doc, how many of its
+    * word-$W segments also occur (verbatim) in at least one OTHER doc.
+    * The segment analogue of Lee et al.'s duplicated-paragraph measure:
+    * `dup_frac` near 1 marks mirrored/templated docs that token-level
+    * near-dup signatures (q30-q34) can miss when the duplication is a
+    * subspan, not the whole doc. Two shuffles total: the df aggregate
+    * and the per-doc re-aggregate; the join is segment-text equi. */
+  def q99SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(spark, dir)
+    segs.join(segDf(segs), "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("seg_df") >= 2, 1L).otherwise(0L)).as("n_dup_segments"))
+      .withColumn("dup_frac",
+        col("n_dup_segments").cast("double") / col("n_segments"))
+  }
+
+  def q99Sql: String =
+    s"""WITH segs AS ($segmentsSql),
+       |df AS ($segDfSql)
+       |SELECT doc_id, count(*) AS n_segments,
+       |  CAST(sum(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       |  CAST(sum(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+       |FROM segs JOIN df USING (seg)
+       |GROUP BY doc_id""".stripMargin
+
+  /** q100: boilerplate scrub — drop every segment occurring in ≥
+    * $MinDf distinct docs (site chrome, license blocks, templates) and
+    * reconstruct each doc from its kept segments in original order.
+    * The RefinedWeb/CCNet line-dedup pass as a query: output is the
+    * doc's kept/removed counts and the scrubbed text. Reconstruction
+    * sorts each doc's own segments by ordinal INSIDE the aggregate
+    * (array_sort over (g, seg) structs) — no corpus-wide sort. Docs
+    * that are 100% boilerplate still appear (n_kept = 0, empty text):
+    * a scrubber must account for every input doc. */
+  def q100BoilerplateScrub(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(spark, dir)
+    val boiler = col("seg_df") >= MinDf
+    segs.join(segDf(segs), "seg")
+      .groupBy("doc_id")
+      .agg(sum(when(!boiler, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(boiler, 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(!boiler, struct(col("g"), col("seg")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        concat_ws(" ", expr("transform(kept, x -> x.seg)")).as("clean_text"))
+  }
+
+  def q100Sql: String =
+    s"""WITH segs AS ($segmentsSql),
+       |df AS ($segDfSql)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN seg_df < $MinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN seg_df >= $MinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN seg_df < $MinDf THEN seg END, ' ' ORDER BY g), '')
+       |    AS clean_text
+       |FROM segs JOIN df USING (seg)
+       |GROUP BY doc_id""".stripMargin
+
+  /** q101: retrieval chunking — fixed $C-char windows at stride $S
+    * (overlap ${C - S} chars), the standard RAG ingestion shape. Pure
+    * scan: the window starts are an in-row `sequence` with step, the
+    * chunk text a substring — zero shuffles, and at 100 TB the explode
+    * factor is len/stride with no wide intermediate. Emits the md5
+    * fingerprint a chunk store would key on, not just offsets. */
+  def q101Chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("start", explode(expr(s"sequence(1, greatest(n, 1), $S)")))
+      .select(col("doc_id"),
+        (expr(s"(start - 1) div $S") + 1).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        length(substring(col("text"), col("start"), lit(C))).cast("long").as("chunk_len"),
+        md5(substring(col("text"), col("start"), lit(C))).as("chunk_fp"))
+
+  def q101Sql: String =
+    s"""SELECT doc_id, (start - 1) // $S + 1 AS chunk_id, start,
+       |  CAST(len(substr(text, start, $C)) AS BIGINT) AS chunk_len,
+       |  md5(substr(text, start, $C)) AS chunk_fp
+       |FROM (SELECT doc_id, text, len(text) AS n FROM documents),
+       |  LATERAL (SELECT CAST(unnest(generate_series(1, greatest(n, 1), $S)) AS BIGINT) AS start) t""".stripMargin
+
+  /** q102: inverted index — per whitespace token: document frequency,
+    * collection frequency, and the first $Cap doc ids of the posting
+    * list (ascending). The retrieval-side companion to q87/q90 term
+    * scoring: those rank, this is the index they'd probe. One shuffle
+    * on the token key; per-token state is the capped posting head plus
+    * two counters (full posting lists shard by (term, doc-range) at
+    * 100 TB — the cap IS the per-key bound that makes the aggregate
+    * safe under viral tokens). */
+  def q102InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"),
+        concat_ws(",", slice(sort_array(collect_set(col("doc_id"))), 1, Cap))
+          .as("postings_head"))
+
+  def q102Sql: String =
+    s"""SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf,
+       |  array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[:$Cap], ',') AS postings_head
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token""".stripMargin
+}
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Segments extends SegmentOps(GraftConfig.default)
