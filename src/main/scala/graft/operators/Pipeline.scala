@@ -123,12 +123,16 @@ object Pipeline {
       else (tag: String, e: DataFrame) => onPhaseStats(tag,
         GraphOps.statsFromEdges(spark, Tables.documents(spark, dir), e)))
 
-  /** Core of [[assembleFull]]: `onPhase` (nullable) receives each
-    * phase's (tag, edge state). The stats adapter above computes one
-    * chain resolution per phase — fine for a driver printing progress;
-    * q82 instead collects the edge states and resolves ALL phases'
-    * chains in ONE namespaced pointer-jump pass. */
-  private[graft] def assembleFullWithPhases(spark: SparkSession, dir: String,
+  /** Core of [[assembleFull]]: runs the phase chain and returns the
+    * FINAL edge state. `onPhase` (nullable) receives each phase's
+    * (tag, edge state). The stats adapter above computes one chain
+    * resolution per phase — fine for a driver printing progress; q82
+    * instead collects the edge states and resolves ALL phases' chains
+    * in ONE namespaced pointer-jump pass, which is why the contig tail
+    * (chains + consensus) lives in [[assembleFullWithPhases]], not
+    * here: q82 never consumes it and should not pay its eager chain
+    * resolution. */
+  private[graft] def assembleEdges(spark: SparkSession, dir: String,
       onPhase: (String, DataFrame) => Unit): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val docs = Tables.documents(spark, dir)
@@ -224,11 +228,19 @@ object Pipeline {
       cur
     }
     phaseStats("repeat", e)
-    // contigs: compress + ordered consensus
+    e
+    } catch { case t: Throwable => lowF.cancelJobs(); throw t }
+  }
+
+  /** [[assembleEdges]] plus the contig tail (compress + ordered
+    * consensus over the final edge state) — the q62 output shape. */
+  private[graft] def assembleFullWithPhases(spark: SparkSession, dir: String,
+      onPhase: (String, DataFrame) => Unit): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e = assembleEdges(spark, dir, onPhase)
     val chains = graft.Trace("asm.chains")(GraphOps.resolveChainsFrom(spark,
       docs.select(col("doc_id").as("node")), e, withDepth = true))
     graft.Trace("asm.consensus.plan")(GraphOps.consensusFrom(chains, docs))
-    } catch { case t: Throwable => lowF.cancelJobs(); throw t }
   }
 
   def q62FullAssembly(spark: SparkSession, dir: String): DataFrame =
@@ -303,7 +315,7 @@ object Pipeline {
     // per-phase statsFromEdges adapter measured 21.5 s at sf0.1; the
     // fused pass runs at q62-plus-one-resolution cost)
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
-    assembleFullWithPhases(spark, dir,
+    assembleEdges(spark, dir,
       (tag, e) => acc += (tag -> e.select("src", "dst")))
     GraphOps.multiPhaseStatsFromEdges(spark, Tables.documents(spark, dir), acc.toSeq)
   }
