@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.SegmentOps
+import org.apache.spark.sql.functions._
+
+/** Segment family (q99-q102): semantics on hand-built corpora — tail
+  * remainder segments, all-boilerplate docs, in-order reconstruction,
+  * chunk geometry, postings cap — plus the scan-only plan shape of
+  * chunking. */
+class SegmentsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val ops = new SegmentOps(GraftConfig(
+    segWords = 2, boilerplateMinDf = 2, chunkChars = 5, chunkStride = 3,
+    postingsCap = 2))
+
+  private def docs(rows: (Long, String)*) = {
+    val dir = java.nio.file.Files.createTempDirectory("segments").toString
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q99: dup fraction counts segments shared with ANOTHER doc; tail remainder is a segment") {
+    // W=2: doc0 = ["a b","c d"], doc1 = ["a b","x"] (short tail kept),
+    // doc2 = ["q r"]. Only "a b" occurs in ≥2 docs.
+    val dir = docs(0L -> "a b c d", 1L -> "a b x", 2L -> "q r")
+    val got = ops.q99SegmentDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 0L)))
+  }
+
+  test("q99: a segment repeated WITHIN one doc only is not a duplicate") {
+    // doc0 repeats "a b" twice but no other doc has it: seg_df counts
+    // DISTINCT docs, so both copies count as unique segments.
+    val dir = docs(0L -> "a b a b", 1L -> "z z")
+    val row = ops.q99SegmentDedup(spark, dir).filter(col("doc_id") === 0L).collect().head
+    assert((row.getLong(1), row.getLong(2)) == ((2L, 0L)))
+  }
+
+  test("q100: scrub drops df>=2 segments, reconstructs in ordinal order, keeps empty docs") {
+    // "a b" is boilerplate (docs 0,1,2). doc0's kept segments "m n" and
+    // "o p" straddle the dropped one — order must survive. doc2 is 100%
+    // boilerplate and must still appear with empty text.
+    val dir = docs(0L -> "m n a b o p", 1L -> "a b q", 2L -> "a b")
+    val got = ops.q100BoilerplateScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      (0L, 2L, 1L, "m n o p"),
+      (1L, 1L, 1L, "q"),
+      (2L, 0L, 1L, "")))
+  }
+
+  test("q101: chunk geometry — stride starts, short final chunk, empty doc yields one empty chunk") {
+    // C=5, S=3: "abcdefgh" (len 8) → starts 1,4,7 → lens 5,5,2.
+    val dir = docs(0L -> "abcdefgh", 1L -> "")
+    val rows = ops.q101Chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (0L, 1L, 1L, 5L), (0L, 2L, 4L, 5L), (0L, 3L, 7L, 2L),
+      (1L, 1L, 1L, 0L)))
+  }
+
+  test("q101: chunking is a pure scan — no exchange in the plan") {
+    // the only allowed Exchange is Tables.fact's load-time RoundRobin
+    // respread of the single-row-group test file (see PlanSpec)
+    val plan = ops.q101Chunk(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(shuffles == 0, plan)
+  }
+
+  test("q102: postings head is capped and ascending; cf counts every occurrence") {
+    // "t" occurs in docs 0,1,2 (df=3 > cap 2) and twice in doc 0 (cf=4).
+    val dir = docs(0L -> "t t", 1L -> "t u", 2L -> "v t")
+    val row = ops.q102InvertedIndex(spark, dir).filter(col("token") === "t").collect().head
+    assert((row.getLong(1), row.getLong(2), row.getString(3)) == ((3L, 4L, "0,1")))
+  }
+}
