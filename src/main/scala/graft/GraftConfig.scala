@@ -169,6 +169,21 @@ case class GraftConfig(
     chunkChars: Int = 200,
     chunkStride: Int = 150,
     postingsCap: Int = 50,
+    // mixture resampling (q103): per-language keep fraction — the data-
+    // mixture rebalance step before training (downsample over-
+    // represented languages). Fractions become 4-hex md5 thresholds;
+    // >= 1.0 keeps everything. Unlisted languages default to 1.0.
+    mixtureFracs: Map[String, Double] =
+      Map("en" -> 0.35, "es" -> 0.8, "de" -> 0.8, "fr" -> 1.0, "zh" -> 1.0),
+    // per-source top-k (q104): keep count per source and the salt width
+    // B of the two-stage exact top-k (stage 1 keeps K per (source,
+    // doc_id mod B) so each source spreads over B tasks; stage 2 ranks
+    // the <= B*K survivors)
+    sourceTopK: Int = 5,
+    sourceTopKSalt: Int = 4,
+    // global length binning (q105): nearest-rank percentile cut levels
+    // computed from a value histogram (no global sort)
+    lengthBinPcts: Seq[Int] = 10 to 90 by 10,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

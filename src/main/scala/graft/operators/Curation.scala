@@ -427,6 +427,132 @@ class CurationOps(val cfg: GraftConfig) {
        |  md5(trim(regexp_replace(regexp_replace(text, '$pat', '', 'g'), ' +', ' ', 'g'))) AS scrub_fp
        |FROM documents""".stripMargin
   }
+
+  // ---- mixture resampling / per-source top-k / global length bins ----
+
+  /** 4-hex md5 threshold for a keep-fraction < 1.0 (q75's bucket trick:
+    * keep iff the first 4 hash hex chars compare below floor(f·2¹⁶)). */
+  private def hex4(f: Double): String = f"${math.round(f * 65536.0)}%04x"
+
+  private def mixtureEntries: Seq[(String, Double)] =
+    cfg.mixtureFracs.toSeq.sortBy(_._1) // stable plan/SQL across runs
+
+  /** q103: data-mixture resampling — rebalance the corpus toward the
+    * configured per-language mixture by DETERMINISTIC downsampling
+    * (md5-bucket threshold per language, the q75 mechanism applied
+    * per-stratum). This is the mixture-weights step of a training-data
+    * pipeline (downsample the over-represented language instead of
+    * upweighting the rest). Unlisted languages keep everything. Pure
+    * scan: thresholds are literals baked into one codegen'd predicate —
+    * zero shuffles, zero joins, rerunnable with identical output. */
+  def q103Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val keyHex = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
+    val keep = mixtureEntries.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (l, f)) =>
+        acc.when(col("lang") === l,
+          if (f >= 1.0) lit(true) else keyHex < lit(hex4(f)))
+    }.otherwise(lit(true))
+    Tables.documents(spark, dir).filter(keep)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  def q103Sql: String = {
+    val branches = mixtureEntries.map { case (l, f) =>
+      val cond =
+        if (f >= 1.0) "TRUE"
+        else s"substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < '${hex4(f)}'"
+      s"WHEN lang = '$l' THEN $cond"
+    }.mkString("\n|    ")
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE CASE
+       |    $branches
+       |    ELSE TRUE END""".stripMargin
+  }
+
+  /** q104: exact per-source top-$sourceTopK by quality score — the
+    * "keep the best documents per domain" curation pass, composed from
+    * the q51 scorer. Scale shape: a single window partitioned by source
+    * funnels EVERY doc of a source through one task (q81's shape — fine
+    * for per-language caps, a bottleneck for popular sources), so this
+    * runs the exact two-stage form instead: stage 1 ranks within
+    * (source, doc_id mod $sourceTopKSalt) so each source spreads over
+    * $sourceTopKSalt tasks and keeps at most K per salt — a superset of
+    * the global per-source top-K, since dropping a doc requires K
+    * better docs IN ITS OWN salt class — and stage 2 ranks the
+    * ≤ salt·K survivors per source, a bounded set however large the
+    * source is. Both stages are Spark 4 WindowGroupLimit plans (rank
+    * filter pushed into the shuffle). */
+  def q104SourceTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = cfg.sourceTopK
+    val B = cfg.sourceTopKSalt
+    val scored = new TextAnalysisOps(cfg).q51Quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(B)))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val w2 = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("lrk", row_number().over(w1)).filter(col("lrk") <= K)
+      .drop("lrk")
+      .withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= K)
+      .select("source", "rk", "doc_id", "quality_score")
+  }
+
+  def q104Sql: String =
+    s"""WITH q AS (${new TextAnalysisOps(cfg).q51Sql})
+       |SELECT source, rk, doc_id, quality_score FROM (
+       |  SELECT d.source, q.doc_id, q.quality_score,
+       |    CAST(row_number() OVER (PARTITION BY d.source
+       |      ORDER BY q.quality_score DESC, q.doc_id) AS BIGINT) AS rk
+       |  FROM q JOIN documents d USING (doc_id))
+       |WHERE rk <= ${cfg.sourceTopK}""".stripMargin
+
+  /** q105: global nearest-rank length-percentile binning WITHOUT a
+    * global sort — the length-bucket assignment a curation pipeline
+    * uses for per-bin policies (truncate/flag/route). The cutpoints
+    * come from a VALUE HISTOGRAM (one groupBy over n_chars, |distinct
+    * lengths| rows) whose cumulative counts are computed by the q28/N50
+    * broadcast triangular join; the nearest-rank value at rank r is
+    * exactly min{v : cum(v) ≥ r}, so the histogram cutpoints equal the
+    * oracle's row_number definition with NO corpus-wide ordered window
+    * (an unpartitioned rank funnels 100 TB through one task). Docs then
+    * take bin = #cutpoints strictly below their length via one
+    * broadcast array — a pure scan. */
+  def q105LengthBins(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = cfg.lengthBinPcts
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val csum = hist.as("a").join(broadcast(hist.as("b")),
+        col("b.n_chars") <= col("a.n_chars"))
+      .groupBy(col("a.n_chars").as("v")).agg(sum(col("b.cnt")).as("cum"))
+    val cutAggs = pcts.map(p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("v"))).as(s"c$p"))
+    val cuts = csum.crossJoin(docs.agg(count(lit(1)).as("n")))
+      .agg(cutAggs.head, cutAggs.tail: _*)
+      .select(array(pcts.map(p => col(s"c$p")): _*).as("cuts"))
+    docs.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        size(expr("filter(cuts, c -> c < n_chars)")).cast("long").as("bin"))
+  }
+
+  def q105Sql: String = {
+    val pcts = cfg.lengthBinPcts
+    val cutCols = pcts.map(p =>
+      s"max(CASE WHEN rn = (n * $p + 99) // 100 THEN n_chars END) AS c$p")
+      .mkString(",\n|    ")
+    val binSum = pcts.map(p => s"(CASE WHEN d.n_chars > c$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ranked AS (SELECT n_chars,
+       |    row_number() OVER (ORDER BY n_chars) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM documents),
+       |cuts AS (SELECT
+       |    $cutCols
+       |  FROM ranked)
+       |SELECT d.doc_id, d.n_chars, CAST($binSum AS BIGINT) AS bin
+       |FROM documents d, cuts""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

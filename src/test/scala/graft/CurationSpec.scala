@@ -190,4 +190,57 @@ class CurationSpec extends GraftSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == expect && streamed.nonEmpty)
   }
+
+  // ---- q103-q105: mixture / per-source top-k / length bins ----
+
+  private def docsLangSource(rows: (Long, String, String, String)*) = {
+    val dir = java.nio.file.Files.createTempDirectory("curation2").toString
+    rows.toSeq.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q103: fraction 0 drops the whole language, 1 keeps it, unlisted defaults to keep") {
+    val mops = new CurationOps(GraftConfig(
+      mixtureFracs = Map("aa" -> 0.0, "bb" -> 1.0)))
+    val dir = docsLangSource(
+      (0L, "x", "aa", "s"), (1L, "y", "aa", "s"),
+      (2L, "z", "bb", "s"), (3L, "w", "cc", "s"))
+    val kept = mops.q103Mixture(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("q103: sampling is deterministic and a subset of the stratum") {
+    val mops = new CurationOps(GraftConfig(mixtureFracs = Map("en" -> 0.4)))
+    val dir = docsLangSource((0L until 60L).map(i => (i, s"t$i", "en", "s")): _*)
+    val a = mops.q103Mixture(spark, dir).collect().map(_.getLong(0)).toSet
+    val b = mops.q103Mixture(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 60)
+  }
+
+  test("q104: salted two-stage top-k equals the single-window form") {
+    // exactness of the salt decomposition: stage 1 can only drop a doc
+    // if K better docs exist in its OWN salt class, which implies K
+    // better docs in its source — so salt=4 must equal salt=1 (whose
+    // stage 1 is the plain per-source window).
+    val rows = (0L until 50L).map(i =>
+      (i, ("tok " * (1 + (i * 7 % 13).toInt)).trim, "en", s"src${i % 3}"))
+    val dir = docsLangSource(rows: _*)
+    def run(salt: Int) = new CurationOps(GraftConfig(
+        sourceTopK = 4, sourceTopKSalt = salt))
+      .q104SourceTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(4) == run(1) && run(4).size == 12)
+  }
+
+  test("q105: bins follow the nearest-rank decile cutpoints") {
+    // lengths 1..10, deciles cut at ranks 1..9 → values 1..9; bin =
+    // #cuts strictly below the length = length - 1 (capped at 9).
+    val dir = docsLangSource((1L to 10L).map(i =>
+      (i, "x" * i.toInt, "en", "s")): _*)
+    val got = Curation.q105LengthBins(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(got == (1 to 10).map(l => (l, (l - 1).toLong)).toSet)
+  }
 }
