@@ -184,6 +184,14 @@ case class GraftConfig(
     // global length binning (q105): nearest-rank percentile cut levels
     // computed from a value histogram (no global sort)
     lengthBinPcts: Seq[Int] = 10 to 90 by 10,
+    // classic decision-support parameters (q106/q107, TPC-H Q3/Q5
+    // shapes): market segment + cutoff date + report size for shipping
+    // priority; region + order year for local supplier volume
+    shipPrioritySegment: String = "BUILDING",
+    shipPriorityDate: String = "1996-06-30 00:00:00",
+    shipPriorityTopK: Int = 10,
+    localVolumeRegion: String = "ASIA",
+    localVolumeYear: Int = 1997,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

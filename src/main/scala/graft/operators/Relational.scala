@@ -239,6 +239,93 @@ class RelationalOps(val cfg: GraftConfig) {
       |  coalesce(ch.c_price, base.o_totalprice) AS o_totalprice
       |FROM base FULL OUTER JOIN ch ON ch.k = base.o_orderkey
       |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin
+
+  /** q106: shipping priority — the TPC-H Q3 shape: revenue of undelivered
+    * orders for one market segment, top ${cfg.shipPriorityTopK} by
+    * revenue. The canonical selective-multiway-join plan: the segment-
+    * filtered customer dim BROADCASTS into the orders scan (filter
+    * pushed to the date predicate), the surviving orders shuffle-join
+    * lineitem on the order key, and the top-k is a
+    * TakeOrderedAndProject (per-partition top-k, one bounded merge) —
+    * never a global sort. Revenue uses the decimal-accumulate dsum, so
+    * the double compares in the ordering are bit-identical across
+    * engines; ties break on the order key. */
+  def q106ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = s"TIMESTAMP'${cfg.shipPriorityDate}'"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === cfg.shipPrioritySegment)
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate < $cut"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate > $cut"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        // orders dates are TIMESTAMP_NTZ; the session runs UTC, so the
+        // cast is the identity instant and matches DuckDB's epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate_ms"), col("l_orderkey"))
+      .limit(cfg.shipPriorityTopK)
+  }
+
+  def q106Sql: String =
+    s"""SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '${cfg.shipPrioritySegment}'
+       |  AND o_orderdate < TIMESTAMP '${cfg.shipPriorityDate}'
+       |  AND l_shipdate > TIMESTAMP '${cfg.shipPriorityDate}'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, o_orderdate_ms, l_orderkey
+       |LIMIT ${cfg.shipPriorityTopK}""".stripMargin
+
+  /** q107: local supplier volume — the TPC-H Q5 shape: revenue by
+    * nation for one region and order year, counting only lineitems
+    * whose supplier sits in the CUSTOMER's nation. Join discipline for
+    * the 6-way join: region→nation→customer collapse into one small
+    * broadcast dim; orders (year-filtered) shuffle-joins lineitem on
+    * the order key — the only big-big join, on the natural key both
+    * sides already produce; supplier broadcasts; the same-nation
+    * predicate rides the supplier join, not a post-filter over a wider
+    * join. One row per nation out. */
+  def q107LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val custNat = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === cfg.localVolumeRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === cfg.localVolumeYear)
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q107Sql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '${cfg.localVolumeRegion}'
+       |  AND year(o_orderdate) = ${cfg.localVolumeYear}
+       |GROUP BY n_name""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -119,6 +119,50 @@ class TemporalOps(val cfg: GraftConfig) {
        |FROM iv LEFT JOIN pts p
        |  ON p.p_user <> iv.user_id AND p.p_ms BETWEEN iv.a_start AND iv.a_end
        |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** q108: time-series RESAMPLING with forward fill — regularize each
+    * user's event stream onto an hourly grid between their first and
+    * last active hour, carrying the last observed hourly aggregate
+    * through silent hours (`observed` marks real vs filled rows). The
+    * standard densify step before windowed feature extraction.
+    *
+    * Scale shape: the hourly aggregate is map-side combinable; the grid
+    * explode is bounded by the time span (hours/user, NOT events/user);
+    * the fill is one keyed window pass ordered by hour — no
+    * corpus-wide sort, state = one row per user per window frame. The
+    * fill carries the EXACT decimal sum and casts to double at the end,
+    * so filled and observed rows agree bit-for-bit across engines. */
+  def q108ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val HourMs = 3600000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val hourly = ev.groupBy(col("user_id"), expr(s"ms div $HourMs").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(25,6)")).as("sv"))
+    val span = hourly.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      .withColumn("h", explode(expr("sequence(h0, h1)")))
+      .select("user_id", "h")
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        col("n").isNotNull.as("observed"),
+        last(col("n"), ignoreNulls = true).over(w).as("n_events"),
+        last(col("sv"), ignoreNulls = true).over(w).cast("double").as("total_value"))
+  }
+
+  def q108Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+       |hourly AS (SELECT user_id, ms // 3600000 AS h, count(*) AS n,
+       |    SUM(CAST(value AS DECIMAL(25,6))) AS sv
+       |  FROM ev GROUP BY 1, 2),
+       |span AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h
+       |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1))
+       |SELECT s.user_id, s.h, h2.n IS NOT NULL AS observed,
+       |  last_value(h2.n IGNORE NULLS) OVER w AS n_events,
+       |  CAST(last_value(h2.sv IGNORE NULLS) OVER w AS DOUBLE) AS total_value
+       |FROM span s LEFT JOIN hourly h2 USING (user_id, h)
+       |WINDOW w AS (PARTITION BY s.user_id ORDER BY s.h
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

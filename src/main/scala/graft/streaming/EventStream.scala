@@ -88,6 +88,43 @@ object EventStream {
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q109: SLIDING-window streaming aggregation — 1-hour windows every
+    * 30 minutes (each event lands in exactly 2 overlapping windows),
+    * the smoothing shape q47's tumbling windows can't express. Same
+    * end-to-end drive as q47: file-source stream, complete-mode memory
+    * sink, drained result hash-gated against the oracle's unrolled
+    * two-starts-per-event form. Window starts are emitted as epoch ms
+    * (the proven cross-engine idiom); Spark's slide alignment is the
+    * epoch origin, which the oracle reproduces with floor division. */
+  def q109StreamSliding(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream.format("memory").queryName("graft_q109")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_q109")
+  }
+
+  def q109Sql: String =
+    """SELECT ws AS win_start_ms, event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      |FROM (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+      |  LATERAL (SELECT unnest([(ms // 1800000) * 1800000,
+      |                          (ms // 1800000) * 1800000 - 1800000]) AS ws) t
+      |GROUP BY 1, 2""".stripMargin
+
   /** q56: streaming stateful deduplication — dropDuplicates over the
     * stream (the state-store-backed primitive behind streaming exact
     * dedup in a training-data pipeline) feeding a running aggregate;

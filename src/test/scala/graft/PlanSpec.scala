@@ -128,4 +128,34 @@ class PlanSpec extends GraftSpec {
         s"$n lost the shuffle-free shingle_set scan expression")
     }
   }
+
+  test("q103 mixture resampling is a pure scan: zero semantic exchanges") {
+    assert(semanticExchanges(plan("q103_mixture")) == 0,
+      "q103 must not shuffle — thresholds are literals in one scan predicate")
+  }
+
+  test("q104 per-source top-k: both window stages are WindowGroupLimit (rank pushed down)") {
+    val n = "WindowGroupLimit".r.findAllIn(plan("q104_source_topk")).length
+    assert(n >= 2, s"q104 has $n WindowGroupLimit nodes — the salted two-stage top-k lost its pushed rank filters")
+  }
+
+  test("q105 length bins never sort the corpus (histogram cutpoints, broadcast assign)") {
+    val p = plan("q105_length_bins")
+    assert(windows(p) == 0, "q105 must not use an ordered window — that's the single-task rank shape")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ") || l.contains("+- Sort ")),
+      "q105 must not globally sort")
+  }
+
+  test("q106 ship priority: top-k is TakeOrderedAndProject, customer dim broadcasts") {
+    val p = plan("q106_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"), "q106 top-k must be partial top-k, not Sort+Limit")
+    assert(p.contains("BroadcastHashJoin"), "q106 customer dim must broadcast")
+  }
+
+  test("q107 local volume: date filter pushes to the orders scan") {
+    val scanLines = plan("q107_local_volume").linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scanLines.contains("o_orderdate"),
+      "q107's year predicate must reach the orders scan as a pushed filter")
+  }
 }

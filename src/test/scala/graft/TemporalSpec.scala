@@ -85,4 +85,22 @@ class TemporalSpec extends GraftSpec {
       .agg(count(col("p_ms")).as("n_errors"))
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  test("q108: silent hours are densified and forward-filled from the last observed hour") {
+    // user 1: events in hours 0 and 3 → hours 1,2 filled with hour 0's
+    // aggregate, observed=false; user 2: single hour, no fill rows.
+    val dir = events(
+      (1L, 1L, 0L, "view"),          // hour 0, two events
+      (2L, 1L, 1000L, "view"),
+      (3L, 1L, 3 * H + 5L, "view"),  // hour 3
+      (4L, 2L, 10 * H, "purchase"))
+    val got = Temporal.q108ResampleFfill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, true, 2L),
+      (1L, 1L, false, 2L),  // filled: carries hour 0's count
+      (1L, 2L, false, 2L),
+      (1L, 3L, true, 1L),
+      (2L, 10L, true, 1L)))
+  }
 }
