@@ -192,6 +192,13 @@ case class GraftConfig(
     shipPriorityTopK: Int = 10,
     localVolumeRegion: String = "ASIA",
     localVolumeYear: Int = 1997,
+    // hybrid retrieval (q110): RRF constant, per-side candidate pool
+    // size, fused report size, and the vec_id whose embedding is the
+    // vector half of the hybrid query (the text half is bm25Terms)
+    rrfK: Int = 60,
+    rrfPoolK: Int = 50,
+    rrfTopK: Int = 20,
+    hybridQueryVec: Int = 0,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

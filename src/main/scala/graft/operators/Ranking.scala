@@ -112,6 +112,116 @@ class RankingOps(val cfg: GraftConfig) {
        |    (tf.tf + CAST($K1 AS DOUBLE) *
        |      (1.0 - CAST($B AS DOUBLE) + CAST($B AS DOUBLE) * dl.dl / stats.avgdl)) AS score
        |FROM tf JOIN dl USING (doc_id) CROSS JOIN stats""".stripMargin
+
+  /** q110: HYBRID retrieval — reciprocal-rank fusion of the BM25 text
+    * ranking (query = $Terms) and the cosine vector ranking (query =
+    * the embedding of vec_id ${cfg.hybridQueryVec}), the standard
+    * sparse+dense fusion of a modern retrieval stack. RRF works on
+    * RANKS, not scores — 1/(k+r) terms from integer ranks, so the fused
+    * score is deterministic across engines by construction.
+    *
+    * Scale shape — pool-then-fuse, never rank the corpus: each side
+    * reduces to its top-$PoolK candidates via orderBy+limit
+    * (TakeOrderedAndProject: per-partition top-k, one bounded merge);
+    * ranks are assigned INSIDE the ≤$PoolK-row pools (the only
+    * unpartitioned windows run on pool-sized data); the fusion is a
+    * full outer join of two pool tables. The corpus-sized work is one
+    * token scan (BM25 side, map-combinable conditional sums) and one
+    * embedding scan against a single broadcast query vector. The BM25
+    * total is a FIXED-ORDER chain of per-term IEEE terms, not a
+    * float SUM, so both engines compute bit-identical pool orderings. */
+  def q110HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import graft.functions.Vec
+    val PoolK = cfg.rrfPoolK
+    val RrfC = cfg.rrfK
+    // text side: q90's one-aggregate BM25, totalled per doc in fixed term order
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val byDoc = tokens(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val stats = byDoc.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val k1 = lit(K1)
+    val b = lit(B)
+    def termScore(i: Int) = {
+      val tf = col(s"tf$i")
+      when(tf > 0,
+        tf.cast("double") * (k1 + lit(1.0)) /
+          (tf + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val bmTot = Terms.indices.map(termScore).reduceLeft(_ + _)
+    val bmPool = byDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), bmTot.as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(PoolK)
+      .withColumn("brank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    // vector side: one broadcast query embedding against the corpus scan
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val q = broadcast(e.filter(col("vec_id") === cfg.hybridQueryVec)
+      .select(col("embedding").as("qe"), col("n2").as("qn2")))
+    val vecPool = e.filter(col("vec_id") =!= cfg.hybridQueryVec).crossJoin(q)
+      .select(col("vec_id").as("doc_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(PoolK)
+      .withColumn("vrank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+    // fuse: RRF over the union of the two pools; a missing side adds 0
+    val rrf =
+      when(col("brank").isNotNull, lit(1.0) / (lit(RrfC) + col("brank"))).otherwise(lit(0.0)) +
+      when(col("vrank").isNotNull, lit(1.0) / (lit(RrfC) + col("vrank"))).otherwise(lit(0.0))
+    bmPool.select("doc_id", "brank")
+      .join(vecPool.select("doc_id", "vrank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("brank"), col("vrank"), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(cfg.rrfTopK)
+  }
+
+  def q110Sql: String = {
+    val PoolK = cfg.rrfPoolK
+    val RrfC = cfg.rrfK
+    val tfConds = Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }.mkString(",\n|    ")
+    val termScores = Terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN CAST(tf$i AS DOUBLE) * (CAST($K1 AS DOUBLE) + 1.0) /
+         |      (tf$i + CAST($K1 AS DOUBLE) * (1.0 - CAST($B AS DOUBLE)
+         |        + CAST($B AS DOUBLE) * dl / avgdl)) ELSE 0.0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, t AS token FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bydoc AS (SELECT doc_id, count(*) AS dl,
+       |    $tfConds
+       |  FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM bydoc),
+       |bmtot AS (SELECT doc_id, $termScores AS bm25 FROM bydoc CROSS JOIN stats),
+       |bmpool AS (SELECT doc_id, bm25,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS brank
+       |  FROM (SELECT * FROM bmtot WHERE bm25 > 0.0
+       |        ORDER BY bm25 DESC, doc_id LIMIT $PoolK)),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${cfg.hybridQueryVec}),
+       |pairs AS (SELECT vec_id AS doc_id, qe, embedding AS ve FROM embeddings, q
+       |  WHERE vec_id <> ${cfg.hybridQueryVec}),
+       |ex AS (SELECT doc_id, unnest(qe) AS a, unnest(ve) AS b FROM pairs),
+       |dots AS (SELECT doc_id,
+       |    ${graft.functions.Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${graft.functions.Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${graft.functions.Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ex GROUP BY doc_id),
+       |vecpool AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, doc_id) AS BIGINT) AS vrank
+       |  FROM (SELECT * FROM dots
+       |        ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, doc_id LIMIT $PoolK))
+       |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.brank, v.vrank,
+       |  (CASE WHEN b.brank IS NOT NULL THEN 1.0 / ($RrfC + b.brank) ELSE 0.0 END)
+       |  + (CASE WHEN v.vrank IS NOT NULL THEN 1.0 / ($RrfC + v.vrank) ELSE 0.0 END) AS rrf
+       |FROM bmpool b FULL OUTER JOIN vecpool v ON b.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT ${cfg.rrfTopK}""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -152,6 +152,12 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), "q106 customer dim must broadcast")
   }
 
+  test("q110 hybrid RRF: both candidate pools are partial top-k, never a corpus sort") {
+    val p = plan("q110_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      "q110 must reduce each side to its pool via TakeOrderedAndProject")
+  }
+
   test("q107 local volume: date filter pushes to the orders scan") {
     val scanLines = plan("q107_local_volume").linesIterator
       .filter(_.contains("FileScan")).mkString("\n")
