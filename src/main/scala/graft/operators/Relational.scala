@@ -240,6 +240,85 @@ class RelationalOps(val cfg: GraftConfig) {
       |FROM base FULL OUTER JOIN ch ON ch.k = base.o_orderkey
       |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin
 
+  /** q111: CUBE aggregation — every grouping-set combination over
+    * (returnflag, linestatus) in one pass [q5's rollup widened to the
+    * full lattice]: Spark expands the cube map-side (each input row
+    * fans to its 4 grouping sets before the exchange), so the shuffle
+    * carries |groups|×4 partial aggregates, not the fact table ×4. */
+  def q111Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("n_items"), col("sum_qty"))
+
+  def q111Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q112: PIVOT — per-user event counts unstacked to one column per
+    * event type. The value list is FIXED (not discovered), so the
+    * output schema is static and the plan is a single map-side-
+    * combinable aggregate of conditional counts — no distinct-values
+    * pre-query, no second shuffle, exactly how a 100 TB pivot must run
+    * (Spark's dynamic pivot first collects the distinct values to the
+    * driver). */
+  def q112Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  def q112Sql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n|  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  /** q113: the full analytic-window suite in one keyed pass — lag,
+    * lead, first/last in frame, ntile quartile, percent_rank and
+    * cume_dist — over orders per priority class. One shuffle on the
+    * partition key serves every function (one Window operator; the
+    * ordering is total via the (price, key) tie-break, so ntile and
+    * the rank ratios are deterministic). percent_rank/cume_dist are
+    * ratios of integer ranks — engine-exact doubles. */
+  def q113WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("min_price"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  def q113Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER w AS min_price,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   /** q106: shipping priority — the TPC-H Q3 shape: revenue of undelivered
     * orders for one market segment, top ${cfg.shipPriorityTopK} by
     * revenue. The canonical selective-multiway-join plan: the segment-
