@@ -163,6 +163,55 @@ object Multimodal {
     (w, h, m, i)
   }
 
+  case class DownsampleStats(doc_id: Long, out_w: Int, out_h: Int,
+                             r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** q114: image DOWNSAMPLE on the real decode path — parse the binary
+    * P6 payload (same strict decoder as q76), nearest-neighbor
+    * subsample at stride 2 (keep pixels at even x,y), and emit the
+    * downsampled dimensions + per-channel sums over the KEPT pixels.
+    * This is the resize step of a multimodal ingest pipeline run as an
+    * actual pixel transform on actual decoded bytes — the oracle
+    * recomputes the sampled-pixel sums from hex arithmetic (sampled
+    * row-major indices {0,2,8,10} of the 4×4 raster), hash-verifying
+    * decode + geometry + sampling. Integer sums: engine-exact. */
+  def q114ImageDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val ds = ppmTable(spark, dir)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val (w, h, _, off) = parsePpmHeader(bytes)
+      val outW = (w + 1) / 2
+      val outH = (h + 1) / 2
+      var (r, g, b) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = off + 3 * (y * w + x)
+          r += bytes(p) & 0xff
+          g += bytes(p + 1) & 0xff
+          b += bytes(p + 2) & 0xff
+          x += 2
+        }
+        y += 2
+      }
+      DownsampleStats(id, outW, outH, r, g, b)
+    }).toDF()
+  }
+
+  def q114Sql: String =
+    """WITH h3 AS (SELECT doc_id, md5(text) || md5(text || '1') || md5(text || '2') AS hx
+      |  FROM documents),
+      |px AS (SELECT doc_id, p, c, (strpos('0123456789abcdef', substr(hx, 2*(3*p+c)+1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 2*(3*p+c)+2, 1)) - 1) AS bv
+      |  FROM h3, LATERAL (SELECT unnest([0, 2, 8, 10]) AS p) t,
+      |    LATERAL (SELECT unnest(generate_series(0, 2)) AS c) u)
+      |SELECT doc_id, CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+      |  CAST(SUM(CASE WHEN c = 0 THEN bv END) AS BIGINT) AS r_sum,
+      |  CAST(SUM(CASE WHEN c = 1 THEN bv END) AS BIGINT) AS g_sum,
+      |  CAST(SUM(CASE WHEN c = 2 THEN bv END) AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id""".stripMargin
+
   def q76Sql: String =
     """WITH h3 AS (SELECT doc_id, md5(text) || md5(text || '1') || md5(text || '2') AS hx
       |  FROM documents),

@@ -187,6 +187,39 @@ class RelationalOps(val cfg: GraftConfig) {
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        |FROM flags""".stripMargin
 
+  /** q115: NATIVE session windows — Spark's `session_window` operator
+    * (dynamic-gap windows merged inside the aggregate) over the events
+    * table, the declarative twin of q8's lag-and-running-sum
+    * sessionization: one shuffle on user_id, sessions = [first event,
+    * last event + gap). Timestamps truncate to ms BEFORE windowing so
+    * both engines evaluate the gap predicate on identical values; the
+    * oracle rebuilds the same sessions with the island method (break
+    * at diff ≥ gap — session_window merges only OVERLAPPING windows,
+    * so an exactly-gap-apart event starts a new session). */
+  def q115SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), timestamp_millis(unix_millis(col("ts"))).as("tms"))
+      .groupBy(col("user_id"),
+        session_window(col("tms"), s"$SessionGapMs milliseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"))
+
+  def q115Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+       |f AS (SELECT user_id, ms,
+       |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+       |         WHEN ms - lag(ms) OVER w >= $SessionGapMs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+       |g AS (SELECT user_id, ms, SUM(brk) OVER (PARTITION BY user_id
+       |    ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+       |SELECT user_id, min(ms) AS session_start_ms,
+       |  max(ms) + $SessionGapMs AS session_end_ms, count(*) AS n_events
+       |FROM g GROUP BY user_id, sid""".stripMargin
+
   /** q97: batch CDC apply — MERGE a keyed change set (inserts, updates,
     * deletes) into a snapshot with ONE full-outer join: change values
     * win via coalesce, 'D' rows drop, base-only rows pass through. The
