@@ -199,6 +199,8 @@ case class GraftConfig(
     rrfPoolK: Int = 50,
     rrfTopK: Int = 20,
     hybridQueryVec: Int = 0,
+    // ordered funnel stages (q117), first-hit-in-order semantics
+    funnelStages: Seq[String] = Seq("view", "click", "purchase"),
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

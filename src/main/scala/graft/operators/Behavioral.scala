@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+import graft.sources.Tables
+
+/** Behavioral / product analytics over the event stream: SCD2 history
+  * building, ordered funnel analysis, cohort retention. The warehouse
+  * workloads a "switchable" engine must cover beyond the OLAP core.
+  *
+  * Cross-engine determinism: all timestamps compare in epoch ms (the
+  * q8/Temporal idiom), every ordering carries an event_id tie-break,
+  * and outputs are integers/epoch-ms longs — no floats anywhere.
+  *
+  * Scale shape: every operator here is one shuffle on user_id; the
+  * window chains stack on that single partitioning (Spark reuses the
+  * exchange), and the final aggregates are map-side combinable.
+  */
+class BehavioralOps(val cfg: GraftConfig) {
+  private val Stages = cfg.funnelStages
+  private val DayMs = 86400000L
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+
+  /** q116: SCD2 history build — collapse each user's event-type stream
+    * into CHANGE versions (consecutive equal states merge), stamped
+    * with [valid_from, valid_to) epoch-ms validity and an is_current
+    * flag on the open version. The type-2 dimension construction every
+    * warehouse runs on mutable entities, as two window passes over ONE
+    * user_id shuffle: a lag detects changes, a lead on the surviving
+    * change rows closes each version's interval. */
+  def q116Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val changes = ev(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    changes.select(col("user_id"),
+        row_number().over(w2).cast("long").as("version"),
+        col("event_type").as("state"),
+        col("ms").as("valid_from_ms"),
+        lead(col("ms"), 1).over(w2).as("valid_to_ms"))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+  }
+
+  def q116Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |ch AS (SELECT user_id, event_id, ms, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+       |  FROM ev
+       |  QUALIFY prev IS NULL OR prev <> event_type)
+       |SELECT user_id,
+       |  CAST(row_number() OVER w AS BIGINT) AS version,
+       |  event_type AS state, ms AS valid_from_ms,
+       |  lead(ms) OVER w AS valid_to_ms,
+       |  lead(ms) OVER w IS NULL AS is_current
+       |FROM ch
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin
+
+  /** q117: ordered funnel — per user, the earliest time each stage of
+    * $Stages was reached IN ORDER (stage i counts only at-or-after
+    * stage i-1's first hit). The classic conversion funnel as a chain
+    * of conditional-min windows over one user_id partitioning — no
+    * self-joins, no per-stage passes over the corpus; users who never
+    * enter the funnel still appear (all-null stages). */
+  def q117Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ub = Window.partitionBy("user_id")
+    var df = ev(spark, dir)
+    var prevCol: Option[String] = None
+    Stages.foreach { s =>
+      val cond = col("event_type") === s &&
+        prevCol.map(p => col(p).isNotNull && col("ms") >= col(p)).getOrElse(lit(true))
+      df = df.withColumn(s"${s}_ms", min(when(cond, col("ms"))).over(ub))
+      prevCol = Some(s"${s}_ms")
+    }
+    df.groupBy("user_id")
+      .agg(Stages.map(s => max(col(s"${s}_ms")).as(s"${s}_ms")).head,
+        Stages.map(s => max(col(s"${s}_ms")).as(s"${s}_ms")).tail: _*)
+  }
+
+  def q117Sql: String = {
+    // mirror the window chain as stacked CTEs, one stage column each
+    val base = "SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events"
+    val ctes = new scala.collection.mutable.StringBuilder(s"WITH s0 AS ($base)")
+    var prev: Option[String] = None
+    Stages.zipWithIndex.foreach { case (s, i) =>
+      val cond = prev match {
+        case None => s"event_type = '$s'"
+        case Some(p) => s"event_type = '$s' AND ${p} IS NOT NULL AND ms >= ${p}"
+      }
+      ctes ++= s""",
+        |s${i + 1} AS (SELECT *, min(CASE WHEN $cond THEN ms END)
+        |    OVER (PARTITION BY user_id) AS ${s}_ms FROM s$i)""".stripMargin
+      prev = Some(s"${s}_ms")
+    }
+    val outs = Stages.map(s => s"max(${s}_ms) AS ${s}_ms").mkString(", ")
+    s"""${ctes.toString}
+       |SELECT user_id, $outs FROM s${Stages.length} GROUP BY user_id""".stripMargin
+  }
+
+  /** q118: cohort retention — users grouped by first-active day
+    * (cohort), counted by day offset since their cohort day: the
+    * retention triangle. Two aggregates on user-sharded data: distinct
+    * (user, day) activity, a per-user min for the cohort day (a window
+    * over the same partitioning — no extra shuffle), then the
+    * (cohort, offset) roll-up. */
+  def q118Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val ud = ev(spark, dir)
+      .select(col("user_id"), expr(s"ms div $DayMs").as("day")).distinct()
+    val cohort = ud.withColumn("cohort_day",
+      min(col("day")).over(Window.partitionBy("user_id")))
+    cohort.groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def q118Sql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day FROM events),
+       |c AS (SELECT user_id, day,
+       |    min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+       |SELECT cohort_day, day - cohort_day AS day_offset,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM c GROUP BY 1, 2""".stripMargin
+}
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Behavioral extends BehavioralOps(GraftConfig.default)
