@@ -393,10 +393,10 @@ class CurationOps(val cfg: GraftConfig) {
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
        |  FROM documents)
        |SELECT doc_id, substr(h, 1, ${cfg.packShardHexLen}) AS shard, n_toks,
-       |  COALESCE(SUM(n_toks) OVER (
+       |  CAST(COALESCE(SUM(n_toks) OVER (
        |    PARTITION BY substr(h, 1, ${cfg.packShardHexLen})
        |    ORDER BY h, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${cfg.packCtxTokens} AS bin_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${cfg.packCtxTokens} AS BIGINT) AS bin_id
        |FROM t""".stripMargin
 
   /** q84: stopword SCRUB — the normalization pass a dedup/fingerprint
@@ -430,9 +430,18 @@ class CurationOps(val cfg: GraftConfig) {
 
   // ---- mixture resampling / per-source top-k / global length bins ----
 
-  /** 4-hex md5 threshold for a keep-fraction < 1.0 (q75's bucket trick:
-    * keep iff the first 4 hash hex chars compare below floor(f·2¹⁶)). */
+  /** 4-hex md5 threshold for a keep-fraction f (q75's bucket trick:
+    * keep iff the first 4 hash hex chars compare below round(f·2¹⁶)).
+    * Callers must treat an overflowing threshold (round(f·2¹⁶) ≥ 2¹⁶,
+    * i.e. f ≳ 0.999992) as keep-all via [[hex4KeepsAll]]: formatting
+    * 65536 would yield the 5-char '10000', which compares BELOW every
+    * 4-char hex string and silently kept only the '0…' sixteenth. */
   private def hex4(f: Double): String = f"${math.round(f * 65536.0)}%04x"
+
+  /** True when the 4-hex threshold can't express f (f rounds to 2¹⁶) —
+    * the keep-all branch, same as f >= 1.0. */
+  private def hex4KeepsAll(f: Double): Boolean =
+    f >= 1.0 || math.round(f * 65536.0) >= 65536L
 
   private def mixtureEntries: Seq[(String, Double)] =
     cfg.mixtureFracs.toSeq.sortBy(_._1) // stable plan/SQL across runs
@@ -450,7 +459,7 @@ class CurationOps(val cfg: GraftConfig) {
     val keep = mixtureEntries.foldLeft(when(lit(false), lit(false))) {
       case (acc, (l, f)) =>
         acc.when(col("lang") === l,
-          if (f >= 1.0) lit(true) else keyHex < lit(hex4(f)))
+          if (hex4KeepsAll(f)) lit(true) else keyHex < lit(hex4(f)))
     }.otherwise(lit(true))
     Tables.documents(spark, dir).filter(keep)
       .select("doc_id", "lang", "source", "n_chars")
@@ -459,7 +468,7 @@ class CurationOps(val cfg: GraftConfig) {
   def q103Sql: String = {
     val branches = mixtureEntries.map { case (l, f) =>
       val cond =
-        if (f >= 1.0) "TRUE"
+        if (hex4KeepsAll(f)) "TRUE"
         else s"substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < '${hex4(f)}'"
       s"WHEN lang = '$l' THEN $cond"
     }.mkString("\n|    ")
