@@ -148,6 +148,11 @@ case class GraftConfig(
     // SCALE ≙ 1.0, so every engine agrees bit-for-bit; keep
     // iters × log10(n × scale × 85) under long range)
     percentileLevels: Seq[Int] = Seq(50, 90, 99),
+    // q91's coarse-bucket width for the two-phase exact quantile: phase-1
+    // histogram rows = value-range / width per class (bounded by the
+    // price domain, NOT corpus size); phase 2 ranks only inside the
+    // <= |classes|·|levels| selected buckets
+    percentileBucketWidth: Double = 4096.0,
     pagerankIters: Int = 3,
     pagerankScale: Long = 1000000000000L,
     // sequence packing (q83): context-window token budget per packed

@@ -20,23 +20,57 @@ class AnalyticsOps(val cfg: GraftConfig) {
   /** q91: exact nearest-rank percentiles of order value per priority
     * class — value at 1-based rank ⌈p·n/100⌉ = (n·p + 99) div 100, the
     * classic nearest-rank definition (no interpolation, so the output
-    * is an actual data value and engine-exact). Scale: ONE shuffle on
-    * the group key serves both window passes (rank + group count); the
-    * conditional-max pivot aggregates in the same partitioning. The
-    * per-group sort is the exact path — at 100 TB swap in a sketch
-    * (approx_percentile) when nearest-rank exactness isn't required. */
+    * is an actual data value and engine-exact).
+    *
+    * Scale shape: the TWO-PHASE bucket-refine exact quantile — never a
+    * row_number over the 5-value class key (that funnels the corpus
+    * into 5 sort tasks), and never a per-class VALUE histogram either
+    * (o_totalprice is near-unique, so a value histogram doesn't
+    * compress and its O(H²) cumulative join explodes). Phase 1 builds a
+    * COARSE bucket histogram (rows bounded by price-range /
+    * ${cfg.percentileBucketWidth} per class, independent of corpus
+    * size), takes cumulative counts with the q28/q105 broadcast
+    * triangular join, and locates each level's cut bucket + residual
+    * rank. Phase 2 re-scans only rows landing in the <= classes·levels
+    * selected buckets (~1/buckets of the corpus) and row_numbers inside
+    * (class, bucket) — each sort task holds one bucket's slice, and a
+    * deeper refine would just recurse the same split. Ties on value
+    * need no tie-break: any row at the residual rank inside a value run
+    * carries the same o_totalprice. */
   def q91Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val wAll = Window.partitionBy("o_orderpriority")
-    val ranked = Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_totalprice"),
-        row_number().over(wRank).as("rn"),
-        count(lit(1)).over(wAll).as("n"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("cls"), col("o_totalprice").as("v"),
+        floor(col("o_totalprice") / cfg.percentileBucketWidth).cast("long").as("bk"))
+    val bh = o.groupBy("cls", "bk").agg(count(lit(1)).as("cnt"))
+    val bcum = bh.as("a")
+      .join(broadcast(bh.as("b")),
+        col("a.cls") === col("b.cls") && col("b.bk") <= col("a.bk"))
+      .groupBy(col("a.cls").as("cls"), col("a.bk").as("bk"), col("a.cnt").as("cnt"))
+      .agg(sum(col("b.cnt")).as("cum"))
+    // one row per (class, level): class size and the level's target rank
+    val ranks = bh.groupBy("cls").agg(sum(col("cnt")).as("n"))
+      .select(col("cls"), col("n"),
+        explode(array(Levels.map(p => struct(lit(p).as("p"),
+          expr(s"(n * $p + 99) div 100").as("r"))): _*)).as("pr"))
+      .select(col("cls"), col("n"), col("pr.p").as("p"), col("pr.r").as("r"))
+    // cut bucket = first whose cumulative count reaches r; rr = rank
+    // inside it (min(struct) picks the lowest qualifying bucket)
+    val cut = ranks.join(bcum, "cls")
+      .filter(col("cum") >= col("r"))
+      .groupBy("cls", "n", "p", "r")
+      .agg(min(struct(col("bk"), (col("cum") - col("cnt")).as("base"))).as("m"))
+      .select(col("cls"), col("n"), col("p"),
+        col("m.bk").as("bk"), (col("r") - col("m.base")).as("rr"))
+    val w = Window.partitionBy("cls", "bk").orderBy(col("v"))
+    val picked = o
+      .join(broadcast(cut.select("cls", "bk").distinct()), Seq("cls", "bk"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(cut), Seq("cls", "bk"))
+      .filter(col("rn") === col("rr"))
     val pivots = Levels.map(p =>
-      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("o_totalprice")))
-        .as(s"p$p"))
-    ranked.groupBy("o_orderpriority", "n").agg(pivots.head, pivots.tail: _*)
+      max(when(col("p") === p, col("v"))).as(s"p$p"))
+    picked.groupBy(col("cls").as("o_orderpriority"), col("n"))
+      .agg(pivots.head, pivots.tail: _*)
   }
 
   def q91Sql: String = {
@@ -53,6 +87,19 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |FROM ranked GROUP BY 1, 2""".stripMargin
   }
 
+  /** Stage/round lineage cut for iterative loops — same contract as
+    * GraphOps.stageCk: eager localCheckpoint locally, reliable
+    * checkpoint on clusters (cfg.reliableStageCheckpoints). */
+  private def stageCk(df: DataFrame): DataFrame =
+    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Cut the rank table's lineage every 4th round — the GraphOps
+    * fixpoint cadence: enough rounds between cuts to amortize the
+    * materialization, few enough that the plan never accretes more
+    * than 4 rounds of joins (SURVEY §7's lineage lesson). */
+  private val PrCkEvery = 4
+
   /** q92: PageRank over the document overlap graph (q20's edges), in
     * FIXED-POINT integers: rank starts at $PrScale (≙ 1.0), each
     * iteration sends rank div out_degree along edges and damps as
@@ -66,8 +113,13 @@ class AnalyticsOps(val cfg: GraftConfig) {
     * The edge⋈outdeg subtree is identical across iterations, so the
     * single final action reuses its exchange (ReusedExchange) instead
     * of recomputing the candidate join per round. Long-chain runs
-    * (iters ≫ 3) should stage-checkpoint the rank table per round like
-    * the GraphOps fixpoints. */
+    * (iters ≫ $PrCkEvery) stage-checkpoint the (|docs|-row) rank table
+    * every $PrCkEvery rounds, so plan depth — and with
+    * cfg.reliableStageCheckpoints the recovery cost after executor
+    * loss — is bounded by the cadence, not the iteration count;
+    * checkpointing a deterministic integer table cannot change values.
+    * The default 3-iteration run takes no cut and keeps its
+    * single-action ReusedExchange plan. */
   def q92Pagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
     val e = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
@@ -75,13 +127,14 @@ class AnalyticsOps(val cfg: GraftConfig) {
     val eo = e.join(od, "src")
     val base = lit(15L * PrScale / 100)
     var r = docs.select(col("node"), lit(PrScale).as("pr"))
-    for (_ <- 1 to PrIters) {
+    for (i <- 1 to PrIters) {
       val contrib = eo.join(r, eo("src") === r("node"))
         .select(col("dst").as("node"), expr("pr div od").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       r = docs.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (base + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+      if (i % PrCkEvery == 0 && i < PrIters) r = stageCk(r)
     }
     r.select(col("node").as("doc_id"), col("pr"))
   }

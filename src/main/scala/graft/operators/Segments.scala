@@ -138,24 +138,45 @@ class SegmentOps(val cfg: GraftConfig) {
   /** q102: inverted index — per whitespace token: document frequency,
     * collection frequency, and the first $Cap doc ids of the posting
     * list (ascending). The retrieval-side companion to q87/q90 term
-    * scoring: those rank, this is the index they'd probe. One shuffle
-    * on the token key; per-token state is the capped posting head plus
-    * two counters (full posting lists shard by (term, doc-range) at
-    * 100 TB — the cap IS the per-key bound that makes the aggregate
-    * safe under viral tokens). */
-  def q102InvertedIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * scoring: those rank, this is the index they'd probe. Empty tokens
+    * (consecutive spaces) are dropped, matching every other term-level
+    * query (q87/q88/q90/q95/q96).
+    *
+    * Scale shape: NO aggregation buffer ever holds a full posting list.
+    * The (token, doc_id) pre-aggregate carries one counter per pair;
+    * df/cf are then plain counts over it (map-side partial agg), and
+    * the posting head is `row_number <= $Cap` above a token-keyed
+    * window — the filter-over-rank form Catalyst rewrites into
+    * WindowGroupLimit, so a viral token ("the" at 100 TB) ships only
+    * ~$Cap rows per map task into the sort instead of its whole
+    * posting list, and the final collect_list is <= $Cap elements by
+    * construction. The pair table feeds both branches through one
+    * reused exchange; full posting lists would shard by
+    * (term, doc-range) — a head index is the only form with a bounded
+    * per-key row. */
+  def q102InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("n"))
+    val stats = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy("doc_id")
+    val head = perDoc
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Cap)
       .groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("cf"),
-        concat_ws(",", slice(sort_array(collect_set(col("doc_id"))), 1, Cap))
-          .as("postings_head"))
+      .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
+        .as("postings_head"))
+    stats.join(head, "token")
+  }
 
   def q102Sql: String =
     s"""SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf,
        |  array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[:$Cap], ',') AS postings_head
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |WHERE token <> ''
        |GROUP BY token""".stripMargin
 }
 

@@ -82,6 +82,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(r == Map(0L -> Analytics.PrScale, 1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
   }
 
+  test("q92: long runs stage-checkpoint — plan bounded by the cut cadence, fixed point holds") {
+    // cuts land at rounds 4 and 8, so a 12-iteration run must plan
+    // exactly like an uncut 4-round run (the post-cut tail); the 3-cycle
+    // stationary point doubles as a value check across the cuts.
+    val dir = docs(
+      0L -> "a b x y",
+      1L -> "x y c d",
+      2L -> "c d a b")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    def run(iters: Int) =
+      new graft.operators.AnalyticsOps(GraftConfig(pagerankIters = iters))
+        .q92Pagerank(spark, dir)
+    val twelve = run(12)
+    assert(joins(twelve) == joins(run(4)),
+      "12 iterations must plan exactly like the 4-round tail after the round-8 cut")
+    val r = twelve.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> Analytics.PrScale, 1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
+  }
+
   test("q93: the 3-cycle docs form one triangle counted once per vertex") {
     val dir = docs(
       0L -> "a b x y",

@@ -129,6 +129,23 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q91 percentiles: never a corpus sort over the 5-value class key") {
+    val p = plan("q91_percentiles")
+    assert(windows(p) == 1, s"q91 should have exactly the phase-2 refine window:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("bk#")),
+      "q91's only window must partition by (class, bucket) — a window keyed on the " +
+        "priority class alone funnels the corpus into 5 sort tasks")
+  }
+
+  test("q102 inverted index: posting head via WindowGroupLimit, no unbounded collect buffer") {
+    val p = plan("q102_inverted_index")
+    assert(p.contains("WindowGroupLimit"),
+      "q102's rank<=cap filter must plan as WindowGroupLimit (map-side partial top-k)")
+    assert(!p.contains("collect_set"),
+      "q102 must not hold a full posting set in one aggregation buffer")
+  }
+
   test("q103 mixture resampling is a pure scan: zero semantic exchanges") {
     assert(semanticExchanges(plan("q103_mixture")) == 0,
       "q103 must not shuffle — thresholds are literals in one scan predicate")
