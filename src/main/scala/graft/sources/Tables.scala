@@ -40,16 +40,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = fact(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = fact(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong, so
-    * ts arrives as int64 nanos; truncate to micros exactly like DuckDB
-    * does when it reads the same file. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = fact(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+  /** events.parquet has shipped with three physical `ts` encodings across
+    * data regenerations: TIMESTAMP(NANOS) (read as int64 nanos under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS) with tz
+    * (plain TimestampType), and TIMESTAMP(MICROS) without tz, which
+    * Spark 4 maps to TIMESTAMP_NTZ — a type `unix_millis`/`window` et al.
+    * reject. Normalize all three to session-tz TimestampType; sessions
+    * pin the timezone to UTC, so the NTZ cast is value-preserving and
+    * matches DuckDB's naive-timestamp reading of the same file. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(fact(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
 

@@ -68,9 +68,7 @@ object EventStream {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      graft.sources.Tables.normalizeEventTs(raw)
     val agg = events
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
@@ -102,9 +100,7 @@ object EventStream {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      graft.sources.Tables.normalizeEventTs(raw)
     val agg = events
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -263,9 +259,7 @@ object EventStream {
     def stream(): DataFrame = {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      graft.sources.Tables.normalizeEventTs(raw)
     }
     val q = clickErrorJoin(stream(), stream())
       .writeStream.format("memory").queryName("graft_q77")
@@ -358,9 +352,7 @@ object EventStream {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val withTs =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      graft.sources.Tables.normalizeEventTs(raw)
     import spark.implicits._
     val evs = withTs.select(col("event_id"), col("ts"), col("user_id"),
         col("value").cast("decimal(25,6)").as("value")).as[SEvent]
