@@ -56,7 +56,16 @@ class SequenceOps(val cfg: GraftConfig) {
   private def docKmerFreq(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = kmers(spark, dir).groupBy("doc_id", "kmer").agg(count(lit(1)).as("c"))
     val freq = perDoc.groupBy("kmer").agg(sum(col("c")).as("f"))
-    perDoc.join(freq, "kmer")
+    // SHUFFLE_HASH with freq as build side: both sides are already
+    // kmer-partitioned by their aggregates, each task hashes only its
+    // slice of the (smaller, aggregated) freq table and streams perDoc
+    // through it — no sort, no broadcast. Left free, AQE broadcast-built
+    // the 1.35M-row perDoc side (its shuffle bytes sat under the 64 MB
+    // threshold) and doubled the query; forcing the aggregated side as
+    // build is also the right call at 100 TB, where per-partition freq
+    // slices stay bounded by distinct-kmer count and AQE skew-split
+    // still applies to SHJ. (Round-6 verdict item 4: q9_tag 2× chase.)
+    perDoc.join(freq.hint("shuffle_hash"), "kmer")
   }
 
   /** q10: k-mer frequency table (freq ≥ 2 to keep the result compact). */
