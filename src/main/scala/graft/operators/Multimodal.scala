@@ -199,6 +199,75 @@ object Multimodal {
     }).toDF()
   }
 
+  case class PooledPixel(doc_id: Long, py: Int, px: Int,
+                         r_avg: Int, g_avg: Int, b_avg: Int)
+
+  /** q119: AVERAGE-POOLING 2×2 downsample on the real decode path — the
+    * arithmetic resize q114's nearest-neighbor stride only approximates.
+    * Parse the binary P6 payload (same strict decoder as q76), pool each
+    * 2×2 block per channel (floor of the block mean — integer division
+    * by the block's actual pixel count, so odd edges pool their 2- or
+    * 1-pixel remainder correctly), and emit one row per OUTPUT pixel:
+    * this is a genuine pooled image, not a summary statistic. All
+    * arithmetic is integer (sum div count), so the oracle recomputes
+    * every pooled byte from hex-string arithmetic and the whole
+    * decode→pool→emit path hash-verifies cross-engine. Row-local work,
+    * scan-shaped plan: at 100 TB this runs as a pure map stage with no
+    * shuffle at all. */
+  def q119AvgpoolDownsample(spark: SparkSession, dir: String): DataFrame =
+    avgpool(ppmTable(spark, dir))
+
+  private[graft] def avgpool(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val (w, h, _, off) = parsePpmHeader(bytes)
+      val outW = (w + 1) / 2
+      val outH = (h + 1) / 2
+      for (py <- 0 until outH; px <- 0 until outW) yield {
+        var (r, g, b, n) = (0L, 0L, 0L, 0L)
+        var dy = 0
+        while (dy < 2) {
+          val y = 2 * py + dy
+          if (y < h) {
+            var dx = 0
+            while (dx < 2) {
+              val x = 2 * px + dx
+              if (x < w) {
+                val p = off + 3 * (y * w + x)
+                r += bytes(p) & 0xff
+                g += bytes(p + 1) & 0xff
+                b += bytes(p + 2) & 0xff
+                n += 1
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        PooledPixel(id, py, px, (r / n).toInt, (g / n).toInt, (b / n).toInt)
+      }
+    }).toDF()
+  }
+
+  /** The 4×4 raster's 2×2 block at output (py,px) covers row-major
+    * pixel indices 8·py + 2·px + {0, 1, 4, 5}; every block is full, so
+    * the pooled byte is the block sum // 4. */
+  def q119Sql: String =
+    """WITH h3 AS (SELECT doc_id, md5(text) || md5(text || '1') || md5(text || '2') AS hx
+      |  FROM documents),
+      |vals AS (SELECT doc_id, py, px, c,
+      |    (strpos('0123456789abcdef', substr(hx, 2*(3*(8*py + 2*px + d)+c)+1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(hx, 2*(3*(8*py + 2*px + d)+c)+2, 1)) - 1) AS v
+      |  FROM h3, LATERAL (SELECT unnest([0, 1]) AS py) a,
+      |    LATERAL (SELECT unnest([0, 1]) AS px) b,
+      |    LATERAL (SELECT unnest([0, 1, 4, 5]) AS d) e,
+      |    LATERAL (SELECT unnest(generate_series(0, 2)) AS c) u)
+      |SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+      |  CAST(SUM(CASE WHEN c = 0 THEN v END) // 4 AS INT) AS r_avg,
+      |  CAST(SUM(CASE WHEN c = 1 THEN v END) // 4 AS INT) AS g_avg,
+      |  CAST(SUM(CASE WHEN c = 2 THEN v END) // 4 AS INT) AS b_avg
+      |FROM vals GROUP BY doc_id, py, px""".stripMargin
+
   def q114Sql: String =
     """WITH h3 AS (SELECT doc_id, md5(text) || md5(text || '1') || md5(text || '2') AS hx
       |  FROM documents),

@@ -147,6 +147,36 @@ class SketchOps(val cfg: GraftConfig) {
        |SELECT bucket, max(rho) AS max_rho FROM rhos GROUP BY 1""".stripMargin
   }
 
+  /** The HLL estimate finisher over a q96-shaped register table
+    * (bucket, max_rho): E = α_m · m² / Σ_j 2^-M_j with Flajolet et
+    * al.'s small-range (linear counting) correction when E ≤ 5m/2 and
+    * empty registers remain. This is the caller-side scalar q96
+    * deliberately does not emit (its integer registers stay the
+    * bitwise, mergeable artifact; the estimate is float).
+    *
+    * Float caveat: a harmonic sum's value depends on summation order,
+    * so the fold is FIXED — registers sorted by bucket ascending,
+    * summed left-to-right in one driver loop — making the scalar
+    * reproducible run-to-run and engine-to-engine given equal
+    * registers. The collect here is not a distributed-compute
+    * violation: the register table is the sketch, m = 16^$CmHexChars
+    * rows by construction, corpus-independent — finishing a sketch on
+    * the driver is the sketch contract working as intended. */
+  def hllEstimate(registers: DataFrame): Double = {
+    val m = math.pow(16.0, CmHexChars).toLong
+    val regs = registers.select(col("bucket"), col("max_rho").cast("long"))
+      .orderBy(col("bucket")).collect()
+    require(regs.length <= m, s"register table has ${regs.length} rows > m=$m")
+    var z = 0.0
+    regs.foreach(r => z += math.pow(2.0, -r.getLong(1).toDouble))
+    val empty = m - regs.length // absent buckets are 0-registers: 2^-0 = 1 each
+    z += empty.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m.toDouble * m.toDouble / z
+    if (e <= 2.5 * m && empty > 0) m.toDouble * math.log(m.toDouble / empty)
+    else e
+  }
+
   def q88Sql: String = {
     val rowList = (0 until CmRows).mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT t AS token FROM

@@ -101,6 +101,30 @@ class RankingSpec extends GraftSpec {
     assert(ru == merged)
   }
 
+  test("hllEstimate: within 3 standard errors of the true distinct count on real data") {
+    val regs = Sketch.q96HllRegisters(spark, sf)
+    val est = Sketch.hllEstimate(regs)
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count().toDouble
+    // HLL standard error 1.04/sqrt(m); m = 16^cmHexChars = 256 → 6.5%
+    val m = math.pow(16.0, Sketch.CmHexChars)
+    val tol = 3.0 * 1.04 / math.sqrt(m)
+    assert(math.abs(est - truth) <= tol * truth,
+      s"est=$est truth=$truth tol=${tol * truth}")
+  }
+
+  test("hllEstimate: small-range linear counting lands near an exact tiny vocab") {
+    val dir = docs(0L -> "alpha beta gamma", 1L -> "beta delta")
+    val est = Sketch.hllEstimate(Sketch.q96HllRegisters(spark, dir))
+    assert(est >= 2.0 && est <= 8.0, s"est=$est for 4 distinct tokens")
+  }
+
+  test("hllEstimate: deterministic across evaluations (fixed fold order)") {
+    val regs = Sketch.q96HllRegisters(spark, sf)
+    assert(Sketch.hllEstimate(regs) == Sketch.hllEstimate(regs))
+  }
+
   test("q89: codes bounded by ±127, max-magnitude element hits exactly 127") {
     val out = Similarity.q89Quantize(spark, sf).collect()
     assert(out.length > 0)

@@ -64,6 +64,29 @@ class TextStreamSpec extends GraftSpec {
     }
   }
 
+  test("q119 avgpool: floor block means on a hand-built image, odd edges pool remainders") {
+    import spark.implicits._
+    // 3x3 image: odd dims force a 2x2 full block, two 2-pixel edge
+    // blocks, and a 1-pixel corner. R channel = pixel index (0..8),
+    // G = 10*index, B = 255 - index.
+    val px = (0 until 9).flatMap(i => Seq(i.toByte, (10 * i).toByte, (255 - i).toByte))
+    val img = "P6\n3 3\n255\n".getBytes("US-ASCII") ++ px.toArray
+    val out = Multimodal.avgpool(Seq((3L, img)).toDS()).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> (r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    // block (0,0): pixels {0,1,3,4} → r=(0+1+3+4)/4=2, g=20, b=(255*4-8)/4=253
+    assert(out((0, 0)) == ((2, 20, 253)))
+    // block (0,1): pixels {2,5} → r=3 (floor 3.5), g=35, b=(253+250)/2=251
+    assert(out((0, 1)) == ((3, 35, 251)))
+    // block (1,0): pixels {6,7} → r=6 (floor 6.5), g=65, b=248 (floor 248.5)
+    assert(out((1, 0)) == ((6, 65, 248)))
+    // block (1,1): pixel {8} → r=8, g=80, b=247
+    assert(out((1, 1)) == ((8, 80, 247)))
+    // real data: 4x4 rasters pool to exactly 4 output pixels per doc
+    val real = Multimodal.q119AvgpoolDownsample(spark, sf)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(real.count() == 4 * nDocs)
+  }
+
   test("q77 stream-stream join matches only errors within 30min after a click") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
