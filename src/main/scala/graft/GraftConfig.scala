@@ -101,6 +101,15 @@ case class GraftConfig(
     langIdProfileSize: Int = 30,
     winnowK: Int = 5,
     winnowWindow: Int = 4,
+    // q121 keep/drop filter pipeline: rule thresholds (first failing
+    // rule in fixed order wins; defaults drop ~30% of the synthetic
+    // corpus so the operator's branches are all exercised)
+    keepMinTokens: Int = 25,
+    keepAllowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
+    keepMinTtr: Double = 0.35,
+    // q122 duplicated-span coverage: char n-gram width for the exact
+    // cross-doc duplicate-substring diagnostic
+    dupSpanK: Int = 16,
     // corpus curation (Curation.scala)
     // train/eval contamination: word-n-gram size, boilerplate df cap
     // (also the inverted-index join's per-key fanout bound), and the

@@ -562,6 +562,48 @@ class CurationOps(val cfg: GraftConfig) {
        |SELECT d.doc_id, d.n_chars, CAST($binSum AS BIGINT) AS bin
        |FROM documents d, cuts""".stripMargin
   }
+
+  /** q121: the keep/drop FILTER PIPELINE — the composite quality gate a
+    * Dolma/CCNet-style curation run applies per doc, as one declarative
+    * query: rules evaluate in a FIXED order (too_short → wrong_lang →
+    * repetitious, thresholds from config) and the verdict is the first
+    * failing rule, or keep. Emitting the verdict WITH its reason is the
+    * operational point — a pipeline that can't explain drops can't be
+    * audited, and reason-bucket counts are the curation dashboard.
+    * Metrics are integer counts and one fixed-shape double division
+    * (type-token ratio), so verdicts are engine-exact. Pure scan
+    * expressions: zero shuffles at any scale. */
+  def q121KeepDrop(spark: SparkSession, dir: String): DataFrame = {
+    val langList = cfg.keepAllowedLangs.map(l => lit(l))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("fail_rule",
+        when(col("n_tokens") < cfg.keepMinTokens, "too_short")
+          .when(!col("lang").isInCollection(cfg.keepAllowedLangs), "wrong_lang")
+          .when(col("ttr") < cfg.keepMinTtr, "repetitious"))
+      .select(col("doc_id"), col("n_tokens"), col("ttr"),
+        col("fail_rule").isNull.as("keep"), col("fail_rule"))
+  }
+
+  def q121Sql: String = {
+    val langs = cfg.keepAllowedLangs.map(l => s"'$l'").mkString("(", ", ", ")")
+    s"""WITH m AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+       |  FROM documents),
+       |v AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(n_types AS DOUBLE) / n_tokens AS ttr FROM m)
+       |SELECT doc_id, n_tokens, ttr,
+       |  fail_rule IS NULL AS keep, fail_rule
+       |FROM (SELECT doc_id, n_tokens, ttr,
+       |  CASE WHEN n_tokens < ${cfg.keepMinTokens} THEN 'too_short'
+       |       WHEN lang NOT IN $langs THEN 'wrong_lang'
+       |       WHEN ttr < ${cfg.keepMinTtr} THEN 'repetitious'
+       |  END AS fail_rule FROM v)""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -173,6 +173,108 @@ class TextAnalysisOps(val cfg: GraftConfig) {
       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
       |  1.0 - CAST(SUM(c*c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS bigram_simpson
       |FROM cnt GROUP BY doc_id""".stripMargin
+
+  // q120 redaction classes: (name, regex, replacement token). The email
+  // and phone shapes are the production PII patterns (kept simple enough
+  // that Java regex and RE2 agree); the term class is the
+  // dictionary-driven scrub (API keys, codenames, blocklisted terms) and
+  // is what actually fires on the synthetic corpus. Patterns are applied
+  // in this order; replacement tokens contain no pattern-matchable chars,
+  // so sequential application can't cascade.
+  private val RedactClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("term", "\\b(key|token|secret)\\b", "[TERM]"))
+
+  /** q120: PII / sensitive-term redaction — the scrub step every
+    * training-data pipeline runs before packing. Per doc: a match count
+    * per redaction class (counted on the ORIGINAL text) and the
+    * redacted text with each match replaced by its class token.
+    * Pure codegen'd scan expressions (regexp_extract_all +
+    * regexp_replace), zero shuffles at any scale; the class list is
+    * config — swapping in stricter PII regexes changes no plumbing. */
+  def q120Redact(spark: SparkSession, dir: String): DataFrame = {
+    val counts = RedactClasses.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    val redacted = RedactClasses.foldLeft(col("text")) {
+      case (c, (_, pat, tok)) => regexp_replace(c, lit(pat), lit(tok))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  def q120Sql: String = {
+    val counts = RedactClasses.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n      |  ")
+    val redacted = RedactClasses.foldLeft("text") {
+      case (e, (_, pat, tok)) => s"regexp_replace($e, '$pat', '$tok', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  $counts,
+       |  $redacted AS redacted
+       |FROM documents""".stripMargin
+  }
+
+  /** q122: exact duplicated-span coverage (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" substring-level
+    * diagnostic): per doc, how many of its char positions sit inside a
+    * char ${cfg.dupSpanK}-gram that also occurs in ≥ 1 OTHER doc, as a
+    * fraction of doc length. Finds verbatim cross-doc spans that
+    * whole-doc (q53) and even segment-level (q99) granularity miss.
+    *
+    * Scale shape: grams explode from the scan into a distinct
+    * (doc, gram) pre-aggregate (map-side combinable — repetition inside
+    * a doc never crosses the network twice); cross-doc df is a second
+    * aggregate over it; dup-gram positions re-join on the gram key with
+    * the aggregated side as the SHUFFLE_HASH build (the q9_tag lesson).
+    * The interval union is a per-doc window (bounded by doc length, no
+    * hot keys): equal-length intervals sorted by start make covered
+    * chars Σ min(k, pos − prev_pos) — exact integers, no sweep state. */
+  def q122DupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val k = cfg.dupSpanK
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .withColumn("pos", explode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), col("pos"), expr(s"substring(text, pos, $k)").as("g"))
+    val dupGrams = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = grams.join(dupGrams.hint("shuffle_hash"), "g")
+      .withColumn("delta",
+        least(lit(k), col("pos") - lag(col("pos"), 1).over(w)))
+      .withColumn("delta", coalesce(col("delta"), lit(k)))
+      .groupBy("doc_id").agg(sum(col("delta")).as("covered_chars"))
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"))
+      .withColumn("dup_ratio",
+        col("covered_chars").cast("double") / col("n_chars"))
+  }
+
+  def q122Sql: String = {
+    val k = cfg.dupSpanK
+    s"""WITH grams AS (
+       |  SELECT doc_id, g AS pos, substr(text, g, $k) AS s
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${k - 1})) AS g) t
+       |  WHERE len(text) >= $k),
+       |dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+       |  FROM grams GROUP BY s) WHERE df >= 2),
+       |hits AS (SELECT doc_id, pos,
+       |    coalesce(least($k, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), $k) AS delta
+       |  FROM grams JOIN dup USING (s)),
+       |cov AS (SELECT doc_id, CAST(SUM(delta) AS BIGINT) AS covered_chars
+       |  FROM hits GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |  coalesce(cov.covered_chars, 0) AS covered_chars,
+       |  CAST(coalesce(cov.covered_chars, 0) AS DOUBLE) / d.n_chars AS dup_ratio
+       |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -234,6 +234,24 @@ class CurationSpec extends GraftSpec {
     assert(run(4) == run(1) && run(4).size == 12)
   }
 
+  test("q121: first failing rule wins in fixed order; keep iff no rule fires") {
+    val kd = new CurationOps(GraftConfig(
+      keepMinTokens = 3, keepAllowedLangs = Seq("en"), keepMinTtr = 0.5))
+    val dir = docsLangSource(
+      (0L, "a b", "en", "s"),       // too_short
+      (1L, "a b", "de", "s"),       // too_short AND wrong_lang → too_short
+      (2L, "x y z w", "de", "s"),   // wrong_lang
+      (3L, "a a a b", "en", "s"),   // ttr 0.5, not < 0.5 → keep
+      (4L, "a a a a", "en", "s"))   // ttr 0.25 → repetitious
+    val out = kd.q121KeepDrop(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), Option(r.getString(4)))).toMap
+    assert(out(0L) == ((false, Some("too_short"))))
+    assert(out(1L) == ((false, Some("too_short"))))
+    assert(out(2L) == ((false, Some("wrong_lang"))))
+    assert(out(3L) == ((true, None)))
+    assert(out(4L) == ((false, Some("repetitious"))))
+  }
+
   test("q105: bins follow the nearest-rank decile cutpoints") {
     // lengths 1..10, deciles cut at ranks 1..9 → values 1..9; bin =
     // #cuts strictly below the length = length - 1 (capped at 9).

@@ -32,6 +32,42 @@ class TextStreamSpec extends GraftSpec {
     assert(df.filter(length(col("fp")) =!= 32).count() == 0)
   }
 
+  private def textDocs(rows: (Long, String)*): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textspec").toString
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q120 redact: counts per class on original text, replacements applied in order") {
+    val dir = textDocs(
+      0L -> "contact bob@example.com or 555-123-4567 about the key",
+      1L -> "token secret token",
+      2L -> "monkey tokens are not pii") // \b guards: no substring hits
+    val out = TextAnalysis.q120Redact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert((out(0L).getLong(1), out(0L).getLong(2), out(0L).getLong(3)) == ((1L, 1L, 1L)))
+    assert(out(0L).getString(4) == "contact [EMAIL] or [PHONE] about the [TERM]")
+    assert((out(1L).getLong(1), out(1L).getLong(2), out(1L).getLong(3)) == ((0L, 0L, 3L)))
+    assert(out(1L).getString(4) == "[TERM] [TERM] [TERM]")
+    assert(out(2L).getLong(3) == 0L && out(2L).getString(4) == "monkey tokens are not pii")
+  }
+
+  test("q122 dup spans: interval union of cross-doc duplicated grams, zero when unique") {
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(dupSpanK = 4))
+    // docs 0 and 1 share "abcdef" (positions 1-3 of 4-grams: abcd bcde
+    // cdef → union covers chars 1-6 = 6); doc 2 is all-unique text.
+    val dir = textDocs(0L -> "abcdefxx", 1L -> "yyabcdef", 2L -> "qrstuvwz")
+    val out = ops.q122DupSpanCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._1 == 6L && math.abs(out(0L)._2 - 0.75) < 1e-12)
+    assert(out(1L)._1 == 6L)
+    assert(out(2L)._1 == 0L && out(2L)._2 == 0.0)
+  }
+
   test("q60 multimodal: features computed per doc with stable schema") {
     val df = Multimodal.q60Multimodal(spark, sf)
     assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
