@@ -331,6 +331,38 @@ class SimilarityOps(val cfg: GraftConfig) {
        |SELECT av.vec_id, av.cell,
        |  av.vec_id IN (SELECT idb FROM dropped) AS dropped
        |FROM av""".stripMargin
+
+  /** q123: ANN recall@k — the eval every approximate index ships with:
+    * per query, |IVF top-$IvfTopK ∩ exact top-$IvfTopK| / $IvfTopK
+    * (the brute table truncated to the same k, so numerator and
+    * denominator measure the same contract). An index without a recall
+    * number is a black box: this is how nprobe/centroid-count tuning
+    * decisions get made.
+    *
+    * Scale: both inputs are per-query top-k tables — queries × k rows
+    * no matter the corpus size — so the eval join is trivially small
+    * and the cost is the two searches it audits. Recall is an exact
+    * integer count over a fixed divisor: engine-exact. */
+  def q123AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q40AnnBrute(spark, dir)
+      .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
+    val approx = q41AnnIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / IvfTopK).as("recall"))
+  }
+
+  def q123Sql: String =
+    s"""WITH brute AS ($q40Sql),
+       |ivf AS ($q41Sql)
+       |SELECT b.query_id, CAST(count(i.vec_id) AS BIGINT) AS hits,
+       |  CAST(count(i.vec_id) AS DOUBLE) / $IvfTopK AS recall
+       |FROM (SELECT query_id, vec_id FROM brute WHERE rk <= $IvfTopK) b
+       |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+       |GROUP BY b.query_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -69,4 +69,21 @@ class DedupSpec extends GraftSpec {
     val ivf = Similarity.q41AnnIvf(spark, sf).select("query_id").distinct().count()
     assert(ivf > 0 && ivf <= brute)
   }
+
+  test("q123 recall: bounded in [0,1] for every query; exhaustive probing gives recall 1") {
+    val r = Similarity.q123AnnRecall(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val rec = row.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // nprobe = all centroids → IVF searches every cell = brute force
+    // with the same tie-break → recall exactly 1 for every query
+    val full = new graft.operators.SimilarityOps(GraftConfig(
+      ivfNprobe = GraftConfig.default.ivfCentroids))
+    full.q123AnnRecall(spark, sf).collect().foreach { row =>
+      assert(row.getAs[Double]("recall") == 1.0,
+        s"query ${row.getAs[Long]("query_id")} recall < 1 under exhaustive probing")
+    }
+  }
 }

@@ -181,4 +181,27 @@ class PlanSpec extends GraftSpec {
     assert(scanLines.contains("o_orderdate"),
       "q107's year predicate must reach the orders scan as a pushed filter")
   }
+
+  test("q119/q120/q121 are map-only: zero semantic exchanges, no window, no join") {
+    Seq("q119_avgpool", "q120_redact", "q121_keep_drop").foreach { n =>
+      val p = plan(n)
+      assert(semanticExchanges(p) == 0, s"$n must not shuffle — it is row-local")
+      assert(windows(p) == 0 && !p.contains("Join"), s"$n grew a window or join")
+    }
+  }
+
+  test("q122 dup spans: aggregated gram side builds the shuffled hash join, doc window only") {
+    val p = plan("q122_dup_spans")
+    assert(p.contains("ShuffledHashJoin"),
+      "q122's position re-join must be a shuffled hash join (no sort, no fact-side broadcast)")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("kmer freq join never broadcast-builds the per-doc fact side") {
+    Seq("q9_tag_trusted", "q15_kmer_read_freq", "q16_trusted").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$n's perDoc-freq join must stay a shuffled hash join")
+    }
+  }
 }
