@@ -89,6 +89,14 @@ case class GraftConfig(
     ivfTopK: Int = 3,
     kmeansIters: Int = 2,
     ivfNprobe: Int = 2,
+    // IVF k-means trains on the deterministic vec_id % mod = 0 sample
+    // (mod 1 = full corpus). At 100 TB nobody Lloyd-iterates the full
+    // corpus — set mod so the sample still gives ≥ ~1000 points per
+    // centroid and assign the full corpus once. The small-sf default
+    // stays 1: at 60k vectors a 25% sample measurably degrades
+    // centroid geometry (q123 mean recall 0.93 → 0.43), i.e. the
+    // sample floor binds long before the training cost does.
+    ivfTrainMod: Int = 1,
     // semantic dedup (q94): within-cell cosine threshold above which
     // the higher-id vector is dropped
     semDedupCos: Double = 0.42,

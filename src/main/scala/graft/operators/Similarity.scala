@@ -33,6 +33,7 @@ class SimilarityOps(val cfg: GraftConfig) {
   val NumCentroids: Int = cfg.ivfCentroids
   val IvfTopK: Int = cfg.ivfTopK
   val KmeansIters: Int = cfg.kmeansIters
+  val TrainMod: Int = cfg.ivfTrainMod
   val SemCos: Double = cfg.semDedupCos
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
@@ -146,11 +147,16 @@ class SimilarityOps(val cfg: GraftConfig) {
   def trainIndex(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    // Lloyd iterations see only the deterministic vec_id % $TrainMod
+    // sample: training estimates cluster DENSITY, which a fixed sample
+    // carries — at 100 TB the full corpus is assigned exactly once
+    // (searchWithCentroids), never re-scanned per training round.
+    val et = if (TrainMod > 1) e.filter(col("vec_id") % TrainMod === 0) else e
     val init = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
     (1 to KmeansIters).foldLeft(init) { (c, _) =>
-      updateCentroids(assign(e, c))
+      updateCentroids(assign(et, c))
     }
   }
 
@@ -222,10 +228,11 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   /** DuckDB twin of one assignment pass: nearest centroid by fixed-point
     * cosine, ties to the lowest cent_id. */
-  private def duckAssign(cTbl: String, out: String): String =
+  private def duckAssign(cTbl: String, out: String, onlySample: Boolean = false): String = {
+    val f = if (onlySample && TrainMod > 1) s" WHERE e.vec_id % $TrainMod = 0" else ""
     s"""${out}_ex AS (SELECT e.vec_id AS ia, $cTbl.cent_id AS ib,
        |    unnest(e.embedding) AS a, unnest($cTbl.ce) AS b
-       |  FROM e, $cTbl),
+       |  FROM e, $cTbl$f),
        |${out}_dots AS (SELECT ia, ib,
        |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
        |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
@@ -236,6 +243,7 @@ class SimilarityOps(val cfg: GraftConfig) {
        |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
        |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
        |    FROM ${out}_dots) WHERE rk = 1)""".stripMargin
+  }
 
   /** DuckDB twin of one exact-mean centroid update. */
   private def duckUpdate(aTbl: String, out: String): String =
@@ -252,7 +260,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     * matching oracle. Used by q41 and q94. */
   private def trainedAssignCtes: String = {
     val training = (1 to KmeansIters).map { i =>
-      s"""${duckAssign(s"c${i - 1}", s"a$i")},
+      s"""${duckAssign(s"c${i - 1}", s"a$i", onlySample = true)},
          |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

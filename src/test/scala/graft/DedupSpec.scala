@@ -78,9 +78,12 @@ class DedupSpec extends GraftSpec {
       assert(rec >= 0.0 && rec <= 1.0)
     }
     // nprobe = all centroids → IVF searches every cell = brute force
-    // with the same tie-break → recall exactly 1 for every query
+    // with the same tie-break → recall exactly 1 for every query; run
+    // it with SAMPLED training (ivfTrainMod > 1) so the 100 TB training
+    // path is exercised end-to-end — exhaustive probing must hit full
+    // recall no matter where the centroids landed
     val full = new graft.operators.SimilarityOps(GraftConfig(
-      ivfNprobe = GraftConfig.default.ivfCentroids))
+      ivfNprobe = GraftConfig.default.ivfCentroids, ivfTrainMod = 4))
     full.q123AnnRecall(spark, sf).collect().foreach { row =>
       assert(row.getAs[Double]("recall") == 1.0,
         s"query ${row.getAs[Long]("query_id")} recall < 1 under exhaustive probing")
