@@ -241,6 +241,68 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |$iters
        |SELECT node AS doc_id, pr FROM r$PrIters""".stripMargin
   }
+
+  /** q124: join-key SKEW PROFILER — the pre-flight check for any big
+    * join: per prospective key, how lopsided is the frequency
+    * distribution that the shuffle will see? One summary row per
+    * analyzed key column: row/key counts, the hottest key and its
+    * frequency, the exact nearest-rank p99 frequency, and
+    * skew_ratio = max_freq / avg_freq (the factor by which the hottest
+    * shuffle partition's key exceeds average — the number that decides
+    * salting / AQE skew-join config before the job runs).
+    *
+    * Scale shape, per column: (key → freq) is a map-side-combinable
+    * aggregate; everything after runs on the FREQUENCY HISTOGRAM
+    * (freq → #keys), whose size is bounded by distinct frequency
+    * VALUES, not keys — the q105/q91 discipline. p99 comes from a
+    * broadcast triangular cumulative join over that histogram; the
+    * hottest key is a TakeOrdered-style min over (−freq, key) structs,
+    * never a global sort. Exact integers + two fixed-shape double
+    * divisions: engine-exact. */
+  def q124SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(keyCol: String, df: DataFrame): DataFrame = {
+      val freq = df.select(col(keyCol).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+      val hist = freq.groupBy("c").agg(count(lit(1)).as("nk"))
+      val cum = hist.as("a")
+        .join(broadcast(hist.as("b")), col("b.c") <= col("a.c"))
+        .groupBy(col("a.c").as("c"))
+        .agg(sum(col("b.nk")).as("cum"))
+      val totals = freq.agg(
+        sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_freq"),
+        min(struct((-col("c")).as("nc"), col("k"))).as("hot"))
+      val p99 = totals.select(col("n_keys"))
+        .crossJoin(cum)
+        .filter(col("cum") >= expr("(n_keys * 99 + 99) div 100"))
+        .agg(min(col("c")).as("p99_freq"))
+      totals.crossJoin(broadcast(p99))
+        .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_freq"), col("hot.k").as("hottest_key"), col("p99_freq"),
+          (col("max_freq").cast("double") * col("n_keys") / col("n_rows")).as("skew_ratio"))
+    }
+    profile("l_orderkey", Tables.lineitem(spark, dir))
+      .unionAll(profile("user_id", Tables.events(spark, dir)))
+  }
+
+  def q124Sql: String = {
+    def one(keyCol: String, tbl: String): String =
+      s"""(WITH freq AS (SELECT $keyCol AS k, count(*) AS c FROM $tbl GROUP BY 1),
+         |hist AS (SELECT c, count(*) AS nk FROM freq GROUP BY c),
+         |cum AS (SELECT a.c, SUM(b.nk) AS cum FROM hist a JOIN hist b ON b.c <= a.c GROUP BY a.c),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |    CAST(MAX(c) AS BIGINT) AS max_freq
+         |  FROM freq),
+         |hot AS (SELECT CAST(k AS BIGINT) AS hottest_key FROM freq ORDER BY c DESC, k LIMIT 1),
+         |p99 AS (SELECT CAST(MIN(c) AS BIGINT) AS p99_freq FROM cum, tot
+         |  WHERE cum >= (n_keys * 99 + 99) // 100)
+         |SELECT '$keyCol' AS key_col, n_rows, n_keys, max_freq, hottest_key, p99_freq,
+         |  CAST(max_freq AS DOUBLE) * n_keys / n_rows AS skew_ratio
+         |FROM tot, hot, p99)""".stripMargin
+    s"""${one("l_orderkey", "lineitem")}
+       |UNION ALL
+       |${one("user_id", "events")}""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

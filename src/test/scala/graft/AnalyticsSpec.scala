@@ -29,6 +29,30 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q124: exact summary on a known key distribution, hot-key tie breaks low") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics").toString
+    // lineitem keys: 1×5, 2×5, 3×2, 4..103×1 → 112 rows, 103 keys,
+    // max 5 (tie between keys 1 and 2 → hottest = 1); p99 rank
+    // (103*99+99)//100 = 102 → 102nd ascending frequency = 5
+    val rows = Seq.fill(5)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(2)(3L) ++ (4L to 103L)
+    rows.map(k => (k, 1.0)).toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // events side: single user (ts present — Tables.events normalizes it)
+    Seq((1L, 7L)).toDF("event_id", "user_id")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.q124SkewProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = out("l_orderkey")
+    assert(li.getLong(1) == 112L && li.getLong(2) == 103L)
+    assert(li.getLong(3) == 5L && li.getLong(4) == 1L)
+    assert(li.getLong(5) == 5L)
+    assert(math.abs(li.getDouble(6) - 5.0 * 103 / 112) < 1e-12)
+    val ev = out("user_id")
+    assert(ev.getLong(1) == 1L && ev.getLong(2) == 1L && ev.getLong(3) == 1L)
+    assert(ev.getDouble(6) == 1.0)
+  }
+
   test("q97: deletes drop, updates win, inserts land, untouched rows pass through") {
     val dir = java.nio.file.Files.createTempDirectory("analytics").toString
     // keys 10 (delete), 11 (update), 12 (insert source), 13 (untouched)
