@@ -100,6 +100,14 @@ case class GraftConfig(
     // semantic dedup (q94): within-cell cosine threshold above which
     // the higher-id vector is dropped
     semDedupCos: Double = 0.42,
+    // streaming: state-store partition count for the bounded-replay
+    // drives — a stream's shuffle-partition count is pinned at first
+    // start and becomes its state-store count, so it must be sized to
+    // the stream's key cardinality/throughput, not the batch shuffle
+    // default (which exists for scan parallelism). On a production
+    // stream raise it to ≈ peak-keys-in-state / what one store's
+    // commit latency tolerates.
+    streamStatePartitions: Int = 8,
     // relational
     sessionGapMs: Long = 1800000L,
     highValueOrder: Double = 200000.0,

@@ -72,10 +72,12 @@ class SketchOps(val cfg: GraftConfig) {
       .select(explode(bucketStructs(col("token"))).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
-    val q = sketch.writeStream.format("memory").queryName("graft_q95")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q95")
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = sketch.writeStream.format("memory").queryName("graft_q95")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q95")
+    }
   }
 
   def q95Sql: String = {

@@ -47,6 +47,23 @@ object EventStream {
       "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** Run a streaming drive with state partitioning sized for the
+    * STREAM, not the batch shuffle default. A streaming query's
+    * shuffle-partition count is captured at first start (pinned in the
+    * checkpoint thereafter) and becomes its state-store count — a
+    * per-stream property that should track the stream's key
+    * cardinality and throughput, not whatever the session uses for
+    * batch scans. At 32 batch partitions the bounded-replay drives
+    * paid per-batch commit I/O on 32 stores per stateful operator
+    * (q77's two-store join measured 10 s → 3 s at 8). Restores the
+    * session conf after the drain, so batch queries are unaffected. */
+  private[graft] def withStreamParts[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, graft.GraftConfig.default.streamStatePartitions.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Wire a windowed-agg query to a memory sink (specs / demos). */
   def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     windowedAgg(df).writeStream.format("memory").queryName(queryName)
@@ -74,10 +91,12 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
-    val q = agg.writeStream.format("memory").queryName("graft_q47")
-      .outputMode(OutputMode.Complete()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q47")
+    withStreamParts(spark) {
+      val q = agg.writeStream.format("memory").queryName("graft_q47")
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q47")
+    }
   }
 
   def q47Sql: String =
@@ -107,10 +126,12 @@ object EventStream {
         sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
       .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"),
         col("n_events"), col("total_value"))
-    val q = agg.writeStream.format("memory").queryName("graft_q109")
-      .outputMode(OutputMode.Complete()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q109")
+    withStreamParts(spark) {
+      val q = agg.writeStream.format("memory").queryName("graft_q109")
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q109")
+    }
   }
 
   def q109Sql: String =
@@ -135,10 +156,12 @@ object EventStream {
     val agg = raw.select(col("event_type"), col("user_id"))
       .dropDuplicates("event_type", "user_id")
       .groupBy("event_type").agg(count(lit(1)).as("n_users"))
-    val q = agg.writeStream.format("memory").queryName("graft_q56")
-      .outputMode(OutputMode.Complete()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q56")
+    withStreamParts(spark) {
+      val q = agg.writeStream.format("memory").queryName("graft_q56")
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q56")
+    }
   }
 
   def q56Sql: String =
@@ -194,10 +217,12 @@ object EventStream {
       }
     // update-mode memory sink; the bounded single-file source drains in
     // one batch, so the sink holds exactly the final state row per user
-    val q = totals.toDF().writeStream.format("memory").queryName("graft_q64")
-      .outputMode(OutputMode.Update()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q64")
+    withStreamParts(spark) {
+      val q = totals.toDF().writeStream.format("memory").queryName("graft_q64")
+        .outputMode(OutputMode.Update()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q64")
+    }
       .select(col("user_id"), col("n_events"), col("total_value").cast("double").as("total_value"))
   }
 
@@ -230,10 +255,12 @@ object EventStream {
       .groupBy(col("n_name").as("nation"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
-    val q = agg.writeStream.format("memory").queryName("graft_q70")
-      .outputMode(OutputMode.Complete()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q70")
+    withStreamParts(spark) {
+      val q = agg.writeStream.format("memory").queryName("graft_q70")
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q70")
+    }
   }
 
   def q70Sql: String =
@@ -261,11 +288,13 @@ object EventStream {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       graft.sources.Tables.normalizeEventTs(raw)
     }
-    val q = clickErrorJoin(stream(), stream())
-      .writeStream.format("memory").queryName("graft_q77")
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q77")
+    withStreamParts(spark) {
+      val q = clickErrorJoin(stream(), stream())
+        .writeStream.format("memory").queryName("graft_q77")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q77")
+    }
   }
 
   /** The q77 join itself, over any two event-schema streams (file
@@ -356,10 +385,12 @@ object EventStream {
     import spark.implicits._
     val evs = withTs.select(col("event_id"), col("ts"), col("user_id"),
         col("value").cast("decimal(25,6)").as("value")).as[SEvent]
-    val q = sessionize(evs).toDF().writeStream.format("memory").queryName("graft_q66")
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("graft_q66")
+    withStreamParts(spark) {
+      val q = sessionize(evs).toDF().writeStream.format("memory").queryName("graft_q66")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q66")
+    }
       .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
         col("n_events"), col("total_value").cast("double").as("total_value"))
   }
