@@ -61,4 +61,29 @@ class ShortDocSpec extends GraftSpec {
     val d6 = fp.collect { case (6L, f) => f }.toSet
     assert(d6.nonEmpty && (d2 & d6).nonEmpty)
   }
+
+  test("q122 dup spans: short docs emit zero coverage, never phantom grams") {
+    // docs 1, 3, 5 are shorter than dupSpanK=16 → no grams, coverage 0
+    // with a well-defined ratio; exact-duplicate pair (1,5) still scores
+    // 0 because they are too short to carry a 16-gram
+    val out = graft.operators.TextAnalysis.q122DupSpanCoverage(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    Seq(1L, 3L, 5L).foreach { id =>
+      assert(out(id) == ((0L, 0.0)), s"short doc $id must have zero dup coverage")
+    }
+    // docs 2 and 6 share "hello world foo bar baz q" (> 16 chars) → both covered
+    assert(out(2L)._1 > 0L && out(6L)._1 > 0L)
+    // coverage never exceeds doc length
+    out.foreach { case (_, (cov, ratio)) => assert(ratio >= 0.0 && ratio <= 1.0 && cov >= 0L) }
+  }
+
+  test("q120/q121 accept every doc including sub-k ones (scan ops have no length floor)") {
+    val redact = graft.operators.TextAnalysis.q120Redact(spark, dir).count()
+    val keep = graft.operators.Curation.q121KeepDrop(spark, dir).collect()
+    assert(redact == 6L && keep.length == 6)
+    // 3-char docs: 1 token, below keepMinTokens → too_short, ttr well-defined
+    val short = keep.filter(_.getLong(0) == 1L).head
+    assert(!short.getBoolean(3) && short.getString(4) == "too_short")
+  }
 }
