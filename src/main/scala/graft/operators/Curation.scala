@@ -604,6 +604,52 @@ class CurationOps(val cfg: GraftConfig) {
        |       WHEN ttr < ${cfg.keepMinTtr} THEN 'repetitious'
        |  END AS fail_rule FROM v)""".stripMargin
   }
+
+  /** q125: the curation DASHBOARD over q121's verdicts — per source:
+    * doc count, kept count, keep rate, and the per-reason drop
+    * buckets as fixed columns. This is the aggregation the keep/drop
+    * reasons exist FOR: the table a data owner reads after a filter
+    * run ("source X lost 40% to repetition — investigate upstream").
+    * One map-combinable conditional-count aggregate over the q121
+    * scan: the verdict pipeline plus its rollup still never shuffles
+    * anything but |sources| partial-agg rows. */
+  def q125CurationDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("fail_rule",
+        when(col("n_tokens") < cfg.keepMinTokens, "too_short")
+          .when(!col("lang").isInCollection(cfg.keepAllowedLangs), "wrong_lang")
+          .when(col("ttr") < cfg.keepMinTtr, "repetitious"))
+    verdicts.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fail_rule").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("fail_rule") === "too_short", 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("fail_rule") === "wrong_lang", 1L).otherwise(0L)).as("n_wrong_lang"),
+        sum(when(col("fail_rule") === "repetitious", 1L).otherwise(0L)).as("n_repetitious"))
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs"))
+  }
+
+  def q125Sql: String = {
+    val langs = cfg.keepAllowedLangs.map(l => s"'$l'").mkString("(", ", ", ")")
+    s"""WITH v AS (SELECT source,
+       |    CASE WHEN len(string_split(text, ' ')) < ${cfg.keepMinTokens} THEN 'too_short'
+       |         WHEN lang NOT IN $langs THEN 'wrong_lang'
+       |         WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |              / len(string_split(text, ' ')) < ${cfg.keepMinTtr} THEN 'repetitious'
+       |    END AS fail_rule
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN fail_rule IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN fail_rule = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       |  CAST(SUM(CASE WHEN fail_rule = 'wrong_lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_lang,
+       |  CAST(SUM(CASE WHEN fail_rule = 'repetitious' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious,
+       |  CAST(SUM(CASE WHEN fail_rule IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+       |FROM v GROUP BY source""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

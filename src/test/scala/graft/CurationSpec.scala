@@ -252,6 +252,28 @@ class CurationSpec extends GraftSpec {
     assert(out(4L) == ((false, Some("repetitious"))))
   }
 
+  test("q125: per-source buckets partition the docs and keep_rate is kept/total") {
+    val kd = new CurationOps(GraftConfig(
+      keepMinTokens = 3, keepAllowedLangs = Seq("en"), keepMinTtr = 0.5))
+    val dir = docsLangSource(
+      (0L, "a b", "en", "sA"),        // sA too_short
+      (1L, "a a a a", "en", "sA"),    // sA repetitious
+      (2L, "x y z w", "en", "sA"),    // sA keep
+      (3L, "x y z w", "de", "sB"))    // sB wrong_lang
+    val out = kd.q125CurationDashboard(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("sA")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 1L)
+    assert((a.getLong(3), a.getLong(4), a.getLong(5)) == ((1L, 0L, 1L)))
+    assert(math.abs(a.getDouble(6) - 1.0 / 3) < 1e-12)
+    val b = out("sB")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L && b.getLong(4) == 1L)
+    assert(b.getDouble(6) == 0.0)
+    // buckets partition: kept + all reasons == total for every source
+    out.values.foreach(r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(1)))
+  }
+
   test("q105: bins follow the nearest-rank decile cutpoints") {
     // lengths 1..10, deciles cut at ranks 1..9 → values 1..9; bin =
     // #cuts strictly below the length = length - 1 (capped at 9).
