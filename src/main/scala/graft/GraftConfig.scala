@@ -149,6 +149,10 @@ case class GraftConfig(
     sampleHexUpper: String = "3333",
     // stratified sampling (q81): per-language doc cap, md5-ordered
     stratifiedCap: Int = 50,
+    // weighted PPS sampling (q129): chars at which inclusion probability
+    // saturates at 1 — π = min(1, n_chars/target); must stay ≤ ~2^20 so
+    // the integer keep test min(w,target)·2^32 can't overflow BIGINT
+    ppsTargetChars: Long = 500L,
     // temporal joins (Temporal.scala): as-of event types (left row takes
     // the latest right row at-or-before it, per user) and the
     // point-in-interval query's point event type; bucket width for the

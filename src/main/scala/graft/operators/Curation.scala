@@ -650,6 +650,85 @@ class CurationOps(val cfg: GraftConfig) {
        |  CAST(SUM(CASE WHEN fail_rule IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
        |FROM v GROUP BY source""".stripMargin
   }
+
+  /** q128: per-doc n-gram NOVELTY — the fraction of a doc's distinct
+    * word-$N-grams first introduced by it, "first" meaning no lower
+    * doc_id contains the gram (ingestion order = id order). This is the
+    * marginal-contribution curve of corpus growth: a shard whose docs
+    * score near 0 is re-crawling text the corpus already has, the
+    * number that decides whether to keep ingesting a source — dedup
+    * (q13/q30) answers "is this DOC a copy", novelty answers "how much
+    * NEW text does it add" even when no single doc is a near-dup.
+    *
+    * Docs with fewer than $N words carry no n-gram and emit no row
+    * (the q67 convention).
+    *
+    * Scale: first-introducer is min(doc_id) per gram — a map-side-
+    * combinable aggregate, then a join back to the distinct (doc, gram)
+    * table. The aggregated side is keyed UNIQUE per gram, so the join
+    * fans out 1:1 no matter how viral the gram (the q15/q80 discipline:
+    * never Window.partitionBy(gram), whose sort funnels every holder of
+    * a hot gram through one task). Both sides hash-partition on the
+    * gram, so the aggregate's exchange is reused for the probe side. */
+  def q128Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val ng = wordNgrams(spark, dir)
+    val first = ng.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    ng.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  def q128Sql: String =
+    s"""WITH ng AS ($wordNgramsSql),
+       |fst AS (SELECT s, min(doc_id) AS first_doc FROM ng GROUP BY s)
+       |SELECT ng.doc_id, count(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN first_doc = ng.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN first_doc = ng.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS novel_frac
+       |FROM ng JOIN fst USING (s) GROUP BY ng.doc_id""".stripMargin
+
+  /** q129: deterministic WEIGHTED (probability-proportional-to-size)
+    * sampling with Horvitz–Thompson weights — q75 samples uniformly;
+    * real curation samples bigger/better docs more: inclusion
+    * probability π = min(1, n_chars/$PpsTarget), and each kept doc
+    * carries 1/π so any downstream sum reweighted by it is unbiased
+    * for the full corpus.
+    *
+    * Determinism (the q75/q68 membership contract): the coin is the
+    * first 8 md5 hex chars of (source:doc_id) as a 32-bit integer
+    * u ∈ [0,2³²); keep iff u·$PpsTarget < min(w,$PpsTarget)·2³² — pure
+    * BIGINT arithmetic, so membership is content-stable across re-runs,
+    * shard orders, and engines (no float thresholds; clamping w at
+    * $PpsTarget keeps the product under 2⁶³ for any doc size).
+    *
+    * Scale: one codegen'd scan predicate, zero shuffles or joins. */
+  def q129WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = cfg.ppsTargetChars
+    Tables.documents(spark, dir)
+      .withColumn("u32",
+        conv(substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("wcap", least(col("n_chars"), lit(t)))
+      .filter(col("u32") * t < col("wcap") * lit(4294967296L))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("wcap").cast("double") / lit(t.toDouble)).as("pi"),
+        (lit(t.toDouble) / col("wcap").cast("double")).as("ht_weight"))
+  }
+
+  def q129Sql: String = {
+    val t = cfg.ppsTargetChars
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST(wcap AS DOUBLE) / ${t.toDouble} AS pi,
+       |  ${t.toDouble} / CAST(wcap AS DOUBLE) AS ht_weight
+       |FROM (SELECT *,
+       |    CAST('0x' || substr(md5(source || ':' || doc_id::VARCHAR), 1, 8) AS BIGINT) AS u32,
+       |    least(n_chars, $t) AS wcap
+       |  FROM documents)
+       |WHERE u32 * $t < wcap * 4294967296""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -371,6 +371,69 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM (SELECT query_id, vec_id FROM brute WHERE rk <= $IvfTopK) b
        |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
        |GROUP BY b.query_id""".stripMargin
+
+  /** q127: the corpus Gram / covariance matrix of the embedding column —
+    * the second-moment statistics PCA whitening, dimensionality checks,
+    * and feature-correlation audits start from. One row per dimension
+    * pair (i ≤ j, 1-based): n, the Gram entry Σₓ xᵢ·xⱼ, and the
+    * covariance (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n.
+    *
+    * Exactness: per-row products fix to BIGINT at 1e13 (the Vec
+    * convention) and per-dimension values at 1e7 (the centroid-mean
+    * convention); sums accumulate in DECIMAL(38,0) — corpus-scale sums
+    * overflow BIGINT at ~10⁷ rows — so they are order-free, then ONE
+    * fixed-shape cast/divide chain produces the doubles (§6 rule 1).
+    *
+    * Scale: the d·(d+1)/2-pair explode is generated INSIDE the scan
+    * pipeline and consumed by a partial hash aggregate whose state is
+    * ≤ d² entries per task — nothing materializes n·d² rows, and the
+    * shuffle carries tasks×d² partial sums, independent of corpus
+    * size. The per-dimension sum table (d rows) broadcasts onto the
+    * d² Gram rows for the covariance finisher. For d in the thousands
+    * (d² ≥ 10⁶ aggregate state), block the pair space by dimension
+    * range and union — same aggregate, bounded state per pass. */
+  def q127GramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ex1 = emb(spark, dir)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("p", "xi")))
+    val pairs = ex1
+      .select(col("p"), col("xi"), posexplode(col("embedding")).as(Seq("q", "xj")))
+      .filter(col("q") >= col("p"))
+      .select((col("p") + 1).as("i"), (col("q") + 1).as("j"),
+        expr("CAST(floor(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) * 1e13) AS DECIMAL(38,0))").as("fx"))
+    val gram = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("fx")).as("sfx"))
+    val dims = ex1
+      .select((col("p") + 1).as("d"),
+        expr("CAST(floor(CAST(xi AS DOUBLE) * 1e7) AS DECIMAL(38,0))").as("fd"))
+      .groupBy("d").agg(sum(col("fd")).as("sd"))
+    gram
+      .join(broadcast(dims.select(col("d").as("i"), col("sd").as("si"))), Seq("i"))
+      .join(broadcast(dims.select(col("d").as("j"), col("sd").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        (col("sfx").cast("double") / lit(1e13)).as("gram"),
+        ((col("sfx").cast("double") / lit(1e13)
+          - (col("si").cast("double") / lit(1e7)) * (col("sj").cast("double") / lit(1e7))
+            / col("n").cast("double"))
+          / col("n").cast("double")).as("cov"))
+  }
+
+  def q127Sql: String =
+    """WITH ex AS (SELECT vec_id, g, CAST(embedding[g] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t),
+      |gram AS (SELECT a.g AS i, b.g AS j, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(floor(a.x * b.x * 1e13) AS BIGINT)) AS DECIMAL(38,0)) AS sfx
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.g >= a.g
+      |  GROUP BY a.g, b.g),
+      |dims AS (SELECT g AS d,
+      |    CAST(SUM(CAST(floor(x * 1e7) AS BIGINT)) AS DECIMAL(38,0)) AS sd
+      |  FROM ex GROUP BY g)
+      |SELECT gram.i, gram.j, gram.n,
+      |  CAST(sfx AS DOUBLE) / 1e13 AS gram,
+      |  (CAST(sfx AS DOUBLE) / 1e13
+      |    - (CAST(di.sd AS DOUBLE) / 1e7) * (CAST(dj.sd AS DOUBLE) / 1e7)
+      |      / CAST(gram.n AS DOUBLE))
+      |    / CAST(gram.n AS DOUBLE) AS cov
+      |FROM gram JOIN dims di ON gram.i = di.d JOIN dims dj ON gram.j = dj.d""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

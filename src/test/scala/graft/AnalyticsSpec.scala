@@ -174,4 +174,20 @@ class AnalyticsSpec extends GraftSpec {
       assert(out.filter(col("pr") < base).count() == 0)
     } finally out.unpersist()
   }
+
+  test("q127: Gram and covariance match hand arithmetic on a 2-dim corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gram").toString
+    Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 6f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.q127GramMatrix(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // Gram: Σxᵢxⱼ over {(1,2),(3,4),(5,6)}; cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n
+    assert(got.keySet == Set((1, 1), (1, 2), (2, 2))) // upper triangle only
+    assert(got((1, 1)) == ((3L, 35.0, 8.0 / 3)))
+    assert(got((1, 2)) == ((3L, 44.0, 8.0 / 3)))
+    assert(got((2, 2)) == ((3L, 56.0, 8.0 / 3)))
+  }
 }

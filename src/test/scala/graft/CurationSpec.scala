@@ -283,4 +283,40 @@ class CurationSpec extends GraftSpec {
       .map(r => (r.getInt(1), r.getLong(2))).toSet
     assert(got == (1 to 10).map(l => (l, (l - 1).toLong)).toSet)
   }
+
+  test("q128: novelty credits a gram to its lowest doc_id; short docs emit no row") {
+    // bigram config (ops: contamNgramWords = 2)
+    // doc 0: "a b","b c" — both first here → frac 1.0
+    // doc 1: "a b" (seen in 0), "b d" (new) → frac 0.5
+    // doc 2: "x y" — new → frac 1.0; doc 3: one word → no row
+    val dir = docs(0L -> "a b c", 1L -> "a b d", 2L -> "x y", 3L -> "solo")
+    val got = ops.q128Novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 1.0)),
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((1L, 1L, 1.0))))
+  }
+
+  test("q129: weighted sample keeps every saturated doc, is reproducible, and ht = 1/pi") {
+    val w = new CurationOps(GraftConfig(ppsTargetChars = 10L))
+    // 30 docs of length 5 (π = 0.5) + 5 docs of length ≥ 10 (π = 1)
+    val dir = docs(
+      ((0L until 30L).map(i => i -> "abcde") ++
+       (100L until 105L).map(i => i -> ("z" * 12))): _*)
+    val rows = w.q129WeightedSample(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // π = 1 docs are ALWAYS kept, with ht_weight exactly 1
+    (100L until 105L).foreach { i =>
+      assert(byId.contains(i), s"saturated doc $i must be kept")
+      assert(byId(i).getDouble(3) == 1.0 && byId(i).getDouble(4) == 1.0)
+    }
+    // π = 0.5 docs: some but not all survive the coin, each with ht 2
+    val half = rows.filter(_.getLong(0) < 30L)
+    assert(half.nonEmpty && half.length < 30)
+    half.foreach(r => assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 2.0))
+    // membership is content-stable across re-runs
+    val again = w.q129WeightedSample(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
 }

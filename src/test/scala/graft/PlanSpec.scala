@@ -190,6 +190,24 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q129 weighted sample is map-only: zero exchanges, no window, no join") {
+    val p = plan("q129_weighted_sample")
+    assert(semanticExchanges(p) == 0, "q129 must be a pure scan predicate")
+    assert(windows(p) == 0 && !p.contains("Join"))
+  }
+
+  test("q128 novelty joins the aggregated first-introducer table, never windows the gram key") {
+    val p = plan("q128_novelty")
+    assert(windows(p) == 0, "q128 must not Window.partitionBy the gram (hot-key skew)")
+  }
+
+  test("q127 gram matrix: covariance finisher broadcasts the d-row dim sums, no window") {
+    val p = plan("q127_gram_matrix")
+    assert(windows(p) == 0)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      "both dim-sum joins must broadcast onto the d² gram rows")
+  }
+
   test("q122 dup spans: aggregated gram side builds the shuffled hash join, doc window only") {
     val p = plan("q122_dup_spans")
     assert(p.contains("ShuffledHashJoin"),
