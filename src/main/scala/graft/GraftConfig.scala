@@ -74,6 +74,12 @@ case class GraftConfig(
     nearDupCos: Double = 0.42,
     signBands: Int = 8,
     signBandBits: Int = 8,
+    // complete prefix-filtered similarity join (q131) + LSH eval (q132):
+    // the Jaccard threshold as an integer fraction tNum/tDen so the
+    // accept test is an exact cross-multiply (keep equal to
+    // minhashJaccard so q132's recall measures q31's configuration)
+    simJoinTNum: Int = 3,
+    simJoinTDen: Int = 5,
     // simhash hamming pairing: 16 fingerprint bits split into bands ×
     // bits; pigeonhole-sound for hamming ≤ bands − 1
     simhashBands: Int = 4,
@@ -235,6 +241,10 @@ case class GraftConfig(
     hybridQueryVec: Int = 0,
     // ordered funnel stages (q117), first-hit-in-order semantics
     funnelStages: Seq[String] = Seq("view", "click", "purchase"),
+    // burst hours (q130): minimum active hours for a stable per-user
+    // baseline, and z² of the integer z-test (9 ≙ 3σ)
+    burstMinHours: Int = 24,
+    burstZSq: Long = 9L,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

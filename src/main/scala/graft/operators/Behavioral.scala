@@ -125,6 +125,58 @@ class BehavioralOps(val cfg: GraftConfig) {
        |SELECT cohort_day, day - cohort_day AS day_offset,
        |  count(DISTINCT user_id) AS n_users
        |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** q130: burst hours — per-user activity anomalies, INTEGER-EXACT:
+    * an hour is a burst when its event count sits more than z standard
+    * deviations above that user's hourly mean. The z-test is done
+    * without ever computing a float mean or sqrt: with per-user
+    * n = #active hours, S = Σcnt, Q = Σcnt², hour x flags iff
+    *   n·x − S > 0  ∧  (n·x − S)² > z²·(n·Q − S²)
+    * — the textbook test cleared of denominators, all BIGINT, so both
+    * engines agree bit-for-bit (a float σ would diverge in final ulps
+    * right at the threshold). Positive deviation only: bursts, not
+    * quiet hours. Users with fewer than $MinHours active hours are
+    * skipped (no stable baseline), and an all-constant user can never
+    * flag (dev = 0). Long-range bound: exact while n·x < 3·10⁹ and
+    * z²·n·Q < 2⁶³ — per-USER history, so ~10⁸ hour·count² per user,
+    * far beyond real telemetry; wider inputs would cast the two
+    * squared terms to DECIMAL(38,0).
+    *
+    * Scale: hourly rollup is a map-combinable (user, hour) aggregate;
+    * the per-user moment table is keyed UNIQUE per user, so the join
+    * back fans out 1:1 (q15/q128 discipline — no Window over a hot
+    * user). Raw events are touched once. */
+  def q130BurstHours(spark: SparkSession, dir: String): DataFrame = {
+    val HourMs = 3600000L
+    val MinHours = cfg.burstMinHours
+    val ZSq = cfg.burstZSq
+    val h = ev(spark, dir)
+      .select(col("user_id"), (expr(s"ms div $HourMs") * HourMs).as("hr_ms"))
+      .groupBy("user_id", "hr_ms").agg(count(lit(1)).as("cnt"))
+    val st = h.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    h.join(st, "user_id")
+      .filter(col("n_hours") >= MinHours)
+      .withColumn("dev", col("n_hours") * col("cnt") - col("s"))
+      .filter(col("dev") > 0 &&
+        col("dev") * col("dev") > lit(ZSq) * (col("n_hours") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("hr_ms"), col("cnt"),
+        col("n_hours"), col("s").as("total_events"))
+  }
+
+  def q130Sql: String =
+    s"""WITH h AS (SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS hr_ms,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+       |    CAST(SUM(cnt) AS BIGINT) AS s, CAST(SUM(cnt*cnt) AS BIGINT) AS q
+       |  FROM h GROUP BY 1)
+       |SELECT h.user_id, hr_ms, cnt, n_hours, s AS total_events
+       |FROM h JOIN st USING (user_id)
+       |WHERE n_hours >= ${cfg.burstMinHours}
+       |  AND n_hours*cnt - s > 0
+       |  AND (n_hours*cnt - s)*(n_hours*cnt - s) > ${cfg.burstZSq}*(n_hours*q - s*s)""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -568,6 +568,131 @@ class DedupOps(val cfg: GraftConfig) {
        |FROM dots
        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos""".stripMargin
   }
+
+  private val TNum: Int = cfg.simJoinTNum
+  private val TDen: Int = cfg.simJoinTDen
+
+  /** q131: COMPLETE exact Jaccard similarity self-join at threshold
+    * t = $TNum/$TDen, via df-ordered prefix filtering (the PPJoin
+    * family, Xiao et al.) — unlike q31 (LSH, probabilistic recall) and
+    * q33 (rare-shingle index, drops pairs with no rare shingle), this
+    * finds EVERY pair with J ≥ t: a pair at J ≥ t must share one of
+    * each doc's first n − ⌈t·n⌉ + 1 shingles under ANY global shingle
+    * order, so only those prefixes are indexed. The global order is
+    * ascending document frequency (ties by shingle text): prefixes
+    * hold each doc's RAREST shingles, which is what keeps the index
+    * join's per-key fanout small at scale — the frequent shingles that
+    * would create quadratic buckets are exactly the ones the order
+    * pushes out of every prefix. A size filter ($TNum·max ≤ $TDen·min)
+    * prunes incompatible-length pairs inside the candidate join, and
+    * the threshold test is the integer cross-multiply
+    * $TDen·|A∩B| ≥ $TNum·|A∪B| — no float at the decision boundary.
+    *
+    * Scale: df is a map-combinable aggregate joined back 1:1 (unique
+    * per shingle); the prefix rank is a per-DOC window (bounded by doc
+    * length, never a hot corpus key); candidates are an equi-join on
+    * prefix shingles. The completeness proof is pinned by DedupSpec
+    * against the naive all-shared-shingle join. */
+  def q131SimJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(spark, dir)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length: n − ⌈t·n⌉ + 1, integer form ⌈t·n⌉ = (TNum·n + TDen − 1) div TDen
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr(s"(${TNum} * n + ${TDen - 1}) div $TDen") + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+        lit(TNum) * greatest(col("x.n"), col("y.n")) <= lit(TDen) * least(col("x.n"), col("y.n")))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val docArr = shingleArrays(spark, dir)
+      .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
+    cand
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism)
+      .join(docArr.select(col("doc_id").as("id_a"), col("ss").as("sa"), col("n").as("na")), "id_a")
+      .join(docArr.select(col("doc_id").as("id_b"), col("ss").as("sb"), col("n").as("nb")), "id_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(lit(TDen.toLong) * col("i") >= lit(TNum.toLong) * (col("na") + col("nb") - col("i")))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+  }
+
+  /** Oracle: the naive COMPLETE join — every pair sharing ≥1 shingle,
+    * exact Jaccard, integer threshold. Any pair with J ≥ t > 0 shares a
+    * shingle, so this is the semantic spec q131's prefix filter must
+    * reproduce exactly. */
+  def q131Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na.n + nb.n - i) AS jaccard
+       |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       |WHERE $TDen*i >= $TNum*(na.n + nb.n - i)""".stripMargin
+
+  /** q132: LSH TUNING EVAL — precision/recall of q31's MinHash band
+    * candidate set against q131's complete truth at the same threshold
+    * (t = $TNum/$TDen ≙ cfg.minhashJaccard): the one-row report that
+    * decides band/row counts, exactly as q123 does for the IVF index.
+    * An LSH dedup without a measured recall is a silent data-loss
+    * knob. Precision here is the candidate-verification hit rate — the
+    * fraction of band pairs that survive exact verification, i.e. the
+    * wasted-verification cost.
+    *
+    * Scale: both inputs are pair tables already bounded by their
+    * generators; the eval is two tiny aggregates and a 1:1 join.
+    * Integer counts + fixed-shape divisions — engine-exact. */
+  def q132LshEval(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(minhashSig(shingleArrays(spark, dir)))
+    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val truth = q131SimJoin(spark, dir).select(col("id_a"), col("id_b"), lit(1L).as("t"))
+    // one distributed pass: full-outer pair union → three conditional sums
+    cand.withColumn("c", lit(1L))
+      .join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("t") * col("c")), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_cand")).as("precision"),
+        when(col("n_truth") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
+  def q132Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id, $sigSqlExprs FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, s0||s1||s2||s3 AS bk FROM sig
+       |  UNION ALL SELECT doc_id, s4||s5||s6||s7 FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b
+       |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       |  WHERE $TDen*i >= $TNum*(na.n + nb.n - i)),
+       |m AS (SELECT
+       |    (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM cand) AS n_cand,
+       |    (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hit)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_cand = 0 THEN NULL
+       |    ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision,
+       |  CASE WHEN n_truth = 0 THEN NULL
+       |    ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall
+       |FROM m""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Behavioral, BehavioralOps}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics semantics on hand-built event logs (the oracle
+  * gate covers the real tables; these pin the edge cases). */
+class BehavioralSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val HourMs = 3600000L
+
+  private def events(rows: (Long, Long, Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("behavioral").toString
+    rows.toSeq.toDF("event_id", "user_id", "ms", "event_type")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q130: spike flags against a long baseline; constant users and short histories never flag") {
+    val ops = new BehavioralOps(GraftConfig(burstMinHours = 5, burstZSq = 9L))
+    var id = 0L
+    def ev(user: Long, hour: Long, n: Int): Seq[(Long, Long, Long, String)] =
+      (0 until n).map { i => id += 1; (id, user, hour * HourMs + i, "view") }
+    // user 1: 20 baseline hours of 1 event + one 10-event hour
+    //   n=21, S=30, Q=120 → dev(10) = 180, dev² = 32400 > 9·(21·120−900) = 14580 → burst
+    //   dev(1) = 21−30 < 0 → baseline hours never flag
+    // user 2: constant 2/hour → dev = 0 everywhere, never flags
+    // user 3: 2 hours incl. a huge spike → under burstMinHours, skipped
+    val dir = events(
+      ((0L until 20L).flatMap(h => ev(1L, h, 1)) ++ ev(1L, 20L, 10) ++
+       (0L until 20L).flatMap(h => ev(2L, h, 2)) ++
+       ev(3L, 0L, 1) ++ ev(3L, 1L, 50)): _*)
+    val got = ops.q130BurstHours(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 20L * HourMs, 10L, 21L, 30L)))
+  }
+
+  test("q130: real data — flagged hours always exceed their user's mean") {
+    val out = Behavioral.q130BurstHours(spark, sf)
+    // dev > 0 ⇔ cnt·n_hours > total_events ⇔ cnt > mean
+    assert(out.filter(col("cnt") * col("n_hours") <= col("total_events")).count() == 0)
+  }
+}

@@ -89,4 +89,34 @@ class DedupSpec extends GraftSpec {
         s"query ${row.getAs[Long]("query_id")} recall < 1 under exhaustive probing")
     }
   }
+
+  test("q131 prefix filtering is COMPLETE: equals the naive all-shared-shingle join on real data") {
+    val fast = Dedup.q131SimJoin(spark, sf).select("id_a", "id_b", "jaccard")
+    // naive truth: every pair sharing >= 1 shingle, exact Jaccard,
+    // the same integer threshold — completeness has no generator to hide in
+    val sh = Dedup.shingles(spark, sf)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val (tn, td) = (GraftConfig.default.simJoinTNum.toLong, GraftConfig.default.simJoinTDen.toLong)
+    val naive = inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(lit(td) * col("i") >= lit(tn) * (col("na") + col("nb") - col("i")))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0, "threshold too high — the completeness check compared empty sets")
+  }
+
+  test("q132 eval invariants: hits bounded by both sides, rates in [0,1]") {
+    val r = Dedup.q132LshEval(spark, sf).collect()(0)
+    val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= nt && nh <= nc)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    assert(nt > 0, "no truth pairs at this sf — eval is vacuous")
+  }
 }
