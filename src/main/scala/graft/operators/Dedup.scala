@@ -693,6 +693,66 @@ class DedupOps(val cfg: GraftConfig) {
        |  CASE WHEN n_truth = 0 THEN NULL
        |    ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall
        |FROM m""".stripMargin
+
+  /** q133: INCREMENTAL dedup — a delta shard deduped against the
+    * existing base corpus without ever comparing base to base: the
+    * production shape of dedup, where a daily ingest lands against a
+    * 100 TB corpus and re-running q31 over base×base (already dedup'd
+    * yesterday) would dwarf the delta's own cost. Base membership is
+    * the q68 md5 train bucket (content-stable, so the base/delta split
+    * reproduces across runs); candidates come from the MinHash band
+    * join restricted to delta×base; verified matches (exact Jaccard ≥
+    * cfg.minhashJaccard) blame the LOWEST matching base id. EVERY
+    * delta doc appears — kept rows with is_dup=false and null blame —
+    * because a dedup step must account for every input (the q100
+    * contract), including docs too short to shingle.
+    *
+    * At 100 TB the base band table (doc_id, bk) is exactly the kind of
+    * stable-keyed table `Tables.writeBucketed` exists for: bucketed on
+    * bk at ingest, each delta lands as one exchange-free probe of the
+    * persisted layout, cost ∝ |delta|, not |base|. */
+  def q133IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isBase = substring(md5(col("doc_id").cast("string")), 1, 2) < cfg.splitTrainUpper
+    val bands = minhashBands(minhashSig(shingleArrays(spark, dir)))
+    val cand = bands.filter(!isBase).as("x")
+      .join(bands.filter(isBase).as("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val matches = verifiedJaccard(shingleArrays(spark, dir), cand)
+      .filter(col("jaccard") >= MinhashJ)
+    val best = matches.groupBy(col("id_a").as("doc_id"))
+      .agg(min(struct(col("id_b"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.id_b").as("dup_of"), col("m.jaccard").as("jaccard"))
+    Tables.documents(spark, dir).filter(!isBase).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
+  }
+
+  def q133Sql: String = {
+    val base = s"substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}'"
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id, $sigSqlExprs FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, s0||s1||s2||s3 AS bk FROM sig
+       |  UNION ALL SELECT doc_id, s4||s5||s6||s7 FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.bk = y.bk
+       |  WHERE substr(md5(x.doc_id::VARCHAR), 1, 2) >= '${cfg.splitTrainUpper}'
+       |    AND substr(md5(y.doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}'),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+       |  JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+       |  GROUP BY id_a, id_b),
+       |ver AS (SELECT id_a, id_b, CAST(i AS DOUBLE)/(na.n + nb.n - i) AS jaccard
+       |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       |  WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= $MinhashJ),
+       |best AS (SELECT id_a AS doc_id, min(id_b) AS dup_of,
+       |    arg_min(jaccard, id_b) AS jaccard
+       |  FROM ver GROUP BY id_a)
+       |SELECT d.doc_id, best.dup_of IS NOT NULL AS is_dup, best.dup_of, best.jaccard
+       |FROM (SELECT doc_id FROM documents WHERE NOT ($base)) d
+       |LEFT JOIN best USING (doc_id)""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

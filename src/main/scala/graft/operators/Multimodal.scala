@@ -313,4 +313,116 @@ object Multimodal {
       |  CAST(SUM(bv) AS DOUBLE) / count(*) AS byte_mean,
       |  CAST(MAX(bv) AS INT) AS byte_max
       |FROM b GROUP BY doc_id, n_chars""".stripMargin
+
+  /** A valid mono 16-bit PCM WAV file per doc: the canonical 44-byte
+    * RIFF/fmt/data header (8 kHz, little-endian field encoding baked
+    * into one constant hex string) followed by 64 data bytes = 32
+    * samples derived from four md5s of the text. Like [[ppmTable]],
+    * built entirely with codegen'd binary expressions — the "encoded
+    * audio column" a multimodal ingest would carry. */
+  private val WavHeaderHex: String =
+    "52494646" + "64000000" + "57415645" +              // RIFF <size=100> WAVE
+    "666d7420" + "10000000" + "0100" + "0100" +          // fmt  sz16 pcm=1 ch=1
+    "401f0000" + "803e0000" + "0200" + "1000" +          // 8000 Hz, 16000 B/s, align 2, 16 bit
+    "64617461" + "40000000"                              // data <size=64>
+  def wavTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(
+          expr(s"to_binary('$WavHeaderHex', 'hex')"),
+          expr("to_binary(concat(md5(text), md5(concat(text, '1')), " +
+            "md5(concat(text, '2')), md5(concat(text, '3'))), 'hex')")).as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  case class PcmFrame(doc_id: Long, frame: Int, n_samples: Int,
+                      energy: Long, peak: Int, zero_crossings: Long)
+
+  /** q134: REAL audio decode + frame features — a strict RIFF/WAVE
+    * parser (chunk walk with word alignment, PCM/mono/16-bit asserted,
+    * unknown chunks skipped — codec semantics, it throws on malformed
+    * input) over the binary payload, then per 8-sample frame the three
+    * classic PCM features: energy Σs² (the VAD/silence-trim primitive),
+    * peak |s|, and strict zero crossings (sign products < 0) — all
+    * INTEGER, so the oracle hash-verifies the entire
+    * encode→bytes→chunk-walk→int16-LE-decode→feature path, the audio
+    * twin of q76/q114/q119. One row per output frame; pure map stage,
+    * zero shuffles at any corpus size. */
+  def q134PcmEnergy(spark: SparkSession, dir: String): DataFrame =
+    decodePcmFrames(wavTable(spark, dir))
+
+  private[graft] def decodePcmFrames(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val FrameN = 8
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val (dataOff, dataLen) = parseWavHeader(bytes)
+      val n = dataLen / 2
+      (0 until (n + FrameN - 1) / FrameN).map { f =>
+        val lo = f * FrameN
+        val hi = math.min(lo + FrameN, n)
+        var energy = 0L; var peak = 0; var zc = 0L
+        var prev = 0; var j = lo
+        while (j < hi) {
+          val b0 = bytes(dataOff + 2 * j) & 0xff
+          val b1 = bytes(dataOff + 2 * j + 1)
+          val s = (b1 << 8) | b0 // sign from the high byte, LE int16
+          energy += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (j > lo && prev * s < 0) zc += 1
+          prev = s; j += 1
+        }
+        PcmFrame(id, f, hi - lo, energy, peak, zc)
+      }
+    }).toDF()
+  }
+
+  /** Strict RIFF/WAVE walk: returns (data offset, data byte length).
+    * Requires PCM format 1, mono, 16-bit; skips unknown chunks with
+    * RIFF word alignment; throws on bad magic/truncation. */
+  private def parseWavHeader(bytes: Array[Byte]): (Int, Int) = {
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    require(bytes.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE", "not a WAV")
+    var i = 12
+    var fmtOk = false
+    while (i + 8 <= bytes.length) {
+      val id = ascii(i); val size = le32(i + 4)
+      require(size >= 0 && i + 8 + size <= bytes.length, s"truncated $id chunk")
+      if (id == "fmt ") {
+        require(size >= 16 && le16(i + 8) == 1, "not PCM")
+        require(le16(i + 10) == 1, "not mono")
+        require(le16(i + 22) == 16, "not 16-bit") // bitsPerSample = fmt payload byte 14
+        fmtOk = true
+      } else if (id == "data") {
+        require(fmtOk, "data chunk before fmt")
+        return (i + 8, size)
+      }
+      i += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("no data chunk")
+  }
+
+  def q134Sql: String =
+    """WITH h4 AS (SELECT doc_id,
+      |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+      |  FROM documents),
+      |s AS (SELECT doc_id, j,
+      |    CASE WHEN hi >= 128 THEN hi*256 + lo - 65536 ELSE hi*256 + lo END AS v
+      |  FROM (SELECT doc_id, j,
+      |      (strpos('0123456789abcdef', substr(hx, 4*j+1, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(hx, 4*j+2, 1)) - 1) AS lo,
+      |      (strpos('0123456789abcdef', substr(hx, 4*j+3, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(hx, 4*j+4, 1)) - 1) AS hi
+      |    FROM h4, LATERAL (SELECT unnest(generate_series(0, 31)) AS j) t)),
+      |sc AS (SELECT doc_id, j, v, j // 8 AS frame,
+      |    lag(v) OVER (PARTITION BY doc_id, j // 8 ORDER BY j) AS pv
+      |  FROM s)
+      |SELECT doc_id, CAST(frame AS INT) AS frame, CAST(count(*) AS INT) AS n_samples,
+      |  CAST(SUM(v*v) AS BIGINT) AS energy,
+      |  CAST(MAX(abs(v)) AS INT) AS peak,
+      |  CAST(SUM(CASE WHEN pv IS NOT NULL AND pv*v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM sc GROUP BY doc_id, frame""".stripMargin
 }

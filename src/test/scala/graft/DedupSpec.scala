@@ -111,6 +111,25 @@ class DedupSpec extends GraftSpec {
     assert(fast.count() > 0, "threshold too high — the completeness check compared empty sets")
   }
 
+  test("q133 incremental dedup: every delta doc accounted, blame always lands in base") {
+    val out = Dedup.q133IncrementalDedup(spark, sf).cache()
+    try {
+      def bucket(c: org.apache.spark.sql.Column) =
+        substring(md5(c.cast("string")), 1, 2)
+      val upper = GraftConfig.default.splitTrainUpper
+      // output is exactly the delta docs, each once
+      val delta = graft.sources.Tables.documents(spark, sf)
+        .filter(bucket(col("doc_id")) >= upper)
+      assert(out.count() == delta.count())
+      assert(out.select("doc_id").distinct().count() == out.count())
+      // no delta doc escapes into the base side, and blame is always a base doc
+      assert(out.filter(bucket(col("doc_id")) < upper).count() == 0)
+      assert(out.filter(col("is_dup")).count() > 0, "no dups at this sf — test is vacuous")
+      assert(out.filter(col("is_dup") =!= col("dup_of").isNotNull).count() == 0)
+      assert(out.filter(col("dup_of").isNotNull && bucket(col("dup_of")) >= upper).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q132 eval invariants: hits bounded by both sides, rates in [0,1]") {
     val r = Dedup.q132LshEval(spark, sf).collect()(0)
     val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))

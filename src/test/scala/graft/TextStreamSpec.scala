@@ -235,4 +235,44 @@ class TextStreamSpec extends GraftSpec {
     assert(last.getAs[Long]("n_events") == 3L)
     assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
   }
+
+  test("q134: PCM frame features match hand arithmetic; chunk walk skips junk; strict on malformed") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wav(samples: Seq[Int], junkChunk: Boolean = false, channels: Int = 1): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      // odd-sized junk chunk: exercises the RIFF word-alignment skip
+      val junk = if (junkChunk)
+        "LIST".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](9, 9, 9, 0)
+      else Array.empty[Byte]
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junk ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val samples = Seq(1000, -1000, 0, 3, -3, 32767, -32768, 5, 7, -7, 7, -7)
+    val out = Multimodal.decodePcmFrames(Seq((1L, wav(samples, junkChunk = true))).toDS())
+      .collect().map(r => r.getInt(1) ->
+        ((r.getInt(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    // frame 0: energy = 2·10⁶ + 9 + 9 + 32767² + 32768² + 25; zc counts
+    // only strict sign products < 0 (the 0-sample crossing pair doesn't)
+    assert(out(0) == ((8, 2149418156L, 32768, 5L)))
+    // frame 1 is a 4-sample tail: alternating ±7
+    assert(out(1) == ((4, 196L, 7, 3L)))
+    // real table: 32 samples → 4 full frames per doc
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(Multimodal.q134PcmEnergy(spark, sf).count() == 4 * nDocs)
+    // malformed inputs throw: bad magic, stereo, truncated data
+    def boom(bytes: Array[Byte]): Unit =
+      intercept[org.apache.spark.SparkException] {
+        Multimodal.decodePcmFrames(Seq((9L, bytes)).toDS()).collect()
+      }
+    boom("RIFX".getBytes("US-ASCII") ++ wav(samples).drop(4))
+    boom(wav(samples, channels = 2))
+    boom(wav(samples).dropRight(3))
+  }
 }
