@@ -299,7 +299,8 @@ object EventStream {
 
   /** The q77 join itself, over any two event-schema streams (file
     * streams in q77, MemoryStreams in specs). */
-  private[graft] def clickErrorJoin(clickSrc: DataFrame, errorSrc: DataFrame): DataFrame = {
+  private[graft] def clickErrorJoin(clickSrc: DataFrame, errorSrc: DataFrame,
+                                    joinType: String = "inner"): DataFrame = {
     val clicks = clickSrc.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
@@ -309,7 +310,8 @@ object EventStream {
     clicks.join(errors,
       col("user_id") === col("e_user") &&
         col("err_ts") >= col("click_ts") &&
-        col("err_ts") <= col("click_ts") + expr("interval 30 minutes"))
+        col("err_ts") <= col("click_ts") + expr("interval 30 minutes"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("error_id"))
   }
 
@@ -318,6 +320,56 @@ object EventStream {
       |FROM events c JOIN events e
       |ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
       |AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  /** q135: watermarked stream-stream LEFT OUTER join — the unmatched-
+    * event detector (q77 finds clicks that errored; this ALSO emits the
+    * clicks that provably never will): a null-error row leaves the
+    * operator only when the global watermark passes the click's last
+    * possible match time (click_ts + 30 min), i.e. when "no match yet"
+    * has become "no match ever". That deferred null emission is the
+    * entire semantic difference from a batch left join, and the oracle
+    * mirrors it exactly: matches, plus unmatched clicks whose
+    * click_ts + 30 min < min(max click_ts, max error_ts) − 2 h — the
+    * final watermark of a bounded replay (Spark evicts left state
+    * strictly below the state-value watermark; the no-data microbatch
+    * after the last file flushes the evictions). Clicks newer than the
+    * final watermark stay in state, exactly as on a live stream.
+    *
+    * Scale: identical state bound to q77 — both sides watermarked, the
+    * range condition keeps join state a sliding window, never full
+    * history. */
+  def q135StreamOuterJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def stream(): DataFrame = {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      graft.sources.Tables.normalizeEventTs(raw)
+    }
+    withStreamParts(spark) {
+      val q = clickErrorJoin(stream(), stream(), "left_outer")
+        .writeStream.format("memory").queryName("graft_q135")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q135")
+    }
+  }
+
+  def q135Sql: String =
+    """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+      |  - INTERVAL 2 HOUR AS w),
+      |matched AS (SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+      |  FROM c JOIN e ON c.user_id = e.user_id
+      |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE),
+      |expired AS (SELECT c.user_id, c.event_id AS click_id,
+      |    CAST(NULL AS BIGINT) AS error_id
+      |  FROM c
+      |  WHERE c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = c.user_id
+      |      AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE))
+      |SELECT * FROM matched UNION ALL SELECT * FROM expired""".stripMargin
 
   case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                     value: java.math.BigDecimal)

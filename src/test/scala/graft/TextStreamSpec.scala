@@ -145,6 +145,36 @@ class TextStreamSpec extends GraftSpec {
     assert(rows == Set((1L, 1L, 10L)))
   }
 
+  test("q135 left-outer stream join: null emits only after the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStream.Event]
+    val errors = MemoryStream[EventStream.Event]
+    val q = EventStream.clickErrorJoin(clicks.toDF(), errors.toDF(), "left_outer")
+      .writeStream.format("memory").queryName("ss_outer_test")
+      .outputMode("append").start()
+    def ev(id: Long, hm: String, typ: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"), 1L, typ, 1.0)
+    clicks.addData(ev(1, "10:00", "click"), ev(2, "09:30", "click"))
+    errors.addData(ev(10, "10:10", "error")) // matches click 1 only (click 2's window ends 10:00)
+    q.processAllAvailable()
+    val early = spark.table("ss_outer_test").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // watermark still hours back: click 2 is unmatched but NOT yet provably so
+    assert(early == Set((1L, 10L)))
+    // advance both watermarks past 10:00 (09:30 + 30 min): 13:00 − 2 h = 11:00;
+    // click 3 matches error 11 instantly, click 4 (12:00, window ends 12:30)
+    // is unmatched but newer than the watermark — still pending
+    clicks.addData(ev(3, "13:00", "click"), ev(4, "12:00", "click"))
+    errors.addData(ev(11, "13:00", "error"))
+    q.processAllAvailable()
+    val late = spark.table("ss_outer_test").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    q.stop()
+    // click 2's null arrived; click 4's did not
+    assert(late == Set((1L, 10L), (3L, 11L), (2L, -1L)))
+  }
+
   test("dedupWithinWatermark drops redelivered events, emits first arrivals once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
