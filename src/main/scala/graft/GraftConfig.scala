@@ -80,6 +80,12 @@ case class GraftConfig(
     // minhashJaccard so q132's recall measures q31's configuration)
     simJoinTNum: Int = 3,
     simJoinTDen: Int = 5,
+    // q131's similarity unit: word n-gram width. Tokens, not char
+    // shingles — prefix filtering is only as good as its rarest units,
+    // and char-5 grams over a small vocabulary are shared by everything
+    // (measured: median df 291 and 6.5M candidates for 256 true pairs
+    // at sf0.1, vs median df 1 and candidates == truth with word grams)
+    simJoinWords: Int = 5,
     // simhash hamming pairing: 16 fingerprint bits split into bands ×
     // bits; pigeonhole-sound for hamming ≤ bands − 1
     simhashBands: Int = 4,
@@ -245,6 +251,10 @@ case class GraftConfig(
     // baseline, and z² of the integer z-test (9 ≙ 3σ)
     burstMinHours: Int = 24,
     burstZSq: Long = 9L,
+    // k-anonymity audit (q137): minimum group size and the char width
+    // of the length-bin quasi-identifier
+    kAnonK: Long = 5L,
+    kAnonLenBin: Long = 100L,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -303,6 +303,66 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |UNION ALL
        |${one("user_id", "events")}""".stripMargin
   }
+
+  /** q138: column PROFILE of the events table — the data-quality audit
+    * every ingest runs before trusting a feed (the Deequ/"dataset
+    * card" primitive): per column, row count, non-null count, exact
+    * distinct count, null fraction, and numeric min/max (timestamps in
+    * epoch ms; string columns carry null bounds — engine-portable
+    * numeric bounds instead of engine-specific float formatting).
+    *
+    * Scale: ONE pass — all six columns' aggregates ride a single
+    * aggregation (Spark plans multi-column exact distincts as one
+    * Expand: rows × columns generated inside the scan pipeline and
+    * partially aggregated before the shuffle, the same mechanism as
+    * cube/grouping sets; never six table scans), then one row-local
+    * `stack` unpivots the 1-row result. An approximate profile would
+    * swap countDistinct for approx_count_distinct and drop the Expand
+    * — noted on the knobless default because exactness is what the
+    * oracle verifies. */
+  def q138Profile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val numeric = Set("event_id", "ts_ms", "user_id", "value")
+    val aggs = e.columns.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"mn_$c"), max(col(c)).cast("double").as(s"mx_$c"))
+        else Seq.empty)
+    }
+    val one = e.agg(count(lit(1)).as("n"), aggs.toIndexedSeq: _*)
+    val stackArgs = e.columns.map { c =>
+      val (mn, mx) = if (numeric(c)) (s"mn_$c", s"mx_$c")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"'$c', nn_$c, nd_$c, $mn, $mx"
+    }.mkString(", ")
+    one.selectExpr("n",
+        s"stack(${e.columns.length}, $stackArgs) AS (col_name, n_non_null, n_distinct, min_num, max_num)")
+      .select(col("col_name"), col("n"), col("n_non_null"), col("n_distinct"),
+        ((col("n") - col("n_non_null")).cast("double") / col("n")).as("null_frac"),
+        col("min_num"), col("max_num"))
+  }
+
+  def q138Sql: String = {
+    val numeric = Map(
+      "event_id" -> "event_id", "ts_ms" -> "ts_ms", "user_id" -> "user_id", "value" -> "value")
+    def one(c: String): String = {
+      val (mn, mx) =
+        if (numeric.contains(c)) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"""SELECT '$c' AS col_name, n.n, CAST(count($c) AS BIGINT) AS n_non_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(n.n - count($c) AS DOUBLE) / n.n AS null_frac,
+         |  $mn AS min_num, $mx AS max_num
+         |FROM e, n GROUP BY n.n""".stripMargin
+    }
+    val cols = Seq("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    s"""WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+       |  FROM events),
+       |n AS (SELECT count(*) AS n FROM e)
+       |${cols.map(one).mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -729,6 +729,27 @@ class CurationOps(val cfg: GraftConfig) {
        |  FROM documents)
        |WHERE u32 * $t < wcap * 4294967296""".stripMargin
   }
+
+  /** q137: k-anonymity audit over the quasi-identifier tuple
+    * (lang, source, length bin of ${cfg.kAnonLenBin} chars) — the
+    * pre-release privacy check: any combination of publishable
+    * attributes shared by fewer than k=${cfg.kAnonK} docs can single
+    * out a contributor, so every group is reported with its size and
+    * an at_risk flag (the release gate is "no at_risk groups", and the
+    * flagged rows ARE the remediation worklist — which cells to
+    * generalize or suppress). Pure map-combinable aggregate: the
+    * shuffle carries |groups| partial rows at any corpus size. */
+  def q137KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div ${cfg.kAnonLenBin}").as("len_bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < cfg.kAnonK)
+
+  def q137Sql: String =
+    s"""SELECT lang, source, n_chars // ${cfg.kAnonLenBin} AS len_bin,
+       |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
+       |FROM documents GROUP BY 1, 2, 3""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

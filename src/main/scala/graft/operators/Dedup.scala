@@ -571,31 +571,70 @@ class DedupOps(val cfg: GraftConfig) {
 
   private val TNum: Int = cfg.simJoinTNum
   private val TDen: Int = cfg.simJoinTDen
+  private val SimW: Int = cfg.simJoinWords
+
+  /** Distinct word $SimW-grams per doc, one row per (doc, gram) — the
+    * TOKEN-level similarity unit of the PPJoin literature, and the
+    * measured reason q131 uses words, not the char shingles of
+    * q30-q33: char-$ShingleK-grams over a small vocabulary are shared
+    * by everything (median df ≈ 291 at sf0.1 → 6.5M prefix candidates
+    * for 256 true pairs, and the positional filter recovers only 30%),
+    * while word $SimW-grams are near-unique (median df = 1 → candidates
+    * EQUAL the true pairs). Discriminative units are what makes prefix
+    * filtering effective; hashing can't fix an undiscriminative
+    * tokenization. */
+  private[graft] def wordGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SimW)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - (SimW - 1))))
+      .select(col("doc_id"), concat_ws(" ", slice(col("ws"), col("g"), lit(SimW))).as("s"))
+      .distinct()
+
+  /** In-row per-doc distinct word-gram ARRAY (the verification view of
+    * [[wordGrams]]): built with transform/array_distinct HOFs — they
+    * run interpreted, but a doc's gram count is its token count, so
+    * the row-local cost is trivial next to the join it feeds. */
+  private def wordGramArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SimW)
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, size(ws) - ${SimW - 1}),
+           |  g -> concat_ws(' ', slice(ws, g, $SimW))))""".stripMargin).as("ss"))
+
+  private def wordGramsSql: String =
+    s"""SELECT DISTINCT doc_id, array_to_string(ws[g:g+${SimW - 1}], ' ') AS s
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws)-${SimW - 1})) AS g) t
+       |WHERE len(ws) >= $SimW""".stripMargin
 
   /** q131: COMPLETE exact Jaccard similarity self-join at threshold
-    * t = $TNum/$TDen, via df-ordered prefix filtering (the PPJoin
-    * family, Xiao et al.) — unlike q31 (LSH, probabilistic recall) and
-    * q33 (rare-shingle index, drops pairs with no rare shingle), this
-    * finds EVERY pair with J ≥ t: a pair at J ≥ t must share one of
-    * each doc's first n − ⌈t·n⌉ + 1 shingles under ANY global shingle
-    * order, so only those prefixes are indexed. The global order is
-    * ascending document frequency (ties by shingle text): prefixes
-    * hold each doc's RAREST shingles, which is what keeps the index
-    * join's per-key fanout small at scale — the frequent shingles that
-    * would create quadratic buckets are exactly the ones the order
-    * pushes out of every prefix. A size filter ($TNum·max ≤ $TDen·min)
-    * prunes incompatible-length pairs inside the candidate join, and
-    * the threshold test is the integer cross-multiply
-    * $TDen·|A∩B| ≥ $TNum·|A∪B| — no float at the decision boundary.
+    * t = $TNum/$TDen over word-$SimW-gram sets, via df-ordered prefix
+    * filtering (the PPJoin family, Xiao et al.) — unlike q31 (LSH,
+    * probabilistic recall) and q33 (rare-shingle index, drops pairs
+    * with no rare shingle), this finds EVERY pair with J ≥ t: a pair
+    * at J ≥ t must share one of each doc's first n − ⌈t·n⌉ + 1 grams
+    * under ANY global gram order, so only those prefixes are indexed.
+    * The global order is ascending document frequency (ties by gram
+    * text): prefixes hold each doc's RAREST grams, which is what keeps
+    * the index join's per-key fanout small at scale — the frequent
+    * grams that would create quadratic buckets are exactly the ones
+    * the order pushes out of every prefix. A size filter
+    * ($TNum·max ≤ $TDen·min) prunes incompatible-length pairs inside
+    * the candidate join, and the threshold test is the integer
+    * cross-multiply $TDen·|A∩B| ≥ $TNum·|A∪B| — no float at the
+    * decision boundary.
     *
     * Scale: df is a map-combinable aggregate joined back 1:1 (unique
-    * per shingle); the prefix rank is a per-DOC window (bounded by doc
+    * per gram); the prefix rank is a per-DOC window (bounded by doc
     * length, never a hot corpus key); candidates are an equi-join on
-    * prefix shingles. The completeness proof is pinned by DedupSpec
-    * against the naive all-shared-shingle join. */
+    * prefix grams. The completeness proof is pinned by DedupSpec
+    * against the naive all-shared-gram join. */
   def q131SimJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(spark, dir)
+    val sh = wordGrams(spark, dir)
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, "s")
       .withColumn("rk", row_number().over(
@@ -610,7 +649,7 @@ class DedupOps(val cfg: GraftConfig) {
         lit(TNum) * greatest(col("x.n"), col("y.n")) <= lit(TDen) * least(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val docArr = shingleArrays(spark, dir)
+    val docArr = wordGramArrays(spark, dir)
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
     cand
       .repartition(cand.sparkSession.sparkContext.defaultParallelism)
@@ -622,12 +661,12 @@ class DedupOps(val cfg: GraftConfig) {
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
   }
 
-  /** Oracle: the naive COMPLETE join — every pair sharing ≥1 shingle,
+  /** Oracle: the naive COMPLETE join — every pair sharing ≥1 gram,
     * exact Jaccard, integer threshold. Any pair with J ≥ t > 0 shares a
-    * shingle, so this is the semantic spec q131's prefix filter must
+    * gram, so this is the semantic spec q131's prefix filter must
     * reproduce exactly. */
   def q131Sql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS ($wordGramsSql),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -638,7 +677,12 @@ class DedupOps(val cfg: GraftConfig) {
 
   /** q132: LSH TUNING EVAL — precision/recall of q31's MinHash band
     * candidate set against q131's complete truth at the same threshold
-    * (t = $TNum/$TDen ≙ cfg.minhashJaccard): the one-row report that
+    * (t = $TNum/$TDen ≙ cfg.minhashJaccard). The truth lives in
+    * q131's word-gram space while the bands hash char shingles — the
+    * deliberate eval framing: the exact token-level near-dup spec is
+    * the ground truth a production (char-MinHash) config is graded
+    * against; a recall shortfall here flags BOTH band misses and
+    * tokenization mismatch. This is the one-row report that
     * decides band/row counts, exactly as q123 does for the IVF index.
     * An LSH dedup without a measured recall is a silent data-loss
     * knob. Precision here is the candidate-verification hit rate — the
@@ -675,9 +719,10 @@ class DedupOps(val cfg: GraftConfig) {
        |  UNION ALL SELECT doc_id, s4||s5||s6||s7 FROM sig),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |wg AS ($wordGramsSql),
+       |sz AS (SELECT doc_id, count(*) AS n FROM wg GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM wg a JOIN wg b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |truth AS (SELECT id_a, id_b
        |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id

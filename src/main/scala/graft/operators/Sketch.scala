@@ -108,15 +108,24 @@ class SketchOps(val cfg: GraftConfig) {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
+    hllRegisterAgg(toks, Seq.empty)
+  }
+
+  /** The q96 register pipeline over any (keys..., token) table:
+    * md5-bucket + max leading-zero-rank per (keys, bucket). Shared by
+    * the corpus sketch (q96, no keys) and the grouped sketches
+    * (q139). */
+  private def hllRegisterAgg(toks: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
     toks
-      .select(md5(col("token")).as("h"))
-      .select(substring(col("h"), 1, CmHexChars).as("bucket"),
-        substring(col("h"), CmHexChars + 1, 32 - CmHexChars).as("sfx"))
-      .select(col("bucket"),
-        length(regexp_extract(col("sfx"), "^0*", 0)).as("z"), col("sfx"))
-      .select(col("bucket"), col("z"),
-        expr(s"substring(sfx, z + 1, 1)").as("nib"))
-      .select(col("bucket"),
+      .select(keyCols :+ md5(col("token")).as("h"): _*)
+      .select(keyCols ++ Seq(substring(col("h"), 1, CmHexChars).as("bucket"),
+        substring(col("h"), CmHexChars + 1, 32 - CmHexChars).as("sfx")): _*)
+      .select(keyCols ++ Seq(col("bucket"),
+        length(regexp_extract(col("sfx"), "^0*", 0)).as("z"), col("sfx")): _*)
+      .select(keyCols ++ Seq(col("bucket"), col("z"),
+        expr(s"substring(sfx, z + 1, 1)").as("nib")): _*)
+      .select(keyCols ++ Seq(col("bucket"),
         when(col("nib") === "",
           lit(4 * (32 - CmHexChars) + 1))
           .otherwise(col("z") * 4 + lit(1) +
@@ -124,8 +133,75 @@ class SketchOps(val cfg: GraftConfig) {
               .when(col("nib").isin("2", "3"), 2)
               .when(col("nib").isin("4", "5", "6", "7"), 1)
               .otherwise(0))
-          .as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).cast("long").as("max_rho"))
+          .as("rho")): _*)
+      .groupBy(keyCols :+ col("bucket"): _*)
+      .agg(max(col("rho")).cast("long").as("max_rho"))
+  }
+
+  /** q139: GROUPED HLL sketches — one register set per source: the
+    * "distinct tokens per key" question at fixed state per key, where
+    * exact per-key countDistinct shuffles every distinct (key, token)
+    * pair (state ∝ vocabulary × keys, the aggregation q102's verdict
+    * flagged writ large). Each key's sketch is 16^$CmHexChars longs no
+    * matter how much text the key holds, partial sketches merge by
+    * register max (q96's spec-pinned property), and two runs' outputs
+    * merge the same way — the incremental-ingest form of distinct
+    * counting. Registers stay the bitwise artifact (hash-gated); the
+    * float estimate is [[hllEstimateByKey]], spec'd against per-key
+    * brute distinct. */
+  def q139GroupHll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    hllRegisterAgg(toks, Seq("source"))
+  }
+
+  def q139Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    s"""WITH toks AS (SELECT source, t AS token FROM
+       |    (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |hashed AS (SELECT source, md5(token) AS h FROM toks),
+       |parts AS (SELECT source, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx
+       |  FROM hashed),
+       |zs AS (SELECT source, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT source, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT source, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs)
+       |SELECT source, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Distributed per-key HLL estimate over a q139-shaped register
+    * table: α·m²/Σ2^-ρ with linear-counting small-range correction,
+    * computed per key with a FIXED bucket-ascending in-row fold
+    * (array_sort + aggregate HOF) — the same determinism contract as
+    * the driver-side [[hllEstimate]], but the keys stay distributed:
+    * per-key state is one ≤m-element array, never a collect. Exact
+    * powers of two are IEEE-exact, so the fold is reproducible
+    * run-to-run given equal registers. */
+  def hllEstimateByKey(registers: DataFrame, keyCol: String): DataFrame = {
+    val m = math.pow(16.0, CmHexChars).toLong
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers.groupBy(keyCol)
+      .agg(count(lit(1)).as("present"),
+        expr("""aggregate(
+          |  array_sort(collect_list(struct(bucket, max_rho))),
+          |  CAST(0.0 AS DOUBLE),
+          |  (acc, x) -> acc + power(2.0, -CAST(x.max_rho AS DOUBLE)))""".stripMargin)
+          .as("zpart"))
+      .withColumn("z", col("zpart") + (lit(m) - col("present")).cast("double"))
+      .withColumn("raw", lit(alpha * m.toDouble * m.toDouble) / col("z"))
+      .withColumn("estimate",
+        when(col("raw") <= 2.5 * m && col("present") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("present")).cast("double")))
+          .otherwise(col("raw")))
+      .select(col(keyCol), col("present"), col("estimate"))
   }
 
   def q96Sql: String = {

@@ -163,6 +163,39 @@ class TemporalOps(val cfg: GraftConfig) {
        |FROM span s LEFT JOIN hourly h2 USING (user_id, h)
        |WINDOW w AS (PARTITION BY s.user_id ORDER BY s.h
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q136: trailing 24-hour ROLLING aggregates per event — for every
+    * event, the count and exact value sum of the same user's events in
+    * (ts − 24 h, ts]: the per-event rate feature behind throttling,
+    * fraud scoring, and activity weighting, which the fixed hourly grid
+    * (q108) can't express. A RANGE window frame in epoch ms — the
+    * VALUE-framed window, so ms-tied events are peers on both engines
+    * and the result is tie-order-independent by construction (no
+    * event_id tie-break needed, unlike every ROWS frame). The sum
+    * accumulates DECIMAL(25,6) inside the frame and casts to double
+    * once (Relational.dsum discipline).
+    *
+    * Scale: ONE shuffle on user_id; the range frame slides with two
+    * pointers over each user's sorted events — O(n) amortized per
+    * partition, state bounded by one 24 h span of one user. */
+  def q136RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-(DayMs - 1), 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .select(col("user_id"), col("event_id"), col("ms"),
+        count(lit(1)).over(w).as("roll_cnt"),
+        sum(col("value").cast("decimal(25,6)")).over(w).cast("double").as("roll_value"))
+  }
+
+  def q136Sql: String =
+    s"""SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |  count(*) OVER w AS roll_cnt,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS roll_value
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+       |  RANGE BETWEEN ${DayMs - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

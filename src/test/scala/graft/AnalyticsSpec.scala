@@ -175,6 +175,27 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("q138: profile covers every column once with consistent counts and bounds") {
+    val rows = Analytics.q138Profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("event_id", "ts_ms", "user_id", "event_type", "value", "props"))
+    val n = rows.values.head.getLong(1)
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == n)                       // one shared row count
+      assert(r.getLong(2) <= n)                       // non-null ≤ n
+      assert(r.getLong(3) <= r.getLong(2))            // distinct ≤ non-null
+      val expectFrac = (n - r.getLong(2)).toDouble / n
+      assert(r.getDouble(4) == expectFrac)
+    }
+    // numeric bounds present and ordered; string columns carry nulls
+    Seq("event_id", "ts_ms", "user_id", "value").foreach { c =>
+      assert(!rows(c).isNullAt(5) && rows(c).getDouble(5) <= rows(c).getDouble(6)) }
+    Seq("event_type", "props").foreach { c =>
+      assert(rows(c).isNullAt(5) && rows(c).isNullAt(6)) }
+    // event_id is the PK of the feed: fully distinct, never null
+    assert(rows("event_id").getLong(3) == n && rows("event_id").getLong(2) == n)
+  }
+
   test("q127: Gram and covariance match hand arithmetic on a 2-dim corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("gram").toString

@@ -298,6 +298,24 @@ class CurationSpec extends GraftSpec {
       2L -> ((1L, 1L, 1.0))))
   }
 
+  test("q137: groups below k flag at_risk; bins come from integer char division") {
+    val ka = new CurationOps(GraftConfig(kAnonK = 3L, kAnonLenBin = 10L))
+    val dir = docsLangSource(
+      (0L, "aaaaaaaaaaaa", "en", "sA"), // 12 chars → bin 1
+      (1L, "bbbbbbbbbbbb", "en", "sA"),
+      (2L, "cccccccccccc", "en", "sA"),
+      (3L, "dddddddddddd", "de", "sB"), // lone group → at risk
+      (4L, "ee", "en", "sA"))           // 2 chars → bin 0, lone → at risk
+    val got = ka.q137KAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("en", "sA", 1L)) == ((3L, false)))
+    assert(got(("de", "sB", 1L)) == ((1L, true)))
+    assert(got(("en", "sA", 0L)) == ((1L, true)))
+    // groups partition the corpus
+    assert(got.values.map(_._1).sum == 5L)
+  }
+
   test("q129: weighted sample keeps every saturated doc, is reproducible, and ht = 1/pi") {
     val w = new CurationOps(GraftConfig(ppsTargetChars = 10L))
     // 30 docs of length 5 (π = 0.5) + 5 docs of length ≥ 10 (π = 1)

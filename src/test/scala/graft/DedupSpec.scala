@@ -92,9 +92,9 @@ class DedupSpec extends GraftSpec {
 
   test("q131 prefix filtering is COMPLETE: equals the naive all-shared-shingle join on real data") {
     val fast = Dedup.q131SimJoin(spark, sf).select("id_a", "id_b", "jaccard")
-    // naive truth: every pair sharing >= 1 shingle, exact Jaccard,
+    // naive truth: every pair sharing >= 1 word gram, exact Jaccard,
     // the same integer threshold — completeness has no generator to hide in
-    val sh = Dedup.shingles(spark, sf)
+    val sh = Dedup.wordGrams(spark, sf)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

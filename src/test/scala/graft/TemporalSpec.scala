@@ -34,6 +34,27 @@ class TemporalSpec extends GraftSpec {
       (5L, 1L, 10L, 5L))) // purchase 5 ← view 1, lag 5 ms
   }
 
+  test("q136: trailing 24h frame is (ts−24h, ts], value-framed so ms ties are peers") {
+    import spark.implicits._
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("rolling").toString
+    Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 10L, 2.0),
+      (3L, 1L, DayMs - 1, 4.0),   // frame [0, 86399999] — still sees ms 0
+      (4L, 1L, DayMs, 8.0),       // frame [1, 86400000] — ms 0 aged out
+      (5L, 2L, 50L, 16.0), (6L, 2L, 50L, 32.0)) // ms tie: mutual peers
+      .toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Temporal.q136RollingWindow(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1L, 1.0)) && got(2L) == ((2L, 3.0)))
+    assert(got(3L) == ((3L, 7.0)))  // boundary IN: 1+2+4
+    assert(got(4L) == ((3L, 14.0))) // boundary OUT: 2+4+8
+    assert(got(5L) == ((2L, 48.0)) && got(6L) == ((2L, 48.0))) // tied peers see each other
+  }
+
   test("q85: real data — one row per matched purchase, view never after purchase") {
     val out = Temporal.q85AsofJoin(spark, sf).cache()
     try {
