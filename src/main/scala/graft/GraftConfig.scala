@@ -109,6 +109,8 @@ case class GraftConfig(
     // centroid geometry (q123 mean recall 0.93 → 0.43), i.e. the
     // sample floor binds long before the training cost does.
     ivfTrainMod: Int = 1,
+    // kNN graph (q140): neighbors kept per vector
+    knnK: Int = 5,
     // semantic dedup (q94): within-cell cosine threshold above which
     // the higher-id vector is dropped
     semDedupCos: Double = 0.42,
@@ -171,6 +173,9 @@ case class GraftConfig(
     // interval join's explode-to-buckets equi-join
     asofLeftType: String = "purchase",
     asofRightType: String = "view",
+    // last-touch attribution (q141): qualifying channels + horizon
+    attributionChannels: Seq[String] = Seq("view", "click"),
+    attributionHorizonMs: Long = 7L * 86400000L,
     intervalPointType: String = "error",
     intervalBucketMs: Long = 3600000L,
     // term ranking (Ranking.scala): per-doc top-k tf-idf terms; BM25

@@ -372,6 +372,57 @@ class SimilarityOps(val cfg: GraftConfig) {
        |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
        |GROUP BY b.query_id""".stripMargin
 
+  /** q140: k-NN GRAPH construction — every vector's top-$KnnK
+    * neighbors among its $Nprobe nearest IVF cells: the all-corpus
+    * twin of q41 (where only designated queries search) and the input
+    * artifact of graph-based ANN serving, kNN-graph clustering, and
+    * label propagation. Per vector the candidate set is its probed
+    * cells' members (Σ nprobe·|cell|, never n²); the per-vector top-k
+    * window partitions on vec_id with cell-bounded input. Same
+    * deterministic index, ranking, and tie-breaks as q41, so the graph
+    * is reproducible across runs and engines. */
+  def q140KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val assigned = assign(e, cents)
+    val probes = probeCells(e, cents, cfg.ivfNprobe)
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+    probes
+      .join(e.select(col("vec_id"), col("embedding").as("qe"), col("n2").as("qn2")), "vec_id")
+      .join(assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("ve"), col("n2").as("vn2")), "cell")
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "ve"), col("qn2"), col("vn2")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfg.knnK)
+      .select(col("vec_id"), col("nbr_id"), col("rk"), col("cosine"))
+  }
+
+  def q140Sql: String =
+    s"""$trainedAssignCtes,
+       |probe AS (SELECT ia AS vec_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots) WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT p.vec_id, e.embedding AS qe, p.cell
+       |  FROM probe p JOIN e ON e.vec_id = p.vec_id),
+       |cellpairs AS (SELECT qv.vec_id, av.vec_id AS nbr_id, qv.qe, av.embedding AS ve
+       |  FROM qv JOIN av USING (cell) WHERE av.vec_id <> qv.vec_id),
+       |kx AS (SELECT vec_id AS ia, nbr_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM cellpairs),
+       |kd AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM kx GROUP BY ia, ib),
+       |kc AS (SELECT ia, ib,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM kd)
+       |SELECT ia AS vec_id, ib AS nbr_id, rk, cosine FROM (
+       |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
+       |  FROM kc) WHERE rk <= ${cfg.knnK}""".stripMargin
+
   /** q127: the corpus Gram / covariance matrix of the embedding column —
     * the second-moment statistics PCA whitening, dimensionality checks,
     * and feature-correlation audits start from. One row per dimension

@@ -196,6 +196,66 @@ class TemporalOps(val cfg: GraftConfig) {
        |FROM events
        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
        |  RANGE BETWEEN ${DayMs - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q141: LAST-TOUCH ATTRIBUTION — every conversion ($LeftType)
+    * attributed to the same user's most recent marketing touch
+    * (${cfg.attributionChannels.mkString("/")}) within the
+    * ${cfg.attributionHorizonMs / 86400000L}-day horizon, or to
+    * "direct" (nulls) when no touch qualifies: the classic marketing
+    * attribution query, and the horizon is what separates it from a
+    * plain as-of join — a year-old click must NOT claim today's
+    * purchase, and EVERY conversion must appear (revenue accounting
+    * sums over this table).
+    *
+    * Scale: q85's union-tag shape — one user_id shuffle, three carried
+    * columns (touch id/ms/channel) in a single Window operator; the
+    * horizon is a post-filter on the carried ms, not a join
+    * condition. Tie semantics inherited from q85: a touch at the
+    * conversion's exact ms qualifies, max event_id among equal-ms
+    * touches wins. */
+  def q141Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val chans = cfg.attributionChannels
+    val H = cfg.attributionHorizonMs
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin(chans :+ LeftType: _*))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"),
+        when(col("event_type") === LeftType, 1).otherwise(0).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = e.select(col("user_id"), col("event_id"), col("ms"), col("tag"),
+      last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w).as("t_id"),
+      last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w).as("t_ms"),
+      last(when(col("tag") === 0, col("event_type")), ignoreNulls = true).over(w).as("t_ch"))
+    val valid = col("t_ms").isNotNull && (col("ms") - col("t_ms")) <= H
+    carried.filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ms").as("purchase_ms"),
+        when(valid, col("t_id")).as("touch_id"),
+        when(valid, col("t_ch")).as("channel"),
+        when(valid, col("ms") - col("t_ms")).as("lag_ms"))
+  }
+
+  def q141Sql: String = {
+    val chans = cfg.attributionChannels.map(c => s"'$c'").mkString("(", ", ", ")")
+    val H = cfg.attributionHorizonMs
+    s"""WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events
+       |  WHERE event_type IN $chans),
+       |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |  WHERE event_type = '$LeftType'),
+       |j AS (SELECT p.event_id AS purchase_id, t.event_id AS t_id,
+       |    t.event_type AS t_ch, t.ms AS t_ms,
+       |    row_number() OVER (PARTITION BY p.event_id
+       |      ORDER BY t.ms DESC, t.event_id DESC) AS rn
+       |  FROM p JOIN t ON t.user_id = p.user_id AND t.ms <= p.ms),
+       |best AS (SELECT purchase_id, t_id, t_ch, t_ms FROM j WHERE rn = 1)
+       |SELECT p.event_id AS purchase_id, p.user_id, p.ms AS purchase_ms,
+       |  CASE WHEN b.t_ms IS NOT NULL AND p.ms - b.t_ms <= $H THEN b.t_id END AS touch_id,
+       |  CASE WHEN b.t_ms IS NOT NULL AND p.ms - b.t_ms <= $H THEN b.t_ch END AS channel,
+       |  CASE WHEN b.t_ms IS NOT NULL AND p.ms - b.t_ms <= $H THEN p.ms - b.t_ms END AS lag_ms
+       |FROM p LEFT JOIN best b ON b.purchase_id = p.event_id""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -130,6 +130,38 @@ class DedupSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("q140 kNN graph: no self edges, ranks dense per vector, exhaustive probing equals brute force") {
+    val g = graft.operators.Similarity.q140KnnGraph(spark, sf).cache()
+    try {
+      assert(g.filter(col("vec_id") === col("nbr_id")).count() == 0)
+      val k = GraftConfig.default.knnK
+      val perVec = g.groupBy("vec_id").agg(count(lit(1)).as("c"), max("rk").as("m"))
+      assert(perVec.filter(col("c") > k || col("m") =!= col("c")).count() == 0,
+        "ranks must be dense 1..c with c <= k")
+    } finally g.unpersist()
+    // nprobe = all cells → candidates are the whole corpus → the graph
+    // IS the brute-force top-k graph under the same tie-break
+    val cfgAll = GraftConfig(ivfNprobe = GraftConfig.default.ivfCentroids)
+    val full = new graft.operators.SimilarityOps(cfgAll)
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.Vec.norm2N("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+    val brute = e.as("x").join(e.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("ve"), col("n2").as("vn2")).as("y"),
+        col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        graft.functions.Vec.cosineFromParts(
+          graft.functions.Vec.dotN("embedding", "ve"), col("n2"), col("vn2")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfgAll.knnK)
+      .select("vec_id", "nbr_id", "rk", "cosine")
+    val fast = full.q140KnnGraph(spark, sf)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
   test("q132 eval invariants: hits bounded by both sides, rates in [0,1]") {
     val r = Dedup.q132LshEval(spark, sf).collect()(0)
     val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -55,6 +55,27 @@ class TemporalSpec extends GraftSpec {
     assert(got(5L) == ((2L, 48.0)) && got(6L) == ((2L, 48.0))) // tied peers see each other
   }
 
+  test("q141: horizon gates attribution; every conversion appears; equal-ms max-id touch wins") {
+    val ops = new graft.operators.TemporalOps(GraftConfig(attributionHorizonMs = 100L))
+    val dir = events(
+      (1L, 1L, 10L, "view"),
+      (2L, 1L, 50L, "click"),
+      (3L, 1L, 120L, "purchase"),  // click 2 at lag 70 ≤ 100 → attributed
+      (4L, 2L, 10L, "view"),
+      (5L, 2L, 500L, "purchase"),  // only touch is 490 ms old > 100 → direct
+      (6L, 3L, 30L, "purchase"),   // no touch at all → direct
+      (7L, 4L, 40L, "view"),
+      (8L, 4L, 40L, "click"),      // equal-ms tie with 7 → max id wins
+      (9L, 4L, 40L, "purchase"))   // touch at the conversion's exact ms qualifies
+    val got = ops.q141Attribution(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got(3L) == ((Some(2L), Some("click"), Some(70L))))
+    assert(got(5L) == ((None, None, None)))
+    assert(got(6L) == ((None, None, None)))
+    assert(got(9L) == ((Some(8L), Some("click"), Some(0L))))
+    assert(got.size == 4) // one row per conversion, direct ones included
+  }
+
   test("q85: real data — one row per matched purchase, view never after purchase") {
     val out = Temporal.q85AsofJoin(spark, sf).cache()
     try {
