@@ -304,6 +304,39 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |${one("user_id", "events")}""".stripMargin
   }
 
+  /** q143: grouped MEAN with a 95% confidence interval — per language,
+    * the token-count mean ± 1.96·σ/√n: the "is this slice's average
+    * actually different" primitive behind every corpus comparison
+    * dashboard. S and Q accumulate as exact integers (order-free), so
+    * mean, sample variance (n·Q − S²)/(n·(n−1)), and the half-width
+    * are ONE fixed cast/divide/sqrt chain per group — deterministic
+    * doubles on both engines (sqrt is a single correctly-rounded IEEE
+    * op, §6 rule 1's boundary). Groups of one are excluded (sample
+    * variance undefined). Pure map-combinable aggregate. */
+  def q143MeanCi(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("s"),
+        sum(col("t") * col("t")).as("q"))
+      .filter(col("n") >= 2)
+      .select(col("lang"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean_toks"),
+        (lit(1.96) * sqrt(
+          ((col("n") * col("q") - col("s") * col("s")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double"))
+            / col("n").cast("double"))).as("ci_half"))
+
+  def q143Sql: String =
+    """WITH g AS (SELECT lang, count(*) AS n,
+      |    CAST(SUM(t) AS BIGINT) AS s, CAST(SUM(t*t) AS BIGINT) AS q
+      |  FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      |    FROM documents)
+      |  GROUP BY lang)
+      |SELECT lang, n, CAST(s AS DOUBLE) / n AS mean_toks,
+      |  1.96 * sqrt((CAST(n*q - s*s AS DOUBLE) / (n*(n-1))) / CAST(n AS DOUBLE)) AS ci_half
+      |FROM g WHERE n >= 2""".stripMargin
+
   /** q138: column PROFILE of the events table — the data-quality audit
     * every ingest runs before trusting a feed (the Deequ/"dataset
     * card" primitive): per column, row count, non-null count, exact

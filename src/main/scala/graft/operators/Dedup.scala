@@ -798,6 +798,45 @@ class DedupOps(val cfg: GraftConfig) {
        |FROM (SELECT doc_id FROM documents WHERE NOT ($base)) d
        |LEFT JOIN best USING (doc_id)""".stripMargin
   }
+
+  /** q142: near-dup pair DIFF — for every q31 pair, the character-level
+    * story of HOW the two docs differ: lengths, exact Levenshtein edit
+    * distance, and edit fraction (dist / max len). Shingle Jaccard
+    * says "these are near-dups"; the edit profile says what kind —
+    * ~0 edit frac = re-crawl artifacts (keep either), moderate =
+    * template instantiations (maybe keep both), and the number drives
+    * which variant survives q57's keeper choice in pipelines that
+    * prefer the least-edited representative.
+    *
+    * Scale: pairs are bounded by q31's band generator; the two text
+    * joins are 1:1; Levenshtein is O(len²) per pair CPU, so the pair
+    * table is repartitioned to full parallelism before the projection
+    * (the round-4 "CPU-dense, byte-small" discipline — AQE would
+    * coalesce these small-byte rows onto 1-2 tasks). */
+  def q142DupDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    q31MinhashPairs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        length(col("ta")).cast("long").as("len_a"),
+        length(col("tb")).cast("long").as("len_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .withColumn("edit_frac",
+        col("edit_dist").cast("double") / greatest(col("len_a"), col("len_b")))
+  }
+
+  def q142Sql: String =
+    s"""WITH pairs AS ($q31Sql)
+       |SELECT id_a, id_b, jaccard,
+       |  CAST(len(a.text) AS BIGINT) AS len_a,
+       |  CAST(len(b.text) AS BIGINT) AS len_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |    / greatest(len(a.text), len(b.text)) AS edit_frac
+       |FROM pairs JOIN documents a ON a.doc_id = id_a
+       |JOIN documents b ON b.doc_id = id_b""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

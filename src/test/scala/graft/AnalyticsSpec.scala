@@ -175,6 +175,21 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("q143: mean and CI match hand arithmetic; singleton groups excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("meanci").toString
+    Seq((0L, "a", "en"), (1L, "a b c", "en"), (2L, "x", "zz"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Analytics.q143MeanCi(spark, dir).collect()
+    // en: tokens {1, 3} → n=2, mean 2, sample var (2·10−16)/2 = 2,
+    // ci = 1.96·sqrt(2/2) = 1.96; zz is a singleton → excluded
+    assert(rows.map(_.getString(0)).toSet == Set("en"))
+    val r = rows.head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 2.0 && r.getDouble(3) == 1.96)
+  }
+
   test("q138: profile covers every column once with consistent counts and bounds") {
     val rows = Analytics.q138Profile(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -162,6 +162,18 @@ class DedupSpec extends GraftSpec {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("q142: edit stats bounded and consistent on real pairs") {
+    val out = Dedup.q142DupDiff(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (la, lb, d, f) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(d >= math.abs(la - lb), "edit distance at least the length gap")
+      assert(d <= math.max(la, lb), "edit distance at most the longer length")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(f == d.toDouble / math.max(la, lb))
+    }
+  }
+
   test("q132 eval invariants: hits bounded by both sides, rates in [0,1]") {
     val r = Dedup.q132LshEval(spark, sf).collect()(0)
     val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
