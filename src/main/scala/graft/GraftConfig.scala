@@ -260,6 +260,11 @@ case class GraftConfig(
     // of the length-bin quasi-identifier
     kAnonK: Long = 5L,
     kAnonLenBin: Long = 100L,
+    // trending (q145): event types kept per day
+    trendTopK: Int = 3,
+    // partitioned-layout scan (q146): the language whose partition the
+    // pruned read selects
+    layoutScanLang: String = "en",
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

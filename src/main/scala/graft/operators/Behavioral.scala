@@ -165,6 +165,31 @@ class BehavioralOps(val cfg: GraftConfig) {
         col("n_hours"), col("s").as("total_events"))
   }
 
+  /** q145: TRENDING — the top-${cfg.trendTopK} event types per day by
+    * count, with a total tie order (count desc, type asc): the
+    * "what's hot today" rollup of every activity dashboard. The daily
+    * counts are one map-combinable aggregate; the per-day rank filter
+    * plans as WindowGroupLimit (partial top-k map-side before the day
+    * exchange — PlanSpec-pinned), so no day's group is ever globally
+    * sorted even when one day holds the whole corpus. */
+  def q145Trending(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("day")
+      .orderBy(col("cnt").desc, col("event_type"))
+    ev(spark, dir)
+      .select(expr(s"ms div $DayMs").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfg.trendTopK)
+  }
+
+  def q145Sql: String =
+    s"""WITH d AS (SELECT epoch_ms(ts) // $DayMs AS day, event_type FROM events),
+       |c AS (SELECT day, event_type, count(*) AS cnt FROM d GROUP BY 1, 2)
+       |SELECT day, event_type, cnt, CAST(rk AS INT) AS rk FROM (
+       |  SELECT day, event_type, cnt,
+       |    row_number() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS rk
+       |  FROM c) WHERE rk <= ${cfg.trendTopK}""".stripMargin
+
   def q130Sql: String =
     s"""WITH h AS (SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS hr_ms,
        |    CAST(count(*) AS BIGINT) AS cnt

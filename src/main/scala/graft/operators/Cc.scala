@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+
+/** Shared weakly-connected-components kernel: min-label propagation
+  * with a pointer-jump (path-halving) hop per round — the distributed
+  * CC algorithm q57's dedup families pioneered in this codebase
+  * (Dedup.scala keeps its own inlined copy because its loop is fused
+  * with the pair-table checkpoint lifecycle; this kernel is the
+  * standalone form for graph-shaped callers like q144).
+  *
+  * Scale contract (the q57 lessons, round 2-5): every round cuts
+  * lineage with an eager checkpoint (reliable when
+  * cfg.reliableStageCheckpoints — executor loss mid-loop cannot drop a
+  * round on a cluster); the hop makes convergence ≈ log(component
+  * diameter) rounds; the round cap is the pure-propagation bound
+  * (diameter < |nodes|) so capping can never leave labels unresolved;
+  * superseded round checkpoints unpersist as soon as the next round is
+  * materialized.
+  */
+private[graft] object Cc {
+
+  /** Labels for an undirected graph given as an edge list (u, v) —
+    * symmetrized internally. Returns (node, lbl) for every node WITH
+    * an edge; isolated nodes are the caller's join (they label as
+    * themselves). lbl = the minimum node id reachable from the node. */
+  def labels(edges: DataFrame, cfg: GraftConfig): DataFrame = {
+    val spark = edges.sparkSession
+    graft.GraftSession.ensureCheckpointDir(spark)
+    def stageCk(df: DataFrame): DataFrame =
+      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col("u"), col("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val lbl0 = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
+      .select(col("node"), least(col("node"), col("l")).as("lbl"))
+    var lbl =
+      if (cfg.reliableStageCheckpoints) lbl0.checkpoint(true)
+      else lbl0.localCheckpoint(false)
+    val nNodes = lbl.count()
+    val maxRounds = math.max(1L, nNodes).toInt
+    var converged = nNodes == 0
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = und.join(lbl.select(col("node").as("v"), col("lbl").as("vl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
+      val prop = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
+      val next = stageCk(
+        prop.join(hop, prop("lbl") === hop("hn"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")))
+      rounds += 1
+      if (rounds % 2 == 0 || rounds >= maxRounds) {
+        val changed = next.join(lbl.select(col("node"), col("lbl").as("prev")), "node")
+          .filter(col("lbl") =!= col("prev")).limit(1).count()
+        converged = changed == 0
+      }
+      lbl.unpersist(false)
+      lbl = next
+    }
+    lbl
+  }
+}

@@ -1540,6 +1540,44 @@ class GraphOpsLib(val cfg: GraftConfig) {
       |FROM a3 a, b3 b
       |WHERE a.doc_id <> b.doc_id
       |  AND (s[1] <> p[1])::int + (s[2] <> p[2])::int + (s[3] <> p[3])::int <= 1""".stripMargin
+
+  /** q144: weakly connected COMPONENTS of the overlap graph — every
+    * doc labeled with its component (the min doc_id reachable over q20
+    * edges, isolated docs labeling as themselves) plus the component
+    * size. The contig-level "which reads belong together" query the
+    * assembly phases answer implicitly, surfaced as a first-class
+    * graph-analytics operator beside PageRank (q92) and triangles
+    * (q93) — and the grouping key for any per-component downstream
+    * (per-contig stats, per-cluster sampling, parallel sub-assembly).
+    *
+    * Scale: the shared [[Cc]] kernel — min-label propagation with a
+    * pointer-jump hop (≈ log diameter rounds), per-round eager
+    * checkpoints behind the one durability knob, plateau-checked
+    * convergence. Size roll-up is one aggregate on the label table. */
+  def q144WccComponents(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    val lbl = Cc.labels(e, cfg)
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val comp = docs.join(lbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component_id"))
+    val sz = comp.groupBy("component_id").agg(count(lit(1)).as("component_size"))
+    comp.join(sz, "component_id")
+      .select(col("doc_id"), col("component_id"), col("component_size"))
+  }
+
+  def q144Sql: String =
+    s"""WITH RECURSIVE
+       |eds AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),
+       |und AS MATERIALIZED (SELECT src AS u, dst AS v FROM eds
+       |  UNION SELECT dst, src FROM eds),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u),
+       |comp AS (SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
+       |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+       |sz AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+       |SELECT comp.doc_id, comp.component_id, sz.component_size
+       |FROM comp JOIN sz USING (component_id)""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

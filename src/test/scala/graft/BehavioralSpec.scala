@@ -38,6 +38,46 @@ class BehavioralSpec extends GraftSpec {
     assert(got.toSeq == Seq((1L, 20L * HourMs, 10L, 21L, 30L)))
   }
 
+  test("q145: at most k per day, ranks dense, counts non-increasing within a day") {
+    val out = Behavioral.q145Trending(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(out.nonEmpty)
+    val k = GraftConfig.default.trendTopK
+    out.foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getInt(3))
+      assert(byRk.length <= k)
+      assert(byRk.map(_.getInt(3)).toSeq == (1 to byRk.length))
+      val cnts = byRk.map(_.getLong(2)).toSeq
+      assert(cnts == cnts.sorted.reverse, "counts must not increase with rank")
+    }
+  }
+
+  test("q144: edge endpoints share a component; sizes consistent; every doc labeled once") {
+    val out = graft.operators.GraphOps.q144WccComponents(spark, sf).cache()
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf).count()
+      assert(out.count() == docs)
+      assert(out.select("doc_id").distinct().count() == docs)
+      val lbl = out.select(col("doc_id"), col("component_id"))
+      val e = graft.operators.GraphOps.q20OverlapEdges(spark, sf).select("src", "dst")
+      val cross = e
+        .join(lbl.select(col("doc_id").as("src"), col("component_id").as("ca")), "src")
+        .join(lbl.select(col("doc_id").as("dst"), col("component_id").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb")).count()
+      assert(cross == 0, "an edge crossed two components")
+      // sizes: group count over labels equals the emitted size
+      val sz = out.groupBy("component_id")
+        .agg(count(lit(1)).as("n"), max("component_size").as("s"), min("component_size").as("s2"))
+        .filter(col("n") =!= col("s") || col("n") =!= col("s2")).count()
+      assert(sz == 0)
+      // the component id is a member of its own component
+      val selfIn = out.select(col("component_id")).distinct()
+        .join(out.filter(col("doc_id") === col("component_id")).select(col("component_id")),
+          Seq("component_id"), "left_anti").count()
+      assert(selfIn == 0, "a component's label is not one of its members")
+    } finally out.unpersist()
+  }
+
   test("q130: real data — flagged hours always exceed their user's mean") {
     val out = Behavioral.q130BurstHours(spark, sf)
     // dev > 0 ⇔ cnt·n_hours > total_events ⇔ cnt > mean

@@ -190,6 +190,23 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q146 partitioned layout: the lang filter prunes DIRECTORIES, not rows") {
+    val p = plan("q146_partitioned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(lang") && p.contains("= en)"),
+      "lang predicate must be a partition filter")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("DataFilters: []"),
+      "no row-level filtering should remain — pruning is directory-level")
+    assert(!scan.replaceAll(".*ReadSchema", "").contains("lang:"),
+      "lang must come from the directory name, not the file bytes")
+  }
+
+  test("q145 trending ranks via WindowGroupLimit (partial top-k map-side)") {
+    val p = plan("q145_trending")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "per-day top-k must push a partial group limit before the exchange")
+  }
+
   test("q129 weighted sample is map-only: zero exchanges, no window, no join") {
     val p = plan("q129_weighted_sample")
     assert(semanticExchanges(p) == 0, "q129 must be a pure scan predicate")
