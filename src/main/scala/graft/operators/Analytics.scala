@@ -337,6 +337,58 @@ class AnalyticsOps(val cfg: GraftConfig) {
       |  1.96 * sqrt((CAST(n*q - s*s AS DOUBLE) / (n*(n-1))) / CAST(n AS DOUBLE)) AS ci_half
       |FROM g WHERE n >= 2""".stripMargin
 
+  /** q148: exact Pearson CORRELATION per language between doc length
+    * (chars) and token count — the feature-redundancy check before
+    * both columns enter a quality model ("are these two signals the
+    * same signal?"). All five moments accumulate as DECIMAL(38,0)
+    * (order-free exact integers; corpus-scale n·Σxy overflows BIGINT),
+    * then r = (n·Σxy − ΣxΣy)/√((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) is ONE
+    * fixed cast/multiply/sqrt/divide chain in doubles — deterministic
+    * on both engines (§6 rule 1). Zero-variance groups yield null
+    * (correlation undefined), singleton groups are excluded. Built-in
+    * `corr()` is the one-liner alternative — and exactly what this
+    * avoids: it accumulates floating co-moments in stream order, so
+    * two engines (or two partitionings) disagree in final ulps. */
+  def q148Correlation(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .filter(col("n") >= 2)
+      .select(col("lang"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean_chars"),
+        (col("sy").cast("double") / col("n")).as("mean_toks"), {
+          val n = col("n").cast("double")
+          val cov = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+          val vx = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+          val vy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+          when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+            .otherwise(cov / sqrt(vx * vy)).as("pearson_r")
+        })
+  }
+
+  def q148Sql: String =
+    """WITH m AS (SELECT lang, count(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM (SELECT lang, n_chars AS x,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |    FROM documents)
+      |  GROUP BY lang)
+      |SELECT lang, n, sx / n AS mean_chars, sy / n AS mean_toks,
+      |  CASE WHEN (n*sxx - sx*sx) = 0.0 OR (n*syy - sy*sy) = 0.0 THEN NULL
+      |    ELSE (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS pearson_r
+      |FROM m WHERE n >= 2""".stripMargin
+
   /** q138: column PROFILE of the events table — the data-quality audit
     * every ingest runs before trusting a feed (the Deequ/"dataset
     * card" primitive): per column, row count, non-null count, exact

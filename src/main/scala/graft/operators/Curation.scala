@@ -730,6 +730,46 @@ class CurationOps(val cfg: GraftConfig) {
        |WHERE u32 * $t < wcap * 4294967296""".stripMargin
   }
 
+  /** q149: the DATASET CARD — the one-row corpus identity card every
+    * release ships with: doc/token/char totals, language and source
+    * cardinalities, and the exact-duplicate rate under q13's
+    * normalized content key (docs − distinct keys) / docs — the
+    * headline numbers of a datasheet/data-statement, computed in one
+    * pass. The three exact distincts ride a single aggregation via
+    * Spark's Expand (the q138 mechanism); everything else is a
+    * map-combinable sum. All integers + two fixed-shape ratios. */
+  def q149DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        array_join(slice(split(col("text"), " "), 1, cfg.dedupKeyWords), " ").as("ckey"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("ckey")).as("n_content_keys"))
+      .select(col("n_docs"), col("n_tokens"), col("total_chars"),
+        col("n_langs"), col("n_sources"), col("n_content_keys"),
+        ((col("n_docs") - col("n_content_keys")).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_toks"))
+
+  def q149Sql: String =
+    s"""WITH d AS (SELECT lang, source, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    array_to_string(string_split(text, ' ')[:${cfg.dedupKeyWords}], ' ') AS ckey
+       |  FROM documents)
+       |SELECT count(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(count(DISTINCT ckey) AS BIGINT) AS n_content_keys,
+       |  CAST(count(*) - count(DISTINCT ckey) AS DOUBLE) / count(*) AS dup_rate,
+       |  CAST(SUM(toks) AS DOUBLE) / count(*) AS avg_toks
+       |FROM d""".stripMargin
+
   /** q137: k-anonymity audit over the quasi-identifier tuple
     * (lang, source, length bin of ${cfg.kAnonLenBin} chars) — the
     * pre-release privacy check: any combination of publishable

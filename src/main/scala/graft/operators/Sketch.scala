@@ -177,6 +177,33 @@ class SketchOps(val cfg: GraftConfig) {
        |SELECT source, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2""".stripMargin
   }
 
+  /** q147: STREAMING HLL — q95's lesson applied to distinct counting:
+    * the aggregation state IS the register set (16^$CmHexChars longs,
+    * bounded by construction no matter how much stream passes), where
+    * an exact streaming distinct-count's dropDuplicates state grows
+    * with every distinct token ever seen. The register max is an
+    * order-insensitive streaming aggregate, so the bounded-replay
+    * drain equals batch q96 bit-for-bit — the same oracle gates both,
+    * and a live stream's registers merge with any batch shard's by
+    * element max (q96's pinned property). */
+  def q147StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = raw
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val regs = hllRegisterAgg(toks, Seq.empty)
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = regs.writeStream.format("memory").queryName("graft_q147")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q147")
+    }
+  }
+
+  def q147Sql: String = q96Sql
+
   /** Distributed per-key HLL estimate over a q139-shaped register
     * table: α·m²/Σ2^-ρ with linear-counting small-range correction,
     * computed per key with a FIXED bucket-ascending in-row fold

@@ -175,6 +175,23 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("q148: perfectly linear columns give r exactly 1; zero variance gives null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    // en: chars (1,3,5) vs tokens (1,2,3) — x = 2y−1, and the moment
+    // arithmetic lands on sqrt(144) so r is EXACTLY 1.0 in doubles
+    // zz: token count constant → vy = 0 → undefined
+    Seq((0L, "a", "en"), (1L, "a b", "en"), (2L, "a b c", "en"),
+        (3L, "aa", "zz"), (4L, "bbbb", "zz"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Analytics.q148Correlation(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("en").getDouble(4) == 1.0)
+    assert(rows("zz").isNullAt(4))
+  }
+
   test("q143: mean and CI match hand arithmetic; singleton groups excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("meanci").toString

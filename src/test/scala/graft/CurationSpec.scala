@@ -298,6 +298,22 @@ class CurationSpec extends GraftSpec {
       2L -> ((1L, 1L, 1.0))))
   }
 
+  test("q149: dataset card counts and dup rate match a hand corpus") {
+    // ops: dedupKeyWords default via Curation object? use a 2-word key instance
+    val card = new CurationOps(GraftConfig(dedupKeyWords = 2))
+    val dir = docsLangSource(
+      (0L, "a b c", "en", "sA"),   // key "a b"
+      (1L, "a b d", "en", "sB"),   // key "a b" → exact-key dup of 0
+      (2L, "x y", "de", "sA"))     // key "x y"
+    val r = card.q149DatasetCard(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L)                    // n_docs
+    assert(r.getLong(1) == 3L + 3L + 2L)          // n_tokens
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L) // langs, sources
+    assert(r.getLong(5) == 2L)                    // content keys
+    assert(r.getDouble(6) == 1.0 / 3)             // dup rate
+    assert(r.getDouble(7) == 8.0 / 3)             // avg tokens
+  }
+
   test("q137: groups below k flag at_risk; bins come from integer char division") {
     val ka = new CurationOps(GraftConfig(kAnonK = 3L, kAnonLenBin = 10L))
     val dir = docsLangSource(

@@ -167,6 +167,13 @@ class RankingSpec extends GraftSpec {
     assert(again == est)
   }
 
+  test("q147: streaming HLL drain equals the batch register table bit-for-bit") {
+    val stream = Sketch.q147StreamHll(spark, sf)
+    val batch = Sketch.q96HllRegisters(spark, sf)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+    assert(batch.count() > 0)
+  }
+
   test("q89: codes bounded by ±127, max-magnitude element hits exactly 127") {
     val out = Similarity.q89Quantize(spark, sf).collect()
     assert(out.length > 0)
