@@ -32,8 +32,13 @@ private[graft] object Cc {
     def stageCk(df: DataFrame): DataFrame =
       if (cfg.reliableStageCheckpoints) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // eager cut BEFORE the loop: und is referenced once per round (plus
+    // lbl0), and a lazy und would re-run the caller's whole edge
+    // pipeline — q20's boundary-key + verify join for q144 — every
+    // round (q57 learned this with its pair table in round 3; measured
+    // here: 8.9 s → ~3 s at sf0.1)
     val e = edges.select(col("u"), col("v"))
-    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val und = stageCk(e.unionAll(e.select(col("v").as("u"), col("u").as("v"))))
     val lbl0 = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
       .select(col("node"), least(col("node"), col("l")).as("lbl"))
     var lbl =
@@ -48,6 +53,12 @@ private[graft] object Cc {
         .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
       val prop = lbl.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // single pointer-jump hop per round (path halving) — a deeper
+      // two-chase variant was measured NOT faster here (6.7 vs 5.9 s at
+      // sf0.1): the loop's cost is per-round AQE/job latency on
+      // trivially small data, which extra plan depth doesn't reduce;
+      // that latency amortizes at real scale where rounds carry real
+      // bytes (the q62 stage-chain lesson)
       val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
       val next = stageCk(
         prop.join(hop, prop("lbl") === hop("hn"), "left")
