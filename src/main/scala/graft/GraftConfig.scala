@@ -111,6 +111,9 @@ case class GraftConfig(
     ivfTrainMod: Int = 1,
     // kNN graph (q140): neighbors kept per vector
     knnK: Int = 5,
+    // top-principal-component projection (q150): fixed power-iteration
+    // count (fixed, not convergence-tested — determinism over adaptivity)
+    pcaIters: Int = 16,
     // semantic dedup (q94): within-cell cosine threshold above which
     // the higher-id vector is dropped
     semDedupCos: Double = 0.42,

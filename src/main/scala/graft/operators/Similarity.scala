@@ -423,6 +423,87 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
        |  FROM kc) WHERE rk <= ${cfg.knnK}""".stripMargin
 
+  /** q150: top PRINCIPAL COMPONENT projection — every vector scored
+    * against the corpus covariance's dominant eigenvector (plus the
+    * eigenvalue): the first step of PCA whitening, the spectral "is
+    * there one dominant direction" diagnostic, and the 1-D ordering
+    * embeddings get sorted/sharded by. Built on q127's exact
+    * covariance: the d×d matrix is corpus-independent BY CONSTRUCTION
+    * (the hllEstimate argument — finishing a d²-row artifact on the
+    * driver is the contract, not a scale violation), so
+    * ${cfg.pcaIters} power iterations run as a driver loop in plain
+    * doubles with FIXED fold order: each matvec entry sums j-ascending,
+    * the norm sums i-ascending, v₀ = 1/√d. The DuckDB oracle replays
+    * the identical iteration with `list_sum(list(… ORDER BY …))` —
+    * verified a sequential left fold, so every intermediate double is
+    * bit-identical and the final eigenvector/eigenvalue/scores
+    * hash-match exactly. Scores are a pure distributed scan: one
+    * j-ascending `aggregate(zip_with(…))` fold per row against the
+    * broadcast-literal eigenvector. Sign convention: the returned
+    * eigenvector is as-iterated from the all-positive start (power
+    * iteration preserves the sign deterministically). */
+  def q150PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val cov = q127GramMatrix(spark, dir).select(col("i"), col("j"), col("cov")).collect()
+    val d = cov.map(_.getInt(0)).max
+    val c = Array.ofDim[Double](d + 1, d + 1)
+    cov.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var t = 0
+    while (t < cfg.pcaIters) {
+      val w = new Array[Double](d)
+      var i = 1
+      while (i <= d) {
+        var s = 0.0
+        var j = 1
+        while (j <= d) { s += c(i)(j) * v(j - 1); j += 1 }
+        w(i - 1) = s; i += 1
+      }
+      var n2 = 0.0
+      var k = 0
+      while (k < d) { n2 += w(k) * w(k); k += 1 }
+      lambda = math.sqrt(n2)
+      var m = 0
+      while (m < d) { v(m) = w(m) / lambda; m += 1 }
+      t += 1
+    }
+    val u = array(v.toIndexedSeq.map(lit): _*)
+    val score = org.apache.spark.sql.functions.aggregate(
+      zip_with(col("embedding"), u, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, p) => acc + p)
+    emb(spark, dir)
+      .select(col("vec_id"), score.as("score"), lit(lambda).as("eigenvalue"))
+  }
+
+  def q150Sql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and v_t
+    // referencing w_t twice would double the expansion per iteration —
+    // 2^iters copies of the covariance subquery
+    val steps = (1 to cfg.pcaIters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT cm.i, list_sum(list(cm.cov * v${t - 1}.val ORDER BY cm.j)) AS val
+         |  FROM cm JOIN v${t - 1} ON cm.j = v${t - 1}.i GROUP BY cm.i),
+         |n$t AS MATERIALIZED (SELECT sqrt(list_sum(list(val * val ORDER BY i))) AS nrm FROM w$t),
+         |v$t AS MATERIALIZED (SELECT w$t.i, w$t.val / n$t.nrm AS val FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS MATERIALIZED (SELECT i, j, cov FROM ($q127Sql)),
+       |cm AS MATERIALIZED (SELECT i, j, cov FROM c
+       |  UNION ALL SELECT j, i, cov FROM c WHERE i <> j),
+       |dims AS MATERIALIZED (SELECT DISTINCT i FROM cm),
+       |v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM dims)) AS val
+       |  FROM dims),
+       |$steps,
+       |ex AS (SELECT vec_id, g AS j, CAST(embedding[g] AS DOUBLE) AS x
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t)
+       |SELECT ex.vec_id,
+       |  list_sum(list(ex.x * u.val ORDER BY ex.j)) AS score,
+       |  (SELECT nrm FROM n${cfg.pcaIters}) AS eigenvalue
+       |FROM ex JOIN v${cfg.pcaIters} u ON u.i = ex.j
+       |GROUP BY ex.vec_id""".stripMargin
+  }
+
   /** q127: the corpus Gram / covariance matrix of the embedding column —
     * the second-moment statistics PCA whitening, dimensionality checks,
     * and feature-correlation audits start from. One row per dimension

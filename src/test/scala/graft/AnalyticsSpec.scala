@@ -228,6 +228,25 @@ class AnalyticsSpec extends GraftSpec {
     assert(rows("event_id").getLong(3) == n && rows("event_id").getLong(2) == n)
   }
 
+  test("q150: axis-aligned corpus recovers the exact axis eigenvector; deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    // all variance on dim 1: cov = [[v,0],[0,0]] → after one
+    // normalization u = (1,0) EXACTLY, so scores are the raw first
+    // coordinates (float→double widening is exact)
+    Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)), (3L, Seq(2f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.q150PcaProject(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 1.0 && got(2L)._1 == -1.0 && got(3L)._1 == 2.0)
+    assert(got.values.map(_._2).toSet.size == 1 && got(1L)._2 > 0.0)
+    // fixed iteration count + fixed folds → bit-identical re-runs
+    val again = graft.operators.Similarity.q150PcaProject(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(again == got)
+  }
+
   test("q127: Gram and covariance match hand arithmetic on a 2-dim corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("gram").toString
