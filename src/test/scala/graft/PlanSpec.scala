@@ -190,6 +190,36 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("round-8 aggregate operators: no windows, no joins beyond their contract") {
+    // pure grouped aggregates — a Window or Join appearing here means a rewrite
+    // reintroduced a per-key sort or a second corpus pass
+    Seq("q130_burst_hours", "q137_kanon", "q143_mean_ci", "q148_correlation",
+        "q149_dataset_card").foreach { n =>
+      val p = plan(n)
+      assert(windows(p) == 0, s"$n grew a Window")
+    }
+    // q149/q138 multi-distinct rides ONE Expand aggregation, not N scans
+    Seq("q138_profile", "q149_dataset_card").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Expand"), s"$n must plan multi-distinct via Expand")
+      assert("FileScan".r.findAllIn(p).length == 1, s"$n must scan its table once")
+    }
+  }
+
+  test("q136 rolling window: ONE user_id exchange serves the RANGE frame") {
+    val p = plan("q136_rolling_window")
+    assert(windows(p) == 1)
+    assert(semanticExchanges(p) == 1, "rolling aggregates need exactly one keyed shuffle")
+  }
+
+  test("q134 PCM decode is map-only; q150 scores are a pure scan fold") {
+    Seq("q134_pcm_energy", "q150_pca_project").foreach { n =>
+      val p = plan(n)
+      assert(semanticExchanges(p) == 0 && !p.contains("Join"),
+        s"$n must be a shuffle-free map stage")
+    }
+  }
+
   test("q146 partitioned layout: the lang filter prunes DIRECTORIES, not rows") {
     val p = plan("q146_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(lang") && p.contains("= en)"),
