@@ -265,6 +265,33 @@ case class GraftConfig(
     kAnonLenBin: Long = 100L,
     // trending (q145): event types kept per day
     trendTopK: Int = 3,
+    // large-volume orders (q151, TPC-H Q18 shape): minimum summed
+    // lineitem quantity — the tail threshold that makes the survivor
+    // set broadcast-small (874 orders of 14.7k at sf0.01)
+    bigOrderMinQty: Double = 200.0,
+    // late-order priority count (q152, TPC-H Q4 shape): order year and
+    // the ship-lag (days past order date) beyond which a line is late
+    waitYear: Int = 1996,
+    lateShipDays: Int = 30,
+    // salted skew join (q153): replication factor — each dim row is
+    // cloned saltFactor ways, each fact row probes exactly one clone
+    saltFactor: Int = 8,
+    // doc LM score (q154): fixed-point scale for the add-1-smoothed
+    // bigram probability (SCALE ≙ 1.0); per-bigram scores are < SCALE,
+    // so per-doc sums stay far under long range
+    lmScoreScale: Long = 1000000L,
+    // collocations (q155): minimum pair count + report size
+    collocMinCount: Int = 5,
+    collocTopK: Int = 50,
+    // Bloom filter (q156/q157): filter width in bits (must be a power
+    // of two so hex-slice hashes reduce by mask, not mod-bias) and
+    // hash count; 8192 bits / 4 hashes ≈ 1% FP at ~850 keys
+    bloomBits: Int = 8192,
+    bloomHashes: Int = 4,
+    // k-core (q159): the core number and the peeling round bound
+    // (convergence-guarded like the assembly loops)
+    kcoreK: Int = 3,
+    kcoreRounds: Int = 4,
     // partitioned-layout scan (q146): the language whose partition the
     // pruned read selects
     layoutScanLang: String = "en",

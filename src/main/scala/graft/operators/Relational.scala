@@ -425,6 +425,81 @@ class RelationalOps(val cfg: GraftConfig) {
         count(lit(1)).as("n_items"))
   }
 
+  /** q151: large-volume orders — the TPC-H Q18 shape: orders whose
+    * summed lineitem quantity clears ${cfg.bigOrderMinQty}, joined back
+    * to orders and customer. The canonical HAVING + join-back pattern:
+    * the aggregate runs on the natural order key (bounded lines per
+    * order — no skew), the threshold keeps only the distribution's
+    * tail, and that survivor set drives BOTH subsequent joins as the
+    * broadcast side — the orders and customer scans are never
+    * shuffled. If the threshold were loosened to keep a non-tiny
+    * survivor set, drop the hints and let AQE pick the join strategy.
+    * Quantity sums accumulate in DECIMAL (order-insensitive), so the
+    * HAVING comparison and the final double are engine-exact. */
+  def q151BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dq"))
+      .filter(col("dq") > lit(cfg.bigOrderMinQty).cast("decimal(18,2)"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_totalprice"), col("dq").cast("double").as("sum_qty"))
+    Tables.customer(spark, dir)
+      .join(broadcast(ord), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate_ms"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  def q151Sql: String =
+    s"""WITH qty AS (
+       |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dq
+       |  FROM lineitem GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > ${cfg.bigOrderMinQty})
+       |SELECT c_custkey, c_name, o_orderkey,
+       |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice,
+       |  CAST(dq AS DOUBLE) AS sum_qty
+       |FROM qty
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey""".stripMargin
+
+  /** q152: late-order priority count — the TPC-H Q4 shape: how many
+    * orders per priority class (one year's window) had at least one
+    * lineitem shipped more than ${cfg.lateShipDays} days after the
+    * order date. EXISTS compiles to a LEFT SEMI join with the ship-lag
+    * riding the join condition (each order emits at most once no
+    * matter how many late lines it has); both sides shuffle on the
+    * natural order key — bounded rows per key, no skew — and the year
+    * filter pushes to the orders scan, so AQE is free to broadcast the
+    * filtered orders side. Timestamps compare in epoch ms (the q8 /
+    * Temporal idiom) so both engines evaluate the lag identically. */
+  def q152LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val lagMs = cfg.lateShipDays.toLong * 86400000L
+    val ord = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === cfg.waitYear)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("ship_ms") > col("odate_ms") + lagMs, "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def q152Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders
+       |FROM orders o
+       |WHERE year(o_orderdate) = ${cfg.waitYear}
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND epoch_ms(l_shipdate) >
+       |          epoch_ms(o_orderdate) + CAST(${cfg.lateShipDays} AS BIGINT) * 86400000)
+       |GROUP BY o_orderpriority""".stripMargin
+
   def q107Sql: String =
     s"""SELECT n_name,
        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,

@@ -269,4 +269,19 @@ class PlanSpec extends GraftSpec {
         s"$n's perDoc-freq join must stay a shuffled hash join")
     }
   }
+
+  test("q151 big orders: the survivor set broadcasts into both join-backs — no sort-merge") {
+    val p = plan("q151_big_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "q151's orders and customer joins must build on the broadcast survivor side")
+    assert(!p.contains("SortMergeJoin"), "q151 must not sort-merge a scan")
+  }
+
+  test("q152 late orders: EXISTS plans as a semi join with the year filter pushed") {
+    val p = plan("q152_late_orders")
+    assert(p.contains("LeftSemi"), "q152's EXISTS must plan as a LEFT SEMI join")
+    val scanLines = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scanLines.contains("o_orderdate"),
+      "q152's year predicate must reach the orders scan")
+  }
 }

@@ -57,4 +57,59 @@ class RelationalSpec extends GraftSpec {
     assert(df.count() == spark.read.parquet(s"$sf/events.parquet").count())
     assert(df.agg(org.apache.spark.sql.functions.min("session_id")).head().getLong(0) == 1L)
   }
+
+  private def star(dir: String)(writes: (String, org.apache.spark.sql.DataFrame)*): String = {
+    writes.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("q151: threshold is strict (== excluded), survivors carry exact sums and join back 1:1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ops = new graft.operators.RelationalOps(GraftConfig(bigOrderMinQty = 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("q151").toString
+    // order 1: 4+6 = 10 == threshold → OUT; order 2: 10.5 > 10 → IN;
+    // order 3: 0.1×101 = 10.1 > 10 → IN, and exact only in decimal
+    // (float 0.1 sums drift); order 4 has no lines → OUT
+    val li = (Seq((1L, 4.0), (1L, 6.0), (2L, 10.5)) ++ Seq.fill(101)((3L, 0.1)))
+      .toDF("l_orderkey", "l_quantity")
+    val ord = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("o_orderkey", "o_custkey")
+      .withColumn("o_orderdate", expr("timestamp_millis(86400000)"))
+      .withColumn("o_totalprice", lit(1.0))
+    val cust = Seq((10L, "a"), (20L, "b"), (30L, "c"), (40L, "d"))
+      .toDF("c_custkey", "c_name")
+    star(dir)("lineitem" -> li, "orders" -> ord, "customer" -> cust)
+    val got = ops.q151BigOrders(spark, dir).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("c_name"),
+        r.getAs[Double]("sum_qty"))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "b", 10.5), (3L, "c", 10.1)))
+  }
+
+  test("q152: one late line counts an order once; on-time and out-of-year orders never count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ops = new graft.operators.RelationalOps(GraftConfig(waitYear = 1996, lateShipDays = 30))
+    val dir = java.nio.file.Files.createTempDirectory("q152").toString
+    val day = 86400000L
+    val base = java.sql.Timestamp.valueOf("1996-03-01 00:00:00").getTime
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // order 1: two late lines → counts ONCE; order 2: 30 days exactly →
+    // not late (strict >); order 3: 31 days late but ordered in 1995 → out
+    val ord = Seq(
+      (1L, "1-URGENT", ts(base)), (2L, "1-URGENT", ts(base)),
+      (3L, "2-HIGH", ts(java.sql.Timestamp.valueOf("1995-03-01 00:00:00").getTime)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, ts(base + 31 * day)), (1L, ts(base + 40 * day)),
+      (2L, ts(base + 30 * day)),
+      (3L, ts(java.sql.Timestamp.valueOf("1995-03-01 00:00:00").getTime + 31 * day)))
+      .toDF("l_orderkey", "l_shipdate")
+    star(dir)("orders" -> ord, "lineitem" -> li)
+    val got = ops.q152LateOrders(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("1-URGENT", 1L)))
+  }
 }
