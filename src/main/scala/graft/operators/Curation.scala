@@ -790,6 +790,62 @@ class CurationOps(val cfg: GraftConfig) {
     s"""SELECT lang, source, n_chars // ${cfg.kAnonLenBin} AS len_bin,
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
+  /** q154: per-doc LANGUAGE-MODEL fluency score, integer-exact — the
+    * probability-valued sibling of q80's coverage fraction and the
+    * engine-portable reduction of a CCNet-style perplexity gate: each
+    * adjacent word pair scores its add-1-smoothed corpus bigram
+    * probability p = (c(w1,w2)+1)/(c(w1)+V) in fixed point
+    * (floor((c12+1)·SCALE / (c1+V)) with SCALE = ${cfg.lmScoreScale}),
+    * and a doc's score is the floor-mean over its pairs. All BIGINT —
+    * a log-based perplexity would diverge between libm and the JVM in
+    * final ulps; the fixed-point mean ranks docs identically for the
+    * quality gate's purposes and hashes bitwise on both engines.
+    * Overflow bound: exact while (c12+1)·SCALE < 2⁶³, i.e. the hottest
+    * bigram under ~9·10¹² occurrences; beyond that cast the numerator
+    * to DECIMAL(38,0) (the q127 discipline).
+    *
+    * Scale: both model sides are aggregates UNIQUE on their join key
+    * (bigram table on (w1,w2), unigram table on w1), so the joins fan
+    * out 1:1 even on "of the"-grade keys (q15/q80 discipline); V rides
+    * a one-row broadcast; the per-doc aggregate is map-combinable.
+    * Docs with fewer than two tokens have no pairs and are absent —
+    * a fluency score over zero evidence is undefined, not zero. */
+  def q154LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val S = cfg.lmScoreScale
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w", "w1")
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val bi = docBigrams(spark, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    docBigrams(spark, dir)
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_scaled", expr(s"((c12 + 1) * $S) div (c1 + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_p div n_bigrams").as("lm_score_micro"))
+  }
+
+  def q154Sql: String =
+    s"""WITH dp AS (
+       |  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2),
+       |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM dp GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM((c12 + 1) * ${cfg.lmScoreScale} // (c1 + v)) // count(*) AS BIGINT)
+       |    AS lm_score_micro
+       |FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+       |GROUP BY doc_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

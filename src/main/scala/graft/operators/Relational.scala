@@ -425,6 +425,52 @@ class RelationalOps(val cfg: GraftConfig) {
         count(lit(1)).as("n_items"))
   }
 
+  /** Reusable SALTED equi-join — the manual skew remedy for the case
+    * AQE cannot fix: a hot key whose rows must co-locate with a dim too
+    * large to broadcast (AQE's skew split only divides SORT-MERGE
+    * partitions of the PROBE side; a hash-join build side, or skew
+    * inside an aggregation-feeding exchange, stays hot). Each dim row
+    * is replicated ${cfg.saltFactor} ways with a salt ordinal; each
+    * fact row derives ONE salt from a uniformly-distributed column and
+    * probes exactly its own replica — the hot key's fact rows spread
+    * over saltFactor tasks, at the cost of dim·saltFactor build rows.
+    * Exactness: every fact row still meets the full dim row for its
+    * key (just one specific clone), so the result set is IDENTICAL to
+    * the unsalted join (RelationalSpec proves it). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factSalt: Column): DataFrame = {
+    val s = cfg.saltFactor
+    val salted = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(s - 1))))
+    fact.withColumn("__salt", pmod(factSalt, lit(s)).cast("int"))
+      .join(salted.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** q153: salted user enrichment — every event joined to its user's
+    * per-user profile (event count + decimal-exact value total) through
+    * [[saltedJoin]], salt drawn from the event id. The q124 skew
+    * profiler's answer put to work: when its skew_ratio flags a user
+    * key too hot for one task and the profile table is corpus-keyed
+    * (no broadcast), this is the shape that keeps the enrichment
+    * running at 100 TB. The salt is an implementation detail the
+    * result must not show — the oracle is the PLAIN join. */
+  def q153SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val dim = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 25, 6).as("total_value"))
+    saltedJoin(ev.select("event_id", "user_id"), dim, "user_id", col("event_id"))
+      .select("event_id", "user_id", "n_events", "total_value")
+  }
+
+  def q153Sql: String =
+    s"""SELECT event_id, e.user_id, n_events, total_value
+       |FROM events e JOIN (
+       |  SELECT user_id, count(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+       |  FROM events GROUP BY 1) u ON e.user_id = u.user_id""".stripMargin
+
   /** q151: large-volume orders — the TPC-H Q18 shape: orders whose
     * summed lineitem quantity clears ${cfg.bigOrderMinQty}, joined back
     * to orders and customer. The canonical HAVING + join-back pattern:

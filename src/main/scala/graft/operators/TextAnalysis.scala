@@ -275,6 +275,66 @@ class TextAnalysisOps(val cfg: GraftConfig) {
        |  CAST(coalesce(cov.covered_chars, 0) AS DOUBLE) / d.n_chars AS dup_ratio
        |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin
   }
+
+  /** q155: COLLOCATIONS — the top-${cfg.collocTopK} adjacent word pairs
+    * by lift c(w1,w2)·N / (c(w1)·c(w2)) with support ≥
+    * ${cfg.collocMinCount}: the statistical phrase detector (PMI's
+    * monotone argument) behind tokenizer merges, phrase mining, and
+    * stop-phrase lists. Lift is computed as ONE fixed cast/multiply/
+    * divide chain over exact integer counts (each double op is
+    * correctly rounded from exact operands, so both engines agree
+    * bitwise — the q148 discipline; the log() that makes this "PMI"
+    * would not), and ties order on the pair itself.
+    *
+    * Scale: counts are map-combinable aggregates; the unigram joins hit
+    * keys where the aggregated side is UNIQUE (1:1 fanout, no hot-key
+    * amplification); the support filter shrinks the pair table before
+    * any join; N rides a one-row broadcast; the final top-k plans as
+    * TakeOrderedAndProject — the pair table is never globally sorted. */
+  def q155Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val flat = toks.select(explode(col("ws")).as("w"))
+    val uni = flat.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = flat.agg(count(lit(1)).as("n"))
+    val pairs = toks
+      .filter(size(col("ws")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(element_at(col("ws"), col("g")).as("w1"),
+        element_at(col("ws"), col("g") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= cfg.collocMinCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        col("pair_count").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")))
+      .select(col("w1"), col("w2"), col("pair_count"), col("c1"), col("c2"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(cfg.collocTopK)
+  }
+
+  def q155Sql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+       |pairs AS (
+       |  SELECT ws[g] AS w1, ws[g+1] AS w2, CAST(count(*) AS BIGINT) AS pair_count
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2
+       |  GROUP BY 1, 2 HAVING count(*) >= ${cfg.collocMinCount})
+       |SELECT w1, w2, pair_count, u1.c AS c1, u2.c AS c2,
+       |  CAST(pair_count AS DOUBLE) * CAST(n AS DOUBLE) /
+       |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+       |FROM pairs
+       |JOIN uni u1 ON u1.w = w1
+       |JOIN uni u2 ON u2.w = w2
+       |CROSS JOIN n
+       |ORDER BY lift DESC, w1, w2
+       |LIMIT ${cfg.collocTopK}""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

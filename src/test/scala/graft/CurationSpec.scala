@@ -332,6 +332,17 @@ class CurationSpec extends GraftSpec {
     assert(got.values.map(_._1).sum == 5L)
   }
 
+  test("q154: fixed-point LM score matches hand arithmetic; pairless docs are absent") {
+    // tokens a,b,a,b,a,b,c → c1(a)=c1(b)=3, c1(c)=1, V=3
+    // c12(a,b)=3, c12(b,a)=1 → p(a,b)=4e6 div 6=666666, p(b,a)=333333
+    val dir = docs(1L -> "a b a b", 2L -> "a b", 3L -> "c")
+    val got = graft.operators.Curation.q154LmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, (666666L + 333333L + 666666L) / 3),  // = 555555
+      (2L, 1L, 666666L)))
+  }
+
   test("q129: weighted sample keeps every saturated doc, is reproducible, and ht = 1/pi") {
     val w = new CurationOps(GraftConfig(ppsTargetChars = 10L))
     // 30 docs of length 5 (π = 0.5) + 5 docs of length ≥ 10 (π = 1)

@@ -277,6 +277,13 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"), "q151 must not sort-merge a scan")
   }
 
+  test("q153 salted join: the salt reaches the join key and the build stays a shuffled hash") {
+    val p = plan("q153_salted_join")
+    assert(p.contains("__salt"), "q153 must join on the salt ordinal")
+    assert(p.contains("ShuffledHashJoin"),
+      "q153's salted dim must build a shuffled hash join, not broadcast (salting would be moot)")
+  }
+
   test("q152 late orders: EXISTS plans as a semi join with the year filter pushed") {
     val p = plan("q152_late_orders")
     assert(p.contains("LeftSemi"), "q152's EXISTS must plan as a LEFT SEMI join")

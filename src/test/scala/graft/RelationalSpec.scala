@@ -88,6 +88,24 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq == Seq((2L, "b", 10.5), (3L, "c", 10.1)))
   }
 
+  test("q153: salted join result is IDENTICAL to the plain join on a skewed key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ops = new graft.operators.RelationalOps(GraftConfig(saltFactor = 3))
+    val dir = java.nio.file.Files.createTempDirectory("q153").toString
+    // user 1 is hot (10 events), user 2 has one — salts 0..2 must all
+    // see user 1's dim clone and every event must surface exactly once
+    val ev = ((1L to 10L).map(i => (i, 1L, i.toDouble)) :+ ((11L, 2L, 5.0)))
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", expr("timestamp_millis(event_id * 1000)"))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.q153SaltedJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val expected = (1L to 10L).map(i => (i, 1L, 10L, 55.0)) :+ ((11L, 2L, 1L, 5.0))
+    assert(got.toSeq == expected)
+  }
+
   test("q152: one late line counts an order once; on-time and out-of-year orders never count") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

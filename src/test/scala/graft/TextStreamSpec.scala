@@ -68,6 +68,17 @@ class TextStreamSpec extends GraftSpec {
     assert(out(2L)._1 == 0L && out(2L)._2 == 0.0)
   }
 
+  test("q155 collocations: lift matches hand arithmetic, support filter prunes rare pairs") {
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(collocMinCount = 2, collocTopK = 3))
+    // tokens x,y,x,y,x,y,z,z → c(x)=c(y)=3, c(z)=2, N=8
+    // pairs: (x,y)=3 survives; (y,x)=1,(y,z)=1,(z,z)=1 pruned
+    val dir = textDocs(1L -> "x y x y", 2L -> "x y z z")
+    val got = ops.q155Collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("x", "y", 3L, 3L, 3L, 3.0 * 8.0 / (3.0 * 3.0))))
+  }
+
   test("q60 multimodal: features computed per doc with stable schema") {
     val df = Multimodal.q60Multimodal(spark, sf)
     assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
