@@ -282,6 +282,144 @@ class SketchOps(val cfg: GraftConfig) {
     else e
   }
 
+  /** The ${cfg.bloomHashes} Bloom bit positions of one text key: the
+    * md5 digest sliced into disjoint 32-bit words (hash count ≤ 4 by
+    * construction — four slices per digest), reduced mod
+    * ${cfg.bloomBits}. Power-of-two width, so the reduction is a mask
+    * — no modulo bias; 32-BIT words (pos div 32 / pos mod 32) because
+    * bit 63 of a signed shift is unrepresentable on one of the two
+    * engines (DuckDB range-errors on 1::BIGINT << 63). */
+  private def bloomPositions(text: Column): Seq[Column] =
+    (0 until cfg.bloomHashes).map { j =>
+      conv(substring(md5(text), j * 8 + 1, 8), 16, 10).cast("long") % cfg.bloomBits
+    }
+
+  /** q156: BLOOM FILTER build — one ${cfg.bloomBits}-bit membership
+    * filter per source over exact-content keys (the doc text digest):
+    * the third mergeable sketch beside CMS (frequency) and HLL
+    * (cardinality), answering "might this content already be in source
+    * X" with zero false negatives. Output is the SPARSE word table
+    * (word_idx, bits, n_set) — absent words are zero; two filters (two
+    * ingests, two sources) merge by OR of aligned words, exactly like
+    * q96's register max.
+    *
+    * Scale: the filter is FIXED SIZE (${cfg.bloomBits / 32} words max
+    * per source) regardless of corpus — inserts fold map-side into
+    * per-partition partial words and the shuffle carries only
+    * sources × words partials, while the exact distinct-content set it
+    * stands in for shuffles the corpus. At 100 TB this is the pre-join
+    * guard that turns "anti-join the daily delta against 10¹¹ seen
+    * keys" into a broadcast bitmap probe (q157). */
+  def q156BloomBuild(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(array(bloomPositions(col("text")): _*)).as("pos"))
+      .select(col("source"), expr("pos div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
+      .groupBy("source", "word_idx")
+      .agg(expr("bit_or(w)").as("bits"))
+      .withColumn("n_set", expr("CAST(bit_count(bits) AS INT)"))
+
+  def q156Sql: String = {
+    val k = cfg.bloomHashes
+    s"""WITH pos AS (
+       |  SELECT source,
+       |    CAST('0x' || substr(md5(text), j*8 + 1, 8) AS BIGINT) % ${cfg.bloomBits} AS pos
+       |  FROM documents, (SELECT unnest(generate_series(0, ${k - 1})) AS j) t)
+       |SELECT source, pos // 32 AS word_idx,
+       |  bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits,
+       |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) AS INT) AS n_set
+       |FROM pos GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q157: BLOOM PROBE — the filter in use: train-split docs (q68's
+    * content-stable md5 split) build ONE global filter; every non-train
+    * doc probes its ${cfg.bloomHashes} positions and hits iff ALL are
+    * set. One summary row: probes, hits, true duplicates (exact text
+    * match into train — the ground truth), false positives, and the
+    * measured FP rate over the true negatives. The no-false-negative
+    * guarantee is structural (a true duplicate's positions were all
+    * inserted by its train twin) and spec-asserted; the FP rate is the
+    * number that sizes m and k before anyone trusts the filter as a
+    * join guard.
+    *
+    * Scale: the filter table is ≤ ${cfg.bloomBits / 32} rows —
+    * broadcast onto the probe explode (a pure scan side); the truth
+    * check joins 16-byte digests, not texts, and the final aggregate
+    * is one row. */
+  def q157BloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val k = cfg.bloomHashes
+    val d = Tables.documents(spark, dir)
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
+    val train = d.filter(col("b") < cfg.splitTrainUpper)
+    val filter = train
+      .select(explode(array(bloomPositions(col("text")): _*)).as("pos"))
+      .select(expr("pos div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
+      .groupBy("word_idx").agg(expr("bit_or(w)").as("bits"))
+    val trainKeys = train.select(md5(col("text")).as("key")).distinct()
+    val probes = d.filter(col("b") >= cfg.splitTrainUpper)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("key"))
+    val probeBits = probes
+      .withColumn("pos", explode(array(bloomPositions(col("text")): _*)))
+      .select(col("doc_id"), col("key"), expr("pos div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
+      .join(broadcast(filter), Seq("word_idx"), "left")
+      .withColumn("present",
+        coalesce(expr("(bits & w) <> CAST(0 AS BIGINT)"), lit(false)))
+      .groupBy("doc_id", "key")
+      .agg(min(col("present")).as("bloom_hit"))
+    val withTruth = probeBits
+      .join(broadcast(trainKeys.withColumn("in_train", lit(true))), Seq("key"), "left")
+      .withColumn("is_dup", coalesce(col("in_train"), lit(false)))
+    withTruth.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("bloom_hit") && !col("is_dup"), 1L).otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_rate",
+        when(col("n_probes") === col("n_true"), lit(null).cast("double"))
+          .otherwise(col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_true")).cast("double")))
+  }
+
+  def q157Sql: String = {
+    val k = cfg.bloomHashes
+    s"""WITH d AS (SELECT doc_id, text, substr(md5(doc_id::VARCHAR), 1, 2) AS b
+       |  FROM documents),
+       |train AS (SELECT * FROM d WHERE b < '${cfg.splitTrainUpper}'),
+       |fpos AS (SELECT CAST('0x' || substr(md5(text), j*8 + 1, 8) AS BIGINT)
+       |      % ${cfg.bloomBits} AS pos
+       |  FROM train, (SELECT unnest(generate_series(0, ${k - 1})) AS j) t),
+       |filter AS (SELECT pos // 32 AS word_idx,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       |  FROM fpos GROUP BY 1),
+       |tkeys AS (SELECT DISTINCT md5(text) AS key FROM train),
+       |probes AS (SELECT doc_id, text, md5(text) AS key FROM d
+       |  WHERE b >= '${cfg.splitTrainUpper}'),
+       |pbits AS (SELECT doc_id, key,
+       |    CAST('0x' || substr(md5(text), j*8 + 1, 8) AS BIGINT) % ${cfg.bloomBits} AS pos
+       |  FROM probes, (SELECT unnest(generate_series(0, ${k - 1})) AS j) t),
+       |hits AS (SELECT p.doc_id, p.key,
+       |    min(coalesce((f.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+       |      <> 0, false)) AS bloom_hit
+       |  FROM pbits p LEFT JOIN filter f ON f.word_idx = p.pos // 32
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT h.doc_id, h.bloom_hit,
+       |    (h.key IN (SELECT key FROM tkeys)) AS is_dup
+       |  FROM hits h)
+       |SELECT n_probes, n_hits, n_true, n_false_pos,
+       |  CASE WHEN n_probes = n_true THEN NULL
+       |    ELSE CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_true AS DOUBLE)
+       |  END AS fp_rate
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |    CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN bloom_hit AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_pos
+       |  FROM truth)""".stripMargin
+  }
+
   def q88Sql: String = {
     val rowList = (0 until CmRows).mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT t AS token FROM

@@ -183,4 +183,49 @@ class RankingSpec extends GraftSpec {
       if (r.getDouble(1) > 0.0) assert(codes.map(math.abs).max == 127L)
     }
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q156: every inserted key's positions are set; words are 32-bit; n_set = bit_count") {
+    val cfgd = GraftConfig.default
+    val dir = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "alpha beta")
+    val bySource = Sketch.q156BloomBuild(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    bySource.foreach { case (wi, bits, nset) =>
+      assert(wi >= 0 && wi < cfgd.bloomBits / 32)
+      assert((bits >>> 32) == 0L, "words must stay within 32 bits")
+      assert(java.lang.Long.bitCount(bits) == nset)
+    }
+    val bitsByWord = bySource.map { case (wi, b, _) => wi -> b }.toMap
+    Seq("alpha beta", "gamma delta").foreach { text =>
+      val h = md5Hex(text)
+      (0 until cfgd.bloomHashes).foreach { j =>
+        val pos = java.lang.Long.parseLong(h.substring(j * 8, j * 8 + 8), 16) % cfgd.bloomBits
+        val bit = 1L << (pos % 32).toInt
+        assert((bitsByWord.getOrElse(pos / 32, 0L) & bit) != 0L,
+          s"position $pos of '$text' must be set")
+      }
+    }
+  }
+
+  test("q157: a true duplicate can never miss (no false negatives), counts reconcile") {
+    val cfgd = GraftConfig.default
+    // place ids on the two sides of the md5(doc_id) split deterministically
+    val ids = (1L to 200L)
+    val trainIds = ids.filter(i => md5Hex(i.toString).substring(0, 2) < cfgd.splitTrainUpper)
+    val evalIds = ids.filter(i => md5Hex(i.toString).substring(0, 2) >= cfgd.splitTrainUpper)
+    assert(trainIds.nonEmpty && evalIds.size >= 2)
+    // eval doc #1 duplicates a train doc's text; eval doc #2 is novel
+    val rows = Seq(trainIds.head -> "shared corpus text",
+      evalIds.head -> "shared corpus text",
+      evalIds(1) -> "completely novel text")
+    val dir = docs(rows: _*)
+    val r = Sketch.q157BloomProbe(spark, dir).collect().head
+    val (probes, hits, ntrue, nfp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(probes == 2L && ntrue == 1L)
+    assert(hits - nfp == ntrue, "every true duplicate must hit the filter")
+  }
 }
