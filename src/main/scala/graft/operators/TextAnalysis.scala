@@ -276,6 +276,81 @@ class TextAnalysisOps(val cfg: GraftConfig) {
        |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin
   }
 
+  /** q158: exact duplicated-span SCRUB — q122's diagnostic turned into
+    * the transform (Lee et al.'s exact substring dedup as an operator):
+    * every char inside a cross-doc duplicated char-${cfg.dupSpanK}-gram
+    * is REMOVED and the doc is reconstructed from the surviving gaps in
+    * original order. Candidate generation is identical to q122
+    * (distinct (doc, gram) pre-aggregate → df ≥ 2 filter →
+    * SHUFFLE_HASH re-join — never an all-pairs comparison); the
+    * reconstruction collects each doc's hit positions into ONE in-row
+    * array (state bounded by the doc's own length — the q100 in-row
+    * bound, NOT a corpus-sized buffer) and folds them with a single
+    * `aggregate` HOF: cursor starts at 1, each hit appends the
+    * uncovered gap before it and advances the cursor past its span,
+    * the finisher appends the tail. Fully-duplicated docs survive with
+    * empty text — a scrubber accounts for every input (q100 rule).
+    * Positions in the sorted array make p + k monotone, so the plain
+    * cursor replace (no max) is exact. */
+  def q158SpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val k = cfg.dupSpanK
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .withColumn("pos", explode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), col("pos"), expr(s"substring(text, pos, $k)").as("g"))
+    val dupGrams = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val ps = grams.join(dupGrams.hint("shuffle_hash"), "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    docs.join(ps, Seq("doc_id"), "left")
+      .withColumn("scrubbed_text",
+        when(col("ps").isNull, col("text")).otherwise(expr(
+          s"""aggregate(ps, named_struct('cur', 1, 'acc', ''),
+             |  (st, p) -> named_struct('cur', p + $k,
+             |    'acc', concat(st.acc,
+             |      CASE WHEN p > st.cur THEN substring(text, st.cur, p - st.cur)
+             |           ELSE '' END)),
+             |  st -> concat(st.acc,
+             |    substring(text, st.cur, greatest(0, length(text) - st.cur + 1))))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        length(col("scrubbed_text")).cast("long").as("kept_chars"),
+        col("scrubbed_text"))
+  }
+
+  def q158Sql: String = {
+    val k = cfg.dupSpanK
+    s"""WITH grams AS (
+       |  SELECT doc_id, g AS pos, substr(text, g, $k) AS s
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-${k - 1})) AS g) t
+       |  WHERE len(text) >= $k),
+       |dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+       |  FROM grams GROUP BY s) WHERE df >= 2),
+       |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (s)),
+       |segs AS (SELECT doc_id, pos,
+       |    coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k, 1) AS cur
+       |  FROM hits),
+       |recon AS (SELECT s.doc_id,
+       |    string_agg(CASE WHEN s.pos > s.cur
+       |      THEN substr(d.text, s.cur, s.pos - s.cur) ELSE '' END, '' ORDER BY s.pos)
+       |      AS head,
+       |    max(s.pos) + $k AS tail_cur
+       |  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+       |scrub AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |    CASE WHEN r.doc_id IS NULL THEN d.text
+       |      ELSE coalesce(r.head, '') ||
+       |        substr(d.text, r.tail_cur, greatest(0, len(d.text) - r.tail_cur + 1))
+       |    END AS scrubbed_text
+       |  FROM documents d LEFT JOIN recon r USING (doc_id))
+       |SELECT doc_id, n_chars, CAST(len(scrubbed_text) AS BIGINT) AS kept_chars,
+       |  scrubbed_text
+       |FROM scrub""".stripMargin
+  }
+
   /** q155: COLLOCATIONS — the top-${cfg.collocTopK} adjacent word pairs
     * by lift c(w1,w2)·N / (c(w1)·c(w2)) with support ≥
     * ${cfg.collocMinCount}: the statistical phrase detector (PMI's

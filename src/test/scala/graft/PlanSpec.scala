@@ -277,6 +277,13 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"), "q151 must not sort-merge a scan")
   }
 
+  test("q158 span scrub: dup-gram join stays shuffled-hash, reconstruction is in-row (no window)") {
+    val p = plan("q158_span_scrub")
+    assert(p.contains("ShuffledHashJoin"),
+      "q158's aggregated dup-gram side must build a shuffled hash join")
+    assert(windows(p) == 0, "q158 reconstructs in-row — a Window means a per-doc sort snuck in")
+  }
+
   test("q153 salted join: the salt reaches the join key and the build stays a shuffled hash") {
     val p = plan("q153_salted_join")
     assert(p.contains("__salt"), "q153 must join on the salt ordinal")

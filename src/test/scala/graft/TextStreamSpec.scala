@@ -79,6 +79,31 @@ class TextStreamSpec extends GraftSpec {
     assert(got.toSeq == Seq(("x", "y", 3L, 3L, 3L, 3.0 * 8.0 / (3.0 * 3.0))))
   }
 
+  test("q158 span scrub: gaps survive, overlaps merge, full dups empty out, short docs pass through") {
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(dupSpanK = 4))
+    val dir = textDocs(
+      1L -> "0123abcd4567",  // "abcd" shared with doc 2 → cut [5,8]
+      2L -> "zzabcdzz",
+      3L -> "qqqqqqqq", 4L -> "qqqqqqqq",  // fully duplicated → empty
+      5L -> "ab")                          // shorter than k → untouched
+    val got = ops.q158SpanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got(1L) == "01234567")
+    assert(got(2L) == "zzzz")
+    assert(got(3L) == "" && got(4L) == "")
+    assert(got(5L) == "ab")
+  }
+
+  test("q158/q122 reconcile on real data: kept_chars = n_chars - covered_chars, every doc") {
+    val scrub = graft.operators.TextAnalysis.q158SpanScrub(spark, sf)
+      .select("doc_id", "n_chars", "kept_chars")
+    val cov = graft.operators.TextAnalysis.q122DupSpanCoverage(spark, sf)
+      .select("doc_id", "covered_chars")
+    val joined = scrub.join(cov, "doc_id")
+      .filter(col("kept_chars") =!= col("n_chars") - col("covered_chars"))
+    assert(joined.count() == 0, "scrub and coverage must agree char-for-char")
+  }
+
   test("q60 multimodal: features computed per doc with stable schema") {
     val df = Multimodal.q60Multimodal(spark, sf)
     assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
