@@ -448,6 +448,64 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |n AS (SELECT count(*) AS n FROM e)
        |${cols.map(one).mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** q160: grouped MEDIAN + MAD (median absolute deviation) of doc
+    * length per language — the robust location/spread pair (the outlier
+    * gate mean ± σ cannot be, q143's caveat): both are exact
+    * nearest-rank statistics (min{v : cum(v) ≥ ⌈n/2⌉}), all BIGINT.
+    * Two passes of the SAME histogram discipline (q105/q124): the value
+    * histogram is bounded by the VALUE DOMAIN, not the corpus, so the
+    * triangular cumulative self-join (≤ |H|² histogram rows per group)
+    * replaces the per-language corpus sort a row_number median would
+    * cost — precisely the q91 hot-key-window lesson; the deviation
+    * histogram re-bins around the median and repeats the trick.
+    * Singleton-value groups get mad = 0 naturally (deviation 0 is the
+    * rank-1 value). */
+  def q160GroupedMad(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = h.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    def rankMin(hist: DataFrame): DataFrame = {
+      // min value whose cumulative count reaches the median rank
+      val a = hist.select(col("lang"), col("v"), col("cnt"))
+      val b = hist.select(col("lang").as("lang_b"), col("v").as("v_b"),
+        col("cnt").as("cnt_b"))
+      a.join(b, col("lang") === col("lang_b") && col("v_b") <= col("v"))
+        .groupBy(col("lang"), col("v")).agg(sum(col("cnt_b")).as("cum"))
+        .join(tot, "lang")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("lang").agg(min(col("v")).as("rank_v"))
+    }
+    val med = rankMin(h).withColumnRenamed("rank_v", "median_chars")
+    val dev = h.join(med, "lang")
+      .groupBy(col("lang"), abs(col("v") - col("median_chars")).as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = rankMin(dev).withColumnRenamed("rank_v", "mad_chars")
+    tot.join(med, "lang").join(mad, "lang")
+      .select(col("lang"), col("n").as("n_docs"),
+        col("median_chars"), col("mad_chars"))
+  }
+
+  def q160Sql: String =
+    s"""WITH h AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+       |cum1 AS (SELECT a.lang, a.v, SUM(b.cnt) AS cum
+       |  FROM h a JOIN h b ON a.lang = b.lang AND b.v <= a.v GROUP BY 1, 2),
+       |med AS (SELECT c.lang, CAST(min(c.v) AS BIGINT) AS median_chars
+       |  FROM cum1 c JOIN tot t ON c.lang = t.lang
+       |  WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1),
+       |dev AS (SELECT h.lang, abs(h.v - m.median_chars) AS v,
+       |    CAST(SUM(h.cnt) AS BIGINT) AS cnt
+       |  FROM h JOIN med m ON h.lang = m.lang GROUP BY 1, 2),
+       |cum2 AS (SELECT a.lang, a.v, SUM(b.cnt) AS cum
+       |  FROM dev a JOIN dev b ON a.lang = b.lang AND b.v <= a.v GROUP BY 1, 2),
+       |mad AS (SELECT c.lang, CAST(min(c.v) AS BIGINT) AS mad_chars
+       |  FROM cum2 c JOIN tot t ON c.lang = t.lang
+       |  WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1)
+       |SELECT t.lang, t.n AS n_docs, med.median_chars, mad.mad_chars
+       |FROM tot t JOIN med ON t.lang = med.lang JOIN mad ON t.lang = mad.lang""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -1565,6 +1565,68 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .select(col("doc_id"), col("component_id"), col("component_size"))
   }
 
+  /** q159: K-CORE decomposition (k = ${cfg.kcoreK}) of the undirected
+    * overlap graph — the maximal subgraph where every node keeps ≥ k
+    * neighbors: the density-tier grouping beside WCC (q144) membership,
+    * PageRank (q92) centrality, and triangles (q93) clustering; in the
+    * assembly reading it isolates the deeply-connected repeat tangles
+    * the tip/bubble cleaners never touch. Standard peeling as a
+    * config-bounded fixpoint (the q43/q62 discipline): each round drops
+    * nodes whose CURRENT degree is under k and re-restricts the edge
+    * set, with per-round lineage cuts (ckCount/sizedCk) and the
+    * convergence guard warning if ${cfg.kcoreRounds} rounds exhaust
+    * while still peeling — converged rounds are idempotent no-ops, so
+    * the oracle unrolls the same round count exactly. Output: each
+    * surviving node with its within-core degree.
+    *
+    * Scale: one degree aggregate + two shuffled-hash semi-restrictions
+    * per round on a monotonically SHRINKING edge table; nothing ever
+    * revisits the corpus after the q20 edge generation. */
+  def q159Kcore(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val e = edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    kcoreFrom(e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct())
+  }
+
+  /** The peeling kernel behind q159: `und` must be the deduplicated
+    * SYMMETRIC edge set (both directions present, no self loops). */
+  private[graft] def kcoreFrom(und: DataFrame): DataFrame = {
+    val K = cfg.kcoreK
+    var (ed, n) = ckCount(und)
+    ed = sizedCk(ed, n)
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < cfg.kcoreRounds) {
+      val keep = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= K).select("u")
+      val (next, m) = graft.Trace(s"q159.kcore.${rounds + 1}")(ckCount(
+        ed.join(keep.hint("shuffle_hash"), Seq("u"))
+          .join(keep.select(col("u").as("v")).hint("shuffle_hash"), Seq("v"))
+          .select("u", "v")))
+      converged = m == n
+      ed = sizedCk(next, m); n = m
+      rounds += 1
+    }
+    graft.Convergence.check("q159.kcore", cfg.kcoreRounds, converged || n == 0L)
+    ed.groupBy("u").agg(count(lit(1)).as("degree"))
+      .select(col("u").as("doc_id"), col("degree"))
+  }
+
+  def q159Sql: String = {
+    val K = cfg.kcoreK
+    val rounds = (1 to cfg.kcoreRounds).map { i =>
+      s"""k$i AS (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $K),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eds AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),
+       |e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM
+       |  (SELECT src AS u, dst AS v FROM eds UNION SELECT dst, src FROM eds)),
+       |$rounds
+       |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree
+       |FROM e${cfg.kcoreRounds} GROUP BY u""".stripMargin
+  }
+
   def q144Sql: String =
     s"""WITH RECURSIVE
        |eds AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),

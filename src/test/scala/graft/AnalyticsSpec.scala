@@ -85,6 +85,21 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q160: nearest-rank median and MAD match hand arithmetic per language") {
+    val dir = java.nio.file.Files.createTempDirectory("q160").toString
+    // en lengths 1,3,5 → rank ⌈3/2⌉=2 → median 3; devs {2,0,2} → mad 2
+    // de lengths 7,7  → rank 1 → median 7; devs {0,0} → mad 0
+    Seq((1L, "a", "en"), (2L, "abc", "en"), (3L, "abcde", "en"),
+        (4L, "kkkkkkk", "de"), (5L, "kkkkkkk", "de"))
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.q160GroupedMad(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("en") == ((3L, 3L, 2L)))
+    assert(got("de") == ((2L, 7L, 0L)))
+  }
+
   private def docs(rows: (Long, String)*): String = {
     val dir = java.nio.file.Files.createTempDirectory("analytics").toString
     rows.toSeq.toDF("doc_id", "text")

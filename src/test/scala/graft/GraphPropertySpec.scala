@@ -38,6 +38,36 @@ class GraphPropertySpec extends GraftSpec {
     }.toMap
   }
 
+  private def refKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (s, d) => Seq(s -> d, d -> s) }.distinct
+    var alive = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter { case (u, v) => alive(u) && alive(v) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+      changed = next != alive
+      alive = next
+    }
+    und.filter { case (u, v) => alive(u) && alive(v) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("k-core peeling agrees with the naive run-to-convergence reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 8) {
+      val n = 4 + rnd.nextInt(20)
+      val edges = randomEdges(rnd, n, 1 + rnd.nextInt(3 * n))
+      val k = 2 + (trial % 2)
+      val ops = new graft.operators.GraphOpsLib(GraftConfig(kcoreK = k, kcoreRounds = 40))
+      val und = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }.distinct
+      val got = ops.kcoreFrom(und.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == refKcore(edges, k), s"k=$k edges=$edges")
+    }
+  }
+
   test("removeTips agrees with the naive reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(42)
