@@ -292,6 +292,10 @@ case class GraftConfig(
     // (convergence-guarded like the assembly loops)
     kcoreK: Int = 3,
     kcoreRounds: Int = 4,
+    // sole-blame suppliers (q162, TPC-H Q21 shape): report size
+    soleBlameTopK: Int = 20,
+    // per-label embedding outliers (q164): vectors reported per label
+    outlierTopK: Int = 10,
     // partitioned-layout scan (q146): the language whose partition the
     // pruned read selects
     layoutScanLang: String = "en",

@@ -791,6 +791,63 @@ class CurationOps(val cfg: GraftConfig) {
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
 
+  /** q163: SPLIT DRIFT — the χ² homogeneity table between the train
+    * split and the rest (val+test) over doc-length bins: the "is my
+    * held-out set distributed like training" gate run before any eval
+    * is trusted, and the shape-level complement of q68's per-split
+    * totals. Counts are exact integers; each bin's expected counts and
+    * χ² contribution are ONE fixed cast/multiply/divide chain per
+    * term (the q148 discipline — every double op correctly rounded
+    * from exact operands, identical on both engines). A healthy md5
+    * split drifts nowhere: Σ chi2_bin should sit near the bin-count
+    * degrees of freedom, and any single fat bin is the anomaly to
+    * investigate. Pure map-combinable aggregate + one-row broadcast
+    * of the totals — the corpus is scanned once. */
+  def q163SplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bin = cfg.kAnonLenBin
+    val h = Tables.documents(spark, dir)
+      .select(splitCol.as("split"), expr(s"n_chars div $bin").as("len_bin"))
+      .groupBy("len_bin")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_other"))
+    val tot = h.agg(sum(col("n_train")).as("nt"), sum(col("n_other")).as("no"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("et", col("n_train").cast("double") + col("n_other").cast("double"))
+      .withColumn("e_train",
+        col("et") * col("nt").cast("double") / (col("nt") + col("no")).cast("double"))
+      .withColumn("e_other",
+        col("et") * col("no").cast("double") / (col("nt") + col("no")).cast("double"))
+      .withColumn("chi2_bin",
+        (col("n_train").cast("double") - col("e_train")) *
+          (col("n_train").cast("double") - col("e_train")) / col("e_train") +
+        (col("n_other").cast("double") - col("e_other")) *
+          (col("n_other").cast("double") - col("e_other")) / col("e_other"))
+      .select(col("len_bin"), col("n_train"), col("n_other"),
+        col("e_train"), col("chi2_bin"))
+  }
+
+  def q163Sql: String =
+    s"""WITH h AS (
+       |  SELECT n_chars // ${cfg.kAnonLenBin} AS len_bin,
+       |    CAST(SUM(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}'
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS nt,
+       |    CAST(SUM(n_other) AS BIGINT) AS no FROM h)
+       |SELECT len_bin, n_train, n_other, e_train,
+       |  (CAST(n_train AS DOUBLE) - e_train) * (CAST(n_train AS DOUBLE) - e_train)
+       |    / e_train +
+       |  (CAST(n_other AS DOUBLE) - e_other) * (CAST(n_other AS DOUBLE) - e_other)
+       |    / e_other AS chi2_bin
+       |FROM (SELECT len_bin, n_train, n_other,
+       |    (CAST(n_train AS DOUBLE) + CAST(n_other AS DOUBLE)) * CAST(nt AS DOUBLE)
+       |      / CAST(nt + no AS DOUBLE) AS e_train,
+       |    (CAST(n_train AS DOUBLE) + CAST(n_other AS DOUBLE)) * CAST(no AS DOUBLE)
+       |      / CAST(nt + no AS DOUBLE) AS e_other
+       |  FROM h, tot)""".stripMargin
+
   /** q154: per-doc LANGUAGE-MODEL fluency score, integer-exact — the
     * probability-valued sibling of q80's coverage fraction and the
     * engine-portable reduction of a CCNet-style perplexity gate: each

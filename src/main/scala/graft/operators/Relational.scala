@@ -546,6 +546,56 @@ class RelationalOps(val cfg: GraftConfig) {
        |          epoch_ms(o_orderdate) + CAST(${cfg.lateShipDays} AS BIGINT) * 86400000)
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q162: sole-blame suppliers — the TPC-H Q21 shape ("suppliers who
+    * kept orders waiting") with its EXISTS + NOT-EXISTS pair COLLAPSED
+    * into one aggregate: an order blames a supplier iff that supplier
+    * shipped late (the EXISTS) and NO OTHER supplier did (the
+    * NOT EXISTS) — i.e. the order's distinct-late-supplier count is
+    * exactly 1. One distinct + one aggregate on the natural order key
+    * replaces two correlated subquery joins over lineitem; min = max =
+    * the blamed supplier when the count is 1. Late = shipped more than
+    * ${cfg.lateShipDays} days past the order date (the q152
+    * predicate), F-status orders only. Top-${cfg.soleBlameTopK} by
+    * blame count plans as TakeOrderedAndProject; supplier names ride a
+    * broadcast dim. */
+  def q162SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    val lagMs = cfg.lateShipDays.toLong * 86400000L
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+    val lateSup = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("ship_ms") > col("odate_ms") + lagMs)
+      .select("o_orderkey", "l_suppkey").distinct()
+    val blame = lateSup.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_late_sup"), min(col("l_suppkey")).as("s_suppkey"))
+      .filter(col("n_late_sup") === 1)
+    blame.groupBy("s_suppkey").agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        Seq("s_suppkey"))
+      .orderBy(col("n_orders").desc, col("s_name"))
+      .limit(cfg.soleBlameTopK)
+  }
+
+  def q162Sql: String =
+    s"""WITH late AS (
+       |  SELECT DISTINCT o_orderkey, l_suppkey
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |    AND epoch_ms(l_shipdate) >
+       |        epoch_ms(o_orderdate) + CAST(${cfg.lateShipDays} AS BIGINT) * 86400000),
+       |blame AS (
+       |  SELECT o_orderkey, min(l_suppkey) AS s_suppkey
+       |  FROM late GROUP BY 1 HAVING count(*) = 1)
+       |SELECT b.s_suppkey, count(*) AS n_orders, s.s_name
+       |FROM blame b JOIN supplier s USING (s_suppkey)
+       |GROUP BY 1, 3
+       |ORDER BY n_orders DESC, s_name
+       |LIMIT ${cfg.soleBlameTopK}""".stripMargin
+
   def q107Sql: String =
     s"""SELECT n_name,
        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,

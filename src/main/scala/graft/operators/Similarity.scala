@@ -566,6 +566,69 @@ class SimilarityOps(val cfg: GraftConfig) {
       |      / CAST(gram.n AS DOUBLE))
       |    / CAST(gram.n AS DOUBLE) AS cov
       |FROM gram JOIN dims di ON gram.i = di.d JOIN dims dj ON gram.j = dj.d""".stripMargin
+
+  /** q164: per-label embedding OUTLIERS — each label's
+    * top-${cfg.outlierTopK} vectors by squared distance to the label
+    * CENTROID: the mislabeled-example / contamination detector every
+    * labeled embedding set gets audited with (and the per-cluster
+    * variance primitive under it). Integer-exact throughout: elements
+    * fix to BIGINT at 1e6 (q127's element discipline, narrower scale
+    * so squares stay in long range: diff ≤ 2·10⁷ → square ≤ 4·10¹⁴,
+    * × dims ≪ 2⁶³), the centroid is the FLOOR-mean of scaled elements
+    * (exactly defined, engine-portable — a float mean would drift in
+    * final ulps), and dist2 sums the squared scaled deviations — so
+    * ranks and hashes agree bitwise. dist2's double form is one final
+    * fixed division by 1e12.
+    *
+    * Scale: the centroid table is labels × dims rows from ONE
+    * map-combinable aggregate; reshaped per label (in-row array,
+    * bounded by dims) and BROADCAST back onto the embeddings scan,
+    * where dist2 is a pure in-row zip_with/aggregate fold — the
+    * corpus shuffles zero vector rows; the per-label top-k plans as
+    * WindowGroupLimit (partial top-k map-side). */
+  def q164LabelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val K = cfg.outlierTopK
+    val emb = Tables.embeddings(spark, dir)
+    val cells = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xs", expr("CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)"))
+    val cent = cells.groupBy("label", "dim")
+      .agg(sum(col("xs")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("s div n"))
+    val centArr = cent.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+      .select(col("label"), expr("transform(ms, p -> p.m)").as("ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    emb.join(broadcast(centArr), "label")
+      .withColumn("dist2", expr(
+        """aggregate(
+          |  zip_with(embedding, ms,
+          |    (x, m) -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) - m),
+          |  CAST(0 AS BIGINT), (acc, d) -> acc + d * d)""".stripMargin))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("label"), col("vec_id"), col("dist2"),
+        (col("dist2").cast("double") / lit(1e12)).as("dist2_real"), col("rk"))
+  }
+
+  def q164Sql: String =
+    s"""WITH ex AS (SELECT label, vec_id, g - 1 AS dim,
+       |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1e6) AS BIGINT) AS xs
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t),
+       |cent AS (SELECT label, dim, CAST(SUM(xs) AS BIGINT) // count(*) AS m
+       |  FROM ex GROUP BY 1, 2),
+       |dist AS (SELECT e.label, e.vec_id,
+       |    CAST(SUM((e.xs - c.m) * (e.xs - c.m)) AS BIGINT) AS dist2
+       |  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+       |  GROUP BY 1, 2)
+       |SELECT label, vec_id, dist2, CAST(dist2 AS DOUBLE) / 1e12 AS dist2_real,
+       |  CAST(rk AS INT) AS rk
+       |FROM (SELECT label, vec_id, dist2,
+       |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rk
+       |  FROM dist)
+       |WHERE rk <= ${cfg.outlierTopK}""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -332,6 +332,16 @@ class CurationSpec extends GraftSpec {
     assert(got.values.map(_._1).sum == 5L)
   }
 
+  test("q163: a single bin can show no drift — chi2 is exactly zero") {
+    // every doc identical length → one bin → expected == observed identically
+    val dir = docs((1L to 200L).map(i => i -> "xxxxx"): _*)
+    val rows = graft.operators.Curation.q163SplitDrift(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) > 0 && rows.head.getLong(2) > 0,
+      "precondition: both splits populated")
+    assert(rows.head.getDouble(4) == 0.0)
+  }
+
   test("q154: fixed-point LM score matches hand arithmetic; pairless docs are absent") {
     // tokens a,b,a,b,a,b,c → c1(a)=c1(b)=3, c1(c)=1, V=3
     // c12(a,b)=3, c12(b,a)=1 → p(a,b)=4e6 div 6=666666, p(b,a)=333333

@@ -28,6 +28,29 @@ class FixedPointDotSpec extends GraftSpec {
     assert(df.count() > 0)
   }
 
+  test("q164: floor-mean centroid + exact integer distances; the far vector ranks first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q164").toString
+    Seq((1L, Array(0f, 0f), 0), (2L, Array(0f, 0f), 0), (3L, Array(3f, 4f), 0),
+        (4L, Array(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.q164LabelOutliers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    def sc(x: Double) = math.floor(x * 1e6).toLong
+    val m0 = (sc(0) + sc(0) + sc(3)) / 3
+    val m1 = (sc(0) + sc(0) + sc(4)) / 3
+    def d2(x: Double, y: Double) = {
+      val a = sc(x) - m0; val b = sc(y) - m1; a * a + b * b
+    }
+    val lab0 = got.filter(_._1 == 0).sortBy(_._4)
+    assert(lab0.head == ((0, 3L, d2(3, 4), 1)), "far vector must rank first with exact dist2")
+    assert(lab0.map(v => v._2 -> v._3).toMap ==
+      Map(1L -> d2(0, 0), 2L -> d2(0, 0), 3L -> d2(3, 4)))
+    // singleton label: the centroid is the vector itself → dist2 = 0
+    assert(got.find(_._1 == 1).get._3 == 0L)
+  }
+
   test("norm is positive and scales as expected") {
     GraftExtensions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

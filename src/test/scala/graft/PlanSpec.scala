@@ -277,6 +277,20 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"), "q151 must not sort-merge a scan")
   }
 
+  test("q162 sole blame: top-k plans as TakeOrderedAndProject, supplier dim broadcasts") {
+    val p = plan("q162_sole_blame")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q164 label outliers: centroids broadcast onto the scan, top-k via WindowGroupLimit") {
+    val p = plan("q164_label_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "q164's centroid table must broadcast — the corpus must not shuffle")
+    assert(p.contains("WindowGroupLimit"),
+      "q164's per-label rank filter must push a partial top-k map-side")
+  }
+
   test("q158 span scrub: dup-gram join stays shuffled-hash, reconstruction is in-row (no window)") {
     val p = plan("q158_span_scrub")
     assert(p.contains("ShuffledHashJoin"),

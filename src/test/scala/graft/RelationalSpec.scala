@@ -106,6 +106,33 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq == expected)
   }
 
+  test("q162: blame only when exactly one supplier is late; non-F orders excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ops = new graft.operators.RelationalOps(GraftConfig(lateShipDays = 30))
+    val dir = java.nio.file.Files.createTempDirectory("q162").toString
+    val day = 86400000L
+    val base = java.sql.Timestamp.valueOf("1996-03-01 00:00:00").getTime
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ord = Seq((1L, "F"), (2L, "F"), (3L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .withColumn("o_orderdate", expr(s"timestamp_millis($base)"))
+    // order 1: supplier 10 late twice (counts once), 20 on time → sole blame 10
+    // order 2: suppliers 10 AND 30 late → nobody is solely to blame
+    // order 3: open status → out of scope entirely
+    val li = Seq(
+      (1L, 10L, ts(base + 40 * day)), (1L, 10L, ts(base + 50 * day)),
+      (1L, 20L, ts(base + 5 * day)),
+      (2L, 10L, ts(base + 40 * day)), (2L, 30L, ts(base + 40 * day)),
+      (3L, 10L, ts(base + 40 * day)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val sup = Seq((10L, "sa"), (20L, "sb"), (30L, "sc")).toDF("s_suppkey", "s_name")
+    star(dir)("orders" -> ord, "lineitem" -> li, "supplier" -> sup)
+    val got = ops.q162SoleBlame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((10L, 1L, "sa")))
+  }
+
   test("q152: one late line counts an order once; on-time and out-of-year orders never count") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
