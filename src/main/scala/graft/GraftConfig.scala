@@ -296,6 +296,15 @@ case class GraftConfig(
     soleBlameTopK: Int = 20,
     // per-label embedding outliers (q164): vectors reported per label
     outlierTopK: Int = 10,
+    // supplier diversity (q166, TPC-H Q16 shape): suppliers with
+    // account balance below this are excluded (the complaint filter)
+    suppExcludeBelowAcctbal: Double = 0.0,
+    // BPE-merge tokenizer (q167): the merge list applied IN ORDER —
+    // each entry is "left right" on space-separated units; corpus must
+    // be BMP text (the char-spacing regex is UTF-16-unit-based on the
+    // JVM and codepoint-based in RE2 — they agree only below U+10000)
+    bpeMerges: Seq[String] = Seq("t h", "th e", "i n", "a n", "an d",
+      "e r", "o n", "r e", "o r", "e n"),
     // partitioned-layout scan (q146): the language whose partition the
     // pruned read selects
     layoutScanLang: String = "en",

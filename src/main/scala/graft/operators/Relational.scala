@@ -546,6 +546,80 @@ class RelationalOps(val cfg: GraftConfig) {
        |          epoch_ms(o_orderdate) + CAST(${cfg.lateShipDays} AS BIGINT) * 86400000)
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q165: INCREMENTAL aggregate maintenance — the materialized-rollup
+    * twin of q133's incremental dedup and the production shape of
+    * every daily-ingest dashboard: the per-(user, day) rollup is
+    * PERSISTED once over the base corpus, and each new delta merges
+    * into it by re-aggregating partials — never re-reading the base
+    * EVENTS. Exact because both layers are mergeable aggregates:
+    * counts add, and value totals accumulate in DECIMAL (associative,
+    * order-free), casting to double only at the very end — so the
+    * merged table is bit-identical to a full recompute (the oracle IS
+    * the full recompute; RelationalSpec asserts it frame-for-frame).
+    * Base/delta membership is the content-stable md5 split (q68/q133
+    * discipline). At 100 TB the persisted rollup is the
+    * `writeBucketed` case: the merge becomes an exchange-free
+    * co-partitioned union-aggregate with cost ∝ |delta|. */
+  def q165IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .withColumn("b", substring(md5(col("event_id").cast("string")), 1, 2))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(25,6)")).as("sum_value"))
+    val basePath = graft.sources.Scratch.dir("aggbase", dir)
+    rollup(ev.filter(col("b") < cfg.splitTrainUpper))
+      .write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val delta = rollup(ev.filter(col("b") >= cfg.splitTrainUpper))
+    base.unionAll(delta)
+      .groupBy("user_id", "day")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).as("sum_value"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("sum_value").cast("double").as("total_value"))
+  }
+
+  def q165Sql: String =
+    s"""SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q166: supplier diversity per part group — the TPC-H Q16 shape:
+    * how many DISTINCT suppliers ship each (brand, size) family,
+    * excluding suppliers in bad standing (acctbal <
+    * ${cfg.suppExcludeBelowAcctbal} — Q16's complaint filter, as a
+    * broadcast ANTI join so exclusion never post-filters a wider
+    * product). The (part, supplier) pairs come pre-distinct off
+    * lineitem on its natural keys; the distinct count plans as
+    * Spark's two-phase Expand aggregate — per-group state never holds
+    * a supplier SET in one buffer (the q139 bounded-state rule).
+    * Output is bounded by the brand × size domain. */
+  def q166SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < cfg.suppExcludeBelowAcctbal)
+      .select("s_suppkey")
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    ps.join(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  def q166Sql: String =
+    s"""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE l_suppkey NOT IN (
+       |  SELECT s_suppkey FROM supplier
+       |  WHERE s_acctbal < ${cfg.suppExcludeBelowAcctbal})
+       |GROUP BY 1, 2""".stripMargin
+
   /** q162: sole-blame suppliers — the TPC-H Q21 shape ("suppliers who
     * kept orders waiting") with its EXISTS + NOT-EXISTS pair COLLAPSED
     * into one aggregate: an order blames a supplier iff that supplier

@@ -351,6 +351,48 @@ class TextAnalysisOps(val cfg: GraftConfig) {
        |FROM scrub""".stripMargin
   }
 
+  /** q167: BPE-merge tokenizer APPLY — per doc, the unit count after
+    * applying a FIXED merge list (${cfg.bpeMerges.size} merges, config)
+    * to each whitespace token: q50 counts proxy tokens; this runs the
+    * actual subword algorithm's apply step, the number a training-cost
+    * estimate or a packing plan (q83) actually needs. Each token is
+    * exploded to spaced characters IN-ROW, the merge list folds over
+    * it as a literal replace() chain (merges are config constants, so
+    * the whole thing is ONE codegen'd scan expression — zero shuffles,
+    * zero joins at any corpus size), and units = surviving
+    * space-separated symbols. Replace semantics (leftmost,
+    * non-overlapping, all occurrences) agree across engines;
+    * restricted to BMP text (see GraftConfig.bpeMerges). Empty tokens
+    * count one unit on both engines. */
+  def q167BpeUnits(spark: SparkSession, dir: String): DataFrame = {
+    val chain = cfg.bpeMerges.foldLeft("concat(' ', regexp_replace(t, '(.)', '$1 '))") {
+      (acc, m) =>
+        val merged = m.replace(" ", "")
+        s"replace($acc, ' $m ', ' $merged ')"
+    }
+    val unitExpr = s"size(split(trim($chain), ' '))"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        expr(s"""aggregate(transform(split(text, ' '),
+                |  t -> CAST($unitExpr AS BIGINT)),
+                |  CAST(0 AS BIGINT), (acc, u) -> acc + u)""".stripMargin)
+          .as("n_units"))
+  }
+
+  def q167Sql: String = {
+    val chain = cfg.bpeMerges.foldLeft("' ' || regexp_replace(t, '(.)', '\\1 ', 'g')") {
+      (acc, m) =>
+        val merged = m.replace(" ", "")
+        s"replace($acc, ' $m ', ' $merged ')"
+    }
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |    t -> len(string_split(trim($chain), ' ')))) AS BIGINT) AS n_units
+       |FROM documents""".stripMargin
+  }
+
   /** q155: COLLOCATIONS — the top-${cfg.collocTopK} adjacent word pairs
     * by lift c(w1,w2)·N / (c(w1)·c(w2)) with support ≥
     * ${cfg.collocMinCount}: the statistical phrase detector (PMI's

@@ -106,6 +106,34 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq == expected)
   }
 
+  test("q165: merged base+delta rollup is frame-identical to the full recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = Relational.q165IncrementalAgg(spark, sf)
+    val full = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("q166: excluded suppliers never count; repeat lineitems count a supplier once") {
+    import spark.implicits._
+    val ops = new graft.operators.RelationalOps(GraftConfig(suppExcludeBelowAcctbal = 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("q166").toString
+    // part 1 (brand B, size 1): suppliers 10 (twice), 20 (bad) → count 1
+    // part 2 (brand B, size 2): suppliers 10, 30 → count 2
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L))
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "B", 1), (2L, "B", 2)).toDF("p_partkey", "p_brand", "p_size")
+    val sup = Seq((10L, 5.0), (20L, -1.0), (30L, 0.0))
+      .toDF("s_suppkey", "s_acctbal")
+    star(dir)("lineitem" -> li, "part" -> part, "supplier" -> sup)
+    val got = ops.q166SupplierDiversity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(_._2)
+    assert(got.toSeq == Seq(("B", 1, 1L), ("B", 2, 2L)))
+  }
+
   test("q162: blame only when exactly one supplier is late; non-F orders excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

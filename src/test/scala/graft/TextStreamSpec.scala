@@ -79,6 +79,16 @@ class TextStreamSpec extends GraftSpec {
     assert(got.toSeq == Seq(("x", "y", 3L, 3L, 3L, 3.0 * 8.0 / (3.0 * 3.0))))
   }
 
+  test("q167: merge list folds left-to-right; hand-traced unit counts") {
+    // "the": t h e → th e → the (1 unit); "thin": th i n → th in (2);
+    // "and": a n d → an d → and (1); empty text counts one unit
+    val dir = textDocs(1L -> "the thin and", 2L -> "")
+    val rows = graft.operators.TextAnalysis.q167BpeUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((3L, 4L)))
+    assert(rows(2L) == ((1L, 1L)))
+  }
+
   test("q158 span scrub: gaps survive, overlaps merge, full dups empty out, short docs pass through") {
     val ops = new graft.operators.TextAnalysisOps(GraftConfig(dupSpanK = 4))
     val dir = textDocs(
