@@ -299,6 +299,14 @@ case class GraftConfig(
     // supplier diversity (q166, TPC-H Q16 shape): suppliers with
     // account balance below this are excluded (the complaint filter)
     suppExcludeBelowAcctbal: Double = 0.0,
+    // two-sample KS test (q169): the sources whose length
+    // distributions are compared
+    ksSourceA: String = "src0",
+    ksSourceB: String = "src1",
+    // multi-source BFS (q170): seeds are doc_id % mod == 0; hop budget
+    // (convergence-guarded — unreached nodes are absent, not wrong)
+    bfsSeedMod: Long = 100L,
+    bfsRounds: Int = 4,
     // BPE-merge tokenizer (q167): the merge list applied IN ORDER —
     // each entry is "left right" on space-separated units; corpus must
     // be BMP text (the char-spacing regex is UTF-16-unit-based on the

@@ -791,6 +791,95 @@ class CurationOps(val cfg: GraftConfig) {
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
 
+  /** q168: cross-source DUPLICATION MATRIX — for every source pair,
+    * how many distinct content keys (md5 of exact text) both carry:
+    * the data-governance table behind "which feeds copy which" and the
+    * per-pair input to dedup blame policies (q133 blames docs; this
+    * aggregates the blame to SOURCE granularity). The content key is
+    * the q13/q74 family's ${cfg.dedupKeyWords}-word prefix digest —
+    * the SAME identity the exact-dedup operators act on, so this
+    * matrix explains exactly what q13 would remove. One distinct
+    * (key, source) pre-aggregate, then a self-join on the 16-byte
+    * digest with the canonical source_a < source_b ordering — per-key
+    * fanout is |sources carrying that key| choose 2, bounded by the
+    * SOURCE COUNT (never corpus-sized; a key in all S sources makes
+    * S²/2 pairs, and S is hundreds at worst). Texts never join — only
+    * digests move. */
+  def q168DupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val m = cfg.dedupKeyWords
+    val keys = Tables.documents(spark, dir)
+      .select(md5(expr(s"array_join(slice(split(text, ' '), 1, $m), ' ')")).as("key"),
+        col("source")).distinct()
+    keys.join(keys.select(col("key"), col("source").as("source_b")), "key")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def q168Sql: String =
+    s"""WITH ks AS (SELECT DISTINCT
+       |    md5(array_to_string(string_split(text, ' ')[:${cfg.dedupKeyWords}], ' ')) AS key,
+       |    source
+       |  FROM documents)
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |FROM ks a JOIN ks b ON a.key = b.key AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q169: two-sample KOLMOGOROV–SMIRNOV statistic between
+    * ${cfg.ksSourceA} and ${cfg.ksSourceB}'s doc-length distributions
+    * — the distribution-shape drift test beside q163's binned χ²
+    * (KS sees shape shifts χ²'s fixed bins blur). Integer-exact to
+    * the decision point: the CDF gap at value v compares as
+    * |cumA·nB − cumB·nA| (cross-multiplied, no float CDFs), the max
+    * and its earliest witness value ride ONE struct-max aggregate,
+    * and the only double is the final fixed division. Histogram
+    * discipline throughout (q105/q124/q160): cumulatives come from a
+    * triangular join over the DISTINCT-VALUE grid — bounded by the
+    * length domain, never a corpus sort. */
+  def q169KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val (sa, sb) = (cfg.ksSourceA, cfg.ksSourceB)
+    val h = Tables.documents(spark, dir)
+      .filter(col("source").isin(sa, sb))
+      .groupBy(col("n_chars").cast("long").as("v"))
+      .agg(sum(when(col("source") === sa, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === sb, 1L).otherwise(0L)).as("cb"))
+    val cum = h.select(col("v"))
+      .join(h.select(col("v").as("vb"), col("ca"), col("cb")), col("vb") <= col("v"))
+      .groupBy("v")
+      .agg(sum(col("ca")).as("cum_a"), sum(col("cb")).as("cum_b"))
+    val tot = h.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(struct(col("num"), (-col("v")).as("nv"))).as("mx"))
+      .select(lit(sa).as("source_a"), lit(sb).as("source_b"),
+        col("n_a"), col("n_b"), col("mx.num").as("ks_num"),
+        (-col("mx.nv")).as("ks_at"),
+        (col("mx.num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  def q169Sql: String = {
+    val (sa, sb) = (cfg.ksSourceA, cfg.ksSourceB)
+    s"""WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,
+       |    CAST(SUM(CASE WHEN source = '$sa' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN source = '$sb' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM documents WHERE source IN ('$sa', '$sb') GROUP BY 1),
+       |cum AS (SELECT a.v, CAST(SUM(b.ca) AS BIGINT) AS cum_a,
+       |    CAST(SUM(b.cb) AS BIGINT) AS cum_b
+       |  FROM (SELECT v FROM h) a JOIN h b ON b.v <= a.v GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+       |    CAST(SUM(cb) AS BIGINT) AS nb FROM h),
+       |d AS (SELECT v, abs(cum_a * nb - cum_b * na) AS num, na, nb
+       |  FROM cum, tot),
+       |mx AS (SELECT max(num) AS ks_num FROM d)
+       |SELECT '$sa' AS source_a, '$sb' AS source_b,
+       |  max(na) AS n_a, max(nb) AS n_b, max(num) AS ks_num,
+       |  CAST(min(CASE WHEN num = (SELECT ks_num FROM mx) THEN v END) AS BIGINT) AS ks_at,
+       |  CAST(max(num) AS DOUBLE) / CAST(max(na) * max(nb) AS DOUBLE) AS ks
+       |FROM d""".stripMargin
+  }
+
   /** q163: SPLIT DRIFT — the χ² homogeneity table between the train
     * split and the rest (val+test) over doc-length bins: the "is my
     * held-out set distributed like training" gate run before any eval

@@ -1612,6 +1612,74 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .select(col("u").as("doc_id"), col("degree"))
   }
 
+  /** q170: multi-source BFS hop distances — every node's minimum hop
+    * count from the seed set (doc_id ≡ 0 mod ${cfg.bfsSeedMod}) on the
+    * undirected overlap graph, out to ${cfg.bfsRounds} hops: the
+    * reachability/radius primitive under contamination spread analysis
+    * ("how far does this bad batch's neighborhood extend") and seed-
+    * anchored cluster growth, beside q144's full-component labels.
+    * Frontier-free formulation: each round min-merges the current
+    * distance table with its one-hop expansion (distances only ever
+    * shrink, converged rounds are idempotent), per-round lineage cuts,
+    * convergence guard on the unchanged row count+sum. Nodes beyond
+    * the hop budget are ABSENT, not mislabeled — the guard says when
+    * the budget clipped reachability. Oracle unrolls the identical
+    * rounds. Per round: one join of the (|reached|-row) distance table
+    * against the edge list + a min aggregate — the corpus is never
+    * revisited. */
+  def q170BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val e = edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    val seeds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % cfg.bfsSeedMod === 0)
+      .select(col("doc_id").as("u"), lit(0L).as("h"))
+    bfsFrom(e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct(), seeds)
+  }
+
+  /** The min-merge BFS kernel behind q170: `und` must be the
+    * deduplicated symmetric edge set, `seeds` the (u, h=0) table. */
+  private[graft] def bfsFrom(und: DataFrame, seeds: DataFrame): DataFrame = {
+    val (ed, ne) = ckCount(und)
+    val edS = sizedCk(ed, ne)
+    var (dist, n) = ckCount(seeds)
+    var rounds = 0
+    var converged = ne == 0L
+    while (!converged && rounds < cfg.bfsRounds) {
+      // no join hint: the reached-set side starts seed-sized, so AQE's
+      // broadcast pick is the right plan until the frontier outgrows it
+      val grown = dist.unionAll(
+          dist.join(edS, Seq("u"))
+            .select(col("v").as("u"), (col("h") + 1L).as("h")))
+        .groupBy("u").agg(min(col("h")).as("h"))
+      val (next, m) = graft.Trace(s"q170.bfs.${rounds + 1}")(ckCount(grown))
+      // unchanged row count means no new node was reached; distances of
+      // existing nodes are monotone non-increasing and already minimal
+      // once no frontier grows (hop h nodes appear exactly at round h)
+      converged = m == n
+      dist = next; n = m
+      rounds += 1
+    }
+    graft.Convergence.check("q170.bfs", cfg.bfsRounds, converged)
+    dist.select(col("u").as("doc_id"), col("h").as("hops"))
+  }
+
+  def q170Sql: String = {
+    val rounds = (1 to cfg.bfsRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT u, CAST(min(h) AS BIGINT) AS h FROM (
+         |  SELECT u, h FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS u, d.h + 1 AS h FROM d${i - 1} d JOIN und e ON d.u = e.u)
+         |  GROUP BY u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eds AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),
+       |und AS MATERIALIZED (SELECT DISTINCT u, v FROM
+       |  (SELECT src AS u, dst AS v FROM eds UNION SELECT dst, src FROM eds)),
+       |d0 AS (SELECT doc_id AS u, CAST(0 AS BIGINT) AS h FROM documents
+       |  WHERE doc_id % ${cfg.bfsSeedMod} = 0),
+       |$rounds
+       |SELECT u AS doc_id, h AS hops FROM d${cfg.bfsRounds}""".stripMargin
+  }
+
   def q159Sql: String = {
     val K = cfg.kcoreK
     val rounds = (1 to cfg.kcoreRounds).map { i =>

@@ -332,6 +332,30 @@ class CurationSpec extends GraftSpec {
     assert(got.values.map(_._1).sum == 5L)
   }
 
+  test("q168: matrix counts shared content keys once per pair, ordered source_a < source_b") {
+    // docs 1 (A) and 2 (B) share the 4-word prefix; doc 3 (C) is unique;
+    // doc 4 (B) repeats the shared prefix — distinct keys count it once
+    val dir = docsLangSource(
+      (1L, "k1 k2 k3 k4 tail-a", "en", "A"),
+      (2L, "k1 k2 k3 k4 tail-b", "en", "B"),
+      (4L, "k1 k2 k3 k4 tail-b2", "en", "B"),
+      (3L, "x1 x2 x3 x4 other", "en", "C"))
+    val got = graft.operators.Curation.q168DupMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", "B", 1L)))
+  }
+
+  test("q169: KS statistic matches hand arithmetic with the earliest witness value") {
+    val ops = new graft.operators.CurationOps(GraftConfig(ksSourceA = "sa", ksSourceB = "sb"))
+    // sa lengths {1,1,3}, sb {3}: at v=1 |2·1 − 0·3| = 2 (max), at v=3 |3·1 − 1·3| = 0
+    val dir = docsLangSource(
+      (1L, "x", "en", "sa"), (2L, "y", "en", "sa"), (3L, "zzz", "en", "sa"),
+      (4L, "www", "en", "sb"), (5L, "ignored", "en", "other"))
+    val r = ops.q169KsTest(spark, dir).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((3L, 1L, 2L, 1L)))
+    assert(r.getDouble(6) == 2.0 / 3.0)
+  }
+
   test("q163: a single bin can show no drift — chi2 is exactly zero") {
     // every doc identical length → one bin → expected == observed identically
     val dir = docs((1L to 200L).map(i => i -> "xxxxx"): _*)

@@ -68,6 +68,39 @@ class GraphPropertySpec extends GraftSpec {
     }
   }
 
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long], maxHops: Int): Map[Long, Long] = {
+    val adj = edges.flatMap { case (s, d) => Seq(s -> d, d -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    var h = 0L
+    while (frontier.nonEmpty && h < maxHops) {
+      h += 1
+      val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    dist
+  }
+
+  test("multi-source BFS hops agree with the naive frontier reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    for (_ <- 1 to 6) {
+      val n = 5 + rnd.nextInt(20)
+      val edges = randomEdges(rnd, n, 1 + rnd.nextInt(2 * n))
+      val seeds = (0L until n.toLong).filter(_ => rnd.nextBoolean()).toSet + 0L
+      val rounds = 30
+      val ops = new graft.operators.GraphOpsLib(GraftConfig(bfsRounds = rounds))
+      val und = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }.distinct
+      val got = ops.bfsFrom(und.toDF("u", "v"),
+          seeds.toSeq.map(s => (s, 0L)).toDF("u", "h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == refBfs(edges, seeds, rounds), s"seeds=$seeds edges=$edges")
+    }
+  }
+
   test("removeTips agrees with the naive reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(42)
