@@ -277,6 +277,32 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"), "q151 must not sort-merge a scan")
   }
 
+  test("round-9 histogram/aggregate operators never window (q154/q160/q163/q168/q169)") {
+    Seq("q154_lm_score", "q160_grouped_mad", "q163_split_drift",
+        "q168_dup_matrix", "q169_ks_test").foreach { n =>
+      assert(windows(plan(n)) == 0, s"$n grew a Window — a per-key sort snuck in")
+    }
+  }
+
+  test("q167 BPE apply is map-only: zero semantic exchanges, no window, no join") {
+    val p = plan("q167_bpe_units")
+    assert(semanticExchanges(p) == 0 && windows(p) == 0 && !p.contains("Join"))
+  }
+
+  test("q155 collocations: top-k plans as TakeOrderedAndProject — pairs never globally sorted") {
+    assert(plan("q155_collocations").contains("TakeOrderedAndProject"))
+  }
+
+  test("q166 supplier diversity: the exclusion is a broadcast ANTI join, distinct via Expand") {
+    val p = plan("q166_supplier_diversity")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "q166's bad-supplier exclusion must be a broadcast anti join")
+    // one distinct agg plans as the re-aggregation chain (distinct rows
+    // first, count second) — per-group state never holds a supplier set
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "q166's distinct count must keep the two-phase re-aggregation chain")
+  }
+
   test("q162 sole blame: top-k plans as TakeOrderedAndProject, supplier dim broadcasts") {
     val p = plan("q162_sole_blame")
     assert(p.contains("TakeOrderedAndProject"))
