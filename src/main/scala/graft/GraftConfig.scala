@@ -299,6 +299,11 @@ case class GraftConfig(
     // supplier diversity (q166, TPC-H Q16 shape): suppliers with
     // account balance below this are excluded (the complaint filter)
     suppExcludeBelowAcctbal: Double = 0.0,
+    // robust embedding scaler (q172): phase-1 bucket width over
+    // 1e6-scaled elements (bounded by the VALUE DOMAIN, not n), and
+    // the non-negativity shift (exact while |x| < shift/1e6)
+    robustBucketWidth: Long = 65536L,
+    robustShift: Long = 1000000000L,
     // two-sample KS test (q169): the sources whose length
     // distributions are compared
     ksSourceA: String = "src0",

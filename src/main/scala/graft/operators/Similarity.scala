@@ -613,6 +613,79 @@ class SimilarityOps(val cfg: GraftConfig) {
         (col("dist2").cast("double") / lit(1e12)).as("dist2_real"), col("rk"))
   }
 
+  /** q172: per-dimension ROBUST SCALING stats — exact nearest-rank
+    * p25/median/p75 (+ IQR) of every embedding dimension: the robust
+    * scaler's parameter table (median/IQR normalization shrugs off the
+    * outliers that bend mean/σ — q164's outliers are exactly why), and
+    * the per-dim spread audit beside q127's covariance. Elements fix
+    * to BIGINT at 1e6; quantiles are EXACT two-phase (the q91 shape,
+    * which is what makes this scale): a phase-1 histogram over
+    * ${cfg.robustBucketWidth}-wide buckets (bounded by the VALUE
+    * DOMAIN, not n), broadcast triangular cumulative to find each
+    * rank's bucket, then a ranked pass over ONLY the selected buckets
+    * — never a per-dim corpus sort. Negative elements: engines
+    * disagree on negative integer division (truncate vs floor), so
+    * bucketing shifts by ${cfg.robustShift} first (exact while
+    * |x| < ${cfg.robustShift / 1000000}); ranks break ties by value
+    * only, so the quantile VALUES are tie-order-free. */
+  def q172RobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val W = cfg.robustBucketWidth
+    val Levels = Seq(25, 50, 75)
+    val cells = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)").as("v"))
+      .withColumn("bk", expr(s"(v + ${cfg.robustShift}) div $W"))
+    val bh = cells.groupBy("dim", "bk").agg(count(lit(1)).as("cnt"))
+    val bcum = bh.as("a")
+      .join(broadcast(bh.as("b")),
+        col("a.dim") === col("b.dim") && col("b.bk") <= col("a.bk"))
+      .groupBy(col("a.dim").as("dim"), col("a.bk").as("bk"), col("a.cnt").as("cnt"))
+      .agg(sum(col("b.cnt")).as("cum"))
+    val ranks = bh.groupBy("dim").agg(sum(col("cnt")).as("n"))
+      .select(col("dim"), col("n"),
+        explode(array(Levels.map(p => struct(lit(p).as("p"),
+          expr(s"(n * $p + 99) div 100").as("r"))): _*)).as("pr"))
+      .select(col("dim"), col("n"), col("pr.p").as("p"), col("pr.r").as("r"))
+    val cut = ranks.join(bcum, "dim")
+      .filter(col("cum") >= col("r"))
+      .groupBy("dim", "n", "p", "r")
+      .agg(min(struct(col("bk"), (col("cum") - col("cnt")).as("base"))).as("m"))
+      .select(col("dim"), col("n"), col("p"),
+        col("m.bk").as("bk"), (col("r") - col("m.base")).as("rr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dim", "bk").orderBy(col("v"))
+    val picked = cells
+      .join(broadcast(cut.select("dim", "bk").distinct()), Seq("dim", "bk"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(cut), Seq("dim", "bk"))
+      .filter(col("rn") === col("rr"))
+    val pivots = Levels.map(p => max(when(col("p") === p, col("v"))).as(s"p$p"))
+    picked.groupBy(col("dim"), col("n"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("median_real", col("p50").cast("double") / lit(1e6))
+  }
+
+  def q172Sql: String = {
+    val pivots = Seq(25, 50, 75).map(p =>
+      s"max(CASE WHEN rn = (n * $p + 99) // 100 THEN v END) AS p$p")
+      .mkString(",\n|    ")
+    s"""WITH ex AS (SELECT g - 1 AS dim,
+       |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1e6) AS BIGINT) AS v
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t),
+       |ranked AS (SELECT dim, v,
+       |    row_number() OVER (PARTITION BY dim ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY dim) AS n
+       |  FROM ex),
+       |q AS (SELECT dim, n,
+       |    $pivots
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT dim, n, p25, p50, p75, p75 - p25 AS iqr,
+       |  CAST(p50 AS DOUBLE) / 1e6 AS median_real
+       |FROM q""".stripMargin
+  }
+
   def q164Sql: String =
     s"""WITH ex AS (SELECT label, vec_id, g - 1 AS dim,
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1e6) AS BIGINT) AS xs

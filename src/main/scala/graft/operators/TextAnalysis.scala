@@ -351,6 +351,28 @@ class TextAnalysisOps(val cfg: GraftConfig) {
        |FROM scrub""".stripMargin
   }
 
+  /** q171: language-ID CONFUSION MATRIX — q52's predictions rolled up
+    * against ground truth: one row per (true_lang, pred_lang) with doc
+    * counts — the eval artifact that turns the classifier from "we
+    * have language ID" into a measured component (q123's role, for
+    * langid; diagonal mass = accuracy, off-diagonal cells = the
+    * specific confusions worth new profile bigrams). Docs q52 leaves
+    * unpredicted (no profile-bigram hits, sub-2-char texts) are
+    * absent — scored coverage is q52's own contract. The matrix
+    * aggregate touches only the (docs × 1) prediction table joined
+    * 1:1 to the docs scan — everything heavy is q52's own
+    * already-audited plan. */
+  def q171LangidConfusion(spark: SparkSession, dir: String): DataFrame =
+    q52LangId(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def q171Sql: String =
+    s"""SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+       |FROM ($q52Sql) p JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** q167: BPE-merge tokenizer APPLY — per doc, the unit count after
     * applying a FIXED merge list (${cfg.bpeMerges.size} merges, config)
     * to each whitespace token: q50 counts proxy tokens; this runs the

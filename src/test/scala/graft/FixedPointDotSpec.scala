@@ -51,6 +51,20 @@ class FixedPointDotSpec extends GraftSpec {
     assert(got.find(_._1 == 1).get._3 == 0L)
   }
 
+  test("q172: two-phase quantiles handle negatives and match hand nearest-ranks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q172").toString
+    // dim 0 values {-3,-1,0,2,10}: n=5 → ranks p25→2nd, p50→3rd, p75→4th
+    Seq((1L, Array(-3f), 0), (2L, Array(-1f), 0), (3L, Array(0f), 0),
+        (4L, Array(2f), 0), (5L, Array(10f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.q172RobustScale(spark, dir).collect().head
+    assert(r.getInt(0) == 0 && r.getLong(1) == 5L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((-1000000L, 0L, 2000000L, 3000000L)))
+  }
+
   test("norm is positive and scales as expected") {
     GraftExtensions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

