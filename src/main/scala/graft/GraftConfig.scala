@@ -265,6 +265,8 @@ case class GraftConfig(
     kAnonLenBin: Long = 100L,
     // trending (q145): event types kept per day
     trendTopK: Int = 3,
+    // session path mining (q175): 3-step sequences reported
+    pathTopK: Int = 25,
     // large-volume orders (q151, TPC-H Q18 shape): minimum summed
     // lineitem quantity — the tail threshold that makes the survivor
     // set broadcast-small (874 orders of 14.7k at sf0.01)

@@ -190,6 +190,59 @@ class BehavioralOps(val cfg: GraftConfig) {
        |    row_number() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS rk
        |  FROM c) WHERE rk <= ${cfg.trendTopK}""".stripMargin
 
+  /** q175: session PATH MINING — the top-${cfg.pathTopK} most
+    * common 3-step event-type sequences within a session (gap =
+    * ${cfg.sessionGapMs} ms, q8's sessionization): the navigation-
+    * pattern table behind funnel design ("what do users actually do in
+    * order") that per-type counts (q145) and fixed funnels (q117)
+    * can't see. One user_id shuffle serves the whole chain — the gap
+    * flags, the running session ids, and both lookaheads stack on the
+    * SAME window exchange; steps crossing a session boundary are
+    * excluded (lead() is session-scoped); trigram counts are
+    * map-combinable and the report plans as TakeOrderedAndProject
+    * with a total (count desc, path asc) tie order. */
+  def q175PathMining(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val sess = ev(spark, dir)
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > cfg.sessionGapMs, 1)
+          .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_id").orderBy(col("ms"), col("event_id"))
+    sess
+      .withColumn("e2", lead(col("event_type"), 1).over(ws))
+      .withColumn("e3", lead(col("event_type"), 2).over(ws))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(cfg.pathTopK)
+  }
+
+  def q175Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |flags AS (SELECT user_id, event_id, ms, event_type,
+       |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+       |         WHEN ms - lag(ms) OVER w > ${cfg.sessionGapMs} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |sess AS (SELECT user_id, event_id, ms, event_type,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flags),
+       |paths AS (SELECT event_type AS e1,
+       |    lead(event_type, 1) OVER ws AS e2,
+       |    lead(event_type, 2) OVER ws AS e3
+       |  FROM sess WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ms, event_id))
+       |SELECT e1, e2, e3, count(*) AS n_paths
+       |FROM paths WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_paths DESC, e1, e2, e3
+       |LIMIT ${cfg.pathTopK}""".stripMargin
+
   def q130Sql: String =
     s"""WITH h AS (SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS hr_ms,
        |    CAST(count(*) AS BIGINT) AS cnt

@@ -360,15 +360,7 @@ class SketchOps(val cfg: GraftConfig) {
     val trainKeys = train.select(md5(col("text")).as("key")).distinct()
     val probes = d.filter(col("b") >= cfg.splitTrainUpper)
       .select(col("doc_id"), col("text"), md5(col("text")).as("key"))
-    val probeBits = probes
-      .withColumn("pos", explode(array(bloomPositions(col("text")): _*)))
-      .select(col("doc_id"), col("key"), expr("pos div 32").as("word_idx"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
-      .join(broadcast(filter), Seq("word_idx"), "left")
-      .withColumn("present",
-        coalesce(expr("(bits & w) <> CAST(0 AS BIGINT)"), lit(false)))
-      .groupBy("doc_id", "key")
-      .agg(min(col("present")).as("bloom_hit"))
+    val probeBits = bloomProbeHits(probes, filter)
     val withTruth = probeBits
       .join(broadcast(trainKeys.withColumn("in_train", lit(true))), Seq("key"), "left")
       .withColumn("is_dup", coalesce(col("in_train"), lit(false)))
@@ -382,6 +374,111 @@ class SketchOps(val cfg: GraftConfig) {
           .otherwise(col("n_false_pos").cast("double") /
             (col("n_probes") - col("n_true")).cast("double")))
   }
+
+  /** Probe each (doc_id, text, key) row's ${cfg.bloomHashes} positions
+    * against a broadcast (word_idx, bits) filter table: one row per
+    * probe with bloom_hit = all positions set. */
+  private def bloomProbeHits(probes: DataFrame, filter: DataFrame): DataFrame =
+    probes
+      .withColumn("pos", explode(array(bloomPositions(col("text")): _*)))
+      .select(col("doc_id"), col("key"), expr("pos div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
+      .join(broadcast(filter), Seq("word_idx"), "left")
+      .withColumn("present",
+        coalesce(expr("(bits & w) <> CAST(0 AS BIGINT)"), lit(false)))
+      .groupBy("doc_id", "key")
+      .agg(min(col("present")).as("bloom_hit"))
+
+  /** q173: STREAMING Bloom filter — the q95/q147 lesson applied to
+    * membership: the aggregation state IS the filter (≤ m/32 words of
+    * OR-ed bits per source, bounded by construction no matter how much
+    * stream passes), where an exact streaming seen-set grows with
+    * every distinct key. bit_or is order-insensitive, so the
+    * bounded-replay drain equals batch q156 BIT-FOR-BIT — the same
+    * oracle gates both (spec pins stream ≡ batch), and live filter
+    * words merge with batch shards by OR, the incremental-ingest
+    * property q156 advertises. */
+  def q173StreamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val words = raw
+      .select(col("source"),
+        explode(array(bloomPositions(col("text")): _*)).as("pos"))
+      .select(col("source"), expr("pos div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
+      .groupBy("source", "word_idx")
+      .agg(expr("bit_or(w)").as("bits"))
+      .withColumn("n_set", expr("CAST(bit_count(bits) AS INT)"))
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = words.writeStream.format("memory").queryName("graft_q173")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q173")
+    }
+  }
+
+  def q173Sql: String = q156Sql
+
+  /** q174: BLOOM-GUARDED incremental dedup — the q156 scale claim made
+    * concrete: classifying each delta doc as new-vs-duplicate against
+    * the base WITHOUT anti-joining the full delta into the base key
+    * set. The base's filter words broadcast onto the delta scan; only
+    * BLOOM-HIT docs (true dups + the measured ~${cfg.bloomBits}-bit FP
+    * tail) proceed to the exact digest semi-join — at 100 TB the
+    * expensive join's probe side shrinks from |delta| to
+    * |dups| + FP·|delta|, and the filter itself is ≤ m/32 rows however
+    * large the base. Zero false negatives is structural, so the
+    * verdict is IDENTICAL to the plain anti-join (spec-proven; the
+    * oracle computes the plain form). Output: every delta doc with its
+    * bloom_hit and final is_new. */
+  def q174BloomGuardedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
+    val base = d.filter(col("b") < cfg.splitTrainUpper)
+    val filter = base
+      .select(explode(array(bloomPositions(col("text")): _*)).as("pos"))
+      .select(expr("pos div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("w"))
+      .groupBy("word_idx").agg(expr("bit_or(w)").as("bits"))
+    val baseKeys = base.select(md5(col("text")).as("key")).distinct()
+    val probes = d.filter(col("b") >= cfg.splitTrainUpper)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("key"))
+    val hits = bloomProbeHits(probes, filter)
+    val confirmed = hits.filter(col("bloom_hit"))
+      .join(baseKeys.hint("shuffle_hash"), Seq("key"), "left_semi")
+      .select(col("doc_id"), lit(true).as("confirmed_dup"))
+    hits.join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("confirmed_dup"), lit(false)).as("is_dup"))
+      .withColumn("is_new", !col("is_dup"))
+      .select("doc_id", "bloom_hit", "is_new")
+  }
+
+  def q174Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, substr(md5(doc_id::VARCHAR), 1, 2) AS b
+       |  FROM documents),
+       |base AS (SELECT * FROM d WHERE b < '${cfg.splitTrainUpper}'),
+       |fpos AS (SELECT CAST('0x' || substr(md5(text), j*8 + 1, 8) AS BIGINT)
+       |      % ${cfg.bloomBits} AS pos
+       |  FROM base, (SELECT unnest(generate_series(0, ${cfg.bloomHashes - 1})) AS j) t),
+       |filter AS (SELECT pos // 32 AS word_idx,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       |  FROM fpos GROUP BY 1),
+       |bkeys AS (SELECT DISTINCT md5(text) AS key FROM base),
+       |probes AS (SELECT doc_id, text, md5(text) AS key FROM d
+       |  WHERE b >= '${cfg.splitTrainUpper}'),
+       |pbits AS (SELECT doc_id, key,
+       |    CAST('0x' || substr(md5(text), j*8 + 1, 8) AS BIGINT) % ${cfg.bloomBits} AS pos
+       |  FROM probes, (SELECT unnest(generate_series(0, ${cfg.bloomHashes - 1})) AS j) t),
+       |hits AS (SELECT p.doc_id, p.key,
+       |    min(coalesce((f.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+       |      <> 0, false)) AS bloom_hit
+       |  FROM pbits p LEFT JOIN filter f ON f.word_idx = p.pos // 32
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, bloom_hit,
+       |  NOT (bloom_hit AND key IN (SELECT key FROM bkeys)) AS is_new
+       |FROM hits""".stripMargin
 
   def q157Sql: String = {
     val k = cfg.bloomHashes

@@ -38,6 +38,18 @@ class BehavioralSpec extends GraftSpec {
     assert(got.toSeq == Seq((1L, 20L * HourMs, 10L, 21L, 30L)))
   }
 
+  test("q175: trigrams never cross a session boundary; counts match hand trace") {
+    val ops = new BehavioralOps(GraftConfig(sessionGapMs = 1000L, pathTopK = 10))
+    // user 1: session A = a,b,c,d (paths abc, bcd); 5s gap; session B = x,y,z (path xyz)
+    val dir = events(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 20L, "c"), (4L, 1L, 30L, "d"),
+      (5L, 1L, 5000L, "x"), (6L, 1L, 5010L, "y"), (7L, 1L, 5020L, "z"))
+    val got = ops.q175PathMining(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L), ("x", "y", "z", 1L)),
+      s"got $got — a boundary-crossing trigram (e.g. c,d,x) must never appear")
+  }
+
   test("q145: at most k per day, ranks dense, counts non-increasing within a day") {
     val out = Behavioral.q145Trending(spark, sf).collect()
       .groupBy(_.getLong(0))

@@ -210,6 +210,29 @@ class RankingSpec extends GraftSpec {
     }
   }
 
+  test("q173: streaming bloom drain equals the batch filter bit-for-bit") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(keyed(Sketch.q173StreamBloom(spark, sf)) == keyed(Sketch.q156BloomBuild(spark, sf)))
+  }
+
+  test("q174: bloom-guarded verdict equals the plain anti join for every delta doc") {
+    val got = Sketch.q174BloomGuardedDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("key", md5(col("text")))
+    val baseKeys = d.filter(col("b") < GraftConfig.default.splitTrainUpper)
+      .select("key").collect().map(_.getString(0)).toSet
+    val expected = d.filter(col("b") >= GraftConfig.default.splitTrainUpper)
+      .select("doc_id", "key").collect()
+      .map(r => r.getLong(0) -> !baseKeys.contains(r.getString(1))).toMap
+    assert(got.map(g => g._1 -> g._3).toMap == expected,
+      "the bloom guard must not change a single verdict")
+    // a confirmed duplicate can only come off the bloom-hit path
+    assert(got.filter(!_._3).forall(_._2), "every duplicate must have hit the filter")
+  }
+
   test("q157: a true duplicate can never miss (no false negatives), counts reconcile") {
     val cfgd = GraftConfig.default
     // place ids on the two sides of the md5(doc_id) split deterministically
