@@ -454,16 +454,20 @@ class CurationOps(val cfg: GraftConfig) {
     * upweighting the rest). Unlisted languages keep everything. Pure
     * scan: thresholds are literals baked into one codegen'd predicate —
     * zero shuffles, zero joins, rerunnable with identical output. */
-  def q103Mixture(spark: SparkSession, dir: String): DataFrame = {
+  /** The q103 mixture keep predicate as a column (content-stable
+    * md5-hex thresholds per language) — shared with q176. */
+  private def mixtureKeepCol: Column = {
     val keyHex = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
-    val keep = mixtureEntries.foldLeft(when(lit(false), lit(false))) {
+    mixtureEntries.foldLeft(when(lit(false), lit(false))) {
       case (acc, (l, f)) =>
         acc.when(col("lang") === l,
           if (hex4KeepsAll(f)) lit(true) else keyHex < lit(hex4(f)))
     }.otherwise(lit(true))
-    Tables.documents(spark, dir).filter(keep)
-      .select("doc_id", "lang", "source", "n_chars")
   }
+
+  def q103Mixture(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(mixtureKeepCol)
+      .select("doc_id", "lang", "source", "n_chars")
 
   def q103Sql: String = {
     val branches = mixtureEntries.map { case (l, f) =>
@@ -790,6 +794,84 @@ class CurationOps(val cfg: GraftConfig) {
     s"""SELECT lang, source, n_chars // ${cfg.kAnonLenBin} AS len_bin,
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
+  /** q176: the CURATION PIPELINE end-to-end — the LLM-side composition
+    * flagship (q62's role for the corpus path): quality filter (q121's
+    * rules) → exact dedup (q13's content key, lowest-id keeper, applied
+    * AFTER filtering — dropped docs must not claim keeperships) →
+    * mixture resampling (q103's content-stable thresholds), reported
+    * as the per-(lang, source) ATTRITION table: raw → post-filter →
+    * post-dedup → final doc counts + final token budget. This is the
+    * table a dataset build publishes, and the composition is exact
+    * because every stage is deterministic and content-stable (each
+    * stage's standalone oracle already gates its semantics; the
+    * composed oracle re-derives all three inline).
+    *
+    * Scale: one corpus scan computes every per-doc flag (filter rules
+    * and mixture hash are row-local); the only extra work is the
+    * keeper aggregate on the content digest and its 1:1 shuffled-hash
+    * join back (aggregated side unique per key — q15 discipline); the
+    * attrition rollup is map-combinable conditional sums. */
+  def q176CuratePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val m = cfg.dedupKeyWords
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"),
+        md5(expr(s"array_join(slice(split(text, ' '), 1, $m), ' ')")).as("ckey"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("fail_rule",
+        when(col("n_tokens") < cfg.keepMinTokens, "too_short")
+          .when(!col("lang").isInCollection(cfg.keepAllowedLangs), "wrong_lang")
+          .when(col("ttr") < cfg.keepMinTtr, "repetitious"))
+      .withColumn("s1", col("fail_rule").isNull)
+      .withColumn("s3", mixtureKeepCol)
+    val keepers = base.filter(col("s1"))
+      .groupBy("ckey").agg(min(col("doc_id")).as("keeper_id"))
+    base.join(keepers.hint("shuffle_hash"), Seq("ckey"), "left")
+      .withColumn("s2", col("s1") && col("doc_id") === col("keeper_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_kept_filter"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_kept_dedup"),
+        sum(when(col("s2") && col("s3"), 1L).otherwise(0L)).as("n_kept_final"),
+        sum(when(col("s2") && col("s3"), col("n_tokens")).otherwise(0L)).as("tok_final"))
+  }
+
+  def q176Sql: String = {
+    val langs = cfg.keepAllowedLangs.map(l => s"'$l'").mkString("(", ", ", ")")
+    val mixBranches = mixtureEntries.map { case (l, f) =>
+      val cond =
+        if (hex4KeepsAll(f)) "TRUE"
+        else s"substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < '${hex4(f)}'"
+      s"WHEN lang = '$l' THEN $cond"
+    }.mkString("\n|      ")
+    s"""WITH f AS (SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       |    md5(array_to_string(string_split(text, ' ')[:${cfg.dedupKeyWords}], ' ')) AS ckey
+       |  FROM documents),
+       |s AS (SELECT *,
+       |    (CASE WHEN n_tokens < ${cfg.keepMinTokens} THEN 'too_short'
+       |          WHEN lang NOT IN $langs THEN 'wrong_lang'
+       |          WHEN CAST(n_types AS DOUBLE) / n_tokens < ${cfg.keepMinTtr} THEN 'repetitious'
+       |     END) IS NULL AS s1,
+       |    (CASE
+       |      $mixBranches
+       |      ELSE TRUE END) AS s3
+       |  FROM f),
+       |k AS (SELECT ckey, min(doc_id) AS keeper_id FROM s WHERE s1 GROUP BY 1)
+       |SELECT lang, source, count(*) AS n_raw,
+       |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_filter,
+       |  CAST(SUM(CASE WHEN s1 AND doc_id = keeper_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_dedup,
+       |  CAST(SUM(CASE WHEN s1 AND doc_id = keeper_id AND s3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_final,
+       |  CAST(SUM(CASE WHEN s1 AND doc_id = keeper_id AND s3 THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS tok_final
+       |FROM s LEFT JOIN k USING (ckey)
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** q168: cross-source DUPLICATION MATRIX — for every source pair,
     * how many distinct content keys (md5 of exact text) both carry:

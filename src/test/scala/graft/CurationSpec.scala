@@ -332,6 +332,21 @@ class CurationSpec extends GraftSpec {
     assert(got.values.map(_._1).sum == 5L)
   }
 
+  test("q176: attrition is monotone per row and each stage reconciles with its standalone operator") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.Curation
+    val rows = ops.q176CuratePipeline(spark, sf).collect()
+    rows.foreach { r =>
+      val (raw, f, d, fin) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(raw >= f && f >= d && d >= fin, s"attrition must be monotone: $r")
+    }
+    // stage 1 totals = q121's keeps; stage totals never exceed the raw corpus
+    val keeps = ops.q121KeepDrop(spark, sf).filter(col("keep")).count()
+    assert(rows.map(_.getLong(3)).sum == keeps)
+    assert(rows.map(_.getLong(2)).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("q168: matrix counts shared content keys once per pair, ordered source_a < source_b") {
     // docs 1 (A) and 2 (B) share the 4-word prefix; doc 3 (C) is unique;
     // doc 4 (B) repeats the shared prefix — distinct keys count it once
