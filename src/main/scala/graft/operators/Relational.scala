@@ -546,6 +546,66 @@ class RelationalOps(val cfg: GraftConfig) {
        |          epoch_ms(o_orderdate) + CAST(${cfg.lateShipDays} AS BIGINT) * 86400000)
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q177: explicit GROUPING SETS — the general grouping-lattice form
+    * under q5's rollup and q111's cube: a hand-picked set list
+    * ((flag, status), (flag), ()) with grouping_id() disambiguating
+    * which set each output row belongs to (a NULL group value vs a
+    * grouped-out column are different things — the id is the only
+    * sound discriminator). One pass: Spark expands the set list
+    * map-side exactly like cube/rollup, so the exchange carries
+    * \|groups\|×3 partials, never the fact table ×3; decimal-exact
+    * sums; both engines use the same leftmost-column-most-significant
+    * grouping-bit convention (spec-pinned). */
+  def q177GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty")
+
+  def q177Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  count(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  /** q178: month-over-month revenue — the dashboard classic: monthly
+    * discounted revenue off the ship date with the previous month's
+    * value and the absolute delta alongside. The corpus collapses to
+    * the MONTH GRID first (map-combinable decimal aggregate), so the
+    * lag window runs over a calendar-bounded table — corpus-
+    * independent, the q110 bounded-window rule, NOT a corpus sort;
+    * month keys are integer year·100+month (calendar fields agree
+    * across engines on UTC timestamps), deltas subtract two
+    * decimal-derived doubles (deterministic). First month's delta is
+    * NULL — there is no prior month, not a zero change. */
+  def q178MonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+        .as("revenue"))
+    val w = Window.orderBy(col("ym"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+  }
+
+  def q178Sql: String =
+    s"""WITH m AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+       |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+       |      AS revenue
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ym, revenue,
+       |  lag(revenue) OVER (ORDER BY ym) AS prev_revenue,
+       |  revenue - lag(revenue) OVER (ORDER BY ym) AS delta
+       |FROM m""".stripMargin
+
   /** q165: INCREMENTAL aggregate maintenance — the materialized-rollup
     * twin of q133's incremental dedup and the production shape of
     * every daily-ingest dashboard: the per-(user, day) rollup is

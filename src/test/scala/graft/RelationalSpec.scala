@@ -106,6 +106,28 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq == expected)
   }
 
+  test("q177: grouping ids discriminate the three sets; grand total covers the table") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q177GroupingSets(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).toSet == Set(0L, 1L, 3L),
+      "sets (flag,status)→0, (flag)→1, ()→3 under the leftmost-MSB convention")
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1 &&
+      grand.head.getLong(3) == spark.read.parquet(s"$sf/lineitem.parquet").count())
+    val detail = rows.filter(_.getLong(2) == 0L).map(_.getLong(3)).sum
+    assert(detail == grand.head.getLong(3), "detail rows must partition the corpus")
+  }
+
+  test("q178: months ascend, deltas reconcile, the first month has no delta") {
+    val rows = Relational.q178MonthlyRevenue(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length > 1)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(2) == a.getDouble(1), "prev_revenue must be last month's revenue")
+      assert(b.getDouble(3) == b.getDouble(1) - b.getDouble(2))
+    }
+  }
+
   test("q165: merged base+delta rollup is frame-identical to the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q165IncrementalAgg(spark, sf)
