@@ -795,6 +795,30 @@ class CurationOps(val cfg: GraftConfig) {
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
 
+  /** q180: PACKING EFFICIENCY eval — q83's companion number (the
+    * approximation-ships-with-its-eval rule): per (shard, bin), the
+    * doc count, token total, and fill fraction against the
+    * ${cfg.packCtxTokens}-token context budget. Prefix-sum packing
+    * assigns a doc to the bin its RUNNING total starts in, so interior
+    * bins fill to ≈ 1 (straddling docs push the excess forward) and
+    * each shard's LAST bin holds the remainder — the fill histogram is
+    * the measured answer to "how much context window does this packing
+    * waste". One rollup over q83's own (already gated) output; fill is
+    * a single fixed division. */
+  def q180PackEval(spark: SparkSession, dir: String): DataFrame =
+    q83Pack(spark, dir)
+      .groupBy("shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+      .withColumn("fill",
+        col("tok_sum").cast("double") / lit(cfg.packCtxTokens.toDouble))
+
+  def q180Sql: String =
+    s"""WITH p AS ($q83Sql)
+       |SELECT shard, bin_id, count(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS tok_sum,
+       |  CAST(CAST(SUM(n_toks) AS BIGINT) AS DOUBLE) / ${cfg.packCtxTokens}.0 AS fill
+       |FROM p GROUP BY 1, 2""".stripMargin
+
   /** q176: the CURATION PIPELINE end-to-end — the LLM-side composition
     * flagship (q62's role for the corpus path): quality filter (q121's
     * rules) → exact dedup (q13's content key, lowest-id keeper, applied

@@ -613,6 +613,50 @@ class SimilarityOps(val cfg: GraftConfig) {
         (col("dist2").cast("double") / lit(1e12)).as("dist2_real"), col("rk"))
   }
 
+  /** q179: QUANTIZATION ERROR eval — every approximation here ships
+    * with its measured eval (q123 for IVF, q132 for LSH bands, q171
+    * for langid; this one for q89's int8 codes): per vector, the max
+    * absolute reconstruction error and the sum of squared errors of
+    * dequantize(codes)·qscale against the original embedding. The
+    * eval reads the quantized ARTIFACT (codes string + qscale), not
+    * the formula — it would catch a corrupted artifact, not just a
+    * wrong derivation. Errors are computed as doubles through one
+    * fixed chain per element, then FIXED to BIGINT (floor·1e9 /
+    * floor·1e12) BEFORE any summation — double sums are order-
+    * sensitive, integer sums are not (max is order-free either way).
+    * Structural bound spec-pinned: max error ≤ qscale/2 + rounding.
+    * Scale: one 1:1 join on the unique vec id, everything else
+    * in-row. */
+  def q179QuantError(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(q89Quantize(spark, dir), "vec_id")
+      .withColumn("codes_arr",
+        expr("transform(split(codes, ','), c -> CAST(c AS BIGINT))"))
+      .withColumn("errs", expr(
+        """zip_with(embedding, codes_arr,
+          |  (x, c) -> abs(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) * qscale))""".stripMargin))
+      .select(col("vec_id"),
+        expr("CAST(floor(array_max(errs) * 1e9) AS BIGINT)").as("max_err_e9"),
+        expr("""aggregate(errs, CAST(0 AS BIGINT),
+               |  (a, e) -> a + CAST(floor(e * e * 1e12) AS BIGINT))""".stripMargin)
+          .as("sse_e12"))
+
+  def q179Sql: String =
+    s"""WITH q AS ($q89Sql),
+       |j AS (SELECT e.vec_id, e.embedding, q.qscale,
+       |    list_transform(string_split(q.codes, ','), c -> CAST(c AS BIGINT)) AS codes
+       |  FROM embeddings e JOIN q USING (vec_id)),
+       |er AS (SELECT vec_id,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * qscale))
+       |      AS errs
+       |  FROM j)
+       |SELECT vec_id,
+       |  CAST(floor(list_max(errs) * 1e9) AS BIGINT) AS max_err_e9,
+       |  CAST(list_sum(list_transform(errs,
+       |    e -> CAST(floor(e * e * 1e12) AS BIGINT))) AS BIGINT) AS sse_e12
+       |FROM er""".stripMargin
+
   /** q172: per-dimension ROBUST SCALING stats — exact nearest-rank
     * p25/median/p75 (+ IQR) of every embedding dimension: the robust
     * scaler's parameter table (median/IQR normalization shrugs off the

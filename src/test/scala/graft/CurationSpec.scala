@@ -332,6 +332,21 @@ class CurationSpec extends GraftSpec {
     assert(got.values.map(_._1).sum == 5L)
   }
 
+  test("q180: fills reconcile with q83's assignment — shard totals conserved, fill = tok/ctx") {
+    import org.apache.spark.sql.functions._
+    val ctx = GraftConfig.default.packCtxTokens.toDouble
+    val bins = graft.operators.Curation.q180PackEval(spark, sf).collect()
+    bins.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble / ctx)
+      assert(r.getLong(2) > 0)
+    }
+    val byShard = bins.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    val expected = graft.operators.Curation.q83Pack(spark, sf)
+      .groupBy("shard").agg(sum("n_toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byShard.toMap == expected, "every shard's tokens must land in some bin")
+  }
+
   test("q176: attrition is monotone per row and each stage reconciles with its standalone operator") {
     import org.apache.spark.sql.functions._
     val ops = graft.operators.Curation

@@ -51,6 +51,35 @@ class FixedPointDotSpec extends GraftSpec {
     assert(got.find(_._1 == 1).get._3 == 0L)
   }
 
+  test("q179: reconstruction errors match a double-arithmetic mirror and respect the qscale/2 bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q179").toString
+    Seq((1L, Array(1f, -1f, 0.5f), 0), (2L, Array(0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.q179QuantError(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // mirror the operator's double chain exactly
+    val qscale = 1.0 / 127.0
+    val errs = Seq(1f, -1f, 0.5f).map { x =>
+      val c = math.round(x.toDouble / qscale)
+      math.abs(x.toDouble - c.toDouble * qscale)
+    }
+    val expMax = math.floor(errs.max * 1e9).toLong
+    val expSse = errs.map(e => math.floor(e * e * 1e12).toLong).sum
+    assert(got(1L) == ((expMax, expSse)))
+    assert(got(2L) == ((0L, 0L)), "the zero vector reconstructs exactly")
+    // structural bound on real data: max error ≤ qscale/2 (+1 ulp slack)
+    val joined = graft.operators.Similarity.q179QuantError(spark, sf)
+      .join(graft.operators.Similarity.q89Quantize(spark, sf), "vec_id")
+      .collect()
+    joined.foreach { r =>
+      val bound = math.floor(r.getAs[Double]("qscale") / 2.0 * 1e9).toLong + 1
+      assert(r.getAs[Long]("max_err_e9") <= bound,
+        s"vec ${r.getLong(0)}: err exceeds the rounding half-step")
+    }
+  }
+
   test("q172: two-phase quantiles handle negatives and match hand nearest-ranks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q172").toString
