@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
@@ -448,6 +448,92 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |n AS (SELECT count(*) AS n FROM e)
        |${cols.map(one).mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** q181: DATA-CONTRACT AUDIT — the dbt/Deequ-style constraint run
+    * beside q138's statistical profile: one row per declared check
+    * (PK uniqueness, FK referential integrity, NOT NULL) with checked
+    * and violating row counts and a pass flag — the table a nightly
+    * pipeline gates a publish on. PK checks compare row count to
+    * distinct key count (violations = excess rows, no per-key state);
+    * FK checks count child rows surviving an ANTI join to the parent
+    * key set; the NOT NULL check is a conditional count. Every check
+    * is its own bounded aggregate subtree unioned into one result —
+    * at 100 TB each runs as an independent scan+aggregate (a shared-
+    * scan rewrite is an optimization the contract's semantics don't
+    * depend on); parent key sides are key-projected scans, never
+    * wide. */
+  def q181ContractAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def row(name: String, checked: Column, violations: Column, of: DataFrame): DataFrame =
+      of.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("passed"))
+    def fk(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_checked"))
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("passed"))
+    }
+    row("pk_orders_orderkey",
+        count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), ord)
+      .unionAll(row("pk_lineitem_orderkey_linenumber",
+        count(lit(1)),
+        count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")), li))
+      .unionAll(fk("fk_lineitem_orderkey", li, "l_orderkey", ord, "o_orderkey"))
+      .unionAll(fk("fk_lineitem_partkey", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(fk("fk_lineitem_suppkey", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(fk("fk_orders_custkey", ord, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionAll(row("notnull_customer_name",
+        count(lit(1)), sum(when(col("c_name").isNull, 1L).otherwise(0L)),
+        Tables.customer(spark, dir)))
+  }
+
+  def q181Sql: String =
+    s"""SELECT 'pk_orders_orderkey' AS check_name,
+       |  count(*) AS n_checked,
+       |  count(*) - count(DISTINCT o_orderkey) AS n_violations,
+       |  count(*) - count(DISTINCT o_orderkey) = 0 AS passed FROM orders
+       |UNION ALL
+       |SELECT 'pk_lineitem_orderkey_linenumber', count(*),
+       |  count(*) - count(DISTINCT ROW(l_orderkey, l_linenumber)),
+       |  count(*) - count(DISTINCT ROW(l_orderkey, l_linenumber)) = 0 FROM lineitem
+       |UNION ALL
+       |SELECT 'fk_lineitem_orderkey', (SELECT count(*) FROM lineitem),
+       |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+       |    (SELECT o_orderkey FROM orders)),
+       |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+       |    (SELECT o_orderkey FROM orders)) = 0
+       |UNION ALL
+       |SELECT 'fk_lineitem_partkey', (SELECT count(*) FROM lineitem),
+       |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+       |    (SELECT p_partkey FROM part)),
+       |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+       |    (SELECT p_partkey FROM part)) = 0
+       |UNION ALL
+       |SELECT 'fk_lineitem_suppkey', (SELECT count(*) FROM lineitem),
+       |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+       |    (SELECT s_suppkey FROM supplier)),
+       |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+       |    (SELECT s_suppkey FROM supplier)) = 0
+       |UNION ALL
+       |SELECT 'fk_orders_custkey', (SELECT count(*) FROM orders),
+       |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+       |    (SELECT c_custkey FROM customer)),
+       |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+       |    (SELECT c_custkey FROM customer)) = 0
+       |UNION ALL
+       |SELECT 'notnull_customer_name', count(*),
+       |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+       |FROM customer""".stripMargin
 
   /** q160: grouped MEDIAN + MAD (median absolute deviation) of doc
     * length per language — the robust location/spread pair (the outlier

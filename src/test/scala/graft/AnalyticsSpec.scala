@@ -85,6 +85,27 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q181: planted PK duplicate, FK orphan, and null are each caught by exactly their check") {
+    val dir = java.nio.file.Files.createTempDirectory("q181").toString
+    def w(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    w("orders", Seq((1L, 10L), (1L, 10L), (2L, 11L)).toDF("o_orderkey", "o_custkey"))
+    w("lineitem", Seq((1L, 1, 100L, 200L), (2L, 1, 100L, 200L), (3L, 1, 100L, 200L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    w("part", Seq(Tuple1(100L)).toDF("p_partkey"))
+    w("supplier", Seq(Tuple1(200L)).toDF("s_suppkey"))
+    w("customer", Seq((10L, "a"), (11L, null.asInstanceOf[String]), (12L, "c"))
+      .toDF("c_custkey", "c_name"))
+    val got = graft.operators.Analytics.q181ContractAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("pk_orders_orderkey") == ((3L, 1L, false)))
+    assert(got("pk_lineitem_orderkey_linenumber") == ((3L, 0L, true)))
+    assert(got("fk_lineitem_orderkey") == ((3L, 1L, false)), "orderkey 3 has no parent")
+    assert(got("fk_lineitem_partkey") == ((3L, 0L, true)))
+    assert(got("fk_orders_custkey") == ((3L, 0L, true)))
+    assert(got("notnull_customer_name") == ((3L, 1L, false)))
+  }
+
   test("q160: nearest-rank median and MAD match hand arithmetic per language") {
     val dir = java.nio.file.Files.createTempDirectory("q160").toString
     // en lengths 1,3,5 → rank ⌈3/2⌉=2 → median 3; devs {2,0,2} → mad 2
