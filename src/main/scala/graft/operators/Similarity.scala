@@ -613,6 +613,37 @@ class SimilarityOps(val cfg: GraftConfig) {
         (col("dist2").cast("double") / lit(1e12)).as("dist2_real"), col("rk"))
   }
 
+  /** q183: IVF cell BALANCE eval — the index-health number beside
+    * q123's recall: per-cell population of the trained index's full
+    * corpus assignment, summarized as one row (cells, vectors,
+    * max/min cell, balance_ratio = max·cells/total). An imbalanced
+    * index serves nprobe queries at the HOT cell's latency (the same
+    * skew economics q124 profiles for joins) — this is the number
+    * that decides re-training or splitting before anyone trusts q41's
+    * p99. Assignment is the one broadcast-argmax corpus pass the
+    * index already defines; the summary is a two-level bounded
+    * aggregate; the ratio is one fixed cast/multiply/divide chain. */
+  def q183IvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val sz = assign(e, trainIndex(spark, dir))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    sz.agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vectors"),
+        max(col("n")).as("max_cell"), min(col("n")).as("min_cell"))
+      .withColumn("balance_ratio",
+        col("max_cell").cast("double") * col("n_cells").cast("double") /
+          col("n_vectors").cast("double"))
+  }
+
+  def q183Sql: String =
+    s"""$trainedAssignCtes,
+       |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY 1)
+       |SELECT count(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors,
+       |  max(n) AS max_cell, min(n) AS min_cell,
+       |  CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+       |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS balance_ratio
+       |FROM sz""".stripMargin
+
   /** q179: QUANTIZATION ERROR eval — every approximation here ships
     * with its measured eval (q123 for IVF, q132 for LSH bands, q171
     * for langid; this one for q89's int8 codes): per vector, the max

@@ -62,4 +62,37 @@ object Jsonl {
   }
 
   def q126Sql: String = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+  /** q182: STREAMING JSONL ingest — the corpus exchange format arriving
+    * as a stream (the production intake shape: a crawler drops JSONL
+    * part files into a landing directory and the pipeline tails it):
+    * `readStream` with the SAME explicit schema + FAILFAST contract as
+    * the batch reader, rolled up per language (map-combinable counts +
+    * exact integer char totals). Split safety carries over — new files
+    * are discovered per micro-batch and each splits at line
+    * boundaries. The bounded-replay drain equals the batch rollup over
+    * the same files, which is what the oracle checks. */
+  def q182StreamJsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val path = Scratch.dir("jsonl_stream", dir)
+    write(docs, path)
+    val agg = spark.readStream
+      .schema(docSchema)
+      .option("mode", "FAILFAST")
+      .json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = agg.writeStream.format("memory").queryName("graft_q182")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q182")
+    }
+  }
+
+  def q182Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1""".stripMargin
 }

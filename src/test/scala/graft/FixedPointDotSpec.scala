@@ -51,6 +51,16 @@ class FixedPointDotSpec extends GraftSpec {
     assert(got.find(_._1 == 1).get._3 == 0L)
   }
 
+  test("q183: balance summary conserves vectors and bounds the ratio") {
+    val r = graft.operators.Similarity.q183IvfBalance(spark, sf).collect().head
+    val (cells, total, mx, mn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(cells <= GraftConfig.default.ivfCentroids && cells > 0)
+    assert(mx >= mn && mx * cells >= total, "max·cells ≥ total by pigeonhole")
+    assert(r.getDouble(4) >= 1.0)
+  }
+
   test("q179: reconstruction errors match a double-arithmetic mirror and respect the qscale/2 bound") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q179").toString

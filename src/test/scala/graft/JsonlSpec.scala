@@ -40,6 +40,18 @@ class JsonlSpec extends GraftSpec {
     assert(lines == 4L)
   }
 
+  test("q182: streaming ingest drain equals the batch per-language rollup") {
+    val got = Jsonl.q182StreamJsonlIngest(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
   test("strict mode: a corrupt line throws instead of yielding nulls") {
     val dir = tmpDir("jsonl-corrupt")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "x.jsonl"),
