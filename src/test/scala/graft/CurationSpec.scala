@@ -158,6 +158,29 @@ class CurationSpec extends GraftSpec {
     assert(Curation.q78Features(spark, dir).count() == 0)
   }
 
+  test("round-8 text/curation/graph additions are total on an empty corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("r8-empty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Curation.q154LmScore(spark, dir).count() == 0)
+    assert(Curation.q163SplitDrift(spark, dir).count() == 0)
+    assert(Curation.q168DupMatrix(spark, dir).count() == 0)
+    assert(Curation.q176CuratePipeline(spark, dir).count() == 0)
+    assert(Curation.q180PackEval(spark, dir).count() == 0)
+    assert(graft.operators.TextAnalysis.q155Collocations(spark, dir).count() == 0)
+    assert(graft.operators.TextAnalysis.q158SpanScrub(spark, dir).count() == 0)
+    assert(graft.operators.TextAnalysis.q167BpeUnits(spark, dir).count() == 0)
+    assert(graft.operators.TextAnalysis.q171LangidConfusion(spark, dir).count() == 0)
+    assert(graft.operators.Analytics.q160GroupedMad(spark, dir).count() == 0)
+    assert(graft.operators.GraphOps.q159Kcore(spark, dir).count() == 0)
+    assert(graft.operators.GraphOps.q170BfsHops(spark, dir).count() == 0)
+    // q169 emits its one summary row with null stats on an absent pair
+    val ks = Curation.q169KsTest(spark, dir).collect()
+    assert(ks.length == 1 && ks.head.isNullAt(2))
+  }
+
   test("q80 LM coverage: fractions bounded, known never exceeds total") {
     val df = Curation.q80LmCoverage(spark, sf)
     assert(df.count() > 0)
