@@ -256,6 +256,52 @@ class TemporalOps(val cfg: GraftConfig) {
        |  CASE WHEN b.t_ms IS NOT NULL AND p.ms - b.t_ms <= $H THEN p.ms - b.t_ms END AS lag_ms
        |FROM p LEFT JOIN best b ON b.purchase_id = p.event_id""".stripMargin
   }
+
+  /** q184: FORWARD as-of join — q85's direction twin (pandas
+    * merge_asof direction='forward' / kdb aj on the reversed axis):
+    * each $LeftType takes the EARLIEST $RightType at-or-after it per
+    * user — the "next touch after conversion" / "first sensor reading
+    * after the command" primitive. Same single-window shape as q85
+    * with the frame flipped to [current, ∞): one user_id shuffle, no
+    * self-join; at equal ms the tag order (left 0 < right 1) puts the
+    * right row INSIDE the left row's forward frame, implementing the
+    * inclusive at-or-after exactly, and `first` with the id tiebreak
+    * picks the lowest event id among equal-ms matches (oracle mirrors
+    * with rn=1 over ms ASC, id ASC). Lefts with no future right are
+    * absent — q141's horizon semantics, not a null fabrication. */
+  def q184AsofNext(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin(LeftType, RightType))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === LeftType, 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("tag"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.select(col("user_id"), col("event_id"), col("ms"), col("tag"),
+        first(when(col("tag") === 1, col("event_id")), ignoreNulls = true)
+          .over(w).as("view_id"),
+        first(when(col("tag") === 1, col("ms")), ignoreNulls = true)
+          .over(w).as("view_ms"))
+      .filter(col("tag") === 0 && col("view_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ms").as("purchase_ms"), col("view_id"), col("view_ms"),
+        (col("view_ms") - col("ms")).as("lead_ms"))
+  }
+
+  def q184Sql: String =
+    s"""WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |  WHERE event_type = '$RightType'),
+       |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |  WHERE event_type = '$LeftType'),
+       |j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ms AS purchase_ms,
+       |    v.event_id AS view_id, v.ms AS view_ms,
+       |    row_number() OVER (PARTITION BY p.event_id
+       |      ORDER BY v.ms, v.event_id) AS rn
+       |  FROM p JOIN v ON v.user_id = p.user_id AND v.ms >= p.ms)
+       |SELECT purchase_id, user_id, purchase_ms, view_id, view_ms,
+       |  view_ms - purchase_ms AS lead_ms
+       |FROM j WHERE rn = 1""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -34,6 +34,21 @@ class TemporalSpec extends GraftSpec {
       (5L, 1L, 10L, 5L))) // purchase 5 ← view 1, lag 5 ms
   }
 
+  test("q184: earliest at-or-after view wins; ms ties admit the view, min event_id breaks them") {
+    import graft.operators.Temporal
+    // user 1: purchase@100 → views @100 (ids 11,12: tie → 11), @200 ignored
+    // user 2: purchase@100, only a view@50 BEFORE it → absent
+    // user 3: purchase@100, view@300 → lead 200
+    val dir = events(
+      (1L, 1L, 100L, "purchase"), (11L, 1L, 100L, "view"), (12L, 1L, 100L, "view"),
+      (13L, 1L, 200L, "view"),
+      (2L, 2L, 100L, "purchase"), (21L, 2L, 50L, "view"),
+      (3L, 3L, 100L, "purchase"), (31L, 3L, 300L, "view"))
+    val got = Temporal.q184AsofNext(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 11L, 0L), (3L, 31L, 200L)))
+  }
+
   test("q136: trailing 24h frame is (ts−24h, ts], value-framed so ms ties are peers") {
     import spark.implicits._
     val DayMs = 86400000L
