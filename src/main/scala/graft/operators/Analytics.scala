@@ -546,7 +546,11 @@ class AnalyticsOps(val cfg: GraftConfig) {
     * cost — precisely the q91 hot-key-window lesson; the deviation
     * histogram re-bins around the median and repeats the trick.
     * Singleton-value groups get mad = 0 naturally (deviation 0 is the
-    * rank-1 value). */
+    * rank-1 value). Domain caveat: the triangular join is |H|² per
+    * group — right for discrete domains like doc length (≤ max-len
+    * distinct values); for wide/continuous domains switch to q172's
+    * two-phase bucket shape, which bounds phase 1 by domain/width and
+    * ranks only inside selected buckets. */
   def q160GroupedMad(spark: SparkSession, dir: String): DataFrame = {
     val h = Tables.documents(spark, dir)
       .groupBy(col("lang"), col("n_chars").cast("long").as("v"))

@@ -941,7 +941,9 @@ class CurationOps(val cfg: GraftConfig) {
     * and the only double is the final fixed division. Histogram
     * discipline throughout (q105/q124/q160): cumulatives come from a
     * triangular join over the DISTINCT-VALUE grid — bounded by the
-    * length domain, never a corpus sort. */
+    * length domain, never a corpus sort (for wide/continuous domains
+    * the q172 two-phase bucket shape is the escape hatch — the KS
+    * max then runs over bucket boundaries at bounded resolution). */
   def q169KsTest(spark: SparkSession, dir: String): DataFrame = {
     val (sa, sb) = (cfg.ksSourceA, cfg.ksSourceB)
     val h = Tables.documents(spark, dir)
