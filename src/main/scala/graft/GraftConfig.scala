@@ -267,6 +267,12 @@ case class GraftConfig(
     trendTopK: Int = 3,
     // session path mining (q175): 3-step sequences reported
     pathTopK: Int = 25,
+    // RFM segmentation (q185): a user is Recent within this of the
+    // corpus's last purchase, Frequent at ≥ this many purchases,
+    // Monetary at ≥ this decimal-exact spend
+    rfmRecentMs: Long = 7L * 86400000L,
+    rfmFreqMin: Long = 5L,
+    rfmSpendMin: Double = 500.0,
     // large-volume orders (q151, TPC-H Q18 shape): minimum summed
     // lineitem quantity — the tail threshold that makes the survivor
     // set broadcast-small (874 orders of 14.7k at sf0.01)

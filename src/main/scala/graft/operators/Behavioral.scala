@@ -243,6 +243,53 @@ class BehavioralOps(val cfg: GraftConfig) {
        |ORDER BY n_paths DESC, e1, e2, e3
        |LIMIT ${cfg.pathTopK}""".stripMargin
 
+  /** q185: RFM SEGMENTATION — every purchasing user bucketed by
+    * Recency (last purchase within ${cfg.rfmRecentMs} ms of the
+    * corpus's final purchase), Frequency (≥ ${cfg.rfmFreqMin}
+    * purchases), and Monetary (≥ ${cfg.rfmSpendMin} decimal-exact
+    * spend): the marketing-analytics classic, with fixed business-rule
+    * thresholds rather than in-corpus quantiles — segmentation that
+    * moves when OTHER users change is a different (and re-run-
+    * unstable) product; quantile variants would compose from
+    * q105/q172's histogram machinery. One map-combinable per-user
+    * aggregate; the reference instant is a one-row broadcast (max
+    * purchase ms — deterministic, not wall-clock); the three flags and
+    * the segment label are codegen'd expressions; spend compares on
+    * the decimal-accumulated exact double. Non-purchasers are absent
+    * — RFM is defined over buyers. */
+  def q185Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val per = p.groupBy("user_id")
+      .agg(max(col("ms")).as("last_ms"), count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("spend"))
+    val now = per.agg(max(col("last_ms")).as("ref_ms"))
+    per.crossJoin(broadcast(now))
+      .withColumn("recency_ms", col("ref_ms") - col("last_ms"))
+      .withColumn("r", col("recency_ms") <= cfg.rfmRecentMs)
+      .withColumn("f", col("n_purchases") >= cfg.rfmFreqMin)
+      .withColumn("m", col("spend") >= cfg.rfmSpendMin)
+      .select(col("user_id"), col("recency_ms"), col("n_purchases"), col("spend"),
+        concat(when(col("r"), "R").otherwise("r"),
+          when(col("f"), "F").otherwise("f"),
+          when(col("m"), "M").otherwise("m")).as("segment"))
+  }
+
+  def q185Sql: String =
+    s"""WITH p AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |per AS (SELECT user_id, max(ms) AS last_ms,
+       |    count(*) AS n_purchases,
+       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS spend
+       |  FROM p GROUP BY 1),
+       |now AS (SELECT max(last_ms) AS ref_ms FROM per)
+       |SELECT user_id, ref_ms - last_ms AS recency_ms, n_purchases, spend,
+       |  (CASE WHEN ref_ms - last_ms <= ${cfg.rfmRecentMs} THEN 'R' ELSE 'r' END) ||
+       |  (CASE WHEN n_purchases >= ${cfg.rfmFreqMin} THEN 'F' ELSE 'f' END) ||
+       |  (CASE WHEN spend >= ${cfg.rfmSpendMin} THEN 'M' ELSE 'm' END) AS segment
+       |FROM per, now""".stripMargin
+
   def q130Sql: String =
     s"""WITH h AS (SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS hr_ms,
        |    CAST(count(*) AS BIGINT) AS cnt

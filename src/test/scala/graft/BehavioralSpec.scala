@@ -50,6 +50,28 @@ class BehavioralSpec extends GraftSpec {
       s"got $got — a boundary-crossing trigram (e.g. c,d,x) must never appear")
   }
 
+  test("q185: thresholds are inclusive, recency anchors to the corpus max, non-buyers absent") {
+    import org.apache.spark.sql.functions._
+    val ops = new BehavioralOps(GraftConfig(
+      rfmRecentMs = 100L, rfmFreqMin = 2L, rfmSpendMin = 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("q185").toString
+    // user 1: buys at 0 and 1000 (ref), spend 4+6=10 → RFM (all at bound)
+    // user 2: one buy at 899 (recency 101 > 100), spend 9.99 → rfm
+    // user 3: only views → absent
+    Seq((1L, 1L, 0L, "purchase", 4.0), (2L, 1L, 1000L, "purchase", 6.0),
+        (3L, 2L, 899L, "purchase", 9.99), (4L, 3L, 1000L, "view", 0.0))
+      .toDF("event_id", "user_id", "ms", "event_type", "value")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.q185Rfm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 2L, 10.0, "RFM")),
+      2L -> ((101L, 1L, 9.99, "rfm"))))
+  }
+
   test("q145: at most k per day, ranks dense, counts non-increasing within a day") {
     val out = Behavioral.q145Trending(spark, sf).collect()
       .groupBy(_.getLong(0))
