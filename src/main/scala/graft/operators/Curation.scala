@@ -132,17 +132,22 @@ class CurationOps(val cfg: GraftConfig) {
        |GROUP BY token ORDER BY cnt DESC, token LIMIT $TopK""".stripMargin
 
   /** q71: bigram LM table — P(w2|w1) over adjacent word pairs with
-    * count ≥ $MinPair. The conditional denominator is a window sum over
-    * the AGGREGATED bigram table (|vocab|² rows at most), so no second
-    * shuffle of the corpus and no skewed raw-token partition ever feeds
-    * a window. Double division with identical expression shape on both
-    * engines (int counts → exact doubles). */
+    * count ≥ $MinPair. The conditional denominator is a second
+    * re-aggregation of the bigram counts (map-combinable — partials add)
+    * joined back on w1: the aggregated side is UNIQUE per w1, so the
+    * join fans out 1:1 and, unlike the former Window.partitionBy(w1),
+    * a stopword's ~10⁷-successor row set at web scale spreads over an
+    * AQE-skew-splittable shuffle join instead of buffering in one
+    * window partition (SURVEY §4 hot-key-window rule). Double division
+    * with identical expression shape on both engines. */
   def q71BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-    docBigrams(spark, dir)
+    val bigrams = docBigrams(spark, dir)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      .withColumn("p", col("cnt").cast("double") / sum(col("cnt")).over(w))
+    val denom = bigrams.groupBy("w1").agg(sum(col("cnt")).as("tot"))
+    bigrams.join(denom.hint("shuffle_hash"), "w1")
+      .withColumn("p", col("cnt").cast("double") / col("tot"))
       .filter(col("cnt") >= MinPair)
+      .select("w1", "w2", "cnt", "p")
   }
 
   /** q73: repetition quality filter (the Gopher/MassiveText-style

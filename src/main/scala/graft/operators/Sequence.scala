@@ -262,10 +262,14 @@ class SequenceOps(val cfg: GraftConfig) {
     * offsets once, equi-join weak-occurrence masks against strong-k-mer
     * masks on (offset, mask) — k skinny equi-joins' worth of work in one
     * shuffle, never |alphabet|×k probe lookups nor any all-pairs scan.
-    * The corpus k-mer table is shuffled by kmer exactly ONCE: a window
-    * count gives every occurrence its global frequency in place (weak =
-    * filter, no km⋈freq re-shuffle of the corpus), and the strong-kmer
-    * distinct rides the window's partitioning exchange-free. */
+    * Frequencies follow the q9_tag discipline (SURVEY §4: never
+    * Window.partitionBy(kmer) — an unordered unbounded window buffers a
+    * viral gram's every occurrence on ONE task and AQE cannot split a
+    * window partition): a map-combinable groupBy(kmer) count, the strong
+    * list read straight off that aggregate (no join at all), and the
+    * weak occurrences recovered by re-joining the corpus table against
+    * only the f=1 keys — an AQE-skew-splittable SHUFFLE_HASH join whose
+    * build side holds one row per singleton kmer. */
   def q59CorrectionVotes(spark: SparkSession, dir: String): DataFrame = {
     val k = K
     val km = Tables.documents(spark, dir)
@@ -273,10 +277,9 @@ class SequenceOps(val cfg: GraftConfig) {
       .filter(length(col("text")) >= k)
       .withColumn("g", explode(sequence(lit(1), length(col("text")) - (k - 1))))
       .select(col("doc_id"), col("g"), expr(s"substring(text, g, $k)").as("kmer"))
-    val kmF = km.withColumn("f",
-      count(lit(1)).over(Window.partitionBy("kmer")))
-    val weak = kmF.filter(col("f") === 1)
-    val strong = kmF.filter(col("f") >= cfg.voteStrongFreq).select("kmer").distinct()
+    val freq = km.groupBy("kmer").agg(count(lit(1)).as("f"))
+    val weak = km.join(freq.filter(col("f") === 1).hint("shuffle_hash"), "kmer")
+    val strong = freq.filter(col("f") >= cfg.voteStrongFreq).select("kmer")
     val wa = weak
       .withColumn("mi", explode(sequence(lit(1), lit(k))))
       .select(col("doc_id"), (col("g") + col("mi") - 1).cast("long").as("pos"), col("mi"),

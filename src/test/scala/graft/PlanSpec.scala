@@ -338,4 +338,20 @@ class PlanSpec extends GraftSpec {
     assert(scanLines.contains("o_orderdate"),
       "q152's year predicate must reach the orders scan")
   }
+
+  test("q59 correction votes: frequencies via aggregate+join, never a kmer window (hot-key skew)") {
+    val p = plan("q59_correction_votes")
+    assert(windows(p) == 0,
+      "q59 plan contains a Window — a viral kmer would funnel into one unsplittable partition")
+    assert(p.contains("ShuffledHashJoin"),
+      "q59's weak-kmer recovery must join the aggregated f=1 key set shuffled-hash")
+  }
+
+  test("q71 bigram LM: denominator via re-aggregation+join, never a w1 window (stopword skew)") {
+    val p = plan("q71_bigram_lm")
+    assert(windows(p) == 0,
+      "q71 plan contains a Window — a stopword's successor set would buffer on one task")
+    assert(p.contains("ShuffledHashJoin"),
+      "q71's unique-per-w1 denominator must build a shuffled hash join")
+  }
 }
