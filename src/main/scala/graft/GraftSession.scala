@@ -18,6 +18,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at the Spark default (true): A/B probes of
+      // the assembly tail showed size-based coalescing (false, 64 MB or
+      // 4 MB advisory) is a net LOSS here — it collapses the genuinely
+      // CPU-dense byte-small stages (k-mer profiles, levenshtein gates)
+      // to one task, costing more than the tiny-stage task-scheduling it
+      // saves (q62 warm 8.3→8.0, q82 10.7→9.3 on flipping back).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -449,15 +449,24 @@ class GraphOpsLib(val cfg: GraftConfig) {
       floor(lit(cfg.bubbleEditRate) * maxLen).cast("int")) >= 0
 
   def resolveChainsFrom(
-      spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean): DataFrame = {
+      spark: SparkSession, nodes: DataFrame, edges: DataFrame, withDepth: Boolean,
+      inChainPre: DataFrame = null): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     graft.GraftSession.ensureCheckpointDir(spark)
     // one parent-map derivation per call: the old formulation left-joined
     // nodes to the compressible rows and split self/non-self AFTER — the
     // un-materialized self side re-ran the whole edges+degrees subtree a
-    // second time in the final union (measured: ~half of q27's runtime)
-    val base = compressibleFrom(edges).filter(col("node") =!= col("parent"))
-    val inChain = traced("chain.inChain")(stageCk(if (withDepth) base.withColumn("d", lit(1L)) else base))
+    // second time in the final union (measured: ~half of q27's runtime).
+    // inChainPre: a caller-supplied ALREADY-MATERIALIZED (node, parent)
+    // interior map (the q82 per-phase background fragments) — skips the
+    // derivation here entirely.
+    val inChain = traced("chain.inChain")(
+      if (inChainPre != null) {
+        if (withDepth) inChainPre.withColumn("d", lit(1L)) else inChainPre
+      } else {
+        val base = compressibleFrom(edges).filter(col("node") =!= col("parent"))
+        stageCk(if (withDepth) base.withColumn("d", lit(1L)) else base)
+      })
     // every node WITHOUT a compressible incoming edge is its own head —
     // an anti-join against the (tiny, already-materialized) interior set
     val selfBase = nodes.join(inChain.select("node"), Seq("node"), "left_anti")
@@ -616,8 +625,27 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * overlapping graphs. Namespacing makes the union one graph whose
     * round count is the MAX over phases, not the sum, and every
     * per-round shuffle carries all phases' frontiers together. */
+  /** Materialize one phase's namespaced chain-interior fragment on a
+    * BACKGROUND driver thread (graft.Par): under the (ph, id) namespace
+    * the degree aggregations behind compressibleFrom are phase-local, so
+    * compressibleFrom(union of namespaced phases) ≡ union of per-phase
+    * fragments — which means each fragment can be computed the moment
+    * its phase's edge state exists, overlapping the NEXT phase's
+    * driver-synchronized rounds instead of serializing after all of
+    * them (the graft.Par lowcov pattern; scheduling-only, results
+    * identical). */
+  private[graft] def inChainFragmentAsync(spark: SparkSession, tag: String,
+      e: DataFrame): graft.Par.Async[DataFrame] =
+    graft.Par.async(spark, s"graft-inchain-$tag") {
+      stageCk(compressibleFrom(e.select("src", "dst"))
+        .filter(col("node") =!= col("parent"))
+        .select(struct(lit(tag).as("ph"), col("node").as("id")).as("node"),
+                struct(lit(tag).as("ph"), col("parent").as("id")).as("parent")))
+    }
+
   private[graft] def multiPhaseStatsFromEdges(spark: SparkSession, docs: DataFrame,
-      phases: Seq[(String, DataFrame)]): DataFrame = {
+      phases: Seq[(String, DataFrame)],
+      inChainPre: DataFrame = null): DataFrame = {
     val edges = phases.map { case (tag, e) =>
       e.select(lit(tag).as("ph"), col("src"), col("dst")) }.reduce(_ unionAll _)
       .select(struct(col("ph"), col("src").as("id")).as("src"),
@@ -625,7 +653,8 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val nodes = docs.select(
         explode(array(phases.map(p => lit(p._1)): _*)).as("ph"), col("doc_id"))
       .select(struct(col("ph"), col("doc_id").as("id")).as("node"))
-    val chains = resolveChainsFrom(spark, nodes, edges, withDepth = false)
+    val chains = resolveChainsFrom(spark, nodes, edges, withDepth = false,
+      inChainPre = inChainPre)
     val lens = chains.select(col("head"), col("node.id").as("node_id"))
       .join(docs.select(col("doc_id").as("node_id"), col("n_chars")), "node_id")
       .groupBy("head").agg(sum(col("n_chars")).as("clen"))
@@ -953,6 +982,51 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .filter((col("keep_dst").isNull || col("dst") === col("keep_dst")) &&
               (col("keep_src").isNull || col("src") === col("keep_src")))
       .select("src", "dst")
+
+  /** Repeat-boundary adjustment fixpoint with detect-round fusion (the
+    * [[nodeRemovalLoopFrom]] discipline applied to keep MAPS instead of
+    * removal node lists): up to `roundsPerJob` repeatKeeps rounds share
+    * ONE materialize+count job via a step marker, converging when the
+    * last fused step finds no boundary (an empty keep map's apply is a
+    * structural no-op, so a fused trailing converged round is idempotent
+    * and bounded-round oracles unroll identically). After the job, the
+    * edge state is rebuilt by applying the MATERIALIZED per-step slices
+    * in order — later phases never re-evaluate a lazy detect. */
+  private[graft] def repeatAdjustLoopFrom(spark: SparkSession, e0: DataFrame,
+      maxRounds: Int, tag: String, roundsPerJob: Int = 1): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    var cur = stageCk(e0.select("src", "dst"))
+    var budget = maxRounds
+    var job = 0
+    var done = false
+    while (budget > 0 && !done) {
+      val k = math.min(math.max(1, roundsPerJob), budget)
+      // lazy persist on intermediate keep maps: referenced in both apply
+      // broadcast arms + the union (see nodeRemovalLoopFrom)
+      val cachedSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var acc: DataFrame = null
+      var curL = cur
+      for (j <- 1 to k) {
+        var rj = repeatKeeps(curL)
+          .select(col("node"), col("keep_dst"), col("keep_src"), lit(j).as("step"))
+        if (j < k) {
+          rj = rj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cachedSteps += rj
+          curL = applyRepeatKeeps(curL, rj.drop("step"))
+        }
+        acc = if (acc == null) rj else acc.unionAll(rj)
+      }
+      job += 1
+      val (mat, nLast) = graft.Trace(s"$tag.j$job(x$k)")(ckCountLastStep(acc, k))
+      cachedSteps.foreach(_.unpersist(false))
+      done = nLast == 0
+      budget -= k
+      cur = (1 to k).foldLeft(cur)((c, j) =>
+        applyRepeatKeeps(c, mat.filter(col("step") === j).drop("step")))
+    }
+    graft.Convergence.check(tag, maxRounds, done)
+    cur
+  }
 
   private[operators] def repeatCutRoundSql(eIn: String, p: String): String =
     s"""${p}_o AS MATERIALIZED (SELECT src AS node, count(*) AS od, min(dst) AS keep_dst
@@ -1302,7 +1376,8 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * job (ckCount) and superseded lists are released as they are
     * replaced — the q57/chain-loop drain discipline. */
   private[graft] def nodeRemovalLoopFrom(spark: SparkSession, e0: DataFrame,
-      maxRounds: Int, tag: String, cutEntry: Boolean = true)(
+      maxRounds: Int, tag: String, cutEntry: Boolean = true,
+      detectsPerJob: Int = 1)(
       detect: DataFrame => DataFrame): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     // cutEntry=false: the caller's input is already a materialized
@@ -1314,31 +1389,70 @@ class GraphOpsLib(val cfg: GraftConfig) {
       val base = if (cutEntry) stageCk(e0.select("src", "dst")) else e0.select("src", "dst")
       if (base.rdd.getNumPartitions <= 2) base else sizedCk(base, base.count())
     }
+    def minus(remSet: DataFrame): DataFrame =
+      e.join(broadcast(remSet.select(col("node").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(remSet.select(col("node").as("dst"))), Seq("dst"), "left_anti")
     var cur: DataFrame = e
-    var rem: DataFrame = null
-    var n = 0L
-    var rounds = 0
+    var rem: DataFrame = null // materialized accumulated (node, step) list
+    var budget = maxRounds
+    var job = 0
     var converged = false
-    while (rounds < maxRounds && !converged) {
-      val t = detect(cur)
-      val (remNext, m) = graft.Trace(s"$tag.${rounds + 1}")(
-        ckCount(if (rem == null) t else rem.unionAll(t)))
-      converged = m == n
-      rounds += 1
-      if (converged) {
-        // cur still reads the PREVIOUS round's list through its
-        // anti-joins — drop only the (identical-content) new copy
-        remNext.unpersist(false)
-      } else {
-        if (rem != null) rem.unpersist(false)
-        rem = remNext
-        n = m
-        cur = e.join(broadcast(rem.select(col("node").as("src"))), Seq("src"), "left_anti")
-          .join(broadcast(rem.select(col("node").as("dst"))), Seq("dst"), "left_anti")
+    while (budget > 0 && !converged) {
+      // Fuse up to detectsPerJob detect rounds into ONE materialize+count
+      // job: each fused round's list carries a step marker, so one
+      // aggregate action yields both the new accumulated list and the
+      // LAST step's row count — and |t_last| = 0 is exactly the old
+      // converged-round observation (detect is deterministic and removal
+      // is monotone, so an empty detect stays empty). The budget counts
+      // DETECT APPLICATIONS, never jobs, so a bounded-round oracle still
+      // unrolls identically: a fused trailing no-op round is idempotent.
+      // Trade-off (why this is a knob, not always-on): the intermediate
+      // step's list is evaluated lazily ~3× inside the fused job (two
+      // anti-join broadcast arms + the union), so fusion buys one fewer
+      // driver-synchronized barrier per extra step at ~1.5× the detect
+      // compute of that step — right for cheap detects on post-shrink
+      // graphs (tips), wrong for expensive detects (bubble popping) or
+      // loops that usually converge in round 1.
+      val k = math.min(detectsPerJob, budget)
+      // intermediate steps' lists are referenced 3× inside the fused job
+      // (two anti-join broadcast arms + the union) — a LAZY persist makes
+      // the first reference compute and the rest read cache, all within
+      // the job's own stages (no extra action)
+      val cachedSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var acc: DataFrame = if (rem == null) null else rem.select(col("node"), lit(0).as("step"))
+      var curL = cur
+      for (j <- 1 to k) {
+        var tj = detect(curL).select(col("node"), lit(j).as("step"))
+        if (j < k) {
+          tj = tj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cachedSteps += tj
+          curL = curL
+            .join(broadcast(tj.select(col("node").as("src"))), Seq("src"), "left_anti")
+            .join(broadcast(tj.select(col("node").as("dst"))), Seq("dst"), "left_anti")
+        }
+        acc = if (acc == null) tj else acc.unionAll(tj)
       }
+      job += 1
+      val (remNext, nLast) = graft.Trace(s"$tag.j$job(x$k)")(ckCountLastStep(acc, k))
+      cachedSteps.foreach(_.unpersist(false))
+      converged = nLast == 0
+      budget -= k
+      if (rem != null) rem.unpersist(false)
+      rem = remNext
+      cur = minus(rem)
     }
     graft.Convergence.check(tag, maxRounds, converged)
     cur
+  }
+
+  /** Cut + "rows in the final fused step" in ONE job (the fused-round
+    * twin of [[ckCount]]): lazy localCheckpoint materializes during the
+    * aggregate action. sum(null) on an empty list reads as 0 new rows. */
+  private def ckCountLastStep(df: DataFrame, lastStep: Int): (DataFrame, Long) = {
+    val c = if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+            else df.localCheckpoint(false)
+    val r = c.agg(sum(when(col("step") === lastStep, 1L).otherwise(0L))).collect()(0)
+    (c, if (r.isNullAt(0)) 0L else r.getLong(0))
   }
 
   val TipRounds: Int = cfg.tipRounds

@@ -21,14 +21,6 @@ object Pipeline {
 
   private val cfg = graft.GraftConfig.default
 
-  /** Stage/round lineage cut for pipeline fixpoints: eager
-    * localCheckpoint locally, reliable checkpoint on clusters
-    * (cfg.reliableStageCheckpoints) — the one durability knob shared
-    * with GraphOps' iterative loops. */
-  private def stageCut(spark: SparkSession, df: DataFrame): DataFrame =
-    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-    else df.localCheckpoint(true)
-
   /** Stage cut + row count in ONE job: a LAZY localCheckpoint stores its
     * blocks during the count() action, so each fixpoint round costs one
     * Spark job instead of materialize-then-count's two — at sf0.1 the
@@ -196,7 +188,7 @@ object Pipeline {
     // only the small removal list (GraphOps.nodeRemovalLoopFrom); the
     // old per-round cutAndCount rewrote the full edge set every round
     e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmTipRounds, "asm.tips",
-      cutEntry = false)(GraphOps.tipNodesFrom)
+      cutEntry = false, detectsPerJob = cfg.asmFusedRounds)(GraphOps.tipNodesFrom)
     phaseStats("tips", e)
     e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmPopRounds, "asm.pop")(
       GraphOps.poppedMidsFrom(_, docs))
@@ -212,21 +204,13 @@ object Pipeline {
     e = GraphOps.nodeRemovalLoopFrom(spark, e, cfg.asmPostLowcovTipRounds, "asm.tips2",
       cutEntry = false)(GraphOps.tipNodesFrom)
     phaseStats("tips2", e)
-    // repeat-boundary edge adjustment rounds: same lazy shape — keep
-    // maps are small, so each round is a ckCount of the boundary table
-    // plus two broadcast joins stacked on the phase entry checkpoint
-    e = {
-      graft.GraftSession.ensureCheckpointDir(spark)
-      var cur = stageCut(spark, e.select("src", "dst"))
-      var done = false
-      for (i <- 1 to cfg.asmRepeatRounds if !done) {
-        val (rep, nRep) = graft.Trace(s"asm.repeat.$i")(cutAndCount(GraphOps.repeatKeeps(cur)))
-        if (nRep > 0) cur = GraphOps.applyRepeatKeeps(cur, rep)
-        done = nRep == 0
-      }
-      graft.Convergence.check("asm.repeat", cfg.asmRepeatRounds, done)
-      cur
-    }
+    // repeat-boundary edge adjustment rounds: keep maps are small, so a
+    // round is a ckCount of the boundary table plus two broadcast joins
+    // stacked on the phase entry checkpoint; rounds fuse pairwise
+    // (cfg.asmFusedRounds) so the usual productive-then-converged pair
+    // costs one driver barrier, not two
+    e = GraphOps.repeatAdjustLoopFrom(spark, e, cfg.asmRepeatRounds, "asm.repeat",
+      roundsPerJob = cfg.asmFusedRounds)
     phaseStats("repeat", e)
     e
     } catch { case t: Throwable => lowF.cancelJobs(); throw t }
@@ -313,11 +297,24 @@ object Pipeline {
     // resolve ALL phases' chains in one namespaced pointer-jump pass —
     // one O(log chain) loop total instead of one per phase (the
     // per-phase statsFromEdges adapter measured 21.5 s at sf0.1; the
-    // fused pass runs at q62-plus-one-resolution cost)
+    // fused pass runs at q62-plus-one-resolution cost). Each phase's
+    // chain-interior fragment starts materializing on a BACKGROUND
+    // thread the moment the phase lands (degree aggregations are
+    // phase-local under the namespace), so the chain resolution's entry
+    // table is ready when the last phase finishes instead of serializing
+    // a 7-phase degree pass after it.
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
-    assembleEdges(spark, dir,
-      (tag, e) => acc += (tag -> e.select("src", "dst")))
-    GraphOps.multiPhaseStatsFromEdges(spark, Tables.documents(spark, dir), acc.toSeq)
+    val frags = scala.collection.mutable.ArrayBuffer.empty[graft.Par.Async[DataFrame]]
+    try {
+      assembleEdges(spark, dir, (tag, e) => {
+        val ecur = e.select("src", "dst")
+        acc += (tag -> ecur)
+        frags += GraphOps.inChainFragmentAsync(spark, tag, ecur)
+      })
+      val inChain = frags.map(_()).reduce(_ unionAll _)
+      GraphOps.multiPhaseStatsFromEdges(spark, Tables.documents(spark, dir), acc.toSeq,
+        inChainPre = inChain)
+    } catch { case t: Throwable => frags.foreach(_.cancelJobs()); throw t }
   }
 
   def q82Sql: String = {
