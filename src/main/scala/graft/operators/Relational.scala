@@ -278,6 +278,54 @@ class RelationalOps(val cfg: GraftConfig) {
     * full lattice]: Spark expands the cube map-side (each input row
     * fans to its 4 grouping sets before the exchange), so the shuffle
     * carries |groups|×4 partial aggregates, not the fact table ×4. */
+  /** q186: q97's CDC MERGE with the base snapshot actually PERSISTED
+    * through the bucketed layout — the end-to-end instance of SURVEY
+    * §4's "bucketed layouts for repeated stable-key joins" claim that
+    * BucketingSpec proves abstractly. The snapshot is written ONCE via
+    * [[graft.sources.Tables.writeBucketed]] (bucketBy+sortBy the merge
+    * key) and read back as a bucketed table, so the full-outer merge
+    * join needs NO exchange on the snapshot side: the scan's bucket
+    * partitioning already satisfies the join's distribution, and only
+    * the (small) change feed shuffles — at 100 TB that is a daily
+    * snapshot absorbing a 0.1% feed without re-shuffling itself
+    * (PlanSpec pins SortMergeJoin + exactly one Exchange, on the feed
+    * side). The merge hint pins the at-scale plan shape: at test sf the
+    * planner would broadcast the feed and bypass the bucketed scan
+    * entirely. Output and oracle are exactly q97's (persistence through
+    * the layout is semantics-free — that is the point). */
+  def q186BucketedCdc(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // the warehouse LOCATION outlives the session-local metastore: a
+    // fresh session's overwrite would trip LOCATION_ALREADY_EXISTS on a
+    // prior run's directory, so scrub both registrations
+    spark.sql("DROP TABLE IF EXISTS graft_q186_base")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_q186_base")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sources.Tables.writeBucketed(snap, "graft_q186_base", "o_orderkey", buckets = 8)
+    val base = spark.table("graft_q186_base")
+    val ch = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 <= 2)
+      .select(
+        when(col("o_orderkey") % 10 === 2, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 10 === 1, "U")
+          .otherwise("I").as("op"),
+        col("o_custkey").as("c_cust"),
+        col("o_orderstatus").as("c_status"),
+        (col("o_totalprice") + lit(1000.0)).as("c_price"))
+    base.hint("merge").join(ch, base("o_orderkey") === ch("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("c_cust"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"))
+  }
+
   def q111Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))

@@ -339,6 +339,17 @@ class PlanSpec extends GraftSpec {
       "q152's year predicate must reach the orders scan")
   }
 
+  test("q186 bucketed CDC: merge join with NO exchange on the bucketed snapshot side") {
+    val p = plan("q186_bucketed_cdc")
+    assert(p.contains("SortMergeJoin"),
+      "q186's merge must be a sort-merge join (the at-scale shape the merge hint pins)")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"q186 must shuffle ONLY the change feed — found $exchanges hash exchanges:\n$p")
+    assert(p.contains("Bucketed: true"),
+      "q186's snapshot side must scan the bucketed table")
+  }
+
   test("q59 correction votes: frequencies via aggregate+join, never a kmer window (hot-key skew)") {
     val p = plan("q59_correction_votes")
     assert(windows(p) == 0,

@@ -207,4 +207,16 @@ class RelationalSpec extends GraftSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("1-URGENT", 1L)))
   }
+
+  test("q186 bucketed CDC merge equals q97's plain merge row-for-row") {
+    try {
+      val plain = Relational.q97CdcApply(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      val bucketed = Relational.q186BucketedCdc(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(bucketed == plain,
+        "persisting the snapshot through the bucketed layout must not change the merge")
+      assert(bucketed.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_q186_base")
+  }
 }
