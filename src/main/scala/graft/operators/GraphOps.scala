@@ -1822,6 +1822,44 @@ class GraphOpsLib(val cfg: GraftConfig) {
        |sz AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
        |SELECT comp.doc_id, comp.component_id, sz.component_size
        |FROM comp JOIN sz USING (component_id)""".stripMargin
+
+  /** q187: STRONGLY connected components of the DIRECTED overlap graph
+    * — q144's directed twin, grouping exactly the repeat tangles
+    * (directed cycles) that the reference's CutRepeatBoundary +
+    * edgeAdjustment loop [BrushAssembler.java:431-460] exist to break
+    * and that weak components blur away (a chain and a cycle are one
+    * weak component but very different assembly structures). Every doc
+    * labeled with its SCC (min doc_id in the mutual-reachability
+    * class; everything off a directed cycle is its own singleton) plus
+    * the SCC size. Runs on the [[Scc]] kernel: iterated concurrent
+    * forward/backward min-label passes, exact f=b assignment, and
+    * (f,b)-mismatch edge pruning that eliminates all DAG structure in
+    * one round — never one-node-per-round peeling. Oracle = the
+    * recursive-CTE mutual-reachability closure. */
+  def q187Scc(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    val lbl = Scc.labels(e, cfg)
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val comp = docs.join(lbl.select(col("node").as("doc_id"), col("scc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("scc_id"), col("doc_id")).as("scc_id"))
+    val sz = comp.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    comp.join(sz, "scc_id")
+      .select(col("doc_id"), col("scc_id"), col("scc_size"))
+  }
+
+  def q187Sql: String =
+    s"""WITH RECURSIVE
+       |eds AS MATERIALIZED (SELECT src AS u, dst AS v FROM ($edges2Sql)),
+       |reach(u, v) AS (SELECT u, v FROM eds
+       |  UNION SELECT r.u, e.v FROM reach r JOIN eds e ON r.v = e.u),
+       |mutual AS (SELECT r1.u AS u, r1.v AS v
+       |  FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS scc_id FROM mutual GROUP BY u),
+       |comp AS (SELECT d.doc_id, coalesce(l.scc_id, d.doc_id) AS scc_id
+       |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+       |sz AS (SELECT scc_id, count(*) AS scc_size FROM comp GROUP BY 1)
+       |SELECT comp.doc_id, comp.scc_id, sz.scc_size
+       |FROM comp JOIN sz USING (scc_id)""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

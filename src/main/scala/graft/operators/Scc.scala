@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+
+/** Strongly-connected-components kernel — the DIRECTED twin of [[Cc]]
+  * for the string graph's repeat tangles (the directed cycles
+  * CutRepeatBoundary.java's ≥2-in/≥2-out boundaries and BrushAssembler's
+  * edgeAdjustment loop [BrushAssembler.java:431-460] exist to break;
+  * q144's weak components symmetrize them away).
+  *
+  * Algorithm: iterated forward/backward min-label with edge pruning —
+  * per outer round on the remaining edge set,
+  *   1. f(u) = min node FORWARD-reachable from u (incl. u),
+  *      b(u) = min node BACKWARD-reachable (incl. u) — two independent
+  *      pointer-jump propagations (run CONCURRENTLY via graft.Par; the
+  *      hop f(u) ← min(f(u), f(f(u))) is sound because anything f(u)
+  *      reaches, u reaches);
+  *   2. ASSIGN every node with f(u) = b(u) = m to SCC m — exact, never
+  *      heuristic: u →* m and m →* u is mutual reachability, and f/b
+  *      are constant across an SCC so the whole SCC assigns together;
+  *   3. PRUNE every edge whose endpoints disagree on (f, b) — safe
+  *      because an SCC-internal edge always agrees — plus every edge
+  *      touching an assigned node (its SCC is complete).
+  * A pure DAG loses ALL its edges in round 1 (consecutive nodes differ
+  * in f on ascending chains and in b on descending ones), so chains
+  * never peel one-node-per-round; surviving structure is the tangle
+  * neighborhood, which shrinks toward exact cycles where f = b fires.
+  * Progress is guaranteed: the remaining graph's global-min node always
+  * has f = b = itself, so every round assigns ≥ 1 SCC and the
+  * node-count cap can never clip an unconverged answer silently
+  * (Convergence guard, Cc's contract). Nodes never assigned and never
+  * on a surviving edge are singleton SCCs — absent from the output,
+  * the caller labels them as themselves (q144's join shape).
+  */
+private[graft] object Scc {
+
+  /** (node, scc_id) for every node of a NON-trivial assignment or
+    * self-assigned class minimum; callers coalesce absent nodes to
+    * themselves. Edges as (u, v) directed. */
+  def labels(edges0: DataFrame, cfg: GraftConfig): DataFrame = {
+    val spark = edges0.sparkSession
+    graft.GraftSession.ensureCheckpointDir(spark)
+    def stageCk(df: DataFrame): DataFrame =
+      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var e = stageCk(edges0.select(col("u"), col("v")))
+    var nE = e.count()
+    val empty = e.select(col("u").as("node"), col("u").as("scc_id")).limit(0)
+    if (nE == 0) return empty
+    val cap = math.max(1L,
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n"))).distinct().count()).toInt
+    var assigned: DataFrame = null
+    var outer = 0
+    while (nE > 0 && outer < cap) {
+      val nodes = stageCk(
+        e.select(col("u").as("node")).unionAll(e.select(col("v").as("node"))).distinct())
+      // forward and backward propagations are independent — overlap them
+      // on a second driver thread (the lowcov/graft.Par pattern)
+      val bF = graft.Par.async(spark, s"graft-scc-bwd-$outer")(
+        dirMinLabels(spark, nodes, e.select(col("v").as("u"), col("u").as("v")), cfg))
+      val f = dirMinLabels(spark, nodes, e, cfg)
+      val fb = try bF() match { case b =>
+        stageCk(f.select(col("node"), col("lbl").as("f"))
+          .join(b.select(col("node"), col("lbl").as("b")), "node"))
+      } catch { case t: Throwable => bF.cancelJobs(); throw t }
+      val newA = fb.filter(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc_id"))
+      assigned =
+        if (assigned == null) stageCk(newA)
+        else {
+          val nx = stageCk(assigned.unionAll(newA)); assigned.unpersist(false); nx
+        }
+      val um = fb.select(col("node").as("u"), col("f").as("uf"), col("b").as("ub"))
+      val vm = fb.select(col("node").as("v"), col("f").as("vf"), col("b").as("vb"))
+      val pruned = e.join(um.hint("shuffle_hash"), "u").join(vm.hint("shuffle_hash"), "v")
+        .filter(col("uf") === col("vf") && col("ub") === col("vb") &&
+                col("uf") =!= col("ub")) // f=b endpoints are assigned — drop their edges
+        .select("u", "v")
+      val next = stageCk(pruned)
+      val m = next.count()
+      e.unpersist(false); nodes.unpersist(false); fb.unpersist(false)
+      e = next
+      nE = m
+      outer += 1
+    }
+    graft.Convergence.check("scc", cap, nE == 0)
+    if (assigned == null) empty else assigned
+  }
+
+  /** One directed min-label propagation: lbl(u) = min node reachable
+    * from u along edge direction, including u — [[Cc.labels]] without
+    * the symmetrization, with the same per-round lineage cuts, hop, and
+    * every-2-rounds convergence probe; `nodes` must cover every edge
+    * endpoint (sink nodes hold their own label for the neighbor join). */
+  private def dirMinLabels(spark: SparkSession, nodes: DataFrame, e: DataFrame,
+      cfg: GraftConfig): DataFrame = {
+    def stageCk(df: DataFrame): DataFrame =
+      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val lbl0 = nodes
+      .join(e.groupBy(col("u").as("node")).agg(min(col("v")).as("m")), Seq("node"), "left")
+      .select(col("node"), least(col("node"), coalesce(col("m"), col("node"))).as("lbl"))
+    var lbl = stageCk(lbl0)
+    val n = lbl.count()
+    val maxRounds = math.max(1L, n).toInt
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = e.join(lbl.select(col("node").as("v"), col("lbl").as("vl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
+      val prop = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
+      val next = stageCk(
+        prop.join(hop, prop("lbl") === hop("hn"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")))
+      rounds += 1
+      if (rounds % 2 == 0 || rounds >= maxRounds) {
+        val changed = next.join(lbl.select(col("node"), col("lbl").as("prev")), "node")
+          .filter(col("lbl") =!= col("prev")).limit(1).count()
+        converged = changed == 0
+      }
+      lbl.unpersist(false)
+      lbl = next
+    }
+    lbl
+  }
+}

@@ -79,7 +79,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     * codegen'd fixed-point dot inside an `aggregate()` HOF. Ties go to
     * the lowest cent_id (the array is sorted by cent_id and the fold
     * replaces only on strictly greater cosine). Zero shuffle. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val packed = broadcast(cents
       .select(struct(col("cent_id"), col("ce"),
         expr("CAST(vec_dot_fixed(ce, ce) AS DOUBLE)").as("cn2")).as("c"))
@@ -146,7 +146,13 @@ class SimilarityOps(val cfg: GraftConfig) {
     * runs once and probe queries run forever after. */
   def trainIndex(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    trainIndexOn(emb(spark, dir).withColumn("n2", Vec.norm2N("embedding")))
+  }
+
+  /** Train over an explicit vector set (must carry n2) — the corpus
+    * slice the index is allowed to see at training time; q188 trains on
+    * the BASE split only, the nightly-ingest story. */
+  private[graft] def trainIndexOn(e: DataFrame): DataFrame = {
     // Lloyd iterations see only the deterministic vec_id % $TrainMod
     // sample: training estimates cluster DENSITY, which a fixed sample
     // carries — at 100 TB the full corpus is assigned exactly once
@@ -228,11 +234,12 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   /** DuckDB twin of one assignment pass: nearest centroid by fixed-point
     * cosine, ties to the lowest cent_id. */
-  private def duckAssign(cTbl: String, out: String, onlySample: Boolean = false): String = {
-    val f = if (onlySample && TrainMod > 1) s" WHERE e.vec_id % $TrainMod = 0" else ""
-    s"""${out}_ex AS (SELECT e.vec_id AS ia, $cTbl.cent_id AS ib,
-       |    unnest(e.embedding) AS a, unnest($cTbl.ce) AS b
-       |  FROM e, $cTbl$f),
+  private def duckAssign(cTbl: String, out: String, onlySample: Boolean = false,
+      src: String = "e"): String = {
+    val f = if (onlySample && TrainMod > 1) s" WHERE $src.vec_id % $TrainMod = 0" else ""
+    s"""${out}_ex AS (SELECT $src.vec_id AS ia, $cTbl.cent_id AS ib,
+       |    unnest($src.embedding) AS a, unnest($cTbl.ce) AS b
+       |  FROM $src, $cTbl$f),
        |${out}_dots AS (SELECT ia, ib,
        |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
        |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
@@ -574,11 +581,16 @@ class SimilarityOps(val cfg: GraftConfig) {
     * variance primitive under it). Integer-exact throughout: elements
     * fix to BIGINT at 1e6 (q127's element discipline, narrower scale
     * so squares stay in long range: diff ≤ 2·10⁷ → square ≤ 4·10¹⁴,
-    * × dims ≪ 2⁶³), the centroid is the FLOOR-mean of scaled elements
-    * (exactly defined, engine-portable — a float mean would drift in
-    * final ulps), and dist2 sums the squared scaled deviations — so
-    * ranks and hashes agree bitwise. dist2's double form is one final
-    * fixed division by 1e12.
+    * × dims ≪ 2⁶³), the centroid is the TRUNCATED (round-toward-zero)
+    * mean of scaled elements — `s div n` truncates identically on
+    * both engines, for negative per-dimension sums too, so the mean
+    * is exactly defined and engine-portable where a float mean would
+    * drift in final ulps (it is NOT a floor mean: floor rounds a
+    * negative quotient the other way; q172's histogram shifts to
+    * non-negative operands for a different reason — its zero-bucket
+    * width — not because the engines disagree) — and dist2 sums the
+    * squared scaled deviations, so ranks and hashes agree bitwise.
+    * dist2's double form is one final fixed division by 1e12.
     *
     * Scale: the centroid table is labels × dims rows from ONE
     * map-combinable aggregate; reshaped per label (in-row array,
@@ -644,6 +656,87 @@ class SimilarityOps(val cfg: GraftConfig) {
        |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS balance_ratio
        |FROM sz""".stripMargin
 
+  /** q188: INCREMENTAL IVF index maintenance — the q133/q165 nightly-
+    * ingest story applied to the index artifact: the index trains on
+    * the BASE split only (the vectors that existed when it was built),
+    * PERSISTS through [[saveIndex]]'s parquet shape and is RELOADED
+    * ([[loadIndex]] — this query is the driver-verified exercise of
+    * the load path), then the arriving DELTA split (content-stable md5
+    * bucket, the q68/q133 membership rule) is assigned against the
+    * loaded centroids WITHOUT retraining. Output is the one-row DRIFT
+    * eval that decides retraining: base/delta sizes, occupied cells
+    * before and after the delta, cells first opened by delta vectors
+    * (outlier signal), hottest-cell populations, and the q183 balance
+    * ratio of the base vs merged assignment — a ratio that jumps on
+    * delta arrival means the new traffic concentrates in cells the
+    * training never saw the likes of.
+    *
+    * Scale: per-vector work is the same broadcast-argmax map as q41 —
+    * and the merge is count-table arithmetic: at 100 TB the base cell
+    * counts are a |cells|-row artifact persisted WITH the index, so a
+    * nightly delta costs |delta| assignment + |cells| merge, never a
+    * base re-scan (the q165 partial-merge discipline; here the base
+    * side recomputes only because the query is self-contained).
+    * Delta-assignment ≡ full re-assignment restricted to the delta is
+    * structural (assignment is a pure per-row map over broadcast
+    * centroids) and spec-asserted. */
+  def q188IvfDelta(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+    val base = all.filter(col("bk") < cfg.splitTrainUpper)
+    val delta = all.filter(col("bk") >= cfg.splitTrainUpper)
+    val idxPath = graft.sources.Scratch.dir("ivfdelta_idx", dir)
+    trainIndexOn(base).write.mode("overwrite").parquet(idxPath)
+    val cents = loadIndex(spark, idxPath)
+    val bc = assign(base, cents).groupBy("cell").agg(count(lit(1)).as("n"))
+    val dc = assign(delta, cents).groupBy("cell").agg(count(lit(1)).as("n"))
+    val mc = bc.unionAll(dc).groupBy("cell").agg(sum(col("n")).as("n"))
+    val bAgg = bc.agg(count(lit(1)).as("base_cells"), max(col("n")).as("base_max_cell"),
+      sum(col("n")).as("n_base"))
+    val mAgg = mc.agg(count(lit(1)).as("merged_cells"), max(col("n")).as("merged_max_cell"))
+    val dAgg = delta.agg(count(lit(1)).as("n_delta"))
+    bAgg.crossJoin(mAgg).crossJoin(dAgg)
+      .select(col("n_base"), col("n_delta"), col("base_cells"), col("merged_cells"),
+        (col("merged_cells") - col("base_cells")).as("new_cells"),
+        col("base_max_cell"), col("merged_max_cell"),
+        (col("base_max_cell").cast("double") * col("base_cells").cast("double")
+          / col("n_base").cast("double")).as("base_balance"),
+        (col("merged_max_cell").cast("double") * col("merged_cells").cast("double")
+          / (col("n_base") + col("n_delta")).cast("double")).as("merged_balance"))
+  }
+
+  def q188Sql: String = {
+    val training = (1 to KmeansIters).map { i =>
+      s"""${duckAssign(s"c${i - 1}", s"a$i", onlySample = true)},
+         |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '${cfg.splitTrainUpper}'),
+       |ed AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '${cfg.splitTrainUpper}'),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCentroids),
+       |$training,
+       |${duckAssign(s"c$KmeansIters", "ab")},
+       |${duckAssign(s"c$KmeansIters", "ad", src = "ed")},
+       |bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM ab GROUP BY 1),
+       |dc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM ad GROUP BY 1),
+       |mc AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM (SELECT * FROM bc UNION ALL SELECT * FROM dc) GROUP BY cell),
+       |b AS (SELECT count(*) AS base_cells, max(n) AS base_max_cell,
+       |  CAST(SUM(n) AS BIGINT) AS n_base FROM bc),
+       |m AS (SELECT count(*) AS merged_cells, max(n) AS merged_max_cell FROM mc),
+       |d AS (SELECT CAST(count(*) AS BIGINT) AS n_delta FROM ed)
+       |SELECT n_base, n_delta, base_cells, merged_cells,
+       |  merged_cells - base_cells AS new_cells,
+       |  base_max_cell, merged_max_cell,
+       |  CAST(base_max_cell AS DOUBLE) * CAST(base_cells AS DOUBLE)
+       |    / CAST(n_base AS DOUBLE) AS base_balance,
+       |  CAST(merged_max_cell AS DOUBLE) * CAST(merged_cells AS DOUBLE)
+       |    / CAST(n_base + n_delta AS DOUBLE) AS merged_balance
+       |FROM b, m, d""".stripMargin
+  }
+
   /** q179: QUANTIZATION ERROR eval — every approximation here ships
     * with its measured eval (q123 for IVF, q132 for LSH bands, q171
     * for langid; this one for q89's int8 codes): per vector, the max
@@ -698,11 +791,16 @@ class SimilarityOps(val cfg: GraftConfig) {
     * ${cfg.robustBucketWidth}-wide buckets (bounded by the VALUE
     * DOMAIN, not n), broadcast triangular cumulative to find each
     * rank's bucket, then a ranked pass over ONLY the selected buckets
-    * — never a per-dim corpus sort. Negative elements: engines
-    * disagree on negative integer division (truncate vs floor), so
-    * bucketing shifts by ${cfg.robustShift} first (exact while
-    * |x| < ${cfg.robustShift / 1000000}); ranks break ties by value
-    * only, so the quantile VALUES are tie-order-free. */
+    * — never a per-dim corpus sort. Negative elements: BOTH engines
+    * truncate integer division toward zero (Spark `div` and DuckDB
+    * `//` agree: -7 div 2 = -3), but truncation makes the bucket
+    * straddling zero DOUBLE-width — every v in (-W, W) lands in
+    * bucket 0 — which would break the equal-width histogram the rank
+    * search assumes; shifting by ${cfg.robustShift} first (exact
+    * while |x| < ${cfg.robustShift / 1000000}) keeps the dividend
+    * non-negative, where truncation and floor coincide and every
+    * bucket is exactly W wide. Ranks break ties by value only, so
+    * the quantile VALUES are tie-order-free. */
   def q172RobustScale(spark: SparkSession, dir: String): DataFrame = {
     val W = cfg.robustBucketWidth
     val Levels = Seq(25, 50, 75)

@@ -90,6 +90,46 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("q188: delta assignment against the unchanged index equals full re-assignment restricted to the delta") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.Vec.norm2N("embedding"))
+      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+    val base = all.filter(col("bk") < GraftConfig.default.splitTrainUpper)
+    val delta = all.filter(col("bk") >= GraftConfig.default.splitTrainUpper)
+    assert(base.count() > 0 && delta.count() > 0, "split must be non-trivial")
+    val cents = Similarity.trainIndexOn(base)
+    val fullAssign = Similarity.assign(all, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deltaAssign = Similarity.assign(delta, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deltaAssign.nonEmpty)
+    deltaAssign.foreach { case (id, cell) =>
+      assert(fullAssign(id) == cell,
+        s"vec $id: delta-only assignment $cell != full re-assignment ${fullAssign(id)}")
+    }
+  }
+
+  test("q188: drift eval totals reconcile and the balance ratios are sane") {
+    val r = Similarity.q188IvfDelta(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nBase = row.getAs[Long]("n_base"); val nDelta = row.getAs[Long]("n_delta")
+    assert(nBase + nDelta == spark.read.parquet(s"$sf/embeddings.parquet").count(),
+      "every vector is exactly one of base/delta")
+    assert(row.getAs[Long]("merged_cells") >= row.getAs[Long]("base_cells"))
+    assert(row.getAs[Long]("new_cells") ==
+      row.getAs[Long]("merged_cells") - row.getAs[Long]("base_cells"))
+    assert(row.getAs[Long]("merged_max_cell") >= row.getAs[Long]("base_max_cell"))
+    assert(row.getAs[Double]("base_balance") >= 1.0 - 1e-9,
+      "max*cells/total is >= 1 by definition")
+    assert(row.getAs[Double]("merged_balance") >= 1.0 - 1e-9)
+  }
+
   test("q131 prefix filtering is COMPLETE: equals the naive all-shared-shingle join on real data") {
     val fast = Dedup.q131SimJoin(spark, sf).select("id_a", "id_b", "jaccard")
     // naive truth: every pair sharing >= 1 word gram, exact Jaccard,

@@ -143,4 +143,54 @@ class GraphPropertySpec extends GraftSpec {
       assert(got == refChainHeads(nodes, edges), s"edges=$edges")
     }
   }
+
+  /** Naive SCC by reachability closure: u ~ v iff u →* v and v →* u. */
+  private def refScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s); var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val r = nodes.map(n => n -> reach(n)).toMap
+    nodes.map(n => n -> r(n).filter(v => r(v)(n)).min).toMap
+  }
+
+  test("SCC labels agree with the naive mutual-reachability reference") {
+    import spark.implicits._
+    val rnd = new Random(19)
+    val cases = Seq(
+      // ascending chain, descending chain: DAGs must prune in one
+      // round, never peel one node per round
+      (1L to 10L).sliding(2).map(p => p.head -> p.last).toSeq,
+      (1L to 10L).sliding(2).map(p => p.last -> p.head).toSeq,
+      // pure cycles (odd, even), figure-eight sharing a node
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L),
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L),
+      Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L),
+      // two cycles bridged one-way: distinct SCCs despite the bridge
+      Seq(2L -> 3L, 3L -> 2L, 4L -> 5L, 5L -> 4L, 3L -> 4L),
+      // the (f,b)-pair-label counterexample: 5 and 6 share the
+      // (fwd-min, bwd-min) pair but are NOT one SCC — the kernel's
+      // assignment rule (f = b) must not merge them
+      Seq(2L -> 5L, 2L -> 6L, 5L -> 1L, 6L -> 1L),
+      // cycle feeding a chain feeding a cycle
+      Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 4L)
+    ) ++ (1 to 8).map { _ =>
+      val n = 3 + rnd.nextInt(15)
+      randomEdges(rnd, n, 1 + rnd.nextInt(2 * n))
+    }
+    cases.foreach { edges =>
+      val lbl = graft.operators.Scc.labels(edges.toDF("u", "v"), GraftConfig())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // absent nodes are singletons by contract
+      val got = nodes.map(n => n -> lbl.getOrElse(n, n)).toMap
+      assert(got == refScc(edges), s"edges=$edges got=$got")
+    }
+  }
 }
