@@ -7,12 +7,31 @@ object Trace {
   val enabled: Boolean = sys.props.get("graft.trace").orElse(sys.env.get("GRAFT_TRACE"))
     .exists(_.equalsIgnoreCase("true"))
 
-  def apply[T](tag: String)(f: => T): T =
-    if (!enabled) f
-    else {
-      val t0 = System.nanoTime(); val r = f
-      println(f"TRACE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+  // Per-stage timings are ALWAYS collected (two nanoTime reads + one
+  // queue append per driver-side stage — noise next to any Spark job),
+  // so the bench artifact can record where a composition query's wall
+  // time went (round-8 verdict item 8: the q62/q82 fixed-cost profile
+  // becomes measured per stage, not inferred). Bounded so a long
+  // session that never drains cannot leak.
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+  private val MaxBuffered = 10000
+
+  /** Remove and return every stage timing recorded since the last
+    * drain, in record order. */
+  def drain(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var e = buf.poll()
+    while (e != null) { out += e; e = buf.poll() }
+    out.toSeq
+  }
+
+  def apply[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    if (buf.size < MaxBuffered) buf.add(tag -> s)
+    if (enabled) println(f"TRACE $tag $s%.2f s")
+    r
+  }
 
   def log(msg: => String): Unit = if (enabled) println(s"TRACE $msg")
 }

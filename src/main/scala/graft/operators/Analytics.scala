@@ -469,10 +469,19 @@ class AnalyticsOps(val cfg: GraftConfig) {
       of.agg(checked.as("n_checked"), violations.as("n_violations"))
         .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"),
           (col("n_violations") === 0L).as("passed"))
+    // FK null policy, pinned EXPLICITLY on both engines: a NULL child
+    // key is NOT an FK violation (standard SQL FK semantics — a missing
+    // reference is the NOT NULL check's job, declared separately when
+    // the contract wants it). Without the explicit filter the two
+    // engines silently disagree: Spark's left_anti counts a NULL key as
+    // an orphan while SQL NOT IN yields NULL and excludes it —
+    // invisible on TPC-H (keys are NOT NULL) but a latent parity trap.
+    // n_checked counts the rows the check actually examined (non-null).
     def fk(name: String, child: DataFrame, key: String,
         parent: DataFrame, pkey: String): DataFrame = {
-      val total = child.agg(count(lit(1)).as("n_checked"))
-      val orphans = child.select(col(key))
+      val checked = child.filter(col(key).isNotNull)
+      val total = checked.agg(count(lit(1)).as("n_checked"))
+      val orphans = checked.select(col(key))
         .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
       total.crossJoin(orphans)
@@ -496,6 +505,16 @@ class AnalyticsOps(val cfg: GraftConfig) {
         Tables.customer(spark, dir)))
   }
 
+  /** DuckDB twin of one FK check — same explicit null policy as the
+    * Spark side: NULL child keys are excluded from BOTH counts. */
+  private def fkSql(name: String, childTbl: String, key: String,
+      parentTbl: String, pkey: String): String =
+    s"""SELECT '$name', (SELECT count(*) FROM $childTbl WHERE $key IS NOT NULL),
+       |  (SELECT count(*) FROM $childTbl WHERE $key IS NOT NULL AND $key NOT IN
+       |    (SELECT $pkey FROM $parentTbl)),
+       |  (SELECT count(*) FROM $childTbl WHERE $key IS NOT NULL AND $key NOT IN
+       |    (SELECT $pkey FROM $parentTbl)) = 0""".stripMargin
+
   def q181Sql: String =
     s"""SELECT 'pk_orders_orderkey' AS check_name,
        |  count(*) AS n_checked,
@@ -506,29 +525,13 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |  count(*) - count(DISTINCT ROW(l_orderkey, l_linenumber)),
        |  count(*) - count(DISTINCT ROW(l_orderkey, l_linenumber)) = 0 FROM lineitem
        |UNION ALL
-       |SELECT 'fk_lineitem_orderkey', (SELECT count(*) FROM lineitem),
-       |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-       |    (SELECT o_orderkey FROM orders)),
-       |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-       |    (SELECT o_orderkey FROM orders)) = 0
+       |${fkSql("fk_lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
        |UNION ALL
-       |SELECT 'fk_lineitem_partkey', (SELECT count(*) FROM lineitem),
-       |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
-       |    (SELECT p_partkey FROM part)),
-       |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
-       |    (SELECT p_partkey FROM part)) = 0
+       |${fkSql("fk_lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey")}
        |UNION ALL
-       |SELECT 'fk_lineitem_suppkey', (SELECT count(*) FROM lineitem),
-       |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
-       |    (SELECT s_suppkey FROM supplier)),
-       |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
-       |    (SELECT s_suppkey FROM supplier)) = 0
+       |${fkSql("fk_lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
        |UNION ALL
-       |SELECT 'fk_orders_custkey', (SELECT count(*) FROM orders),
-       |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-       |    (SELECT c_custkey FROM customer)),
-       |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-       |    (SELECT c_custkey FROM customer)) = 0
+       |${fkSql("fk_orders_custkey", "orders", "o_custkey", "customer", "c_custkey")}
        |UNION ALL
        |SELECT 'notnull_customer_name', count(*),
        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),

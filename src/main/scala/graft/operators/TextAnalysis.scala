@@ -382,15 +382,24 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     * it as a literal replace() chain (merges are config constants, so
     * the whole thing is ONE codegen'd scan expression — zero shuffles,
     * zero joins at any corpus size), and units = surviving
-    * space-separated symbols. Replace semantics (leftmost,
-    * non-overlapping, all occurrences) agree across engines;
-    * restricted to BMP text (see GraftConfig.bpeMerges). Empty tokens
-    * count one unit on both engines. */
+    * space-separated symbols. Each merge's replace is applied TWICE —
+    * exactly the fixpoint: consecutive occurrences share their
+    * delimiter space, so a single leftmost-non-overlapping pass merges
+    * only alternating occurrences of a run ('hahaha' → 4 units, where
+    * BPE's one-at-a-time apply gives 3); the pass-1 leftovers are
+    * always separated by a just-merged symbol, hence isolated, and
+    * pass 2 takes every one of them. No third pass can ever match:
+    * a replacement's output symbol is strictly longer than either of
+    * its own operands, so replacing cannot create a fresh occurrence
+    * of the same pair. Replace semantics (leftmost, non-overlapping,
+    * all occurrences) agree across engines; restricted to BMP text
+    * (see GraftConfig.bpeMerges). Empty tokens count one unit on both
+    * engines. */
   def q167BpeUnits(spark: SparkSession, dir: String): DataFrame = {
     val chain = cfg.bpeMerges.foldLeft("concat(' ', regexp_replace(t, '(.)', '$1 '))") {
       (acc, m) =>
         val merged = m.replace(" ", "")
-        s"replace($acc, ' $m ', ' $merged ')"
+        s"replace(replace($acc, ' $m ', ' $merged '), ' $m ', ' $merged ')"
     }
     val unitExpr = s"size(split(trim($chain), ' '))"
     Tables.documents(spark, dir)
@@ -406,7 +415,7 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     val chain = cfg.bpeMerges.foldLeft("' ' || regexp_replace(t, '(.)', '\\1 ', 'g')") {
       (acc, m) =>
         val merged = m.replace(" ", "")
-        s"replace($acc, ' $m ', ' $merged ')"
+        s"replace(replace($acc, ' $m ', ' $merged '), ' $m ', ' $merged ')"
     }
     s"""SELECT doc_id,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

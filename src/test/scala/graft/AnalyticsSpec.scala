@@ -90,7 +90,15 @@ class AnalyticsSpec extends GraftSpec {
     def w(t: String, df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
     w("orders", Seq((1L, 10L), (1L, 10L), (2L, 11L)).toDF("o_orderkey", "o_custkey"))
-    w("lineitem", Seq((1L, 1, 100L, 200L), (2L, 1, 100L, 200L), (3L, 1, 100L, 200L))
+    // 4th line has a NULL partkey: standard SQL FK semantics — a NULL
+    // child key is not checked and not a violation (the q181 null
+    // policy pinned explicitly on both engines; NOT NULL is its own
+    // separately-declared check)
+    w("lineitem", Seq(
+        (1L, 1, java.lang.Long.valueOf(100L), 200L),
+        (2L, 1, java.lang.Long.valueOf(100L), 200L),
+        (3L, 1, java.lang.Long.valueOf(100L), 200L),
+        (2L, 2, null.asInstanceOf[java.lang.Long], 200L))
       .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
     w("part", Seq(Tuple1(100L)).toDF("p_partkey"))
     w("supplier", Seq(Tuple1(200L)).toDF("s_suppkey"))
@@ -99,9 +107,10 @@ class AnalyticsSpec extends GraftSpec {
     val got = graft.operators.Analytics.q181ContractAudit(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(got("pk_orders_orderkey") == ((3L, 1L, false)))
-    assert(got("pk_lineitem_orderkey_linenumber") == ((3L, 0L, true)))
-    assert(got("fk_lineitem_orderkey") == ((3L, 1L, false)), "orderkey 3 has no parent")
-    assert(got("fk_lineitem_partkey") == ((3L, 0L, true)))
+    assert(got("pk_lineitem_orderkey_linenumber") == ((4L, 0L, true)))
+    assert(got("fk_lineitem_orderkey") == ((4L, 1L, false)), "orderkey 3 has no parent")
+    assert(got("fk_lineitem_partkey") == ((3L, 0L, true)),
+      "the NULL partkey row is neither checked nor a violation")
     assert(got("fk_orders_custkey") == ((3L, 0L, true)))
     assert(got("notnull_customer_name") == ((3L, 1L, false)))
   }

@@ -101,6 +101,18 @@ class TextStreamSpec extends GraftSpec {
     assert(rows(2L) == ((1L, 1L)))
   }
 
+  test("q167: repeated-pair runs merge to the true BPE fixpoint (double-replace)") {
+    // 'ananan' under merge "a n": a single leftmost-non-overlapping
+    // pass merges only the alternating occurrences (shared delimiter
+    // space) → 4 units; the second pass takes the isolated leftovers →
+    // 3 units = what BPE's one-at-a-time apply produces
+    val dir = textDocs(1L -> "ananan", 2L -> "anan")
+    val rows = graft.operators.TextAnalysis.q167BpeUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows(1L) == 3L, s"'ananan' must reach the an·an·an fixpoint, got ${rows(1L)}")
+    assert(rows(2L) == 2L)
+  }
+
   test("q158 span scrub: gaps survive, overlaps merge, full dups empty out, short docs pass through") {
     val ops = new graft.operators.TextAnalysisOps(GraftConfig(dupSpanK = 4))
     val dir = textDocs(
