@@ -315,6 +315,29 @@ case class GraftConfig(
     soleBlameTopK: Int = 20,
     // per-label embedding outliers (q164): vectors reported per label
     outlierTopK: Int = 10,
+    // TPC-H canon shapes, round 9. q189 (Q13 custdist): the priority
+    // class excluded from order counting (the reference query's
+    // comment NOT LIKE filter, on a column this schema has)
+    custDistExcludePriority: String = "5-LOW",
+    // q190 (Q17 small-quantity revenue): the audited brand
+    smallQtyBrand: String = "Brand#12",
+    // q191 (Q22 global customers): the nation-key set standing in for
+    // Q22's phone country codes, and the dormancy cutoff — on this
+    // synthetic corpus EVERY customer has at least one order, so Q22's
+    // literal "no orders at all" is structurally vacuous; "no orders
+    // at or after the cutoff" keeps the anti-join shape non-vacuous
+    // and is the more realistic churn question anyway
+    globalNationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11, 13),
+    globalDormantSince: String = "2000-01-01",
+    // q193 (Q7 volume shipping): the audited nation pair
+    volumeNationA: String = "NATION_1",
+    volumeNationB: String = "NATION_2",
+    // cluster-aware curation over the trained IVF cells (round 9):
+    // q194 per-cell sample cap, q195 discriminative-term report size +
+    // minimum in-cell count
+    clusterSampleCap: Int = 5,
+    clusterTermsTopK: Int = 5,
+    clusterTermsMinCount: Int = 3,
     // supplier diversity (q166, TPC-H Q16 shape): suppliers with
     // account balance below this are excluded (the complaint filter)
     suppExcludeBelowAcctbal: Double = 0.0,

@@ -547,6 +547,54 @@ class DedupOps(val cfg: GraftConfig) {
        |  f.doc_id <> k.keeper_id AS is_dup
        |FROM fam f JOIN fsz s USING (family_id) JOIN keeper k USING (family_id)""".stripMargin
 
+  /** q197: FAMILY-CONSISTENT train/val/test split — the leakage-proof
+    * splitter: q68's content-stable md5 split hashes the DOC id, so two
+    * near-duplicates can land on opposite sides of the train/eval
+    * fence — exactly the leakage q74 detects after the fact. Here the
+    * split hashes the q57 FAMILY id (the connected-component label of
+    * the near-dup union graph) with the same hex-bound rule, so an
+    * entire family moves as one unit and cross-split near-dup leakage
+    * is IMPOSSIBLE by construction, not audited after. Each doc also
+    * reports the naive per-doc split and a `moved` flag — the measured
+    * count of docs this protection actually relocated (the honesty
+    * eval: a splitter that never moves anything wasn't needed).
+    * Deterministic and re-run-stable like q68/q75: membership depends
+    * only on content-derived family labels. Scale: q57's label table
+    * plus two codegen'd hash projections — nothing new shuffles. */
+  def q197FamilySplit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = substring(md5(c.cast("string")), 1, 2)
+      when(b < cfg.splitTrainUpper, "train")
+        .when(b < cfg.splitValUpper, "val").otherwise("test")
+    }
+    q57DedupFamilies(spark, dir)
+      .select(col("doc_id"), col("family_id"))
+      .withColumn("split", splitOf(col("family_id")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+      .withColumn("moved", col("split") =!= col("naive_split"))
+  }
+
+  def q197Sql: String = {
+    def splitOf(c: String): String =
+      s"""CASE WHEN substr(md5($c::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}' THEN 'train'
+         |  WHEN substr(md5($c::VARCHAR), 1, 2) < '${cfg.splitValUpper}' THEN 'val'
+         |  ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE
+       |$nearDupEdgesSql,
+       |und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
+       |fam AS (SELECT d.doc_id, coalesce(l.family_id, d.doc_id) AS family_id
+       |  FROM documents d LEFT JOIN lbl l USING (doc_id))
+       |SELECT doc_id, family_id,
+       |  ${splitOf("family_id")} AS split,
+       |  ${splitOf("doc_id")} AS naive_split,
+       |  ${splitOf("family_id")} <> ${splitOf("doc_id")} AS moved
+       |FROM fam""".stripMargin
+  }
+
   def q34Sql: String = {
     val bandArms = (0 until SignBands).map(b =>
       s"SELECT vec_id, $b AS b, ${Vec.signBandSqlDuck("embedding", b * SignBandBits, SignBandBits)} AS bk FROM e")

@@ -791,6 +791,216 @@ class RelationalOps(val cfg: GraftConfig) {
        |WHERE r_name = '${cfg.localVolumeRegion}'
        |  AND year(o_orderdate) = ${cfg.localVolumeYear}
        |GROUP BY n_name""".stripMargin
+
+  /** q189: customer order-count DISTRIBUTION — the TPC-H Q13 shape
+    * ("how many customers placed 0, 1, 2, … orders"), the canonical
+    * left-outer-join + two-level aggregate, with Q13's comment filter
+    * standing on the priority column this schema has. Scale shape:
+    * orders PRE-AGGREGATE to (custkey, count) BEFORE the outer join —
+    * the textbook formulation left-joins the raw orders table and
+    * counts after, shuffling every order row through the join; the
+    * pre-aggregate is map-combinable, leaves the join side UNIQUE per
+    * customer (1:1 fanout, no hot-customer amplification), and is
+    * exactly the same distribution. Zero-order customers arrive via
+    * the left join's null → coalesce 0. */
+  def q189CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= cfg.custDistExcludePriority)
+      .groupBy("o_custkey").agg(count(lit(1)).as("oc"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("oc"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  def q189Sql: String =
+    s"""WITH oc AS (SELECT o_custkey, count(*) AS oc FROM orders
+       |  WHERE o_orderpriority <> '${cfg.custDistExcludePriority}' GROUP BY 1)
+       |SELECT c_count, count(*) AS custdist FROM (
+       |  SELECT coalesce(oc, 0) AS c_count
+       |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+       |GROUP BY c_count""".stripMargin
+
+  /** q190: small-quantity revenue — the TPC-H Q17 shape: yearly-average
+    * revenue lost to orders under 20% of a part's average quantity,
+    * for one audited brand. The correlated-average subquery becomes a
+    * per-part aggregate joined back 1:1 (unique per part), and the
+    * threshold test is EXACT: quantities fix to BIGINT at 1e2, and
+    * qty < 0.2·avg cross-multiplies to 5·q100·n < s100 — no float
+    * division at the decision boundary (the q131 accept-test
+    * discipline), so both engines keep identical rows. The brand
+    * filter broadcasts into the fact scan; the stats side inherits the
+    * same filtered subset, so the join-back is broadcast-sized no
+    * matter the corpus. One fixed /7.0 division at the end. */
+  def q190SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .filter(col("p_brand") === cfg.smallQtyBrand).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("q100"),
+        col("l_extendedprice"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum(col("q100")).as("s100"), count(lit(1)).as("n"))
+    li.join(broadcast(stats), Seq("l_partkey"))
+      .filter(lit(5L) * col("q100") * col("n") < col("s100"))
+      .agg((dsum(col("l_extendedprice"), 24, 6) / 7.0).as("avg_yearly"))
+  }
+
+  def q190Sql: String =
+    s"""WITH li AS (SELECT l_partkey,
+       |    CAST(floor(l_quantity * 100) AS BIGINT) AS q100, l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = '${cfg.smallQtyBrand}'),
+       |st AS (SELECT l_partkey, CAST(SUM(q100) AS BIGINT) AS s100,
+       |    count(*) AS n FROM li GROUP BY 1)
+       |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0
+       |    AS avg_yearly
+       |FROM li JOIN st USING (l_partkey)
+       |WHERE 5 * q100 * n < s100""".stripMargin
+
+  /** q191: untapped customers — the TPC-H Q22 shape ("global sales
+    * opportunity"): per selected nation (standing in for Q22's phone
+    * country codes), DORMANT customers — none of their orders at or
+    * after ${cfg.globalDormantSince} (on this corpus every customer
+    * has SOME order, so Q22's literal no-orders test is structurally
+    * vacuous; dormancy keeps the anti-join shape non-vacuous and is
+    * the realistic churn question) — whose balance beats the selected
+    * group's positive-balance average. The average threshold is
+    * EXACT: balances fix to BIGINT at 1e2 and bal > s/n
+    * cross-multiplies to bal100·n > s100 (one-row broadcast — no
+    * float average at the boundary); dormancy is a LEFT ANTI join
+    * against date-filtered orders, the date predicate pushed to the
+    * orders scan. totacctbal is the exact integer sum with ONE final
+    * /100.0. */
+  def q191GlobalCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ks = cfg.globalNationKeys.map(Int.box)
+    val sel = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(ks: _*))
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal100"))
+    val thr = sel.filter(col("bal100") > 0)
+      .agg(sum(col("bal100")).as("s100"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP'${cfg.globalDormantSince}'"))
+      .select(col("o_custkey"))
+    sel
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(thr))
+      .filter(col("bal100") * col("n") > col("s100"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal100")).cast("double") / 100.0).as("totacctbal"))
+  }
+
+  def q191Sql: String =
+    s"""WITH sel AS (SELECT c_custkey, c_nationkey,
+       |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal100
+       |  FROM customer
+       |  WHERE c_nationkey IN (${cfg.globalNationKeys.mkString(", ")})),
+       |thr AS (SELECT CAST(SUM(bal100) AS BIGINT) AS s100, count(*) AS n
+       |  FROM sel WHERE bal100 > 0)
+       |SELECT c_nationkey, count(*) AS numcust,
+       |  CAST(CAST(SUM(bal100) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+       |FROM sel, thr
+       |WHERE bal100 * n > s100
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND o_orderdate >= TIMESTAMP '${cfg.globalDormantSince}')
+       |GROUP BY c_nationkey""".stripMargin
+
+  /** q192: discounted revenue under DISJUNCTIVE bands — the TPC-H Q19
+    * shape: revenue over an OR of (brand, size band, quantity band)
+    * conjunctions. The scale design point of this classic is predicate
+    * FACTORING: the disjunction alone pushes to neither scan, so the
+    * implied unions ride along explicitly — p_brand IN (the three
+    * brands) prunes the part dim before it broadcasts, and the
+    * quantity envelope [1, 30] pushes into the fact scan — both
+    * redundant conjuncts, semantically implied, and written
+    * identically in the oracle so row sets match exactly. Quantities
+    * are integral doubles; the band bounds are integer literals, so
+    * the comparisons are exact on both engines. */
+  def q192BandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+        .as("revenue"))
+  }
+
+  def q192Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+      |  AND l_quantity >= 1 AND l_quantity <= 30
+      |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  /** q193: volume shipping between a nation pair — the TPC-H Q7 shape:
+    * yearly discounted revenue of trade flowing EITHER direction
+    * between two audited nations (supplier nation ≠ customer nation,
+    * both named). Join discipline: the supplier and
+    * customer→nation dims collapse to two BROADCAST maps carrying
+    * their nation names, the only big-big join is lineitem ⋈ orders on
+    * the natural order key, and the direction filter rides the
+    * broadcast joins — never post-filtering a wider product. Output is
+    * bounded by 2 directions × years. */
+  def q193VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = (cfg.volumeNationA, cfg.volumeNationB)
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .filter(col("n_name").isin(na, nb))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+              (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+        .as("revenue"))
+  }
+
+  def q193Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |    year(l_shipdate) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |  WHERE (ns.n_name = '${cfg.volumeNationA}' AND nc.n_name = '${cfg.volumeNationB}')
+       |     OR (ns.n_name = '${cfg.volumeNationB}' AND nc.n_name = '${cfg.volumeNationA}'))
+       |GROUP BY 1, 2, 3""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -737,6 +737,172 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM b, m, d""".stripMargin
   }
 
+  /** q194: cluster-capped DIVERSITY SAMPLE — "cluster then sample", the
+    * semantic-coverage selection step (SemDeDup's sampling cousin):
+    * every vector assigns to its trained IVF cell and each cell keeps
+    * at most ${cfg.clusterSampleCap} vectors by content-stable md5
+    * order — a sample that covers the embedding space's modes instead
+    * of its density (uniform sampling over-picks the dominant cluster;
+    * q81 stratifies on a LABEL, this stratifies on LEARNED structure).
+    * Deterministic and re-run-stable like q75/q81: membership depends
+    * only on the vector id and the trained index. Scale: assignment is
+    * the broadcast-argmax scan; the rank ≤ cap filter plans as
+    * WindowGroupLimit (partial top-k map-side before the cell
+    * exchange, PlanSpec-pinned) so a hot cell never buffers whole. */
+  def q194ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val assigned = assign(e, trainIndex(spark, dir))
+      .select(col("vec_id"), col("cell"),
+        md5(concat(lit("cs:"), col("vec_id").cast("string"))).as("h"))
+    val w = Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))
+    assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfg.clusterSampleCap)
+      .select("vec_id", "cell", "rk")
+  }
+
+  def q194Sql: String =
+    s"""$trainedAssignCtes
+       |SELECT vec_id, cell, rk FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+       |    ORDER BY md5('cs:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM af)
+       |WHERE rk <= ${cfg.clusterSampleCap}""".stripMargin
+
+  /** q195: per-cluster DISCRIMINATIVE TERMS — each trained IVF cell's
+    * top-${cfg.clusterTermsTopK} tokens by lift (in-cell rate vs
+    * corpus rate over the embedded docs): the "what is this cluster
+    * about" naming table that turns an unsupervised index into an
+    * auditable one (the q155 collocation-lift discipline applied to
+    * cluster membership; embeddings align with documents on the id).
+    * Lift = (c_cw · N) / (t_c · g_w) as ONE fixed cast/multiply/divide
+    * chain over exact integer counts — no log, engine-exact doubles.
+    * Scale: token counts are map-combinable; the per-cell totals and
+    * global term counts join back on UNIQUE aggregated keys (1:1
+    * fanout); the support filter shrinks the table before the joins;
+    * per-cell top-k plans as WindowGroupLimit. */
+  def q195ClusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val assigned = assign(e, trainIndex(spark, dir)).select(col("vec_id"), col("cell"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(assigned, col("doc_id") === col("vec_id"))
+      .select("cell", "w")
+    val cw = toks.groupBy("cell", "w").agg(count(lit(1)).as("c_cw"))
+    val ct = cw.groupBy("cell").agg(sum(col("c_cw")).as("t_c"))
+    val gw = cw.groupBy("w").agg(sum(col("c_cw")).as("g_w"))
+    val n = ct.agg(sum(col("t_c")).as("n_tok"))
+    val scored = cw.filter(col("c_cw") >= cfg.clusterTermsMinCount)
+      .join(ct.hint("shuffle_hash"), "cell")
+      .join(gw.hint("shuffle_hash"), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        col("c_cw").cast("double") * col("n_tok").cast("double")
+          / (col("t_c").cast("double") * col("g_w").cast("double")))
+    val w2 = Window.partitionBy("cell").orderBy(col("lift").desc, col("w"))
+    scored.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= cfg.clusterTermsTopK)
+      .select(col("cell"), col("w").as("term"), col("c_cw"), col("lift"), col("rk"))
+  }
+
+  def q195Sql: String =
+    s"""$trainedAssignCtes,
+       |toks AS (SELECT af.cell, unnest(string_split(d.text, ' ')) AS w
+       |  FROM documents d JOIN af ON af.vec_id = d.doc_id),
+       |cw AS (SELECT cell, w, count(*) AS c_cw FROM toks GROUP BY 1, 2),
+       |ct AS (SELECT cell, CAST(SUM(c_cw) AS BIGINT) AS t_c FROM cw GROUP BY 1),
+       |gw AS (SELECT w, CAST(SUM(c_cw) AS BIGINT) AS g_w FROM cw GROUP BY 1),
+       |n AS (SELECT CAST(SUM(t_c) AS BIGINT) AS n_tok FROM ct),
+       |scored AS (SELECT cw.cell, cw.w, cw.c_cw,
+       |    CAST(cw.c_cw AS DOUBLE) * CAST(n.n_tok AS DOUBLE)
+       |      / (CAST(ct.t_c AS DOUBLE) * CAST(gw.g_w AS DOUBLE)) AS lift
+       |  FROM cw JOIN ct USING (cell) JOIN gw USING (w), n
+       |  WHERE cw.c_cw >= ${cfg.clusterTermsMinCount})
+       |SELECT cell, w AS term, c_cw, lift, rk FROM (
+       |  SELECT cell, w, c_cw, lift,
+       |    row_number() OVER (PARTITION BY cell ORDER BY lift DESC, w) AS rk
+       |  FROM scored)
+       |WHERE rk <= ${cfg.clusterTermsTopK}""".stripMargin
+
+  /** q196: cluster COHESION eval — the q183/q123 eval family applied to
+    * cluster QUALITY: per trained IVF cell, member count, within-cell
+    * pair count, the exact fixed-point mean pairwise cosine (how tight
+    * the cluster is), and the cell centroid's nearest OTHER centroid
+    * cosine (how separated it is) — the silhouette-style pair of
+    * numbers that decides whether q94's semantic dedup and q194's
+    * per-cell sampling can trust the cell structure. Per-pair cosines
+    * fix to BIGINT at 1e9 BEFORE summation (each pair's cosine is one
+    * fixed dot/sqrt/divide chain over exact fixed-point dots — engine-
+    * identical; double SUMS would be order-sensitive, integer sums are
+    * not). Pair space is Σ|cell|², q94's bound — never n²; the
+    * centroid×centroid table is |cells|² and broadcast-sized. */
+  def q196ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val av = assign(e, cents).select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+    val a = av.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val b = av.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+      .select(col("cell"),
+        expr("CAST(floor(CAST(vec_dot_fixed(ea, eb) AS DOUBLE) / (sqrt(na) * sqrt(nb)) * 1e9) AS BIGINT)")
+          .as("cos_e9"))
+    val coh = pairs.groupBy("cell")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cos_e9")).as("s_cos"))
+    val sizes = av.groupBy("cell").agg(count(lit(1)).as("n"))
+    val c1 = cents.select(col("cent_id").as("cell"), col("ce").as("ca"))
+    val c2 = cents.select(col("cent_id").as("ocell"), col("ce").as("cb"))
+    val sep = c1.join(broadcast(c2), col("cell") =!= col("ocell"))
+      .select(col("cell"),
+        expr("""CAST(vec_dot_fixed(ca, cb) AS DOUBLE)
+               | / (sqrt(CAST(vec_dot_fixed(ca, ca) AS DOUBLE))
+               |    * sqrt(CAST(vec_dot_fixed(cb, cb) AS DOUBLE)))""".stripMargin).as("oc"))
+      .groupBy("cell").agg(max(col("oc")).as("max_other_centroid_cos"))
+    sizes.join(coh, Seq("cell"), "left").join(sep, Seq("cell"), "left")
+      .select(col("cell"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("s_cos").cast("double") / col("n_pairs").cast("double") / 1e9)
+          .as("within_avg_cos"),
+        col("max_other_centroid_cos"))
+  }
+
+  def q196Sql: String =
+    s"""$trainedAssignCtes,
+       |pr AS (SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib,
+       |    unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pd AS (SELECT cell, ia, ib,
+       |    ${Vec.dotDecSqlDuck("xa", "xb")} AS dot,
+       |    ${Vec.dotDecSqlDuck("xa", "xa")} AS na,
+       |    ${Vec.dotDecSqlDuck("xb", "xb")} AS nb
+       |  FROM pr GROUP BY cell, ia, ib),
+       |pc AS (SELECT cell, CAST(floor(CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e9) AS BIGINT)
+       |    AS cos_e9 FROM pd),
+       |coh AS (SELECT cell, count(*) AS n_pairs, CAST(SUM(cos_e9) AS BIGINT) AS s_cos
+       |  FROM pc GROUP BY 1),
+       |sizes AS (SELECT cell, count(*) AS n FROM av GROUP BY 1),
+       |cel AS (SELECT cent_id, ce FROM c$KmeansIters),
+       |cx AS (SELECT a.cent_id AS cell, b.cent_id AS ocell,
+       |    unnest(a.ce) AS xa, unnest(b.ce) AS xb
+       |  FROM cel a JOIN cel b ON a.cent_id <> b.cent_id),
+       |cd AS (SELECT cell, ocell,
+       |    ${Vec.dotDecSqlDuck("xa", "xb")} AS dot,
+       |    ${Vec.dotDecSqlDuck("xa", "xa")} AS na,
+       |    ${Vec.dotDecSqlDuck("xb", "xb")} AS nb
+       |  FROM cx GROUP BY cell, ocell),
+       |sep AS (SELECT cell, max(CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+       |    AS max_other_centroid_cos FROM cd GROUP BY 1)
+       |SELECT sizes.cell, sizes.n, coalesce(coh.n_pairs, 0) AS n_pairs,
+       |  CAST(coh.s_cos AS DOUBLE) / CAST(coh.n_pairs AS DOUBLE) / 1e9
+       |    AS within_avg_cos,
+       |  sep.max_other_centroid_cos
+       |FROM sizes LEFT JOIN coh USING (cell) LEFT JOIN sep USING (cell)""".stripMargin
+
   /** q179: QUANTIZATION ERROR eval — every approximation here ships
     * with its measured eval (q123 for IVF, q132 for LSH bands, q171
     * for langid; this one for q89's int8 codes): per vector, the max

