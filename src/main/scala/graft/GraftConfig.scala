@@ -338,6 +338,10 @@ case class GraftConfig(
     clusterSampleCap: Int = 5,
     clusterTermsTopK: Int = 5,
     clusterTermsMinCount: Int = 3,
+    // q198 dynamic partition pruning: a day is an "incident day" at or
+    // above this many error events (selective but non-vacuous: ~5 of
+    // 30 days at sf0.01)
+    dppErrorMinCount: Long = 75L,
     // supplier diversity (q166, TPC-H Q16 shape): suppliers with
     // account balance below this are excluded (the complaint filter)
     suppExcludeBelowAcctbal: Double = 0.0,

@@ -41,4 +41,49 @@ object Layout {
   def q146Sql: String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE lang = '${graft.GraftConfig.default.layoutScanLang}'""".stripMargin
+
+  /** q198: DYNAMIC partition pruning — q146's prune comes from a
+    * literal the planner sees; here the pruning set exists only at
+    * RUNTIME: events lay out day-partitioned, the "incident day" dim
+    * (days with ≥ dppErrorMinCount error events) is computed from
+    * data, and Spark injects the broadcast dim's day set into the
+    * partitioned scan as a runtime partition filter (DPP) — only
+    * incident-day directories are ever read. At 100 TB this is the
+    * fact-to-dim star-join pattern: the date dim's predicate can't be
+    * inlined into the fact scan at plan time, and without DPP the
+    * fact side reads every partition to throw most of them away.
+    * PlanSpec pins `dynamicpruning` inside the partitioned scan's
+    * PartitionFilters. Day keys are `d<epoch-day>` STRINGS so
+    * partition-column type inference cannot insert a cast between the
+    * scan column and the join key (a cast there defeats DPP). Output:
+    * per incident day, total events / distinct users / error count —
+    * the oracle recomputes from the flat table, hash-verifying that
+    * pruning lost nothing. */
+  def q198DppScan(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.GraftConfig.default
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        concat(lit("d"), expr("unix_millis(ts) div 86400000")).as("day"))
+    val path = Scratch.dir("partday", dir)
+    writePartitioned(ev, path, "day")
+    val part = spark.read.parquet(path)
+    val incidents = ev.filter(col("event_type") === "error")
+      .groupBy("day").agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= cfg.dppErrorMinCount)
+    part.join(broadcast(incidents), "day")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+  }
+
+  def q198Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    'd' || CAST(epoch_ms(ts) // 86400000 AS VARCHAR) AS day FROM events),
+       |inc AS (SELECT day FROM ev WHERE event_type = 'error'
+       |  GROUP BY day HAVING count(*) >= ${graft.GraftConfig.default.dppErrorMinCount})
+       |SELECT day, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+       |FROM ev JOIN inc USING (day)
+       |GROUP BY day""".stripMargin
 }

@@ -368,6 +368,13 @@ class PlanSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q198 DPP: the partitioned scan carries a runtime dynamicpruning partition filter") {
+    val p = plan("q198_dpp_scan")
+    assert(p.contains("dynamicpruning"),
+      "q198's day-partitioned scan must be pruned by the runtime incident-day set:\n" +
+        p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("q194 cluster sample: the cap filter plans as WindowGroupLimit (partial top-k)") {
     val p = plan("q194_cluster_sample")
     assert(p.contains("WindowGroupLimit"),
