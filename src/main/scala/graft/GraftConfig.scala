@@ -342,6 +342,10 @@ case class GraftConfig(
     // above this many error events (selective but non-vacuous: ~5 of
     // 30 days at sf0.01)
     dppErrorMinCount: Long = 75L,
+    // q199 (Q8 market share): the supplier nation whose share is
+    // measured, within customers of this region
+    marketShareNation: String = "NATION_3",
+    marketShareRegion: String = "AFRICA",
     // supplier diversity (q166, TPC-H Q16 shape): suppliers with
     // account balance below this are excluded (the complaint filter)
     suppExcludeBelowAcctbal: Double = 0.0,

@@ -951,6 +951,70 @@ class RelationalOps(val cfg: GraftConfig) {
       |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
       |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  /** q199: market share — the TPC-H Q8 shape: the fraction of revenue
+    * from customers of one REGION that flows through suppliers of one
+    * NATION, per order year. The classic trap is computing numerator
+    * and denominator as two passes over the same join tree (or worse,
+    * a self-join); here both are ONE aggregate — the denominator is
+    * the plain decimal revenue sum and the numerator a CONDITIONAL sum
+    * gated on the supplier-nation flag that rides the broadcast
+    * supplier map — so the share costs exactly one pass. The share is
+    * a single division of two decimal-derived doubles (engine-exact);
+    * region→nation→customer collapses to one broadcast dim (q107's
+    * discipline), supplier carries its is-target flag broadcast. */
+  def q199MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val regNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir)
+        .filter(col("r_name") === cfg.marketShareRegion).select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(regNations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === cfg.marketShareNation).as("is_target")))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        dsum(when(col("is_target"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)), 24, 6)
+          .as("nation_revenue"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+          .as("total_revenue"))
+      .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+  }
+
+  def q199Sql: String =
+    s"""WITH rows_ AS (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume,
+       |    ns.n_name = '${cfg.marketShareNation}' AS is_target
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |  JOIN region ON nc.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |  WHERE r_name = '${cfg.marketShareRegion}')
+       |SELECT o_year,
+       |  CAST(SUM(CAST(CASE WHEN is_target THEN volume ELSE 0.0 END
+       |    AS DECIMAL(24,6))) AS DOUBLE) AS nation_revenue,
+       |  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue,
+       |  CAST(SUM(CAST(CASE WHEN is_target THEN volume ELSE 0.0 END
+       |    AS DECIMAL(24,6))) AS DOUBLE)
+       |    / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+       |FROM rows_
+       |GROUP BY o_year""".stripMargin
+
   /** q193: volume shipping between a nation pair — the TPC-H Q7 shape:
     * yearly discounted revenue of trade flowing EITHER direction
     * between two audited nations (supplier nation ≠ customer nation,

@@ -260,6 +260,17 @@ class RelationalSpec extends GraftSpec {
       ("NATION_2", "NATION_1", 1997L) -> 200.0), rows.toString)
   }
 
+  test("q199 market share: shares bounded in [0,1], numerator never exceeds denominator") {
+    val rows = Relational.q199MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nr = r.getAs[Double]("nation_revenue"); val tr = r.getAs[Double]("total_revenue")
+      val s = r.getAs[Double]("mkt_share")
+      assert(nr >= 0.0 && nr <= tr + 1e-9)
+      assert(s >= 0.0 && s <= 1.0 + 1e-12)
+    }
+  }
+
   test("q186 bucketed CDC merge equals q97's plain merge row-for-row") {
     try {
       val plain = Relational.q97CdcApply(spark, sf).collect()
