@@ -346,6 +346,10 @@ case class GraftConfig(
     // measured, within customers of this region
     marketShareNation: String = "NATION_3",
     marketShareRegion: String = "AFRICA",
+    // q200 dedup threshold curve: swept Jaccard percents — must all be
+    // ≥ the q131 base threshold (simJoinTNum/TDen), whose pair table
+    // the sweep reads
+    dedupCurvePcts: Seq[Int] = Seq(60, 65, 70, 75, 80, 85, 90, 95),
     // supplier diversity (q166, TPC-H Q16 shape): suppliers with
     // account balance below this are excluded (the complaint filter)
     suppExcludeBelowAcctbal: Double = 0.0,

@@ -723,6 +723,44 @@ class DedupOps(val cfg: GraftConfig) {
        |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
        |WHERE $TDen*i >= $TNum*(na.n + nb.n - i)""".stripMargin
 
+  /** q200: dedup THRESHOLD CURVE — the tuning sweep for the dedup
+    * knob itself: for every candidate Jaccard threshold (percents ≥
+    * the q131 base), how many near-dup pairs survive and how many
+    * docs they touch. The curve is what actually sets
+    * `simJoinTNum/TDen` in production — a threshold is a data-loss
+    * dial, and without the curve it gets set blind (the eval family:
+    * q123 recall, q132 LSH, q183 balance, q196 cohesion — this one
+    * grades the THRESHOLD). All sweep points read the ONE exact q131
+    * pair table (every ≥-base pair is in it, higher thresholds are
+    * subsets — no re-join per point); each pair explodes to its two
+    * doc ids × surviving thresholds, so one aggregate yields both
+    * counts: n_pairs = rows div 2 (each pair contributes exactly two
+    * id rows), n_docs = distinct ids. The jaccard-vs-pct/100
+    * comparison is engine-exact: the jaccard is one division of exact
+    * integers and pct/100.0 parses to the same double on both
+    * engines. */
+  def q200DedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = cfg.dedupCurvePcts
+    require(pcts.forall(p => p * TDen >= 100 * TNum),
+      "every sweep percent must be >= the q131 base threshold")
+    val pairs = q131SimJoin(spark, dir).select("id_a", "id_b", "jaccard")
+    pairs
+      .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+      .filter(col("jaccard") >= col("pct").cast("double") / 100.0)
+      .select(col("pct"), explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .groupBy("pct")
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+  }
+
+  def q200Sql: String =
+    s"""WITH base AS ($q131Sql),
+       |sw AS (SELECT pct, unnest([id_a, id_b]) AS doc
+       |  FROM base, (SELECT unnest([${cfg.dedupCurvePcts.mkString(", ")}]) AS pct) p
+       |  WHERE jaccard >= CAST(pct AS DOUBLE) / 100.0)
+       |SELECT pct, count(*) // 2 AS n_pairs, count(DISTINCT doc) AS n_docs
+       |FROM sw GROUP BY pct""".stripMargin
+
   /** q132: LSH TUNING EVAL — precision/recall of q31's MinHash band
     * candidate set against q131's complete truth at the same threshold
     * (t = $TNum/$TDen ≙ cfg.minhashJaccard). The truth lives in

@@ -130,6 +130,25 @@ class DedupSpec extends GraftSpec {
     assert(row.getAs[Double]("merged_balance") >= 1.0 - 1e-9)
   }
 
+  test("q200 dedup curve: monotonically non-increasing in the threshold, base point equals q131") {
+    val rows = Dedup.q200DedupCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.toList.sliding(2).foreach {
+      case List((pa, na, da), (pb, nb, db)) =>
+        assert(pa < pb && nb <= na && db <= da,
+          s"curve must not increase with the threshold: $pa->($na,$da), $pb->($nb,$db)")
+      case _ =>
+    }
+    // the lowest sweep point IS the base threshold → counts equal q131's table
+    val base = Dedup.q131SimJoin(spark, sf).select("id_a", "id_b").collect()
+    val basePct = rows.head
+    assert(basePct._1 * GraftConfig.default.simJoinTDen ==
+      100 * GraftConfig.default.simJoinTNum, "lowest sweep point is the base threshold")
+    assert(basePct._2 == base.length)
+    assert(basePct._3 == base.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length)
+  }
+
   test("q197 family split: no family straddles a split; moved measures real relocations") {
     val rows = Dedup.q197FamilySplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
