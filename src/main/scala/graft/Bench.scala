@@ -116,7 +116,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total excludes -1 sentinels (doubly-failed queries must not
+    // DEFLATE the total — round-9 advice); their per-query entries
+    // still carry the -1 so a failure is visible in the artifact.
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"contam":$contam,"sf":"$sfDir"}""")
   }
 }

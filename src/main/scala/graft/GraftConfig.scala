@@ -332,12 +332,39 @@ case class GraftConfig(
     // q193 (Q7 volume shipping): the audited nation pair
     volumeNationA: String = "NATION_1",
     volumeNationB: String = "NATION_2",
+    // min-cost supplier (q202, the Q2 shape): the region whose suppliers
+    // compete and the part type audited
+    minCostRegion: String = "EUROPE",
+    minCostPartType: String = "STANDARD",
+    // part-value concentration (q203, the Q11 shape): the nation whose
+    // supply value is profiled, and the share denominator — a part is
+    // kept when value * denom > total (exact decimal cross-multiply).
+    // NATION_3 is the smallest nation key with suppliers at EVERY
+    // test SF (NATION_7 has none at sf0.001 — the query would be
+    // vacuously empty at spec scale)
+    valueNation: String = "NATION_3",
+    valueShareDenom: Int = 1000,
+    // persisted-family split (q204): the arriving delta batch is the
+    // doc_id % mod == rem slice of the corpus (deterministic stand-in
+    // for today's crawl)
+    deltaBatchMod: Long = 20L,
+    deltaBatchRem: Long = 3L,
+    // mergeable quantile sketch (q205-q207): sub-bucket bits per octave
+    // — 2^bits linear sub-buckets per power of two, relative bucket
+    // width (and thus quantile error) ≤ 2^-bits
+    quantileSketchBits: Int = 5,
     // cluster-aware curation over the trained IVF cells (round 9):
     // q194 per-cell sample cap, q195 discriminative-term report size +
     // minimum in-cell count
     clusterSampleCap: Int = 5,
     clusterTermsTopK: Int = 5,
     clusterTermsMinCount: Int = 3,
+    // q196: within-cell pair space cap — cohesion is computed over at
+    // most this many md5-ranked members per cell (exact flag marks
+    // cells small enough that the cap changed nothing), so the eval is
+    // unconditionally bounded at cap²/2 pairs per cell instead of
+    // bounded-by-config-contract
+    cohesionPairCap: Int = 1000,
     // q198 dynamic partition pruning: a day is an "incident day" at or
     // above this many error events (selective but non-vacuous: ~5 of
     // 30 days at sf0.01)
@@ -366,12 +393,20 @@ case class GraftConfig(
     // (convergence-guarded — unreached nodes are absent, not wrong)
     bfsSeedMod: Long = 100L,
     bfsRounds: Int = 4,
+    // weighted SSSP (q208): max path length in EDGES explored — the
+    // min-plus loop's round budget (convergence-guarded; weighted
+    // shortest paths can improve through longer-hop routes, so this
+    // sits above bfsRounds)
+    ssspRounds: Int = 8,
     // BPE-merge tokenizer (q167): the merge list applied IN ORDER —
     // each entry is "left right" on space-separated units; corpus must
     // be BMP text (the char-spacing regex is UTF-16-unit-based on the
     // JVM and codepoint-based in RE2 — they agree only below U+10000)
     bpeMerges: Seq[String] = Seq("t h", "th e", "i n", "a n", "an d",
       "e r", "o n", "r e", "o r", "e n"),
+    // BPE-merge TRAINER (q201): number of merges to learn — bounds the
+    // driver loop; each iteration is one corpus scan + one argmax row
+    bpeNumMerges: Int = 6,
     // partitioned-layout scan (q146): the language whose partition the
     // pruned read selects
     layoutScanLang: String = "en",

@@ -18,12 +18,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // parallelismFirst stays at the Spark default (true): A/B probes of
-      // the assembly tail showed size-based coalescing (false, 64 MB or
-      // 4 MB advisory) is a net LOSS here — it collapses the genuinely
-      // CPU-dense byte-small stages (k-mer profiles, levenshtein gates)
-      // to one task, costing more than the tiny-stage task-scheduling it
-      // saves (q62 warm 8.3→8.0, q82 10.7→9.3 on flipping back).
+      // parallelismFirst stays at the Spark default (true). The round-9
+      // advice caught that the original A/B's phase labels didn't match
+      // the configs that actually ran; AqeProbe now sets BOTH knobs
+      // explicitly per phase, and the re-run confirms the conclusion:
+      // q62 warm min — pfOn 7.32 s vs pfOff/64M 7.46 vs pfOff/4M 7.98;
+      // q82 — pfOn 9.11 vs pfOff/64M 10.04 vs pfOff/4M 9.70.
+      // Size-based coalescing (false) collapses the genuinely CPU-dense
+      // byte-small stages (k-mer profiles, levenshtein gates) to few
+      // tasks, costing more than the tiny-stage scheduling it saves.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

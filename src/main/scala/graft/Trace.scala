@@ -15,20 +15,25 @@ object Trace {
   // session that never drains cannot leak.
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
   private val MaxBuffered = 10000
+  // CLQ.size is an O(n) list walk; a warm always-on buffer would make
+  // every traced stage pay a ~10k-node traversal. Track the count
+  // separately (round-9 advice).
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Remove and return every stage timing recorded since the last
     * drain, in record order. */
   def drain(): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var e = buf.poll()
-    while (e != null) { out += e; e = buf.poll() }
+    while (e != null) { out += e; count.decrementAndGet(); e = buf.poll() }
     out.toSeq
   }
 
   def apply[T](tag: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
     val s = (System.nanoTime() - t0) / 1e9
-    if (buf.size < MaxBuffered) buf.add(tag -> s)
+    if (count.getAndIncrement() < MaxBuffered) buf.add(tag -> s)
+    else count.decrementAndGet()
     if (enabled) println(f"TRACE $tag $s%.2f s")
     r
   }

@@ -451,59 +451,14 @@ class DedupOps(val cfg: GraftConfig) {
     // existed only to build it — release its blocks before the CC loop
     // so they can't become spill/GC pressure across the rounds
     arr.unpersist(false)
-    // no persist: pairs is already an eager checkpoint, and this is a
-    // narrow union over its in-memory blocks — re-deriving it per round
-    // is cheaper than a DISK_ONLY write+read cycle
-    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    // lazy cut + count in ONE job (Pipeline.cutAndCount's trick): the
-    // lazy localCheckpoint stores its blocks during the count action
-    val lbl0 = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
-      .select(col("node"), least(col("node"), col("l")).as("lbl"))
-    var lbl =
-      if (cfg.reliableStageCheckpoints) lbl0.checkpoint(true)
-      else lbl0.localCheckpoint(false)
-    val nNodes = lbl.count()
-    // the convergence check is the real exit (the pointer-jump hop makes
-    // that ≈ log(family diameter) rounds in practice); the cap is the
-    // always-sufficient pure-propagation bound, diameter < |nodes|, so
-    // hitting it can never leave labels unresolved
-    val maxRounds = math.max(1L, nNodes).toInt
-    var converged = nNodes == 0
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val nbrMin = und.join(lbl.select(col("node").as("v"), col("lbl").as("vl")), "v")
-        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
-      val prop = lbl.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      // pointer-jump hop: lbl(v) ← lbl(lbl(v)) — labels are node ids, so
-      // chase one hop through the label map itself (path halving)
-      val hop = prop.select(col("node").as("hn"), col("lbl").as("hl"))
-      // stageCk: an eager cut per round stops the k=2 fanout (prop +
-      // hop) plan growth; with cfg.reliableStageCheckpoints the cut is
-      // a reliable checkpoint so executor loss mid-loop cannot drop a
-      // round's blocks on a cluster
-      val next = graft.Trace(s"q57.round${rounds + 1}.ck")(stageCk(
-        prop.join(hop, prop("lbl") === hop("hn"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl"))))
-      rounds += 1
-      // converge-check every 2nd round: the pointer-jump hop halves label
-      // paths, so odd rounds are rarely the stopping point, and each
-      // check is its own join+count job — at worst this trades one spare
-      // (cheap, already-converged) round for half the check jobs
-      if (rounds % 2 == 0 || rounds >= maxRounds) {
-        val changed = next.join(lbl.select(col("node"), col("lbl").as("prev")), "node")
-          .filter(col("lbl") =!= col("prev")).limit(1).count()
-        converged = changed == 0
-      }
-      // the superseded round's checkpoint blocks are dead once `next` is
-      // materialized and the convergence check above has read them —
-      // same drain discipline as the chain loop (resolveChainsFrom);
-      // no-op under reliable checkpoints (files reclaimed by the
-      // ContextCleaner), block release under localCheckpoint
-      lbl.unpersist(false)
-      lbl = next
-    }
+    // CC labels now come from the SHARED [[Cc]] kernel (round 10): the
+    // historical reason for an inlined copy — fusing the loop with the
+    // pair-table checkpoint lifecycle — disappeared once Cc checkpoints
+    // (and key-partitions) the symmetrized edge table itself; the
+    // delegation also hands q57 (and its dependents q197/q204) the
+    // frontier-delta messaging rework for free.
+    val lbl = graft.Trace("q57.cc")(
+      Cc.labels(pairs.select(col("id_a").as("u"), col("id_b").as("v")), cfg))
     // post-loop, the output needs only the final label table + a docs
     // scan: the pair-list checkpoint fed the rounds and is now dead too
     pairs.unpersist(false)
@@ -588,6 +543,74 @@ class DedupOps(val cfg: GraftConfig) {
        |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
        |fam AS (SELECT d.doc_id, coalesce(l.family_id, d.doc_id) AS family_id
        |  FROM documents d LEFT JOIN lbl l USING (doc_id))
+       |SELECT doc_id, family_id,
+       |  ${splitOf("family_id")} AS split,
+       |  ${splitOf("doc_id")} AS naive_split,
+       |  ${splitOf("family_id")} <> ${splitOf("doc_id")} AS moved
+       |FROM fam""".stripMargin
+  }
+
+  /** q204: q197's family-consistent split against a PERSISTED family
+    * table — the incremental-discipline variant (q133/q186/q188's
+    * pattern applied to the splitter): the q57 family labels are
+    * computed ONCE, laid out via [[graft.sources.Tables.writeBucketed]]
+    * on the doc key, and the ARRIVING delta batch (a deterministic
+    * doc_id slice standing in for today's crawl) joins that bucketed
+    * table EXCHANGE-FREE on the family side — at 100 TB the expensive
+    * near-dup clustering is a nightly build, and routing each new batch
+    * to the right split is a bucket-local lookup, not a corpus
+    * re-cluster. Docs absent from the table (genuinely new content)
+    * are their own singleton family — same split either way, moved =
+    * false by construction there. Output is exactly q197's schema
+    * restricted to the delta (persistence through the layout is
+    * semantics-free — q186's point). The merge hint pins the at-scale
+    * join shape; at test sf the planner would broadcast the delta and
+    * bypass the bucketed scan. */
+  def q204FamilySplitPersisted(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = substring(md5(c.cast("string")), 1, 2)
+      when(b < cfg.splitTrainUpper, "train")
+        .when(b < cfg.splitValUpper, "val").otherwise("test")
+    }
+    val fams = q57DedupFamilies(spark, dir).select("doc_id", "family_id")
+    // the warehouse LOCATION outlives the session-local metastore (the
+    // q186 scrub discipline)
+    spark.sql("DROP TABLE IF EXISTS graft_q204_families")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_q204_families")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sources.Tables.writeBucketed(fams, "graft_q204_families", "doc_id", buckets = 8)
+    val famT = spark.table("graft_q204_families")
+      .select(col("doc_id").as("f_doc"), col("family_id"))
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % cfg.deltaBatchMod === cfg.deltaBatchRem)
+      .select("doc_id")
+    famT.hint("merge")
+      .join(delta, col("f_doc") === col("doc_id"), "right_outer")
+      .select(col("doc_id"),
+        coalesce(col("family_id"), col("doc_id")).as("family_id"))
+      .withColumn("split", splitOf(col("family_id")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+      .withColumn("moved", col("split") =!= col("naive_split"))
+  }
+
+  def q204Sql: String = {
+    def splitOf(c: String): String =
+      s"""CASE WHEN substr(md5($c::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}' THEN 'train'
+         |  WHEN substr(md5($c::VARCHAR), 1, 2) < '${cfg.splitValUpper}' THEN 'val'
+         |  ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE
+       |$nearDupEdgesSql,
+       |und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
+       |delta AS (SELECT doc_id FROM documents
+       |  WHERE doc_id % ${cfg.deltaBatchMod} = ${cfg.deltaBatchRem}),
+       |fam AS (SELECT d.doc_id, coalesce(l.family_id, d.doc_id) AS family_id
+       |  FROM delta d LEFT JOIN lbl l USING (doc_id))
        |SELECT doc_id, family_id,
        |  ${splitOf("family_id")} AS split,
        |  ${splitOf("doc_id")} AS naive_split,

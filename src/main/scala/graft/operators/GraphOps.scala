@@ -919,15 +919,24 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val paths = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"), col("x.dst").as("mid"))
-    val m = paths.join(docs.select(col("doc_id").as("mid"), col("n_chars"), col("text")), "mid")
+    // lengths-only through the heavy 2-path aggregate: the old shape
+    // carried full TEXT through the (src, dst) shuffle and kept it in
+    // every partial min(struct) — round-10 rework ships only ints
+    // there and joins text back for the (rare) bubble candidates, so
+    // corpus text bytes never ride the 2-path exchange at any scale
+    val m = paths.join(docs.select(col("doc_id").as("mid"), col("n_chars")), "mid")
     val kept = m.groupBy("src", "dst").agg(
         count(lit(1)).as("n_mids"),
-        min(struct((-col("n_chars")).as("negl"), col("mid").as("kmid"), col("text").as("ktext"))).as("k"))
+        min(struct((-col("n_chars")).as("negl"), col("mid").as("kmid"))).as("k"))
       .filter(col("n_mids") >= 2)
       .select(col("src"), col("dst"), col("k.kmid").as("kept_mid"),
-        col("k.ktext").as("ktext"), (-col("k.negl")).as("klen"))
-    m.join(kept, Seq("src", "dst"))
+        (-col("k.negl")).as("klen"))
+    val cand = m.join(kept, Seq("src", "dst"))
       .filter(col("mid") =!= col("kept_mid"))
+      .select(col("mid"), col("n_chars"), col("kept_mid"), col("klen"))
+    cand
+      .join(docs.select(col("doc_id").as("mid"), col("text")), "mid")
+      .join(docs.select(col("doc_id").as("kept_mid"), col("text").as("ktext")), "kept_mid")
       .filter(editGate(col("text"), col("ktext"), greatest(col("n_chars"), col("klen"))))
       .select(col("mid").as("node")).distinct()
   }
@@ -1775,6 +1784,88 @@ class GraphOpsLib(val cfg: GraftConfig) {
     }
     graft.Convergence.check("q170.bfs", cfg.bfsRounds, converged)
     dist.select(col("u").as("doc_id"), col("h").as("hops"))
+  }
+
+  /** q208: WEIGHTED single-source (multi-seed) shortest paths — the
+    * min-plus generalization of q170's BFS: edge weight = the dst
+    * read's EXTENSION length (n_chars − overlap-key chars, floored at
+    * 1 — the real assembly distance: how many new bases following this
+    * edge adds), distance = cheapest total extension from the seed
+    * set. Same frontier-free min-merge kernel (distances only ever
+    * shrink; converged rounds are idempotent) with one weighted twist:
+    * a node's distance can IMPROVE after first reach (a longer-hop
+    * path may be cheaper), so the convergence guard compares row count
+    * AND the exact integer distance sum — count alone is BFS-only
+    * reasoning. Weights are BIGINT, so min-plus is engine-exact and
+    * the oracle (identical unrolled rounds) hashes bitwise. Nodes
+    * beyond the ${cfg.ssspRounds}-edge path budget are ABSENT, not
+    * mislabeled; the guard reports a clipped budget. Property-tested
+    * against a naive driver-side Dijkstra on random weighted graphs.
+    * Per round: one join of the reached-set table against the edge
+    * list + a min aggregate + one count/sum probe of the just-
+    * checkpointed table — the corpus is never revisited. */
+  def q208Sssp(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val docs = Tables.documents(spark, dir)
+    val we = edges2(spark, dir)
+      .join(docs.select(col("doc_id"), col("n_chars").cast("long").as("nc")),
+        col("dst") === col("doc_id"))
+      .select(col("src").as("u"), col("dst").as("v"),
+        greatest(lit(1L), col("nc") - length(col("okey")).cast("long")).as("w"))
+    val seeds = docs
+      .filter(col("doc_id") % cfg.bfsSeedMod === 0)
+      .select(col("doc_id").as("u"), lit(0L).as("d"))
+    ssspFrom(we, seeds).select(col("u").as("doc_id"), col("d").as("dist"))
+  }
+
+  /** The min-plus kernel behind q208: `wedges` = (u, v, w BIGINT),
+    * `seeds` = (u, d=0). */
+  private[graft] def ssspFrom(wedges: DataFrame, seeds: DataFrame): DataFrame = {
+    def ckCountSum(df: DataFrame): (DataFrame, Long, Long) = {
+      val c = if (cfg.reliableStageCheckpoints) df.checkpoint(true)
+              else df.localCheckpoint(false)
+      val r = c.agg(count(lit(1)), sum(col("d"))).collect()(0)
+      (c, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (ed, ne) = ckCount(wedges)
+    val edS = sizedCk(ed, ne)
+    var (dist, n, sumD) = ckCountSum(seeds)
+    var rounds = 0
+    var converged = ne == 0L
+    while (!converged && rounds < cfg.ssspRounds) {
+      // no join hint: the reached-set side starts seed-sized (q170's
+      // broadcast-until-the-frontier-outgrows-it reasoning)
+      val grown = dist.unionAll(
+          dist.join(edS, Seq("u"))
+            .select(col("v").as("u"), (col("d") + col("w")).as("d")))
+        .groupBy("u").agg(min(col("d")).as("d"))
+      val (next, m, s2) = graft.Trace(s"q208.sssp.${rounds + 1}")(ckCountSum(grown))
+      // distances are monotone non-increasing per node and nodes are
+      // only ever added, so equal count AND equal exact sum ⇔ no row
+      // changed at all
+      converged = m == n && s2 == sumD
+      dist = next; n = m; sumD = s2
+      rounds += 1
+    }
+    graft.Convergence.check("q208.sssp", cfg.ssspRounds, converged)
+    dist
+  }
+
+  def q208Sql: String = {
+    val rounds = (1 to cfg.ssspRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT u, CAST(min(d) AS BIGINT) AS d FROM (
+         |  SELECT u, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS u, x.d + e.w AS d FROM d${i - 1} x JOIN we e ON x.u = e.u)
+         |  GROUP BY u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH we AS MATERIALIZED (SELECT e.src AS u, e.dst AS v,
+       |    CAST(greatest(1, d.n_chars - len(e.okey)) AS BIGINT) AS w
+       |  FROM ($edges2Sql) e JOIN documents d ON e.dst = d.doc_id),
+       |d0 AS (SELECT doc_id AS u, CAST(0 AS BIGINT) AS d FROM documents
+       |  WHERE doc_id % ${cfg.bfsSeedMod} = 0),
+       |$rounds
+       |SELECT u AS doc_id, d AS dist FROM d${cfg.ssspRounds}""".stripMargin
   }
 
   def q170Sql: String = {

@@ -1065,6 +1065,117 @@ class RelationalOps(val cfg: GraftConfig) {
        |  WHERE (ns.n_name = '${cfg.volumeNationA}' AND nc.n_name = '${cfg.volumeNationB}')
        |     OR (ns.n_name = '${cfg.volumeNationB}' AND nc.n_name = '${cfg.volumeNationA}'))
        |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q202: min-cost supplier per part — the TPC-H Q2 shape, the last
+    * distinct canon plan missing (the correlated "= (SELECT min(...))"
+    * subquery DECORRELATED into aggregate + equality join-back — the
+    * q190 discipline applied to a multiway dim chain). The corpus has
+    * no partsupp table, so the supply catalog is DERIVED: a supplier's
+    * unit cost for a part is its cheapest observed lineitem price per
+    * unit, fixed to BIGINT cents (floor(price/qty·100) — one fixed
+    * chain, exact on both engines; min and the equality join-back are
+    * then integer-exact, so ties surface ALL achieving suppliers
+    * deterministically, like Q2's result set). Plan: region suppliers
+    * and the type-filtered part dim collapse to BROADCASTS that prune
+    * the fact scan before any shuffle; offers aggregate once on
+    * (part, supplier); the per-part min is a re-aggregation of that
+    * small table; the join-back is aggregated⋈aggregated on the part
+    * key (shuffled-hash — the min table scales with |part|, NOT
+    * broadcast-safe at 100 TB). */
+  def q202MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rs = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir)
+          .filter(col("r_name") === cfg.minCostRegion).select("r_regionkey"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val pf = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === cfg.minCostPartType)
+      .select("p_partkey", "p_brand"))
+    val offers = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .join(rs.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+      .join(pf.select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(expr("CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)"))
+        .as("cost100"))
+    val minc = offers.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost100")).as("m"))
+    offers
+      .join(minc.hint("shuffle_hash"),
+        col("l_partkey") === col("m_partkey") && col("cost100") === col("m"))
+      .join(rs, col("l_suppkey") === col("s_suppkey"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"),
+        (col("cost100").cast("double") / 100.0).as("supply_cost"))
+  }
+
+  def q202Sql: String =
+    s"""WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '${cfg.minCostRegion}'),
+       |pf AS (SELECT p_partkey, p_brand FROM part
+       |  WHERE p_type = '${cfg.minCostPartType}'),
+       |offers AS (SELECT l_partkey, l_suppkey,
+       |    min(CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost100
+       |  FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+       |  JOIN pf ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |minc AS (SELECT l_partkey, min(cost100) AS m FROM offers GROUP BY 1)
+       |SELECT rs.s_acctbal, rs.s_name, rs.n_name, o.l_partkey AS p_partkey,
+       |  pf.p_brand, CAST(o.cost100 AS DOUBLE) / 100.0 AS supply_cost
+       |FROM offers o
+       |JOIN minc ON o.l_partkey = minc.l_partkey AND o.cost100 = minc.m
+       |JOIN rs ON o.l_suppkey = rs.s_suppkey
+       |JOIN pf ON o.l_partkey = pf.p_partkey""".stripMargin
+
+  /** q203: part-value concentration — the TPC-H Q11 shape: per part,
+    * the revenue flowing through ONE nation's suppliers, kept only
+    * where it exceeds a fixed fraction of that nation's total — the
+    * HAVING-against-a-global-scalar plan. The threshold is EXACT (the
+    * q191 cross-multiply discipline lifted from integers to decimals):
+    * per-part value and the grand total are both DECIMAL(24,6) sums of
+    * the same one-chain volume cast — order-free, engine-identical —
+    * and the filter is value·denom > total in decimal arithmetic, so
+    * no float average ever sits at the boundary. Plan: the nation's
+    * supplier keys broadcast into the fact scan; ONE aggregate builds
+    * the per-part values; the one-row total re-aggregates that output
+    * and rides a broadcast cross-join — the fact table is scanned
+    * once. */
+  def q203ValueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir)
+        .filter(col("n_name") === cfg.valueNation).select("n_nationkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).as("vdec"))
+    val total = perPart.agg(sum(col("vdec")).as("tdec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("vdec") * lit(cfg.valueShareDenom) > col("tdec"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("vdec").cast("double").as("part_value"))
+  }
+
+  def q203Sql: String =
+    s"""WITH pv AS (SELECT l_partkey,
+       |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS vdec
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = '${cfg.valueNation}'
+       |  GROUP BY 1),
+       |tot AS (SELECT SUM(vdec) AS tdec FROM pv)
+       |SELECT l_partkey AS p_partkey, CAST(vdec AS DOUBLE) AS part_value
+       |FROM pv, tot
+       |WHERE vdec * ${cfg.valueShareDenom} > tdec""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

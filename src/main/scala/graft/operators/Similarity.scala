@@ -835,16 +835,27 @@ class SimilarityOps(val cfg: GraftConfig) {
     * fix to BIGINT at 1e9 BEFORE summation (each pair's cosine is one
     * fixed dot/sqrt/divide chain over exact fixed-point dots — engine-
     * identical; double SUMS would be order-sensitive, integer sums are
-    * not). Pair space is Σ|cell|², q94's bound — never n²; the
-    * centroid×centroid table is |cells|² and broadcast-sized. */
+    * not). Pair space: cohesion is computed over at most
+    * ${cfg.cohesionPairCap} members per cell in content-stable md5
+    * order (q194's rank discipline — plans as WindowGroupLimit, so a
+    * hot cell keeps ≤ cap rows map-side BEFORE the cell exchange),
+    * making the eval unconditionally ≤ Σ min(|cell|, cap)² pairs at
+    * ANY corpus size; `exact` = 1 marks cells the cap didn't touch
+    * (capped ≡ full there — spec-reconciled). The centroid×centroid
+    * table is |cells|² and broadcast-sized. */
   def q196ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val cents = trainIndex(spark, dir)
     val av = assign(e, cents).select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
-    val a = av.select(col("cell"), col("vec_id").as("ia"),
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(concat(lit("ch:"), col("vec_id").cast("string"))), col("vec_id"))
+    val capped = av.withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= cfg.cohesionPairCap)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+    val a = capped.select(col("cell"), col("vec_id").as("ia"),
       col("embedding").as("ea"), col("n2").as("na"))
-    val b = av.select(col("cell"), col("vec_id").as("ib"),
+    val b = capped.select(col("cell"), col("vec_id").as("ib"),
       col("embedding").as("eb"), col("n2").as("nb"))
     val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
       .select(col("cell"),
@@ -866,14 +877,20 @@ class SimilarityOps(val cfg: GraftConfig) {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         (col("s_cos").cast("double") / col("n_pairs").cast("double") / 1e9)
           .as("within_avg_cos"),
-        col("max_other_centroid_cos"))
+        col("max_other_centroid_cos"),
+        when(col("n") <= cfg.cohesionPairCap, lit(1L)).otherwise(lit(0L)).as("exact"))
   }
 
   def q196Sql: String =
     s"""$trainedAssignCtes,
+       |cap AS (SELECT cell, vec_id, embedding FROM (
+       |    SELECT av.*, row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5('ch:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM av)
+       |  WHERE rk <= ${cfg.cohesionPairCap}),
        |pr AS (SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib,
        |    unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
-       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |  FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |pd AS (SELECT cell, ia, ib,
        |    ${Vec.dotDecSqlDuck("xa", "xb")} AS dot,
        |    ${Vec.dotDecSqlDuck("xa", "xa")} AS na,
@@ -900,7 +917,9 @@ class SimilarityOps(val cfg: GraftConfig) {
        |SELECT sizes.cell, sizes.n, coalesce(coh.n_pairs, 0) AS n_pairs,
        |  CAST(coh.s_cos AS DOUBLE) / CAST(coh.n_pairs AS DOUBLE) / 1e9
        |    AS within_avg_cos,
-       |  sep.max_other_centroid_cos
+       |  sep.max_other_centroid_cos,
+       |  CAST(CASE WHEN sizes.n <= ${cfg.cohesionPairCap} THEN 1 ELSE 0 END AS BIGINT)
+       |    AS exact
        |FROM sizes LEFT JOIN coh USING (cell) LEFT JOIN sep USING (cell)""".stripMargin
 
   /** q179: QUANTIZATION ERROR eval — every approximation here ships

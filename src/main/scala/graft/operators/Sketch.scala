@@ -537,6 +537,169 @@ class SketchOps(val cfg: GraftConfig) {
        |FROM qb JOIN sketch s ON s.r = qb.r AND s.b = qb.b
        |GROUP BY 1, 2""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q205/q206/q207: MERGEABLE QUANTILE SKETCH — the q96 register role
+  // for order statistics: a log-linear (HDR-histogram-style) bucket
+  // table with sum-mergeable integer counts and a bounded relative
+  // error, plus its exact-eval and streaming twins.
+  // ---------------------------------------------------------------------
+
+  private val QsK: Int = cfg.quantileSketchBits
+
+  /** The log-linear bucket projection over (cls, v100): e = the value's
+    * binary length (computed via base-2 STRING length — conv/bin on
+    * both engines — so the exponent is integer-exact, never a float
+    * log at a boundary), d = 2^max(e−1−$QsK, 0) (exact IEEE power cast
+    * back to BIGINT), m = v100 div d. Per octave e there are at most
+    * 2^${QsK + 1} sub-buckets, values below 2^$QsK get exact singleton
+    * buckets, and [m·d, (m+1)·d − 1] brackets every member with
+    * relative width ≤ 2^−$QsK. */
+  private def qsBuckets(vals: DataFrame): DataFrame =
+    vals
+      .withColumn("e", length(conv(col("v"), 10, 2)).cast("long"))
+      .withColumn("d", expr(s"CAST(power(2.0, greatest(e - 1 - $QsK, 0)) AS BIGINT)"))
+      .withColumn("m", expr("v div d"))
+      .groupBy("cls", "e", "m", "d")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("cls"), col("e"), col("m"),
+        (col("m") * col("d")).as("lo100"),
+        ((col("m") + lit(1L)) * col("d") - lit(1L)).as("hi100"),
+        col("cnt"))
+
+  private def qsBucketsSqlDuck: String =
+    s"""vals AS (SELECT o_orderpriority AS cls,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |ebl AS (SELECT cls, v, CAST(length(bin(v)) AS BIGINT) AS e FROM vals),
+       |dd AS (SELECT cls, v, e,
+       |    CAST(power(2.0, greatest(e - 1 - $QsK, 0)) AS BIGINT) AS d FROM ebl),
+       |sk AS (SELECT cls, e, v // d AS m, d, count(*) AS cnt
+       |  FROM dd GROUP BY 1, 2, 3, 4),
+       |sketch AS (SELECT cls, e, m, m * d AS lo100, (m + 1) * d - 1 AS hi100, cnt
+       |  FROM sk)""".stripMargin
+
+  /** q205: MERGEABLE QUANTILE SKETCH — per order-priority class, the
+    * log-linear bucket table over o_totalprice cents: the quantile
+    * twin of q96's HLL registers. The artifact is (octave, sub-bucket,
+    * bounds, count) with ≤ 64·2^${QsK + 1} rows per class no matter
+    * the corpus size; shard sketches MERGE by per-bucket count SUM
+    * (spec-pinned, the q96 register-max role played by addition), so
+    * 1000 executors sketch their shards independently and any
+    * historical sketch merges with today's — the artifact a
+    * percentile dashboard keeps when re-scanning 100 TB per query is
+    * off the table. All bucket math is integer-exact on both engines
+    * (binary-string length + exact power-of-two division — no float
+    * log at any boundary); q206 ships the guaranteed-bounds eval
+    * against exact q91. Scale: one map-side-combinable aggregate on a
+    * bounded key space — the q1 shape. */
+  def q205QuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    qsBuckets(Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("cls"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v")))
+      .withColumnRenamed("cls", "o_orderpriority")
+
+  def q205Sql: String =
+    s"""WITH $qsBucketsSqlDuck
+       |SELECT cls AS o_orderpriority, e, m, lo100, hi100, CAST(cnt AS BIGINT) AS cnt
+       |FROM sketch""".stripMargin
+
+  /** q206: the sketch's ERROR EVAL against exact q91 — every
+    * approximation ships with its measured eval (q123/q132/q179's
+    * rule): reconstruct each percentile level's bucket from the q205
+    * sketch (nearest-rank cut over cumulative counts — same rank rule
+    * as q91), join the exact q91 value, and emit the bucket bounds,
+    * the exact value, and the containment flag. `in_bounds` is TRUE by
+    * construction (monotone cents mapping: the r-th price maps to the
+    * r-th v100, which lies in the cut bucket) — the eval would catch a
+    * corrupted sketch or a broken reconstruction, not just a wrong
+    * derivation. Cumulative counts use q91's broadcast triangular join
+    * on the BOUNDED bucket table (never a corpus window); lo100 is
+    * strictly increasing across (e, m), so it is the complete sort
+    * key. */
+  def q206QuantileEval(spark: SparkSession, dir: String): DataFrame = {
+    val sk = q205QuantileSketch(spark, dir)
+      .withColumnRenamed("o_orderpriority", "cls")
+    val levels = cfg.percentileLevels
+    val ranks = sk.groupBy("cls").agg(sum(col("cnt")).as("n"))
+      .select(col("cls"), col("n"),
+        explode(array(levels.map(p => struct(lit(p).as("p"),
+          expr(s"(n * $p + 99) div 100").as("r"))): _*)).as("pr"))
+      .select(col("cls"), col("n"), col("pr.p").as("p"), col("pr.r").as("r"))
+    val cum = sk.as("a")
+      .join(broadcast(sk.as("b")),
+        col("a.cls") === col("b.cls") && col("b.lo100") <= col("a.lo100"))
+      .groupBy(col("a.cls").as("cls"), col("a.lo100").as("lo100"),
+        col("a.hi100").as("hi100"))
+      .agg(sum(col("b.cnt")).as("cum"))
+    val cut = ranks.join(cum, "cls")
+      .filter(col("cum") >= col("r"))
+      .groupBy("cls", "n", "p")
+      .agg(min(struct(col("lo100"), col("hi100"))).as("mm"))
+      .select(col("cls"), col("n"), col("p"),
+        col("mm.lo100").as("lo100"), col("mm.hi100").as("hi100"))
+    val exact = new AnalyticsOps(cfg).q91Percentiles(spark, dir)
+      .select(col("o_orderpriority").as("cls"),
+        explode(array(levels.map(p => struct(lit(p).as("p"),
+          col(s"p$p").as("v"))): _*)).as("pv"))
+      .select(col("cls"), col("pv.p").as("p"), col("pv.v").as("exact_v"))
+    cut.join(exact, Seq("cls", "p"))
+      .select(col("cls").as("o_orderpriority"), col("p"), col("n"),
+        col("exact_v"), col("lo100"), col("hi100"),
+        expr("CAST(floor(exact_v * 100) AS BIGINT) BETWEEN lo100 AND hi100")
+          .as("in_bounds"))
+  }
+
+  def q206Sql: String = {
+    val levels = cfg.percentileLevels
+    val lvlRows = levels.map(p => s"($p)").mkString(", ")
+    val q91 = new AnalyticsOps(cfg).q91Sql
+    val unpiv = levels.map(p =>
+      s"SELECT o_orderpriority AS cls, $p AS p, p$p AS exact_v FROM q91")
+      .mkString(" UNION ALL ")
+    s"""WITH $qsBucketsSqlDuck,
+       |q91 AS ($q91),
+       |exact AS ($unpiv),
+       |ns AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS n FROM sketch GROUP BY 1),
+       |ranks AS (SELECT ns.cls, ns.n, l.p, (ns.n * l.p + 99) // 100 AS r
+       |  FROM ns CROSS JOIN (VALUES $lvlRows) AS l(p)),
+       |cum AS (SELECT a.cls, a.lo100, a.hi100, CAST(SUM(b.cnt) AS BIGINT) AS cum
+       |  FROM sketch a JOIN sketch b ON a.cls = b.cls AND b.lo100 <= a.lo100
+       |  GROUP BY 1, 2, 3),
+       |cut AS (SELECT cls, n, p, min(lo100) AS lo100
+       |  FROM ranks JOIN cum USING (cls) WHERE cum >= r
+       |  GROUP BY 1, 2, 3),
+       |cutb AS (SELECT c.cls, c.n, c.p, c.lo100, s.hi100
+       |  FROM cut c JOIN sketch s ON s.cls = c.cls AND s.lo100 = c.lo100)
+       |SELECT c.cls AS o_orderpriority, CAST(c.p AS INTEGER) AS p, c.n,
+       |  e.exact_v, c.lo100, c.hi100,
+       |  CAST(floor(e.exact_v * 100) AS BIGINT) BETWEEN c.lo100 AND c.hi100
+       |    AS in_bounds
+       |FROM cutb c JOIN exact e ON e.cls = c.cls AND e.p = c.p""".stripMargin
+  }
+
+  /** q207: STREAMING quantile sketch — the q147 lesson for order
+    * statistics: the aggregation state IS the bounded bucket table
+    * (counts are order-insensitive sums), so the bounded-replay drain
+    * equals batch q205 bit-for-bit and the same oracle gates both; a
+    * live stream's sketch merges with any batch shard's by bucket
+    * count sum (q205's pinned property). An exact streaming quantile
+    * would need every value in state. */
+  def q207StreamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+    val sk = qsBuckets(raw.select(col("o_orderpriority").as("cls"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v")))
+      .withColumnRenamed("cls", "o_orderpriority")
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = sk.writeStream.format("memory").queryName("graft_q207")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q207")
+    }
+  }
+
+  def q207Sql: String = q205Sql
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -383,20 +383,40 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     * the whole thing is ONE codegen'd scan expression — zero shuffles,
     * zero joins at any corpus size), and units = surviving
     * space-separated symbols. Each merge's replace is applied TWICE —
-    * exactly the fixpoint: consecutive occurrences share their
-    * delimiter space, so a single leftmost-non-overlapping pass merges
-    * only alternating occurrences of a run ('hahaha' → 4 units, where
+    * exactly the fixpoint FOR DISTINCT-OPERAND MERGES (left != right,
+    * asserted below): consecutive occurrences share their delimiter
+    * space, so a single leftmost-non-overlapping pass merges only
+    * alternating occurrences of a run ('hahaha' → 4 units, where
     * BPE's one-at-a-time apply gives 3); the pass-1 leftovers are
     * always separated by a just-merged symbol, hence isolated, and
     * pass 2 takes every one of them. No third pass can ever match:
     * a replacement's output symbol is strictly longer than either of
     * its own operands, so replacing cannot create a fresh occurrence
-    * of the same pair. Replace semantics (leftmost, non-overlapping,
-    * all occurrences) agree across engines; restricted to BMP text
-    * (see GraftConfig.bpeMerges). Empty tokens count one unit on both
-    * engines. */
+    * of the same pair. A SAME-symbol merge ('x x' → 'xx') breaks the
+    * pass-2 argument — in a run of ≥5 the leftovers neighbor each
+    * other and apply-twice over-merges relative to one-at-a-time BPE
+    * (6×'a' → aa·a·aa·a where sequential BPE gives aa·aa·aa), so such
+    * merges are rejected up front (engine PARITY would still hold —
+    * both engines run the identical chain — but the "≡ sequential
+    * BPE" semantics would not). Replace semantics (leftmost,
+    * non-overlapping, all occurrences) agree across engines;
+    * restricted to BMP text (see GraftConfig.bpeMerges). Empty tokens
+    * count one unit on both engines. */
+  /** Guard for the apply-twice fixpoint argument above: every merge
+    * must have distinct operands. Both the Spark and the oracle chain
+    * builders go through this. */
+  private def bpeMergesChecked(ms: Seq[String]): Seq[String] = {
+    ms.foreach { m =>
+      val parts = m.split(' ')
+      require(parts.length == 2 && parts(0) != parts(1),
+        s"BPE merge '$m' must be two DISTINCT space-separated symbols " +
+          "(same-symbol merges break the apply-twice ≡ sequential-BPE equivalence)")
+    }
+    ms
+  }
+
   def q167BpeUnits(spark: SparkSession, dir: String): DataFrame = {
-    val chain = cfg.bpeMerges.foldLeft("concat(' ', regexp_replace(t, '(.)', '$1 '))") {
+    val chain = bpeMergesChecked(cfg.bpeMerges).foldLeft("concat(' ', regexp_replace(t, '(.)', '$1 '))") {
       (acc, m) =>
         val merged = m.replace(" ", "")
         s"replace(replace($acc, ' $m ', ' $merged '), ' $m ', ' $merged ')"
@@ -412,7 +432,7 @@ class TextAnalysisOps(val cfg: GraftConfig) {
   }
 
   def q167Sql: String = {
-    val chain = cfg.bpeMerges.foldLeft("' ' || regexp_replace(t, '(.)', '\\1 ', 'g')") {
+    val chain = bpeMergesChecked(cfg.bpeMerges).foldLeft("' ' || regexp_replace(t, '(.)', '\\1 ', 'g')") {
       (acc, m) =>
         val merged = m.replace(" ", "")
         s"replace(replace($acc, ' $m ', ' $merged '), ' $m ', ' $merged ')"
@@ -483,6 +503,119 @@ class TextAnalysisOps(val cfg: GraftConfig) {
        |CROSS JOIN n
        |ORDER BY lift DESC, w1, w2
        |LIMIT ${cfg.collocTopK}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q201: BPE-merge LEARNING — the tokenizer TRAINER whose output q167's
+  // apply step consumes (before this, the merge list was a config
+  // constant nothing could produce).
+  // ---------------------------------------------------------------------
+
+  /** The q167 apply chain over a list of learned (left, right) merges:
+    * space the token's characters in-row, then fold each merge as the
+    * literal double-replace (apply-twice = the exact sequential-BPE
+    * fixpoint for distinct-operand merges — the q167 proof; the trainer
+    * only ever LEARNS distinct-operand merges, see the candidate filter
+    * in [[q201BpeTrain]]). Merged symbols are concatenations of corpus
+    * characters restricted to [A-Za-z0-9], so embedding them as SQL
+    * string literals is injection-safe by construction. */
+  private def bpeSpacedExpr(merges: Seq[(String, String)]): String =
+    merges.foldLeft("concat(' ', regexp_replace(t, '(.)', '$1 '))") {
+      case (acc, (l, r)) =>
+        s"replace(replace($acc, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"
+    }
+
+  /** q201: BPE-merge TRAINING — the iterative pair-count/argmax loop
+    * that PRODUCES a merge list (GPT-2/SentencePiece's BPE trainer in
+    * DataFrame form): per iteration, count adjacent symbol pairs over
+    * the whole corpus AFTER applying the merges learned so far (q155's
+    * adjacent-pair aggregate shape, on subword symbols instead of
+    * words), take the argmax pair with a deterministic tie-break
+    * (count DESC, then left, right — binary string order, identical
+    * across engines), append it to the merge list, repeat. Output: one
+    * row per learned merge — (iter, l_sym, r_sym, merged, pair_count).
+    *
+    * Candidate filter (both engines, identically): operands must be
+    * [A-Za-z0-9]+ runs (word-internal subwords only — the pre-tokenizer
+    * boundary real BPE trainers draw at category changes) and DISTINCT
+    * (l ≠ r): the apply step's apply-twice fixpoint contract holds only
+    * for distinct-operand merges (q167's round-10 scoping), so the
+    * trainer only learns merges its own apply step can replay exactly.
+    *
+    * Scale (the q150 discipline the round-9 verdict named): the driver
+    * loop is bounded by ${cfg.bpeNumMerges}; per iteration the corpus
+    * is scanned ONCE with the learned chain as a single codegen'd
+    * expression (no joins — merges are driver-side literals), pairs
+    * aggregate with map-side combine on a vocab²-bounded key space, and
+    * only ONE row is collected. Per-iteration driver state is the merge
+    * list itself — vocab-bounded, corpus-independent. Early-stops when
+    * no candidate pair remains. */
+  def q201BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    var i = 1
+    while (!done && i <= cfg.bpeNumMerges) {
+      val chain = bpeSpacedExpr(learned.toSeq.map(m => (m._2, m._3)))
+      val top = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .select(split(trim(expr(chain)), " ").as("sy"))
+        .select(explode(expr(
+          """zip_with(slice(sy, 1, greatest(size(sy) - 1, 0)),
+            |         slice(sy, 2, greatest(size(sy) - 1, 0)),
+            |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .filter(col("l").rlike("^[A-Za-z0-9]+$") && col("r").rlike("^[A-Za-z0-9]+$") &&
+          col("l") =!= col("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        learned += ((i.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+        i += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("iter", "l_sym", "r_sym", "pair_count")
+      .select(col("iter"), col("l_sym"), col("r_sym"),
+        concat(col("l_sym"), col("r_sym")).as("merged"), col("pair_count"))
+  }
+
+  /** The oracle unrolls the SAME ${cfg.bpeNumMerges} iterations as
+    * materialized CTEs: p_i counts pairs of s_{i-1}, m_i is its argmax
+    * row, s_i applies m_i to s_{i-1} via the identical double-replace
+    * with the merge read back through scalar subqueries (replace() is
+    * literal on both engines, so no escaping concerns). If training
+    * dries up early, m_i is empty, its scalar subqueries go NULL, the
+    * NULL corpus yields no pairs, and every later m_j is empty too —
+    * both engines emit the same short list. */
+  def q201Sql: String = {
+    val k = cfg.bpeNumMerges
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+              |s0 AS (SELECT ' ' || regexp_replace(t, '(.)', '\\1 ', 'g') AS s FROM toks)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |p$i AS (SELECT l, r, count(*) AS c FROM (
+                |    SELECT unnest(sy[1:len(sy)-1]) AS l, unnest(sy[2:len(sy)]) AS r
+                |    FROM (SELECT string_split(trim(s), ' ') AS sy FROM s${i - 1}))
+                |  WHERE regexp_matches(l, '^[A-Za-z0-9]+$$') AND regexp_matches(r, '^[A-Za-z0-9]+$$')
+                |    AND l <> r
+                |  GROUP BY 1, 2),
+                |m$i AS (SELECT $i AS iter, l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+                |s$i AS (SELECT replace(replace(s,
+                |    (SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)),
+                |    (SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS s
+                |  FROM s${i - 1})""".stripMargin
+    }
+    val unions = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    sb ++= s"""
+              |SELECT CAST(iter AS BIGINT) AS iter, l AS l_sym, r AS r_sym,
+              |  l || r AS merged, CAST(c AS BIGINT) AS pair_count
+              |FROM ($unions)""".stripMargin
+    sb.toString
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -14,7 +14,12 @@ object AqeProbe {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once() // warmup (session defaults: parallelismFirst=false, 64MB advisory)
+    once() // warmup under session defaults (parallelismFirst=true, no advisory set)
+    // Each phase sets BOTH knobs explicitly so the label always matches
+    // the config that actually ran (round-9 advice: the session default
+    // leaves parallelismFirst=true, so an unset phase is not "pfOff").
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64 * 1024 * 1024).toString)
     val a1 = once(); val a2 = once()
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4 * 1024 * 1024).toString)
     val b1 = once(); val b2 = once()

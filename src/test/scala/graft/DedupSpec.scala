@@ -164,6 +164,19 @@ class DedupSpec extends GraftSpec {
     // the family still lands whole (covered by the straddle check)
   }
 
+  test("q204 persisted split ≡ q197 recomputed split on the delta slice") {
+    val cfgD = GraftConfig.default
+    val q197 = Dedup.q197FamilySplit(spark, sf).collect()
+      .filter(r => r.getLong(0) % cfgD.deltaBatchMod == cfgD.deltaBatchRem)
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    val q204 = Dedup.q204FamilySplitPersisted(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(q204.nonEmpty && q204 == q197,
+      "routing a delta through the persisted family table must equal recomputing the split")
+  }
+
   test("q194 cluster sample: per-cell cap respected, deterministic across re-runs") {
     val cap = GraftConfig.default.clusterSampleCap
     val r1 = Similarity.q194ClusterSample(spark, sf).collect()
@@ -177,12 +190,15 @@ class DedupSpec extends GraftSpec {
     }
   }
 
-  test("q196 cohesion: pair counts are n·(n−1)/2, cosines bounded, singletons null") {
+  test("q196 cohesion: pair counts are m·(m−1)/2 for m=min(n,cap), cosines bounded, singletons null") {
+    val cap = GraftConfig.default.cohesionPairCap
     val rows = Similarity.q196ClusterCohesion(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val n = r.getAs[Long]("n"); val np = r.getAs[Long]("n_pairs")
-      assert(np == n * (n - 1) / 2, s"cell ${r.getLong(0)}: pairs $np for n=$n")
+      val m = math.min(n, cap.toLong)
+      assert(np == m * (m - 1) / 2, s"cell ${r.getLong(0)}: pairs $np for n=$n cap=$cap")
+      assert(r.getAs[Long]("exact") == (if (n <= cap) 1L else 0L))
       if (np == 0) assert(r.isNullAt(r.fieldIndex("within_avg_cos")))
       else {
         val c = r.getAs[Double]("within_avg_cos")
@@ -190,6 +206,38 @@ class DedupSpec extends GraftSpec {
       }
       val s = r.getAs[Double]("max_other_centroid_cos")
       assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q196 cap reconciliation: capped run ≡ full run on exact cells; capped cells bounded") {
+    // tiny cap forces the capped branch; the full (default-cap) run is
+    // the reference — on any cell the tiny cap didn't touch (n <= 3)
+    // every output column must be IDENTICAL, and on capped cells the
+    // pair space must shrink to cap·(cap−1)/2 with exact = 0
+    val capped = new graft.operators.SimilarityOps(GraftConfig(cohesionPairCap = 3))
+      .q196ClusterCohesion(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val full = Similarity.q196ClusterCohesion(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(capped.keySet == full.keySet, "cell set must not depend on the cap")
+    assert(full.values.exists(_.getAs[Long]("n") > 3), "need at least one capped cell")
+    capped.foreach { case (cell, c) =>
+      val f = full(cell)
+      val n = f.getAs[Long]("n")
+      assert(c.getAs[Long]("n") == n, "n is the FULL cell size either way")
+      if (n <= 3) {
+        assert(c.getAs[Long]("exact") == 1L)
+        assert(c.getAs[Long]("n_pairs") == f.getAs[Long]("n_pairs"))
+        assert((c.isNullAt(c.fieldIndex("within_avg_cos")) &&
+                f.isNullAt(f.fieldIndex("within_avg_cos"))) ||
+               c.getAs[Double]("within_avg_cos") == f.getAs[Double]("within_avg_cos"),
+          s"cell $cell under cap must be bit-identical to the full run")
+      } else {
+        assert(c.getAs[Long]("exact") == 0L)
+        assert(c.getAs[Long]("n_pairs") == 3L, "3 members → 3 pairs")
+      }
+      assert(c.getAs[Double]("max_other_centroid_cos") ==
+        f.getAs[Double]("max_other_centroid_cos"), "separation is cap-independent")
     }
   }
 

@@ -101,6 +101,41 @@ class GraphPropertySpec extends GraftSpec {
     }
   }
 
+  private def refDijkstra(wedges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      maxEdges: Int): Map[Long, Long] = {
+    // naive Dijkstra with an edge-count budget: dist after the budget =
+    // min cost over paths of <= maxEdges edges (matches the bounded
+    // min-plus rounds exactly); with a generous budget it's plain
+    // Dijkstra
+    val adj = wedges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to maxEdges) {
+      val relaxed = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Seq.empty).map { case (v, w) => v -> (d + w) } }
+      val merged = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+      dist = merged
+    }
+    dist
+  }
+
+  test("weighted SSSP agrees with naive Dijkstra on random weighted graphs") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (_ <- 1 to 6) {
+      val n = 5 + rnd.nextInt(20)
+      val edges = randomEdges(rnd, n, 1 + rnd.nextInt(2 * n))
+        .map { case (u, v) => (u, v, 1L + rnd.nextInt(9).toLong) }
+      val seeds = (0L until n.toLong).filter(_ => rnd.nextBoolean()).toSet + 0L
+      val rounds = 40 // above any shortest path's edge count at n <= 25
+      val ops = new graft.operators.GraphOpsLib(GraftConfig(ssspRounds = rounds))
+      val got = ops.ssspFrom(edges.toDF("u", "v", "w"),
+          seeds.toSeq.map(s => (s, 0L)).toDF("u", "d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == refDijkstra(edges, seeds, rounds), s"seeds=$seeds edges=$edges")
+    }
+  }
+
   test("removeTips agrees with the naive reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(42)

@@ -350,6 +350,17 @@ class PlanSpec extends GraftSpec {
       "q186's snapshot side must scan the bucketed table")
   }
 
+  test("q204 persisted family split: bucketed family scan, exchange only on the delta side") {
+    val p = plan("q204_family_split_persisted")
+    assert(p.contains("SortMergeJoin"),
+      "q204's lookup must be a sort-merge join against the bucketed family table")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"q204 must shuffle ONLY the delta batch — found $exchanges hash exchanges:\n$p")
+    assert(p.contains("Bucketed: true"),
+      "q204's family side must scan the bucketed table")
+  }
+
   test("q192 disjunctive bands: factored predicates reach both scans, part dim broadcasts") {
     val p = plan("q192_band_revenue")
     assert(p.contains("BroadcastHashJoin"), "the brand-pruned part dim must broadcast")
@@ -379,6 +390,31 @@ class PlanSpec extends GraftSpec {
     val p = plan("q194_cluster_sample")
     assert(p.contains("WindowGroupLimit"),
       "q194's rank<=cap must push a partial top-k map-side — a hot cell must not buffer whole")
+  }
+
+  test("q202 min-cost: dims broadcast into the fact scan; the min join-back is shuffled-hash") {
+    val p = plan("q202_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"),
+      "region suppliers + type-filtered parts must broadcast — the fact scan is pruned pre-shuffle")
+    assert(p.contains("ShuffledHashJoin"),
+      "the per-part min join-back joins two aggregated tables keyed by part — " +
+        "|part|-sized, never broadcast at scale")
+    assert(windows(p) == 0, "Q2's min must be aggregate + join-back, not a part-key window")
+  }
+
+  test("q203 value concentration: one fact aggregate, total rides a broadcast, no window") {
+    val p = plan("q203_value_concentration")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row total must broadcast into the HAVING filter")
+    assert(windows(p) == 0,
+      "the global-scalar threshold must never be a window over all parts")
+  }
+
+  test("q196 cohesion: the pair-cap rank plans as WindowGroupLimit BEFORE the pair join") {
+    val p = plan("q196_cluster_cohesion")
+    assert(p.contains("WindowGroupLimit"),
+      "q196's rank<=cohesionPairCap must push a partial top-k map-side so a hot cell " +
+        "never reaches the Σ|cell|² pair join uncapped")
   }
 
   test("q59 correction votes: frequencies via aggregate+join, never a kmer window (hot-key skew)") {

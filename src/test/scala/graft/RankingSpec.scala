@@ -87,6 +87,46 @@ class RankingSpec extends GraftSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q205 quantile sketch: union sketch equals the per-bucket count-SUM merge of shard sketches") {
+    // shard the real orders by key parity into two temp corpora; the
+    // full sf dir IS the union — merge must reproduce it bucket-exactly
+    def shard(rem: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"qsk$rem").toString
+      spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderkey") % 2 === rem)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    type K = (String, Long, Long, Long, Long)
+    def sk(dir: String): Map[K, Long] = Sketch.q205QuantileSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ->
+        r.getLong(5)).toMap
+    val (sa, sb) = (sk(shard(0)), sk(shard(1)))
+    val merged = (sa.keySet ++ sb.keySet).map(k =>
+      k -> (sa.getOrElse(k, 0L) + sb.getOrElse(k, 0L))).toMap
+    assert(sk(sf) == merged)
+  }
+
+  test("q206 quantile eval: exact percentile always inside its bucket; width ≤ 2^-k relative") {
+    val rows = Sketch.q206QuantileEval(spark, sf).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/orders.parquet").select("o_orderpriority").distinct().count()
+        * GraftConfig.default.percentileLevels.length)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_bounds"), s"exact value escaped its bucket: $r")
+      val lo = r.getAs[Long]("lo100"); val hi = r.getAs[Long]("hi100")
+      val width = hi - lo + 1
+      assert(width == 1 || width * (1L << GraftConfig.default.quantileSketchBits) <= lo,
+        s"bucket wider than the 2^-k relative guarantee: $r")
+    }
+  }
+
+  test("q207 streaming quantile sketch drains bit-equal to batch q205") {
+    val streamed = Sketch.q207StreamQuantile(spark, sf)
+    val batch = Sketch.q205QuantileSketch(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q96: registers of a union equal the element-wise max-merge of the parts") {
     val a = docs(0L -> "alpha beta gamma delta", 1L -> "epsilon zeta eta")
     val b = docs(0L -> "beta theta iota", 1L -> "kappa alpha mu nu xi")

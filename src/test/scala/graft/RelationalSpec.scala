@@ -271,6 +271,48 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("q202 min-cost supplier: every row achieves its part's min cost; suppliers from region only") {
+    val rows = Relational.q202MinCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per part, all reported supply_costs are equal (they all achieve the min)
+    rows.groupBy(_.getAs[Long]("p_partkey")).foreach { case (pk, rs) =>
+      assert(rs.map(_.getAs[Double]("supply_cost")).distinct.length == 1,
+        s"part $pk reports non-minimal costs")
+    }
+    // region restriction: reported nations all belong to the configured region
+    val regionNations = spark.read.parquet(s"$sf/nation.parquet")
+      .join(spark.read.parquet(s"$sf/region.parquet")
+        .filter(org.apache.spark.sql.functions.col("r_name") === GraftConfig.default.minCostRegion),
+        org.apache.spark.sql.functions.col("n_regionkey") ===
+          org.apache.spark.sql.functions.col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(regionNations.contains(r.getAs[String]("n_name"))))
+  }
+
+  test("q203 value concentration: kept parts strictly exceed the share threshold vs recomputed total") {
+    val rows = Relational.q203ValueConcentration(spark, sf).collect()
+    assert(rows.nonEmpty, "some part should concentrate > 1/denom of the nation's value")
+    // recompute the unfiltered per-part sums + total independently and
+    // check the kept set matches the predicate exactly
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val nk = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_name") === GraftConfig.default.valueNation)
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val sk = spark.read.parquet(s"$sf/supplier.parquet")
+      .filter(col("s_nationkey").isin(nk.toSeq.map(Int.box): _*))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val pv = li.filter(col("l_suppkey").isin(sk.toSeq.map(Long.box): _*))
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val total = pv.values.map(BigDecimal(_)).sum
+    val expectKept = pv.filter { case (_, v) =>
+      BigDecimal(v) * GraftConfig.default.valueShareDenom > total }.keySet
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSet == expectKept)
+  }
+
   test("q186 bucketed CDC merge equals q97's plain merge row-for-row") {
     try {
       val plain = Relational.q97CdcApply(spark, sf).collect()

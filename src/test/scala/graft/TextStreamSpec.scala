@@ -113,6 +113,59 @@ class TextStreamSpec extends GraftSpec {
     assert(rows(2L) == 2L)
   }
 
+  test("q201 BPE trainer: hand-traced 3-merge run learns (t,h) → (th,e) → (a,n)") {
+    // corpus "the the thin and": pair counts (t,h)=3, (h,e)=2, rest 1
+    //   → m1 = (t,h,3); after 't h'→'th': (th,e)=2 beats the 1s
+    //   → m2 = (th,e,2); after that, all remaining pairs tie at c=1 —
+    //     (a,n) < (i,n) < (n,d) < (th,i) by (l,r) order → m3 = (a,n,1)
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(bpeNumMerges = 3))
+    val dir = textDocs(1L -> "the the thin and")
+    val got = ops.q201BpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "t", "h", "th", 3L),
+      (2L, "th", "e", "the", 2L),
+      (3L, "a", "n", "an", 1L)), s"got ${got.toSeq}")
+  }
+
+  test("q201 BPE trainer: early-stops when the pair space dries up; merges are distinct-operand") {
+    // one 2-char token: exactly one learnable merge, then nothing left
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(bpeNumMerges = 5))
+    val dir = textDocs(1L -> "ab")
+    val got = ops.q201BpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "a", "b")), s"got ${got.toSeq}")
+    // same-symbol runs alone are never learnable (candidate filter l != r)
+    val dir2 = textDocs(1L -> "aaaa aaaa")
+    assert(ops.q201BpeTrain(spark, dir2).count() == 0)
+  }
+
+  test("q201 trains what q167 applies: learned merges feed the apply step round-trip") {
+    val trainCfg = GraftConfig(bpeNumMerges = 3)
+    val ops = new graft.operators.TextAnalysisOps(trainCfg)
+    val dir = textDocs(1L -> "the the thin and")
+    val merges = ops.q201BpeTrain(spark, dir).collect().sortBy(_.getLong(0))
+      .map(r => s"${r.getString(1)} ${r.getString(2)}").toSeq
+    val applyOps = new graft.operators.TextAnalysisOps(GraftConfig(bpeMerges = merges))
+    val units = applyOps.q167BpeUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // "the the thin and" under merges [t h, th e, a n]:
+    //   the→the (1), the→the (1), thin→th i n→3? 'th i n' has no learned
+    //   pair merged beyond 'th' → 3 units; and→an d→2 units; total 1+1+3+2=7
+    assert(units(1L) == 7L, s"got ${units(1L)}")
+  }
+
+  test("q167: same-symbol merges are rejected (apply-twice ≢ sequential BPE on runs ≥5)") {
+    // 6×'a' under 'a a': apply-twice gives aa·a·aa·a (4 units) where
+    // one-at-a-time BPE gives aa·aa·aa (3) — the equivalence proof
+    // needs distinct operands, so the builder must refuse up front
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(bpeMerges = Seq("a a")))
+    val dir = textDocs(1L -> "aaaaaa")
+    intercept[IllegalArgumentException] { ops.q167BpeUnits(spark, dir) }
+    intercept[IllegalArgumentException] { ops.q167Sql }
+  }
+
   test("q158 span scrub: gaps survive, overlaps merge, full dups empty out, short docs pass through") {
     val ops = new graft.operators.TextAnalysisOps(GraftConfig(dupSpanK = 4))
     val dir = textDocs(
