@@ -1760,50 +1760,36 @@ class GraphOpsLib(val cfg: GraftConfig) {
   }
 
   /** The min-merge BFS kernel behind q170: `und` must be the
-    * deduplicated symmetric edge set, `seeds` the (u, h=0) table. */
-  private[graft] def bfsFrom(und: DataFrame, seeds: DataFrame): DataFrame = {
-    val (ed, ne) = ckCount(und)
-    val edS = sizedCk(ed, ne)
-    var (dist, n) = ckCount(seeds)
-    var rounds = 0
-    var converged = ne == 0L
-    while (!converged && rounds < cfg.bfsRounds) {
-      // no join hint: the reached-set side starts seed-sized, so AQE's
-      // broadcast pick is the right plan until the frontier outgrows it
-      val grown = dist.unionAll(
-          dist.join(edS, Seq("u"))
-            .select(col("v").as("u"), (col("h") + 1L).as("h")))
-        .groupBy("u").agg(min(col("h")).as("h"))
-      val (next, m) = graft.Trace(s"q170.bfs.${rounds + 1}")(ckCount(grown))
-      // unchanged row count means no new node was reached; distances of
-      // existing nodes are monotone non-increasing and already minimal
-      // once no frontier grows (hop h nodes appear exactly at round h)
-      converged = m == n
-      dist = next; n = m
-      rounds += 1
-    }
-    graft.Convergence.check("q170.bfs", cfg.bfsRounds, converged)
-    dist.select(col("u").as("doc_id"), col("h").as("hops"))
-  }
+    * deduplicated symmetric edge set, `seeds` the (u, h=0) table.
+    * Since round 10 this DELEGATES to [[ssspFrom]] with unit weights —
+    * hop distance IS min-plus over w = 1 (identical values round for
+    * round), so BFS inherits the frontier-messaging rework for free
+    * and the two traversal kernels are one implementation. */
+  private[graft] def bfsFrom(und: DataFrame, seeds: DataFrame): DataFrame =
+    ssspFrom(und.withColumn("w", lit(1L)),
+        seeds.select(col("u"), col("h").as("d")), cfg.bfsRounds, "q170.bfs")
+      .select(col("u").as("doc_id"), col("d").as("hops"))
 
   /** q208: WEIGHTED single-source (multi-seed) shortest paths — the
     * min-plus generalization of q170's BFS: edge weight = the dst
     * read's EXTENSION length (n_chars − overlap-key chars, floored at
     * 1 — the real assembly distance: how many new bases following this
     * edge adds), distance = cheapest total extension from the seed
-    * set. Same frontier-free min-merge kernel (distances only ever
-    * shrink; converged rounds are idempotent) with one weighted twist:
-    * a node's distance can IMPROVE after first reach (a longer-hop
-    * path may be cheaper), so the convergence guard compares row count
-    * AND the exact integer distance sum — count alone is BFS-only
-    * reasoning. Weights are BIGINT, so min-plus is engine-exact and
-    * the oracle (identical unrolled rounds) hashes bitwise. Nodes
-    * beyond the ${cfg.ssspRounds}-edge path budget are ABSENT, not
-    * mislabeled; the guard reports a clipped budget. Property-tested
-    * against a naive driver-side Dijkstra on random weighted graphs.
-    * Per round: one join of the reached-set table against the edge
-    * list + a min aggregate + one count/sum probe of the just-
-    * checkpointed table — the corpus is never revisited. */
+    * set. FRONTIER-messaging min-plus kernel (the Cc/Scc round-10
+    * discipline): relaxations come only from nodes whose distance
+    * changed last round — and unlike BFS hops a node's distance can
+    * IMPROVE after first reach through a longer-hop route, so the
+    * frontier is exactly the changed-row set, not the newly-reached
+    * set. Weights are BIGINT, so min-plus is engine-exact and the
+    * oracle (identical unrolled min-merge rounds — the frontier
+    * restriction is value-neutral) hashes bitwise. Nodes beyond the
+    * ${cfg.ssspRounds}-edge path budget are ABSENT, not mislabeled;
+    * the convergence guard (= empty frontier) reports a clipped
+    * budget. Property-tested against a naive driver-side Dijkstra on
+    * random weighted graphs. Per round: the key-partitioned edge
+    * table streams against the frontier + one full-outer update of
+    * the reached set — the corpus is never revisited and the edge
+    * table never re-exchanges. */
   def q208Sssp(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val docs = Tables.documents(spark, dir)
@@ -1815,40 +1801,57 @@ class GraphOpsLib(val cfg: GraftConfig) {
     val seeds = docs
       .filter(col("doc_id") % cfg.bfsSeedMod === 0)
       .select(col("doc_id").as("u"), lit(0L).as("d"))
-    ssspFrom(we, seeds).select(col("u").as("doc_id"), col("d").as("dist"))
+    ssspFrom(we, seeds, cfg.ssspRounds, "q208.sssp")
+      .select(col("u").as("doc_id"), col("d").as("dist"))
   }
 
-  /** The min-plus kernel behind q208: `wedges` = (u, v, w BIGINT),
-    * `seeds` = (u, d=0). */
-  private[graft] def ssspFrom(wedges: DataFrame, seeds: DataFrame): DataFrame = {
-    def ckCountSum(df: DataFrame): (DataFrame, Long, Long) = {
-      val c = if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-              else df.localCheckpoint(false)
-      val r = c.agg(count(lit(1)), sum(col("d"))).collect()(0)
-      (c, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val (ed, ne) = ckCount(wedges)
-    val edS = sizedCk(ed, ne)
-    var (dist, n, sumD) = ckCountSum(seeds)
+  /** The min-plus kernel behind q208 (and, with unit weights, q170's
+    * BFS): `wedges` = (u, v, w BIGINT), `seeds` = (u, d=0). Returns
+    * (u, d).
+    *
+    * Frontier messaging (the round-10 Cc/Scc discipline): relaxations
+    * come only from nodes whose distance CHANGED last round (an
+    * unchanged d(v) already made its d(v)+w offers the round v last
+    * changed), so each round streams the edge table against a frontier
+    * that empties as the wave passes — never the whole reached set.
+    * The edge table is hash-partitioned on its message key once
+    * (checkpoint preserves outputPartitioning — no per-round E-row
+    * exchange), the frontier broadcasts once it is small, the reached
+    * set updates through a full-outer join against the aggregated
+    * messages (new nodes enter with a -1 prev sentinel; distances are
+    * ≥ 0 so the sentinel can never collide), and convergence IS the
+    * empty frontier — exactly "no row changed", with no separate
+    * count+sum probe. */
+  private[graft] def ssspFrom(wedges: DataFrame, seeds: DataFrame,
+      maxRounds: Int, tag: String): DataFrame = {
+    val (edP, ne) = ckCount(wedges.repartition(col("u")).select("u", "v", "w"))
+    var dist = stageCk(seeds.select(col("u"), lit(-1L).as("prev"), col("d")))
+    var frontierN = dist.count()
     var rounds = 0
-    var converged = ne == 0L
-    while (!converged && rounds < cfg.ssspRounds) {
-      // no join hint: the reached-set side starts seed-sized (q170's
-      // broadcast-until-the-frontier-outgrows-it reasoning)
-      val grown = dist.unionAll(
-          dist.join(edS, Seq("u"))
-            .select(col("v").as("u"), (col("d") + col("w")).as("d")))
-        .groupBy("u").agg(min(col("d")).as("d"))
-      val (next, m, s2) = graft.Trace(s"q208.sssp.${rounds + 1}")(ckCountSum(grown))
-      // distances are monotone non-increasing per node and nodes are
-      // only ever added, so equal count AND equal exact sum ⇔ no row
-      // changed at all
-      converged = m == n && s2 == sumD
-      dist = next; n = m; sumD = s2
+    var converged = ne == 0L || frontierN == 0L
+    while (!converged && rounds < maxRounds) {
+      val delta = dist.filter(col("d") =!= col("prev"))
+        .select(col("u"), col("d").as("fd"))
+      val deltaJ =
+        if (frontierN >= 0 && frontierN <= Scc.deltaBroadcastRows) broadcast(delta)
+        else delta.hint("shuffle_hash")
+      val msg = edP.join(deltaJ, "u")
+        .groupBy(col("v").as("u")).agg(min(col("fd") + col("w")).as("nd"))
+      val next = graft.Trace(s"$tag.${rounds + 1}")(stageCk(
+        dist.select(col("u"), col("d"))
+          .join(msg.hint("shuffle_hash"), Seq("u"), "full_outer")
+          .select(col("u"), coalesce(col("d"), lit(-1L)).as("prev"),
+            least(coalesce(col("d"), col("nd")),
+              coalesce(col("nd"), col("d"))).as("d"))))
       rounds += 1
+      frontierN = next.filter(col("d") =!= col("prev")).count()
+      converged = frontierN == 0
+      dist.unpersist(false)
+      dist = next
     }
-    graft.Convergence.check("q208.sssp", cfg.ssspRounds, converged)
-    dist
+    graft.Convergence.check(tag, maxRounds, converged)
+    edP.unpersist(false)
+    dist.select(col("u"), col("d"))
   }
 
   def q208Sql: String = {

@@ -130,7 +130,7 @@ class GraphPropertySpec extends GraftSpec {
       val rounds = 40 // above any shortest path's edge count at n <= 25
       val ops = new graft.operators.GraphOpsLib(GraftConfig(ssspRounds = rounds))
       val got = ops.ssspFrom(edges.toDF("u", "v", "w"),
-          seeds.toSeq.map(s => (s, 0L)).toDF("u", "d"))
+          seeds.toSeq.map(s => (s, 0L)).toDF("u", "d"), rounds, "spec.sssp")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == refDijkstra(edges, seeds, rounds), s"seeds=$seeds edges=$edges")
     }
