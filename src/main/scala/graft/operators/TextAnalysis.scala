@@ -590,31 +590,87 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     * dries up early, m_i is empty, its scalar subqueries go NULL, the
     * NULL corpus yields no pairs, and every later m_j is empty too —
     * both engines emit the same short list. */
-  def q201Sql: String = {
+  /** The trainer's CTE chain (toks/s0, then p_i → m_i → s_i per
+    * iteration), shared by the q201 oracle and q209's train-then-apply
+    * oracle. */
+  private def bpeTrainCtes: String = {
     val k = cfg.bpeNumMerges
     val sb = new StringBuilder
-    sb ++= s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-              |s0 AS (SELECT ' ' || regexp_replace(t, '(.)', '\\1 ', 'g') AS s FROM toks)""".stripMargin
+    sb ++= s"""toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+              |s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(t, '(.)', '\\1 ', 'g') AS s FROM toks)""".stripMargin
     for (i <- 1 to k) {
       sb ++= s""",
-                |p$i AS (SELECT l, r, count(*) AS c FROM (
+                |p$i AS MATERIALIZED (SELECT l, r, count(*) AS c FROM (
                 |    SELECT unnest(sy[1:len(sy)-1]) AS l, unnest(sy[2:len(sy)]) AS r
                 |    FROM (SELECT string_split(trim(s), ' ') AS sy FROM s${i - 1}))
                 |  WHERE regexp_matches(l, '^[A-Za-z0-9]+$$') AND regexp_matches(r, '^[A-Za-z0-9]+$$')
                 |    AND l <> r
                 |  GROUP BY 1, 2),
-                |m$i AS (SELECT $i AS iter, l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-                |s$i AS (SELECT replace(replace(s,
+                |m$i AS MATERIALIZED (SELECT $i AS iter, l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+                |s$i AS MATERIALIZED (SELECT replace(replace(s,
                 |    (SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)),
                 |    (SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS s
                 |  FROM s${i - 1})""".stripMargin
     }
-    val unions = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-    sb ++= s"""
-              |SELECT CAST(iter AS BIGINT) AS iter, l AS l_sym, r AS r_sym,
-              |  l || r AS merged, CAST(c AS BIGINT) AS pair_count
-              |FROM ($unions)""".stripMargin
     sb.toString
+  }
+
+  def q201Sql: String = {
+    val k = cfg.bpeNumMerges
+    val unions = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes
+       |SELECT CAST(iter AS BIGINT) AS iter, l AS l_sym, r AS r_sym,
+       |  l || r AS merged, CAST(c AS BIGINT) AS pair_count
+       |FROM ($unions)""".stripMargin
+  }
+
+  /** q209: per-doc unit counts under the LEARNED tokenizer — q201's
+    * training composed with q167's apply in ONE query: train the merge
+    * list on the corpus, then count each document's subword units
+    * under exactly those merges. This is the end-to-end artifact a
+    * packing plan (q83) or training-cost estimate actually consumes —
+    * token counts under the tokenizer you would really ship, not under
+    * a hand-configured merge list. Spark side: the learned merges are
+    * driver-side strings after the bounded training loop, so the apply
+    * is the SAME single codegen'd scan expression as q167 (zero joins,
+    * zero shuffles beyond training's own aggregates). Oracle: the
+    * trainer's unrolled CTEs feed a ONE-ROW pattern table (each
+    * iteration's pattern/replacement read back through scalar
+    * subqueries — DuckDB lambdas cannot hold subqueries, so the row
+    * cross-joins in and the lambda references its columns); a
+    * dried-up iteration's NULL pattern coalesces to ' ~ ' (tilde
+    * never occurs in a spaced token, so the replace is a no-op —
+    * mirroring the Spark side's shorter literal chain). */
+  def q209LearnedUnits(spark: SparkSession, dir: String): DataFrame = {
+    val merges = q201BpeTrain(spark, dir).collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val chain = bpeSpacedExpr(merges)
+    val unitExpr = s"size(split(trim($chain), ' '))"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        expr(s"""aggregate(transform(split(text, ' '),
+                |  t -> CAST($unitExpr AS BIGINT)),
+                |  CAST(0 AS BIGINT), (acc, u) -> acc + u)""".stripMargin)
+          .as("n_units"))
+  }
+
+  def q209Sql: String = {
+    val k = cfg.bpeNumMerges
+    val mmCols = (1 to k).map(i =>
+      s"""coalesce((SELECT ' '||l||' '||r||' ' FROM m$i), ' ~ ') AS p$i,
+         |    coalesce((SELECT ' '||l||r||' ' FROM m$i), ' ~ ') AS q$i""".stripMargin)
+      .mkString(",\n    ")
+    val chain = (1 to k).foldLeft("' ' || regexp_replace(t, '(.)', '\\1 ', 'g')") {
+      (acc, i) => s"replace(replace($acc, mm.p$i, mm.q$i), mm.p$i, mm.q$i)"
+    }
+    s"""WITH $bpeTrainCtes,
+       |mm AS (SELECT $mmCols)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(list_sum(list_transform(string_split(d.text, ' '),
+       |    t -> len(string_split(trim($chain), ' ')))) AS BIGINT) AS n_units
+       |FROM documents d CROSS JOIN mm""".stripMargin
   }
 }
 

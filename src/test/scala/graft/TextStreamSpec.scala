@@ -156,6 +156,20 @@ class TextStreamSpec extends GraftSpec {
     assert(units(1L) == 7L, s"got ${units(1L)}")
   }
 
+  test("q209: units under the learned tokenizer equal q167 configured with those merges") {
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(bpeNumMerges = 3))
+    val dir = textDocs(1L -> "the the thin and", 2L -> "that other band")
+    val merges = ops.q201BpeTrain(spark, dir).collect().sortBy(_.getLong(0))
+      .map(r => s"${r.getString(1)} ${r.getString(2)}").toSeq
+    val viaConfig = new graft.operators.TextAnalysisOps(GraftConfig(bpeMerges = merges))
+      .q167BpeUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val learned = ops.q209LearnedUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(learned == viaConfig,
+      "q209 must be exactly q167 under the merges q201 just learned")
+  }
+
   test("q167: same-symbol merges are rejected (apply-twice ≢ sequential BPE on runs ≥5)") {
     // 6×'a' under 'a a': apply-twice gives aa·a·aa·a (4 units) where
     // one-at-a-time BPE gives aa·aa·aa (3) — the equivalence proof
