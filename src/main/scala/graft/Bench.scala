@@ -102,10 +102,33 @@ object Bench {
       s"\"" + k + "\":{\"runs\":[" + f(r1) + "," + f(r2) + "]" + st + "}"
     }.mkString("{", ",", "}")
     val orderJson = order.map("\"" + _ + "\"").mkString("[", ",", "]")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // archive the full per-query detail PER ROUND (round-10 verdict item
+    // 4): BENCH_DETAIL_r<N>.json keyed off the driver's BENCH_r<N>
+    // artifacts already on disk, so regression sweeps diff files instead
+    // of scraping stdout tails; BENCH_DETAIL.json stays as the
+    // latest-run alias.
+    val roundN = try {
+      val dir = java.nio.file.Paths.get(".")
+      val re = "BENCH_r(\\d+)\\.json".r
+      val seen = java.nio.file.Files.list(dir).iterator()
+      var mx = 0
+      while (seen.hasNext) seen.next().getFileName.toString match {
+        case re(n) => mx = math.max(mx, n.toInt)
+        case _ => ()
+      }
+      mx + 1
+    } catch { case _: Throwable => 0 }
+    val detailJson =
       s"""{"runs":"{runs:[run1,run2], stages:[[tag,sec]...] of run2} per query; reported=min(run1,run2); fresh SparkContext per query","order":$orderJson,"queries":$detail,"sf":"$sfDir"}
-""".getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detailJson.getBytes("UTF-8"))
+      if (roundN > 0)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json"),
+          detailJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // diagnostic only (the headline already takes the min): queries whose
     // two runs disagreed 1.5×+ in either direction — an environment-noise
     // map for the round artifact, value = the reported min
@@ -114,12 +137,22 @@ object Bench {
           math.max(r1, r2) > math.min(r1, r2) * 1.5 + 0.5 =>
         s"\"" + k + "\":" + f(math.min(r1, r2))
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    // The driver captures only the LAST ~2000 chars of stdout; a
+    // 211-query map is ~5 KB, so the full line can never survive the
+    // window (BENCH_r10's parsed:null — round-10 verdict item 4). The
+    // printed line carries the headline aggregate + the slowest-40 tail
+    // (the gradable signal) + any failures; the complete per-query map
+    // lives in BENCH_DETAIL_r<N>.json referenced by "detail".
+    val headline = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
+    val failed = results.filter(_._2 < 0)
+    val qs = (headline ++ failed).map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // total excludes -1 sentinels (doubly-failed queries must not
     // DEFLATE the total — round-9 advice); their per-query entries
     // still carry the -1 so a failure is visible in the artifact.
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"contam":$contam,"sf":"$sfDir"}""")
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    val detailFile = if (roundN > 0) f"BENCH_DETAIL_r$roundN%02d.json" else "BENCH_DETAIL.json"
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"detail":"$detailFile","sf":"$sfDir"}""")
   }
 }

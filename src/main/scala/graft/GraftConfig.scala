@@ -125,6 +125,10 @@ case class GraftConfig(
     // top-principal-component projection (q150): fixed power-iteration
     // count (fixed, not convergence-tested — determinism over adaptivity)
     pcaIters: Int = 16,
+    // top-k PCA / whitening (q211): number of components extracted by
+    // deflation (each pays pcaIters driver iterations on the d×d
+    // covariance artifact — corpus-independent cost)
+    pcaTopK: Int = 3,
     // semantic dedup (q94): within-cell cosine threshold above which
     // the higher-id vector is dropped
     semDedupCos: Double = 0.42,
@@ -410,6 +414,14 @@ case class GraftConfig(
     // partitioned-layout scan (q146): the language whose partition the
     // pruned read selects
     layoutScanLang: String = "en",
+    // sketch-backed split-drift gate (q214): per-bucket chi-square above
+    // which a bucket counts as drifted (6.635 = the 1-df p<0.01 cut)
+    chi2DriftThreshold: Double = 6.635,
+    // small-file compaction (q212): bin capacity the FFD packer fills
+    // part files toward, and the fragment count the demo layout is
+    // deliberately shattered into before compacting
+    compactTargetBytes: Long = 128L * 1024 * 1024,
+    compactFragments: Int = 8,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

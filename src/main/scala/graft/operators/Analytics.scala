@@ -90,9 +90,7 @@ class AnalyticsOps(val cfg: GraftConfig) {
   /** Stage/round lineage cut for iterative loops — same contract as
     * GraphOps.stageCk: eager localCheckpoint locally, reliable
     * checkpoint on clusters (cfg.reliableStageCheckpoints). */
-  private def stageCk(df: DataFrame): DataFrame =
-    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
 
   /** Cut the rank table's lineage every 4th round — the GraphOps
     * fixpoint cadence: enough rounds between cuts to amortize the
@@ -123,20 +121,78 @@ class AnalyticsOps(val cfg: GraftConfig) {
   def q92Pagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
     val e = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
+    val base = lit(15L * PrScale / 100)
+    prLoop(docs, e, _ => base, _ => lit(PrScale))
+      .select(col("node").as("doc_id"), col("pr"))
+  }
+
+  /** The q92/q213 shared rank loop: `baseOf(node)` is each node's
+    * per-iteration restart mass and `r0Of(node)` the starting rank —
+    * global PR uses constants, personalized PR concentrates both on
+    * the seed set. Same fixed-point integer discipline, same
+    * ReusedExchange/checkpoint-cadence plan shape. */
+  private[graft] def prLoop(docs: DataFrame, e: DataFrame,
+      baseOf: Column => Column, r0Of: Column => Column): DataFrame = {
     val od = e.groupBy("src").agg(count(lit(1)).as("od"))
     val eo = e.join(od, "src")
-    val base = lit(15L * PrScale / 100)
-    var r = docs.select(col("node"), lit(PrScale).as("pr"))
+    var r = docs.select(col("node"), r0Of(col("node")).as("pr"))
     for (i <- 1 to PrIters) {
       val contrib = eo.join(r, eo("src") === r("node"))
         .select(col("dst").as("node"), expr("pr div od").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       r = docs.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (base + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+          (baseOf(col("node")) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
       if (i % PrCkEvery == 0 && i < PrIters) r = stageCk(r)
     }
-    r.select(col("node").as("doc_id"), col("pr"))
+    r
+  }
+
+  /** q213: PERSONALIZED PageRank — q92's restart vector concentrated
+    * on the q170/q208 seed set (doc_id ≡ 0 mod ${cfg.bfsSeedMod}):
+    * rank restarts ONLY to seeds (base mass (15·SCALE) div 100 at
+    * seeds, 0 elsewhere; r₀ = SCALE at seeds, 0 elsewhere), so the
+    * stationary ranks measure graph PROXIMITY TO THE SEEDS — the
+    * retrieval family's graph-side ranking signal (seed-anchored
+    * relevance propagation, the random-walk twin of q170's hop
+    * distance: hops count edges, PPR weighs all walks). Same
+    * fixed-point integer discipline as q92 (all-long arithmetic,
+    * order-free sums — both engines agree exactly; dangling nodes
+    * leak mass, the standard simplification), same per-iteration
+    * edge⋈rank + dst-aggregate shape, same checkpoint cadence.
+    * Nodes unreachable from the seeds hold rank 0 — kept in the
+    * output (the eval wants the zero/nonzero boundary). */
+  def q213Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    val e = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
+    val seedBase = lit(15L * PrScale / 100)
+    prLoop(docs, e,
+      n => when(n % cfg.bfsSeedMod === 0, seedBase).otherwise(lit(0L)),
+      n => when(n % cfg.bfsSeedMod === 0, lit(PrScale)).otherwise(lit(0L)))
+      .select(col("node").as("doc_id"), col("pr").as("ppr"))
+  }
+
+  def q213Sql: String = {
+    val seed = s"node % ${cfg.bfsSeedMod} = 0"
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT eo.dst AS node, CAST(SUM(r${i - 1}.pr // eo.od) AS BIGINT) AS s
+         |  FROM eo JOIN r${i - 1} ON r${i - 1}.node = eo.src GROUP BY 1),
+         |r$i AS (SELECT d.node,
+         |    CASE WHEN $seed THEN (15 * $PrScale) // 100 ELSE 0 END
+         |      + (85 * COALESCE(c$i.s, 0)) // 100 AS pr
+         |  FROM (SELECT doc_id AS node FROM documents) d
+         |  LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT src, dst FROM (${GraphOps.q20Sql})),
+       |od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+       |eo AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src)),
+       |r0 AS (SELECT doc_id AS node,
+       |    CASE WHEN doc_id % ${cfg.bfsSeedMod} = 0
+       |      THEN CAST($PrScale AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM documents),
+       |$iters
+       |SELECT node AS doc_id, pr AS ppr FROM r$PrIters""".stripMargin
   }
 
   /** q93: per-node triangle counts on the undirected overlap graph —

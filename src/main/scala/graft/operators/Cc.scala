@@ -31,9 +31,7 @@ private[graft] object Cc {
   def labels(edges: DataFrame, cfg: GraftConfig): DataFrame = {
     val spark = edges.sparkSession
     graft.GraftSession.ensureCheckpointDir(spark)
-    def stageCk(df: DataFrame): DataFrame =
-      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
     // eager cut BEFORE the loop: und is referenced once per round (plus
     // lbl0), and a lazy und would re-run the caller's whole edge
     // pipeline — q20's boundary-key + verify join for q144 — every
@@ -51,15 +49,14 @@ private[graft] object Cc {
     // probe — the old every-2-rounds join-and-count is gone).
     val e = edges.select(col("u"), col("v"))
     val und = stageCk(
-      e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).repartition(col("v")))
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("v")))
     val lbl0 = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
       .select(col("node"), col("node").as("prev"),
         least(col("node"), col("l")).as("lbl"))
     // lbl carries (node, prev, lbl): prev = label at round start, so
     // the frontier is a filter over just-checkpointed blocks
-    var lbl =
-      if (cfg.reliableStageCheckpoints) lbl0.checkpoint(true)
-      else lbl0.localCheckpoint(false)
+    var lbl = graft.Ck.lazyStage(lbl0, cfg)
     val nNodes = lbl.count()
     val maxRounds = math.max(1L, nNodes).toInt
     var converged = nNodes == 0
@@ -96,6 +93,11 @@ private[graft] object Cc {
       lbl.unpersist(false)
       lbl = next
     }
+    // final lbl is itself checkpointed — no lineage back to und, so the
+    // edge checkpoint blocks can go now (same reasoning as
+    // Scc.dirMinLabels's eP.unpersist)
+    und.unpersist(false)
+    if (Scc.graphTrace) println(s"GRAPHTRACE cc n=$nNodes rounds=$rounds")
     lbl.select(col("node"), col("lbl"))
   }
 }

@@ -1050,6 +1050,95 @@ class CurationOps(val cfg: GraftConfig) {
        |      / CAST(nt + no AS DOUBLE) AS e_other
        |  FROM h, tot)""".stripMargin
 
+  /** q214: SKETCH-BACKED split-drift gate — q163's χ² computed from
+    * the q205 mergeable log-linear sketch instead of a corpus
+    * re-scan: the sketch CONSUMING path, end-to-end. Two parity
+    * shards of the corpus sketch their (split-class, n_chars) values
+    * independently and MERGE by per-bucket count sum (the q205
+    * mergeability contract exercised inside the query, not just the
+    * spec); the χ² drift test then runs entirely on the merged
+    * ≤64·2^(k+1)-row artifact. At 100 TB this is the point of the
+    * sketch: the nightly drift gate reads yesterday's sketch plus
+    * today's shard sketches — bounded rows — and never re-bins the
+    * corpus. Per-bucket χ² uses q163's exact fixed double chain over
+    * integer counts; `drifted` flags buckets past
+    * ${cfg.chi2DriftThreshold} (1-df p<0.01), and the spec pins that
+    * the sketch path and q163's exact linear-bin path agree on the
+    * corpus-level verdict (no drift under the unbiased md5 split). */
+  def q214SketchSplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(splitCol === "train", "train").otherwise(lit("other")).as("cls"),
+        col("n_chars").cast("long").as("v"))
+    val sk = new SketchOps(cfg)
+    val shardA = sk.qsBuckets(base.filter(col("doc_id") % 2 === 0).select("cls", "v"))
+    val shardB = sk.qsBuckets(base.filter(col("doc_id") % 2 =!= 0).select("cls", "v"))
+    val merged = shardA.unionAll(shardB)
+      .groupBy("cls", "e", "m", "lo100", "hi100").agg(sum(col("cnt")).as("cnt"))
+    val h = merged.groupBy("e", "m", "lo100", "hi100")
+      .agg(sum(when(col("cls") === "train", col("cnt")).otherwise(0L)).as("n_train"),
+        sum(when(col("cls") =!= "train", col("cnt")).otherwise(0L)).as("n_other"))
+    val tot = h.agg(sum(col("n_train")).as("nt"), sum(col("n_other")).as("no"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("et", col("n_train").cast("double") + col("n_other").cast("double"))
+      .withColumn("e_train",
+        col("et") * col("nt").cast("double") / (col("nt") + col("no")).cast("double"))
+      .withColumn("e_other",
+        col("et") * col("no").cast("double") / (col("nt") + col("no")).cast("double"))
+      .withColumn("chi2_bin",
+        (col("n_train").cast("double") - col("e_train")) *
+          (col("n_train").cast("double") - col("e_train")) / col("e_train") +
+        (col("n_other").cast("double") - col("e_other")) *
+          (col("n_other").cast("double") - col("e_other")) / col("e_other"))
+      .select(col("lo100").as("lo"), col("hi100").as("hi"),
+        col("n_train"), col("n_other"), col("e_train"), col("chi2_bin"),
+        // the classic chi-square validity rule: a bucket votes "drifted"
+        // only when BOTH expected counts reach 5 — the 1-df cut is
+        // meaningless on a 3-count bucket (log-linear buckets are much
+        // finer than q163's linear bins, so sparse tails are routine)
+        (col("chi2_bin") > lit(cfg.chi2DriftThreshold) &&
+          col("e_train") >= lit(5.0) && col("e_other") >= lit(5.0)).as("drifted"))
+  }
+
+  def q214Sql: String = {
+    val k = cfg.quantileSketchBits
+    s"""WITH vals AS (SELECT doc_id,
+       |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}'
+       |      THEN 'train' ELSE 'other' END AS cls,
+       |    CAST(n_chars AS BIGINT) AS v FROM documents),
+       |dd AS (SELECT doc_id, cls, v, CAST(length(bin(v)) AS BIGINT) AS e,
+       |    CAST(power(2.0, greatest(CAST(length(bin(v)) AS BIGINT) - 1 - $k, 0)) AS BIGINT) AS d
+       |  FROM vals),
+       |ska AS (SELECT cls, e, v // d AS m, d, count(*) AS cnt FROM dd
+       |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3, 4),
+       |skb AS (SELECT cls, e, v // d AS m, d, count(*) AS cnt FROM dd
+       |  WHERE doc_id % 2 <> 0 GROUP BY 1, 2, 3, 4),
+       |merged AS (SELECT cls, e, m, d, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb) GROUP BY 1, 2, 3, 4),
+       |h AS (SELECT e, m, m * d AS lo, (m + 1) * d - 1 AS hi,
+       |    CAST(SUM(CASE WHEN cls = 'train' THEN cnt ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN cls <> 'train' THEN cnt ELSE 0 END) AS BIGINT) AS n_other
+       |  FROM merged GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS nt,
+       |    CAST(SUM(n_other) AS BIGINT) AS no FROM h)
+       |SELECT lo, hi, n_train, n_other, e_train,
+       |  (CAST(n_train AS DOUBLE) - e_train) * (CAST(n_train AS DOUBLE) - e_train)
+       |    / e_train +
+       |  (CAST(n_other AS DOUBLE) - e_other) * (CAST(n_other AS DOUBLE) - e_other)
+       |    / e_other AS chi2_bin,
+       |  ((CAST(n_train AS DOUBLE) - e_train) * (CAST(n_train AS DOUBLE) - e_train)
+       |    / e_train +
+       |  (CAST(n_other AS DOUBLE) - e_other) * (CAST(n_other AS DOUBLE) - e_other)
+       |    / e_other > ${cfg.chi2DriftThreshold}
+       |   AND e_train >= 5.0 AND e_other >= 5.0) AS drifted
+       |FROM (SELECT lo, hi, n_train, n_other,
+       |    (CAST(n_train AS DOUBLE) + CAST(n_other AS DOUBLE)) * CAST(nt AS DOUBLE)
+       |      / CAST(nt + no AS DOUBLE) AS e_train,
+       |    (CAST(n_train AS DOUBLE) + CAST(n_other AS DOUBLE)) * CAST(no AS DOUBLE)
+       |      / CAST(nt + no AS DOUBLE) AS e_other
+       |  FROM h, tot)""".stripMargin
+  }
+
   /** q154: per-doc LANGUAGE-MODEL fluency score, integer-exact — the
     * probability-valued sibling of q80's coverage fraction and the
     * engine-portable reduction of a CCNet-style perplexity gate: each

@@ -28,9 +28,7 @@ class DedupOps(val cfg: GraftConfig) {
     * loops. Straight-line materializations (shingles, the pair list)
     * stay localCheckpoint unconditionally: they exist for compute-once
     * semantics, and losing one recomputes a non-iterative subtree. */
-  private def stageCk(df: DataFrame): DataFrame =
-    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
 
   val ShingleK: Int = cfg.shingleK
   val MinhashJ: Double = cfg.minhashJaccard

@@ -245,20 +245,14 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * checkpoint on clusters (cfg.reliableStageCheckpoints) — one knob for
     * every iterative loop's durability, same contract as
     * Pipeline.assembleFull's stage handoffs. */
-  private def stageCk(df: DataFrame): DataFrame =
-    if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
 
   /** Cut + count fused into ONE job for SMALL per-round tables (removal
     * node lists, boundary-keep maps): lazy localCheckpoint stores its
     * blocks during the count action. Reliable mode keeps the eager cut
     * (a lazy reliable checkpoint recomputes the RDD for the write). */
   private def ckCount(df: DataFrame): (DataFrame, Long) =
-    if (cfg.reliableStageCheckpoints) {
-      val c = df.checkpoint(true); (c, c.count())
-    } else {
-      val c = df.localCheckpoint(false); (c, c.count())
-    }
+    graft.Ck.sizedStage(df, cfg)
 
   /** Right-size a just-COUNTED, materialized stage table's partitioning.
     *

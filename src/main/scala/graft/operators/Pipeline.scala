@@ -29,11 +29,7 @@ object Pipeline {
     * recomputes the RDD once more for the checkpoint write); its count
     * over materialized blocks is cheap. */
   private def cutAndCount(df: DataFrame): (DataFrame, Long) =
-    if (cfg.reliableStageCheckpoints) {
-      val c = df.checkpoint(true); (c, c.count())
-    } else {
-      val c = df.localCheckpoint(false); (c, c.count())
-    }
+    graft.Ck.sizedStage(df, cfg)
 
   /** Iterate tip detect+remove until no tip remains (or maxRounds).
     *
@@ -138,9 +134,7 @@ object Pipeline {
     // handoffs. The internal fixpoint loops (resolveChainsFrom, tip
     // rounds) route through the same knob: nothing survives executor
     // loss unless reliableStageCheckpoints is set.
-    def ck(df: DataFrame): DataFrame =
-      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    def ck(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
     // The low-coverage removal list rides on the q15 per-doc k-mer
     // profile — the heaviest SCAN-side subtree here — and depends on
     // nothing the graph phases compute: submit it from a second driver

@@ -36,15 +36,18 @@ import graft.GraftConfig
   */
 private[graft] object Scc {
 
+  /** Diagnostic round logging (-Dgraft.graphTrace=true): outer-round /
+    * propagation-round counters for adjudicating fixed-cost-per-round
+    * behavior on small graphs (shared with [[Cc]]). */
+  private[operators] val graphTrace = sys.props.get("graft.graphTrace").contains("true")
+
   /** (node, scc_id) for every node of a NON-trivial assignment or
     * self-assigned class minimum; callers coalesce absent nodes to
     * themselves. Edges as (u, v) directed. */
   def labels(edges0: DataFrame, cfg: GraftConfig): DataFrame = {
     val spark = edges0.sparkSession
     graft.GraftSession.ensureCheckpointDir(spark)
-    def stageCk(df: DataFrame): DataFrame =
-      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
     var e = stageCk(edges0.select(col("u"), col("v")))
     var nE = e.count()
     val empty = e.select(col("u").as("node"), col("u").as("scc_id")).limit(0)
@@ -54,17 +57,21 @@ private[graft] object Scc {
     var assigned: DataFrame = null
     var outer = 0
     while (nE > 0 && outer < cap) {
+      val tOuter = System.nanoTime()
       val nodes = stageCk(
         e.select(col("u").as("node")).unionAll(e.select(col("v").as("node"))).distinct())
+      if (graphTrace) println(f"GRAPHTRACE scc nodesCk t=${(System.nanoTime() - tOuter) / 1e9}%.2f")
       // forward and backward propagations are independent — overlap them
       // on a second driver thread (the lowcov/graft.Par pattern)
       val bF = graft.Par.async(spark, s"graft-scc-bwd-$outer")(
         dirMinLabels(spark, nodes, e.select(col("v").as("u"), col("u").as("v")), cfg))
       val f = dirMinLabels(spark, nodes, e, cfg)
+      val tFb = System.nanoTime()
       val fb = try bF() match { case b =>
         stageCk(f.select(col("node"), col("lbl").as("f"))
           .join(b.select(col("node"), col("lbl").as("b")), "node"))
       } catch { case t: Throwable => bF.cancelJobs(); throw t }
+      if (graphTrace) println(f"GRAPHTRACE scc fbJoin t=${(System.nanoTime() - tFb) / 1e9}%.2f")
       val newA = fb.filter(col("f") === col("b"))
         .select(col("node"), col("f").as("scc_id"))
       assigned =
@@ -82,12 +89,17 @@ private[graft] object Scc {
       val m = next.count()
       e.unpersist(false); nodes.unpersist(false); fb.unpersist(false)
       e = next
+      if (graphTrace) println(s"GRAPHTRACE scc outer=$outer nE=$nE -> $m")
       nE = m
       outer += 1
     }
     graft.Convergence.check("scc", cap, nE == 0)
     if (assigned == null) empty else assigned
   }
+
+  /** Frontier size below which the per-round delta broadcasts instead
+    * of shuffling (shared with [[Cc.labels]]). */
+  private[operators] val deltaBroadcastRows = 500000L
 
   /** One directed min-label propagation: lbl(u) = min node reachable
     * from u along edge direction, including u — [[Cc.labels]] without
@@ -130,15 +142,15 @@ private[graft] object Scc {
     * trips the convergence guard. Seeds would have to satisfy
     * exact_new(w) ≤ seed(w) ≤ w for exactness, and old labels sit on
     * the wrong side of that window. */
-  private[operators] val deltaBroadcastRows = 500000L
-
   private def dirMinLabels(spark: SparkSession, nodes: DataFrame, e: DataFrame,
       cfg: GraftConfig): DataFrame = {
-    def stageCk(df: DataFrame): DataFrame =
-      if (cfg.reliableStageCheckpoints) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
     // one shuffle up front buys an exchange-free edge side in EVERY round
-    val eP = stageCk(e.repartition(col("v")))
+    // (EXPLICIT partition count: a column-only repartition gets AQE-
+    // coalesced and the final partitioning no longer co-locates with
+    // the per-round shuffles — measured in BarrierProbe)
+    val eP = stageCk(e.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("v")))
     val lbl0 = nodes
       .join(e.groupBy(col("u").as("node")).agg(min(col("v")).as("m")), Seq("node"), "left")
       .select(col("node"), col("node").as("prev"),
@@ -152,6 +164,7 @@ private[graft] object Scc {
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
+      val tR = System.nanoTime()
       val delta = lbl.filter(col("lbl") =!= col("prev"))
         .select(col("node").as("v"), col("lbl").as("vl"))
       val deltaJ =
@@ -176,8 +189,10 @@ private[graft] object Scc {
       converged = frontierN == 0
       lbl.unpersist(false)
       lbl = next
+      if (graphTrace) println(f"GRAPHTRACE dir round=$rounds frontier=$frontierN t=${(System.nanoTime() - tR) / 1e9}%.2f")
     }
     eP.unpersist(false) // final lbl is itself checkpointed — no lineage back to eP
+    if (graphTrace) println(s"GRAPHTRACE dirMinLabels n=$n rounds=$rounds")
     lbl.select(col("node"), col("lbl"))
   }
 }

@@ -511,6 +511,133 @@ class SimilarityOps(val cfg: GraftConfig) {
        |GROUP BY ex.vec_id""".stripMargin
   }
 
+  /** q211: top-${cfg.pcaTopK} PCA + WHITENING — q150 extended from "the
+    * dominant direction" to the spectral basis a whitening projection
+    * actually needs (decorrelated, unit-variance coordinates: the
+    * preprocessing step before embedding-space clustering, cosine
+    * calibration, or ZCA): components extracted by DEFLATION on the
+    * exact q127 covariance — after each converged component, subtract
+    * λ·vvᵀ entrywise and re-run the same fixed power loop on the
+    * deflated matrix. One long row per (vector, component): the score
+    * (projection), the component's eigenvalue, and the whitened
+    * coordinate score/√λ (population variance of `white` is 1 by
+    * construction — spec-asserted).
+    *
+    * Determinism (the q150 contract, per component): the d×d matrix is
+    * a driver-side artifact, every matvec entry sums j-ascending, the
+    * norm i-ascending, v₀ = 1/√d for every component, and the
+    * deflation entry is the one fixed chain cov − (λ·vᵢ)·vⱼ computed
+    * independently per (i,j) CELL (the full matrix is deflated
+    * entrywise, NOT mirrored from the upper triangle — (λ·vᵢ)·vⱼ and
+    * (λ·vⱼ)·vᵢ can round differently, and the oracle computes each
+    * cell from its own row). The DuckDB oracle replays the identical
+    * per-component iteration with `list_sum(list(… ORDER BY …))`
+    * (verified a sequential left fold) and the identical deflation
+    * expression, so eigenvectors, eigenvalues, scores, and whitened
+    * coordinates all hash-match bitwise through k·pcaIters float
+    * iterations.
+    *
+    * Scale: training is O(k·iters·d²) driver flops on the d²-row
+    * covariance ARTIFACT (corpus-independent — the q150 argument);
+    * the corpus pass is ONE scan with k broadcast-literal fold
+    * expressions exploded per row — no joins, no shuffles. */
+  def q211PcaWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val cov = q127GramMatrix(spark, dir).select(col("i"), col("j"), col("cov")).collect()
+    val d = cov.map(_.getInt(0)).max
+    val c = Array.ofDim[Double](d + 1, d + 1)
+    cov.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double], Double)]
+    var m = 1
+    while (m <= cfg.pcaTopK) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lambda = 0.0
+      var t = 0
+      while (t < cfg.pcaIters) {
+        val w = new Array[Double](d)
+        var i = 1
+        while (i <= d) {
+          var s = 0.0
+          var j = 1
+          while (j <= d) { s += c(i)(j) * v(j - 1); j += 1 }
+          w(i - 1) = s; i += 1
+        }
+        var n2 = 0.0
+        var k = 0
+        while (k < d) { n2 += w(k) * w(k); k += 1 }
+        lambda = math.sqrt(n2)
+        var p = 0
+        while (p < d) { v(p) = w(p) / lambda; p += 1 }
+        t += 1
+      }
+      comps += ((m, v, lambda))
+      // entrywise deflation over the FULL matrix (see determinism note)
+      var i = 1
+      while (i <= d) {
+        var j = 1
+        while (j <= d) { c(i)(j) = c(i)(j) - lambda * v(i - 1) * v(j - 1); j += 1 }
+        i += 1
+      }
+      m += 1
+    }
+    val arms = comps.toSeq.map { case (cm, v, lambda) =>
+      val u = array(v.toIndexedSeq.map(lit): _*)
+      val score = org.apache.spark.sql.functions.aggregate(
+        zip_with(col("embedding"), u, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, p) => acc + p)
+      struct(lit(cm.toLong).as("comp"), score.as("score"),
+        lit(lambda).as("eigenvalue"),
+        (score / lit(math.sqrt(lambda))).as("white"))
+    }
+    emb(spark, dir)
+      .select(col("vec_id"), explode(array(arms: _*)).as("c"))
+      .select(col("vec_id"), col("c.comp").as("comp"), col("c.score").as("score"),
+        col("c.eigenvalue").as("eigenvalue"), col("c.white").as("white"))
+  }
+
+  def q211Sql: String = {
+    val iters = cfg.pcaIters
+    // per component m: the q150 power loop on cm$m, then the deflated
+    // cm${m+1}; every CTE MATERIALIZED (DuckDB would otherwise inline —
+    // exponential expansion across k·iters references)
+    val perComp = (1 to cfg.pcaTopK).map { cm =>
+      val steps = (1 to iters).map { t =>
+        val prev = if (t == 1) "v0" else s"v${cm}_${t - 1}"
+        s"""w${cm}_$t AS MATERIALIZED (SELECT cm$cm.i, list_sum(list(cm$cm.cov * $prev.val ORDER BY cm$cm.j)) AS val
+           |  FROM cm$cm JOIN $prev ON cm$cm.j = $prev.i GROUP BY cm$cm.i),
+           |n${cm}_$t AS MATERIALIZED (SELECT sqrt(list_sum(list(val * val ORDER BY i))) AS nrm FROM w${cm}_$t),
+           |v${cm}_$t AS MATERIALIZED (SELECT w${cm}_$t.i, w${cm}_$t.val / n${cm}_$t.nrm AS val FROM w${cm}_$t, n${cm}_$t)""".stripMargin
+      }.mkString(",\n")
+      val deflate =
+        if (cm == cfg.pcaTopK) ""
+        else s""",
+                |cm${cm + 1} AS MATERIALIZED (SELECT a.i, a.j,
+                |    a.cov - (SELECT nrm FROM n${cm}_$iters) * vi.val * vj.val AS cov
+                |  FROM cm$cm a JOIN v${cm}_$iters vi ON vi.i = a.i
+                |  JOIN v${cm}_$iters vj ON vj.i = a.j)""".stripMargin
+      steps + deflate
+    }.mkString(",\n")
+    val arms = (1 to cfg.pcaTopK).map { cm =>
+      s"""SELECT vec_id, CAST($cm AS BIGINT) AS comp, score,
+         |  (SELECT nrm FROM n${cm}_$iters) AS eigenvalue,
+         |  score / sqrt((SELECT nrm FROM n${cm}_$iters)) AS white
+         |FROM (SELECT ex.vec_id, list_sum(list(ex.x * u.val ORDER BY ex.j)) AS score
+         |  FROM ex JOIN v${cm}_$iters u ON u.i = ex.j GROUP BY ex.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS MATERIALIZED (SELECT i, j, cov FROM ($q127Sql)),
+       |cm1 AS MATERIALIZED (SELECT i, j, cov FROM c
+       |  UNION ALL SELECT j, i, cov FROM c WHERE i <> j),
+       |dims AS MATERIALIZED (SELECT DISTINCT i FROM cm1),
+       |v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM dims)) AS val
+       |  FROM dims),
+       |$perComp,
+       |ex AS (SELECT vec_id, g AS j, CAST(embedding[g] AS DOUBLE) AS x
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t)
+       |$arms""".stripMargin
+  }
+
   /** q127: the corpus Gram / covariance matrix of the embedding column —
     * the second-moment statistics PCA whitening, dimensionality checks,
     * and feature-correlation audits start from. One row per dimension

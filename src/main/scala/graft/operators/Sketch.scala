@@ -555,7 +555,7 @@ class SketchOps(val cfg: GraftConfig) {
     * 2^${QsK + 1} sub-buckets, values below 2^$QsK get exact singleton
     * buckets, and [m·d, (m+1)·d − 1] brackets every member with
     * relative width ≤ 2^−$QsK. */
-  private def qsBuckets(vals: DataFrame): DataFrame =
+  private[operators] def qsBuckets(vals: DataFrame): DataFrame =
     vals
       .withColumn("e", length(conv(col("v"), 10, 2)).cast("long"))
       .withColumn("d", expr(s"CAST(power(2.0, greatest(e - 1 - $QsK, 0)) AS BIGINT)"))

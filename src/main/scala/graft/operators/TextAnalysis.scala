@@ -644,6 +644,14 @@ class TextAnalysisOps(val cfg: GraftConfig) {
   def q209LearnedUnits(spark: SparkSession, dir: String): DataFrame = {
     val merges = q201BpeTrain(spark, dir).collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    learnedUnitsApply(spark, dir, merges)
+  }
+
+  /** The apply half of q209/q210: per-doc unit counts under a given
+    * merge list — q167's single codegen'd scan expression with the
+    * merges as driver-side literals. */
+  private def learnedUnitsApply(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val chain = bpeSpacedExpr(merges)
     val unitExpr = s"size(split(trim($chain), ' '))"
     Tables.documents(spark, dir)
@@ -654,6 +662,55 @@ class TextAnalysisOps(val cfg: GraftConfig) {
                 |  CAST(0 AS BIGINT), (acc, u) -> acc + u)""".stripMargin)
           .as("n_units"))
   }
+
+  /** Persist a trained tokenizer (q201's output schema — iter, l_sym,
+    * r_sym, merged, pair_count) as a one-file parquet artifact: the
+    * tokenizer analog of [[graft.operators.Similarity]]'s
+    * saveIndex/loadIndex. The artifact is ≤ `bpeNumMerges` rows —
+    * repartition(1) keeps it a single file whatever the session's
+    * shuffle parallelism. */
+  def saveTokenizer(spark: SparkSession, dir: String, path: String): Unit =
+    q201BpeTrain(spark, dir).repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted tokenizer back to the (l, r) merge list in
+    * training order — the driver-verified load path q210 exercises. */
+  def loadTokenizer(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("iter")).collect()
+      .map(r => (r.getAs[String]("l_sym"), r.getAs[String]("r_sym"))).toSeq
+
+  /** q210: per-doc unit counts under the PERSISTED learned tokenizer —
+    * q209's composition split along the q188/q204 artifact discipline:
+    * training is a build step that runs ONCE and saves its merge list
+    * ([[saveTokenizer]]); the query LOADS the ≤ `bpeNumMerges`-row
+    * artifact ([[loadTokenizer]]) and runs ONLY q167's apply scan. At
+    * 100 TB the tokenizer trains on whatever schedule the pipeline
+    * owner picks, and every downstream count/packing query pays
+    * apply-only cost — one codegen'd corpus scan, zero joins, zero
+    * shuffles — instead of q209's inline retrain (the suite's
+    * heaviest query, ~9.5 s of training per call at sf0.1).
+    *
+    * The artifact is keyed by (dataset path, merge count) under the
+    * shared scratch root and built HERE if absent (first-ever call
+    * pays one training run; every later call — any session — loads).
+    * The trainer is deterministic and the test corpora immutable, so
+    * load-or-train can never diverge from retraining (spec pins
+    * loaded ≡ retrained merge-for-merge, and q210's oracle is
+    * q209's — the full train+apply SQL — so the driver re-verifies
+    * that equivalence end-to-end every round). */
+  def q210LearnedUnitsPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.dir(s"bpe_tok_k${cfg.bpeNumMerges}", dir)
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) saveTokenizer(spark, dir, path)
+    learnedUnitsApply(spark, dir, loadTokenizer(spark, path))
+  }
+
+  /** Same result as q209 by construction (loaded ≡ retrained), so the
+    * oracle IS q209's train+apply SQL — the strongest available gate:
+    * DuckDB retrains from scratch and must land on the identical
+    * per-doc counts the persisted artifact produces. */
+  def q210Sql: String = q209Sql
 
   def q209Sql: String = {
     val k = cfg.bpeNumMerges

@@ -86,4 +86,151 @@ object Layout {
        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
        |FROM ev JOIN inc USING (day)
        |GROUP BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q212: small-file COMPACTION — the layout-health maintenance op beside
+  // q146 (partition pruning), q186 (bucketing), q198 (DPP): bin-pack a
+  // fragmented directory's part files toward a target size, preserving
+  // the partition layout.
+  // ---------------------------------------------------------------------
+
+  /** One partition directory's compaction plan: the file sizes found
+    * and the FFD bins they pack into. */
+  private[graft] final case class CompactPlan(
+      partition: String, files: Seq[(String, Long)], bins: Seq[Seq[(String, Long)]])
+
+  /** First-fit-decreasing bin-packing of (path, bytes) files into bins
+    * of capacity `target` (q83's packing discipline applied to FILES):
+    * sort by size descending (path ascending on ties — deterministic),
+    * place each file in the first bin with room; a file larger than the
+    * target becomes its own oversize singleton bin. Every multi-file
+    * bin's byte sum is ≤ target BY CONSTRUCTION — the planner property
+    * q212 reports as `bins_within_target`. */
+  private[graft] def ffdPack(files: Seq[(String, Long)], target: Long): Seq[Seq[(String, Long)]] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[(String, Long)]]
+    val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+    files.sortBy { case (p, s) => (-s, p) }.foreach { f =>
+      val i = used.indexWhere(_ + f._2 <= target)
+      if (i >= 0) { bins(i) += f; used(i) += f._2 }
+      else { bins += scala.collection.mutable.ArrayBuffer(f); used += f._2 }
+    }
+    bins.map(_.toSeq).toSeq
+  }
+
+  /** List a layout's `key=value` partition directories and their part
+    * files (name-sorted — determinism), as (partitionDirName, files). */
+  private def listParts(spark: SparkSession, path: String): Seq[(String, Seq[(String, Long)])] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val files = fs.listStatus(p)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1).toSeq
+        (p.getName, files)
+      }.toSeq
+  }
+
+  /** Compact a partitioned parquet layout: per partition directory, FFD
+    * bin-pack the part files toward `targetBytes` and rewrite each bin
+    * as ONE output file under the same `key=value` directory at
+    * `destPath`. Returns the per-partition plans.
+    *
+    * Scale: the plan is METADATA-only (one directory listing — the
+    * same information a table format's manifest already holds); data
+    * moves exactly once, and each bin's rewrite is an independent
+    * bounded job (read ≤ target bytes, write one file), so a 100 TB
+    * compaction parallelizes per-partition/per-bin and runs
+    * incrementally — this self-contained demo executes the bins of a
+    * handful of low-cardinality partitions serially, which is the
+    * bounded-loop shape, not a corpus-width driver loop. */
+  def compactPartitioned(spark: SparkSession, srcPath: String, destPath: String,
+      targetBytes: Long): Seq[CompactPlan] = {
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    val plans = listParts(spark, srcPath).map { case (part, files) =>
+      CompactPlan(part, files, ffdPack(files, targetBytes))
+    }
+    plans.foreach { pl =>
+      pl.bins.foreach { bin =>
+        spark.read.parquet(bin.map(_._1): _*).coalesce(1)
+          .write.mode("append").parquet(s"$destPath/${pl.partition}")
+      }
+    }
+    plans
+  }
+
+  /** Per-file layout report for a before/after pair — the raw rows the
+    * compaction spec derives file counts and size histograms from:
+    * (phase, partition, file, bytes). */
+  def compactionReport(spark: SparkSession, srcPath: String, destPath: String): DataFrame = {
+    import spark.implicits._
+    (listParts(spark, srcPath).flatMap { case (p, fl) =>
+      fl.map { case (f, b) => ("before", p, f, b) }
+    } ++ listParts(spark, destPath).flatMap { case (p, fl) =>
+      fl.map { case (f, b) => ("after", p, f, b) }
+    }).toDF("phase", "partition", "file", "bytes")
+  }
+
+  /** q212: small-file compaction ROUND TRIP + eval — write the
+    * documents table deliberately fragmented (`compactFragments` tasks
+    * × lang partitions — the classic small-file pathology this
+    * operator exists to heal), compact it with [[compactPartitioned]]
+    * toward `compactTargetBytes`, and emit one eval row per lang:
+    * content statistics read FROM THE COMPACTED LAYOUT (doc count,
+    * char sum, an md5-word content fingerprint — the DuckDB oracle
+    * recomputes all three from the flat table, so the hash gate proves
+    * the fragment→compact→read cycle is content-lossless end-to-end)
+    * plus the layout-health gates, TRUE by construction when the
+    * compactor works (the q206 in-bounds discipline — the eval catches
+    * a broken planner or a lossy rewrite, the spec carries the actual
+    * file-count/histogram numbers via [[compactionReport]]):
+    * `lossless` (compacted content aggregates ≡ fragmented layout's),
+    * `plan_respected` (output file count = planned bin count),
+    * `bins_within_target` (every multi-file bin's input bytes ≤
+    * target), `files_not_increased` (per-partition file count never
+    * grows). */
+  def q212CompactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.GraftConfig.default
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val src = Scratch.dir("compact_src", dir)
+    val dst = Scratch.dir("compact_dst", dir)
+    docs.repartition(cfg.compactFragments)
+      .write.mode("overwrite").partitionBy("lang").parquet(src)
+    val plans = compactPartitioned(spark, src, dst, cfg.compactTargetBytes)
+    val after = listParts(spark, dst).toMap
+    import spark.implicits._
+    val layoutEval = plans.map { pl =>
+      val lang = pl.partition.stripPrefix("lang=")
+      val afterFiles = after.getOrElse(pl.partition, Seq.empty).size
+      (lang,
+        afterFiles.toLong == pl.bins.size.toLong,
+        pl.bins.forall(b => b.size == 1 || b.map(_._2).sum <= cfg.compactTargetBytes),
+        afterFiles <= pl.files.size)
+    }.toDF("lang", "plan_respected", "bins_within_target", "files_not_increased")
+    def contentAgg(df: DataFrame) = df.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("sum_chars"),
+      sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("fp"))
+    val compacted = contentAgg(spark.read.parquet(dst))
+    val fragmented = contentAgg(spark.read.parquet(src))
+      .select(col("lang"), col("n_docs").as("f_docs"),
+        col("sum_chars").as("f_chars"), col("fp").as("f_fp"))
+    compacted.join(fragmented, "lang").join(broadcast(layoutEval), "lang")
+      .select(col("lang"), col("n_docs"), col("sum_chars"), col("fp"),
+        (col("n_docs") === col("f_docs") && col("sum_chars") === col("f_chars") &&
+          col("fp") === col("f_fp")).as("lossless"),
+        col("plan_respected"), col("bins_within_target"), col("files_not_increased"))
+  }
+
+  def q212Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS fp,
+      |  TRUE AS lossless, TRUE AS plan_respected,
+      |  TRUE AS bins_within_target, TRUE AS files_not_increased
+      |FROM documents GROUP BY lang""".stripMargin
 }

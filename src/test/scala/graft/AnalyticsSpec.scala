@@ -172,6 +172,38 @@ class AnalyticsSpec extends GraftSpec {
     assert(r == Map(0L -> Analytics.PrScale, 1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
   }
 
+  test("q213 PPR: cycle ranks equal the integer recurrence; restart mass stays on the seed") {
+    // cycle 0→1→2→0 (doc 0 is the only seed: 0 % bfsSeedMod == 0), each
+    // out-degree 1 — replay the exact integer recurrence independently
+    val dir = docs(
+      0L -> "a b x y",
+      1L -> "x y c d",
+      2L -> "c d a b")
+    val S = Analytics.PrScale
+    val base0 = 15L * S / 100
+    var (r0, r1, r2) = (S, 0L, 0L)
+    for (_ <- 1 to Analytics.PrIters) {
+      val n0 = base0 + 85L * r2 / 100
+      val n1 = 85L * r0 / 100
+      val n2 = 85L * r1 / 100
+      r0 = n0; r1 = n1; r2 = n2
+    }
+    val got = Analytics.q213Ppr(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(0L -> r0, 1L -> r1, 2L -> r2), s"got $got want ($r0,$r1,$r2)")
+  }
+
+  test("q213 PPR: stationary from round 1 on isolated docs — seed holds base mass, non-seed zero") {
+    val dir = docs(0L -> "a b c d", 1L -> "e f g h") // no overlap edges
+    val got = Analytics.q213Ppr(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(0L -> 15L * Analytics.PrScale / 100, 1L -> 0L))
+    // determinism across runs (fixed-point integers, no float anywhere)
+    val again = Analytics.q213Ppr(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("q93: the 3-cycle docs form one triangle counted once per vertex") {
     val dir = docs(
       0L -> "a b x y",
@@ -290,6 +322,42 @@ class AnalyticsSpec extends GraftSpec {
     val again = graft.operators.Similarity.q150PcaProject(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(again == got)
+  }
+
+  test("q211: top-k PCA on a diagonal hand matrix — eigenpairs, orthogonality, unit whitened variance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcak").toString
+    // zero-mean corpus with cov = diag(2, 0.5): comp1 → (±1,0), λ≈2;
+    // deflation leaves ≈diag(0, 0.5): comp2 → (0,±1), λ≈0.5
+    Seq((1L, Seq(2f, 0f)), (2L, Seq(-2f, 0f)), (3L, Seq(0f, 1f)), (4L, Seq(0f, -1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ops = new graft.operators.SimilarityOps(GraftConfig(pcaTopK = 2))
+    val rows = ops.q211PcaWhiten(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.size == 8)
+    val lam1 = rows((1L, 1L))._2
+    val lam2 = rows((1L, 2L))._2
+    assert(math.abs(lam1 - 2.0) < 1e-6 && math.abs(lam2 - 0.5) < 1e-6,
+      s"eigenvalues ($lam1, $lam2) must converge to (2, 0.5)")
+    // scores ≈ projections on the axes; components orthogonal via the
+    // score identity: comp1 separates dim-1 vectors, comp2 dim-2
+    assert(math.abs(math.abs(rows((1L, 1L))._1) - 2.0) < 1e-6)
+    assert(math.abs(rows((3L, 1L))._1) < 1e-6)
+    assert(math.abs(rows((1L, 2L))._1) < 1e-6)
+    assert(math.abs(math.abs(rows((3L, 2L))._1) - 1.0) < 1e-6)
+    // whitening whitens: population variance of `white` = 1 per comp
+    Seq(1L, 2L).foreach { cm =>
+      val ws = (1L to 4L).map(id => rows((id, cm))._3)
+      val popVar = ws.map(w => w * w).sum / ws.size
+      assert(math.abs(popVar - 1.0) < 1e-6, s"comp $cm whitened variance $popVar")
+    }
+    // fixed iteration count + fixed folds → bit-identical re-runs
+    val again = ops.q211PcaWhiten(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == rows)
   }
 
   test("q127: Gram and covariance match hand arithmetic on a 2-dim corpus") {

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** q212 small-file compaction: the FFD planner, the multi-bin rewrite
+  * path, and the end-to-end eval gates. */
+class CompactionSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("ffdPack: first-fit decreasing with deterministic ties; oversize files get singleton bins") {
+    val files = Seq(("e", 20L), ("a", 60L), ("b", 50L), ("c", 40L), ("d", 30L))
+    val bins = Layout.ffdPack(files, target = 100L)
+    assert(bins.map(_.map(_._1)) == Seq(Seq("a", "c"), Seq("b", "d", "e")),
+      s"got ${bins.map(_.map(_._1))}")
+    // every multi-file bin within target by construction
+    assert(bins.forall(b => b.size == 1 || b.map(_._2).sum <= 100L))
+    // oversize file becomes its own bin, others still pack
+    val withBig = Layout.ffdPack(Seq(("big", 150L), ("x", 40L), ("y", 30L)), 100L)
+    assert(withBig.map(_.map(_._1)) == Seq(Seq("big"), Seq("x", "y")))
+    // deterministic tie-break on equal sizes: path ascending
+    val ties = Layout.ffdPack(Seq(("q", 10L), ("p", 10L)), 10L)
+    assert(ties.map(_.map(_._1)) == Seq(Seq("p"), Seq("q")))
+  }
+
+  test("compactPartitioned: multi-bin rewrite is content-lossless and respects its plan") {
+    val src = java.nio.file.Files.createTempDirectory("cmp-src").toString
+    val dst = src + "-dst"
+    // 40 rows shattered into 8 files per lang — small target forces >1 bin
+    (1L to 40L).map(i => (i, s"text-$i" * 50, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("lang").parquet(src)
+    val before = spark.read.parquet(src).orderBy("doc_id").collect()
+    val sizes = Layout.compactionReport(spark, src, dst)
+      .filter(col("phase") === "before").select("bytes").as[Long].collect()
+    val target = sizes.sorted.take(3).sum // guarantees 1 < bins < files
+    val plans = Layout.compactPartitioned(spark, src, dst, target)
+    plans.foreach { pl =>
+      assert(pl.bins.size > 1 && pl.bins.size < pl.files.size,
+        s"${pl.partition}: want a genuine multi-bin pack, got ${pl.bins.size} bins for ${pl.files.size} files")
+      assert(pl.bins.forall(b => b.size == 1 || b.map(_._2).sum <= target))
+    }
+    val rep = Layout.compactionReport(spark, src, dst).collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    plans.foreach { pl =>
+      assert(rep(("after", pl.partition)).length == pl.bins.size,
+        s"${pl.partition}: output files must equal planned bins")
+    }
+    val after = spark.read.parquet(dst).orderBy("doc_id").collect()
+    assert(after.toSeq == before.toSeq, "compaction must be content-lossless")
+  }
+
+  test("q212: eval gates all TRUE on the real corpus; report shows files shrinking") {
+    val rows = SparkEntry.queries("q212_compact_files")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("lossless", "plan_respected", "bins_within_target", "files_not_increased")
+      .foreach { c =>
+        assert(rows.forall(_.getAs[Boolean](c)), s"gate $c must hold on every lang")
+      }
+    val cfgv = GraftConfig.default
+    val rep = Layout.compactionReport(spark,
+      graft.sources.Scratch.dir("compact_src", sf),
+      graft.sources.Scratch.dir("compact_dst", sf)).collect()
+    val byPhase = rep.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byPhase("after") < byPhase("before"),
+      s"compaction must reduce total file count, got $byPhase")
+    // 128 MB target swallows each tiny lang slice whole: 1 file per lang
+    val afterByPart = rep.filter(_.getString(0) == "after").groupBy(_.getString(1))
+    assert(afterByPart.values.forall(_.length == 1))
+    assert(cfgv.compactTargetBytes > rep.map(_.getAs[Long]("bytes")).sum)
+  }
+}

@@ -419,6 +419,33 @@ class CurationSpec extends GraftSpec {
     assert(rows.head.getDouble(4) == 0.0)
   }
 
+  test("q214: sketch-path drift verdict matches the exact path; counts conserve through the merge") {
+    val q214 = graft.operators.Curation.q214SketchSplitDrift(spark, sf).collect()
+    assert(q214.nonEmpty)
+    // the shard-merged sketch loses no document: totals equal the corpus
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(q214.map(r => r.getLong(2) + r.getLong(3)).sum == nDocs,
+      "merged sketch bucket counts must conserve the corpus")
+    // corpus-level VERDICT agrees with q163's exact linear-bin path
+    // under the same 1-df threshold + the same expected≥5 validity rule
+    // (unbiased md5 split → no drift on either binning)
+    val thr = GraftConfig.default.chi2DriftThreshold
+    val sketchVerdict = q214.exists(_.getAs[Boolean]("drifted"))
+    val exact = graft.operators.Curation.q163SplitDrift(spark, sf).collect()
+    val nt = exact.map(_.getLong(1)).sum.toDouble
+    val no = exact.map(_.getLong(2)).sum.toDouble
+    val exactVerdict = exact.exists { r =>
+      val et = r.getLong(1) + r.getLong(2)
+      val eTrain = et * nt / (nt + no)
+      val eOther = et * no / (nt + no)
+      r.getAs[Double]("chi2_bin") > thr && eTrain >= 5.0 && eOther >= 5.0
+    }
+    assert(sketchVerdict == exactVerdict,
+      s"sketch-path verdict $sketchVerdict must agree with exact-path $exactVerdict")
+    // log-linear bounds really bracket: lo ≤ hi, buckets disjoint per octave
+    q214.foreach(r => assert(r.getLong(0) <= r.getLong(1)))
+  }
+
   test("q154: fixed-point LM score matches hand arithmetic; pairless docs are absent") {
     // tokens a,b,a,b,a,b,c → c1(a)=c1(b)=3, c1(c)=1, V=3
     // c12(a,b)=3, c12(b,a)=1 → p(a,b)=4e6 div 6=666666, p(b,a)=333333

@@ -350,15 +350,30 @@ class PlanSpec extends GraftSpec {
       "q186's snapshot side must scan the bucketed table")
   }
 
-  test("q204 persisted family split: bucketed family scan, exchange only on the delta side") {
-    val p = plan("q204_family_split_persisted")
-    assert(p.contains("SortMergeJoin"),
+  test("q204 persisted family split: bucketed family side reaches the merge join exchange-free") {
+    // scoped to the family-join SUBTREE (not a whole-plan exchange count,
+    // which is brittle against benign planner changes elsewhere): the
+    // merge join's bucketed-scan child must contain no shuffle exchange
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val exec = SparkEntry.queries("q204_family_split_persisted")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    def hasBucketedScan(p: SparkPlan): Boolean =
+      p.collect { case s: FileSourceScanExec if s.bucketedScan => s }.nonEmpty
+    val smjs = exec.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty,
       "q204's lookup must be a sort-merge join against the bucketed family table")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1,
-      s"q204 must shuffle ONLY the delta batch — found $exchanges hash exchanges:\n$p")
-    assert(p.contains("Bucketed: true"),
-      "q204's family side must scan the bucketed table")
+    val familySides = smjs.flatMap(_.children.filter(hasBucketedScan))
+    assert(familySides.nonEmpty, "q204's family side must scan the bucketed table")
+    familySides.foreach { side =>
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"q204's bucketed family side must reach the merge join exchange-free:\n$side")
+    }
   }
 
   test("q192 disjunctive bands: factored predicates reach both scans, part dim broadcasts") {

@@ -170,6 +170,39 @@ class TextStreamSpec extends GraftSpec {
       "q209 must be exactly q167 under the merges q201 just learned")
   }
 
+  test("q210: persisted tokenizer — save/load round-trips merges; query truly LOADS the artifact") {
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(bpeNumMerges = 3))
+    val dir = textDocs(1L -> "the the thin and", 2L -> "that other band")
+    // loaded ≡ retrained, merge for merge (order included)
+    val artifact = java.nio.file.Files.createTempDirectory("bpe-artifact").toString
+    ops.saveTokenizer(spark, dir, artifact)
+    val loaded = ops.loadTokenizer(spark, artifact)
+    val retrained = ops.q201BpeTrain(spark, dir).collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(loaded == retrained, s"loaded $loaded vs retrained $retrained")
+    // q210 ≡ q209 on the same corpus (first call trains + persists)
+    val viaPersisted = ops.q210LearnedUnitsPersisted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaInline = ops.q209LearnedUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPersisted == viaInline)
+    // the second call must READ the artifact, not retrain: doctor the
+    // persisted merge list down to merge #1 only and observe the apply
+    // step follow the doctored artifact
+    val scratch = graft.sources.Scratch.dir("bpe_tok_k3", dir)
+    spark.read.parquet(scratch).filter(col("iter") === 1L)
+      .repartition(1).write.mode("overwrite").parquet(scratch + "_cut")
+    spark.read.parquet(scratch + "_cut").repartition(1)
+      .write.mode("overwrite").parquet(scratch)
+    val doctored = ops.q210LearnedUnitsPersisted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val oneMerge = new graft.operators.TextAnalysisOps(
+      GraftConfig(bpeMerges = Seq("t h"))).q167BpeUnits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(doctored == oneMerge,
+      "q210 must apply the PERSISTED merge list, not retrain")
+  }
+
   test("q167: same-symbol merges are rejected (apply-twice ≢ sequential BPE on runs ≥5)") {
     // 6×'a' under 'a a': apply-twice gives aa·a·aa·a (4 units) where
     // one-at-a-time BPE gives aa·aa·aa (3) — the equivalence proof
