@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
@@ -542,6 +542,32 @@ class SimilarityOps(val cfg: GraftConfig) {
     * the corpus pass is ONE scan with k broadcast-literal fold
     * expressions exploded per row — no joins, no shuffles. */
   def q211PcaWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val arms = pcaComps(spark, dir).map { case (cm, v, lambda) =>
+      val score = pcaScore(v)
+      struct(lit(cm.toLong).as("comp"), score.as("score"),
+        lit(lambda).as("eigenvalue"),
+        (score / lit(math.sqrt(lambda))).as("white"))
+    }
+    emb(spark, dir)
+      .select(col("vec_id"), explode(array(arms: _*)).as("c"))
+      .select(col("vec_id"), col("c.comp").as("comp"), col("c.score").as("score"),
+        col("c.eigenvalue").as("eigenvalue"), col("c.white").as("white"))
+  }
+
+  /** q211's projection fold against a literal eigenvector (j-ascending,
+    * the q150 contract). */
+  private def pcaScore(v: Array[Double]): Column = {
+    val u = array(v.toIndexedSeq.map(lit): _*)
+    org.apache.spark.sql.functions.aggregate(
+      zip_with(col("embedding"), u, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, p) => acc + p)
+  }
+
+  /** q211's driver-side training: the top-`pcaTopK` (component index,
+    * eigenvector, eigenvalue) triples by deflation on the exact q127
+    * covariance — shared by q211 (long-form output) and q215 (whitened
+    * ANN). */
+  private[graft] def pcaComps(spark: SparkSession, dir: String): Seq[(Int, Array[Double], Double)] = {
     val cov = q127GramMatrix(spark, dir).select(col("i"), col("j"), col("cov")).collect()
     val d = cov.map(_.getInt(0)).max
     val c = Array.ofDim[Double](d + 1, d + 1)
@@ -582,22 +608,13 @@ class SimilarityOps(val cfg: GraftConfig) {
       }
       m += 1
     }
-    val arms = comps.toSeq.map { case (cm, v, lambda) =>
-      val u = array(v.toIndexedSeq.map(lit): _*)
-      val score = org.apache.spark.sql.functions.aggregate(
-        zip_with(col("embedding"), u, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, p) => acc + p)
-      struct(lit(cm.toLong).as("comp"), score.as("score"),
-        lit(lambda).as("eigenvalue"),
-        (score / lit(math.sqrt(lambda))).as("white"))
-    }
-    emb(spark, dir)
-      .select(col("vec_id"), explode(array(arms: _*)).as("c"))
-      .select(col("vec_id"), col("c.comp").as("comp"), col("c.score").as("score"),
-        col("c.eigenvalue").as("eigenvalue"), col("c.white").as("white"))
+    comps.toSeq
   }
 
-  def q211Sql: String = {
+  /** The q211 training chain as CTE text (covariance, per-component
+    * power loops v{m}_iters / n{m}_iters, deflations, and the exploded
+    * `ex` element table) — shared by the q211 and q215 oracles. */
+  private def pcaSqlCtes: String = {
     val iters = cfg.pcaIters
     // per component m: the q150 power loop on cm$m, then the deflated
     // cm${m+1}; every CTE MATERIALIZED (DuckDB would otherwise inline —
@@ -619,14 +636,7 @@ class SimilarityOps(val cfg: GraftConfig) {
                 |  JOIN v${cm}_$iters vj ON vj.i = a.j)""".stripMargin
       steps + deflate
     }.mkString(",\n")
-    val arms = (1 to cfg.pcaTopK).map { cm =>
-      s"""SELECT vec_id, CAST($cm AS BIGINT) AS comp, score,
-         |  (SELECT nrm FROM n${cm}_$iters) AS eigenvalue,
-         |  score / sqrt((SELECT nrm FROM n${cm}_$iters)) AS white
-         |FROM (SELECT ex.vec_id, list_sum(list(ex.x * u.val ORDER BY ex.j)) AS score
-         |  FROM ex JOIN v${cm}_$iters u ON u.i = ex.j GROUP BY ex.vec_id)""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH c AS MATERIALIZED (SELECT i, j, cov FROM ($q127Sql)),
+    s"""c AS MATERIALIZED (SELECT i, j, cov FROM ($q127Sql)),
        |cm1 AS MATERIALIZED (SELECT i, j, cov FROM c
        |  UNION ALL SELECT j, i, cov FROM c WHERE i <> j),
        |dims AS MATERIALIZED (SELECT DISTINCT i FROM cm1),
@@ -634,8 +644,130 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  FROM dims),
        |$perComp,
        |ex AS (SELECT vec_id, g AS j, CAST(embedding[g] AS DOUBLE) AS x
-       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t)
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t)""".stripMargin
+  }
+
+  def q211Sql: String = {
+    val iters = cfg.pcaIters
+    val arms = (1 to cfg.pcaTopK).map { cm =>
+      s"""SELECT vec_id, CAST($cm AS BIGINT) AS comp, score,
+         |  (SELECT nrm FROM n${cm}_$iters) AS eigenvalue,
+         |  score / sqrt((SELECT nrm FROM n${cm}_$iters)) AS white
+         |FROM (SELECT ex.vec_id, list_sum(list(ex.x * u.val ORDER BY ex.j)) AS score
+         |  FROM ex JOIN v${cm}_$iters u ON u.i = ex.j GROUP BY ex.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pcaSqlCtes
        |$arms""".stripMargin
+  }
+
+  /** q215: WHITENED-SPACE ANN + its recall eval — q211's consuming
+    * path, closed with the approximation-ships-with-its-eval rule
+    * (q123/IVF, q132/LSH, q206/sketch): search in the ${cfg.pcaTopK}-d
+    * WHITENED coordinates (each vector reduced to score_m/√λ_m — the
+    * dimensionality-reduced index a PCA-compressed retrieval tier
+    * actually serves), rank by squared Euclidean distance with a
+    * vec_id tie-break, and emit per query the hits against q40's
+    * exact full-space top-k and the recall fraction. At 100 TB the
+    * whitened table is k doubles per vector instead of d floats —
+    * the candidate scan shrinks ~d/k× and distance costs k mults —
+    * and THIS eval row is the number that decides whether that
+    * compression is servable. Determinism: whitened coordinates are
+    * q211's bitwise-pinned folds; the distance is one fixed
+    * m-ascending chain of (a−b)² terms; ties order on vec_id.
+    * Truth side: exact FULL-SPACE Euclidean top-k (same metric as the
+    * whitened search — cosine truth would conflate the metric change
+    * with the compression loss), distances as the identical
+    * j-ascending (a−b)² fold.
+    * Scale: the whitened table is ONE scan (k literal folds); the
+    * query side is `annQueries` rows broadcast against it (the q40
+    * shape); the top-k window partitions per query.
+    *
+    * On THIS synthetic corpus the eval reads recall ≈ 0: the
+    * embeddings are isotropic (top-3 eigenvalues ≈ trace/d — measured
+    * 7.9% explained variance), so a k-d PCA tier preserves nothing —
+    * the q171 chance-rate precedent: the honest number that says
+    * "don't serve this compression here", which no one knows until
+    * the eval exists. The spec feeds a genuinely low-rank corpus and
+    * pins recall = 1 there. */
+  def q215WhitenedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val comps = pcaComps(spark, dir)
+    val wcols = comps.map { case (m, v, lambda) =>
+      (pcaScore(v) / lit(math.sqrt(lambda))).as(s"w$m")
+    }
+    val wt = emb(spark, dir).select(col("vec_id") +: wcols: _*)
+    val q = broadcast(wt.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id") +:
+        comps.map { case (m, _, _) => col(s"w$m").as(s"qw$m") }: _*))
+    val dist = comps.map { case (m, _, _) =>
+      (col(s"qw$m") - col(s"w$m")) * (col(s"qw$m") - col(s"w$m"))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val approx = q.crossJoin(wt)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val e = emb(spark, dir)
+    val qf = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val fullDist = org.apache.spark.sql.functions.aggregate(
+      zip_with(col("qe"), col("embedding"),
+        (a, b) => (a.cast("double") - b.cast("double")) *
+                  (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, p) => acc + p)
+    val truth = qf.crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), fullDist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "vec_id")
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / TopK).as("recall"))
+  }
+
+  def q215Sql: String = {
+    val iters = cfg.pcaIters
+    val ks = 1 to cfg.pcaTopK
+    val wctes = ks.map { m =>
+      s"""s$m AS MATERIALIZED (SELECT ex.vec_id,
+         |    list_sum(list(ex.x * u.val ORDER BY ex.j))
+         |      / sqrt((SELECT nrm FROM n${m}_$iters)) AS w
+         |  FROM ex JOIN v${m}_$iters u ON u.i = ex.j GROUP BY ex.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val wtJoin = ks.drop(1).map(m => s"JOIN s$m USING (vec_id)").mkString(" ")
+    val wtCols = ks.map(m => s"s$m.w AS w$m").mkString(", ")
+    val distSql = ks.map(m => s"(q.w$m - c.w$m) * (q.w$m - c.w$m)").mkString(" + ")
+    s"""WITH $pcaSqlCtes,
+       |$wctes,
+       |wt AS MATERIALIZED (SELECT vec_id, $wtCols FROM s1 $wtJoin),
+       |ranked AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $distSql, c.vec_id) AS rk
+       |  FROM (SELECT * FROM wt WHERE vec_id < $NumQueries) q, wt c
+       |  WHERE c.vec_id <> q.vec_id),
+       |approx AS (SELECT query_id, vec_id FROM ranked WHERE rk <= $TopK),
+       |qf AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |tpairs AS (SELECT query_id, vec_id, qe, embedding AS ve
+       |  FROM qf, embeddings WHERE vec_id <> query_id),
+       |tex AS (SELECT query_id, vec_id, g,
+       |    CAST(qe[g] AS DOUBLE) AS a, CAST(ve[g] AS DOUBLE) AS b
+       |  FROM tpairs, LATERAL (SELECT unnest(generate_series(1, len(ve))) AS g) t),
+       |tdist AS (SELECT query_id, vec_id,
+       |    list_sum(list((a - b) * (a - b) ORDER BY g)) AS dist
+       |  FROM tex GROUP BY 1, 2),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, vec_id) AS rk FROM tdist) WHERE rk <= $TopK)
+       |SELECT b.query_id, CAST(count(a.vec_id) AS BIGINT) AS hits,
+       |  CAST(count(a.vec_id) AS DOUBLE) / $TopK AS recall
+       |FROM truth b
+       |LEFT JOIN approx a ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+       |GROUP BY b.query_id""".stripMargin
   }
 
   /** q127: the corpus Gram / covariance matrix of the embedding column —

@@ -360,6 +360,42 @@ class AnalyticsSpec extends GraftSpec {
     assert(again == rows)
   }
 
+  test("q215: whitened ANN recovers exact neighbors when the corpus IS low-rank (recall 1)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcarec").toString
+    // 12 vectors on the two dominant axes of a 4-d space (dims 3-4
+    // identically zero; DISTINCT axis spreads so λ1 > λ2 and the
+    // eigenvectors are exactly axis-aligned — a degenerate λ1 = λ2
+    // spectrum makes the float eigenbasis rotation-unstable and
+    // whitening then perturbs cross-axis ties): every query's true
+    // top-3 lies on its own axis, where whitening is a uniform scale
+    // → ranking preserved exactly, recall 1.0 per query
+    val pts = Seq(
+      (0L, Seq(20f, 0f, 0f, 0f)), (1L, Seq(22f, 0f, 0f, 0f)),
+      (2L, Seq(24f, 0f, 0f, 0f)), (3L, Seq(28f, 0f, 0f, 0f)),
+      (4L, Seq(-20f, 0f, 0f, 0f)), (5L, Seq(-22f, 0f, 0f, 0f)),
+      (6L, Seq(-24f, 0f, 0f, 0f)), (7L, Seq(-28f, 0f, 0f, 0f)),
+      (8L, Seq(0f, 5f, 0f, 0f)), (9L, Seq(0f, -5f, 0f, 0f)),
+      (10L, Seq(0f, 8f, 0f, 0f)), (11L, Seq(0f, -8f, 0f, 0f)))
+    pts.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ops = new graft.operators.SimilarityOps(
+      GraftConfig(pcaTopK = 2, annQueries = 4, annTopK = 3))
+    val rows = ops.q215WhitenedRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    rows.foreach { case (q, rec) =>
+      assert(rec == 1.0, s"query $q: low-rank corpus must give recall 1, got $rec")
+    }
+    // and on the ISOTROPIC real corpus the same eval reads ~0 — the
+    // honest "no low-rank structure here" verdict (q171's chance-rate
+    // precedent); asserting < 0.5 pins the eval DISCRIMINATES
+    val real = graft.operators.Similarity.q215WhitenedRecall(spark, sf).collect()
+    assert(real.nonEmpty)
+    val mean = real.map(_.getDouble(2)).sum / real.length
+    assert(mean < 0.5, s"isotropic corpus should not look servable, mean recall $mean")
+  }
+
   test("q127: Gram and covariance match hand arithmetic on a 2-dim corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("gram").toString

@@ -220,6 +220,31 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q211 whitening corpus pass is one scan with k literal folds — no joins, no shuffles") {
+    // training already happened driver-side on the covariance artifact;
+    // the returned plan must be the pure broadcast-literal scan
+    val p = plan("q211_pca_whiten")
+    assert(semanticExchanges(p) == 0 && !p.contains("Join"),
+      s"q211's projection must be a shuffle-free map stage:\n$p")
+  }
+
+  test("q210 persisted-tokenizer apply is join-free — merges are literals, not a join table") {
+    val p = plan("q210_learned_units_persisted")
+    assert(!p.contains("Join"),
+      "q210 must fold the loaded merges as literal expressions, never a join")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      "q210's apply must be ONE corpus scan")
+  }
+
+  test("q213 PPR plans exactly like q92 — seed personalization adds no join") {
+    // the restart vector is a CASE expression over the node id, never a
+    // seed-table join: the personalized variant must cost what global
+    // PR costs, join for join
+    def joins(p: String): Int = p.linesIterator.count(_.contains("Join"))
+    assert(joins(plan("q213_ppr")) == joins(plan("q92_pagerank")),
+      "q213 must not plan more joins than q92 (shared prLoop kernel)")
+  }
+
   test("q146 partitioned layout: the lang filter prunes DIRECTORIES, not rows") {
     val p = plan("q146_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(lang") && p.contains("= en)"),
