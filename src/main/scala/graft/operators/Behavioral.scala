@@ -302,6 +302,45 @@ class BehavioralOps(val cfg: GraftConfig) {
        |WHERE n_hours >= ${cfg.burstMinHours}
        |  AND n_hours*cnt - s > 0
        |  AND (n_hours*cnt - s)*(n_hours*cnt - s) > ${cfg.burstZSq}*(n_hours*q - s*s)""".stripMargin
+
+  /** q219: SEMI-STRUCTURED extraction — the event feed's `props` JSON
+    * payload parsed with an EXPLICIT schema (`from_json(props,
+    * 'k BIGINT')` — schema'd extraction, the engine-native typed path,
+    * not string munging) and rolled up per event type: event count,
+    * rows carrying a payload, non-null extracted keys, and the
+    * sum/min/max of the typed value. The capability every
+    * event-analytics engine needs for the long tail of properties that
+    * never get promoted to columns — and the first query to actually
+    * READ this corpus's payloads (q138 only profiled their null
+    * fraction). All outputs exact integers; the per-type aggregate is
+    * map-combinable; parsing is row-local inside the scan
+    * (WholeStageCodegen — no shuffle until the bounded per-type
+    * aggregate). Oracle extracts the same path with DuckDB's typed
+    * json_extract_string + cast; NULL payloads pass through as NULL
+    * on both engines. */
+  def q219JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("props"),
+        expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("props").isNotNull, 1L).otherwise(0L)).as("n_with_props"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  def q219Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_props,
+      |  CAST(count(k) AS BIGINT) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, props,
+      |    CASE WHEN props IS NOT NULL
+      |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |GROUP BY event_type""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -48,9 +48,8 @@ private[graft] object Cc {
     // convergence = the frontier count (the delta doubles as the
     // probe — the old every-2-rounds join-and-count is gone).
     val e = edges.select(col("u"), col("v"))
-    val und = stageCk(
-      e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).repartition(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("v")))
+    val (und, _) = graft.Ck.keyedStage(
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v"))), "v", cfg)
     val lbl0 = und.groupBy(col("u").as("node")).agg(min(col("v")).as("l"))
       .select(col("node"), col("node").as("prev"),
         least(col("node"), col("l")).as("lbl"))

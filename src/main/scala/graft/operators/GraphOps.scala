@@ -254,6 +254,21 @@ class GraphOpsLib(val cfg: GraftConfig) {
   private def ckCount(df: DataFrame): (DataFrame, Long) =
     graft.Ck.sizedStage(df, cfg)
 
+  /** Materialize an iterative loop's EDGE-SIDE table key-partitioned
+    * and row-count-sized: one lazy cut+count evaluates the (possibly
+    * heavy) build plan once, then the counted rows re-cut through an
+    * EXPLICIT hash repartition sized by cfg.stageRowsPerPartition —
+    * explicit because the stats barrier can only lift partitioning
+    * from a FINAL adaptive plan (a lazy cut never has one) and a
+    * column-only repartition gets AQE-coalesced out of co-location,
+    * and SIZED because a fixed 32-way layout makes every round pay 32
+    * task launches for a table that may hold a few thousand rows
+    * (measured: q170 1.6 → 2.8 s with the fixed count; the data-sized
+    * count keeps both the small-scale task economy and the at-scale
+    * exchange-free contract). Returns (keyed table, row count). */
+  private[graft] def keyedCk(df: DataFrame, key: String): (DataFrame, Long) =
+    graft.Ck.keyedStage(df, key, cfg)
+
   /** Right-size a just-COUNTED, materialized stage table's partitioning.
     *
     * Stage outputs inherit the parallelism of the corpus-sized scan/join
@@ -1818,7 +1833,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
     * count+sum probe. */
   private[graft] def ssspFrom(wedges: DataFrame, seeds: DataFrame,
       maxRounds: Int, tag: String): DataFrame = {
-    val (edP, ne) = ckCount(wedges.repartition(col("u")).select("u", "v", "w"))
+    val (edP, ne) = keyedCk(wedges.select("u", "v", "w"), "u")
     var dist = stageCk(seeds.select(col("u"), lit(-1L).as("prev"), col("d")))
     var frontierN = dist.count()
     var rounds = 0
@@ -1846,6 +1861,89 @@ class GraphOpsLib(val cfg: GraftConfig) {
     graft.Convergence.check(tag, maxRounds, converged)
     edP.unpersist(false)
     dist.select(col("u"), col("d"))
+  }
+
+  /** PER-SOURCE min-plus kernel: [[ssspFrom]] with the state keyed by
+    * (source, node) — distances from EACH seed separately instead of
+    * the min over the seed set. Same frontier-messaging discipline
+    * (relaxations only from last-round-changed rows, key-partitioned
+    * never-re-exchanged edge table, empty-frontier convergence);
+    * state size is Σ per-seed reach, the price of per-source answers
+    * — callers bound it with a SAMPLED seed set and a hop budget. */
+  private[graft] def ssspPerSourceFrom(wedges: DataFrame, seeds: DataFrame,
+      maxRounds: Int, tag: String): DataFrame = {
+    val (edP, ne) = keyedCk(wedges.select("u", "v", "w"), "u")
+    var dist = stageCk(seeds.select(col("s"), col("u"), lit(-1L).as("prev"), col("d")))
+    var frontierN = dist.count()
+    var rounds = 0
+    var converged = ne == 0L || frontierN == 0L
+    while (!converged && rounds < maxRounds) {
+      val delta = dist.filter(col("d") =!= col("prev"))
+        .select(col("s"), col("u"), col("d").as("fd"))
+      val deltaJ =
+        if (frontierN >= 0 && frontierN <= Scc.deltaBroadcastRows) broadcast(delta)
+        else delta.hint("shuffle_hash")
+      val msg = edP.join(deltaJ, "u")
+        .groupBy(col("s"), col("v").as("u")).agg(min(col("fd") + col("w")).as("nd"))
+      val next = graft.Trace(s"$tag.${rounds + 1}")(stageCk(
+        dist.select(col("s"), col("u"), col("d"))
+          .join(msg.hint("shuffle_hash"), Seq("s", "u"), "full_outer")
+          .select(col("s"), col("u"), coalesce(col("d"), lit(-1L)).as("prev"),
+            least(coalesce(col("d"), col("nd")),
+              coalesce(col("nd"), col("d"))).as("d"))))
+      rounds += 1
+      frontierN = next.filter(col("d") =!= col("prev")).count()
+      converged = frontierN == 0
+      dist.unpersist(false)
+      dist = next
+    }
+    graft.Convergence.check(tag, maxRounds, converged)
+    edP.unpersist(false)
+    dist.select(col("s"), col("u"), col("d"))
+  }
+
+  /** q218: sampled ECCENTRICITY / diameter estimate — per-seed BFS out
+    * to ${cfg.bfsRounds} hops on the undirected overlap graph, one row
+    * per seed with its reach count and eccentricity (max hop distance
+    * among reached nodes): the classic sampled-diameter estimator
+    * (max over the seed column lower-bounds the graph diameter) and
+    * the per-seed radius signal q170's min-over-seeds view cannot
+    * give. Runs on the per-source kernel — state is (seed, node)
+    * pairs, bounded by the SAMPLED seed set times the hop-budget
+    * reach, the standard price of per-source answers at scale.
+    * Budget-clipped reach is visible, not silent: n_reached counts
+    * exactly the nodes within the budget. Oracle unrolls the same
+    * per-source min-merge rounds. */
+  def q218EccSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val e = edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      .withColumn("w", lit(1L))
+    val seeds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % cfg.bfsSeedMod === 0)
+      .select(col("doc_id").as("s"), col("doc_id").as("u"), lit(0L).as("d"))
+    ssspPerSourceFrom(und, seeds, cfg.bfsRounds, "q218.ecc")
+      .groupBy(col("s").as("seed"))
+      .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc"))
+  }
+
+  def q218Sql: String = {
+    val rounds = (1 to cfg.bfsRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT s, u, CAST(min(d) AS BIGINT) AS d FROM (
+         |  SELECT s, u, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT x.s, e.v AS u, x.d + 1 AS d FROM d${i - 1} x JOIN und e ON x.u = e.u)
+         |  GROUP BY s, u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eds AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)),
+       |und AS MATERIALIZED (SELECT DISTINCT u, v FROM
+       |  (SELECT src AS u, dst AS v FROM eds UNION SELECT dst, src FROM eds)),
+       |d0 AS (SELECT doc_id AS s, doc_id AS u, CAST(0 AS BIGINT) AS d FROM documents
+       |  WHERE doc_id % ${cfg.bfsSeedMod} = 0),
+       |$rounds
+       |SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
+       |  CAST(max(d) AS BIGINT) AS ecc
+       |FROM d${cfg.bfsRounds} GROUP BY s""".stripMargin
   }
 
   def q208Sql: String = {

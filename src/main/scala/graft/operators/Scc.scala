@@ -145,12 +145,10 @@ private[graft] object Scc {
   private def dirMinLabels(spark: SparkSession, nodes: DataFrame, e: DataFrame,
       cfg: GraftConfig): DataFrame = {
     def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
-    // one shuffle up front buys an exchange-free edge side in EVERY round
-    // (EXPLICIT partition count: a column-only repartition gets AQE-
-    // coalesced and the final partitioning no longer co-locates with
-    // the per-round shuffles — measured in BarrierProbe)
-    val eP = stageCk(e.repartition(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("v")))
+    // one shuffle up front buys an exchange-free edge side in EVERY
+    // round; keyedStage = explicit, row-count-sized hash partitioning
+    // (see Ck.keyedStage for why explicit AND sized)
+    val (eP, _) = graft.Ck.keyedStage(e, "v", cfg)
     val lbl0 = nodes
       .join(e.groupBy(col("u").as("node")).agg(min(col("v")).as("m")), Seq("node"), "left")
       .select(col("node"), col("node").as("prev"),

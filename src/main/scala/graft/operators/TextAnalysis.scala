@@ -698,12 +698,18 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     * loaded ≡ retrained merge-for-merge, and q210's oracle is
     * q209's — the full train+apply SQL — so the driver re-verifies
     * that equivalence end-to-end every round). */
-  def q210LearnedUnitsPersisted(spark: SparkSession, dir: String): DataFrame = {
+  def q210LearnedUnitsPersisted(spark: SparkSession, dir: String): DataFrame =
+    learnedUnitsApply(spark, dir, persistedMerges(spark, dir))
+
+  /** The persisted tokenizer's merge list for a dataset — loaded from
+    * the shared scratch artifact, trained-and-saved on first use (the
+    * q210 lifecycle; q217 consumes the same artifact). */
+  private[graft] def persistedMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val path = graft.sources.Scratch.dir(s"bpe_tok_k${cfg.bpeNumMerges}", dir)
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) saveTokenizer(spark, dir, path)
-    learnedUnitsApply(spark, dir, loadTokenizer(spark, path))
+    loadTokenizer(spark, path)
   }
 
   /** Same result as q209 by construction (loaded ≡ retrained), so the
@@ -711,6 +717,60 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     * DuckDB retrains from scratch and must land on the identical
     * per-doc counts the persisted artifact produces. */
   def q210Sql: String = q209Sql
+
+  /** q217: TOKENIZER COMPRESSION eval — per language, whitespace
+    * tokens vs learned subword units under the persisted tokenizer
+    * (the q210 artifact): the "is BPE earning its keep, and where"
+    * number — a language whose units_per_ws_token stays near its
+    * char count is one the learned merges never fire on (this
+    * corpus's non-Latin text, since the trainer's candidates are
+    * [A-Za-z0-9] runs), and that is exactly what a tokenizer owner
+    * needs to SEE before shipping one tokenizer corpus-wide. Ratio =
+    * one fixed double division of two exact BIGINT sums (engine-
+    * agreeing); everything else is q167's single codegen'd scan plus
+    * one map-combinable per-lang aggregate. Oracle retrains from
+    * scratch (q209's CTE chain) and aggregates the same way. */
+  def q217TokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val chain = bpeSpacedExpr(persistedMerges(spark, dir))
+    val unitExpr = s"size(split(trim($chain), ' '))"
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        expr(s"""aggregate(transform(split(text, ' '),
+                |  t -> CAST($unitExpr AS BIGINT)),
+                |  CAST(0 AS BIGINT), (acc, u) -> acc + u)""".stripMargin).as("u"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("u")).as("units"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("units"),
+        (col("units").cast("double") / col("ws_tokens").cast("double"))
+          .as("units_per_ws_token"))
+  }
+
+  def q217Sql: String = {
+    val k = cfg.bpeNumMerges
+    val mmCols = (1 to k).map(i =>
+      s"""coalesce((SELECT ' '||l||' '||r||' ' FROM m$i), ' ~ ') AS p$i,
+         |    coalesce((SELECT ' '||l||r||' ' FROM m$i), ' ~ ') AS q$i""".stripMargin)
+      .mkString(",\n    ")
+    val chain = (1 to k).foldLeft("' ' || regexp_replace(t, '(.)', '\\1 ', 'g')") {
+      (acc, i) => s"replace(replace($acc, mm.p$i, mm.q$i), mm.p$i, mm.q$i)"
+    }
+    s"""WITH $bpeTrainCtes,
+       |mm AS (SELECT $mmCols),
+       |perdoc AS (SELECT d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ws,
+       |    CAST(list_sum(list_transform(string_split(d.text, ' '),
+       |      t -> len(string_split(trim($chain), ' ')))) AS BIGINT) AS u
+       |  FROM documents d CROSS JOIN mm)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(u) AS BIGINT) AS units,
+       |  CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(ws) AS BIGINT) AS DOUBLE) AS units_per_ws_token
+       |FROM perdoc GROUP BY lang""".stripMargin
+  }
 
   def q209Sql: String = {
     val k = cfg.bpeNumMerges

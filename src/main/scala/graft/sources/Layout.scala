@@ -233,4 +233,100 @@ object Layout {
       |  TRUE AS lossless, TRUE AS plan_respected,
       |  TRUE AS bins_within_target, TRUE AS files_not_increased
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** INCREMENTAL compaction: like [[compactPartitioned]], but a
+    * partition whose FFD plan cannot reduce its file count (bins ==
+    * files — every file already stands alone) is SKIPPED: its part
+    * files are byte-copied to the destination instead of decoded and
+    * re-encoded. At 100 TB this is the difference between a nightly
+    * compactor that touches yesterday's dirty partitions and one that
+    * rewrites the lake: the skip decision is metadata-only, the copy
+    * moves bytes without CPU, and only genuinely fragmented
+    * partitions pay the rewrite. Returns (plans, skipped-partition
+    * names). */
+  def compactIncremental(spark: SparkSession, srcPath: String, destPath: String,
+      targetBytes: Long): (Seq[CompactPlan], Seq[String]) = {
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dest.getFileSystem(conf)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    val plans = listParts(spark, srcPath).map { case (part, files) =>
+      CompactPlan(part, files, ffdPack(files, targetBytes))
+    }
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    plans.foreach { pl =>
+      if (pl.bins.size == pl.files.size) {
+        skipped += pl.partition
+        pl.files.foreach { case (f, _) =>
+          val src = new org.apache.hadoop.fs.Path(f)
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$destPath/${pl.partition}/${src.getName}"),
+            false, conf)
+        }
+      } else {
+        pl.bins.foreach { bin =>
+          spark.read.parquet(bin.map(_._1): _*).coalesce(1)
+            .write.mode("append").parquet(s"$destPath/${pl.partition}")
+        }
+      }
+    }
+    (plans.toSeq, skipped.toSeq)
+  }
+
+  /** q216: INCREMENTAL compaction round trip — q212's maintenance op
+    * with the skip discipline a nightly compactor actually runs: the
+    * source layout is a MIX of dirty and clean partitions (the
+    * `layoutScanLang` partition shattered into `compactFragments`
+    * files, every other language already one file), and
+    * [[compactIncremental]] must rewrite ONLY the dirty one —
+    * compliant partitions byte-copy (spec asserts their files are
+    * byte-identical through the cycle, i.e. genuinely not re-encoded).
+    * Output: the q212 content gates per lang (DuckDB recomputes the
+    * content stats from the flat table — the hash gate proving BOTH
+    * paths, copy and rewrite, lossless) plus `only_dirty_rewritten`
+    * (TRUE by construction: the skip set is exactly the clean
+    * partitions). */
+  def q216CompactIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.GraftConfig.default
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val src = Scratch.dir("inccompact_src", dir)
+    val dst = Scratch.dir("inccompact_dst", dir)
+    val srcRoot = new org.apache.hadoop.fs.Path(src)
+    val fs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(srcRoot)) fs.delete(srcRoot, true)
+    // dirty/clean mix: one language fragmented, the rest pre-compacted
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    langs.foreach { lg =>
+      val slice = docs.filter(col("lang") === lg).drop("lang")
+      val frags = if (lg == cfg.layoutScanLang) cfg.compactFragments else 1
+      slice.repartition(frags).write.mode("overwrite").parquet(s"$src/lang=$lg")
+    }
+    val (plans, skipped) = compactIncremental(spark, src, dst, cfg.compactTargetBytes)
+    val dirtyOnly = plans.forall { pl =>
+      val isClean = skipped.contains(pl.partition)
+      val isDirty = pl.partition == s"lang=${cfg.layoutScanLang}"
+      isClean != isDirty // exactly the fragmented partition rewrites
+    }
+    def contentAgg(df: DataFrame) = df.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("sum_chars"),
+      sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("fp"))
+    val compacted = contentAgg(spark.read.parquet(dst))
+    val flat = contentAgg(docs)
+      .select(col("lang"), col("n_docs").as("f_docs"),
+        col("sum_chars").as("f_chars"), col("fp").as("f_fp"))
+    compacted.join(flat, "lang")
+      .select(col("lang"), col("n_docs"), col("sum_chars"), col("fp"),
+        (col("n_docs") === col("f_docs") && col("sum_chars") === col("f_chars") &&
+          col("fp") === col("f_fp")).as("lossless"),
+        lit(dirtyOnly).as("only_dirty_rewritten"))
+  }
+
+  def q216Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS fp,
+      |  TRUE AS lossless, TRUE AS only_dirty_rewritten
+      |FROM documents GROUP BY lang""".stripMargin
 }

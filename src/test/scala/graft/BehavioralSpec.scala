@@ -117,4 +117,24 @@ class BehavioralSpec extends GraftSpec {
     // dev > 0 ⇔ cnt·n_hours > total_events ⇔ cnt > mean
     assert(out.filter(col("cnt") * col("n_hours") <= col("total_events")).count() == 0)
   }
+
+  test("q219: typed JSON extraction — null payloads, null keys, and values counted exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonprops").toString
+    Seq(
+      (1L, 10L, "click", Some("{\"k\": 5}")),
+      (2L, 10L, "click", Some("{\"k\": -3}")),
+      (3L, 11L, "click", None),                 // no payload at all
+      (4L, 11L, "click", Some("{\"other\": 1}")), // payload without k
+      (5L, 12L, "error", Some("{\"k\": 7}")))
+      .toDF("event_id", "user_id", "event_type", "props")
+      .withColumn("ts", expr("timestamp_millis(event_id * 1000)"))
+      .withColumn("value", lit(0.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Behavioral.q219JsonProps(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("click") == ((4L, 3L, 2L, 2L)), s"got ${got("click")}")  // sum 5 + (-3)
+    assert(got("error") == ((1L, 1L, 1L, 7L)))
+  }
 }

@@ -51,6 +51,33 @@ class CompactionSpec extends GraftSpec {
     assert(after.toSeq == before.toSeq, "compaction must be content-lossless")
   }
 
+  test("q216: incremental compaction byte-copies clean partitions and rewrites only dirty ones") {
+    val rows = SparkEntry.queries("q216_compact_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("lossless", "only_dirty_rewritten").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"gate $c must hold on every lang")
+    }
+    val src = graft.sources.Scratch.dir("inccompact_src", sf)
+    val dst = graft.sources.Scratch.dir("inccompact_dst", sf)
+    val rep = Layout.compactionReport(spark, src, dst).collect()
+    val dirty = s"lang=${GraftConfig.default.layoutScanLang}"
+    // dirty partition shrank to its planned bin count (< fragment count)
+    val dirtyBefore = rep.filter(r => r.getString(0) == "before" && r.getString(1) == dirty)
+    val dirtyAfter = rep.filter(r => r.getString(0) == "after" && r.getString(1) == dirty)
+    assert(dirtyBefore.length == GraftConfig.default.compactFragments)
+    assert(dirtyAfter.length < dirtyBefore.length)
+    // clean partitions: same file names, same byte sizes — a byte copy,
+    // not a decode/re-encode (re-encoding would change sizes)
+    rep.map(_.getString(1)).distinct.filterNot(_ == dirty).foreach { part =>
+      def key(phase: String) = rep
+        .filter(r => r.getString(0) == phase && r.getString(1) == part)
+        .map(r => (new java.io.File(r.getString(2)).getName, r.getAs[Long]("bytes")))
+        .toSet
+      assert(key("after") == key("before"),
+        s"$part must pass through as a byte copy (same names + sizes)")
+    }
+  }
+
   test("q212: eval gates all TRUE on the real corpus; report shows files shrinking") {
     val rows = SparkEntry.queries("q212_compact_files")(spark, sf).collect()
     assert(rows.nonEmpty)

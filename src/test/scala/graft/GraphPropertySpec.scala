@@ -136,6 +136,25 @@ class GraphPropertySpec extends GraftSpec {
     }
   }
 
+  test("per-source min-plus agrees with per-seed naive Dijkstra on random weighted graphs") {
+    import spark.implicits._
+    val rnd = new Random(41)
+    for (_ <- 1 to 4) {
+      val n = 5 + rnd.nextInt(15)
+      val edges = randomEdges(rnd, n, 1 + rnd.nextInt(2 * n))
+        .map { case (u, v) => (u, v, 1L + rnd.nextInt(9).toLong) }
+      val seeds = (0L until n.toLong).filter(_ => rnd.nextBoolean()).toSet + 0L
+      val rounds = 40
+      val got = graft.operators.GraphOps.ssspPerSourceFrom(edges.toDF("u", "v", "w"),
+          seeds.toSeq.map(s => (s, s, 0L)).toDF("s", "u", "d"), rounds, "spec.persrc")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = seeds.toSeq.flatMap { s =>
+        refDijkstra(edges, Set(s), rounds).map { case (u, d) => ((s, u), d) }
+      }.toMap
+      assert(got == want, s"seeds=$seeds edges=$edges")
+    }
+  }
+
   test("removeTips agrees with the naive reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(42)

@@ -203,6 +203,26 @@ class TextStreamSpec extends GraftSpec {
       "q210 must apply the PERSISTED merge list, not retrain")
   }
 
+  test("q217: per-lang rollup is exactly q210's per-doc counts aggregated by language") {
+    import spark.implicits._
+    val perDoc = graft.operators.TextAnalysis
+      .q210LearnedUnitsPersisted(spark, sf)
+    val docsLang = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang")
+    val expected = perDoc.join(docsLang, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_ws_tokens").as("ws_tokens"),
+        sum("n_units").as("units"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = graft.operators.TextAnalysis.q217TokenizerEval(spark, sf).collect()
+      .map { r =>
+        assert(r.getDouble(4) ==
+          r.getLong(3).toDouble / r.getLong(2).toDouble, "ratio = units/ws exactly")
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toMap
+    assert(got == expected, "q217 must be q210's counts grouped by lang")
+  }
+
   test("q167: same-symbol merges are rejected (apply-twice ≢ sequential BPE on runs ≥5)") {
     // 6×'a' under 'a a': apply-twice gives aa·a·aa·a (4 units) where
     // one-at-a-time BPE gives aa·aa·aa (3) — the equivalence proof
