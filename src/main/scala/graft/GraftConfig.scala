@@ -306,6 +306,8 @@ case class GraftConfig(
     // collocations (q155): minimum pair count + report size
     collocMinCount: Int = 5,
     collocTopK: Int = 50,
+    // TextRank keywords (q221): report size
+    textrankTopK: Int = 50,
     // Bloom filter (q156/q157): filter width in bits (must be a power
     // of two so hex-slice hashes reduce by mask, not mod-bias) and
     // hash count; 8192 bits / 4 hashes ≈ 1% FP at ~850 keys

@@ -789,6 +789,78 @@ class TextAnalysisOps(val cfg: GraftConfig) {
        |    t -> len(string_split(trim($chain), ' ')))) AS BIGINT) AS n_units
        |FROM documents d CROSS JOIN mm""".stripMargin
   }
+
+  /** q221: TEXTRANK keyword extraction — corpus-level salient terms by
+    * PageRank over the word CO-OCCURRENCE graph (adjacent candidate
+    * tokens), the graph-centrality complement to q87's TF-IDF and
+    * q155's lift: a word ranks high when it neighbors other
+    * high-ranking words, which frequency and lift cannot see.
+    * Candidates are ASCII letter runs (filtered BEFORE lowercasing, so
+    * both engines lowercase only [A-Za-z] — locale-proof) minus the
+    * stopword list; edges are DISTINCT undirected adjacencies between
+    * consecutive candidates (stopwords removed first, the standard
+    * TextRank windowing); ranks run on the q92/q213 shared `prLoop`
+    * kernel — same fixed-point integer discipline (all-long
+    * arithmetic, order-free sums, engine-exact), same
+    * edge⋈rank + dst-aggregate iteration shape, same ReusedExchange /
+    * checkpoint-cadence plan. Report = top ${cfg.textrankTopK} by
+    * (pr, word) — a TakeOrderedAndProject over the vocab-bounded rank
+    * table, never a global sort of the corpus.
+    *
+    * Scale: nodes/edges are VOCABULARY-bounded (distinct words /
+    * distinct adjacent pairs), not corpus-bounded — the corpus is
+    * scanned once to build them; each PR round is one join + one
+    * map-combinable aggregate on the word graph. */
+  def q221Textrank(spark: SparkSession, dir: String): DataFrame = {
+    val an = new AnalyticsOps(cfg)
+    val cand = Tables.documents(spark, dir)
+      .select(expr(
+        s"""filter(transform(filter(split(text, ' '),
+           |    w -> w rlike '^[A-Za-z]+$$'), w -> lower(w)),
+           |  w -> NOT w IN $stopList)""".stripMargin).as("ws"))
+    val pairs = cand.filter(size(col("ws")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(element_at(col("ws"), col("g")).as("w1"),
+        element_at(col("ws"), col("g") + 1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = pairs.select(least(col("w1"), col("w2")).as("a"),
+      greatest(col("w1"), col("w2")).as("b")).distinct()
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val words = cand.select(explode(col("ws")).as("node")).distinct()
+    val base = lit(15L * an.PrScale / 100)
+    an.prLoop(words, e, _ => base, _ => lit(an.PrScale))
+      .orderBy(col("pr").desc, col("node"))
+      .limit(cfg.textrankTopK)
+      .select(col("node").as("word"), col("pr"))
+  }
+
+  def q221Sql: String = {
+    val an = new AnalyticsOps(cfg)
+    val iters = (1 to an.PrIters).map { i =>
+      s"""c$i AS (SELECT eo.dst AS node, CAST(SUM(r${i - 1}.pr // eo.od) AS BIGINT) AS s
+         |  FROM eo JOIN r${i - 1} ON r${i - 1}.node = eo.src GROUP BY 1),
+         |r$i AS (SELECT w.node,
+         |    (15 * ${an.PrScale}) // 100 + (85 * COALESCE(c$i.s, 0)) // 100 AS pr
+         |  FROM words w LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (SELECT list_filter(list_transform(
+       |    list_filter(string_split(text, ' '),
+       |      w -> regexp_full_match(w, '[A-Za-z]+')), w -> lower(w)),
+       |    w -> w NOT IN $stopList) AS ws FROM documents),
+       |pairs AS (SELECT ws[g] AS w1, ws[g+1] AS w2 FROM cand,
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2 AND ws[g] <> ws[g+1]),
+       |und AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM pairs),
+       |edges AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+       |eo AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src)),
+       |words AS (SELECT DISTINCT node FROM (SELECT unnest(ws) AS node FROM cand)),
+       |r0 AS (SELECT node, CAST(${an.PrScale} AS BIGINT) AS pr FROM words),
+       |$iters
+       |SELECT node AS word, pr FROM r${an.PrIters}
+       |ORDER BY pr DESC, node LIMIT ${cfg.textrankTopK}""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -329,4 +329,61 @@ object Layout {
       |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS fp,
       |  TRUE AS lossless, TRUE AS only_dirty_rewritten
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** q220: ADDITIVE SCHEMA EVOLUTION read — the other lake-maintenance
+    * invariant beside compaction (q212/q216): a corpus written over
+    * time is never one schema, because the writer grew columns. Old
+    * files must stay readable IN PLACE (at 100 TB a rewrite-on-evolve
+    * is a non-starter), new files carry the added column, and one scan
+    * serves both — `mergeSchema` unions the file footers' schemas and
+    * null-fills the added column for pre-evolution files, which is
+    * exactly the semantics a table format's metadata layer provides
+    * and parquet provides file-intrinsically. The query writes the
+    * two generations (gen=1 BEFORE `source` existed — the column is
+    * ABSENT from those files' schema, not null-valued; gen=2 with
+    * it), reads the directory with one merged-schema scan, and rolls
+    * up per language: doc count, pre-evolution rows, rows carrying
+    * the evolved column, exact char sum. The oracle recomputes from
+    * the flat table (generation ≙ doc_id parity), so the hash gate
+    * proves the merged read loses nothing, null-fills exactly the
+    * old generation, and keeps non-evolved columns intact across the
+    * schema boundary. `schema_merged` pins the unified schema
+    * driver-side (both generations' columns present exactly once).
+    *
+    * Scale: schema merge reads file FOOTERS, not data; the rollup is
+    * one map-combinable aggregate over the merged scan. The writes
+    * are the demonstration fixture — production corpora already have
+    * the mixed-generation layout this query reads. */
+  def q220SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val root = Scratch.dir("schema_evo", dir)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    // gen=1: written before `source` existed — the column is absent
+    docs.filter(col("doc_id") % 2 === 0).drop("source")
+      .write.parquet(s"$root/gen=1")
+    // gen=2: the evolved writer
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .write.parquet(s"$root/gen=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(root)
+    val merged = unified.columns.sorted.toSeq ==
+      Seq("doc_id", "gen", "lang", "n_chars", "source")
+    unified.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_pre_evolution"),
+        count(col("source")).as("n_with_source"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_pre_evolution"),
+        col("n_with_source"), col("sum_chars"), lit(merged).as("schema_merged"))
+  }
+
+  def q220Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+      |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS schema_merged
+      |FROM documents GROUP BY lang""".stripMargin
 }

@@ -204,6 +204,31 @@ class AnalyticsSpec extends GraftSpec {
     assert(again == got)
   }
 
+  test("q221 TextRank: a word triangle holds the stationary rank; candidate filter drops stopwords and non-ASCII") {
+    val T = graft.operators.TextAnalysis
+    // "p q r p" → adjacency (p,q),(q,r),(r,p): a symmetric triangle,
+    // every word degree 2 — rank S is a fixed point in exact arithmetic
+    val tri = docs(0L -> "p q r p")
+    val got = T.q221Textrank(spark, tri).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val S = Analytics.PrScale
+    assert(got == Map("p" -> S, "q" -> S, "r" -> S))
+    // stopwords and non-ASCII tokens are not candidates and never
+    // bridge an adjacency: "the" and "café" vanish, leaving the
+    // symmetric pair (p,q) — both stationary at S
+    val filt = docs(0L -> "the café p q the")
+    val got2 = T.q221Textrank(spark, filt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("p" -> S, "q" -> S))
+  }
+
+  test("q221 TextRank: report is top-k by (pr, word) — equal ranks break alphabetically") {
+    val tri = docs(0L -> "p q r p")
+    val out = new graft.operators.TextAnalysisOps(GraftConfig(textrankTopK = 2))
+      .q221Textrank(spark, tri).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("p", "q"), s"got $out")
+  }
+
   test("q93: the 3-cycle docs form one triangle counted once per vertex") {
     val dir = docs(
       0L -> "a b x y",

@@ -3,10 +3,31 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.Layout
 
-/** q212 small-file compaction: the FFD planner, the multi-bin rewrite
-  * path, and the end-to-end eval gates. */
+/** Layout maintenance ops: q212/q216 small-file compaction (the FFD
+  * planner, the rewrite and byte-copy paths, the end-to-end eval
+  * gates) and q220 additive schema evolution. */
 class CompactionSpec extends GraftSpec {
   import spark.implicits._
+
+  test("q220: merged-schema read null-fills exactly the pre-evolution generation") {
+    val rows = SparkEntry.queries("q220_schema_evolution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("schema_merged")), "unified schema must merge")
+    val root = graft.sources.Scratch.dir("schema_evo", sf)
+    // gen=1 files really LACK the column (absent, not null-valued)
+    assert(!spark.read.parquet(s"$root/gen=1").columns.contains("source"))
+    // the merged scan null-fills source exactly for the old generation
+    val unified = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(unified.filter(col("source").isNull =!= (col("doc_id") % 2 === 0)).count() == 0)
+    // nothing lost: per-lang totals equal the flat table's
+    val flat = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("ch")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      assert(flat(r.getString(0)) ==
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))))
+    }
+  }
 
   test("ffdPack: first-fit decreasing with deterministic ties; oversize files get singleton bins") {
     val files = Seq(("e", 20L), ("a", 60L), ("b", 50L), ("c", 40L), ("d", 30L))
