@@ -122,6 +122,13 @@ case class GraftConfig(
     ivfTrainMod: Int = 1,
     // kNN graph (q140): neighbors kept per vector
     knnK: Int = 5,
+    // product quantization (q222/q223): subspace count (must divide the
+    // embedding dim), codewords per subspace, Lloyd iterations. 4×8 on
+    // 64-dim = 16 doubles/vector → 4 small ints — the compression a
+    // serving index actually ships; recall is MEASURED by q223
+    pqSubspaces: Int = 4,
+    pqCodewords: Int = 8,
+    pqIters: Int = 2,
     // top-principal-component projection (q150): fixed power-iteration
     // count (fixed, not convergence-tested — determinism over adaptivity)
     pcaIters: Int = 16,

@@ -1319,6 +1319,291 @@ class SimilarityOps(val cfg: GraftConfig) {
        |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rk
        |  FROM dist)
        |WHERE rk <= ${cfg.outlierTopK}""".stripMargin
+
+  // ---------- Product quantization (q222/q223) ----------
+
+  val PqM: Int = cfg.pqSubspaces
+  val PqK: Int = cfg.pqCodewords
+  val PqIters: Int = cfg.pqIters
+
+  /** Subspace s (1-based) of a vector column: the s-th of $PqM equal
+    * slices — length derived from the data (`size div PqM`), so the
+    * operator needs no dimension config. */
+  private def subExpr(s: Int, c: String = "embedding"): String =
+    s"slice($c, 1 + ${s - 1} * (size($c) div $PqM), size($c) div $PqM)"
+
+  private def pqSubSqlDuck(s: Int, c: String = "embedding"): String =
+    s"$c[1 + ${s - 1} * (len($c) // $PqM) : $s * (len($c) // $PqM)]"
+
+  /** Nearest-codeword assignment for one subspace, fixed-point L2:
+    * d² = ⟨x,x⟩ + ⟨c,c⟩ − 2⟨x,c⟩ with every part an exact BIGINT
+    * fixed-point dot (vec_dot_fixed), so d² is exact integer
+    * arithmetic and both engines argmin identically; ties go to the
+    * lowest cent_id (array sorted, fold replaces only on strictly
+    * smaller d²). Broadcast-packed codebook, zero shuffle — the q41
+    * assign() shape on the L2 metric PQ is defined over. */
+  private def pqAssign(es: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = broadcast(cb
+      .select(struct(col("cent_id"), col("ce"),
+        expr("vec_dot_fixed(ce, ce)").as("cn2")).as("c"))
+      .groupBy().agg(array_sort(collect_list(col("c"))).as("cents")))
+    es.crossJoin(packed)
+      .withColumn("n2s", expr("vec_dot_fixed(sub, sub)"))
+      .withColumn("cell", expr(
+        """aggregate(
+          |  transform(cents, c -> named_struct(
+          |    'cid', c.cent_id,
+          |    'd2', n2s + c.cn2 - 2 * vec_dot_fixed(sub, c.ce))),
+          |  named_struct('cid', CAST(NULL AS BIGINT), 'd2', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> IF(acc.d2 IS NULL OR x.d2 < acc.d2, x, acc),
+          |  acc -> acc.cid)""".stripMargin))
+      .select(col("vec_id"), col("sub"), col("cell"))
+  }
+
+  /** Exact per-dimension codeword mean (the q41 updateCentroids
+    * discipline on a slice): Σ floor(x·1e7) is order-free integer
+    * arithmetic, the division a fixed expression shape — bit-identical
+    * DOUBLE codewords on both engines. */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)")).as("sx"),
+           count(lit(1)).as("cn"))
+      .select(col("cell"), col("pos"),
+        (col("sx").cast("double") / col("cn").cast("double") / lit(1e7)).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
+      .select(col("cell").as("cent_id"), col("ce"))
+
+  /** Train all $PqM per-subspace codebooks: deterministic Lloyd
+    * (seeded from the first $PqK vectors' slices, $PqIters exact-mean
+    * iterations) independently per subspace — the product structure IS
+    * the compression: m codebooks of k codewords quantize k^m cells'
+    * worth of space with m·k codewords. Returns (sub_id, cent_id, ce). */
+  private[graft] def pqTrain(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir)
+    (1 to PqM).map { s =>
+      val es = e.select(col("vec_id"), expr(subExpr(s)).as("sub"))
+      val init = es.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cent_id"),
+          expr("transform(sub, x -> CAST(x AS DOUBLE))").as("ce"))
+      (1 to PqIters).foldLeft(init) { (cb, _) => pqUpdate(pqAssign(es, cb)) }
+        .withColumn("sub_id", lit(s))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The persisted PQ codebook for a dataset — loaded from the shared
+    * scratch artifact, trained-and-saved on first use (the q210/q188
+    * artifact lifecycle: training runs once, every consumer loads).
+    * Parquet round-trips the DOUBLE codeword arrays bit-exactly. */
+  private[graft] def persistedPqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.dir(
+      s"pq_cb_m${PqM}_k${PqK}_i$PqIters", dir)
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) pqTrain(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Corpus codes under a codebook, ONE scan: all m codebooks pack
+    * into a single broadcast row and every subspace's argmin runs as a
+    * codegen'd HOF over its slice — zero shuffle, the encode path a
+    * 100 TB corpus pays exactly once. */
+  private def pqEncodeWith(e: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = broadcast(cb
+      .select(struct(col("sub_id"), col("cent_id"), col("ce"),
+        expr("vec_dot_fixed(ce, ce)").as("cn2")).as("c"))
+      .groupBy().agg(array_sort(collect_list(col("c"))).as("cbs")))
+    val subs = e.crossJoin(packed)
+      .select(Seq(col("vec_id"), col("cbs")) ++
+        (1 to PqM).map(s => expr(subExpr(s)).as(s"sub$s")): _*)
+    subs.select(Seq(col("vec_id")) ++ (1 to PqM).map { s =>
+      expr(
+        s"""aggregate(
+           |  transform(filter(cbs, c -> c.sub_id = $s), c -> named_struct(
+           |    'cid', c.cent_id,
+           |    'd2', vec_dot_fixed(sub$s, sub$s) + c.cn2 - 2 * vec_dot_fixed(sub$s, c.ce))),
+           |  named_struct('cid', CAST(NULL AS BIGINT), 'd2', CAST(NULL AS BIGINT)),
+           |  (acc, x) -> IF(acc.d2 IS NULL OR x.d2 < acc.d2, x, acc),
+           |  acc -> acc.cid)""".stripMargin).as(s"c$s")
+    }: _*)
+  }
+
+  /** q222: PRODUCT QUANTIZATION encode — the vector-compression step a
+    * serving-scale ANN index actually ships (q89's scalar quantization
+    * keeps d values/vector; PQ keeps $PqM small ints): each of $PqM
+    * subspaces gets its own $PqK-codeword codebook (deterministic
+    * Lloyd, fixed-point L2, exact-mean updates — the q41 discipline on
+    * slices), a vector's code is its per-subspace nearest codewords.
+    * The codebook is the PERSISTED artifact (trained once, loaded —
+    * q210's lifecycle); the oracle retrains from scratch through the
+    * full CTE chain, so the artifact path is re-proven equal to
+    * training end-to-end every round. Codes emit as one comma-joined
+    * string so the row hash-compares.
+    *
+    * Scale: training sees m·iters scans of the slice table; encode is
+    * ONE zero-shuffle corpus scan against a broadcast m·k-row
+    * codebook. Reconstruction quality is not asserted — it is MEASURED
+    * by q223 (the approximation-ships-with-its-eval rule). */
+  def q222PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    pqEncodeWith(emb(spark, dir), persistedPqCodebook(spark, dir))
+      .select(col("vec_id"),
+        concat_ws(",", (1 to PqM).map(s => col(s"c$s").cast("string")): _*).as("codes"))
+  }
+
+  /** One subspace's DuckDB L2 assignment: same exact-integer
+    * d² = Σfloor(a²·1e13) + Σfloor(b²·1e13) − 2·Σfloor(ab·1e13),
+    * argmin by (d², cent_id). */
+  private def pqDuckAssign(s: Int, cTbl: String, out: String): String =
+    s"""${out}_ex AS (SELECT e.vec_id AS ia, c.cent_id AS ib,
+       |    unnest(e.sub) AS a, unnest(c.ce) AS b
+       |  FROM e$s e, $cTbl c),
+       |${out}_d AS (SELECT ia, ib,
+       |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+       |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+       |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+       |  FROM ${out}_ex GROUP BY ia, ib),
+       |$out AS (SELECT ia AS vec_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+       |    FROM ${out}_d) WHERE rk = 1)""".stripMargin
+
+  private def pqDuckUpdate(s: Int, aTbl: String, out: String): String =
+    s"""${out}_j AS (SELECT $aTbl.cell, e.sub FROM $aTbl JOIN e$s e USING (vec_id)),
+       |${out}_m AS (SELECT cell, g,
+       |    CAST(SUM(CAST(floor(CAST(sub[g] AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)/count(*)/1e7 AS m
+       |  FROM ${out}_j, LATERAL (SELECT unnest(generate_series(1, len(sub))) AS g) t
+       |  GROUP BY cell, g),
+       |$out AS (SELECT cell AS cent_id, array_agg(m ORDER BY g) AS ce FROM ${out}_m GROUP BY cell)""".stripMargin
+
+  /** Shared PQ oracle preamble: per subspace s, slice table e{s},
+    * training chain c{s}_0..c{s}_$PqIters, final assignment f{s}. */
+  private def pqTrainCtes: String =
+    (1 to PqM).map { s =>
+      val iters = (1 to PqIters).map { i =>
+        s"""${pqDuckAssign(s, s"c${s}_${i - 1}", s"a${s}_$i")},
+           |${pqDuckUpdate(s, s"a${s}_$i", s"c${s}_$i")}""".stripMargin
+      }.mkString(",\n")
+      s"""e$s AS (SELECT vec_id, ${pqSubSqlDuck(s)} AS sub FROM embeddings),
+         |c${s}_0 AS (SELECT vec_id AS cent_id,
+         |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM e$s WHERE vec_id < $PqK),
+         |$iters,
+         |${pqDuckAssign(s, s"c${s}_$PqIters", s"f$s")}""".stripMargin
+    }.mkString(",\n")
+
+  def q222Sql: String = {
+    val joins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val codes = (1 to PqM).map(s => s"CAST(f$s.cell AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH $pqTrainCtes
+       |SELECT f1.vec_id, $codes AS codes
+       |FROM f1 $joins""".stripMargin
+  }
+
+  /** q223: PQ RECALL eval — q222's measured answer (the
+    * approximation-ships-with-its-eval rule, q123/q179/q215's
+    * precedent): for the $NumQueries query vectors, exact full-space
+    * fixed-point-L2 top-$TopK truth vs ASYMMETRIC DISTANCE (ADC)
+    * top-$TopK — the query stays unquantized, each corpus vector
+    * scores as Σ over subspaces of d²(query slice, its codeword), the
+    * standard serving-time PQ search. Same metric on both sides (L2
+    * truth for an L2 code — a cosine truth would conflate metric
+    * change with compression loss, the q215 lesson). Output one row
+    * per query: hits and recall (one fixed division).
+    *
+    * Scale: the ADC lookup table is queries × m·k rows (tiny,
+    * broadcast); corpus codes join it per subspace map-side, and the
+    * per-(query, vector) sum is bounded by the query-panel size — the
+    * corpus is never paired with itself (that is the truth side's
+    * cost, and the truth panel is the $NumQueries eval slice). */
+  def q223PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val cb = persistedPqCodebook(spark, dir)
+    val e = emb(spark, dir).withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    // exact truth: full-space fixed-point L2 top-k, ties to vec_id
+    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val truth = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= TopK)
+      .select("query_id", "vec_id")
+    // ADC: per-subspace lookup (query × codeword, tiny) joined to codes
+    val codes = pqEncodeWith(e.select("vec_id", "embedding"), cb)
+    val luts = (1 to PqM).map { s =>
+      broadcast(qv.select(col("query_id"), expr(subExpr(s, "qe")).as("qs"))
+        .withColumn("qn2s", expr("vec_dot_fixed(qs, qs)"))
+        .crossJoin(broadcast(cb.filter(col("sub_id") === s)))
+        .select(col("query_id"), col("cent_id").as(s"c$s"),
+          (col("qn2s") + expr("vec_dot_fixed(ce, ce)")
+            - lit(2L) * expr("vec_dot_fixed(qs, ce)")).as(s"d$s")))
+    }
+    val ad = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, i)) =>
+      acc.join(lut, if (i == 0) Seq(s"c${i + 1}") else Seq("query_id", s"c${i + 1}"))
+    }
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (1 to PqM).map(s => col(s"d$s")).reduce(_ + _).as("ad2"))
+    val wa = Window.partitionBy("query_id").orderBy(col("ad2"), col("vec_id"))
+    val adcTop = ad.withColumn("rk", row_number().over(wa)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(adcTop, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(TopK.toDouble)).as("recall"))
+  }
+
+  def q223Sql: String = {
+    val codeJoins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val codeCols = (1 to PqM).map(s => s"f$s.cell AS c$s").mkString(", ")
+    val lutCtes = (1 to PqM).map { s =>
+      s"""qs$s AS (SELECT vec_id AS query_id, ${pqSubSqlDuck(s, "embedding")} AS qs
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |lut${s}_ex AS (SELECT q.query_id, c.cent_id,
+         |    unnest(q.qs) AS a, unnest(c.ce) AS b
+         |  FROM qs$s q, c${s}_$PqIters c),
+         |lut$s AS (SELECT query_id, cent_id,
+         |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+         |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+         |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+         |  FROM lut${s}_ex GROUP BY query_id, cent_id)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (1 to PqM).map(s =>
+      s"JOIN lut$s l$s ON l$s.query_id = q.query_id AND l$s.cent_id = x.c$s")
+      .mkString("\n|  ")
+    val adSum = (1 to PqM).map(s => s"l$s.d2").mkString(" + ")
+    s"""WITH $pqTrainCtes,
+       |codesj AS (SELECT f1.vec_id, $codeCols FROM f1 $codeJoins),
+       |q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $NumQueries),
+       |$lutCtes,
+       |tr_ex AS (SELECT q.vec_id AS qid, e.vec_id AS xid,
+       |    unnest(q.embedding) AS a, unnest(e.embedding) AS b
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q, embeddings e
+       |  WHERE e.vec_id <> q.vec_id),
+       |tr_d AS (SELECT qid, xid,
+       |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+       |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+       |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+       |  FROM tr_ex GROUP BY qid, xid),
+       |truth AS (SELECT qid AS query_id, xid AS vec_id FROM (
+       |    SELECT qid, xid, row_number() OVER (PARTITION BY qid ORDER BY d2, xid) AS rk
+       |    FROM tr_d) WHERE rk <= $TopK),
+       |ad AS (SELECT q.query_id, x.vec_id, $adSum AS ad2
+       |  FROM q JOIN codesj x ON x.vec_id <> q.query_id
+       |  $lutJoins),
+       |adctop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY ad2, vec_id) AS rk
+       |    FROM ad) WHERE rk <= $TopK)
+       |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN adctop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -293,6 +293,70 @@ class DedupSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  private def pqDir(vecs: (Long, Seq[Float])*): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    vecs.toSeq.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q222/q223: vectors that are their own codewords give ADC = exact distance and recall 1") {
+    // 6 distinct 4-dim vectors with 1-decimal coordinates: floor(x·1e7)/1e7
+    // round-trips them exactly, so each singleton cell's mean IS its
+    // vector, ADC sums the exact per-subspace distances, and the PQ
+    // ranking equals the exact ranking under the same (d2, vec_id)
+    // tie-break — recall must be exactly 1.
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      pqSubspaces = 2, pqCodewords = 8, pqIters = 1,
+      annQueries = 3, annTopK = 2))
+    val codes = ops.q222PqEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes")).toMap
+    assert(codes == (0L to 5L).map(i => i -> s"$i,$i").toMap,
+      s"each distinct vector must be its own codeword, got $codes")
+    ops.q223PqRecall(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"query ${r.getAs[Long]("query_id")}: exact codebook must give recall 1")
+    }
+  }
+
+  test("q222 reads the persisted codebook, not a retrain (doctored artifact changes the codes)") {
+    import spark.implicits._
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      pqSubspaces = 2, pqCodewords = 8, pqIters = 1,
+      annQueries = 3, annTopK = 2))
+    ops.q222PqEncode(spark, dir).collect() // trains + persists
+    // doctor the artifact down to ONE codeword per subspace
+    val path = graft.sources.Scratch.dir("pq_cb_m2_k8_i1", dir)
+    Seq((0L, Seq(0.0, 0.0), 1), (0L, Seq(0.0, 0.0), 2))
+      .toDF("cent_id", "ce", "sub_id")
+      .write.mode("overwrite").parquet(path)
+    val doctored = ops.q222PqEncode(spark, dir).collect()
+      .map(_.getAs[String]("codes")).toSet
+    assert(doctored == Set("0,0"),
+      "q222 must encode with the PERSISTED codebook, not retrain")
+  }
+
+  test("q222/q223 real corpus: codes in range, recall bounded") {
+    val m = GraftConfig.default.pqSubspaces
+    val k = GraftConfig.default.pqCodewords
+    val rows = Similarity.q222PqEncode(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rows.foreach { r =>
+      val cs = r.getAs[String]("codes").split(",").map(_.toLong)
+      assert(cs.length == m && cs.forall(c => c >= 0 && c < k))
+    }
+    Similarity.q223PqRecall(spark, sf).collect().foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q140 kNN graph: no self edges, ranks dense per vector, exhaustive probing equals brute force") {
     val g = graft.operators.Similarity.q140KnnGraph(spark, sf).cache()
     try {
