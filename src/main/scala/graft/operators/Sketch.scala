@@ -700,6 +700,145 @@ class SketchOps(val cfg: GraftConfig) {
   }
 
   def q207Sql: String = q205Sql
+
+  // ---------- HLL set algebra: cross-source overlap (q224) ----------
+
+  private def hllM: Long = math.pow(16.0, CmHexChars).toLong
+
+  /** alpha·m² as a Scala double, embedded as the SAME literal on both
+    * engines (shortest-repr round-trips bit-exactly through both
+    * parsers). */
+  private def hllAlphaM2: Double = {
+    val m = hllM.toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m
+  }
+
+  /** The HLL harmonic sum Σ 2^{−rho} carried as TWO exact integer
+    * sums — rho ≤ 60 scaled by 2^60, rho > 60 scaled by 2^121, each
+    * term one BIGINT shift, each sum exact in DECIMAL(38,0) — so no
+    * float is ever ACCUMULATED (float sums are order-sensitive; these
+    * are not). The estimate then reads the sums through one fixed
+    * cast/divide/add chain, bit-identical on both engines. */
+  private def hllZAgg: Seq[Column] = Seq(
+    count(lit(1)).as("present"),
+    sum(when(col("max_rho") <= 60,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - max_rho AS INT))"))
+      .otherwise(lit(0L)).cast("decimal(38,0)")).as("zhi"),
+    sum(when(col("max_rho") > 60,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(121 - max_rho AS INT))"))
+      .otherwise(lit(0L)).cast("decimal(38,0)")).as("zlo"))
+
+  /** Raw HLL estimate from the split sums (no small-range correction:
+    * q224's contract is the LARGE-cardinality regime sketches exist
+    * for — `present` columns travel with every sketch so a consumer
+    * can see when it is outside it). */
+  private def hllEstCol: Column =
+    lit(hllAlphaM2) / (col("zhi").cast("double") / pow(lit(2.0), lit(60))
+      + col("zlo").cast("double") / pow(lit(2.0), lit(121))
+      + (lit(hllM) - col("present")).cast("double"))
+
+  private def hllZSqlDuck: String =
+    s"""count(*) AS present,
+       |    SUM(CASE WHEN max_rho <= 60 THEN (CAST(1 AS BIGINT) << (60 - max_rho)) ELSE 0 END) AS zhi,
+       |    SUM(CASE WHEN max_rho > 60 THEN (CAST(1 AS BIGINT) << (121 - max_rho)) ELSE 0 END) AS zlo""".stripMargin
+
+  private def hllEstSqlDuck: String =
+    s"""$hllAlphaM2 / (CAST(zhi AS DOUBLE) / pow(2.0, 60)
+       |      + CAST(zlo AS DOUBLE) / pow(2.0, 121)
+       |      + CAST($hllM - present AS DOUBLE))""".stripMargin
+
+  /** q224: cross-source OVERLAP estimation by HLL set algebra — the
+    * question q168's exact cross-source dup matrix answers with a
+    * join, answered from SKETCHES: registers merge by max (union is
+    * native to HLL), |A∩B| falls out of inclusion–exclusion
+    * est(A)+est(B)−est(A∪B), and the whole pair table is computed
+    * from per-source register sets of fixed size — at 100 TB the
+    * sources never join; only their 16^$CmHexChars-row sketches do.
+    * Ships with its exact eval (the rule): exact distinct-token
+    * overlap per pair and the relative error of the estimate.
+    * Estimates are ENGINE-EXACT by construction: the harmonic sum is
+    * two exact integer register sums (see [[hllZAgg]]) read through
+    * one fixed float chain — no float accumulation, no libm calls
+    * (the small-range log correction is deliberately out of contract;
+    * `present_*` columns expose the regime).
+    *
+    * Scale: per-source registers are one map-combinable aggregate
+    * over the token scan; everything downstream operates on
+    * sources × m rows. The exact eval is the expensive side
+    * (vocabulary-bounded distinct join) — that is the point: the
+    * sketch path replaces it. */
+  def q224HllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val regs = hllRegisterAgg(toks, Seq("source"))
+    val srcs = regs.select("source").distinct()
+    val pairs = broadcast(srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b")))
+    val per = regs.groupBy("source").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("source"), col("present"), hllEstCol.as("est"))
+    val uni = pairs.join(regs,
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy("src_a", "src_b", "bucket").agg(max("max_rho").as("max_rho"))
+      .groupBy("src_a", "src_b").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("src_a"), col("src_b"), hllEstCol.as("est_union"))
+    val dt = toks.select("source", "token").distinct()
+    val exact = dt.select(col("source").as("src_a"), col("token"))
+      .join(dt.select(col("source").as("src_b"), col("token")), "token")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_overlap"))
+    uni
+      .join(broadcast(per.select(col("source").as("src_a"),
+        col("present").as("present_a"), col("est").as("est_a"))), "src_a")
+      .join(broadcast(per.select(col("source").as("src_b"),
+        col("present").as("present_b"), col("est").as("est_b"))), "src_b")
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        col("present_a"), col("present_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .withColumn("rel_err",
+        when(col("exact_overlap") > 0,
+          (col("est_overlap") - col("exact_overlap").cast("double"))
+            / col("exact_overlap").cast("double")))
+  }
+
+  def q224Sql: String =
+    s"""WITH regs AS (SELECT * FROM ($q139Sql)),
+       |toks2 AS (SELECT source, t AS token FROM
+       |    (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |srcs AS (SELECT DISTINCT source FROM regs),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a, srcs b WHERE a.source < b.source),
+       |perz AS (SELECT source, $hllZSqlDuck
+       |  FROM regs GROUP BY source),
+       |per AS (SELECT source, present, $hllEstSqlDuck AS est FROM perz),
+       |unireg AS (SELECT p.src_a, p.src_b, r.bucket, max(r.max_rho) AS max_rho
+       |  FROM pairs p JOIN regs r ON r.source = p.src_a OR r.source = p.src_b
+       |  GROUP BY 1, 2, 3),
+       |uniz AS (SELECT src_a, src_b, $hllZSqlDuck
+       |  FROM unireg GROUP BY src_a, src_b),
+       |uni AS (SELECT src_a, src_b, $hllEstSqlDuck AS est_union FROM uniz),
+       |dt AS (SELECT DISTINCT source, token FROM toks2),
+       |exact AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS exact_overlap
+       |  FROM dt a JOIN dt b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT u.src_a, u.src_b,
+       |  pa.present AS present_a, pb.present AS present_b,
+       |  pa.est AS est_a, pb.est AS est_b, u.est_union,
+       |  pa.est + pb.est - u.est_union AS est_overlap,
+       |  COALESCE(e.exact_overlap, 0) AS exact_overlap,
+       |  CASE WHEN COALESCE(e.exact_overlap, 0) > 0
+       |    THEN (pa.est + pb.est - u.est_union - CAST(e.exact_overlap AS DOUBLE))
+       |      / CAST(e.exact_overlap AS DOUBLE) END AS rel_err
+       |FROM uni u
+       |JOIN per pa ON pa.source = u.src_a
+       |JOIN per pb ON pb.source = u.src_b
+       |LEFT JOIN exact e ON e.src_a = u.src_a AND e.src_b = u.src_b""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -141,6 +141,52 @@ class RankingSpec extends GraftSpec {
     assert(ru == merged)
   }
 
+  test("q224: inclusion-exclusion lands near the true overlap in the sketch's regime") {
+    // two sources with 10k-token vocabularies overlapping in 7k tokens —
+    // cardinalities ≫ m = 256, squarely in the raw-estimator regime the
+    // operator contracts for (sf-corpus vocabularies are far below it,
+    // which is why the real-data rel_err column reads large there)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hlloverlap").toString
+    def text(lo: Int, hi: Int) = (lo until hi).map(i => s"t$i").mkString(" ")
+    Seq((0L, text(0, 10000), "en", "A", 1L), (1L, text(3000, 13000), "en", "B", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Sketch.q224HllOverlap(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("exact_overlap") == 7000L)
+    val relErr = row.getAs[Double]("rel_err")
+    // deterministic hash → fixed error; 1σ per estimate is 6.5%, the
+    // overlap difference amplifies it by ~|U|+|A|+|B| over |A∩B| — pin
+    // a bound with margin over the measured fixed value
+    assert(math.abs(relErr) < 0.35, s"rel_err=$relErr")
+    // structural sketch-algebra bounds: max-merged union registers can
+    // only raise the estimate above either part, so the implied overlap
+    // never exceeds either side
+    assert(row.getAs[Double]("est_union") >=
+      math.max(row.getAs[Double]("est_a"), row.getAs[Double]("est_b")))
+    assert(row.getAs[Double]("est_overlap") <=
+      math.min(row.getAs[Double]("est_a"), row.getAs[Double]("est_b")))
+  }
+
+  test("q224 real corpus: one row per source pair, structural bounds hold on every row") {
+    val rows = Sketch.q224HllOverlap(spark, sf).collect()
+    val s = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == s * (s - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Double]("est_union") >=
+        math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")))
+      // exact in the reals; the float a+b−u chain can overshoot the
+      // min by a few ulps when the register sets coincide
+      val minEst = math.min(r.getAs[Double]("est_a"), r.getAs[Double]("est_b"))
+      assert(r.getAs[Double]("est_overlap") <= minEst * (1.0 + 1e-12))
+      assert(r.getAs[Long]("present_a") >= 1L && r.getAs[Long]("present_b") >= 1L)
+    }
+  }
+
   test("hllEstimate: within 3 standard errors of the true distinct count on real data") {
     val regs = Sketch.q96HllRegisters(spark, sf)
     val est = Sketch.hllEstimate(regs)
