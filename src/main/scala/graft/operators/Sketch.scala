@@ -839,6 +839,89 @@ class SketchOps(val cfg: GraftConfig) {
        |JOIN per pa ON pa.source = u.src_a
        |JOIN per pb ON pb.source = u.src_b
        |LEFT JOIN exact e ON e.src_a = u.src_a AND e.src_b = u.src_b""".stripMargin
+
+  // ---------- CMS inner product: join-size estimation (q225) ----------
+
+  /** q225: JOIN CARDINALITY estimation by Count-Min INNER PRODUCT —
+    * the pre-flight planner number beside q124's skew profile: for a
+    * prospective equi-join, |A ⋈ B| = Σ_k f_A(k)·f_B(k), and the CMS
+    * inner product Σ_b cA[r][b]·cB[r][b] (min over hash rows) is the
+    * classic upper-bound estimator of exactly that sum — computable
+    * from two FIXED-SIZE sketches without touching the join. Two
+    * prospective joins are sized: the events.user_id SELF-join (the
+    * Σf² quadratic-blowup check a fan-out analysis needs) and
+    * events ⋈ customer. Ships with its exact eval (the rule): the
+    * true join sizes and the relative over-estimate. cm_est ≥ exact
+    * ALWAYS (every term's collisions only add mass — spec-pinned);
+    * equality means some hash row is collision-free.
+    *
+    * Scale: each sketch is one map-combinable aggregate over its key
+    * scan into $CmRows × 16^$CmHexChars counters; the inner product
+    * joins two SKETCHES (fixed size), never the tables. Products
+    * accumulate in DECIMAL(38,0) (two ~1e12-count keys multiply past
+    * BIGINT); the output casts to BIGINT for the corpus at hand. The
+    * exact side is the real join — that is the eval's cost, and the
+    * point: the estimate replaces it in planning. */
+  def q225JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id").cast("string").as("k"))
+    val cu = Tables.customer(spark, dir).select(col("c_custkey").cast("string").as("k"))
+    def sk(df: DataFrame) = df
+      .select(explode(bucketStructs(col("k"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val se = sk(ev)
+    val sc = sk(cu)
+    def ip(a: DataFrame, b: DataFrame) = a
+      .join(b.select(col("r"), col("b"), col("c").as("c2")), Seq("r", "b"))
+      .groupBy("r")
+      .agg(sum(col("c").cast("decimal(19,0)") * col("c2").cast("decimal(19,0)")).as("ipr"))
+      .agg(min(col("ipr")).cast("long").as("cm_est"))
+    val exactSelf = ev.groupBy("k").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f").cast("decimal(19,0)") * col("f").cast("decimal(19,0)"))
+        .cast("long").as("exact"))
+    val exactEc = ev.join(cu, "k").agg(count(lit(1)).as("exact"))
+    val self = ip(se, se).crossJoin(exactSelf)
+      .select(lit("events_self").as("join_name"), col("cm_est"), col("exact"))
+    val ec = ip(se, sc).crossJoin(exactEc)
+      .select(lit("events_customer").as("join_name"), col("cm_est"), col("exact"))
+    self.unionAll(ec)
+      .withColumn("rel_err",
+        when(col("exact") > 0,
+          (col("cm_est") - col("exact")).cast("double") / col("exact").cast("double")))
+  }
+
+  def q225Sql: String = {
+    val rowList = (0 until CmRows).mkString("[", ", ", "]")
+    def skCte(src: String, out: String) =
+      s"""$out AS (SELECT r.r,
+         |    substr(md5(CAST(r.r AS VARCHAR) || ':' || $src.k), 1, $CmHexChars) AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM $src CROSS JOIN rows r GROUP BY 1, 2)""".stripMargin
+    s"""WITH rows AS (SELECT unnest($rowList) AS r),
+       |ek AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+       |ck AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+       |${skCte("ek", "se")},
+       |${skCte("ck", "sc")},
+       |ipself AS (SELECT a.r, SUM(CAST(a.c AS HUGEINT) * b.c) AS ipr
+       |  FROM se a JOIN se b ON a.r = b.r AND a.b = b.b GROUP BY 1),
+       |ipec AS (SELECT a.r, SUM(CAST(a.c AS HUGEINT) * b.c) AS ipr
+       |  FROM se a JOIN sc b ON a.r = b.r AND a.b = b.b GROUP BY 1),
+       |exself AS (SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS BIGINT) AS exact
+       |  FROM (SELECT count(*) AS f FROM ek GROUP BY k)),
+       |exec1 AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM ek JOIN ck USING (k)),
+       |u AS (
+       |  SELECT 'events_self' AS join_name,
+       |    (SELECT CAST(min(ipr) AS BIGINT) FROM ipself) AS cm_est,
+       |    (SELECT exact FROM exself) AS exact
+       |  UNION ALL
+       |  SELECT 'events_customer',
+       |    (SELECT CAST(min(ipr) AS BIGINT) FROM ipec),
+       |    (SELECT exact FROM exec1))
+       |SELECT join_name, cm_est, exact,
+       |  CASE WHEN exact > 0
+       |    THEN CAST(cm_est - exact AS DOUBLE) / CAST(exact AS DOUBLE) END AS rel_err
+       |FROM u""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

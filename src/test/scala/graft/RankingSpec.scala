@@ -187,6 +187,33 @@ class RankingSpec extends GraftSpec {
     }
   }
 
+  test("q225: CMS inner product is exact on a collision-free key set and never underestimates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("joincard").toString
+    Seq(1L, 1L, 1L, 2L, 2L, 3L).zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, "click", 0.0)
+    }.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_millis(event_id * 1000)"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq(1L, 2L, 4L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Sketch.q225JoinCardinality(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Σf² = 9 + 4 + 1; events⋈customer matches users 1 (×3) and 2 (×2);
+    // 4 distinct keys over 256 buckets hash collision-free here, so the
+    // deterministic sketch is exact, not just an upper bound
+    assert(got("events_self") == ((14L, 14L)), s"got ${got("events_self")}")
+    assert(got("events_customer") == ((5L, 5L)), s"got ${got("events_customer")}")
+  }
+
+  test("q225 real corpus: the estimate upper-bounds the true join size on every row") {
+    Sketch.q225JoinCardinality(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"${r.getString(0)}: cm_est ${r.getLong(1)} < exact ${r.getLong(2)}")
+      assert(r.getLong(2) > 0, s"${r.getString(0)}: eval is vacuous with exact = 0")
+    }
+  }
+
   test("hllEstimate: within 3 standard errors of the true distinct count on real data") {
     val regs = Sketch.q96HllRegisters(spark, sf)
     val est = Sketch.hllEstimate(regs)
