@@ -425,4 +425,70 @@ object Multimodal {
       |  CAST(SUM(CASE WHEN pv IS NOT NULL AND pv*v < 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS zero_crossings
       |FROM sc GROUP BY doc_id, frame""".stripMargin
+
+  /** q226 voiced/unvoiced gate: frame energy at/above this fires. Sits
+    * at the corpus's frame-energy median (measured: min 3.5e8, median
+    * 2.8e9, max 6.0e9) so both segment classes are non-trivially
+    * exercised; a real VAD tunes this against labeled speech. */
+  private val VadEnergyMin = 2800000000L
+
+  /** q226: energy-gated SEGMENTATION (voice-activity detection shape) —
+    * the step after q134's frame features in every speech pipeline:
+    * frames gate on energy ≥ $VadEnergyMin, CONSECUTIVE voiced frames
+    * merge into segments (classic gaps-and-islands: segment key =
+    * frame − running voiced count), and each clip reports its frame
+    * count, voiced count, segment count, longest segment, and voiced
+    * energy — the table a curation pass reads to drop silent or
+    * wall-of-sound clips and a trainer reads to cut clips at segment
+    * boundaries. All-integer arithmetic end to end (engine-exact).
+    *
+    * Scale: one doc_id-partitioned window over the frame table (frames
+    * per clip bounded by clip length) + one aggregate — the same
+    * single-shuffle shape as the behavioral family; the decode cost is
+    * q134's mapPartitions pass, paid once. */
+  def q226VadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = q134PcmEnergy(spark, dir)
+    val wv = Window.partitionBy("doc_id").orderBy("frame")
+    val v = fr
+      .withColumn("voiced", (col("energy") >= VadEnergyMin).cast("int"))
+      .withColumn("vrn", sum(col("voiced")).over(wv))
+      .withColumn("seg", col("frame") - col("vrn"))
+    val segs = v.filter(col("voiced") === 1)
+      .groupBy("doc_id", "seg")
+      .agg(count(lit(1)).as("len"), sum("energy").as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max("len").as("longest_segment"),
+        sum("e").as("voiced_energy"))
+    v.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("voiced").cast("long").as("n_voiced"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+        coalesce(col("voiced_energy"), lit(0L)).as("voiced_energy"))
+  }
+
+  def q226Sql: String =
+    s"""WITH fr AS (SELECT * FROM ($q134Sql)),
+       |v AS (SELECT doc_id, frame, energy,
+       |    CASE WHEN energy >= $VadEnergyMin THEN 1 ELSE 0 END AS voiced,
+       |    SUM(CASE WHEN energy >= $VadEnergyMin THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY frame) AS vrn
+       |  FROM fr),
+       |segs AS (SELECT doc_id, frame - vrn AS seg,
+       |    CAST(count(*) AS BIGINT) AS len, SUM(energy) AS e
+       |  FROM v WHERE voiced = 1 GROUP BY 1, 2),
+       |sd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(max(len) AS BIGINT) AS longest_segment,
+       |    CAST(SUM(e) AS BIGINT) AS voiced_energy
+       |  FROM segs GROUP BY 1),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |    CAST(SUM(voiced) AS BIGINT) AS n_voiced
+       |  FROM v GROUP BY 1)
+       |SELECT pd.doc_id, n_frames, n_voiced,
+       |  COALESCE(n_segments, 0) AS n_segments,
+       |  COALESCE(longest_segment, 0) AS longest_segment,
+       |  COALESCE(voiced_energy, 0) AS voiced_energy
+       |FROM pd LEFT JOIN sd USING (doc_id)""".stripMargin
 }

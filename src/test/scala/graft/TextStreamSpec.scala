@@ -265,6 +265,29 @@ class TextStreamSpec extends GraftSpec {
     assert(df.filter(col("byte_mean") < 0 || col("byte_mean") > 255).count() == 0)
   }
 
+  test("q226 VAD: segmentation equals a driver-side islands replica of the frame table") {
+    val th = 2800000000L // VadEnergyMin — pinned in the oracle too
+    val frames = Multimodal.q134PcmEnergy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3))) // doc, frame, energy
+    val expected = frames.groupBy(_._1).map { case (doc, fs) =>
+      val voiced = fs.sortBy(_._2).filter(_._3 >= th)
+      // islands over consecutive frame numbers, independent re-derivation
+      val segLens = voiced.foldLeft(List.empty[(Int, Long)]) {
+        case ((last, len) :: tail, f) if f._2 == last + 1 => (f._2, len + 1) :: tail
+        case (acc, f) => (f._2, 1L) :: acc
+      }.map(_._2)
+      doc -> ((fs.length.toLong, voiced.length.toLong, segLens.length.toLong,
+        if (segLens.isEmpty) 0L else segLens.max,
+        voiced.map(_._3).sum))
+    }
+    val got = SparkEntry.queries("q226_vad_segments")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0) && got.values.exists(v => v._2 < v._1),
+      "both voiced segments and unvoiced frames must occur — threshold is non-vacuous")
+  }
+
   test("q76 PPM decoder: decodes a hand-built image and rejects malformed payloads") {
     import spark.implicits._
     // 2x1 image, pixels (1,2,3) and (250,0,255) — header with the same
