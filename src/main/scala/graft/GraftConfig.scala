@@ -226,6 +226,12 @@ case class GraftConfig(
     percentileBucketWidth: Double = 4096.0,
     pagerankIters: Int = 3,
     pagerankScale: Long = 1000000000000L,
+    // label propagation (q227): synchronous rounds. Fixed, not
+    // convergence-tested: neighbor-mode is not a semilattice (labels
+    // move non-monotonically), so unlike the min-propagation kernels
+    // every round is a full neighbor aggregate and the round count is
+    // the budget
+    lpaRounds: Int = 3,
     // sequence packing (q83): context-window token budget per packed
     // bin, and the md5-hex prefix length that defines packing shards
     // (16^len shards; each shard's window sorts on one task, so the

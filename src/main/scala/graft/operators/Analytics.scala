@@ -195,6 +195,63 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |SELECT node AS doc_id, pr AS ppr FROM r$PrIters""".stripMargin
   }
 
+  /** q227: LABEL-PROPAGATION communities on the undirected overlap
+    * graph — the density-community view WCC (q144) cannot give: WCC
+    * answers "connected at all", LPA's neighbor-majority vote splits a
+    * connected component along its sparse cuts. Synchronous rounds:
+    * every node adopts the most frequent label among its NEIGHBORS
+    * (ties → smallest label — fully deterministic, no random tie
+    * breaking), isolated nodes keep their own. Rounds are a FIXED
+    * budget (cfg.lpaRounds), not a convergence test: neighbor-mode is
+    * not a semilattice (labels move non-monotonically, oscillation is
+    * possible in bipartite structures), so each round is a full
+    * neighbor aggregate and both engines unroll the same count — the
+    * q92 discipline, not the frontier kernels'.
+    *
+    * Scale: per round one edge⋈label join + one (node, label)
+    * map-combinable count + one per-node argmax — the textbook
+    * synchronous-LPA shape; label table is |V| rows, the edge table is
+    * scanned once per round. All-integer, engine-exact. */
+  def q227LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    val e = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
+    val und = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val eo = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    var lbl = docs.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to cfg.lpaRounds) {
+      val pick = eo.join(lbl.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("nl"))
+      lbl = lbl.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    }
+    lbl.select(col("node").as("doc_id"), col("lbl").as("community"))
+  }
+
+  def q227Sql: String = {
+    val iters = (1 to cfg.lpaRounds).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.lbl AS lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM eo e JOIN r${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |p$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+         |    FROM c$i) WHERE rk = 1),
+         |r$i AS (SELECT r.node, COALESCE(p$i.lbl, r.lbl) AS lbl
+         |  FROM r${i - 1} r LEFT JOIN p$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT src, dst FROM (${GraphOps.q20Sql})),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src <> dst),
+       |eo AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+       |r0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       |$iters
+       |SELECT node AS doc_id, lbl AS community FROM r${cfg.lpaRounds}""".stripMargin
+  }
+
   /** q93: per-node triangle counts on the undirected overlap graph —
     * the clustering-coefficient numerator. Spark side uses the
     * DEGREE-ORDERED edge orientation (orient every edge toward the

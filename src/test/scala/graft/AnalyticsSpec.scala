@@ -229,6 +229,43 @@ class AnalyticsSpec extends GraftSpec {
     assert(out == Seq("p", "q"), s"got $out")
   }
 
+  test("q227 LPA: a cycle collapses to one community; isolated docs keep their own label") {
+    // overlap 3-cycle 0→1→2→0, symmetrized: deterministic min-tie voting
+    // funnels every label to 0 within the 3-round budget
+    val cyc = docs(0L -> "a b x y", 1L -> "x y c d", 2L -> "c d a b")
+    val got = Analytics.q227LpaCommunities(spark, cyc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), s"got $got")
+    // no overlap edges → every node isolated → community = own id
+    val iso = docs(0L -> "a b c d", 1L -> "e f g h")
+    val got2 = Analytics.q227LpaCommunities(spark, iso).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(0L -> 0L, 1L -> 1L))
+  }
+
+  test("q227 LPA real data: every doc labeled once, labels are doc ids, refines WCC") {
+    val out = Analytics.q227LpaCommunities(spark, sf).cache()
+    try {
+      val nDocs = graft.sources.Tables.documents(spark, sf).count()
+      assert(out.count() == nDocs)
+      assert(out.select("doc_id").distinct().count() == nDocs)
+      // a community label is always some member's id after voting
+      val ids = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id").as("community"))
+      assert(out.select("community").distinct().except(ids).count() == 0)
+      // LPA only ever splits connected components, never bridges them:
+      // communities must be at least as numerous as the CC count of the
+      // SAME q20 overlap graph
+      val e = graft.operators.GraphOps.q20OverlapEdges(spark, sf)
+        .select(col("src").as("u"), col("dst").as("v"))
+      val cc = graft.operators.Cc.labels(e, GraftConfig.default)
+        .select("lbl").distinct().count()
+      val isolated = nDocs - e.select(explode(array(col("u"), col("v"))).as("d"))
+        .distinct().count()
+      assert(out.select("community").distinct().count() >= cc + isolated)
+    } finally out.unpersist()
+  }
+
   test("q93: the 3-cycle docs form one triangle counted once per vertex") {
     val dir = docs(
       0L -> "a b x y",
