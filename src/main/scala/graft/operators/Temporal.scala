@@ -150,6 +150,76 @@ class TemporalOps(val cfg: GraftConfig) {
         last(col("sv"), ignoreNulls = true).over(w).cast("double").as("total_value"))
   }
 
+  /** q228: resample with LINEAR INTERPOLATION — q108's other half:
+    * forward-fill answers "what was the last known state" (counters,
+    * balances); interpolation answers "what was the level mid-gap" for
+    * continuous signals (rates, gauges, sensor feeds) — the standard
+    * time-series regularization before any windowed model. Same hourly
+    * grid as q108 (per user, min..max observed hour); observed hours
+    * keep their EXACT value (decimal-accumulated, cast once); missing
+    * hours take pv + (nv − pv)·(h − ph)/(nh − ph) from the bracketing
+    * observations — one fixed double chain over exact inputs
+    * (engine-identical), and the bracket always exists because the
+    * grid ends at observed hours. `observed` marks which rows are
+    * data and which are inference — downstream must be able to tell.
+    *
+    * Scale: the q108 shape exactly — one user_id shuffle; all four
+    * bracket windows (prev/next hour and value) stack on the SAME
+    * sort order, so they share one exchange + sort. Grid density is
+    * the span, same as q108. */
+  def q228ResampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val HourMs = 3600000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val hourly = ev.groupBy(col("user_id"), expr(s"ms div $HourMs").as("h"))
+      .agg(sum(col("value").cast("decimal(25,6)")).as("sv"))
+    val span = hourly.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      .withColumn("h", explode(expr("sequence(h0, h1)")))
+      .select("user_id", "h")
+    val wp = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    span.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        col("sv").isNotNull.as("observed"),
+        col("sv").cast("double").as("v"),
+        last(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wp).as("ph"),
+        last(col("sv"), ignoreNulls = true).over(wp).cast("double").as("pv"),
+        first(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wn).as("nh"),
+        first(col("sv"), ignoreNulls = true).over(wn).cast("double").as("nv"))
+      .select(col("user_id"), col("h"), col("observed"),
+        when(col("observed"), col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (col("h") - col("ph")).cast("double")
+            / (col("nh") - col("ph")).cast("double"))
+          .as("value_interp"))
+  }
+
+  def q228Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+       |hourly AS (SELECT user_id, ms // 3600000 AS h,
+       |    SUM(CAST(value AS DECIMAL(25,6))) AS sv
+       |  FROM ev GROUP BY 1, 2),
+       |span AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h
+       |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1)),
+       |br AS (SELECT s.user_id, s.h, h2.sv IS NOT NULL AS observed,
+       |    CAST(h2.sv AS DOUBLE) AS v,
+       |    last_value(CASE WHEN h2.sv IS NOT NULL THEN s.h END IGNORE NULLS) OVER wp AS ph,
+       |    CAST(last_value(h2.sv IGNORE NULLS) OVER wp AS DOUBLE) AS pv,
+       |    first_value(CASE WHEN h2.sv IS NOT NULL THEN s.h END IGNORE NULLS) OVER wn AS nh,
+       |    CAST(first_value(h2.sv IGNORE NULLS) OVER wn AS DOUBLE) AS nv
+       |  FROM span s LEFT JOIN hourly h2 USING (user_id, h)
+       |  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wn AS (PARTITION BY s.user_id ORDER BY s.h
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, h, observed,
+       |  CASE WHEN observed THEN v
+       |    ELSE pv + (nv - pv) * CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)
+       |  END AS value_interp
+       |FROM br""".stripMargin
+
   def q108Sql: String =
     s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
        |hourly AS (SELECT user_id, ms // 3600000 AS h, count(*) AS n,

@@ -143,6 +143,43 @@ class TemporalSpec extends GraftSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("q228: gap hours interpolate linearly between brackets; observed hours keep exact values") {
+    val dir = java.nio.file.Files.createTempDirectory("temporal").toString
+    Seq((1L, 1L, 0L, 10.0), (2L, 1L, 3 * H + 5L, 40.0), (3L, 2L, 10 * H, 7.5))
+      .toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Temporal.q228ResampleInterp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 0L, true, 10.0),
+      (1L, 1L, false, 20.0),  // 10 + 30·(1/3)
+      (1L, 2L, false, 30.0),
+      (1L, 3L, true, 40.0),
+      (2L, 10L, true, 7.5)), s"got $got")
+  }
+
+  test("q228 real data: interpolated values stay inside their bracket, observed rows match q108's grid") {
+    val out = Temporal.q228ResampleInterp(spark, sf).cache()
+    try {
+      // the grid is q108's (same span construction)
+      assert(out.count() == Temporal.q108ResampleFfill(spark, sf).count())
+      // between brackets: v lies in [min(pv,nv), max(pv,nv)] — recompute
+      // the brackets with an independent self-join per interpolated row
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("h")
+      val chk = out
+        .withColumn("pv", last(when(col("observed"), col("value_interp")),
+          ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nv", first(when(col("observed"), col("value_interp")),
+          ignoreNulls = true).over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .filter(!col("observed"))
+      assert(chk.filter(col("value_interp") < least(col("pv"), col("nv")) ||
+        col("value_interp") > greatest(col("pv"), col("nv"))).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q108: silent hours are densified and forward-filled from the last observed hour") {
     // user 1: events in hours 0 and 3 → hours 1,2 filled with hour 0's
     // aggregate, observed=false; user 2: single hour, no fill rows.
