@@ -1604,6 +1604,63 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
   }
+
+  // ---------- Per-source centroid drift (q229) ----------
+
+  /** q229: per-source embedding CENTROID DRIFT — the domain-shift
+    * monitor for a mixed corpus (q103's mixture weights say how MUCH
+    * of each source; this says how DIFFERENT each source's embedding
+    * mass is): per source, the Chebyshev distance between its
+    * per-dimension mean vector and the corpus mean, plus WHICH
+    * dimension carries the drift. Chebyshev (max per-dim |Δmean|)
+    * instead of L2 deliberately: max is ORDER-FREE over doubles where
+    * a 64-term float L2 sum is not — the same reasoning that puts
+    * every mean on the exact Σfloor(x·1e7) integer base (the q41
+    * centroid discipline) with the division as one fixed chain.
+    * A source whose drift spikes is the retrain/re-weight signal.
+    *
+    * Scale: one (source, dim) map-combinable aggregate over the
+    * corpus scan; the global mean is a dims-row broadcast; state =
+    * sources × dims. */
+  def q229SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val dim = ed.select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("source"), col("pos"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)").as("fx"))
+    val bySrc = dim.groupBy("source", "pos")
+      .agg(sum("fx").as("sx"), count(lit(1)).as("n"))
+    val glob = dim.groupBy("pos").agg(sum("fx").as("gx"), count(lit(1)).as("gn"))
+    bySrc.join(broadcast(glob), "pos")
+      .select(col("source"), col("pos"), col("n"),
+        abs(col("sx").cast("double") / col("n").cast("double") / lit(1e7)
+          - col("gx").cast("double") / col("gn").cast("double") / lit(1e7)).as("ad"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_vecs"),
+        min(struct((-col("ad")).as("nad"), col("pos").as("p"))).as("m"))
+      .select(col("source"), col("n_vecs"),
+        (-col("m.nad")).as("max_dim_drift"), col("m.p").cast("long").as("drift_dim"))
+  }
+
+  def q229Sql: String =
+    """WITH ed AS (SELECT e.embedding, d.source FROM embeddings e
+      |    JOIN documents d ON d.doc_id = e.vec_id),
+      |dim AS (SELECT source, g - 1 AS pos,
+      |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1e7) AS BIGINT) AS fx
+      |  FROM ed, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t),
+      |bysrc AS (SELECT source, pos, SUM(fx) AS sx, count(*) AS n FROM dim GROUP BY 1, 2),
+      |gm AS (SELECT pos, SUM(fx) AS gx, count(*) AS gn FROM dim GROUP BY 1),
+      |j AS (SELECT b.source, b.pos, b.n,
+      |    abs(CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) / 1e7
+      |      - CAST(g.gx AS DOUBLE) / CAST(g.gn AS DOUBLE) / 1e7) AS ad
+      |  FROM bysrc b JOIN gm g USING (pos)),
+      |rk AS (SELECT source, n, ad, pos,
+      |    row_number() OVER (PARTITION BY source ORDER BY ad DESC, pos) AS rk
+      |  FROM j)
+      |SELECT source, CAST(n AS BIGINT) AS n_vecs, ad AS max_dim_drift,
+      |  CAST(pos AS BIGINT) AS drift_dim
+      |FROM rk WHERE rk = 1""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

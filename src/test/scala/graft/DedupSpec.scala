@@ -357,6 +357,34 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("q229: Chebyshev drift against the corpus mean matches hand arithmetic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((0L, Seq(2f, 0f), 0), (1L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((0L, "a", "en", "A", 1L), (1L, "b", "en", "B", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // global mean (1, 0.5); both sources drift 1.0 on dim 0
+    val got = graft.operators.Similarity.q229SourceDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == Map("A" -> ((1L, 1.0, 0L)), "B" -> ((1L, 1.0, 0L))), s"got $got")
+  }
+
+  test("q229 real corpus: one row per source, drift bounded and dimensions in range") {
+    val rows = graft.operators.Similarity.q229SourceDrift(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val d = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("size(embedding)").head().getInt(0)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getLong(3) >= 0L && r.getLong(3) < d)
+    }
+  }
+
   test("q140 kNN graph: no self edges, ranks dense per vector, exhaustive probing equals brute force") {
     val g = graft.operators.Similarity.q140KnnGraph(spark, sf).cache()
     try {
