@@ -437,6 +437,8 @@ case class GraftConfig(
     // deliberately shattered into before compacting
     compactTargetBytes: Long = 128L * 1024 * 1024,
     compactFragments: Int = 8,
+    // zone-map pruning (q230): file count of the range-clustered layout
+    zoneMapFiles: Int = 8,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -386,4 +386,69 @@ object Layout {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  TRUE AS schema_merged
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** The (file → key min/max/rows) manifest of a written layout — the
+    * zone map a table format's metadata layer maintains per data file.
+    * Parquet footers already hold these stats; this materializes them
+    * as a queryable table with one scan (in production, amortized into
+    * the write). Driver-side rows are FILE-count-scale — metadata, not
+    * data (the q212 listing precedent). */
+  def zoneMap(spark: SparkSession, path: String, keyCol: String): Array[(String, Long, Long, Long)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  /** q230: ZONE-MAP (file-stats) pruning — the third pruning mode
+    * beside static partition pruning (q146) and runtime DPP (q198):
+    * partitioning prunes by DIRECTORY, zone maps prune by per-FILE
+    * min/max stats, which is what makes a RANGE-CLUSTERED layout
+    * (here `repartitionByRange` on the key — q98's Z-order is the
+    * multi-column form) answer selective range predicates while
+    * touching a fraction of the files. The query writes the
+    * range-clustered layout, builds the file manifest ([[zoneMap]]),
+    * plans the read driver-side (files whose [lo,hi] intersect the
+    * predicate — a manifest scan, not a data scan), reads ONLY those
+    * files, and emits the filtered aggregate + two gates:
+    * `skipped_some` (the plan read strictly fewer files than exist —
+    * FALSE would hash-fail the round) and `lossless` implicitly via
+    * the oracle, which computes the same aggregate from the flat
+    * table. The predicate brackets the 25th–45th percentile of the
+    * key range (scalar-derived, so the oracle derives it the same
+    * way).
+    *
+    * Scale: the manifest is file-count rows (metadata); the pruned
+    * read lists only selected paths — at 100 TB this is the
+    * difference between footer-probing every file of a petabyte
+    * table and reading the manifest. */
+  def q230ZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.GraftConfig.default
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val path = Scratch.dir("zonemap", dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    li.repartitionByRange(cfg.zoneMapFiles, col("l_orderkey"))
+      .write.parquet(path)
+    val maxK = li.agg(max("l_orderkey")).head().getLong(0)
+    val (loK, hiK) = (maxK * 25 / 100, maxK * 45 / 100)
+    val manifest = zoneMap(spark, path, "l_orderkey")
+    val sel = manifest.filter { case (_, lo, hi, _) => hi >= loK && lo <= hiK }
+    val skippedSome = sel.length < manifest.length
+    spark.read.parquet(sel.map(_._1): _*)
+      .filter(col("l_orderkey").between(loK, hiK))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"), lit(skippedSome).as("skipped_some"))
+  }
+
+  def q230Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  TRUE AS skipped_some
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN (SELECT (max(l_orderkey) * 25) // 100 FROM lineitem)
+      |                     AND (SELECT (max(l_orderkey) * 45) // 100 FROM lineitem)""".stripMargin
 }

