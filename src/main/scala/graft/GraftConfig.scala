@@ -214,6 +214,10 @@ case class GraftConfig(
     cmRows: Int = 4,
     cmHexChars: Int = 2,
     cmHeavyK: Int = 20,
+    // two-pass exact heavy hitters (q234): emit items with true count
+    // >= this threshold; the CMS candidate pass guarantees no false
+    // negatives, so the exact aggregate touches only candidates
+    cmHeavyMin: Int = 40,
     // analytics (Analytics.scala): nearest-rank percentile levels and
     // PageRank's iteration count + fixed-point scale (integer ranks =
     // SCALE ≙ 1.0, so every engine agrees bit-for-bit; keep
@@ -439,6 +443,13 @@ case class GraftConfig(
     compactFragments: Int = 8,
     // zone-map pruning (q230): file count of the range-clustered layout
     zoneMapFiles: Int = 8,
+    // skyline (q233): range-partition count of the distributed
+    // prefix-min scan (result is partition-invariant; size this to the
+    // corpus like any shuffle parallelism)
+    skylineRangeParts: Int = 8,
+    // link prediction (q235): emit candidate links sharing at least
+    // this many common neighbors
+    linkMinCommon: Int = 2,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -712,6 +712,104 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |  WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1)
        |SELECT t.lang, t.n AS n_docs, med.median_chars, mad.mad_chars
        |FROM tot t JOIN med ON t.lang = med.lang JOIN mad ON t.lang = mad.lang""".stripMargin
+  /** q235: LINK PREDICTION on the overlap graph — candidate edges the
+    * graph does NOT have, ranked by common-neighbor count: for every
+    * non-adjacent pair (u, v) sharing ≥ ${cfg.linkMinCommon} neighbors,
+    * emit the pair and its count. The graph-ML companion to q140's
+    * embedding kNN: "these two documents touch the same neighborhoods
+    * but never each other" — a retrieval-expansion and
+    * missing-duplicate signal that needs no vectors. Common-neighbor
+    * count is the integer-exact core of the classic indices
+    * (Adamic-Adar and resource-allocation reweight each shared
+    * neighbor by an order-sensitive float 1/log·deg sum — engine-
+    * divergent in final ulps, so Graft emits the exact count plus the
+    * graph's degrees and leaves monotone reweighting to the caller).
+    *
+    * Scale: wedge generation is the q93 discipline — per-CENTER
+    * neighbor pairs, with centers capped at ${cfg.maxOverlapKeyDf}
+    * neighbors (the MatchPrefix hot-key guard: an ultra-hub's wedge
+    * set is quadratic and its "common neighbor" signal is noise — the
+    * same reasoning that drops stopwords from similarity joins). Work
+    * is Σ_{deg(a)≤cap} deg(a)² ≤ cap·|E|, linear in edges at fixed
+    * cap; the anti join back to the edge list and the threshold filter
+    * bound the output to genuinely-promising pairs. */
+  def q235LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val und = GraphOps.q20OverlapEdges(spark, dir).select("src", "dst")
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("ctr"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("ctr"), col("u").as("nb")))
+    val deg = adj.groupBy("ctr").agg(count(lit(1)).as("d"))
+    val small = adj.join(deg.filter(col("d") <= cfg.maxOverlapKeyDf), "ctr")
+      .select("ctr", "nb")
+    val pairs = small.select(col("ctr"), col("nb").as("x"))
+      .join(small.select(col("ctr"), col("nb").as("y")), "ctr")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("u"), col("y").as("v"))
+      .agg(count(lit(1)).as("common_nbrs"))
+    pairs.join(und, Seq("u", "v"), "left_anti")
+      .filter(col("common_nbrs") >= cfg.linkMinCommon)
+  }
+
+  def q235Sql: String =
+    s"""WITH e AS (SELECT src, dst FROM (${GraphOps.q20Sql})),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src <> dst),
+       |adj AS (SELECT u AS ctr, v AS nb FROM und
+       |  UNION ALL SELECT v AS ctr, u AS nb FROM und),
+       |deg AS (SELECT ctr, count(*) AS d FROM adj GROUP BY 1),
+       |sm AS (SELECT adj.ctr, adj.nb FROM adj JOIN deg USING (ctr)
+       |  WHERE d <= ${cfg.maxOverlapKeyDf}),
+       |p AS (SELECT a.nb AS u, b.nb AS v, count(*) AS common_nbrs
+       |  FROM sm a JOIN sm b ON a.ctr = b.ctr AND a.nb < b.nb
+       |  GROUP BY 1, 2)
+       |SELECT u, v, common_nbrs FROM p
+       |WHERE common_nbrs >= ${cfg.linkMinCommon}
+       |  AND NOT EXISTS (SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v)""".stripMargin
+
+  /** q233: SKYLINE (Pareto front) — parts no other part beats on BOTH
+    * price and size: keep row a unless some b has b.price ≤ a.price ∧
+    * b.size ≤ a.size with at least one strict. The multi-criteria
+    * shortlist operator (cheapest-for-its-size tradeoff curve) that
+    * relational engines lack natively and the naive form computes as an
+    * O(n²) self-anti-join.
+    *
+    * Built instead on the DISTRIBUTED GLOBAL PREFIX-MIN
+    * ([[graft.operators.Scan.exclusiveRunningMin]]): in (price, size)
+    * ascending order, a (distinct) pair is dominated iff the running
+    * min of size over strictly-earlier rows is ≤ its size (earlier ⇒
+    * price ≤, smaller-or-equal size with a strict coordinate guaranteed
+    * by pair distinctness). Exact at any scale, O(n log n), never the
+    * O(n²) self-anti-join — see the Scan scaladoc for the stitching.
+    * Higher dimensions compose: prune with this 2-D pass per dimension
+    * pair, exact-verify the (tiny) survivor set.
+    *
+    * Ties: exact-duplicate (price, size) pairs do not dominate each
+    * other (no strict coordinate), so all copies surface together —
+    * the dedup-to-pairs + semi-join-back keeps every carrying partkey. */
+  def q233Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .distinct()
+    val sky = Scan
+      .exclusiveRunningMin(pts, cfg.skylineRangeParts, Seq("price", "size"), "size", cfg)
+      .filter(col("run_min").isNull || col("run_min") > col("size"))
+      .select("price", "size")
+    Tables.part(spark, dir)
+      .join(broadcast(sky),
+        col("p_retailprice") === col("price") && col("p_size") === col("size"),
+        "left_semi")
+      .select("p_partkey", "p_retailprice", "p_size")
+  }
+
+  def q233Sql: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -34,9 +34,15 @@ class BehavioralOps(val cfg: GraftConfig) {
     * warehouse runs on mutable entities, as two window passes over ONE
     * user_id shuffle: a lag detects changes, a lead on the surviving
     * change rows closes each version's interval. */
-  def q116Scd2(spark: SparkSession, dir: String): DataFrame = {
+  def q116Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(ev(spark, dir))
+
+  /** The q116 SCD2 construction over an explicit (user_id, event_id,
+    * ms, event_type) stream — shared by the full build (q116) and the
+    * incremental merge (q232). */
+  private def scd2Of(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
-    val changes = ev(spark, dir)
+    val changes = e
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
     val w2 = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
@@ -47,6 +53,51 @@ class BehavioralOps(val cfg: GraftConfig) {
         lead(col("ms"), 1).over(w2).as("valid_to_ms"))
       .withColumn("is_current", col("valid_to_ms").isNull)
   }
+
+  /** q232: INCREMENTAL SCD2 MERGE — absorb an arriving event batch into
+    * a PERSISTED type-2 history without rebuilding it. The batch is the
+    * final day of the feed (cutoff = max event day, the "overnight
+    * arrivals" slice); history as it stood before the cutoff is written
+    * once (the nightly table, q165's persisted-base discipline) and the
+    * merge then touches ONLY users present in the batch: every other
+    * user's version rows PASS THROUGH from the stored history byte-for-
+    * byte — no window recompute, no re-versioning — while affected
+    * users' histories are re-derived from their (pushed-down, semi-join
+    * pruned) event streams and stitched back in. Output ≡ q116 rebuilt
+    * from scratch (the oracle IS q116's full-rebuild SQL), because
+    * affected/unaffected users partition the row space and SCD2 versions
+    * never cross users.
+    *
+    * Scale: the pass-through side is a storage-partitioning-preserving
+    * anti join against the (small, broadcast) affected-user set; the
+    * recompute side is delta-proportional in USERS — at 100 TB a day's
+    * batch touches a sliver of the user base, so the merge costs
+    * |batch users' history|, not |history|. Re-deriving an affected user
+    * from raw events (rather than replaying stored version rows + batch)
+    * keeps the operator stateless w.r.t. q116's output schema — the
+    * version rows ARE a sufficient change-log replay source if the raw
+    * feed ever becomes unreadable, at the price of carrying the
+    * tie-break event_id in the artifact. */
+  def q232Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val maxDay = e.agg(max(expr(s"ms div $DayMs")).as("max_day"))
+    val cut = e.crossJoin(broadcast(maxDay))
+    val basePath = graft.sources.Scratch.dir("scd2base", dir)
+    scd2Of(cut.filter(expr(s"ms div $DayMs") < col("max_day"))
+        .drop("max_day"))
+      .write.mode("overwrite").parquet(basePath)
+    val hist = spark.read.parquet(basePath)
+    val affected = cut.filter(expr(s"ms div $DayMs") === col("max_day"))
+      .select("user_id").distinct()
+    val kept = hist.join(broadcast(affected), Seq("user_id"), "left_anti")
+    val rebuilt = scd2Of(e.join(broadcast(affected), Seq("user_id"), "left_semi"))
+    kept.unionByName(rebuilt)
+  }
+
+  /** Same rows as the full rebuild by construction — the strongest gate:
+    * DuckDB rebuilds the entire history and the merged artifact path
+    * must land on identical version rows. */
+  def q232Sql: String = q116Sql
 
   def q116Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),

@@ -1176,6 +1176,76 @@ class RelationalOps(val cfg: GraftConfig) {
        |SELECT l_partkey AS p_partkey, CAST(vdec AS DOUBLE) AS part_value
        |FROM pv, tot
        |WHERE vdec * ${cfg.valueShareDenom} > tdec""".stripMargin
+
+  /** q231: SNAPSHOT DIFF — recover the net change feed between two table
+    * snapshots by keyed comparison: rows only in the new snapshot are
+    * inserts, rows only in the old are deletes, rows in both with any
+    * differing non-key column are updates; unchanged keys emit nothing.
+    * The inverse of q97's CDC APPLY (and diff(A, apply(A, feed)) is
+    * exactly feed's net effect — the snapshot pair here IS q97's
+    * base/merged pair, so the diff must reproduce q97's feed minus its
+    * no-op rows; SnapshotDiffSpec pins that round-trip). The lake-ops
+    * primitive behind backfills and replication audits: given yesterday's
+    * and today's 100 TB snapshots, emit the (small) delta that turns one
+    * into the other instead of shipping the table.
+    *
+    * Null-safe comparison (`<=>` / IS DISTINCT FROM) so a NULL→value
+    * transition classifies as update, never silently "equal".
+    *
+    * Scale: ONE co-partitioned full-outer shuffle join on the key — both
+    * sides hash-partition once, the compare is per-row. With both
+    * snapshots laid out via [[graft.sources.Tables.writeBucketed]] on the
+    * key (the q186 layout), the join plans exchange-free on both sides:
+    * a daily diff of two bucketed snapshots reads and compares, shuffling
+    * nothing. Output is bounded by the true change rate, not table size. */
+  def q231SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ak"), col("o_custkey").as("old_custkey"),
+        col("o_orderstatus").as("old_status"), col("o_totalprice").as("old_price"))
+    val b = q97CdcApply(spark, dir)
+      .select(col("o_orderkey").as("bk"), col("o_custkey").as("new_custkey"),
+        col("o_orderstatus").as("new_status"), col("o_totalprice").as("new_price"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .withColumn("op",
+        when(col("ak").isNull, "I")
+          .when(col("bk").isNull, "D")
+          .when(!(col("old_custkey") <=> col("new_custkey")) ||
+                !(col("old_status") <=> col("new_status")) ||
+                !(col("old_price") <=> col("new_price")), "U"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("ak"), col("bk")).as("o_orderkey"), col("op"),
+        col("new_custkey"), col("new_status"), col("new_price"),
+        col("old_custkey"), col("old_status"), col("old_price"))
+  }
+
+  def q231Sql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |ch AS (SELECT
+      |    CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+      |         WHEN o_orderkey % 10 = 1 THEN 'U' ELSE 'I' END AS op,
+      |    o_custkey AS c_cust, o_orderstatus AS c_status,
+      |    o_totalprice + 1000.0 AS c_price
+      |  FROM orders WHERE o_orderkey % 10 <= 2),
+      |merged AS (SELECT coalesce(ch.k, base.o_orderkey) AS mk,
+      |    coalesce(ch.c_cust, base.o_custkey) AS new_custkey,
+      |    coalesce(ch.c_status, base.o_orderstatus) AS new_status,
+      |    coalesce(ch.c_price, base.o_totalprice) AS new_price
+      |  FROM base FULL OUTER JOIN ch ON ch.k = base.o_orderkey
+      |  WHERE ch.op IS NULL OR ch.op <> 'D')
+      |SELECT * FROM (
+      |  SELECT coalesce(a.o_orderkey, m.mk) AS o_orderkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'I'
+      |         WHEN m.mk IS NULL THEN 'D'
+      |         WHEN (a.o_custkey IS DISTINCT FROM m.new_custkey)
+      |           OR (a.o_orderstatus IS DISTINCT FROM m.new_status)
+      |           OR (a.o_totalprice IS DISTINCT FROM m.new_price) THEN 'U'
+      |    END AS op,
+      |    m.new_custkey, m.new_status, m.new_price,
+      |    a.o_custkey AS old_custkey, a.o_orderstatus AS old_status,
+      |    a.o_totalprice AS old_price
+      |  FROM base a FULL OUTER JOIN merged m ON a.o_orderkey = m.mk)
+      |WHERE op IS NOT NULL""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -922,6 +922,75 @@ class SketchOps(val cfg: GraftConfig) {
        |    THEN CAST(cm_est - exact AS DOUBLE) / CAST(exact AS DOUBLE) END AS rel_err
        |FROM u""".stripMargin
   }
+
+  /** q234: EXACT heavy hitters over an unbounded key domain in two
+    * bounded-memory passes — every word bigram with true count ≥
+    * $CmHeavyMin, exactly (count and all), WITHOUT ever running the
+    * full-vocabulary exact aggregate. Pass 1 folds the corpus into the
+    * fixed-size Count-Min sketch (map-side combinable, one tiny merge
+    * shuffle). Pass 2 re-scans occurrences and probes each against the
+    * BROADCAST sketch ($CmRows chained broadcast joins, one per salt
+    * row — no shuffle); an occurrence survives only when its estimate
+    * min reaches the threshold. CMS never undercounts, so the survivor
+    * set is a SUPERSET of the true heavy hitters (no false negatives —
+    * the guarantee that makes the two-pass scheme exact); the final
+    * per-key aggregate then counts ONLY survivors and keeps true_cnt ≥
+    * threshold, discarding collision-inflated impostors.
+    *
+    * The scale contract: the only bigram-keyed shuffle carries
+    * candidate occurrences, and candidate keys are bounded by
+    * corpus_pairs/threshold + collision spill — never the vocabulary.
+    * At 100 TB the vocabulary of n-grams is the thing you CANNOT
+    * groupBy (q88 verifies sketch quality on a known top-k; this query
+    * is the consuming pattern that replaces the exact aggregate).
+    * cm_est rides along per emitted key: est ≥ true always, equality ⇔
+    * some salt row is collision-free for the key. */
+  def q234HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val HeavyMin = cfg.cmHeavyMin
+    val occ = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(concat(element_at(col("ws"), col("g")), lit(" "),
+        element_at(col("ws"), col("g") + 1)).as("bigram"))
+    val sketch = occ
+      .select(explode(bucketStructs(col("bigram"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probed = (0 until CmRows).foldLeft(occ) { (df, r) =>
+      val sr = sketch.filter(col("r") === r)
+        .select(col("b").as(s"b$r"), col("c").as(s"c$r"))
+      df.withColumn(s"b$r",
+          substring(md5(concat(lit(s"$r:"), col("bigram"))), 1, CmHexChars))
+        .join(broadcast(sr), s"b$r")
+    }
+    probed
+      .withColumn("est", least((0 until CmRows).map(r => col(s"c$r")): _*))
+      .filter(col("est") >= HeavyMin)
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("true_cnt"), min(col("est")).as("cm_est"))
+      .filter(col("true_cnt") >= HeavyMin)
+  }
+
+  def q234Sql: String = {
+    val rowList = (0 until CmRows).mkString("[", ", ", "]")
+    s"""WITH pairs AS (
+       |  SELECT ws[g] || ' ' || ws[g+1] AS bigram
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2),
+       |sk AS (SELECT r.r,
+       |    substr(md5(CAST(r.r AS VARCHAR) || ':' || bigram), 1, $CmHexChars) AS b,
+       |    count(*) AS c
+       |  FROM pairs CROSS JOIN (SELECT unnest($rowList) AS r) r
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT bigram, count(*) AS true_cnt FROM pairs
+       |  GROUP BY 1 HAVING count(*) >= ${cfg.cmHeavyMin})
+       |SELECT t.bigram, t.true_cnt, min(sk.c) AS cm_est
+       |FROM truth t JOIN sk
+       |  ON sk.b = substr(md5(CAST(sk.r AS VARCHAR) || ':' || t.bigram), 1, $CmHexChars)
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

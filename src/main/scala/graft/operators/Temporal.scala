@@ -372,6 +372,82 @@ class TemporalOps(val cfg: GraftConfig) {
        |SELECT purchase_id, user_id, purchase_ms, view_id, view_ms,
        |  view_ms - purchase_ms AS lead_ms
        |FROM j WHERE rn = 1""".stripMargin
+
+  /** q236: INTERVAL-OVERLAP COUNTING — for every user session (q8's
+    * gap-${cfg.sessionGapMs}ms construction rolled up to [start_ms,
+    * end_ms] intervals), how many OTHER sessions — any user — overlap
+    * it in time. The load/concurrency measure behind capacity planning
+    * and incident blast-radius questions, and in general form the
+    * interval×interval overlap JOIN collapsed to its aggregate.
+    *
+    * The naive form is an inequality self-join (O(n²) candidate pairs);
+    * the identity overlaps(i) = #{starts ≤ end_i} − #{ends < start_i} −
+    * 1 (valid because end_j < start_i already implies start_j ≤ end_i
+    * for well-formed intervals) turns it into two GLOBAL order ranks,
+    * each a distributed prefix-sum over the session-boundary sweep
+    * ([[graft.operators.Scan.exclusiveRunningSum]]): weight-1 rows for
+    * the counted boundary, weight-0 probe rows for the session's own
+    * query point, kind-ordered so ties resolve ≤ on the starts side and
+    * < on the ends side. O(n log n), zero pair blowup, exact integers.
+    *
+    * Scale: two range-partitioned scans over 2·|sessions| boundary
+    * rows + one session-keyed join to combine ranks — never a
+    * session×session product; a 10⁹-session day costs two sorts. */
+  def q236SessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val gap = cfg.sessionGapMs
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > gap, 1)
+          .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+    // rank1: starts ≤ end_i — starts sort BEFORE probes at equal ms
+    val r1 = Scan.exclusiveRunningSum(
+      sess.select(col("start_ms").as("v"), lit(0).as("kind"), lit(1L).as("w"),
+          lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_id"))
+        .unionAll(sess.select(col("end_ms").as("v"), lit(1).as("kind"),
+          lit(0L).as("w"), col("user_id"), col("session_id").cast("long"))),
+      cfg.skylineRangeParts, Seq("v", "kind"), cfg)
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("session_id"), col("run_sum").as("n_starts_le_end"))
+    // rank2: ends < start_i — probes sort BEFORE ends at equal ms
+    val r2 = Scan.exclusiveRunningSum(
+      sess.select(col("end_ms").as("v"), lit(1).as("kind"), lit(1L).as("w"),
+          lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_id"))
+        .unionAll(sess.select(col("start_ms").as("v"), lit(0).as("kind"),
+          lit(0L).as("w"), col("user_id"), col("session_id").cast("long"))),
+      cfg.skylineRangeParts, Seq("v", "kind"), cfg)
+      .filter(col("kind") === 0)
+      .select(col("user_id"), col("session_id"), col("run_sum").as("n_ends_lt_start"))
+    sess.withColumn("session_id", col("session_id").cast("long"))
+      .join(r1, Seq("user_id", "session_id"))
+      .join(r2, Seq("user_id", "session_id"))
+      .select(col("user_id"), col("session_id"), col("start_ms"), col("end_ms"),
+        (col("n_starts_le_end") - col("n_ends_lt_start") - 1L).as("n_concurrent"))
+  }
+
+  def q236Sql: String =
+    s"""WITH flags AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${cfg.sessionGapMs} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |se AS (SELECT user_id,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id, ms
+       |  FROM flags),
+       |sess AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
+       |  FROM se GROUP BY 1, 2)
+       |SELECT a.user_id, a.session_id, a.start_ms, a.end_ms,
+       |  count(*) - 1 AS n_concurrent
+       |FROM sess a JOIN sess b
+       |  ON b.start_ms <= a.end_ms AND b.end_ms >= a.start_ms
+       |GROUP BY 1, 2, 3, 4""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, AnalyticsOps}
 import org.apache.spark.sql.functions._
 
 /** Nearest-rank percentiles (q91) and fixed-point PageRank (q92). */
@@ -472,5 +472,38 @@ class AnalyticsSpec extends GraftSpec {
     assert(got((1, 1)) == ((3L, 35.0, 8.0 / 3)))
     assert(got((1, 2)) == ((3L, 44.0, 8.0 / 3)))
     assert(got((2, 2)) == ((3L, 56.0, 8.0 / 3)))
+  }
+
+  test("q233: skyline keeps exact ties, drops dominated rows, survives partition cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("skyline").toString
+    Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5), // duplicate pair: neither dominates, both stay
+      (3L, 12.0, 3), (6L, 12.0, 3), // duplicate skyline pair at another corner
+      (4L, 12.0, 7),                // dominated by 1 (both strict)
+      (5L, 9.0, 9),                 // cheapest — skyline
+      (7L, 13.0, 3))                // dominated by 3 (price strict, size equal)
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // more range partitions than distinct pairs: boundary invariance
+    val ops = new AnalyticsOps(GraftConfig(skylineRangeParts = 16))
+    val got = ops.q233Skyline(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("q235: predicted links are non-edges with enough common neighbors; the center cap is real") {
+    val und = graft.operators.GraphOps.q20OverlapEdges(spark, sf)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Analytics.q235LinkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (u, v, cn) =>
+      assert(u < v, "pairs are emitted id-ordered")
+      assert(cn >= Analytics.cfg.linkMinCommon)
+      assert(!und.contains((u, v)), s"($u,$v) is an existing edge")
+    }
+    // cap = 0 excludes every wedge center → no candidates at all
+    val capped = new AnalyticsOps(GraftConfig(maxOverlapKeyDf = 0))
+    assert(capped.q235LinkPredict(spark, sf).isEmpty)
   }
 }

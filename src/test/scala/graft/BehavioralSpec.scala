@@ -137,4 +137,29 @@ class BehavioralSpec extends GraftSpec {
     assert(got("click") == ((4L, 3L, 2L, 2L)), s"got ${got("click")}")  // sum 5 + (-3)
     assert(got("error") == ((1L, 1L, 1L, 7L)))
   }
+
+  test("q232: incremental SCD2 merge equals the full rebuild across every delta shape") {
+    val DayMs = 86400000L
+    val d2 = 2 * DayMs // the max day = the arriving batch
+    val dir = events(
+      // user 1: history only — must pass through untouched
+      (1L, 1L, 1000L, "view"), (2L, 1L, 2000L, "purchase"),
+      // user 2: delta event repeats the open state — NO new version
+      (3L, 2L, 1000L, "view"), (4L, 2L, d2 + 10L, "view"),
+      // user 3: delta changes state — closes v1, opens v2
+      (5L, 3L, 1000L, "view"), (6L, 3L, d2 + 20L, "purchase"),
+      // user 4: born in the delta
+      (7L, 4L, d2 + 30L, "signup"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))
+    val merged = Behavioral.q232Scd2Merge(spark, dir).collect().map(key).toSet
+    val rebuilt = Behavioral.q116Scd2(spark, dir).collect().map(key).toSet
+    assert(merged == rebuilt)
+    // the shapes: user 1 one closed-less version, user 2 collapsed to one,
+    // user 3 two versions, user 4 one delta-born version
+    val perUser = merged.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perUser == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 1))
+    assert(merged.contains((3L, 2L, "purchase", d2 + 20L, -1L, true)))
+  }
 }

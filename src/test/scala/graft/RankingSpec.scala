@@ -364,4 +364,30 @@ class RankingSpec extends GraftSpec {
     assert(probes == 2L && ntrue == 1L)
     assert(hits - nfp == ntrue, "every true duplicate must hit the filter")
   }
+
+  test("q234: two-pass heavy hitters are exact at the threshold boundary, est >= true") {
+    val ops = new graft.operators.SketchOps(GraftConfig(cmHeavyMin = 3))
+    // "a b" x3 (heavy, == threshold), "b a" x2 (below), "c d" x1
+    val dir = docs(0L -> "a b a b a b", 1L -> "c d")
+    val got = ops.q234HeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set(("a b", 3L)),
+      s"exact threshold semantics: count==T in, count==T-1 out; got ${got.toSeq}")
+    got.foreach(t => assert(t._3 >= t._2, "CMS estimate must never undercount"))
+  }
+
+  test("q234: agrees with the exact full aggregate on real data (no false negatives/positives)") {
+    val exact = graft.sources.Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("g", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(concat(element_at(col("ws"), col("g")), lit(" "),
+        element_at(col("ws"), col("g") + 1)).as("bigram"))
+      .groupBy("bigram").count()
+      .filter(col("count") >= Sketch.cfg.cmHeavyMin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = Sketch.q234HeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
 }

@@ -324,4 +324,32 @@ class RelationalSpec extends GraftSpec {
       assert(bucketed.nonEmpty)
     } finally spark.sql("DROP TABLE IF EXISTS graft_q186_base")
   }
+
+  test("q231: diff(A, apply(A, feed)) reconstructs the feed's net effect class by class") {
+    val rows = Relational.q231SnapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      r.getString(1) match {
+        case "D" =>
+          // q97 deletes exactly the %10==0 keys; old side populated, new side null
+          assert(key % 10 == 0 && r.isNullAt(2) && !r.isNullAt(5))
+        case "I" =>
+          // inserts are the shifted (+10M) %10==2 keys; new side only
+          assert((key - 10000000L) % 10 == 2 && key > 10000000L &&
+            !r.isNullAt(2) && r.isNullAt(5))
+        case "U" =>
+          // updates are the %10==1 keys and the only changed field is the
+          // +1000.0 price (custkey/status pass through the feed unchanged)
+          assert(key % 10 == 1)
+          assert(r.getLong(2) == r.getLong(5) && r.getString(3) == r.getString(6))
+          assert(r.getDouble(4) == r.getDouble(7) + 1000.0)
+        case other => fail(s"unexpected op $other")
+      }
+    }
+    // every feed class is represented and unchanged keys emit nothing
+    val ops = rows.map(_.getString(1)).toSet
+    assert(ops == Set("I", "U", "D"))
+    assert(rows.forall(r => r.getLong(0) % 10 <= 2 || (r.getLong(0) - 10000000L) % 10 == 2))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Temporal
+import graft.operators.{Temporal, TemporalOps}
 import org.apache.spark.sql.functions._
 
 /** As-of join (q85) and point-in-interval range join (q86): semantics on
@@ -196,5 +196,25 @@ class TemporalSpec extends GraftSpec {
       (1L, 2L, false, 2L),
       (1L, 3L, true, 1L),
       (2L, 10L, true, 1L)))
+  }
+
+  test("q236: overlap counts are exact; touching endpoints overlap, point sessions count") {
+    val ops = new TemporalOps(GraftConfig(sessionGapMs = 100))
+    val dir = events(
+      // user 1: A=[0,50], B=[300,300]
+      (1L, 1L, 0L, "view"), (2L, 1L, 50L, "view"), (3L, 1L, 300L, "view"),
+      // user 2: C=[40,40] (inside A), D=[600,600] (alone)
+      (4L, 2L, 40L, "view"), (5L, 2L, 600L, "view"),
+      // user 3: E=[50,170] — touches A exactly at ms 50
+      (6L, 3L, 50L, "view"), (7L, 3L, 120L, "view"), (8L, 3L, 170L, "view"))
+    val got = ops.q236SessionConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 2L, // A overlaps C and (endpoint-touching) E
+      (1L, 2L) -> 0L, // B
+      (2L, 1L) -> 1L, // C overlaps A only
+      (2L, 2L) -> 0L, // D
+      (3L, 1L) -> 1L  // E overlaps A via the shared ms-50 endpoint
+    ))
   }
 }
