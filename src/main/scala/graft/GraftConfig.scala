@@ -450,6 +450,11 @@ case class GraftConfig(
     // link prediction (q235): emit candidate links sharing at least
     // this many common neighbors
     linkMinCommon: Int = 2,
+    // greedy coverage selection (q237): target vocabulary size (top
+    // bigrams by corpus count) and selection rounds — both bound the
+    // driver loop and the per-round broadcast state
+    coverageVocab: Int = 300,
+    coverageRounds: Int = 3,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

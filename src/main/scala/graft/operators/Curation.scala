@@ -1194,6 +1194,92 @@ class CurationOps(val cfg: GraftConfig) {
        |    AS lm_score_micro
        |FROM dp JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
        |GROUP BY doc_id""".stripMargin
+  /** q237: GREEDY COVERAGE SELECTION — pick ${cfg.coverageRounds}
+    * documents that together maximize coverage of the top-
+    * ${cfg.coverageVocab} bigram vocabulary, the classic (1−1/e)-
+    * approximate set-cover greedy: each round selects the document with
+    * the most not-yet-covered vocabulary bigrams (ties → doc_id asc;
+    * already-selected docs excluded; rounds stop when no positive gain
+    * remains). The budget-constrained corpus-selection primitive behind
+    * "which K documents teach the model the most vocabulary" — the
+    * selection-side complement of q128's novelty ranking (novelty
+    * scores docs against a FIXED reference; greedy coverage re-scores
+    * against the growing selection).
+    *
+    * Scale is the BPE-trainer discipline (q201) applied to selection:
+    * the (doc, bigram) distinct table materializes ONCE (Ck-cut, reused
+    * every round); each round is one broadcast join against the
+    * ≤-vocab-size uncovered list + one map-combinable count + one
+    * ONE-row argmax collect; driver state (vocabulary, covered set,
+    * chosen docs) is bounded by the vocab + round constants, never the
+    * corpus. Output: one row per selection with its marginal gain and
+    * the running covered total — the diminishing-returns curve that
+    * tells the owner where to stop. */
+  def q237CoverageSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dv = graft.Ck.lazyStage(
+      docBigrams(spark, dir)
+        .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("bg"))
+        .distinct(), cfg)
+    val vocab = docBigrams(spark, dir)
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg")).limit(cfg.coverageVocab)
+      .select("bg").collect().map(_.getString(0)).toSet
+    var covered = Set.empty[String]
+    var chosen = Set.empty[Long]
+    val out = Vector.newBuilder[(Long, Long, Long, Long)]
+    var done = false
+    for (r <- 1 to cfg.coverageRounds if !done) {
+      val unc = broadcast((vocab -- covered).toSeq.toDF("bg"))
+      val cand0 = dv.join(unc, "bg")
+      val cand = if (chosen.isEmpty) cand0
+        else cand0.filter(!col("doc_id").isInCollection(chosen))
+      val pick = cand.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (pick.isEmpty) done = true
+      else {
+        val (docId, gain) = (pick(0).getLong(0), pick(0).getLong(1))
+        val newBgs = dv.filter(col("doc_id") === docId).join(unc, "bg")
+          .select("bg").collect().map(_.getString(0))
+        covered ++= newBgs
+        chosen += docId
+        out += ((r.toLong, docId, gain, covered.size.toLong))
+      }
+    }
+    out.result().toDF("round", "doc_id", "gain", "covered_total")
+  }
+
+  def q237Sql: String = {
+    val head =
+      s"""WITH dp AS (
+         |  SELECT doc_id, ws[g] || ' ' || ws[g+1] AS bg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+         |  WHERE len(ws) >= 2),
+         |dv AS (SELECT DISTINCT doc_id, bg FROM dp),
+         |vocab AS (SELECT bg FROM (SELECT bg, count(*) AS n FROM dp
+         |  GROUP BY 1 ORDER BY n DESC, bg LIMIT ${cfg.coverageVocab}))""".stripMargin
+    val rounds = (1 to cfg.coverageRounds).map { r =>
+      val notCovered = if (r == 1) ""
+        else s"WHERE dv.bg NOT IN (SELECT bg FROM c${r - 1})"
+      val notChosen = (1 until r)
+        .map(i => s"dv.doc_id NOT IN (SELECT doc_id FROM s$i)")
+        .mkString(if (r == 1) "" else " AND ", " AND ", "")
+      val cPrev = if (r == 1) "" else s"SELECT bg FROM c${r - 1} UNION "
+      s""",
+         |g$r AS (SELECT dv.doc_id, count(*) AS gain FROM dv JOIN vocab USING (bg)
+         |  $notCovered$notChosen GROUP BY 1),
+         |s$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS ($cPrev
+         |  SELECT DISTINCT dv.bg FROM dv JOIN s$r USING (doc_id) JOIN vocab USING (bg))""".stripMargin
+    }.mkString
+    val sel = (1 to cfg.coverageRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, doc_id, gain,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered_total FROM s$r""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    head + rounds + sel
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

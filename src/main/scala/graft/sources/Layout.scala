@@ -451,4 +451,94 @@ object Layout {
       |FROM lineitem
       |WHERE l_orderkey BETWEEN (SELECT (max(l_orderkey) * 25) // 100 FROM lineitem)
       |                     AND (SELECT (max(l_orderkey) * 45) // 100 FROM lineitem)""".stripMargin
+
+  /** One ledgered ingest run over a landing directory: list the part
+    * files, anti-filter against the ledger, process ONLY the fresh
+    * files (per-type partial aggregate appended to the results table),
+    * then record them. Returns the fresh-file count. Results are
+    * written before the ledger, so a crash between the two writes
+    * REPROCESSES a batch rather than losing one (at-least-once toward
+    * the partials; a transactional table format would commit both in
+    * one snapshot — this is the protocol that format automates).
+    * Listing is driver-side file metadata — exactly what any Spark
+    * scan's planning already does — and the ledger is bounded by
+    * file COUNT, not data size. */
+  private def ledgerRun(spark: SparkSession, landing: String, ledger: String,
+      results: String): Int = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(conf)
+    val have: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(ledger)))
+        spark.read.parquet(ledger).collect().map(_.getString(0)).toSet
+      else Set.empty
+    val files = fs.listStatus(lp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+    val fresh = files.filterNot(have)
+    if (fresh.nonEmpty) {
+      spark.read.parquet(fresh: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(25,6)")).as("sum_dec"))
+        .write.mode("append").parquet(results)
+      fresh.toSeq.toDF("path").write.mode("append").parquet(ledger)
+    }
+    fresh.length
+  }
+
+  /** q238: EXACTLY-ONCE FILE-LEDGER INGEST — the batch-incremental
+    * ingestion protocol under every landing-zone pipeline: files arrive
+    * between runs, each run processes ONLY files the ledger has never
+    * seen, appends their per-type partial aggregates, and records them;
+    * the published result merges partials and must equal the full
+    * recompute (the oracle) NO MATTER how many runs, re-runs, or empty
+    * runs happened. The query performs the whole protocol as a
+    * round-trip: batch 1 lands → run 1; batch 2 lands → run 2 (must
+    * touch only batch 2's files); run 3 (nothing new — must be a
+    * no-op); publish. The streaming twin is q182's file-source ingest —
+    * this is the BATCH form that needs no long-running query, the shape
+    * nightly warehouse loads actually take.
+    *
+    * Scale: each run's cost ∝ the NEW files (the anti-filter is
+    * file-count metadata); partials merge associatively in exact
+    * DECIMAL, so the publish aggregate never re-reads landed data.
+    * `run2_only_new` / `run3_noop` are hash-gated: a double-processed
+    * or dropped file would break them or the totals. */
+  def q238LedgerIngest(spark: SparkSession, dir: String): DataFrame = {
+    val landing = Scratch.dir("ledger_landing", dir)
+    val ledger = Scratch.dir("ledger_state", dir)
+    val results = Scratch.dir("ledger_results", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(landing, ledger, results).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val cfg = graft.GraftConfig.default
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("b", substring(md5(col("event_id").cast("string")), 1, 2))
+    ev.filter(col("b") < cfg.splitTrainUpper).drop("b")
+      .repartition(3).write.mode("append").parquet(landing)
+    val n1 = ledgerRun(spark, landing, ledger, results)
+    ev.filter(col("b") >= cfg.splitTrainUpper).drop("b")
+      .repartition(2).write.mode("append").parquet(landing)
+    val n2 = ledgerRun(spark, landing, ledger, results)
+    val n3 = ledgerRun(spark, landing, ledger, results)
+    val ledgerRows = spark.read.parquet(ledger).count()
+    spark.read.parquet(results)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_dec")).cast("double").as("total_value"))
+      .select(col("event_type"), col("n_events"), col("total_value"),
+        lit(n1 == 3 && n2 == 2 && ledgerRows == n1 + n2).as("run2_only_new"),
+        lit(n3 == 0).as("run3_noop"))
+  }
+
+  def q238Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+      |  TRUE AS run2_only_new, TRUE AS run3_noop
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -136,4 +136,22 @@ class CompactionSpec extends GraftSpec {
     assert(afterByPart.values.forall(_.length == 1))
     assert(cfgv.compactTargetBytes > rep.map(_.getAs[Long]("bytes")).sum)
   }
+
+  test("q238: ledgered ingest totals equal the full recompute; run 2 only new, run 3 no-op") {
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.Layout.q238LedgerIngest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == direct.keySet)
+    got.foreach { case (k, (n, t, onlyNew, noop)) =>
+      assert((n, t) == direct(k), s"partial-merge total drifted for $k")
+      assert(onlyNew, "run 2 must process exactly the new files")
+      assert(noop, "run 3 must see nothing new")
+    }
+  }
 }

@@ -478,4 +478,24 @@ class CurationSpec extends GraftSpec {
     val again = w.q129WeightedSample(spark, dir).collect().map(_.getLong(0)).toSet
     assert(again == rows.map(_.getLong(0)).toSet)
   }
+
+  test("q237: greedy picks max marginal gain, breaks ties by doc_id, never re-picks") {
+    val dir = docs(
+      1L -> "a b c d",  // {a b, b c, c d}
+      2L -> "a b a b",  // {a b, b a}
+      3L -> "x y z w")  // {x y, y z, z w}
+    val got = graft.operators.Curation.q237CoverageSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: docs 1 and 3 tie at gain 3 → doc 1; round 2: doc 3 adds its
+    // 3; round 3: only "b a" remains, doc 2 adds 1
+    assert(got.toSeq == Seq((1L, 1L, 3L, 3L), (2L, 3L, 3L, 6L), (3L, 2L, 1L, 7L)))
+  }
+
+  test("q237: stops early when no positive gain remains") {
+    val dir = docs(1L -> "a b c d", 2L -> "a b a b")
+    val got = graft.operators.Curation.q237CoverageSelect(spark, dir).collect()
+    // doc 1 covers 3, doc 2 adds only "b a"; a third round has nothing
+    assert(got.length == 2)
+    assert(got.map(_.getLong(3)).toSeq == Seq(3L, 4L))
+  }
 }
