@@ -455,6 +455,11 @@ case class GraftConfig(
     // driver loop and the per-round broadcast state
     coverageVocab: Int = 300,
     coverageRounds: Int = 3,
+    // seasonal anomaly (q239): squared z threshold of the integer
+    // hour-of-day burst test (9 = three standard deviations)
+    seasonalZSq: Long = 9L,
+    // negative sampling (q240): hash-derived negatives per query doc
+    negSlots: Int = 3,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -21,6 +21,7 @@ import graft.sources.Tables
 class BehavioralOps(val cfg: GraftConfig) {
   private val Stages = cfg.funnelStages
   private val DayMs = 86400000L
+  private val HourMs = 3600000L
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -98,6 +99,71 @@ class BehavioralOps(val cfg: GraftConfig) {
     * DuckDB rebuilds the entire history and the merged artifact path
     * must land on identical version rows. */
   def q232Sql: String = q116Sql
+
+  /** q239: SEASONAL anomaly detection — hourly event-type counts tested
+    * against that type's HOUR-OF-DAY baseline across days: a cell
+    * (type, day, hod) flags when its count sits more than z standard
+    * deviations above the mean of the same hour-of-day on every other
+    * day. The seasonal complement of q130 (which baselines each USER
+    * against their own flat history): traffic has a daily shape, and a
+    * spike at 3am is an incident even when it would be normal at noon.
+    * The baseline grid is ZERO-FILLED over the observed [min_day,
+    * max_day] span — silent hours are real observations of zero, and
+    * skipping them would inflate every mean (the q108 densify
+    * reasoning applied to baselines).
+    *
+    * Integer-exact z-test (q130's cleared-denominator form): with n =
+    * #days, S = Σcnt, Q = Σcnt² per (type, hod), a cell flags iff
+    * n·x − S > 0 ∧ (n·x − S)² > z²·(n·Q − S²) — all BIGINT, no float
+    * mean or sqrt, engines agree bitwise.
+    *
+    * Scale: one map-combinable (type, hour) rollup of the corpus; the
+    * grid, fill join, and 24·|types|-row baseline table are all bounded
+    * by the TIME SPAN, not the corpus — the broadcast join back is
+    * per-cell arithmetic. */
+  def q239SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .groupBy(col("event_type"), expr(s"ms div $HourMs").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), expr("h div 24").as("day"),
+        expr("h % 24").as("hod"), col("cnt"))
+    val span = cells.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = cells.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hod"))
+    val filled = grid
+      .join(cells, Seq("event_type", "day", "hod"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val stats = filled.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("sum_cnt"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    val dev = col("n_cells") * col("cnt") - col("sum_cnt")
+    filled.join(broadcast(stats), Seq("event_type", "hod"))
+      .filter(dev > 0 && dev * dev >
+        lit(cfg.seasonalZSq) * (col("n_cells") * col("q") - col("sum_cnt") * col("sum_cnt")))
+      .select("event_type", "day", "hod", "cnt", "n_cells", "sum_cnt")
+  }
+
+  def q239Sql: String =
+    s"""WITH e AS (SELECT event_type, epoch_ms(ts) // $HourMs AS h FROM events),
+       |cells AS (SELECT event_type, h // 24 AS day, h % 24 AS hod,
+       |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+       |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM cells),
+       |grid AS (SELECT event_type, d.day, hh.hod
+       |  FROM (SELECT DISTINCT event_type FROM e), span,
+       |    LATERAL (SELECT unnest(generate_series(d0, d1)) AS day) d,
+       |    LATERAL (SELECT unnest(generate_series(0, 23)) AS hod) hh),
+       |filled AS (SELECT g.event_type, g.day, g.hod, coalesce(c.cnt, 0) AS cnt
+       |  FROM grid g LEFT JOIN cells c USING (event_type, day, hod)),
+       |st AS (SELECT event_type, hod, count(*) AS n_cells, sum(cnt) AS sum_cnt,
+       |    sum(cnt * cnt) AS q FROM filled GROUP BY 1, 2)
+       |SELECT f.event_type, f.day, f.hod, f.cnt, st.n_cells, st.sum_cnt
+       |FROM filled f JOIN st USING (event_type, hod)
+       |WHERE st.n_cells * f.cnt - st.sum_cnt > 0
+       |  AND (st.n_cells * f.cnt - st.sum_cnt) * (st.n_cells * f.cnt - st.sum_cnt)
+       |    > ${cfg.seasonalZSq} * (st.n_cells * st.q - st.sum_cnt * st.sum_cnt)""".stripMargin
 
   def q116Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),

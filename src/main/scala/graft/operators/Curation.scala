@@ -800,6 +800,70 @@ class CurationOps(val cfg: GraftConfig) {
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
 
+  /** The q241 generalization ladder: level → (lang kept?, source kept?,
+    * length-bin width multiplier; 0 = length suppressed). Monotone by
+    * construction — each level coarsens the previous one, so group
+    * sizes never shrink as the level climbs. */
+  private val KanonLadder: Seq[(Int, Boolean, Boolean, Long)] = Seq(
+    (0, true, true, 1L), (1, true, true, 4L), (2, true, true, 16L),
+    (3, true, false, 16L), (4, true, false, 0L), (5, false, false, 0L))
+
+  /** q241: K-ANONYMITY GENERALIZATION — q137 audits; this operator
+    * ACTS: walk a fixed generalization ladder over the quasi-identifier
+    * triple (lang, source, length bin) — widen the length bin 4×/16×,
+    * then suppress source, length, finally language — and report, per
+    * level, the group count, the smallest group, whether the level is
+    * k-anonymous, and which level is the CHOSEN (minimal) release
+    * policy. The standard privacy-engineering tradeoff table: each rung
+    * buys anonymity by destroying utility (fewer, coarser groups), and
+    * the chosen rung is the least destruction that meets k — the whole
+    * curve ships so the owner sees what k costs. The ladder is monotone
+    * (each rung coarsens the last), so the chosen level is a true
+    * threshold.
+    *
+    * Scale: six map-combinable aggregates (one per rung) over the QI
+    * projection, each collapsing to a ONE-row (groups, min) summary
+    * before the union — the corpus is scanned per rung but nothing
+    * corpus-sized ever shuffles; the chosen-level mark is a one-row
+    * broadcast. */
+  def q241KanonGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val B = cfg.kAnonLenBin
+    val levels = KanonLadder.map { case (lv, keepLang, keepSrc, mult) =>
+      val langC = if (keepLang) col("lang") else lit("ANY")
+      val srcC = if (keepSrc) col("source") else lit("ANY")
+      val binC = if (mult > 0) expr(s"n_chars div ${B * mult}") else lit(0L)
+      d.groupBy(langC.as("l"), srcC.as("s"), binC.as("b"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"), min(col("n")).as("min_group"))
+        .select(lit(lv.toLong).as("level"), col("n_groups"), col("min_group"))
+    }.reduce(_ unionAll _)
+    val flagged = levels.withColumn("k_anonymous", col("min_group") >= cfg.kAnonK)
+    val chosen = flagged.filter(col("k_anonymous")).agg(min(col("level")).as("cl"))
+    flagged.crossJoin(broadcast(chosen))
+      .select(col("level"), col("n_groups"), col("min_group"), col("k_anonymous"),
+        coalesce(col("level") === col("cl"), lit(false)).as("chosen"))
+  }
+
+  def q241Sql: String = {
+    val B = cfg.kAnonLenBin
+    val aggs = KanonLadder.map { case (lv, keepLang, keepSrc, mult) =>
+      val langE = if (keepLang) "lang" else "'ANY'"
+      val srcE = if (keepSrc) "source" else "'ANY'"
+      val binE = if (mult > 0) s"n_chars // ${B * mult}" else "0"
+      s"""SELECT CAST($lv AS BIGINT) AS level,
+         |  CAST(count(*) AS BIGINT) AS n_groups, CAST(min(n) AS BIGINT) AS min_group
+         |FROM (SELECT $langE AS l, $srcE AS s, $binE AS b, count(*) AS n
+         |      FROM documents GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS ($aggs),
+       |f AS (SELECT *, min_group >= ${cfg.kAnonK} AS k_anonymous FROM u),
+       |c AS (SELECT min(level) AS cl FROM f WHERE k_anonymous)
+       |SELECT level, n_groups, min_group, k_anonymous,
+       |  coalesce(level = c.cl, FALSE) AS chosen
+       |FROM f, c""".stripMargin
+  }
+
   /** q180: PACKING EFFICIENCY eval — q83's companion number (the
     * approximation-ships-with-its-eval rule): per (shard, bin), the
     * doc count, token total, and fill fraction against the
@@ -1280,6 +1344,59 @@ class CurationOps(val cfg: GraftConfig) {
     }.mkString("\n", "\nUNION ALL\n", "")
     head + rounds + sel
   }
+
+  /** q240: DETERMINISTIC NEGATIVE SAMPLING — ${cfg.negSlots} hash-drawn
+    * negative documents per query document, the contrastive-pair
+    * builder behind retrieval/embedding training data: negatives must
+    * be (a) reproducible run to run (a random() sample re-labels the
+    * training set every rebuild), (b) uniform-ish over the corpus, and
+    * (c) NOT accidental positives. Candidate = md5(query_id ":" slot)
+    * mod (max id + 1) — the q75/q129 hash-sampling idiom applied to
+    * PAIR construction; slots whose draw collides with the query
+    * itself or with an exact-content duplicate (q13's ${
+    * cfg.dedupKeyWords}-word content key) are DROPPED, not redrawn —
+    * rejection keeps the pipeline one scan deep and the pair set a
+    * pure function of the corpus (a redraw chain would need unbounded
+    * driver rounds for pathological corpora; at real duplicate rates
+    * the loss is ~the dup rate × slots). Near-dup exclusion composes:
+    * anti-join the emitted pairs against q31/q131's pair tables.
+    *
+    * Scale: one corpus scan fans out slots (explode of a constant
+    * range), the max-id anchor is a one-row broadcast, and the only
+    * shuffle is the equi-join of candidates to the keyed corpus on
+    * neg_id — candidate volume is slots × docs, linear. */
+  def q240NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, cfg.dedupKeyWords), " ").as("ckey"))
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val cand = docs.crossJoin(broadcast(maxId))
+      .withColumn("slot", explode(sequence(lit(1L), lit(cfg.negSlots.toLong))))
+      .withColumn("neg_id",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("slot").cast("string"))), 1, 8), 16, 10).cast("long") % (col("mx") + 1L))
+      .select(col("doc_id").as("query_id"), col("slot"), col("neg_id"),
+        col("ckey").as("qkey"))
+    cand
+      .join(docs.select(col("doc_id").as("neg_id"), col("ckey").as("nkey")), Seq("neg_id"))
+      .filter(col("neg_id") =!= col("query_id") && col("qkey") =!= col("nkey"))
+      .select("query_id", "slot", "neg_id")
+  }
+
+  def q240Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, array_to_string(string_split(text, ' ')[:${cfg.dedupKeyWords}], ' ') AS ckey
+       |  FROM documents),
+       |mx AS (SELECT max(doc_id) AS mx FROM d),
+       |cand AS (SELECT d.doc_id AS query_id, s.slot,
+       |    CAST(('0x' || substr(md5(d.doc_id || ':' || s.slot), 1, 8)) AS BIGINT)
+       |      % (mx.mx + 1) AS neg_id,
+       |    d.ckey AS qkey
+       |  FROM d, mx,
+       |    LATERAL (SELECT unnest(generate_series(1, ${cfg.negSlots})) AS slot) s)
+       |SELECT c.query_id, c.slot, c.neg_id
+       |FROM cand c JOIN d n ON n.doc_id = c.neg_id
+       |WHERE c.neg_id <> c.query_id AND c.qkey <> n.ckey""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -162,4 +162,23 @@ class BehavioralSpec extends GraftSpec {
     assert(perUser == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 1))
     assert(merged.contains((3L, 2L, "purchase", d2 + 20L, -1L, true)))
   }
+
+  test("q239: a spike flags only against enough zero-filled baseline days; steady cells never flag") {
+    val DayMs = 86400000L
+    val HourMs = 3600000L
+    var id = 0L
+    def at(day: Long, hod: Long, tpe: String, n: Int) = (1 to n).map { _ =>
+      id += 1; (id, 1L, day * DayMs + hod * HourMs + 1, tpe)
+    }
+    // span pinned to 12 days by type B; type A is silent except one spike:
+    // for a single outlier over zeros the integer test flags iff n-1 > z²,
+    // so 12 days (n=12, ratio 11 > 9) flags and fewer would not
+    val dir = events(
+      (at(0L, 0L, "b", 1) ++ at(11L, 0L, "b", 1) ++ at(11L, 5L, "a", 3)): _*)
+    val got = Behavioral.q239SeasonalAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSet == Set(("a", 11L, 5L, 3L, 12L, 3L)),
+      s"exactly the spike cell flags; got ${got.toSeq}")
+  }
 }

@@ -498,4 +498,42 @@ class CurationSpec extends GraftSpec {
     assert(got.length == 2)
     assert(got.map(_.getLong(3)).toSeq == Seq(3L, 4L))
   }
+
+  test("q240: negatives are in-range, never self, never exact-content duplicates, reproducible") {
+    // docs 0 and 1 share the 4-word content key; doc 2 is its own class —
+    // every emitted pair must cross the class boundary
+    val dir = docs(
+      0L -> "p q r s extra one",
+      1L -> "p q r s extra two",
+      2L -> "x y z w body")
+    def run() = graft.operators.Curation.q240NegativeSampling(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run()
+    got.foreach { case (q, _, n) =>
+      assert(n >= 0L && n <= 2L, "draw lands inside the id range")
+      assert(n != q, "never the query itself")
+      val crossClass = (Set(0L, 1L).contains(q) && n == 2L) ||
+        (q == 2L && Set(0L, 1L).contains(n))
+      assert(crossClass, s"($q,$n) stays inside an exact-dup class")
+    }
+    assert(run() == got, "hash-drawn pairs are a pure function of the corpus")
+  }
+
+  test("q241: the ladder is monotone and the chosen level is the minimal k-anonymous rung") {
+    val ops = new graft.operators.CurationOps(GraftConfig(kAnonK = 2, kAnonLenBin = 10))
+    // lengths 5, 5, 35: level 0 bins {0,0,3} → min group 1; level 1 (bin
+    // width 40) merges everything → one group of 3
+    val dir = docs(
+      1L -> "abcde",
+      2L -> "fghij",
+      3L -> ("x" * 35))
+    val got = ops.q241KanonGeneralize(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got(0L) == ((2L, 1L, false, false)))
+    assert(got(1L) == ((1L, 3L, true, true)), s"level 1 is the minimal rung; got ${got(1L)}")
+    (2L to 5L).foreach(l => assert(got(l) == ((1L, 3L, true, false))))
+    val mins = (0L to 5L).map(got(_)._2)
+    assert(mins == mins.sorted, "generalization can only grow groups")
+  }
 }
