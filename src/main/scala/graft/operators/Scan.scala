@@ -52,18 +52,33 @@ private[graft] object Scan {
   /** Exclusive running SUM of column `w` in `ord` order → `run_sum`
     * (0 for the globally-first rows). */
   def exclusiveRunningSum(df: DataFrame, parts: Int, ord: Seq[String],
-      cfg: GraftConfig): DataFrame = {
+      cfg: GraftConfig): DataFrame =
+    exclusiveRunningSums(df, parts, ord, Seq("w"), cfg)
+      .withColumnRenamed("run_w", "run_sum")
+
+  /** Exclusive running SUMs of SEVERAL weight columns in one sweep —
+    * `run_<w>` per column. One stamped cut, one window pass, one
+    * stitch, however many aggregates ride it: the way to fold what
+    * would be N separate global scans (e.g. q236's two interval ranks)
+    * into one. */
+  def exclusiveRunningSums(df: DataFrame, parts: Int, ord: Seq[String],
+      ws: Seq[String], cfg: GraftConfig): DataFrame = {
     val rp = stamped(df, parts, ord, cfg)
     val wLoc = Window.partitionBy("pid").orderBy(ord.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val localSum = rp.withColumn("lsum", coalesce(sum(col("w")).over(wLoc), lit(0L)))
+    val local = ws.foldLeft(rp) { (d, w) =>
+      d.withColumn(s"l_$w", coalesce(sum(col(w)).over(wLoc), lit(0L)))
+    }
     val wPid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    val pst = rp.groupBy("pid").agg(sum(col("w")).as("psum"))
-      .withColumn("prev_sum", coalesce(sum(col("psum")).over(wPid), lit(0L)))
-      .select("pid", "prev_sum")
-    localSum.join(broadcast(pst), "pid")
-      .withColumn("run_sum", col("lsum") + col("prev_sum"))
-      .drop("pid", "lsum", "prev_sum")
+    val pAggs = ws.map(w => sum(col(w)).as(s"p_$w"))
+    val pst = rp.groupBy("pid").agg(pAggs.head, pAggs.tail: _*)
+      .select(col("pid") +: ws.map(w =>
+        coalesce(sum(col(s"p_$w")).over(wPid), lit(0L)).as(s"prev_$w")): _*)
+    val joined = local.join(broadcast(pst), "pid")
+    val out = ws.foldLeft(joined) { (d, w) =>
+      d.withColumn(s"run_$w", col(s"l_$w") + col(s"prev_$w"))
+    }
+    out.drop("pid" +: ws.flatMap(w => Seq(s"l_$w", s"prev_$w")): _*)
   }
 
   /** Exclusive running MIN of column `v` in `ord` order → `run_min`

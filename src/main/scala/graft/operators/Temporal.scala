@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
@@ -384,48 +384,51 @@ class TemporalOps(val cfg: GraftConfig) {
     * the identity overlaps(i) = #{starts ≤ end_i} − #{ends < start_i} −
     * 1 (valid because end_j < start_i already implies start_j ≤ end_i
     * for well-formed intervals) turns it into two GLOBAL order ranks,
-    * each a distributed prefix-sum over the session-boundary sweep
-    * ([[graft.operators.Scan.exclusiveRunningSum]]): weight-1 rows for
-    * the counted boundary, weight-0 probe rows for the session's own
-    * query point, kind-ordered so ties resolve ≤ on the starts side and
-    * < on the ends side. O(n log n), zero pair blowup, exact integers.
+    * computed in ONE distributed prefix-sum sweep
+    * ([[graft.operators.Scan.exclusiveRunningSums]]) over a four-kind
+    * boundary union: start-items (counted by rank 1), end-probes,
+    * start-probes, end-items (counted by rank 2) — the kind order
+    * resolves ties to ≤ on the starts side (items before probes at
+    * equal ms) and < on the ends side (probes before items). O(n log
+    * n), zero pair blowup, exact integers.
     *
-    * Scale: two range-partitioned scans over 2·|sessions| boundary
-    * rows + one session-keyed join to combine ranks — never a
-    * session×session product; a 10⁹-session day costs two sorts. */
+    * Scale: one range-partitioned sweep over 4·|sessions| boundary
+    * rows (session table Ck-cut once — built once, consumed by the
+    * sweep and the final join) + one keyed aggregate to pair each
+    * session's two ranks — never a session×session product; a
+    * 10⁹-session day costs one sort. */
   def q236SessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val gap = cfg.sessionGapMs
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
-    val sess = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
-      .withColumn("new_sess",
-        when(col("ms") - lag(col("ms"), 1).over(w) > gap, 1)
-          .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
-      .withColumn("session_id", sum(col("new_sess")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = graft.Ck.lazyStage(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_sess",
+          when(col("ms") - lag(col("ms"), 1).over(w) > gap, 1)
+            .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms")),
+      cfg)
+    def kind(v: Column, k: Int, ws: Long, we: Long, carryIds: Boolean) =
+      sess.select(v.as("v"), lit(k).as("k"), lit(ws).as("ws"), lit(we).as("we"),
+        (if (carryIds) col("user_id") else lit(null).cast("long")).as("user_id"),
+        (if (carryIds) col("session_id").cast("long")
+         else lit(null).cast("long")).as("session_id"))
+    val bounds = kind(col("start_ms"), 0, 1L, 0L, carryIds = false)   // start items
+      .unionAll(kind(col("end_ms"), 1, 0L, 0L, carryIds = true))      // end probes
+      .unionAll(kind(col("start_ms"), 2, 0L, 0L, carryIds = true))    // start probes
+      .unionAll(kind(col("end_ms"), 3, 0L, 1L, carryIds = false))     // end items
+    val ranks = Scan
+      .exclusiveRunningSums(bounds, cfg.skylineRangeParts, Seq("v", "k"),
+        Seq("ws", "we"), cfg)
+      .filter(col("k").isin(1, 2))
       .groupBy("user_id", "session_id")
-      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
-    // rank1: starts ≤ end_i — starts sort BEFORE probes at equal ms
-    val r1 = Scan.exclusiveRunningSum(
-      sess.select(col("start_ms").as("v"), lit(0).as("kind"), lit(1L).as("w"),
-          lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_id"))
-        .unionAll(sess.select(col("end_ms").as("v"), lit(1).as("kind"),
-          lit(0L).as("w"), col("user_id"), col("session_id").cast("long"))),
-      cfg.skylineRangeParts, Seq("v", "kind"), cfg)
-      .filter(col("kind") === 1)
-      .select(col("user_id"), col("session_id"), col("run_sum").as("n_starts_le_end"))
-    // rank2: ends < start_i — probes sort BEFORE ends at equal ms
-    val r2 = Scan.exclusiveRunningSum(
-      sess.select(col("end_ms").as("v"), lit(1).as("kind"), lit(1L).as("w"),
-          lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_id"))
-        .unionAll(sess.select(col("start_ms").as("v"), lit(0).as("kind"),
-          lit(0L).as("w"), col("user_id"), col("session_id").cast("long"))),
-      cfg.skylineRangeParts, Seq("v", "kind"), cfg)
-      .filter(col("kind") === 0)
-      .select(col("user_id"), col("session_id"), col("run_sum").as("n_ends_lt_start"))
+      .agg(max(when(col("k") === 1, col("run_ws"))).as("n_starts_le_end"),
+        max(when(col("k") === 2, col("run_we"))).as("n_ends_lt_start"))
     sess.withColumn("session_id", col("session_id").cast("long"))
-      .join(r1, Seq("user_id", "session_id"))
-      .join(r2, Seq("user_id", "session_id"))
+      .join(ranks, Seq("user_id", "session_id"))
       .select(col("user_id"), col("session_id"), col("start_ms"), col("end_ms"),
         (col("n_starts_le_end") - col("n_ends_lt_start") - 1L).as("n_concurrent"))
   }
