@@ -61,4 +61,13 @@ class GraphOpsSpec extends GraftSpec {
     assert(r.getAs[Long]("n50") <= r.getAs[Long]("max_len"))
     assert(r.getAs[Long]("total_len") > 0 && r.getAs[Long]("n_contigs") > 0)
   }
+
+  test("q242: incrementally merged components equal q144's full recompute row for row") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = key(GraphOps.q242IncrementalCc(spark, sf))
+    val full = key(GraphOps.q144WccComponents(spark, sf))
+    assert(merged == full)
+    assert(merged.nonEmpty)
+  }
 }
