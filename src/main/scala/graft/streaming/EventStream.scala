@@ -466,4 +466,114 @@ object EventStream {
        |  FROM sess GROUP BY user_id, sid)
        |SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
        |FROM agg QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin
+
+  /** q243: LATE-DATA AUDIT — watermark semantics measured, not assumed:
+    * an append-mode hourly aggregation is driven over an ORDERED
+    * four-batch replay (modification times pinned, one file per
+    * trigger): batches 1-2 = every event from day 1 on (split at the
+    * final hour), batch 3 = day 0's events arriving ~29 days late (a
+    * month-old backfill hitting a 2-hour-watermark stream — every row
+    * maps to a window long since finalized, so the operator must DROP
+    * them all), batch 4 = a single far-future flush sentinel that
+    * advances the watermark past every real window so the trailing
+    * no-data batch finalizes them (the sentinel's OWN window never
+    * crosses the final watermark, so append mode never emits it — it
+    * influences event-time tracking, not output).
+    *
+    * Two measured Spark-4.1 behaviors shape the replay — documented
+    * because a bounded replay must MODEL what spaced triggers give
+    * real deployments for free: (1) the late-event input filter uses
+    * the PREVIOUS batch's watermark (the lateEvents/eviction split),
+    * so the on-time data lands as TWO files — the second is the
+    * buffer batch that lets the watermark take effect before the late
+    * file arrives (measured: without it, the late rows sail into
+    * state under a one-batch-stale watermark and EMIT); (2) a
+    * pre-aggregation filter on a file stream is PUSHED INTO THE SCAN,
+    * below the event-time tracker, so a filtered-out sentinel never
+    * advances the watermark (measured: the final 2 h of windows never
+    * finalized) — the sentinel therefore flows unfiltered and is
+    * excluded by append semantics instead.
+    *
+    * The published audit joins the streamed result against the batch
+    * recompute per (window, type): n_batch, n_stream, late_dropped =
+    * the difference — the observability row a pipeline owner reads to
+    * know what the watermark cost them. The oracle predicts the
+    * stream EXACTLY (the 29-day gap dwarfs the 2-hour delay, so
+    * dropped ≡ day-0): the driver gate hash-verifies real watermark
+    * drop behavior end to end. Day-0 windows appear with n_stream =
+    * 0 — the dropped windows ARE the interesting rows, a full-outer
+    * join keeps them.
+    *
+    * Scale: the streamed aggregate's state is watermark-bounded (open
+    * windows only); the audit join is per-window arithmetic. At 100 TB
+    * the same audit runs as a nightly batch-vs-stream reconciliation —
+    * this query IS that reconciliation in miniature. */
+  def q243StreamLateAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    val HourMs = 3600000L
+    val landing = graft.sources.Scratch.dir("late_landing", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(conf)
+    if (fs.exists(lp)) fs.delete(lp, true)
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val anchors = ev.agg(
+      ((expr("min(unix_millis(ts)) div 86400000") + 1L) * DayMs).as("cut"),
+      expr("max(unix_millis(ts)) div 3600000").as("hmax")).head()
+    val (cutMs, hmax) = (anchors.getLong(0), anchors.getLong(1))
+    import spark.implicits._
+    def land(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$landing/_stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+    }
+    val ems = unix_millis(col("ts"))
+    land(ev.filter(ems >= cutMs && ems < hmax * HourMs), "b1_ontime", 1000L)
+    land(ev.filter(ems >= hmax * HourMs), "b2_ontime_tail", 2000L)
+    land(ev.filter(ems < cutMs), "b3_late", 3000L)
+    land(Seq((-1L, new java.sql.Timestamp(cutMs + 40L * DayMs), "zzz_flush"))
+      .toDF("event_id", "ts", "event_type"), "b4_flush", 4000L)
+    val raw = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(landing)
+    val agg = raw.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("event_type"), col("n"))
+    val streamed = withStreamParts(spark) {
+      val q = agg.writeStream.format("memory").queryName("graft_q243")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q243")
+    }
+    val batch = ev
+      .groupBy((expr("unix_millis(ts) div 3600000") * 3600000L).as("window_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_batch"))
+    batch.join(streamed.withColumnRenamed("n", "ns"),
+        Seq("window_ms", "event_type"), "full_outer")
+      .select(col("window_ms"), col("event_type"),
+        coalesce(col("ns"), lit(0L)).as("n_stream"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .withColumn("late_dropped", col("n_batch") - col("n_stream"))
+  }
+
+  def q243Sql: String =
+    """WITH cut AS (SELECT (min(epoch_ms(ts)) // 86400000 + 1) * 86400000 AS c FROM events),
+      |b AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms, event_type,
+      |    count(*) AS n_batch,
+      |    CAST(count(*) FILTER (epoch_ms(ts) >= cut.c) AS BIGINT) AS n_stream
+      |  FROM events, cut GROUP BY 1, 2, cut.c)
+      |SELECT window_ms, event_type, n_stream, n_batch,
+      |  n_batch - n_stream AS late_dropped
+      |FROM b""".stripMargin
 }

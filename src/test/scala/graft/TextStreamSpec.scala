@@ -518,4 +518,21 @@ class TextStreamSpec extends GraftSpec {
     boom(wav(samples, channels = 2))
     boom(wav(samples).dropRight(3))
   }
+
+  test("q243: the watermark drops exactly the late backfill; on-time windows reconcile to zero loss") {
+    val DayMs = 86400000L
+    val rows = EventStream.q243StreamLateAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cut = rows.map(_.getLong(0)).min + DayMs // day-0 windows sit below this
+    rows.foreach { r =>
+      val (w, ns, nb, dropped) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (w < cut) {
+        assert(ns == 0 && dropped == nb && nb > 0 || nb == 0,
+          s"day-0 window $w must be fully dropped: ns=$ns nb=$nb")
+      } else {
+        assert(ns == nb && dropped == 0, s"on-time window $w lost rows: ns=$ns nb=$nb")
+      }
+    }
+    assert(rows.exists(r => r.getLong(4) > 0), "the late slice must be visible in the audit")
+  }
 }
