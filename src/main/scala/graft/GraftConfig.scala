@@ -460,6 +460,12 @@ case class GraftConfig(
     seasonalZSq: Long = 9L,
     // negative sampling (q240): hash-derived negatives per query doc
     negSlots: Int = 3,
+    // out-of-fold target encoding (q244): deterministic fold count
+    targetFolds: Int = 4,
+    // rolling sketch quantile (q245): trailing window in days and the
+    // percentile level served from the merged daily sketches
+    rollingQuantileDays: Int = 3,
+    rollingQuantileP: Int = 95,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

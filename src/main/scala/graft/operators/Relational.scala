@@ -1177,6 +1177,73 @@ class RelationalOps(val cfg: GraftConfig) {
        |FROM pv, tot
        |WHERE vdec * ${cfg.valueShareDenom} > tdec""".stripMargin
 
+  /** q244: OUT-OF-FOLD TARGET ENCODING — the leakage-guarded
+    * categorical encoder every tabular-ML pipeline needs: replace
+    * `c_mktsegment` with the mean order value of the segment, computed
+    * for each customer WITHOUT the orders of the customer's own fold
+    * (folds = custkey mod ${cfg.targetFolds}, deterministic — a random
+    * fold re-labels training data every rebuild). In-fold means leak
+    * the target into the feature (the classic self-fulfilling encode);
+    * the out-of-fold form is exact hold-out hygiene, computed here
+    * without per-fold recomputation: per (segment, fold) DECIMAL sums
+    * and counts aggregate once, and fold f's encode reads
+    * (S_seg − S_f) / (N_seg − N_f) — the complement identity, one
+    * bounded table. Customers whose complement is empty encode NULL
+    * (no evidence), never 0.
+    *
+    * Scale: one orders⋈customer join on custkey (both sides
+    * key-partitioned; bucketed layouts make it exchange-free), one
+    * map-combinable (segment, fold) aggregate — segments × folds rows —
+    * broadcast back onto customers. The division is one fixed
+    * double op over exact decimal sums (engine-identical). */
+  def q244TargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val K = cfg.targetFolds
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_custkey") % K).as("fold"))
+    val sf = Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "fold")
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("s"),
+        count(lit(1)).as("n"))
+    val seg = sf.groupBy("c_mktsegment")
+      .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+    // encode over the customers' full (segment, fold) grid: a fold with
+    // no orders of its own still encodes from the (complete) complement
+    val grid = c.select("c_mktsegment", "fold").distinct()
+    val enc = grid
+      .join(sf, Seq("c_mktsegment", "fold"), "left")
+      .join(seg, "c_mktsegment")
+      .select(col("c_mktsegment"), col("fold"),
+        when(col("nt") - coalesce(col("n"), lit(0L)) > 0,
+          (col("st") - coalesce(col("s"), lit(0).cast("decimal(25,6)"))).cast("double") /
+            (col("nt") - coalesce(col("n"), lit(0L))).cast("double"))
+          .as("encoded"))
+    c.join(broadcast(enc), Seq("c_mktsegment", "fold"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("fold"), col("encoded"))
+  }
+
+  def q244Sql: String =
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+       |    c_custkey % ${cfg.targetFolds} AS fold FROM customer),
+       |sf AS (SELECT c_mktsegment, fold,
+       |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s, count(*) AS n
+       |  FROM orders JOIN c ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |seg AS (SELECT c_mktsegment, SUM(s) AS st, CAST(SUM(n) AS BIGINT) AS nt
+       |  FROM sf GROUP BY 1),
+       |grid AS (SELECT DISTINCT c_mktsegment, fold FROM c),
+       |enc AS (SELECT g.c_mktsegment, g.fold,
+       |    CASE WHEN seg.nt - coalesce(sf.n, 0) > 0
+       |      THEN CAST(seg.st - coalesce(sf.s, 0) AS DOUBLE)
+       |           / CAST(seg.nt - coalesce(sf.n, 0) AS DOUBLE)
+       |    END AS encoded
+       |  FROM grid g
+       |  LEFT JOIN sf USING (c_mktsegment, fold)
+       |  JOIN seg USING (c_mktsegment))
+       |SELECT c.c_custkey, c.c_mktsegment, c.fold, enc.encoded
+       |FROM c LEFT JOIN enc USING (c_mktsegment, fold)""".stripMargin
+
   /** q231: SNAPSHOT DIFF — recover the net change feed between two table
     * snapshots by keyed comparison: rows only in the new snapshot are
     * inserts, rows only in the old are deletes, rows in both with any

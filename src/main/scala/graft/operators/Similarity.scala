@@ -379,6 +379,39 @@ class SimilarityOps(val cfg: GraftConfig) {
        |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
        |GROUP BY b.query_id""".stripMargin
 
+  /** q246: MRR EVAL — the rank-position companion to q123's recall
+    * (set overlap says WHETHER truth surfaced; reciprocal rank says
+    * WHERE): per query, the brute-force #1 neighbor's position inside
+    * the IVF top-$IvfTopK and its reciprocal rank (0 when absent —
+    * the "how broken is a miss" convention). Per-query rows, no
+    * corpus-order float mean: rr is ONE division of two exact
+    * integers (engine-identical); the suite's convention of shipping
+    * the distribution and leaving scalar averaging to the caller
+    * (q96's estimate rule) keeps the oracle bitwise. Scale: both
+    * inputs are queries × k tables — the eval join costs nothing
+    * beyond the two searches it audits. */
+  def q246MrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q40AnnBrute(spark, dir).filter(col("rk") === 1)
+      .select(col("query_id"), col("vec_id").as("true_nn"))
+    val ivf = q41AnnIvf(spark, dir)
+      .select(col("query_id"), col("vec_id").as("true_nn"), col("rk"))
+    truth.join(ivf, Seq("query_id", "true_nn"), "left")
+      .select(col("query_id"), col("true_nn"),
+        col("rk").as("rank_in_ivf"),
+        when(col("rk").isNotNull, lit(1.0) / col("rk")).otherwise(0.0).as("rr"),
+        col("rk").isNotNull.as("found"))
+  }
+
+  def q246Sql: String =
+    s"""WITH brute AS ($q40Sql),
+       |ivf AS ($q41Sql)
+       |SELECT t.query_id, t.vec_id AS true_nn, i.rk AS rank_in_ivf,
+       |  CASE WHEN i.rk IS NOT NULL THEN CAST(1 AS DOUBLE) / i.rk
+       |       ELSE CAST(0 AS DOUBLE) END AS rr,
+       |  i.rk IS NOT NULL AS found
+       |FROM (SELECT query_id, vec_id FROM brute WHERE rk = 1) t
+       |LEFT JOIN ivf i ON i.query_id = t.query_id AND i.vec_id = t.vec_id""".stripMargin
+
   /** q140: k-NN GRAPH construction — every vector's top-$KnnK
     * neighbors among its $Nprobe nearest IVF cells: the all-corpus
     * twin of q41 (where only designated queries search) and the input

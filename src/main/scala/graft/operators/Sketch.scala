@@ -923,6 +923,103 @@ class SketchOps(val cfg: GraftConfig) {
        |FROM u""".stripMargin
   }
 
+  /** q245: ROLLING QUANTILE from MERGED DAILY SKETCHES — the production
+    * percentile dashboard: each day folds its order values into its own
+    * q205 log-linear sketch ONCE, and any trailing
+    * ${cfg.rollingQuantileDays}-day p${cfg.rollingQuantileP} is then
+    * answered by summing the window's daily bucket tables and cutting
+    * the nearest rank — the range-merge consumption the mergeable
+    * sketch exists for (q214 merged across SHARDS; this merges across
+    * TIME). At 100 TB the dashboard keeps ≤ 64·2^(k+1) rows per day and
+    * answers ANY date range without re-scanning a byte of history; the
+    * window here is trailing days, but the same sum serves
+    * month-to-date or arbitrary ranges. Ships with the q206-style
+    * guaranteed-bounds eval: the exact trailing percentile (computed
+    * the expensive way — the cost the sketch path eliminates) must land
+    * inside the cut bucket, in_bounds hash-gated. All bucket math is
+    * the q205 integer-exact construction; day keys are epoch days. */
+  def q245RollingQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val W = cfg.rollingQuantileDays
+    val P = cfg.rollingQuantileP
+    val vals = Tables.orders(spark, dir)
+      .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+    val days = vals.select("day").distinct()
+    val daily = qsBuckets(vals.select(col("day").as("cls"), col("v")))
+    val merged = daily
+      .withColumn("target_day", explode(sequence(col("cls"), col("cls") + (W - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"))
+      .groupBy("target_day", "e", "m", "lo100", "hi100")
+      .agg(sum(col("cnt")).as("cnt"))
+    val ranks = merged.groupBy("target_day").agg(sum(col("cnt")).as("n"))
+      .select(col("target_day"), col("n"), expr(s"(n * $P + 99) div 100").as("r"))
+    // cumulative counts as a per-day window (partition = one day's ≤
+    // 64·2^(k+1) buckets — bounded, never a corpus sort; cheaper than
+    // q206's triangular join once the class count is thousands of days)
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("target_day")
+      .orderBy(col("lo100"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(wCum))
+      .select("target_day", "lo100", "hi100", "cum")
+    val cut = ranks.join(cum, "target_day")
+      .filter(col("cum") >= col("r"))
+      .groupBy("target_day", "n")
+      .agg(min(struct(col("lo100"), col("hi100"))).as("mm"))
+      .select(col("target_day"), col("n"),
+        col("mm.lo100").as("lo100"), col("mm.hi100").as("hi100"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("target_day")
+    val exact = vals
+      .withColumn("target_day", explode(sequence(col("day"), col("day") + (W - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .withColumn("nn", count(lit(1)).over(w))
+      .filter(col("rn") === expr(s"(nn * $P + 99) div 100"))
+      .select(col("target_day"), col("v").as("exact_v100"))
+    cut.join(exact, "target_day")
+      .select(col("target_day").as("day"), col("n"), col("lo100"), col("hi100"),
+        col("exact_v100"),
+        col("exact_v100").between(col("lo100"), col("hi100")).as("in_bounds"))
+  }
+
+  def q245Sql: String = {
+    val W = cfg.rollingQuantileDays
+    val P = cfg.rollingQuantileP
+    s"""WITH vals AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |days AS (SELECT DISTINCT day FROM vals),
+       |ebl AS (SELECT day, v, CAST(length(bin(v)) AS BIGINT) AS e FROM vals),
+       |dd AS (SELECT day, v, e,
+       |    CAST(power(2.0, greatest(e - 1 - $QsK, 0)) AS BIGINT) AS d FROM ebl),
+       |skd AS (SELECT day, e, v // d AS m, d, count(*) AS cnt
+       |  FROM dd GROUP BY 1, 2, 3, 4),
+       |daily AS (SELECT day, e, m, m * d AS lo100, (m + 1) * d - 1 AS hi100, cnt
+       |  FROM skd),
+       |mg AS (SELECT t.day AS target_day, s.e, s.m, s.lo100, s.hi100,
+       |    CAST(SUM(s.cnt) AS BIGINT) AS cnt
+       |  FROM daily s JOIN days t ON t.day BETWEEN s.day AND s.day + ${W - 1}
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |ns AS (SELECT target_day, CAST(SUM(cnt) AS BIGINT) AS n FROM mg GROUP BY 1),
+       |cum AS (SELECT a.target_day, a.lo100, a.hi100, CAST(SUM(b.cnt) AS BIGINT) AS cum
+       |  FROM mg a JOIN mg b ON a.target_day = b.target_day AND b.lo100 <= a.lo100
+       |  GROUP BY 1, 2, 3),
+       |cut AS (SELECT c.target_day, ns.n, min(c.lo100) AS lo100
+       |  FROM cum c JOIN ns USING (target_day)
+       |  WHERE c.cum >= (ns.n * $P + 99) // 100
+       |  GROUP BY 1, 2),
+       |cutb AS (SELECT c.target_day, c.n, c.lo100, m.hi100
+       |  FROM cut c JOIN mg m ON m.target_day = c.target_day AND m.lo100 = c.lo100),
+       |ex AS (SELECT t.day AS target_day, s.v,
+       |    row_number() OVER (PARTITION BY t.day ORDER BY s.v) AS rn,
+       |    count(*) OVER (PARTITION BY t.day) AS nn
+       |  FROM vals s JOIN days t ON t.day BETWEEN s.day AND s.day + ${W - 1}),
+       |exact AS (SELECT target_day, v AS exact_v100 FROM ex
+       |  WHERE rn = (nn * $P + 99) // 100)
+       |SELECT c.target_day AS day, c.n, c.lo100, c.hi100, e2.exact_v100,
+       |  e2.exact_v100 BETWEEN c.lo100 AND c.hi100 AS in_bounds
+       |FROM cutb c JOIN exact e2 USING (target_day)""".stripMargin
+  }
+
   /** q234: EXACT heavy hitters over an unbounded key domain in two
     * bounded-memory passes — every word bigram with true count ≥
     * $CmHeavyMin, exactly (count and all), WITHOUT ever running the

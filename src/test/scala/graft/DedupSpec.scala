@@ -437,4 +437,20 @@ class DedupSpec extends GraftSpec {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
     assert(nt > 0, "no truth pairs at this sf — eval is vacuous")
   }
+
+  test("q246: rr is exactly 1/rank when found, 0 when missed; truth matches brute rank 1") {
+    val truth = Similarity.q40AnnBrute(spark, sf).filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.q246MrrEval(spark, sf).collect()
+    assert(rows.length == truth.size)
+    rows.foreach { r =>
+      assert(truth(r.getLong(0)) == r.getLong(1))
+      if (r.getBoolean(4)) {
+        assert(r.getDouble(3) == 1.0 / r.getInt(2))
+        assert(r.getInt(2) >= 1 && r.getInt(2) <= Similarity.IvfTopK)
+      } else {
+        assert(r.isNullAt(2) && r.getDouble(3) == 0.0)
+      }
+    }
+  }
 }

@@ -376,6 +376,27 @@ class RankingSpec extends GraftSpec {
     got.foreach(t => assert(t._3 >= t._2, "CMS estimate must never undercount"))
   }
 
+  test("q245: trailing sketch quantile brackets the exact value; gap days serve only existing data") {
+    import spark.implicits._
+    val ops = new graft.operators.SketchOps(
+      GraftConfig(rollingQuantileDays = 2, rollingQuantileP = 50))
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("rollq").toString
+    Seq((1L, 10L, 100.0), (2L, 11L, 200.0), (3L, 11L, 300.0), (4L, 14L, 500.0))
+      .map { case (k, d, p) => (k, new java.sql.Timestamp(d * DayMs), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = ops.q245RollingQuantile(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getBoolean(5)))).toMap
+    // day 10: {100} median 100; day 11: {100,200,300} rank (3*50+99)//100=2
+    // -> 200; day 14: the day-13 gap contributes nothing -> {500};
+    // day 12 is not a target (no orders that day)
+    assert(got.keySet == Set(10L, 11L, 14L))
+    assert(got(10L) == ((1L, 10000L, true)))
+    assert(got(11L) == ((3L, 20000L, true)))
+    assert(got(14L) == ((1L, 50000L, true)))
+  }
+
   test("q234: agrees with the exact full aggregate on real data (no false negatives/positives)") {
     val exact = graft.sources.Tables.documents(spark, sf)
       .select(split(col("text"), " ").as("ws"))

@@ -352,4 +352,21 @@ class RelationalSpec extends GraftSpec {
     assert(ops == Set("I", "U", "D"))
     assert(rows.forall(r => r.getLong(0) % 10 <= 2 || (r.getLong(0) - 10000000L) % 10 == 2))
   }
+
+  test("q244: encodes exclude the customer's own fold; empty complements are NULL, empty folds still encode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tenc").toString
+    Seq((1L, "A"), (2L, "A"), (4L, "B"), (3L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((101L, 1L, 10.0), (102L, 2L, 20.0), (103L, 2L, 30.0), (104L, 4L, 40.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.q244TargetEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == Some(25.0), "A\\fold1 = (60-10)/(3-1)")
+    assert(got(2L) == Some(10.0), "A\\fold2 = (60-50)/(3-2)")
+    assert(got(4L) == None, "B's only orders are cust 4's own fold — no evidence, NULL not 0")
+    assert(got(3L) == Some(40.0), "an order-less fold still encodes from the full complement")
+  }
 }
