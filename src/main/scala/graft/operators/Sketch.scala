@@ -923,6 +923,84 @@ class SketchOps(val cfg: GraftConfig) {
        |FROM u""".stripMargin
   }
 
+  /** q248: ONE-PASS NDV COLUMN PROFILE — the statistics collector
+    * behind ANALYZE TABLE / CBO cardinalities, as a single scan: every
+    * profiled lineitem column unpivots to (column, value) pairs
+    * in-row, the shared HLL register kernel sketches all columns at
+    * once (state = columns × 16^$CmHexChars registers, mergeable by
+    * element max across shards — the property that lets 1000 executors
+    * profile a 100 TB table and combine metadata-sized results), and
+    * the engine-exact estimate (q224's split integer register sums
+    * read through one fixed float chain) ships NEXT TO the exact
+    * distinct count and its relative error — the approximation-ships-
+    * with-its-eval rule applied to the profiler itself. Values hash on
+    * CANONICAL renderings (integers as decimal strings, timestamps as
+    * epoch ms) so both engines sketch identical token streams; double
+    * columns are excluded by design — their string forms are not a
+    * cross-engine canon (the q89/q205 cents idiom is, when needed).
+    * `present` travels per column: a consumer can see when a column
+    * sits below the raw estimator's regime (q224's contract) instead
+    * of trusting a biased number. */
+  def q248NdvProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rendered = Seq(
+      ("l_orderkey", col("l_orderkey").cast("string")),
+      ("l_partkey", col("l_partkey").cast("string")),
+      ("l_suppkey", col("l_suppkey").cast("string")),
+      ("l_returnflag", col("l_returnflag")),
+      ("l_shipdate",
+        expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) AS STRING)")))
+    val stacked = li.select(explode(array(rendered.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.as("token")) }: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.token"))
+      .filter(col("token").isNotNull)
+    val regs = hllRegisterAgg(stacked, Seq("col_name"))
+    val est = regs.groupBy("col_name").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("col_name"), col("present"), hllEstCol.as("est_ndv"))
+    val exact = stacked.distinct().groupBy("col_name")
+      .agg(count(lit(1)).as("exact_ndv"))
+    est.join(exact, "col_name")
+      .select(col("col_name"), col("present"), col("est_ndv"), col("exact_ndv"),
+        ((col("est_ndv") - col("exact_ndv").cast("double"))
+          / col("exact_ndv").cast("double")).as("rel_err"))
+  }
+
+  def q248Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    s"""WITH stacked AS (
+       |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS token FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_returnflag', l_returnflag FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_shipdate', CAST(epoch_ms(l_shipdate) AS VARCHAR) FROM lineitem),
+       |toks AS (SELECT col_name, token FROM stacked WHERE token IS NOT NULL),
+       |hashed AS (SELECT col_name, md5(token) AS h FROM toks),
+       |parts AS (SELECT col_name, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx FROM hashed),
+       |zs AS (SELECT col_name, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT col_name, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT col_name, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs),
+       |regs AS (SELECT col_name, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2),
+       |perz AS (SELECT col_name, $hllZSqlDuck
+       |  FROM regs GROUP BY col_name),
+       |est AS (SELECT col_name, present, $hllEstSqlDuck AS est_ndv FROM perz),
+       |exact AS (SELECT col_name, CAST(count(DISTINCT token) AS BIGINT) AS exact_ndv
+       |  FROM toks GROUP BY 1)
+       |SELECT e.col_name, e.present, e.est_ndv, x.exact_ndv,
+       |  (e.est_ndv - CAST(x.exact_ndv AS DOUBLE)) / CAST(x.exact_ndv AS DOUBLE) AS rel_err
+       |FROM est e JOIN exact x USING (col_name)""".stripMargin
+  }
+
   /** q245: ROLLING QUANTILE from MERGED DAILY SKETCHES — the production
     * percentile dashboard: each day folds its order values into its own
     * q205 log-linear sketch ONCE, and any trailing

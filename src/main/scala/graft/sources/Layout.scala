@@ -541,4 +541,105 @@ object Layout {
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
       |  TRUE AS run2_only_new, TRUE AS run3_noop
       |FROM events GROUP BY 1""".stripMargin
+
+  /** q247: MERKLE-STYLE TWO-PHASE REPLICA DIFF — the replication audit
+    * at the granularity that scales: comparing two copies of a 100 TB
+    * table row by row costs two full scans and a corpus shuffle, but
+    * comparing their PER-PARTITION content digests costs one
+    * map-combinable pass per side and a digest-table join (10⁵ rows of
+    * metadata) — and only partitions whose digests disagree pay the
+    * row-level diff, with partition-pruned reads touching nothing
+    * else. The q231 row diff as phase 2 behind a digest phase 1: the
+    * same two-phase shape as q212's skip discipline, applied to
+    * verification instead of compaction.
+    *
+    * The query runs the whole audit as a round-trip: both replicas are
+    * WRITTEN day-partitioned (replica B with a deterministic
+    * corruption — value bumped on every 50th event of one day), the
+    * digest manifests compare, the damaged day row-diffs, and the
+    * published per-day audit (rows, digest_match, n_changed) must
+    * match the oracle's logical recomputation — which also proves the
+    * digest has no false negatives on this corpus. Digests are
+    * ORDER-FREE integer sums of md5-word row hashes over canonical
+    * integer renderings (the q212 fp idiom; doubles render as cents so
+    * no float-to-string divergence), so replicas digest shard-parallel
+    * in any row order. Matched partitions report n_changed = 0 ON THE
+    * DIGEST'S AUTHORITY — that leap of faith is the entire economy of
+    * the scheme, which is why the corrupted-day gate matters. */
+  def q247MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("unix_millis(ts) div 86400000").as("d"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
+    val dc = base.agg(min(col("d"))).head().getLong(0) + 3
+    val a = base.select(col("event_id"), concat(lit("d"), col("d")).as("day"), col("v100"))
+    val b = base.select(col("event_id"), concat(lit("d"), col("d")).as("day"),
+      when(col("d") === dc && col("event_id") % 5 === 0, col("v100") + 100L)
+        .otherwise(col("v100")).as("v100"))
+    val pa = Scratch.dir("merkle_a", dir)
+    val pb = Scratch.dir("merkle_b", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(pa, pb).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    // day-hash repartition first: without it every shuffle task writes a
+    // sliver into every day directory (32 × days tiny files per replica —
+    // measured 12 s at sf0.1; with it, one file per day and ~2 s)
+    writePartitioned(a.repartition(col("day")), pa, "day")
+    writePartitioned(b.repartition(col("day")), pb, "day")
+    val (ra, rb) = (spark.read.parquet(pa), spark.read.parquet(pb))
+    def digest(df: DataFrame, nCol: String, fpCol: String) = df.groupBy("day")
+      .agg(count(lit(1)).as(nCol),
+        sum(conv(substring(md5(concat(col("event_id"), lit(":"), col("v100"))), 1, 8),
+          16, 10).cast("long")).as(fpCol))
+    val cmp = digest(ra, "n_rows_a", "fp_a")
+      .join(digest(rb, "n_rows_b", "fp_b"), "day")
+      .select(col("day"), col("n_rows_a"), col("n_rows_b"),
+        (col("n_rows_a") === col("n_rows_b") && col("fp_a") === col("fp_b"))
+          .as("digest_match"))
+    // phase 2: row-diff ONLY the disagreeing partitions (pruned reads);
+    // the collect is bounded by the damage, not the table
+    val bad = cmp.filter(!col("digest_match")).select("day")
+      .collect().map(_.getString(0))
+    val changed = bad.map { dday =>
+      val xa = ra.filter(col("day") === dday)
+        .select(col("event_id"), col("v100").as("va"))
+      val xb = rb.filter(col("day") === dday)
+        .select(col("event_id"), col("v100").as("vb"))
+      val n = xa.join(xb, Seq("event_id"), "full_outer")
+        .filter(!(col("va") <=> col("vb"))).count()
+      (dday, n)
+    }
+    import spark.implicits._
+    val chDf = changed.toSeq.toDF("day", "n_changed")
+    cmp.join(broadcast(chDf), Seq("day"), "left")
+      .select(col("day"), col("n_rows_a"), col("n_rows_b"), col("digest_match"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+  }
+
+  def q247Sql: String =
+    """WITH e AS (SELECT event_id, epoch_ms(ts) // 86400000 AS d,
+      |    CAST(floor(value * 100) AS BIGINT) AS v100 FROM events),
+      |dc AS (SELECT min(d) + 3 AS dc FROM e),
+      |a AS (SELECT event_id, d, v100 FROM e),
+      |b AS (SELECT event_id, d,
+      |    CASE WHEN d = dc.dc AND event_id % 5 = 0 THEN v100 + 100
+      |         ELSE v100 END AS v100
+      |  FROM e, dc),
+      |da AS (SELECT d, count(*) AS n_rows_a,
+      |    SUM(CAST(('0x' || substr(md5(event_id || ':' || v100), 1, 8)) AS BIGINT)) AS fp
+      |  FROM a GROUP BY 1),
+      |db AS (SELECT d, count(*) AS n_rows_b,
+      |    SUM(CAST(('0x' || substr(md5(event_id || ':' || v100), 1, 8)) AS BIGINT)) AS fp
+      |  FROM b GROUP BY 1),
+      |ch AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n_changed
+      |  FROM a JOIN b ON a.event_id = b.event_id AND a.v100 <> b.v100
+      |  GROUP BY 1)
+      |SELECT 'd' || da.d AS day, da.n_rows_a, db.n_rows_b,
+      |  da.n_rows_a = db.n_rows_b AND da.fp = db.fp AS digest_match,
+      |  coalesce(ch.n_changed, 0) AS n_changed
+      |FROM da JOIN db ON da.d = db.d
+      |LEFT JOIN ch ON ch.d = da.d""".stripMargin
 }

@@ -154,4 +154,21 @@ class CompactionSpec extends GraftSpec {
       assert(noop, "run 3 must see nothing new")
     }
   }
+
+  test("q247: digests disagree on exactly the corrupted day; its row diff counts the damage") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), expr("unix_millis(ts) div 86400000").as("d"))
+    val dc = ev.agg(min(col("d"))).head().getLong(0) + 3
+    val expected = ev.filter(col("d") === dc && col("event_id") % 5 === 0).count()
+    val rows = graft.sources.Layout.q247MerkleDiff(spark, sf).collect()
+    val bad = rows.filter(!_.getBoolean(3))
+    assert(bad.map(_.getString(0)).toSeq == Seq(s"d$dc"),
+      "phase 1 must flag exactly the damaged partition")
+    assert(bad.head.getLong(4) == expected, "phase 2 must count exactly the damaged rows")
+    rows.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(4) == 0 && r.getLong(1) == r.getLong(2))
+    }
+    assert(expected > 0, "vacuous corruption — pick a different day")
+  }
 }

@@ -376,6 +376,31 @@ class RankingSpec extends GraftSpec {
     got.foreach(t => assert(t._3 >= t._2, "CMS estimate must never undercount"))
   }
 
+  test("q248: NDV estimates land near exact for key columns; tiny columns are exposed, not hidden") {
+    val got = Sketch.q248NdvProfile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_shipdate"))
+    assert(got("l_returnflag")._3 == 3L) // A / N / R
+    got.foreach { case (_, (present, est, exact, _)) =>
+      assert(exact > 0 && est > 0 && present >= 1)
+    }
+    // the raw estimator is only trustworthy when most registers are
+    // occupied; columns below that regime are EXPOSED by `present`, and
+    // the spec checks exactly that split rather than pretending the raw
+    // formula is universally accurate (q224's contract)
+    val m = 1 << (4 * Sketch.CmHexChars)
+    got.foreach { case (c, (present, _, _, relErr)) =>
+      if (present >= (m * 9) / 10)
+        assert(math.abs(relErr) < 0.3, s"$c in-regime rel_err $relErr")
+    }
+    assert(got("l_orderkey")._1 >= (m * 9) / 10,
+      "the high-cardinality key must exercise the in-regime branch")
+    assert(got("l_returnflag")._1 <= 3L && got("l_suppkey")._1 < m / 2,
+      "present is the regime flag for the tiny columns")
+  }
+
   test("q245: trailing sketch quantile brackets the exact value; gap days serve only existing data") {
     import spark.implicits._
     val ops = new graft.operators.SketchOps(
