@@ -412,6 +412,81 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM (SELECT query_id, vec_id FROM brute WHERE rk = 1) t
        |LEFT JOIN ivf i ON i.query_id = t.query_id AND i.vec_id = t.vec_id""".stripMargin
 
+  /** q250: HARD/EASY NEGATIVE SAMPLING — q240's contrastive-pair
+    * builder upgraded with the structure retrieval training actually
+    * needs: per query vector, ${cfg.negSlots} EASY negatives
+    * (hash-drawn corpus-wide, rejected if they land in the query's own
+    * IVF cell — an easy negative must be far) and ${cfg.negSlots} HARD
+    * negatives (hash-drawn from INSIDE the query's cell by member
+    * rank — close enough to confuse the model, the pairs that carry
+    * the gradient signal). Both draws are md5-deterministic (the q240
+    * rule: training pairs are a pure function of the corpus + index),
+    * collisions with the query reject rather than redraw, and the
+    * difficulty split rides the SAME trained IVF index q41 serves —
+    * the index is the curriculum.
+    *
+    * Scale: the cell-member rank table is one window over cell-bounded
+    * partitions; draws are per-row hash arithmetic; the only joins are
+    * an equi-join on neg_id (easy) and on (cell, idx) (hard) — linear
+    * in corpus × slots, never pairwise. */
+  def q250HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val af = assign(e, trainIndex(spark, dir)).select("vec_id", "cell")
+    val mx = af.agg(max(col("vec_id")).as("mx"))
+    val wc = Window.partitionBy("cell").orderBy(col("vec_id"))
+    val members = af
+      .withColumn("idx", row_number().over(wc).cast("long") - 1L)
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
+    val slots = (1 to cfg.negSlots)
+    def draw(tag: String, mod: Column): Column =
+      conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$tag:"),
+        col("slot").cast("string"))), 1, 8), 16, 10).cast("long") % mod
+    val fanned = af.crossJoin(broadcast(mx))
+      .withColumn("slot", explode(array(slots.map(s => lit(s.toLong)): _*)))
+    val easy = fanned
+      .withColumn("neg_id", draw("e", col("mx") + 1L))
+      .join(af.select(col("vec_id").as("neg_id"), col("cell").as("ncell")), "neg_id")
+      .filter(col("neg_id") =!= col("vec_id") && col("ncell") =!= col("cell"))
+      .select(col("vec_id").as("query_id"), lit("easy").as("kind"),
+        col("slot"), col("neg_id"))
+    val hard = members.select(col("vec_id"), col("cell"), col("csz"))
+      .withColumn("slot", explode(array(slots.map(s => lit(s.toLong)): _*)))
+      .withColumn("idx", draw("h", col("csz")))
+      .join(members.select(col("cell"), col("idx"), col("vec_id").as("neg_id")),
+        Seq("cell", "idx"))
+      .filter(col("neg_id") =!= col("vec_id"))
+      .select(col("vec_id").as("query_id"), lit("hard").as("kind"),
+        col("slot"), col("neg_id"))
+    easy.unionAll(hard)
+  }
+
+  def q250Sql: String =
+    s"""$trainedAssignCtes,
+       |mx AS (SELECT max(vec_id) AS mx FROM af),
+       |members AS (SELECT cell, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS BIGINT) - 1 AS idx,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS csz
+       |  FROM af),
+       |slots AS (SELECT CAST(unnest(generate_series(1, ${cfg.negSlots})) AS BIGINT) AS slot),
+       |easy AS (SELECT q.vec_id AS query_id, q.cell, s.slot,
+       |    CAST(('0x' || substr(md5(q.vec_id || ':e:' || s.slot), 1, 8)) AS BIGINT)
+       |      % (mx.mx + 1) AS neg_id
+       |  FROM af q, mx, slots s),
+       |easyok AS (SELECT e2.query_id, 'easy' AS kind, e2.slot, e2.neg_id
+       |  FROM easy e2 JOIN af n ON n.vec_id = e2.neg_id
+       |  WHERE e2.neg_id <> e2.query_id AND n.cell <> e2.cell),
+       |hard AS (SELECT m.vec_id AS query_id, m.cell, s.slot,
+       |    CAST(('0x' || substr(md5(m.vec_id || ':h:' || s.slot), 1, 8)) AS BIGINT)
+       |      % m.csz AS idx
+       |  FROM members m, slots s),
+       |hardok AS (SELECT h.query_id, 'hard' AS kind, h.slot, mem.vec_id AS neg_id
+       |  FROM hard h JOIN members mem ON mem.cell = h.cell AND mem.idx = h.idx
+       |  WHERE mem.vec_id <> h.query_id)
+       |SELECT query_id, kind, slot, neg_id FROM easyok
+       |UNION ALL
+       |SELECT query_id, kind, slot, neg_id FROM hardok""".stripMargin
+
   /** q140: k-NN GRAPH construction — every vector's top-$KnnK
     * neighbors among its $Nprobe nearest IVF cells: the all-corpus
     * twin of q41 (where only designated queries search) and the input

@@ -642,4 +642,69 @@ object Layout {
       |  coalesce(ch.n_changed, 0) AS n_changed
       |FROM da JOIN db ON da.d = db.d
       |LEFT JOIN ch ON ch.d = da.d""".stripMargin
+
+  /** q249: LOGICAL DELETE (deletion vectors) — the "right to be
+    * forgotten" at lake scale: a delete request for 0.1% of users must
+    * take effect IMMEDIATELY without rewriting a 100 TB segment set,
+    * so the delete is a TOMBSTONE TABLE (the requested user keys) and
+    * every read serves through a broadcast anti-join against it —
+    * Delta/Iceberg's deletion-vector pattern, with the physical
+    * rewrite deferred to the next compaction pass (q212/q216's job).
+    * The query runs all three sides and gates them against each
+    * other: segments write once; the logical read (anti-join view)
+    * aggregates; the physical rewrite (the eventual compaction)
+    * aggregates; and the published rows carry logical ≡ physical plus
+    * proof the segment files were BYTE-UNTOUCHED by the logical path
+    * (name+length listing identical before/after — deletion that
+    * rewrote anything isn't logical). The oracle recomputes the
+    * filtered aggregate from the flat table, hash-gating both serve
+    * paths at once.
+    *
+    * Scale: tombstones are bounded by the request stream, the
+    * anti-join broadcasts them, and the read plan is the segment scan
+    * + one build-side-tiny join — no shuffle, no write, no blocking;
+    * the rewrite cost moves to compaction where it amortizes with
+    * bin-packing. */
+  def q249LogicalDelete(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Scratch.dir("deletion_segments", dir)
+    val hp = new org.apache.hadoop.fs.Path(seg)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4)
+      .write.parquet(seg)
+    def listing() = fs.listStatus(hp).filter(_.getPath.getName.startsWith("part-"))
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1).toSeq
+    val before = listing()
+    val segments = spark.read.parquet(seg)
+    val tombstones = segments.select(col("user_id")).distinct()
+      .filter(col("user_id") % 37 === 0)
+    def aggOf(df: DataFrame, n: String, t: String) = df.groupBy("event_type")
+      .agg(count(lit(1)).as(n),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as(t))
+    val logical = aggOf(
+      segments.join(broadcast(tombstones), Seq("user_id"), "left_anti"),
+      "n_events", "total_value")
+    // the eventual physical rewrite (what compaction will do) must agree
+    val phys = Scratch.dir("deletion_rewrite", dir)
+    val pp = new org.apache.hadoop.fs.Path(phys)
+    if (fs.exists(pp)) fs.delete(pp, true)
+    segments.join(broadcast(tombstones), Seq("user_id"), "left_anti")
+      .write.parquet(phys)
+    val physical = aggOf(spark.read.parquet(phys), "p_n", "p_total")
+    val untouched = listing() == before
+    logical.join(physical, "event_type")
+      .select(col("event_type"), col("n_events"), col("total_value"),
+        (col("n_events") === col("p_n") && col("total_value") === col("p_total"))
+          .as("logical_equals_physical"),
+        lit(untouched).as("segments_untouched"))
+  }
+
+  def q249Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+      |  TRUE AS logical_equals_physical, TRUE AS segments_untouched
+      |FROM events WHERE user_id % 37 <> 0
+      |GROUP BY 1""".stripMargin
 }

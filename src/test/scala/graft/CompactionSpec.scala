@@ -171,4 +171,18 @@ class CompactionSpec extends GraftSpec {
     }
     assert(expected > 0, "vacuous corruption — pick a different day")
   }
+
+  test("q249: logical delete equals the physical rewrite and leaves segment bytes alone") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Layout.q249LogicalDelete(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), "logical view must equal the physical rewrite")
+      assert(r.getBoolean(4), "the logical path must not touch segment bytes")
+    }
+    val expect = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") % 37 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == expect,
+      "every tombstoned user's events vanish from the served aggregate")
+  }
 }

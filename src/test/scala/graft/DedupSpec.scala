@@ -453,4 +453,23 @@ class DedupSpec extends GraftSpec {
       }
     }
   }
+
+  test("q250: hard negatives share the query's cell, easy ones never do; draws reproduce") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.Vec.norm2N("embedding"))
+    val cells = Similarity.assign(e, Similarity.trainIndex(spark, sf))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run() = Similarity.q250HardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run()
+    assert(got.exists(_._2 == "hard") && got.exists(_._2 == "easy"))
+    got.foreach { case (q, kind, _, n) =>
+      assert(n != q, "never the query itself")
+      if (kind == "hard") assert(cells(n) == cells(q), s"hard ($q,$n) crosses cells")
+      else assert(cells(n) != cells(q), s"easy ($q,$n) stays inside the cell")
+    }
+    assert(run() == got, "pairs are a pure function of corpus + index")
+  }
 }
