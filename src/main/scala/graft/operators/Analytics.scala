@@ -132,13 +132,20 @@ class AnalyticsOps(val cfg: GraftConfig) {
     * the seed set. Same fixed-point integer discipline, same
     * ReusedExchange/checkpoint-cadence plan shape. */
   private[graft] def prLoop(docs: DataFrame, e: DataFrame,
-      baseOf: Column => Column, r0Of: Column => Column): DataFrame = {
-    val od = e.groupBy("src").agg(count(lit(1)).as("od"))
+      baseOf: Column => Column, r0Of: Column => Column,
+      weightCol: Option[String] = None): DataFrame = {
+    // weighted: out-mass splits ∝ edge weight ((pr·w) div Σw — exact
+    // longs; per-edge truncation keeps both engines identical), with
+    // count/1 the unweighted special case
+    val od = weightCol.fold(e.groupBy("src").agg(count(lit(1)).as("od"))) { w =>
+      e.groupBy("src").agg(sum(col(w)).as("od"))
+    }
     val eo = e.join(od, "src")
+    val share = weightCol.fold(expr("pr div od"))(w => expr(s"(pr * $w) div od"))
     var r = docs.select(col("node"), r0Of(col("node")).as("pr"))
     for (i <- 1 to PrIters) {
       val contrib = eo.join(r, eo("src") === r("node"))
-        .select(col("dst").as("node"), expr("pr div od").as("c"))
+        .select(col("dst").as("node"), share.as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       r = docs.join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -712,6 +719,56 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |  WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1)
        |SELECT t.lang, t.n AS n_docs, med.median_chars, mad.mad_chars
        |FROM tot t JOIN med ON t.lang = med.lang JOIN mad ON t.lang = mad.lang""".stripMargin
+  /** q251: WEIGHTED PageRank — q92 with the random walk following
+    * OVERLAP STRENGTH instead of edge count: each node's out-mass
+    * splits proportionally to edge weight (q208's extension-length
+    * weights — how much new sequence the step adds), so centrality
+    * measures weighted flow, not raw degree; the third consumer of the
+    * shared prLoop kernel (q92 global, q213 personalized, q221
+    * TextRank), now weight-parameterized: share = (pr·w) div Σw in
+    * exact longs with per-edge truncation — both engines compute the
+    * identical integer, and the unweighted queries are the w ≡ 1
+    * special case of the same code path. Same ReusedExchange +
+    * checkpoint-cadence plan; the weight join adds one map-side column
+    * to the edge table, nothing to the loop shape.
+    *
+    * Long-range bound: pr ≤ total mass ≈ N·SCALE and w ≤ doc length,
+    * so pr·w stays far under 2⁶³ for any realistic corpus slice; a
+    * wider regime would move the share to DECIMAL(38,0) (the q127
+    * discipline). */
+  def q251WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    val we = GraphOps.edges2(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("nc")),
+        col("dst") === col("doc_id"))
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), col("nc") - length(col("okey")).cast("long")).as("w"))
+    prLoop(docs, we,
+      _ => lit(15L * PrScale / 100), _ => lit(PrScale), Some("w"))
+      .select(col("node").as("doc_id"), col("pr").as("wpr"))
+  }
+
+  def q251Sql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT eo.dst AS node,
+         |    CAST(SUM((r${i - 1}.pr * eo.w) // eo.od) AS BIGINT) AS s
+         |  FROM eo JOIN r${i - 1} ON r${i - 1}.node = eo.src GROUP BY 1),
+         |r$i AS (SELECT d.node,
+         |    (15 * $PrScale) // 100 + (85 * COALESCE(c$i.s, 0)) // 100 AS pr
+         |  FROM (SELECT doc_id AS node FROM documents) d
+         |  LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH we AS (SELECT e.src, e.dst,
+       |    CAST(greatest(1, d.n_chars - len(e.okey)) AS BIGINT) AS w
+       |  FROM (${GraphOps.q20Sql}) e JOIN documents d ON e.dst = d.doc_id),
+       |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM we GROUP BY 1),
+       |eo AS (SELECT we.src, we.dst, we.w, od.od FROM we JOIN od USING (src)),
+       |r0 AS (SELECT doc_id AS node, CAST($PrScale AS BIGINT) AS pr FROM documents),
+       |$iters
+       |SELECT node AS doc_id, pr AS wpr FROM r$PrIters""".stripMargin
+  }
+
   /** q235: LINK PREDICTION on the overlap graph — candidate edges the
     * graph does NOT have, ranked by common-neighbor count: for every
     * non-adjacent pair (u, v) sharing ≥ ${cfg.linkMinCommon} neighbors,

@@ -923,6 +923,82 @@ class SketchOps(val cfg: GraftConfig) {
        |FROM u""".stripMargin
   }
 
+  /** q252: ROLLING DISTINCT USERS from TIME-MERGED HLL REGISTERS — the
+    * cardinality twin of q245's rolling quantile: each day sketches its
+    * active users ONCE (16^$CmHexChars registers), and any trailing
+    * ${cfg.rollingQuantileDays}-day distinct-user count is answered by
+    * element-MAX merging the window's register sets — max-merge is
+    * union, and union across TIME is exactly what a DAU/WAU/MAU
+    * dashboard needs (the same artifact serves every window length;
+    * distinct counts do NOT sum across days, which is why naive daily
+    * rollups cannot answer this). Engine-exact estimates via the q224
+    * split-integer-sum chain, exact trailing distinct beside them with
+    * rel_err, `present` exposing the regime (q248's discipline).
+    *
+    * Scale: per-day registers are one map-combinable pass; the
+    * time-merge operates on days × m rows of metadata; the exact side
+    * (the eval) re-expands the corpus per window — the cost the
+    * register artifact eliminates. */
+  def q252RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val W = cfg.rollingQuantileDays
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id").cast("string").as("token"))
+    val days = ev.select("day").distinct()
+    val daily = hllRegisterAgg(ev, Seq("day"))
+    val merged = daily
+      .withColumn("target_day", explode(sequence(col("day"), col("day") + (W - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"))
+      .groupBy("target_day", "bucket").agg(max(col("max_rho")).as("max_rho"))
+    val est = merged.groupBy("target_day").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("target_day"), col("present"), hllEstCol.as("est_users"))
+    val exact = ev
+      .withColumn("target_day", explode(sequence(col("day"), col("day") + (W - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"))
+      .select("target_day", "token").distinct()
+      .groupBy("target_day").agg(count(lit(1)).as("exact_users"))
+    est.join(exact, "target_day")
+      .select(col("target_day").as("day"), col("present"), col("est_users"),
+        col("exact_users"),
+        ((col("est_users") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double")).as("rel_err"))
+  }
+
+  def q252Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    val W = cfg.rollingQuantileDays
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |    CAST(user_id AS VARCHAR) AS token FROM events),
+       |days AS (SELECT DISTINCT day FROM ev),
+       |hashed AS (SELECT day, md5(token) AS h FROM ev),
+       |parts AS (SELECT day, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx FROM hashed),
+       |zs AS (SELECT day, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT day, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT day, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs),
+       |regs AS (SELECT day, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2),
+       |mg AS (SELECT t.day AS target_day, r.bucket, max(r.max_rho) AS max_rho
+       |  FROM regs r JOIN days t ON t.day BETWEEN r.day AND r.day + ${W - 1}
+       |  GROUP BY 1, 2),
+       |perz AS (SELECT target_day, $hllZSqlDuck
+       |  FROM mg GROUP BY target_day),
+       |est AS (SELECT target_day, present, $hllEstSqlDuck AS est_users FROM perz),
+       |exact AS (SELECT t.day AS target_day,
+       |    CAST(count(DISTINCT e.token) AS BIGINT) AS exact_users
+       |  FROM ev e JOIN days t ON t.day BETWEEN e.day AND e.day + ${W - 1}
+       |  GROUP BY 1)
+       |SELECT e2.target_day AS day, e2.present, e2.est_users, x.exact_users,
+       |  (e2.est_users - CAST(x.exact_users AS DOUBLE)) / CAST(x.exact_users AS DOUBLE)
+       |    AS rel_err
+       |FROM est e2 JOIN exact x USING (target_day)""".stripMargin
+  }
+
   /** q248: ONE-PASS NDV COLUMN PROFILE — the statistics collector
     * behind ANALYZE TABLE / CBO cardinalities, as a single scan: every
     * profiled lineitem column unpivots to (column, value) pairs

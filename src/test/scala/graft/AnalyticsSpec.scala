@@ -506,4 +506,23 @@ class AnalyticsSpec extends GraftSpec {
     val capped = new AnalyticsOps(GraftConfig(maxOverlapKeyDf = 0))
     assert(capped.q235LinkPredict(spark, sf).isEmpty)
   }
+
+  test("q251: unit weights reproduce q92 exactly; real weights move mass, not totals' scale") {
+    import graft.operators.GraphOps
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id").as("node"))
+    val e = GraphOps.q20OverlapEdges(spark, sf).select(col("src"), col("dst"))
+      .withColumn("w", lit(1L))
+    val base = lit(15L * Analytics.PrScale / 100)
+    def ranks(weighted: Option[String]) =
+      Analytics.prLoop(docs, e, _ => base, _ => lit(Analytics.PrScale), weighted)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(Some("w")) == ranks(None),
+      "w ≡ 1 must be the unweighted kernel, value for value")
+    val wpr = Analytics.q251WeightedPagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wpr.values.forall(_ >= 15L * Analytics.PrScale / 100),
+      "every node keeps at least the restart mass")
+    assert(wpr.nonEmpty && wpr.values.exists(_ > Analytics.PrScale),
+      "weighted flow concentrates above the uniform start somewhere")
+  }
 }

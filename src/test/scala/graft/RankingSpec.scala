@@ -376,6 +376,26 @@ class RankingSpec extends GraftSpec {
     got.foreach(t => assert(t._3 >= t._2, "CMS estimate must never undercount"))
   }
 
+  test("q252: max-merged trailing registers count the window's union of users exactly") {
+    import spark.implicits._
+    val ops = new graft.operators.SketchOps(GraftConfig(rollingQuantileDays = 2))
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("rolldau").toString
+    Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 11L, 2L), (4L, 11L, 3L))
+      .map { case (id, d, u) => (id, new java.sql.Timestamp(d * DayMs), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.q252RollingDistinct(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // day 10 sees {1,2}; day 11's trailing pair sees {1,2,3} — distinct
+    // users do NOT sum across days (2 + 2 ≠ 3), the merge must union
+    assert(got(10L)._2 == 2L && got(11L)._2 == 3L)
+    got.values.foreach { case (present, exact) =>
+      assert(present >= 1 && present <= exact,
+        "each user occupies at most one register")
+    }
+  }
+
   test("q248: NDV estimates land near exact for key columns; tiny columns are exposed, not hidden") {
     val got = Sketch.q248NdvProfile(spark, sf).collect()
       .map(r => r.getString(0) ->
