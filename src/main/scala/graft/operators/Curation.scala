@@ -1345,6 +1345,59 @@ class CurationOps(val cfg: GraftConfig) {
     head + rounds + sel
   }
 
+  /** q253: SHARD MANIFEST with RANDOM-ACCESS proof — the
+    * webdataset-style export artifact a training loader needs: docs
+    * pack into shards (q83's content-stable md5 sharding, same
+    * deterministic (h, doc_id) order) and the manifest records each
+    * doc's (shard, byte offset, length) inside the shard's
+    * newline-joined blob, so a loader can seek any single document
+    * without parsing the shard. The reconstruction gate rides IN the
+    * output: `ok` = substring(blob, offset+1, length) equals the
+    * original text, recomputed independently by BOTH engines — a
+    * manifest that can't reconstruct its corpus is a corrupt export,
+    * and an off-by-one in offset arithmetic fails every row after the
+    * first.
+    *
+    * Scale: the offset column is ONE per-shard window prefix-sum
+    * (q83's rule: never a global cumsum) and blobs assemble per shard
+    * with shard count growing with the corpus (packShardHexLen) —
+    * shard blob size is the bounded unit a loader maps anyway. */
+  def q253ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("shard", substring(col("h"), 1, cfg.packShardHexLen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val man = t.withColumn("offset", coalesce(sum(col("len") + 1L).over(w), lit(0L)))
+    val blobs = t.groupBy("shard")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(h, doc_id, text))), x -> x.text)"),
+        "\n").as("blob"))
+    man.join(blobs, "shard")
+      .select(col("doc_id"), col("shard"), col("offset"), col("len").as("length"),
+        (expr("substring(blob, CAST(offset + 1 AS INT), CAST(len AS INT))")
+          === col("text")).as("ok"))
+  }
+
+  def q253Sql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(len(text) AS BIGINT) AS l
+       |  FROM documents),
+       |s AS (SELECT *, substr(h, 1, ${cfg.packShardHexLen}) AS shard FROM t),
+       |man AS (SELECT doc_id, shard, text, l, h,
+       |    CAST(COALESCE(SUM(l + 1) OVER (PARTITION BY shard ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |  FROM s),
+       |blobs AS (SELECT shard, string_agg(text, chr(10) ORDER BY h, doc_id) AS blob
+       |  FROM s GROUP BY 1)
+       |SELECT m.doc_id, m.shard, m."offset", m.l AS length,
+       |  substr(b.blob, CAST(m."offset" + 1 AS BIGINT), m.l) = m.text AS ok
+       |FROM man m JOIN blobs b USING (shard)""".stripMargin
+
   /** q240: DETERMINISTIC NEGATIVE SAMPLING — ${cfg.negSlots} hash-drawn
     * negative documents per query document, the contrastive-pair
     * builder behind retrieval/embedding training data: negatives must

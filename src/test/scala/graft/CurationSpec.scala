@@ -519,6 +519,26 @@ class CurationSpec extends GraftSpec {
     assert(run() == got, "hash-drawn pairs are a pure function of the corpus")
   }
 
+  test("q253: offsets tile each shard exactly; reconstruction survives embedded newlines") {
+    val dir = docs(
+      1L -> "alpha beta",
+      2L -> "gamma",
+      3L -> "line one\nline two", // offsets are arithmetic, not parsing
+      4L -> "delta epsilon zeta")
+    val rows = graft.operators.Curation.q253ShardManifest(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 4 && rows.forall(_._4), "every doc must reconstruct")
+    rows.groupBy(_._1).values.foreach { shard =>
+      val sorted = shard.sortBy(_._2)
+      assert(sorted.head._2 == 0L, "first doc sits at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, o1, l1, _), (_, o2, _, _)) =>
+          assert(o2 == o1 + l1 + 1, "docs tile the blob with one separator char")
+        case _ =>
+      }
+    }
+  }
+
   test("q241: the ladder is monotone and the chosen level is the minimal k-anonymous rung") {
     val ops = new graft.operators.CurationOps(GraftConfig(kAnonK = 2, kAnonLenBin = 10))
     // lengths 5, 5, 35: level 0 bins {0,0,3} → min group 1; level 1 (bin
