@@ -472,4 +472,25 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("ShuffledHashJoin"),
       "q71's unique-per-w1 denominator must build a shuffled hash join")
   }
+
+  test("q234 heavy hitters: the probe pass is broadcast-only — no vocabulary shuffle") {
+    val p = plan("q234_heavy_hitters")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= graft.operators.Sketch.CmRows,
+      s"every salt row must probe via a broadcast join (found $bhj)")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join means occurrences shuffled on a sketch key")
+  }
+
+  test("q249 logical delete: the tombstone anti-join broadcasts (reads never shuffle)") {
+    val p = plan("q249_logical_delete")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the deletion-vector read must be scan + broadcast anti-join")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge anti-join would shuffle the full segment set per read")
+  }
+
+  test("q253 shard manifest: offsets from exactly one per-shard window, never a global cumsum") {
+    assert(windows(plan("q253_shard_manifest")) == 1)
+  }
 }
