@@ -466,6 +466,8 @@ case class GraftConfig(
     // percentile level served from the merged daily sketches
     rollingQuantileDays: Int = 3,
     rollingQuantileP: Int = 95,
+    // time-decayed scores (q254): one halving per this many days
+    decayHalfLifeDays: Long = 365L,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

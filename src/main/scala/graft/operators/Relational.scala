@@ -1177,6 +1177,49 @@ class RelationalOps(val cfg: GraftConfig) {
        |FROM pv, tot
        |WHERE vdec * ${cfg.valueShareDenom} > tdec""".stripMargin
 
+  /** q254: TIME-DECAYED SCORES, integer-exact — recency-weighted
+    * customer value (the leaderboard/churn-risk ranking signal) with
+    * exponential decay computed WITHOUT floats: each order contributes
+    * its cents shifted right by one bit per elapsed half-life
+    * (value·2^(−⌊age/HL⌋) as an exact integer right-shift of the
+    * cents), so a ranking re-run lands bit-identical anywhere — the
+    * float alternative (pow(0.5, age/HL)) diverges in final ulps right
+    * at rank boundaries. Piecewise-constant decay (steps at half-life
+    * boundaries) is the price of exactness, and for RANKING the
+    * monotone step function carries the same signal. The reference
+    * instant is the corpus max order day (one-row broadcast,
+    * deterministic — q185's rule: never wall-clock).
+    *
+    * Scale: one map-combinable per-customer aggregate over a scan
+    * projection; the shift is codegen'd per-row arithmetic (clamped at
+    * 62, beyond which the contribution is integer zero anyway). */
+  def q254DecayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val HL = cfg.decayHalfLifeDays
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v100"))
+    val anchor = o.agg(max(col("day")).as("d1"))
+    o.crossJoin(broadcast(anchor))
+      .withColumn("shift", least(expr(s"(d1 - day) div $HL"), lit(62L)))
+      .withColumn("dec",
+        expr("v100 div shiftleft(CAST(1 AS BIGINT), CAST(shift AS INT))"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("v100")).as("raw100"),
+        sum(col("dec")).as("decayed100"))
+  }
+
+  def q254Sql: String =
+    s"""WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v100 FROM orders),
+       |a AS (SELECT max(day) AS d1 FROM o)
+       |SELECT o_custkey, count(*) AS n_orders,
+       |  CAST(SUM(v100) AS BIGINT) AS raw100,
+       |  CAST(SUM(v100 // (CAST(1 AS BIGINT)
+       |    << CAST(least((a.d1 - o.day) // ${cfg.decayHalfLifeDays}, 62) AS INTEGER)))
+       |    AS BIGINT) AS decayed100
+       |FROM o, a GROUP BY o_custkey""".stripMargin
+
   /** q244: OUT-OF-FOLD TARGET ENCODING — the leakage-guarded
     * categorical encoder every tabular-ML pipeline needs: replace
     * `c_mktsegment` with the mean order value of the segment, computed

@@ -178,16 +178,22 @@ class TemporalOps(val cfg: GraftConfig) {
       .select("user_id", "h")
     val wp = Window.partitionBy("user_id").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy("user_id").orderBy("h")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the "next observed" bracket as a RUNNING frame over the REVERSED
+    // order, not [currentRow, unboundedFollowing): Spark's
+    // unbounded-FOLLOWING frame re-scans current→end for every row —
+    // O(span²) per user, measured 14.5 s warm at sf0.1 on ~720-hour
+    // grids; the reversed running frame is the O(span) incremental form
+    // (3.4 s). Costs a second sort on the same exchange.
+    val wn = Window.partitionBy("user_id").orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     span.join(hourly, Seq("user_id", "h"), "left")
       .select(col("user_id"), col("h"),
         col("sv").isNotNull.as("observed"),
         col("sv").cast("double").as("v"),
         last(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wp).as("ph"),
         last(col("sv"), ignoreNulls = true).over(wp).cast("double").as("pv"),
-        first(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wn).as("nh"),
-        first(col("sv"), ignoreNulls = true).over(wn).cast("double").as("nv"))
+        last(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wn).as("nh"),
+        last(col("sv"), ignoreNulls = true).over(wn).cast("double").as("nv"))
       .select(col("user_id"), col("h"), col("observed"),
         when(col("observed"), col("v"))
           .otherwise(col("pv") + (col("nv") - col("pv"))

@@ -707,4 +707,81 @@ object Layout {
       |  TRUE AS logical_equals_physical, TRUE AS segments_untouched
       |FROM events WHERE user_id % 37 <> 0
       |GROUP BY 1""".stripMargin
+
+  /** q255: INCREMENTAL ZONE-MAP MAINTENANCE — q230's manifest under
+    * appends, the metadata half of the incremental-lake story (q216
+    * skips clean data files; this skips clean METADATA): a batch of new
+    * files lands in the range-clustered layout, and the manifest
+    * updates by computing stats for ONLY the files it has never seen
+    * (path anti-filter) and unioning them in — the existing entries
+    * pass through byte-identical, never re-footer-probed. At 100 TB
+    * the nightly manifest refresh costs the day's appended files, not
+    * a million-file re-listing with stats recompute. The query then
+    * answers q230's pruned range aggregate THROUGH the incrementally
+    * maintained manifest — the oracle's flat-table recompute
+    * hash-verifies that maintained metadata plans reads as correctly
+    * as rebuilt metadata — and gates `stats_only_new` (the update
+    * touched exactly the fresh files) and `skipped_some` (pruning
+    * still engaged). */
+  def q255ZoneMapIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.GraftConfig.default
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val path = Scratch.dir("zminc_data", dir)
+    val manPath = Scratch.dir("zminc_manifest", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(path, manPath).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // day 1: the base corpus lands range-clustered; manifest v1 persists
+    li.filter(col("l_orderkey") % 10 =!= 0)
+      .repartitionByRange(cfg.zoneMapFiles, col("l_orderkey"))
+      .write.parquet(path)
+    import spark.implicits._
+    zoneMap(spark, path, "l_orderkey").toSeq.toDF("f", "lo", "hi", "n")
+      .write.parquet(manPath)
+    val v1 = spark.read.parquet(manPath).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // day 2: a batch appends; only ITS files get stats
+    li.filter(col("l_orderkey") % 10 === 0)
+      .repartitionByRange(2, col("l_orderkey"))
+      .write.mode("append").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // membership by file NAME (unique part-uuid), not full URI — listing
+    // and input_file_name render the scheme differently
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val known = v1.map(t => base(t._1)).toSet
+    val fresh = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(_.toString).filterNot(f => known(base(f))).sorted
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val v2 = v1 ++ freshStats
+    val statsOnlyNew = freshStats.map(t => base(t._1)).toSet ==
+      fresh.map(base).toSet && v2.take(v1.length).sameElements(v1)
+    val maxK = li.agg(max("l_orderkey")).head().getLong(0)
+    val (loK, hiK) = (maxK * 25 / 100, maxK * 45 / 100)
+    val sel = v2.filter { case (_, lo, hi, _) => hi >= loK && lo <= hiK }
+    val skippedSome = sel.length < v2.length
+    spark.read.parquet(sel.map(_._1): _*)
+      .filter(col("l_orderkey").between(loK, hiK))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"), lit(skippedSome).as("skipped_some"),
+        lit(statsOnlyNew).as("stats_only_new"))
+  }
+
+  def q255Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  TRUE AS skipped_some, TRUE AS stats_only_new
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN (SELECT (max(l_orderkey) * 25) // 100 FROM lineitem)
+      |                     AND (SELECT (max(l_orderkey) * 45) // 100 FROM lineitem)""".stripMargin
 }

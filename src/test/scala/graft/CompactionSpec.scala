@@ -185,4 +185,15 @@ class CompactionSpec extends GraftSpec {
     assert(rows.map(_.getLong(1)).sum == expect,
       "every tombstoned user's events vanish from the served aggregate")
   }
+
+  test("q255: the maintained manifest prunes like a rebuilt one; stats touch only the new files") {
+    import org.apache.spark.sql.functions._
+    val r = graft.sources.Layout.q255ZoneMapIncremental(spark, sf).head()
+    assert(r.getBoolean(2), "pruning must still skip files after the append")
+    assert(r.getBoolean(3), "the update must stat exactly the appended files, v1 untouched")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val maxK = li.agg(max("l_orderkey")).head().getLong(0)
+    val expect = li.filter(col("l_orderkey").between(maxK * 25 / 100, maxK * 45 / 100)).count()
+    assert(r.getLong(0) == expect, "the pruned read through maintained metadata loses nothing")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Relational, RelationalOps}
 import org.apache.spark.sql.functions.col
 
 class RelationalSpec extends GraftSpec {
@@ -368,5 +368,24 @@ class RelationalSpec extends GraftSpec {
     assert(got(2L) == Some(10.0), "A\\fold2 = (60-50)/(3-2)")
     assert(got(4L) == None, "B's only orders are cust 4's own fold — no evidence, NULL not 0")
     assert(got(3L) == Some(40.0), "an order-less fold still encodes from the full complement")
+  }
+
+  test("q254: one halving per elapsed half-life, integer-floor truncation, anchor at corpus max") {
+    import spark.implicits._
+    val ops = new RelationalOps(GraftConfig(decayHalfLifeDays = 10L))
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("decay").toString
+    Seq(
+      (1L, 1L, 20L, 100.00), // age 0  -> 10000
+      (2L, 1L, 10L, 100.00), // age 10 = exactly one half-life -> 5000
+      (3L, 1L, 0L, 100.00),  // age 20 -> 2500
+      (4L, 2L, 10L, 99.99))  // 9999 >> 1 floors to 4999
+      .map { case (k, c, d, p) => (k, c, new java.sql.Timestamp(d * DayMs), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = ops.q254DecayedScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 30000L, 17500L)))
+    assert(got(2L) == ((1L, 9999L, 4999L)), "truncation floors, both engines alike")
   }
 }
