@@ -351,13 +351,20 @@ class TemporalOps(val cfg: GraftConfig) {
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("ms"),
         when(col("event_type") === LeftType, 0).otherwise(1).as("tag"))
+    // the forward frame as a RUNNING frame over the REVERSED order —
+    // [currentRow, unboundedFollowing) re-scans to the partition end
+    // for every row (O(events²) per user: harmless on this corpus's
+    // ~50-event users, a hot key's death at scale; the q228 lesson).
+    // Reversed (ms, tag, id) DESC keeps the same winner: the running
+    // `last` non-null is the earliest-(ms, id) right at-or-after, and
+    // tag DESC puts the equal-ms right inside the left's prefix.
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ms"), col("tag"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ms").desc, col("tag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.select(col("user_id"), col("event_id"), col("ms"), col("tag"),
-        first(when(col("tag") === 1, col("event_id")), ignoreNulls = true)
+        last(when(col("tag") === 1, col("event_id")), ignoreNulls = true)
           .over(w).as("view_id"),
-        first(when(col("tag") === 1, col("ms")), ignoreNulls = true)
+        last(when(col("tag") === 1, col("ms")), ignoreNulls = true)
           .over(w).as("view_ms"))
       .filter(col("tag") === 0 && col("view_id").isNotNull)
       .select(col("event_id").as("purchase_id"), col("user_id"),
