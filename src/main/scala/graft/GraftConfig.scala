@@ -468,6 +468,10 @@ case class GraftConfig(
     rollingQuantileP: Int = 95,
     // time-decayed scores (q254): one halving per this many days
     decayHalfLifeDays: Long = 365L,
+    // pseudo-relevance feedback (q256): feedback-doc and expansion-term
+    // counts — both bound the driver round trip
+    prfFeedbackDocs: Int = 3,
+    prfExpandTerms: Int = 2,
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local

@@ -222,6 +222,107 @@ class RankingOps(val cfg: GraftConfig) {
        |FROM bmpool b FULL OUTER JOIN vecpool v ON b.doc_id = v.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT ${cfg.rrfTopK}""".stripMargin
   }
+
+  /** The micro-quantized per-(doc, term) BM25 score for a given term
+    * set — shared by q256's two rounds. Each term's saturation is ONE
+    * fixed IEEE chain over exact integers, then FLOORED to micro-units
+    * (q154's lm_score_micro idiom): integer micro-scores SUM
+    * order-free, which is what lets round 2 total over a
+    * DATA-DEPENDENT term set without a float-summation order problem
+    * (q110's fixed-order chain trick only works for literal term
+    * lists). */
+  private def bm25Micro(toks: DataFrame, dl: DataFrame, stats: DataFrame,
+      termSet: DataFrame): DataFrame =
+    toks.join(broadcast(termSet), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        expr(s"""CAST(floor(CAST(tf AS DOUBLE) * ($K1 + 1.0)
+                |  / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)) * 1000000)
+                |  AS BIGINT)""".stripMargin).as("m"))
+
+  /** q256: PSEUDO-RELEVANCE FEEDBACK expansion — the classic two-round
+    * retrieval loop (Rocchio/RM-style): round 1 ranks with the base
+    * query ($Terms), the top-${cfg.prfFeedbackDocs} docs are ASSUMED
+    * relevant, their ${cfg.prfExpandTerms} most frequent non-query
+    * terms join the query, and round 2 re-ranks with the expanded term
+    * set — recall through vocabulary the user never typed, the
+    * expansion half every serious retrieval stack runs beside q110's
+    * fusion half. Both rounds are full-corpus BM25 scans; the driver
+    * state between them is F doc ids + E terms (the BPE-trainer
+    * bounded-round-trip discipline).
+    *
+    * Determinism under a DATA-DEPENDENT term set: per-term scores
+    * quantize to integer micro-units BEFORE the per-doc total (floor
+    * of one fixed IEEE chain — q154's idiom), so the round-2 sum is
+    * order-free where q110's literal-chain trick cannot apply;
+    * feedback and expansion picks carry total tie orders. Output: the
+    * final top-${cfg.rrfPoolK} with expanded and base micro-scores
+    * side by side — rank movement IS the measured effect of the
+    * expansion (the eval rides in the result). */
+  def q256PrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val F = cfg.prfFeedbackDocs
+    val E = cfg.prfExpandTerms
+    val toks = tokens(spark, dir)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val baseTerms = Terms.toDF("token")
+    val s1 = bm25Micro(toks, dl, stats, baseTerms)
+      .groupBy("doc_id").agg(sum(col("m")).as("base_micro"))
+    val fb = s1.orderBy(col("base_micro").desc, col("doc_id")).limit(F)
+      .select("doc_id")
+    val exp = toks.join(broadcast(fb), "doc_id")
+      .filter(!col("token").isin(Terms: _*))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(E)
+      .select("token")
+    val s2 = bm25Micro(toks, dl, stats, baseTerms.unionAll(exp).distinct())
+      .groupBy("doc_id").agg(sum(col("m")).as("expanded_micro"))
+    val pool = s2.orderBy(col("expanded_micro").desc, col("doc_id"))
+      .limit(cfg.rrfPoolK)
+    pool
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("expanded_micro").desc, col("doc_id"))))
+      .join(s1, Seq("doc_id"), "left")
+      .select(col("rank"), col("doc_id"), col("expanded_micro"),
+        coalesce(col("base_micro"), lit(0L)).as("base_micro"))
+  }
+
+  def q256Sql: String = {
+    val score =
+      s"""CAST(floor(CAST(tf AS DOUBLE) * (CAST($K1 AS DOUBLE) + 1.0)
+         |    / (tf + CAST($K1 AS DOUBLE) * (1.0 - CAST($B AS DOUBLE)
+         |      + CAST($B AS DOUBLE) * dl / avgdl)) * 1000000) AS BIGINT)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, t AS token FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf1 AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN $termList GROUP BY 1, 2),
+       |s1 AS (SELECT tf1.doc_id, CAST(SUM($score) AS BIGINT) AS base_micro
+       |  FROM tf1 JOIN dl USING (doc_id) CROSS JOIN stats GROUP BY 1),
+       |fb AS (SELECT doc_id FROM s1 ORDER BY base_micro DESC, doc_id
+       |  LIMIT ${cfg.prfFeedbackDocs}),
+       |exp AS (SELECT token FROM toks JOIN fb USING (doc_id)
+       |  WHERE token NOT IN $termList
+       |  GROUP BY token ORDER BY count(*) DESC, token
+       |  LIMIT ${cfg.prfExpandTerms}),
+       |terms2 AS (SELECT DISTINCT token FROM
+       |  (SELECT unnest([${Terms.map(t => s"'$t'").mkString(", ")}]) AS token
+       |   UNION ALL SELECT token FROM exp)),
+       |tf2 AS (SELECT t.doc_id, t.token, count(*) AS tf
+       |  FROM toks t JOIN terms2 USING (token) GROUP BY 1, 2),
+       |s2 AS (SELECT tf2.doc_id, CAST(SUM($score) AS BIGINT) AS expanded_micro
+       |  FROM tf2 JOIN dl ON dl.doc_id = tf2.doc_id CROSS JOIN stats GROUP BY 1),
+       |pool AS (SELECT doc_id, expanded_micro FROM s2
+       |  ORDER BY expanded_micro DESC, doc_id LIMIT ${cfg.rrfPoolK})
+       |SELECT CAST(row_number() OVER (ORDER BY p.expanded_micro DESC, p.doc_id)
+       |    AS INTEGER) AS rank,
+       |  p.doc_id, p.expanded_micro, coalesce(s1.base_micro, 0) AS base_micro
+       |FROM pool p LEFT JOIN s1 USING (doc_id)""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

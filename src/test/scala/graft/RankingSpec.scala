@@ -376,6 +376,23 @@ class RankingSpec extends GraftSpec {
     got.foreach(t => assert(t._3 >= t._2, "CMS estimate must never undercount"))
   }
 
+  test("q256: expansion terms come from feedback docs and surface docs the base query missed") {
+    val ops = new graft.operators.RankingOps(GraftConfig(
+      bm25Terms = Seq("apple"), prfFeedbackDocs = 1, prfExpandTerms = 1, rrfPoolK = 10))
+    val dir = docs(
+      1L -> "apple banana banana",
+      2L -> "apple apple cherry", // strongest apple doc -> the feedback doc
+      3L -> "cherry cherry cherry") // invisible to the base query
+    val got = ops.q256PrfExpansion(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getInt(0), r.getLong(2), r.getLong(3)))).toMap
+    // expansion term = d2's top non-query token ("cherry") -> d3 enters
+    val (_, d3exp, d3base) = got(3L)
+    assert(d3base == 0L, "d3 never matched the base query")
+    assert(d3exp > 0L, "the expanded query must reach d3 — that's the recall gain")
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.map(_._1).toSeq.sorted == Seq(1, 2, 3), "dense distinct ranks")
+  }
+
   test("q252: max-merged trailing registers count the window's union of users exactly") {
     import spark.implicits._
     val ops = new graft.operators.SketchOps(GraftConfig(rollingQuantileDays = 2))
