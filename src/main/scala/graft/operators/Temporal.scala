@@ -333,6 +333,75 @@ class TemporalOps(val cfg: GraftConfig) {
        |FROM p LEFT JOIN best b ON b.purchase_id = p.event_id""".stripMargin
   }
 
+  /** q257: LINEAR MULTI-TOUCH attribution — q141's last-touch rule is
+    * one marketing model; the linear model splits each conversion's
+    * credit EQUALLY across every qualifying touch in the horizon, and
+    * the split is done in integer BASIS POINTS so credit conserves
+    * exactly: each touch takes 10000 div n, the LAST touch (max ms,
+    * then max event id — q141's tie rule) also takes the 10000 mod n
+    * remainder, and no-touch conversions credit a 'direct' channel in
+    * full — Σ total_bp ≡ 10000 × conversions BY CONSTRUCTION
+    * (spec-pinned; a float 1/n split leaks ulps and revenue
+    * accounting sums over this table). Output: per-channel credit
+    * totals, the budget-allocation table the marketing owner reads.
+    *
+    * Scale: the pair join is per-user (one user_id shuffle) with the
+    * horizon filter bounding fan-out to the window's activity (the
+    * q136 reasoning); the per-conversion count/rank windows partition
+    * on conversion id — bounded by that conversion's touches; the
+    * channel rollup is map-combinable. */
+  def q257LinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val chans = cfg.attributionChannels
+    val H = cfg.attributionHorizonMs
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+    val t = ev.filter(col("event_type").isin(chans: _*))
+      .select(col("user_id"), col("event_id").as("t_id"), col("ms").as("t_ms"),
+        col("event_type").as("ch"))
+    val p = ev.filter(col("event_type") === LeftType)
+      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"))
+    val pairs = p.join(t, Seq("user_id"))
+      .filter(col("t_ms") <= col("p_ms") && col("p_ms") - col("t_ms") <= H)
+    val wn = Window.partitionBy("p_id")
+    val wLast = Window.partitionBy("p_id").orderBy(col("t_ms").desc, col("t_id").desc)
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("rk", row_number().over(wLast))
+      .withColumn("bp", expr("10000 div n") +
+        when(col("rk") === 1, expr("10000 % n")).otherwise(lit(0L)))
+    val byChannel = credited.groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("bp")).as("total_bp"))
+    val direct = p.join(pairs.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        (count(lit(1)) * 10000L).as("total_bp"))
+      .select(lit("direct").as("channel"), col("n_credits"), col("total_bp"))
+    byChannel.unionByName(direct)
+  }
+
+  def q257Sql: String = {
+    val chans = cfg.attributionChannels.map(c => s"'$c'").mkString("(", ", ", ")")
+    val H = cfg.attributionHorizonMs
+    s"""WITH t AS (SELECT user_id, event_id AS t_id, epoch_ms(ts) AS t_ms,
+       |    event_type AS ch FROM events WHERE event_type IN $chans),
+       |p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms FROM events
+       |  WHERE event_type = '$LeftType'),
+       |pairs AS (SELECT p.p_id, t.t_id, t.ch, t.t_ms
+       |  FROM p JOIN t ON t.user_id = p.user_id
+       |    AND t.t_ms <= p.p_ms AND p.p_ms - t.t_ms <= $H),
+       |c AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY t_ms DESC, t_id DESC) AS rk
+       |  FROM pairs),
+       |cr AS (SELECT ch, 10000 // n
+       |    + CASE WHEN rk = 1 THEN 10000 % n ELSE 0 END AS bp FROM c),
+       |by_ch AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_credits,
+       |    CAST(SUM(bp) AS BIGINT) AS total_bp FROM cr GROUP BY 1),
+       |direct AS (SELECT 'direct' AS channel, CAST(count(*) AS BIGINT) AS n_credits,
+       |    CAST(count(*) * 10000 AS BIGINT) AS total_bp
+       |  FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.p_id = p.p_id))
+       |SELECT * FROM by_ch UNION ALL SELECT * FROM direct""".stripMargin
+  }
+
   /** q184: FORWARD as-of join — q85's direction twin (pandas
     * merge_asof direction='forward' / kdb aj on the reversed axis):
     * each $LeftType takes the EARLIEST $RightType at-or-after it per

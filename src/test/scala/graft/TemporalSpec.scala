@@ -198,6 +198,24 @@ class TemporalSpec extends GraftSpec {
       (2L, 10L, true, 1L)))
   }
 
+  test("q257: basis points conserve exactly; remainder goes to the last touch; no-touch is direct") {
+    val ops = new TemporalOps(GraftConfig(attributionHorizonMs = 100L))
+    val dir = events(
+      // user 1: two touches split 5000/5000
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 50L, "purchase"),
+      // user 2: three views -> 3333 + 3333 + 3334 (remainder to the last)
+      (4L, 2L, 0L, "view"), (5L, 2L, 1L, "view"), (6L, 2L, 2L, "view"),
+      (7L, 2L, 50L, "purchase"),
+      // user 3: the only touch is outside the 100 ms horizon -> direct
+      (8L, 3L, 10L, "view"), (9L, 3L, 500L, "purchase"))
+    val got = ops.q257LinearAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("view") == ((4L, 15000L)), s"got ${got("view")}")
+    assert(got("click") == ((1L, 5000L)))
+    assert(got("direct") == ((1L, 10000L)))
+    assert(got.values.map(_._2).sum == 3 * 10000L, "credit conserves to the basis point")
+  }
+
   test("q236: overlap counts are exact; touching endpoints overlap, point sessions count") {
     val ops = new TemporalOps(GraftConfig(sessionGapMs = 100))
     val dir = events(
