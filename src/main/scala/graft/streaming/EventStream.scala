@@ -576,4 +576,80 @@ object EventStream {
       |SELECT window_ms, event_type, n_stream, n_batch,
       |  n_batch - n_stream AS late_dropped
       |FROM b""".stripMargin
+
+  /** q258: CHECKPOINTED STREAM RESUME — the fault-tolerance contract
+    * every other streaming query here takes on faith, demonstrated:
+    * a file-sink pipeline with a durable checkpoint runs, STOPS, more
+    * data lands, and a SECOND query (same checkpoint, same sink)
+    * resumes — processing ONLY the unseen file (`resumed_only_new`,
+    * read from the second run's progress) and appending through the
+    * file sink's transactional _spark_metadata manifest, so the final
+    * read-back equals the batch recompute with no duplicate and no
+    * hole even though the pipeline died between batches. This is the
+    * property that lets a 100 TB ingest run as a restartable stream:
+    * offsets live in the checkpoint, commits live in the sink
+    * manifest, and the pair gives exactly-once across process
+    * lifetimes (q238 builds the same protocol by hand; this is the
+    * engine-native form).
+    *
+    * Scale: a passthrough append pipeline — no state store at all;
+    * the cost is the data once, whatever the restart count. */
+  def q258StreamResume(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val landing = graft.sources.Scratch.dir("resume_landing", dir)
+    val ckpt = graft.sources.Scratch.dir("resume_ckpt", dir)
+    val out = graft.sources.Scratch.dir("resume_out", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(landing, ckpt, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("b", substring(md5(col("event_id").cast("string")), 1, 2))
+    def land(df: DataFrame, n: Int, mtime: Long): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+      val before =
+        if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+          fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+        else Set.empty[org.apache.hadoop.fs.Path]
+      df.repartition(n).write.mode("append").parquet(landing)
+      fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+        .map(_.getPath).filterNot(before)
+        .filter(_.getName.startsWith("part-"))
+        .foreach(f => fs.setTimes(f, mtime, -1))
+    }
+    def run(): Long = {
+      val raw = spark.readStream
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, b STRING")
+        .option("pathGlobFilter", "part-*")
+        .parquet(landing)
+      val q = raw.select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    land(ev.filter(col("b") < graft.GraftConfig.default.splitTrainUpper).drop("b"), 2, 1000L)
+    run() // first life: drains batch 1, checkpoint survives the stop
+    val batch2 = ev.filter(col("b") >= graft.GraftConfig.default.splitTrainUpper).drop("b")
+    val n2 = batch2.count()
+    land(batch2, 1, 2000L)
+    val resumedRows = run() // second life: must pick up ONLY the new file
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+      .select(col("event_type"), col("n_events"), col("total_value"),
+        lit(resumedRows == n2).as("resumed_only_new"))
+  }
+
+  def q258Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+      |  TRUE AS resumed_only_new
+      |FROM events GROUP BY 1""".stripMargin
 }

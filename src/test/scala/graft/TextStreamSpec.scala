@@ -535,4 +535,14 @@ class TextStreamSpec extends GraftSpec {
     }
     assert(rows.exists(r => r.getLong(4) > 0), "the late slice must be visible in the audit")
   }
+
+  test("q258: the resumed query picks up only the new file; no duplicate, no hole across lives") {
+    val rows = EventStream.q258StreamResume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      "the second life must process exactly the file the first life never saw"))
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "file-sink manifest + checkpoint must give exactly-once across restarts")
+  }
 }
