@@ -719,6 +719,58 @@ class AnalyticsOps(val cfg: GraftConfig) {
        |  WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1)
        |SELECT t.lang, t.n AS n_docs, med.median_chars, mad.mad_chars
        |FROM tot t JOIN med ON t.lang = med.lang JOIN mad ON t.lang = mad.lang""".stripMargin
+  /** q260: WEIGHTED personalized PageRank — the fourth cell of the
+    * prLoop matrix ({global, personalized} × {unweighted, weighted}):
+    * q213's seed-concentrated restart vector with q251's
+    * weight-proportional mass splitting — proximity TO THE SEEDS,
+    * measured through overlap STRENGTH: the ranking signal for
+    * "documents strongly connected to this contamination/query set",
+    * where q213 would count a chain of trivial 1-char overlaps the
+    * same as a chain of near-duplicates. Same kernel, same integer
+    * discipline, zero new loop code — the parameterization IS the
+    * point (one fixed-point implementation serves all four models
+    * plus TextRank). */
+  def q260WeightedPpr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    val we = GraphOps.edges2(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("nc")),
+        col("dst") === col("doc_id"))
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), col("nc") - length(col("okey")).cast("long")).as("w"))
+    val seedBase = lit(15L * PrScale / 100)
+    prLoop(docs, we,
+      n => when(n % cfg.bfsSeedMod === 0, seedBase).otherwise(lit(0L)),
+      n => when(n % cfg.bfsSeedMod === 0, lit(PrScale)).otherwise(lit(0L)),
+      Some("w"))
+      .select(col("node").as("doc_id"), col("pr").as("wppr"))
+  }
+
+  def q260Sql: String = {
+    val seed = s"node % ${cfg.bfsSeedMod} = 0"
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT eo.dst AS node,
+         |    CAST(SUM((r${i - 1}.pr * eo.w) // eo.od) AS BIGINT) AS s
+         |  FROM eo JOIN r${i - 1} ON r${i - 1}.node = eo.src GROUP BY 1),
+         |r$i AS (SELECT d.node,
+         |    (CASE WHEN $seed THEN (15 * $PrScale) // 100 ELSE 0 END)
+         |      + (85 * COALESCE(c$i.s, 0)) // 100 AS pr
+         |  FROM (SELECT doc_id AS node FROM documents) d
+         |  LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH we AS (SELECT e.src, e.dst,
+       |    CAST(greatest(1, d.n_chars - len(e.okey)) AS BIGINT) AS w
+       |  FROM (${GraphOps.q20Sql}) e JOIN documents d ON e.dst = d.doc_id),
+       |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM we GROUP BY 1),
+       |eo AS (SELECT we.src, we.dst, we.w, od.od FROM we JOIN od USING (src)),
+       |r0 AS (SELECT doc_id AS node,
+       |    CASE WHEN doc_id % ${cfg.bfsSeedMod} = 0 THEN CAST($PrScale AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM documents),
+       |$iters
+       |SELECT node AS doc_id, pr AS wppr FROM r$PrIters""".stripMargin
+  }
+
   /** q251: WEIGHTED PageRank — q92 with the random walk following
     * OVERLAP STRENGTH instead of edge count: each node's out-mass
     * splits proportionally to edge weight (q208's extension-length

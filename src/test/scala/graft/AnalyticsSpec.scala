@@ -525,4 +525,28 @@ class AnalyticsSpec extends GraftSpec {
     assert(wpr.nonEmpty && wpr.values.exists(_ > Analytics.PrScale),
       "weighted flow concentrates above the uniform start somewhere")
   }
+
+  test("q260: seed restarts concentrate mass; unit weights reproduce q213 exactly") {
+    import graft.operators.GraphOps
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id").as("node"))
+    val e = GraphOps.q20OverlapEdges(spark, sf).select(col("src"), col("dst"))
+      .withColumn("w", lit(1L))
+    val seedBase = lit(15L * Analytics.PrScale / 100)
+    def seeded(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.when(c % Analytics.cfg.bfsSeedMod === 0, seedBase)
+        .otherwise(lit(0L))
+    def start(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.when(c % Analytics.cfg.bfsSeedMod === 0,
+        lit(Analytics.PrScale)).otherwise(lit(0L))
+    val unit = Analytics.prLoop(docs, e, seeded, start, Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Analytics.q213Ppr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit == plain, "w ≡ 1 personalized must equal q213 value for value")
+    val wppr = Analytics.q260WeightedPpr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wppr.keySet == plain.keySet)
+    assert(wppr.exists { case (n, p) => n % Analytics.cfg.bfsSeedMod != 0 && p > 0 },
+      "mass must flow off the seeds somewhere")
+  }
 }
