@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally flows through sbt's logger, which prefixes
+// every stdout line with "[info] " — that prefix is why the driver's
+// json.loads of Bench's headline line failed every round (BENCH_r*.json
+// `parsed: null`). StdoutOutput passes the child's stdout/stderr through
+// verbatim, so the ONE JSON line Bench prints is a bare parseable line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -157,8 +157,9 @@ class BehavioralOps(val cfg: GraftConfig) {
        |    LATERAL (SELECT unnest(generate_series(0, 23)) AS hod) hh),
        |filled AS (SELECT g.event_type, g.day, g.hod, coalesce(c.cnt, 0) AS cnt
        |  FROM grid g LEFT JOIN cells c USING (event_type, day, hod)),
-       |st AS (SELECT event_type, hod, count(*) AS n_cells, sum(cnt) AS sum_cnt,
-       |    sum(cnt * cnt) AS q FROM filled GROUP BY 1, 2)
+       |st AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS q FROM filled GROUP BY 1, 2)
        |SELECT f.event_type, f.day, f.hod, f.cnt, st.n_cells, st.sum_cnt
        |FROM filled f JOIN st USING (event_type, hod)
        |WHERE st.n_cells * f.cnt - st.sum_cnt > 0
