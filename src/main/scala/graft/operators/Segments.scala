@@ -154,8 +154,27 @@ class SegmentOps(val cfg: GraftConfig) {
     * reused exchange; full posting lists would shard by
     * (term, doc-range) — a head index is the only form with a bounded
     * per-key row. */
-  def q102InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
+  def q102InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    indexOf(Tables.documents(spark, dir))
+      .select(col("token"), col("df"), col("cf"),
+        concat_ws(",", col("heads")).as("postings_head"))
+
+  def q102Sql: String =
+    s"""SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf,
+       |  array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[:$Cap], ',') AS postings_head
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |WHERE token <> ''
+       |GROUP BY token""".stripMargin
+
+  // ---------- Incremental index maintenance (q263) ----------
+
+  /** Shared index kernel over any document set: per token, (df, cf,
+    * heads) with heads the first ≤$Cap posting doc ids ascending as an
+    * ARRAY — the mergeable form (q102 renders it as the comma string).
+    * Same WindowGroupLimit-friendly shape as before the q263 refactor:
+    * no aggregation buffer ever holds a full posting list. */
+  private def indexOf(docs: DataFrame): DataFrame = {
+    val perDoc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token", "doc_id").agg(count(lit(1)).as("n"))
@@ -167,17 +186,68 @@ class SegmentOps(val cfg: GraftConfig) {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= Cap)
       .groupBy("token")
-      .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
-        .as("postings_head"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("heads"))
     stats.join(head, "token")
   }
 
-  def q102Sql: String =
-    s"""SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf,
-       |  array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[:$Cap], ',') AS postings_head
-       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-       |WHERE token <> ''
-       |GROUP BY token""".stripMargin
+  /** Persisted BASE-split index artifact (the q242/q210 build-if-absent
+    * lifecycle: built once over the train split, every later run
+    * loads). The path carries BOTH knobs that shape the artifact's
+    * content — the posting cap and the split boundary — so a
+    * reconfigured instance can never silently reuse a stale index (the
+    * round-11 advice on config-keyed artifacts). */
+  private[graft] def persistedBaseIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.dir(
+      s"inv_idx_cap${Cap}_u${cfg.splitTrainUpper}", dir)
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val base = Tables.documents(spark, dir).filter(
+        substring(md5(col("doc_id").cast("string")), 1, 2) < cfg.splitTrainUpper)
+      indexOf(base).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** q263: INCREMENTAL inverted-index maintenance — the q188/q242 delta
+    * discipline applied to q102's postings and q90's df stats (the
+    * round-11 verdict's #3): the base split's index is a PERSISTED
+    * artifact; only the delta split's documents are scanned and
+    * indexed, then the two indexes merge per token — df/cf add (the
+    * splits are disjoint by construction) and the posting heads merge
+    * by sorted-union-then-recap, which is EXACT: every id in the true
+    * top-$Cap of base∪delta is in its own split's top-$Cap, so the
+    * union of the two heads contains the rebuilt head. The oracle
+    * rebuilds from scratch over the full corpus, so merged ≡ rebuilt is
+    * re-proven end-to-end every round.
+    *
+    * Scale: nightly cost ∝ |delta| (one delta scan + one token-keyed
+    * merge join against the loaded artifact); the base corpus is never
+    * re-tokenized. PlanSpec pins the delta-only shape (exactly one
+    * documents scan once the artifact exists). */
+  def q263IndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    val base = persistedBaseIndex(spark, dir)
+      .select(col("token"), col("df").as("bdf"), col("cf").as("bcf"),
+        col("heads").as("bh"))
+    val deltaDocs = Tables.documents(spark, dir).filter(
+      substring(md5(col("doc_id").cast("string")), 1, 2) >= cfg.splitTrainUpper)
+    val delta = indexOf(deltaDocs)
+      .select(col("token"), col("df").as("ddf"), col("cf").as("dcf"),
+        col("heads").as("dh"))
+    val noIds = expr("CAST(array() AS ARRAY<BIGINT>)")
+    base.join(delta, Seq("token"), "full")
+      .select(col("token"),
+        (coalesce(col("bdf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
+        (coalesce(col("bcf"), lit(0L)) + coalesce(col("dcf"), lit(0L))).as("cf"),
+        concat_ws(",", slice(array_sort(concat(
+          coalesce(col("bh"), noIds), coalesce(col("dh"), noIds))), 1, Cap))
+          .as("postings_head"))
+  }
+
+  /** The oracle is the FULL REBUILD (q102's SQL verbatim): equality of
+    * the artifact-plus-delta merge against a from-scratch index is the
+    * incremental-correctness proof, checked by the driver every round. */
+  def q263Sql: String = q102Sql
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

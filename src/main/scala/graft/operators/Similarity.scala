@@ -1665,10 +1665,12 @@ class SimilarityOps(val cfg: GraftConfig) {
         (col("n_hit").cast("double") / lit(TopK.toDouble)).as("recall"))
   }
 
-  def q223Sql: String = {
-    val codeJoins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
-    val codeCols = (1 to PqM).map(s => s"f$s.cell AS c$s").mkString(", ")
-    val lutCtes = (1 to PqM).map { s =>
+  /** Per-subspace ADC lookup-table CTEs (lut1..lut$PqM): each query's
+    * slice against every trained codeword of that subspace, exact
+    * fixed-point L2. Shared by q223 (full-corpus ADC) and q261/q262
+    * (cell-restricted ADC). */
+  private def pqLutCtes: String =
+    (1 to PqM).map { s =>
       s"""qs$s AS (SELECT vec_id AS query_id, ${pqSubSqlDuck(s, "embedding")} AS qs
          |  FROM embeddings WHERE vec_id < $NumQueries),
          |lut${s}_ex AS (SELECT q.query_id, c.cent_id,
@@ -1680,6 +1682,11 @@ class SimilarityOps(val cfg: GraftConfig) {
          |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
          |  FROM lut${s}_ex GROUP BY query_id, cent_id)""".stripMargin
     }.mkString(",\n")
+
+  def q223Sql: String = {
+    val codeJoins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val codeCols = (1 to PqM).map(s => s"f$s.cell AS c$s").mkString(", ")
+    val lutCtes = pqLutCtes
     val lutJoins = (1 to PqM).map(s =>
       s"JOIN lut$s l$s ON l$s.query_id = q.query_id AND l$s.cent_id = x.c$s")
       .mkString("\n|  ")
@@ -1712,6 +1719,149 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
   }
+
+  // ---------- IVF-PQ serving path (q261/q262) ----------
+
+  /** Shared IVF-PQ candidate scorer: queries probe their $ivfNprobe
+    * nearest IVF cells (the q41 trained index) and every corpus vector
+    * in a probed cell is scored by ASYMMETRIC DISTANCE (ADC) over the
+    * persisted PQ codebook — the query stays unquantized, the corpus
+    * contributes only its $PqM-byte code. This is the composition q41
+    * and q222 each half-provide: IVF bounds WHICH vectors get scored,
+    * PQ bounds WHAT scoring a candidate costs.
+    *
+    * Scale: the two index artifacts (centroids, codebook) broadcast;
+    * cell assignment and PQ encode are zero-shuffle corpus scans; the
+    * candidate join fans the tiny probed-query side across cells, so
+    * per-query work is Σ|probed cell| code lookups — never a full-space
+    * float dot. At serving scale the codes table is the only corpus
+    * state in memory (m small ints + a cell id per vector). */
+  private def ivfPqScored(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val cb = persistedPqCodebook(spark, dir)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val assigned = assign(e, cents).select(col("vec_id"), col("cell"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val probes = probeCells(qv, cents, cfg.ivfNprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // every corpus vector lives in exactly one cell → no dedup needed
+    val cand = broadcast(probes).join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val codes = pqEncodeWith(e.select("vec_id", "embedding"), cb)
+    val luts = (1 to PqM).map { s =>
+      broadcast(qv.select(col("vec_id").as("query_id"), expr(subExpr(s)).as("qs"))
+        .withColumn("qn2s", expr("vec_dot_fixed(qs, qs)"))
+        .crossJoin(broadcast(cb.filter(col("sub_id") === s)))
+        .select(col("query_id"), col("cent_id").as(s"c$s"),
+          (col("qn2s") + expr("vec_dot_fixed(ce, ce)")
+            - lit(2L) * expr("vec_dot_fixed(qs, ce)")).as(s"d$s")))
+    }
+    val withCodes = cand.join(codes, "vec_id")
+    luts.zipWithIndex.foldLeft(withCodes) { case (acc, (lut, i)) =>
+      acc.join(lut, Seq("query_id", s"c${i + 1}"))
+    }.select(col("query_id"), col("vec_id"),
+      (1 to PqM).map(s => col(s"d$s")).reduce(_ + _).as("ad2"))
+  }
+
+  /** q261: IVF-PQ SEARCH — the production ANN serving shape (the
+    * round-11 verdict's #2): per query, top-$IvfTopK candidates from
+    * its $ivfNprobe probed cells ranked by exact-integer ADC distance
+    * (ties to vec_id). ad2 is BIGINT fixed-point arithmetic end to end,
+    * so both engines rank bitwise-identically. Recall loss (cell
+    * restriction × code compression) is MEASURED by q262 — the
+    * approximation-ships-with-its-eval rule. */
+  def q261IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("ad2"), col("vec_id"))
+    ivfPqScored(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select("query_id", "vec_id", "rk", "ad2")
+  }
+
+  /** Shared oracle preamble for q261/q262: IVF training (→ av, af_dots)
+    * + PQ training (→ f1..fM, c{s}_$PqIters) + cosine cell probing +
+    * ADC scoring of the probed cells, ending at `adtop`. */
+  private def ivfPqCtes: String = {
+    val codeJoins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val codeCols = (1 to PqM).map(s => s"f$s.cell AS c$s").mkString(", ")
+    val lutJoins = (1 to PqM).map(s =>
+      s"JOIN lut$s l$s ON l$s.query_id = c.query_id AND l$s.cent_id = x.c$s")
+      .mkString("\n|  ")
+    val adSum = (1 to PqM).map(s => s"l$s.d2").mkString(" + ")
+    s"""$trainedAssignCtes,
+       |$pqTrainCtes,
+       |codesj AS (SELECT f1.vec_id, $codeCols FROM f1 $codeJoins),
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries)
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |cand AS (SELECT q.query_id, av.vec_id FROM qprobe q
+       |  JOIN av ON av.cell = q.cell AND av.vec_id <> q.query_id),
+       |$pqLutCtes,
+       |adx AS (SELECT c.query_id, c.vec_id, $adSum AS ad2
+       |  FROM cand c JOIN codesj x USING (vec_id)
+       |  $lutJoins),
+       |adtop AS (SELECT query_id, vec_id, rk, ad2 FROM (
+       |    SELECT query_id, vec_id, ad2,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad2, vec_id) AS rk
+       |    FROM adx) WHERE rk <= $IvfTopK)""".stripMargin
+  }
+
+  def q261Sql: String =
+    s"""$ivfPqCtes
+       |SELECT query_id, vec_id, rk, ad2 FROM adtop""".stripMargin
+
+  /** q262: IVF-PQ RECALL — q261's measured answer: per query,
+    * |ADC-in-probed-cells top-$IvfTopK ∩ exact full-space L2
+    * top-$IvfTopK| / $IvfTopK. Unlike q223 (PQ loss alone, full-corpus
+    * ADC), this number carries BOTH loss terms of the serving stack —
+    * cells the probe never visited and codewords that re-rank inside a
+    * cell — which is the only recall that matters to a caller of q261.
+    * Same L2 metric on both sides (the q215 lesson). Scale: the eval
+    * join is queries × k rows; the cost is the two searches it audits. */
+  def q262IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir)
+      .withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val truth = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= IvfTopK)
+      .select("query_id", "vec_id")
+    val approx = q261IvfPqSearch(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(IvfTopK.toDouble)).as("recall"))
+  }
+
+  def q262Sql: String =
+    s"""$ivfPqCtes,
+       |tr_ex AS (SELECT q.vec_id AS qid, e2.vec_id AS xid,
+       |    unnest(q.embedding) AS a, unnest(e2.embedding) AS b
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q, embeddings e2
+       |  WHERE e2.vec_id <> q.vec_id),
+       |tr_d AS (SELECT qid, xid,
+       |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+       |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+       |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+       |  FROM tr_ex GROUP BY qid, xid),
+       |truth AS (SELECT qid AS query_id, xid AS vec_id FROM (
+       |    SELECT qid, xid, row_number() OVER (PARTITION BY qid ORDER BY d2, xid) AS rk
+       |    FROM tr_d) WHERE rk <= $IvfTopK)
+       |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN adtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
 
   // ---------- Per-source centroid drift (q229) ----------
 

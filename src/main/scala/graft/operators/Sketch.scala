@@ -840,6 +840,126 @@ class SketchOps(val cfg: GraftConfig) {
        |JOIN per pb ON pb.source = u.src_b
        |LEFT JOIN exact e ON e.src_a = u.src_a AND e.src_b = u.src_b""".stripMargin
 
+  // ---------- Three-way HLL set algebra (q264) ----------
+
+  /** q264: THREE-WAY overlap by HLL set algebra — q224's
+    * inclusion–exclusion extended one rank (the round-11 verdict's #4):
+    * |train ∩ val ∩ test| of distinct tokens estimated as
+    * ΣE(g) − ΣE(g∪h) + E(train∪val∪test), every union one more
+    * register-max merge over the SAME three fixed-size sketches. This
+    * is the real contamination-triage question (which eval tokens leak
+    * through train AND the held-out crawl), answered without any split
+    * ever joining another. Ships with the exact eval and rel_err
+    * (the rule), and the per-split `present` columns expose the
+    * below-regime case exactly like q224.
+    *
+    * Scale: one corpus token scan into three 16^$CmHexChars-register
+    * sketches; all seven estimates read from those registers — the
+    * exact side (vocabulary-bounded distinct aggregate) is the cost
+    * the sketch path replaces. Estimates are engine-exact: integer
+    * register sums read through one fixed float chain ([[hllZAgg]]). */
+  def q264HllTriple(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val toks = Tables.documents(spark, dir)
+      .select(when(b < cfg.splitTrainUpper, "train")
+          .when(b < cfg.splitValUpper, "val").otherwise("test").as("grp"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val regs = hllRegisterAgg(toks, Seq("grp"))
+    // one-row pivot of the three per-split estimates + regime exposure
+    val per = regs.groupBy("grp").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("grp"), col("present"), hllEstCol.as("est"))
+      .groupBy()
+      .agg(
+        max(when(col("grp") === "train", col("present"))).as("present_train"),
+        max(when(col("grp") === "val", col("present"))).as("present_val"),
+        max(when(col("grp") === "test", col("present"))).as("present_test"),
+        max(when(col("grp") === "train", col("est"))).as("est_train"),
+        max(when(col("grp") === "val", col("est"))).as("est_val"),
+        max(when(col("grp") === "test", col("est"))).as("est_test"))
+    def uniEst(gs: Seq[String], name: String): DataFrame =
+      regs.filter(col("grp").isin(gs: _*))
+        .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+        .agg(hllZAgg.head, hllZAgg.tail: _*)
+        .select(hllEstCol.as(name))
+    val dt = toks.distinct()
+    val exact = dt.groupBy("token")
+      .agg(countDistinct(col("grp")).as("ng"))
+      .agg(sum(when(col("ng") === 3, 1L).otherwise(0L)).as("exact_overlap3"))
+    per
+      .crossJoin(uniEst(Seq("train", "val"), "est_union_trainval"))
+      .crossJoin(uniEst(Seq("train", "test"), "est_union_traintest"))
+      .crossJoin(uniEst(Seq("val", "test"), "est_union_valtest"))
+      .crossJoin(uniEst(Seq("train", "val", "test"), "est_union_all"))
+      .crossJoin(exact)
+      .withColumn("est_overlap3",
+        col("est_train") + col("est_val") + col("est_test")
+          - col("est_union_trainval") - col("est_union_traintest")
+          - col("est_union_valtest") + col("est_union_all"))
+      .withColumn("rel_err",
+        when(col("exact_overlap3") > 0,
+          (col("est_overlap3") - col("exact_overlap3").cast("double"))
+            / col("exact_overlap3").cast("double")))
+  }
+
+  def q264Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    def uni(grps: String, out: String): String =
+      s"""${out}_r AS (SELECT bucket, max(max_rho) AS max_rho FROM regs
+         |  WHERE grp IN ($grps) GROUP BY bucket),
+         |${out}_z AS (SELECT $hllZSqlDuck FROM ${out}_r),
+         |$out AS (SELECT $hllEstSqlDuck AS est FROM ${out}_z)""".stripMargin
+    s"""WITH toks AS (SELECT
+       |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitTrainUpper}' THEN 'train'
+       |      WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '${cfg.splitValUpper}' THEN 'val'
+       |      ELSE 'test' END AS grp, t AS token
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |hashed AS (SELECT grp, md5(token) AS h FROM toks),
+       |parts AS (SELECT grp, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx FROM hashed),
+       |zs AS (SELECT grp, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT grp, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT grp, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs),
+       |regs AS (SELECT grp, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2),
+       |perz AS (SELECT grp, $hllZSqlDuck FROM regs GROUP BY grp),
+       |per AS (SELECT grp, present, $hllEstSqlDuck AS est FROM perz),
+       |pv AS (SELECT
+       |    max(CASE WHEN grp = 'train' THEN present END) AS present_train,
+       |    max(CASE WHEN grp = 'val' THEN present END) AS present_val,
+       |    max(CASE WHEN grp = 'test' THEN present END) AS present_test,
+       |    max(CASE WHEN grp = 'train' THEN est END) AS est_train,
+       |    max(CASE WHEN grp = 'val' THEN est END) AS est_val,
+       |    max(CASE WHEN grp = 'test' THEN est END) AS est_test
+       |  FROM per),
+       |${uni("'train', 'val'", "utv")},
+       |${uni("'train', 'test'", "utt")},
+       |${uni("'val', 'test'", "uvt")},
+       |${uni("'train', 'val', 'test'", "uall")},
+       |dt AS (SELECT DISTINCT grp, token FROM toks),
+       |ex AS (SELECT CAST(SUM(CASE WHEN ng = 3 THEN 1 ELSE 0 END) AS BIGINT) AS exact_overlap3
+       |  FROM (SELECT token, count(DISTINCT grp) AS ng FROM dt GROUP BY token))
+       |SELECT pv.present_train, pv.present_val, pv.present_test,
+       |  pv.est_train, pv.est_val, pv.est_test,
+       |  utv.est AS est_union_trainval, utt.est AS est_union_traintest,
+       |  uvt.est AS est_union_valtest, uall.est AS est_union_all,
+       |  pv.est_train + pv.est_val + pv.est_test
+       |    - utv.est - utt.est - uvt.est + uall.est AS est_overlap3,
+       |  ex.exact_overlap3,
+       |  CASE WHEN ex.exact_overlap3 > 0
+       |    THEN (pv.est_train + pv.est_val + pv.est_test
+       |      - utv.est - utt.est - uvt.est + uall.est
+       |      - CAST(ex.exact_overlap3 AS DOUBLE)) / CAST(ex.exact_overlap3 AS DOUBLE)
+       |  END AS rel_err
+       |FROM pv, utv, utt, uvt, uall, ex""".stripMargin
+  }
+
   // ---------- CMS inner product: join-size estimation (q225) ----------
 
   /** q225: JOIN CARDINALITY estimation by Count-Min INNER PRODUCT —

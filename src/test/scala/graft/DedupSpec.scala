@@ -357,6 +357,48 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("q261/q262: exact codebook + all cells probed gives ADC = exact ranking, recall 1") {
+    // Same construction as the q222/q223 exact test (each distinct
+    // vector is its own codeword), plus an IVF index whose every cell
+    // is probed (nprobe = centroids): the candidate set is the full
+    // corpus minus self, ADC distances are exact, so the IVF-PQ top-k
+    // IS the exact top-k and q262's recall must be exactly 1.
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      pqSubspaces = 2, pqCodewords = 8, pqIters = 1,
+      annQueries = 3, annTopK = 2,
+      ivfCentroids = 2, ivfNprobe = 2, ivfTopK = 2, kmeansIters = 1))
+    val res = ops.q261IvfPqSearch(spark, dir).collect()
+    assert(res.map(_.getAs[Long]("query_id")).distinct.length == 3)
+    res.foreach { r =>
+      val rk = r.getAs[Int]("rk")
+      assert(rk >= 1 && rk <= 2)
+      assert(r.getAs[Long]("ad2") >= 0L, "exact-integer ADC distance is non-negative")
+    }
+    ops.q262IvfPqRecall(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"query ${r.getAs[Long]("query_id")}: all-cells probe + exact codebook must give recall 1")
+    }
+  }
+
+  test("q261/q262 real corpus: ranks bounded, recall in [0,1], one row per query in the eval") {
+    val k = Similarity.IvfTopK
+    val res = Similarity.q261IvfPqSearch(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.head == 1 && rks.last <= k && rks.distinct.length == rks.length)
+    }
+    val ev = Similarity.q262IvfPqRecall(spark, sf).collect()
+    assert(ev.length == Similarity.NumQueries)
+    ev.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") == math.round(rec * k))
+    }
+  }
+
   test("q229: Chebyshev drift against the corpus mean matches hand arithmetic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("drift").toString

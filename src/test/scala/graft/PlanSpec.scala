@@ -236,6 +236,26 @@ class PlanSpec extends GraftSpec {
       "q210's apply must be ONE corpus scan")
   }
 
+  test("q263 incremental index: one documents scan (delta) once the artifact exists") {
+    // warm the artifact, then pin the delta-only cost shape on the
+    // FINALIZED adaptive plan (the stats/head branches share the delta
+    // pair exchange only via runtime ReusedExchange): exactly ONE scan
+    // of documents.parquet (the delta split) may execute, and the base
+    // side must come from the persisted artifact.
+    SparkEntry.queries("q263_index_delta")(spark, sf).write
+      .format("noop").mode("overwrite").save()
+    val df = SparkEntry.queries("q263_index_delta")(spark, sf)
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"q263 must scan documents once (delta only) — base must load from the artifact\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Scan parquet") && l.contains("inv_idx_cap")),
+      s"q263's base side must be the persisted index artifact\n$p")
+  }
+
   test("q213 PPR plans exactly like q92 — seed personalization adds no join") {
     // the restart vector is a CASE expression over the node id, never a
     // seed-table join: the personalized variant must cost what global

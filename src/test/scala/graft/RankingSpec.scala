@@ -187,6 +187,55 @@ class RankingSpec extends GraftSpec {
     }
   }
 
+  test("q264: identical split vocabularies collapse every union to the single estimate") {
+    // pick doc ids landing in each md5 split bucket and give them the
+    // SAME text: every union's register set equals every single's, so
+    // est_union_* == est_train == est_val == est_test and the
+    // inclusion–exclusion algebra collapses to est_overlap3 == est_train
+    import spark.implicits._
+    val cfg = GraftConfig.default
+    def grp(id: Long): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (b < cfg.splitTrainUpper) "train"
+      else if (b < cfg.splitValUpper) "val" else "test"
+    }
+    val ids = (0L until 512L).toList
+    val tr = ids.find(grp(_) == "train").get
+    val va = ids.find(grp(_) == "val").get
+    val te = ids.find(grp(_) == "test").get
+    val dir = java.nio.file.Files.createTempDirectory("hlltriple").toString
+    val text = (0 until 2000).map(i => s"w$i").mkString(" ")
+    Seq(tr, va, te).map(id => (id, text, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Sketch.q264HllTriple(spark, dir).collect().head
+    val e = r.getAs[Double]("est_train")
+    Seq("est_val", "est_test", "est_union_trainval", "est_union_traintest",
+      "est_union_valtest", "est_union_all").foreach(c =>
+      assert(r.getAs[Double](c) == e, s"$c must equal est_train"))
+    assert(math.abs(r.getAs[Double]("est_overlap3") - e) < 1e-6 * e)
+    assert(r.getAs[Long]("exact_overlap3") == 2000L)
+  }
+
+  test("q264 real corpus: structural sketch-algebra bounds on the one-row triple") {
+    val r = Sketch.q264HllTriple(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val singles = Seq("est_train", "est_val", "est_test").map(row.getAs[Double])
+    // every union's registers dominate each member's → union est ≥ member est
+    assert(row.getAs[Double]("est_union_trainval") >= math.max(singles(0), singles(1)))
+    assert(row.getAs[Double]("est_union_traintest") >= math.max(singles(0), singles(2)))
+    assert(row.getAs[Double]("est_union_valtest") >= math.max(singles(1), singles(2)))
+    Seq("est_union_trainval", "est_union_traintest", "est_union_valtest").foreach(c =>
+      assert(row.getAs[Double]("est_union_all") >= row.getAs[Double](c)))
+    assert(row.getAs[Long]("exact_overlap3") > 0L,
+      "sf corpus shares tokens across all three splits — the eval must not be vacuous")
+    Seq("present_train", "present_val", "present_test").foreach(c =>
+      assert(row.getAs[Long](c) >= 1L))
+  }
+
   test("q225: CMS inner product is exact on a collision-free key set and never underestimates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("joincard").toString

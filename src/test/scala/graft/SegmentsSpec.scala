@@ -78,4 +78,30 @@ class SegmentsSpec extends GraftSpec {
     val row = ops.q102InvertedIndex(spark, dir).filter(col("token") === "t").collect().head
     assert((row.getLong(1), row.getLong(2), row.getString(3)) == ((3L, 4L, "0,1")))
   }
+
+  test("q263: artifact-plus-delta merge equals the from-scratch rebuild (q102)") {
+    // On the real sf corpus both splits are non-empty; the merge must
+    // reproduce q102's full index EXACTLY — df, cf, and the re-capped
+    // posting head (the sorted-union-then-cap exactness argument).
+    val rebuilt = graft.operators.Segments.q102InvertedIndex(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val merged = graft.operators.Segments.q263IndexDelta(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(merged == rebuilt, "incremental index must equal the rebuild")
+  }
+
+  test("q263: reads the persisted base index, not a re-scan (doctored artifact shifts df)") {
+    val dir = docs(0L -> "t t", 1L -> "t u", 2L -> "v t")
+    val o = new SegmentOps(GraftConfig(postingsCap = 2))
+    o.q263IndexDelta(spark, dir).collect() // builds + persists the base index
+    val path = graft.sources.Scratch.dir(s"inv_idx_cap2_u${o.cfg.splitTrainUpper}", dir)
+    // doctor: one token with an absurd df — must surface verbatim in the merge
+    Seq(("zzz_doctored", 999L, 999L, Seq(7L)))
+      .toDF("token", "df", "cf", "heads")
+      .write.mode("overwrite").parquet(path)
+    val out = o.q263IndexDelta(spark, dir)
+      .filter(col("token") === "zzz_doctored").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 999L,
+      "q263 must merge from the PERSISTED artifact, not re-index the base split")
+  }
 }
