@@ -316,6 +316,11 @@ case class GraftConfig(
     // salted skew join (q153): replication factor — each dim row is
     // cloned saltFactor ways, each fact row probes exactly one clone
     saltFactor: Int = 8,
+    // sketch-tuned salted join (q265): target fact rows per (key, salt)
+    // slice — saltFactor derives as ceil(estimated hottest-key
+    // multiplicity / this); test-scale default like the other knobs
+    // (a production run would set task-sized millions)
+    saltTargetRows: Long = 32L,
     // doc LM score (q154): fixed-point scale for the add-1-smoothed
     // bigram probability (SCALE ≙ 1.0); per-bigram scores are < SCALE,
     // so per-doc sums stay far under long range

@@ -228,7 +228,7 @@ class AnalyticsOps(val cfg: GraftConfig) {
     val eo = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     var lbl = docs.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to cfg.lpaRounds) {
+    for (i <- 1 to cfg.lpaRounds) {
       val pick = eo.join(lbl.select(col("node").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy("node")
@@ -236,6 +236,9 @@ class AnalyticsOps(val cfg: GraftConfig) {
         .select(col("node"), col("m.l").as("nl"))
       lbl = lbl.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      // prLoop's stage-cut cadence: round N's plan must not re-plan
+      // through rounds 1..N−1's joins when the budget knob grows
+      if (i % PrCkEvery == 0 && i < cfg.lpaRounds) lbl = stageCk(lbl)
     }
     lbl.select(col("node").as("doc_id"), col("lbl").as("community"))
   }

@@ -486,14 +486,52 @@ class RelationalOps(val cfg: GraftConfig) {
     * key (just one specific clone), so the result set is IDENTICAL to
     * the unsalted join (RelationalSpec proves it). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      factSalt: Column): DataFrame = {
-    val s = cfg.saltFactor
+      factSalt: Column): DataFrame =
+    saltedJoin(fact, dim, key, factSalt, cfg.saltFactor)
+
+  /** Explicit-factor form — q153 passes the configured constant, q265
+    * passes the sketch-derived one. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factSalt: Column, s: Int): DataFrame = {
     val salted = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(s - 1))))
     fact.withColumn("__salt", pmod(factSalt, lit(s)).cast("int"))
       .join(salted.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** The q265 salt choice: ceil(CMS hottest-key upper bound /
+    * cfg.saltTargetRows), floored at 1 and capped by cfg.saltFactor·4
+    * (replication cost guard). Exposed for the spec. */
+  private[graft] def sketchSaltFactor(keys: DataFrame): Int = {
+    val est = Sketch.cmsMaxFreq(keys).collect().head.getAs[Long]("max_freq_est")
+    val raw = (est + cfg.saltTargetRows - 1) / cfg.saltTargetRows
+    math.max(1L, math.min(raw, cfg.saltFactor.toLong * 4)).toInt
+  }
+
+  /** q265: SKETCH-TUNED salted join — the round-11 verdict's #6: q124
+    * diagnoses skew and q153 salts with a fixed hand-set factor; this
+    * query derives the factor FROM the sketch at plan-build time —
+    * salt = ceil(est_max_freq / $saltTargetRows) where est_max_freq is
+    * the CMS upper bound on the hottest key's multiplicity
+    * ([[SketchOps.cmsMaxFreq]]) — turning the two diagnostics into one
+    * self-tuning join. The sketch pass is one map-combinable aggregate
+    * into fixed-size state and ONE one-row collect; a mild corpus
+    * buys little replication, a pathological one buys spread
+    * automatically. The salt remains an implementation detail the
+    * result must not show: the oracle is the PLAIN join (q153's),
+    * which is the exactness proof re-run every round. */
+  def q265SketchSalt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val s = sketchSaltFactor(ev.select(col("user_id").cast("string").as("k")))
+    val dim = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 25, 6).as("total_value"))
+    saltedJoin(ev.select("event_id", "user_id"), dim, "user_id", col("event_id"), s)
+      .select("event_id", "user_id", "n_events", "total_value")
+  }
+
+  def q265Sql: String = q153Sql
 
   /** q153: salted user enrichment — every event joined to its user's
     * per-user profile (event count + decimal-exact value total) through

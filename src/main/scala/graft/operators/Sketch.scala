@@ -54,6 +54,23 @@ class SketchOps(val cfg: GraftConfig) {
       .agg(min(col("c")).as("cm_est"))
   }
 
+  /** Upper-bound estimate of the HOTTEST key's multiplicity from a CMS
+    * of a key column (input: one string column `k`): per hash row the
+    * max bucket count bounds every key's count from above (collisions
+    * only add mass), so min-over-rows of max-bucket ≥ true max
+    * frequency — the standard CMS max-freq upper bound. One
+    * map-combinable aggregate into $CmRows × 16^$CmHexChars counters;
+    * the result is ONE row (the bounded collect the q265 consumer
+    * makes). Feeds sketch-tuned salting: q124 profiles skew exactly by
+    * re-scanning; this answers the one number a salt choice needs from
+    * fixed-size state. */
+  private[operators] def cmsMaxFreq(keys: DataFrame): DataFrame =
+    keys.select(explode(bucketStructs(col("k"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("r").agg(max(col("c")).as("mx"))
+      .agg(min(col("mx")).as("max_freq_est"))
+
   /** q95: the STREAMING Count-Min — the same sketch maintained
     * incrementally over a documents stream (file source here; Kafka in
     * production). This is the sketch's real habitat: the streaming
@@ -1117,6 +1134,92 @@ class SketchOps(val cfg: GraftConfig) {
        |  (e2.est_users - CAST(x.exact_users AS DOUBLE)) / CAST(x.exact_users AS DOUBLE)
        |    AS rel_err
        |FROM est e2 JOIN exact x USING (target_day)""".stripMargin
+  }
+
+  /** q266: the ACTIVE-USERS TRIPLET (DAU / WAU / MAU) from ONE daily
+    * register artifact — q252's time-merge parameterized by the three
+    * calendar windows every engagement dashboard ships (1 / 7 / 28
+    * trailing days, the round-11 verdict's #8): each day's users are
+    * sketched ONCE, and all three columns are register-max merges of
+    * different spans of the same sketch table — distinct counts do NOT
+    * sum across days (union-not-sum), so no daily rollup can answer
+    * this, but the union IS native to the registers. Exact triplet +
+    * regime (`present_*`) travel alongside (the rule).
+    *
+    * Scale: one corpus scan into days × m registers; the three merges
+    * are metadata-sized (days × m × window). The exact side re-scans
+    * the corpus per window — that cost is the point: the artifact path
+    * replaces it, and at 100 TB yesterday's registers are simply
+    * reloaded (q252's incremental-ingest argument). */
+  def q266ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id").cast("string").as("token"))
+    val days = ev.select("day").distinct()
+    val daily = hllRegisterAgg(ev, Seq("day"))
+    def winEst(w: Int, name: String): DataFrame = daily
+      .withColumn("target_day", explode(sequence(col("day"), col("day") + (w - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"))
+      .groupBy("target_day", "bucket").agg(max(col("max_rho")).as("max_rho"))
+      .groupBy("target_day").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("target_day"), col("present").as(s"present_$name"),
+        hllEstCol.as(s"${name}_est"))
+    def winExact(w: Int, name: String): DataFrame = ev
+      .withColumn("target_day", explode(sequence(col("day"), col("day") + (w - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"))
+      .select("target_day", "token").distinct()
+      .groupBy("target_day").agg(count(lit(1)).as(s"${name}_exact"))
+    winEst(1, "dau").join(winEst(7, "wau"), "target_day")
+      .join(winEst(28, "mau"), "target_day")
+      .join(winExact(1, "dau"), "target_day")
+      .join(winExact(7, "wau"), "target_day")
+      .join(winExact(28, "mau"), "target_day")
+      .select(col("target_day").as("day"),
+        col("present_dau"), col("present_wau"), col("present_mau"),
+        col("dau_est"), col("wau_est"), col("mau_est"),
+        col("dau_exact"), col("wau_exact"), col("mau_exact"))
+  }
+
+  def q266Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    def win(w: Int, n: String): String =
+      s"""mg_$n AS (SELECT t.day AS target_day, r.bucket, max(r.max_rho) AS max_rho
+         |  FROM regs r JOIN days t ON t.day BETWEEN r.day AND r.day + ${w - 1}
+         |  GROUP BY 1, 2),
+         |z_$n AS (SELECT target_day, $hllZSqlDuck FROM mg_$n GROUP BY target_day),
+         |e_$n AS (SELECT target_day, present AS present_$n,
+         |  $hllEstSqlDuck AS ${n}_est FROM z_$n),
+         |x_$n AS (SELECT t.day AS target_day,
+         |    CAST(count(DISTINCT e.token) AS BIGINT) AS ${n}_exact
+         |  FROM ev e JOIN days t ON t.day BETWEEN e.day AND e.day + ${w - 1}
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |    CAST(user_id AS VARCHAR) AS token FROM events),
+       |days AS (SELECT DISTINCT day FROM ev),
+       |hashed AS (SELECT day, md5(token) AS h FROM ev),
+       |parts AS (SELECT day, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx FROM hashed),
+       |zs AS (SELECT day, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT day, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT day, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs),
+       |regs AS (SELECT day, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2),
+       |${win(1, "dau")},
+       |${win(7, "wau")},
+       |${win(28, "mau")}
+       |SELECT e_dau.target_day AS day,
+       |  e_dau.present_dau, e_wau.present_wau, e_mau.present_mau,
+       |  e_dau.dau_est, e_wau.wau_est, e_mau.mau_est,
+       |  x_dau.dau_exact, x_wau.wau_exact, x_mau.mau_exact
+       |FROM e_dau
+       |JOIN e_wau USING (target_day) JOIN e_mau USING (target_day)
+       |JOIN x_dau USING (target_day) JOIN x_wau USING (target_day)
+       |JOIN x_mau USING (target_day)""".stripMargin
   }
 
   /** q248: ONE-PASS NDV COLUMN PROFILE — the statistics collector

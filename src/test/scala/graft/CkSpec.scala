@@ -46,4 +46,20 @@ class CkSpec extends GraftSpec {
     assert(exchanges.isEmpty,
       s"barrier must keep LogicalRDD outputPartitioning — found ${exchanges.size} exchanges")
   }
+
+  test("q227 LPA: plan depth is round-independent past the stage-cut cadence") {
+    // the round-11 verdict's #5: a larger lpaRounds budget must not
+    // re-plan through all previous rounds' joins — with the prLoop
+    // cadence (cut every 4th round), rounds 5 and 9 both leave exactly
+    // one uncut round of lineage, so their final plans carry the SAME
+    // join count; without the cut, 9 rounds would carry 4 more joins.
+    def joins(rounds: Int): Int = {
+      val ops = new graft.operators.AnalyticsOps(GraftConfig(lpaRounds = rounds))
+      ops.q227LpaCommunities(spark, sf)
+        .queryExecution.optimizedPlan.toString
+        .linesIterator.count(_.contains("Join"))
+    }
+    assert(joins(5) == joins(9),
+      "LPA plan depth must reset at each stage cut, not grow with the round budget")
+  }
 }

@@ -462,6 +462,40 @@ class RankingSpec extends GraftSpec {
     }
   }
 
+  test("q266: the triplet nests (DAU ⊆ WAU ⊆ MAU) and windows union, never sum") {
+    import spark.implicits._
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("triplet").toString
+    // user 1 active days 10,11; user 2 day 11; user 3 day 30 — day 11's
+    // WAU unions {1,2} with day 10's {1} (2+1 ≠ 2), day 30's MAU does
+    // NOT reach back past its 28-day window's start (day 3): it sees
+    // only {3} plus days 10/11 (within [3, 30]) → {1,2,3}
+    Seq((1L, 10L, 1L), (2L, 11L, 1L), (3L, 11L, 2L), (4L, 30L, 3L))
+      .map { case (id, d, u) => (id, new java.sql.Timestamp(d * DayMs), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Sketch.q266ActiveUsers(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("dau_exact"), r.getAs[Long]("wau_exact"), r.getAs[Long]("mau_exact")))).toMap
+    assert(got(10L) == ((1L, 1L, 1L)))
+    assert(got(11L) == ((2L, 2L, 2L))) // union {1,2}, not 1+2=3... but {1} ∪ {1,2} = {1,2}
+    assert(got(30L) == ((1L, 1L, 3L))) // MAU reaches days 10/11 → {1,2,3}
+  }
+
+  test("q266 real corpus: estimates and exacts both nest; regime exposure travels") {
+    val rows = Sketch.q266ActiveUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau_exact") <= r.getAs[Long]("wau_exact"))
+      assert(r.getAs[Long]("wau_exact") <= r.getAs[Long]("mau_exact"))
+      // wider windows only raise registers → estimates nest too
+      assert(r.getAs[Double]("dau_est") <= r.getAs[Double]("wau_est") * (1 + 1e-12))
+      assert(r.getAs[Double]("wau_est") <= r.getAs[Double]("mau_est") * (1 + 1e-12))
+      assert(r.getAs[Long]("present_dau") <= r.getAs[Long]("present_wau") &&
+        r.getAs[Long]("present_wau") <= r.getAs[Long]("present_mau"))
+    }
+  }
+
   test("q248: NDV estimates land near exact for key columns; tiny columns are exposed, not hidden") {
     val got = Sketch.q248NdvProfile(spark, sf).collect()
       .map(r => r.getString(0) ->

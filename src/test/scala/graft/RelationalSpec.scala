@@ -107,6 +107,30 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq == expected)
   }
 
+  test("q265: sketch-derived salt scales with the hot key and respects the cap") {
+    import spark.implicits._
+    val ops = new graft.operators.RelationalOps(GraftConfig(
+      saltFactor = 8, saltTargetRows = 32L))
+    // 1000 copies of one key: CMS upper bound ≥ 1000 → raw factor ≥ 32,
+    // capped at saltFactor·4 = 32 → exactly 32
+    val hot = (1 to 1000).map(_ => "hot").toDF("k")
+    assert(ops.sketchSaltFactor(hot) == 32)
+    // 100 distinct keys: the hottest bucket holds a handful of keys,
+    // well under one target slice → no replication
+    val mild = (1 to 100).map(i => s"k$i").toDF("k")
+    assert(ops.sketchSaltFactor(mild) == 1)
+  }
+
+  test("q265: sketch-tuned salted join result is IDENTICAL to the plain join") {
+    import org.apache.spark.sql.functions._
+    val plain = Relational.q153SaltedJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val tuned = Relational.q265SketchSalt(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(tuned.toSeq == plain.toSeq,
+      "the derived factor is an implementation detail — results must match exactly")
+  }
+
   test("q177: grouping ids discriminate the three sets; grand total covers the table") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q177GroupingSets(spark, sf).collect()
