@@ -83,10 +83,20 @@ class BehavioralOps(val cfg: GraftConfig) {
     val e = ev(spark, dir)
     val maxDay = e.agg(max(expr(s"ms div $DayMs")).as("max_day"))
     val cut = e.crossJoin(broadcast(maxDay))
-    val basePath = graft.sources.Scratch.dir("scd2base", dir)
-    scd2Of(cut.filter(expr(s"ms div $DayMs") < col("max_day"))
-        .drop("max_day"))
-      .write.mode("overwrite").parquet(basePath)
+    // build-if-absent (round-11 advice): the pre-cutoff history is the
+    // persisted NIGHTLY table — written once, loaded on every later
+    // run, so steady-state cost really is delta-proportional as the
+    // scaladoc claims. The path is content-keyed on the events file's
+    // metadata, so an in-place feed regeneration (which can move the
+    // cutoff day itself) rebuilds instead of merging into a stale base.
+    val basePath = graft.sources.Scratch.keyedDir(
+      "scd2base", dir, spark, Seq("events.parquet"), "")
+    val success = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      scd2Of(cut.filter(expr(s"ms div $DayMs") < col("max_day"))
+          .drop("max_day"))
+        .write.mode("overwrite").parquet(basePath)
     val hist = spark.read.parquet(basePath)
     val affected = cut.filter(expr(s"ms div $DayMs") === col("max_day"))
       .select("user_id").distinct()

@@ -1349,11 +1349,12 @@ class CurationOps(val cfg: GraftConfig) {
     * webdataset-style export artifact a training loader needs: docs
     * pack into shards (q83's content-stable md5 sharding, same
     * deterministic (h, doc_id) order) and the manifest records each
-    * doc's (shard, byte offset, length) inside the shard's
-    * newline-joined blob, so a loader can seek any single document
-    * without parsing the shard. The reconstruction gate rides IN the
-    * output: `ok` = substring(blob, offset+1, length) equals the
-    * original text, recomputed independently by BOTH engines — a
+    * doc's (shard, byte offset, byte length) inside the shard's
+    * newline-joined UTF-8 blob, so a loader can seek any single
+    * document without parsing the shard. The reconstruction gate rides
+    * IN the output: `ok` = the blob's bytes at [offset, offset+length)
+    * equal the document's UTF-8 bytes, recomputed independently by
+    * BOTH engines (via hex renderings — byte-exact on any encoding) — a
     * manifest that can't reconstruct its corpus is a corrupt export,
     * and an off-by-one in offset arithmetic fails every row after the
     * first.
@@ -1363,10 +1364,19 @@ class CurationOps(val cfg: GraftConfig) {
     * with shard count growing with the corpus (packShardHexLen) —
     * shard blob size is the bounded unit a loader maps anyway. */
   def q253ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    // offsets/lengths are OCTET (UTF-8 byte) counts — what a loader
+    // seeking into the shard FILE actually needs (round-11 advice: the
+    // previous character counts mis-seek on any non-ASCII corpus);
+    // LONG columns, so a manifest entry is valid at any shard size.
+    // The in-query gate byte-compares through hex renderings (2 chars
+    // per byte — both engines slice VARCHAR identically; DuckDB cannot
+    // slice BLOBs), which is exact for any encoding; the gate itself
+    // operates on the materialized blob, which the JVM bounds at
+    // test-scale sizes anyway — the MANIFEST is what scales.
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))).as("h"),
-        length(col("text")).cast("long").as("len"))
+        expr("CAST(octet_length(text) AS BIGINT)").as("len"))
       .withColumn("shard", substring(col("h"), 1, cfg.packShardHexLen))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("h"), col("doc_id"))
@@ -1378,14 +1388,15 @@ class CurationOps(val cfg: GraftConfig) {
         "\n").as("blob"))
     man.join(blobs, "shard")
       .select(col("doc_id"), col("shard"), col("offset"), col("len").as("length"),
-        (expr("substring(blob, CAST(offset + 1 AS INT), CAST(len AS INT))")
-          === col("text")).as("ok"))
+        (expr("""substring(hex(encode(blob, 'UTF-8')),
+                |  CAST(offset * 2 + 1 AS INT), CAST(len * 2 AS INT))""".stripMargin)
+          === expr("hex(encode(text, 'UTF-8'))")).as("ok"))
   }
 
   def q253Sql: String =
     s"""WITH t AS (SELECT doc_id, text,
        |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h,
-       |    CAST(len(text) AS BIGINT) AS l
+       |    CAST(strlen(text) AS BIGINT) AS l
        |  FROM documents),
        |s AS (SELECT *, substr(h, 1, ${cfg.packShardHexLen}) AS shard FROM t),
        |man AS (SELECT doc_id, shard, text, l, h,
@@ -1395,7 +1406,8 @@ class CurationOps(val cfg: GraftConfig) {
        |blobs AS (SELECT shard, string_agg(text, chr(10) ORDER BY h, doc_id) AS blob
        |  FROM s GROUP BY 1)
        |SELECT m.doc_id, m.shard, m."offset", m.l AS length,
-       |  substr(b.blob, CAST(m."offset" + 1 AS BIGINT), m.l) = m.text AS ok
+       |  substring(hex(encode(b.blob)), m."offset" * 2 + 1, m.l * 2)
+       |    = hex(encode(m.text)) AS ok
        |FROM man m JOIN blobs b USING (shard)""".stripMargin
 
   /** q240: DETERMINISTIC NEGATIVE SAMPLING — ${cfg.negSlots} hash-drawn

@@ -1731,7 +1731,14 @@ class GraphOpsLib(val cfg: GraftConfig) {
     // re-verifies the merged result against the full recompute every
     // round regardless). Steady-state cost is the incremental side
     // only: measured 6.3 s (build run) → ~2 s (load runs) at sf0.1.
-    val basePath = graft.sources.Scratch.dir(s"ccbase_${cfg.splitTrainUpper}", dir)
+    // The path is CONTENT-KEYED (round-11 advice): it carries the one
+    // knob that shapes the edge set (maxOverlapKeyDf — the hot-key
+    // skip changes which edges exist) and a metadata fingerprint of
+    // the corpus file, so a reconfigured instance or an in-place
+    // corpus regeneration rebuilds instead of reusing stale labels.
+    val basePath = graft.sources.Scratch.keyedDir(
+      s"ccbase_${cfg.splitTrainUpper}", dir, spark,
+      Seq("documents.parquet"), s"maxOverlapKeyDf=${cfg.maxOverlapKeyDf}")
     val success = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success))

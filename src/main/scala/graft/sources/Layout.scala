@@ -519,11 +519,24 @@ object Layout {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("b", substring(md5(col("event_id").cast("string")), 1, 2))
+    // the gate compares each run's processed-file count against the
+    // files that batch ACTUALLY landed (listing delta) — not against
+    // the repartition argument, which over-counts whenever an empty
+    // partition writes no part file (round-11 advice)
+    def landed(): Set[String] = {
+      val lp = new org.apache.hadoop.fs.Path(landing)
+      val fs = lp.getFileSystem(conf)
+      if (!fs.exists(lp)) Set.empty[String]
+      else fs.listStatus(lp).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+    }
     ev.filter(col("b") < cfg.splitTrainUpper).drop("b")
       .repartition(3).write.mode("append").parquet(landing)
+    val landed1 = landed().size
     val n1 = ledgerRun(spark, landing, ledger, results)
     ev.filter(col("b") >= cfg.splitTrainUpper).drop("b")
       .repartition(2).write.mode("append").parquet(landing)
+    val landed2 = landed().size - landed1
     val n2 = ledgerRun(spark, landing, ledger, results)
     val n3 = ledgerRun(spark, landing, ledger, results)
     val ledgerRows = spark.read.parquet(ledger).count()
@@ -532,7 +545,8 @@ object Layout {
       .agg(sum(col("n")).as("n_events"),
         sum(col("sum_dec")).cast("double").as("total_value"))
       .select(col("event_type"), col("n_events"), col("total_value"),
-        lit(n1 == 3 && n2 == 2 && ledgerRows == n1 + n2).as("run2_only_new"),
+        lit(n1 == landed1 && n2 == landed2 && ledgerRows == n1 + n2)
+          .as("run2_only_new"),
         lit(n3 == 0).as("run3_noop"))
   }
 

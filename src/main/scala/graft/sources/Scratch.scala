@@ -17,4 +17,30 @@ private[graft] object Scratch {
     new org.apache.hadoop.fs.Path(
       graft.GraftConfig.default.scratchDir, s"graft_${tag}_$sane").toString
   }
+
+  private def fp(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** CONTENT-KEYED artifact location for build-if-absent artifacts whose
+    * value depends on shaping config and on the input bytes: the tag
+    * gains a fingerprint of the caller-named config values and one of
+    * the input files' (name, length, mtime) listing. A knob change or
+    * an in-place corpus regeneration changes the PATH, so a stale
+    * artifact becomes unreachable instead of silently trusted (the
+    * round-11 advice on q242). The listing is filesystem METADATA — no
+    * data is read; at 100 TB this is one namenode call per input. */
+  def keyedDir(tag: String, dataDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      inputs: Seq[String], cfgKey: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metas = inputs.sorted.flatMap { in =>
+      val p = new org.apache.hadoop.fs.Path(dataDir, in)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Seq(s"$in:absent")
+      else fs.listStatus(p).sortBy(_.getPath.getName).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    }
+    dir(s"${tag}_c${fp(cfgKey)}_d${fp(metas.mkString(","))}", dataDir)
+  }
 }

@@ -553,6 +553,25 @@ object EventStream {
       val q = agg.writeStream.format("memory").queryName("graft_q243")
         .outputMode(OutputMode.Append()).start()
       try q.processAllAvailable() finally q.stop()
+      // Engine-semantics tripwire (round-11 advice): this operator's
+      // oracle encodes MEASURED Spark 4.1 microbatch behavior
+      // (mtime-ordered file source, the one-batch-stale watermark that
+      // needs the b2 buffer file, the sentinel excluded by append
+      // semantics). Assert the progression those measurements rely on,
+      // so an engine upgrade fails HERE with a pointed message instead
+      // of as a confusing oracle hash mismatch.
+      val fileBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(fileBatches == 4,
+        s"q243 expects 4 one-file micro-batches (mtime-ordered source), saw " +
+          s"$fileBatches — file-source batching semantics changed; re-derive " +
+          "the oracle with tools/LateProbe")
+      val wm = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(s => java.time.Instant.parse(s).toEpochMilli)
+      require(wm.exists(_ >= cutMs),
+        s"q243 expects the final watermark ($wm) at/past the late cut " +
+          s"($cutMs) — watermark-advance semantics changed; re-derive the " +
+          "oracle with tools/LateProbe2")
       spark.table("graft_q243")
     }
     val batch = ev

@@ -533,10 +533,27 @@ class CurationSpec extends GraftSpec {
       assert(sorted.head._2 == 0L, "first doc sits at offset 0")
       sorted.sliding(2).foreach {
         case Array((_, o1, l1, _), (_, o2, _, _)) =>
-          assert(o2 == o1 + l1 + 1, "docs tile the blob with one separator char")
+          assert(o2 == o1 + l1 + 1, "docs tile the blob with one separator byte")
         case _ =>
       }
     }
+  }
+
+  test("q253: offsets and lengths are OCTETS — non-ASCII corpora seek correctly") {
+    // 'é' is 1 char / 2 UTF-8 bytes; a char-counting manifest would
+    // mis-seek every doc after the first in its shard (round-11 advice)
+    val dir = docs(
+      1L -> "café crème",
+      2L -> "naïve über",
+      3L -> "plain ascii",
+      4L -> "日本語 text") // 3-byte CJK
+    val rows = graft.operators.Curation.q253ShardManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.values.forall(_._2), "every non-ASCII doc must byte-reconstruct")
+    assert(rows(1L)._1 == "café crème".getBytes("UTF-8").length.toLong)
+    assert(rows(4L)._1 == "日本語 text".getBytes("UTF-8").length.toLong)
+    assert(rows(1L)._1 > "café crème".length,
+      "length must count bytes, not characters")
   }
 
   test("q241: the ladder is monotone and the chosen level is the minimal k-anonymous rung") {

@@ -70,4 +70,23 @@ class GraphOpsSpec extends GraftSpec {
     assert(merged == full)
     assert(merged.nonEmpty)
   }
+
+  test("q242 artifact path is content-keyed: knob change or corpus rewrite reroutes it") {
+    import graft.sources.Scratch
+    val in = Seq("documents.parquet")
+    val a = Scratch.keyedDir("t", sf, spark, in, "maxOverlapKeyDf=8")
+    val b = Scratch.keyedDir("t", sf, spark, in, "maxOverlapKeyDf=9")
+    assert(a != b, "an edge-shaping knob change must key a different artifact")
+    // in-place corpus regeneration: same path, new bytes → new artifact key
+    val dir = java.nio.file.Files.createTempDirectory("ckey").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = Scratch.keyedDir("t", dir, spark, in, "k")
+    Thread.sleep(1100) // mtime granularity
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = Scratch.keyedDir("t", dir, spark, in, "k")
+    assert(before != after, "regenerated corpus bytes must key a different artifact")
+  }
 }
