@@ -192,6 +192,16 @@ case class GraftConfig(
     // saturates at 1 — π = min(1, n_chars/target); must stay ≤ ~2^20 so
     // the integer keep test min(w,target)·2^32 can't overflow BIGINT
     ppsTargetChars: Long = 500L,
+    // token-budget recipe selection (q267): per-source token budget —
+    // the greedy hash-ordered prefix keeps docs while the running total
+    // is under it (data recipes are specified in TOKENS, not doc counts)
+    recipeTokensPerSource: Long = 1000L,
+    // content-defined chunking (q269/q270): rolling-window width and
+    // boundary modulus — a boundary lands where the window ending at a
+    // position hashes to 0 mod the modulus, so mean chunk length ≈ the
+    // modulus and boundaries are CONTENT-anchored (insertion-stable)
+    cdcWindow: Int = 8,
+    cdcModulus: Int = 16,
     // temporal joins (Temporal.scala): as-of event types (left row takes
     // the latest right row at-or-before it, per user) and the
     // point-in-interval query's point event type; bucket width for the

@@ -1363,6 +1363,48 @@ class CurationOps(val cfg: GraftConfig) {
     * (q83's rule: never a global cumsum) and blobs assemble per shard
     * with shard count growing with the corpus (packShardHexLen) —
     * shard blob size is the bounded unit a loader maps anyway. */
+  /** q267: TOKEN-BUDGET RECIPE SELECTION — build a training mixture to
+    * a budget specified in TOKENS (how data recipes are actually
+    * written), not in document counts or sampling rates: per source,
+    * documents rank by a content-stable hash (the q75/q81 re-run-stable
+    * idiom) and the greedy prefix is kept while the running token total
+    * BEFORE the doc is under ${cfg.recipeTokensPerSource} — so every
+    * source lands within one document of its budget, deterministically,
+    * and reruns select the identical set. The complement of q129 (PPS
+    * by size) and q103 (rate mixture): those control probability and
+    * proportion; this hits an absolute per-source token target, the
+    * form a "recipe" table of per-domain token counts takes.
+    *
+    * Scale: one (source)-keyed window cumsum (the q83 rule — never a
+    * global cumsum; sources partition the corpus) over a token-count
+    * scan; output ∝ the budget, not the corpus. */
+  def q267TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val b = cfg.recipeTokensPerSource
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        md5(concat(lit("rcp:"), col("doc_id").cast("string"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .filter(col("cum_before") < b)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("cum_before") + col("n_toks")).as("cum_toks"))
+  }
+
+  def q267Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    md5('rcp:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_toks,
+       |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM t)
+       |SELECT doc_id, source, n_toks, cb + n_toks AS cum_toks
+       |FROM c WHERE cb < ${cfg.recipeTokensPerSource}""".stripMargin
+
   def q253ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     // offsets/lengths are OCTET (UTF-8 byte) counts — what a loader
     // seeking into the shard FILE actually needs (round-11 advice: the

@@ -166,6 +166,118 @@ class SegmentOps(val cfg: GraftConfig) {
        |WHERE token <> ''
        |GROUP BY token""".stripMargin
 
+  // ---------- Content-defined chunking (q269/q270) ----------
+
+  /** The CDC chunk table for a document set: boundaries land where the
+    * $cdcWindow-char window ENDING at a position hashes to
+    * 0 mod $cdcModulus — so a cut's placement depends only on the
+    * local bytes around it, and an insertion near the head of a doc
+    * moves every FIXED-stride chunk (q101) but only the one CDC chunk
+    * it lands in; mean chunk length ≈ the modulus. In-row HOFs end to
+    * end: the position list, the boundary filter, and the per-chunk
+    * fingerprints are all computed inside the scan row. */
+  private def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val Wd = cfg.cdcWindow
+    val M = cfg.cdcModulus
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("cuts", expr(
+        s"""concat(
+           |  filter(sequence(1, greatest(n, 1)), i -> i >= $Wd AND i < n AND
+           |    CAST(conv(substring(md5(substring(text, i - $Wd + 1, $Wd)), 1, 4),
+           |      16, 10) AS BIGINT) % $M = 0),
+           |  array(n))""".stripMargin))
+      .select(col("doc_id"), col("text"), col("cuts"),
+        posexplode(col("cuts")).as(Seq("ord0", "endp")))
+      .select(col("doc_id"), col("text"), col("endp"),
+        (col("ord0") + 1).cast("long").as("chunk_ord"),
+        when(col("ord0") === 0, lit(1))
+          .otherwise(element_at(col("cuts"), col("ord0")) + 1).as("start0"))
+      .select(col("doc_id"), col("chunk_ord"),
+        col("start0").cast("long").as("start"),
+        (col("endp") - col("start0") + 1).cast("long").as("chunk_len"),
+        expr("md5(substring(text, start0, endp - start0 + 1))").as("chunk_fp"))
+  }
+
+  /** Shared oracle CTEs ending at `chunks` (doc_id, chunk_ord, start,
+    * chunk_len, chunk_fp) — parallel unnest of the cut list with its
+    * subscripts zips position and ordinal. */
+  private def cdcChunksSql: String = {
+    val Wd = cfg.cdcWindow
+    val M = cfg.cdcModulus
+    s"""t AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |cc AS (SELECT doc_id, text, n,
+       |    list_concat(
+       |      list_filter(generate_series(1, greatest(n, 1)),
+       |        i -> i >= $Wd AND i < n AND
+       |          CAST(('0x' || substr(md5(substr(text, i - $Wd + 1, $Wd)), 1, 4)) AS BIGINT)
+       |            % $M = 0),
+       |      [n]) AS cuts
+       |  FROM t),
+       |uz AS (SELECT doc_id, text, cuts,
+       |    unnest(cuts) AS endp, unnest(range(1, 1 + len(cuts))) AS ord
+       |  FROM cc),
+       |chunks AS (SELECT doc_id, CAST(ord AS BIGINT) AS chunk_ord,
+       |    CAST(CASE WHEN ord = 1 THEN 1 ELSE cuts[ord - 1] + 1 END AS BIGINT) AS start,
+       |    CAST(endp - (CASE WHEN ord = 1 THEN 1 ELSE cuts[ord - 1] + 1 END) + 1
+       |      AS BIGINT) AS chunk_len,
+       |    md5(substr(text, CASE WHEN ord = 1 THEN 1 ELSE cuts[ord - 1] + 1 END,
+       |      endp - (CASE WHEN ord = 1 THEN 1 ELSE cuts[ord - 1] + 1 END) + 1)) AS chunk_fp
+       |  FROM uz)""".stripMargin
+  }
+
+  /** q269: CONTENT-DEFINED CHUNKING — the insertion-stable chunker a
+    * dedup pipeline needs where q101's fixed stride suffices for RAG
+    * ingestion: a shifted or locally-edited near-duplicate shares all
+    * CDC chunks outside the edit region (the rsync/LBFS boundary
+    * argument), so chunk-fingerprint dedup catches what whole-doc
+    * hashing (q13) and stride-aligned spans miss. Pure scan, zero
+    * shuffles: positions, boundary tests, and fingerprints are in-row
+    * HOFs; the explode factor is n/modulus chunks per doc.
+    *
+    * Scale: per-row work is O(len) window hashes exactly like q55's
+    * winnowing pass; no corpus-wide state, no exchange. */
+  def q269CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+
+  def q269Sql: String =
+    s"""WITH $cdcChunksSql
+       |SELECT doc_id, chunk_ord, start, chunk_len, chunk_fp FROM chunks""".stripMargin
+
+  /** q270: CDC-granular cross-doc DEDUP — q99's duplicated-segment
+    * measure on content-defined chunks: per doc, how many of its CDC
+    * chunks occur (by fingerprint) in at least one OTHER doc, and the
+    * duplicated fraction. Because boundaries are content-anchored,
+    * this surfaces shifted/templated duplication that word-aligned
+    * segments under-count when an insertion moves the alignment.
+    *
+    * Scale: the q99/q100 shape — per-fp distinct-doc df is
+    * pre-aggregated to ONE row per distinct fingerprint before the
+    * join back, so fanout is bounded by content; two shuffles total
+    * (fp agg, doc re-agg). */
+  def q270CdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunksOf(Tables.documents(spark, dir))
+      .select("doc_id", "chunk_fp")
+    val fdf = ch.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("fp_df"))
+    ch.join(fdf, "chunk_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("fp_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_chunks").cast("double")).as("dup_frac"))
+  }
+
+  def q270Sql: String =
+    s"""WITH $cdcChunksSql,
+       |fdf AS (SELECT chunk_fp, count(DISTINCT doc_id) AS fp_df FROM chunks GROUP BY 1)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.fp_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(SUM(CASE WHEN f.fp_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM chunks c JOIN fdf f USING (chunk_fp)
+       |GROUP BY c.doc_id""".stripMargin
+
   // ---------- Incremental index maintenance (q263) ----------
 
   /** Shared index kernel over any document set: per token, (df, cf,

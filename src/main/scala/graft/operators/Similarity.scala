@@ -1863,6 +1863,92 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
 
+  // ---------- Matryoshka dimension-truncation recall (q268) ----------
+
+  /** The standard prefix-dimension tiers a matryoshka (MRL) embedding
+    * ships: recall at each answers "how many dims can serving afford
+    * to drop". */
+  private val MrlTiers = Seq(8, 16, 32)
+
+  /** q268: MATRYOSHKA RECALL CURVE — for each prefix-dimension tier
+    * (${MrlTiers.mkString("/")} of the full vector), the top-$TopK
+    * recall of TRUNCATED search against full-dimension truth: the
+    * measured answer to the dimension-truncation question
+    * (MRL-style embeddings are served at prefix dims; an un-evaluated
+    * truncation is q89/q222's unshipped-eval sin applied to dims
+    * instead of bits). Same exact-integer L2 metric on both sides and
+    * at every tier (the q215 same-metric lesson — a cosine-vs-L2 mix
+    * would conflate metric change with truncation loss); ties to
+    * vec_id. Output one row per (dims, query): the curve, row-hashed.
+    *
+    * Scale: this is an EVAL — the pair space is the $NumQueries-query
+    * panel × corpus (the q40 broadcast shape, no corpus self-join),
+    * once per tier; serving at a chosen tier costs a fraction of the
+    * full-dim scan, which is the trade this curve prices. */
+  def q268MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir)
+    val qv = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    def topkAt(d: Option[Int]): DataFrame = {
+      val (qs, vs) = d match {
+        case Some(dd) => (s"slice(qe, 1, $dd)", s"slice(embedding, 1, $dd)")
+        case None     => ("qe", "embedding")
+      }
+      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+      e.join(qv, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (expr(s"vec_dot_fixed($qs, $qs)") + expr(s"vec_dot_fixed($vs, $vs)")
+            - lit(2L) * expr(s"vec_dot_fixed($qs, $vs)")).as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+        .select("query_id", "vec_id")
+    }
+    val truth = topkAt(None)
+    MrlTiers.map { dd =>
+      truth.join(topkAt(Some(dd)).withColumn("hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(dd.toLong).as("dims"), col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(TopK.toDouble)).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  def q268Sql: String = {
+    def d2Sum: String =
+      """SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+        |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+        |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))""".stripMargin
+    def tier(dd: Int): String =
+      s"""ex$dd AS (SELECT query_id, vec_id,
+         |    unnest(qe[1:$dd]) AS a, unnest(ve[1:$dd]) AS b FROM pairs),
+         |d$dd AS (SELECT query_id, vec_id, $d2Sum AS d2
+         |  FROM ex$dd GROUP BY query_id, vec_id),
+         |top$dd AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+         |    FROM d$dd) WHERE rk <= $TopK)""".stripMargin
+    val sel = MrlTiers.map(dd =>
+      s"""SELECT CAST($dd AS BIGINT) AS dims, t.query_id,
+         |  CAST(count(x.vec_id) AS BIGINT) AS n_hit,
+         |  CAST(count(x.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN top$dd x
+         |  ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |GROUP BY t.query_id""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ve
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |exf AS (SELECT query_id, vec_id, unnest(qe) AS a, unnest(ve) AS b FROM pairs),
+       |df AS (SELECT query_id, vec_id, $d2Sum AS d2 FROM exf GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+       |    FROM df) WHERE rk <= $TopK),
+       |${MrlTiers.map(tier).mkString(",\n")}
+       |$sel""".stripMargin
+  }
+
   // ---------- Per-source centroid drift (q229) ----------
 
   /** q229: per-source embedding CENTROID DRIFT — the domain-shift

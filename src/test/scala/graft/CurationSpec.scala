@@ -519,6 +519,35 @@ class CurationSpec extends GraftSpec {
     assert(run() == got, "hash-drawn pairs are a pure function of the corpus")
   }
 
+  test("q267: every source lands within one document of its token budget, deterministically") {
+    val b = GraftConfig.default.recipeTokensPerSource
+    val rows = graft.operators.Curation.q267TokenBudget(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val total = docs.map(_._2).sum
+      val maxCum = docs.map(_._3).max
+      assert(total == maxCum, s"$src: cum_toks must be the running total")
+      val beforeLast = total - docs.maxBy(_._3)._2
+      assert(beforeLast < b, s"$src: the last doc must have been admitted under budget")
+    }
+    val again = graft.operators.Curation.q267TokenBudget(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq,
+      "recipe selection is a pure function of the corpus")
+  }
+
+  test("q267: the greedy prefix admits exactly the docs that start under budget") {
+    val ops = new graft.operators.CurationOps(GraftConfig(recipeTokensPerSource = 5L))
+    // source via docs() is constant 's': 4 docs of 3 tokens each = 12
+    // tokens against budget 5 → greedy prefix keeps exactly 2 docs
+    // (0 < 5 admits #1; 3 < 5 admits #2; 6 ≥ 5 stops)
+    val dir = docs(1L -> "a b c", 2L -> "d e f", 3L -> "g h i", 4L -> "j k l")
+    val kept = ops.q267TokenBudget(spark, dir).collect()
+    assert(kept.length == 2, s"budget 5 over 3-token docs keeps exactly 2, got ${kept.length}")
+    assert(kept.map(_.getLong(3)).sorted.toSeq == Seq(3L, 6L))
+  }
+
   test("q253: offsets tile each shard exactly; reconstruction survives embedded newlines") {
     val dir = docs(
       1L -> "alpha beta",

@@ -399,6 +399,34 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("q268: when the prefix dims carry all the signal, every tier's recall is 1") {
+    // vectors differ ONLY in their first 2 dims (the rest are zero), so
+    // truncated rankings at any tier ≥ the signal dims equal the
+    // full-dim ranking — recall must be exactly 1 at every tier
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> (Seq(i.toFloat, 10f - i) ++ Seq.fill(62)(0f))): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      annQueries = 3, annTopK = 2))
+    ops.q268MatryoshkaRecall(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"dims=${r.getAs[Long]("dims")} query=${r.getAs[Long]("query_id")}: " +
+          "zero-padded tails cannot change the ranking")
+    }
+  }
+
+  test("q268 real corpus: full curve shape — one row per (tier, query), recall in [0,1]") {
+    val rows = Similarity.q268MatryoshkaRecall(spark, sf).collect()
+    val tiers = rows.map(_.getAs[Long]("dims")).distinct.sorted
+    assert(tiers.toSeq == Seq(8L, 16L, 32L))
+    tiers.foreach { d =>
+      assert(rows.count(_.getAs[Long]("dims") == d) == Similarity.NumQueries)
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q229: Chebyshev drift against the corpus mean matches hand arithmetic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("drift").toString

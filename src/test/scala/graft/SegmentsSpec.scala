@@ -79,6 +79,59 @@ class SegmentsSpec extends GraftSpec {
     assert((row.getLong(1), row.getLong(2), row.getString(3)) == ((3L, 4L, "0,1")))
   }
 
+  test("q269: chunks tile each doc exactly and reconstruct the text") {
+    val o = new SegmentOps(GraftConfig(cdcWindow = 4, cdcModulus = 4))
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = docs(1L -> text, 2L -> "")
+    val ch = o.q269CdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == 1L, "first chunk starts at 1")
+    d1.sliding(2).foreach {
+      case Array((_, _, s1, l1), (_, _, s2, _)) =>
+        assert(s2 == s1 + l1, "chunks tile with no gap or overlap")
+      case _ =>
+    }
+    assert(d1.map(_._4).sum == text.length.toLong, "chunk lengths sum to the doc")
+    val d2 = ch.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 0L, "empty doc yields one empty chunk")
+  }
+
+  test("q269: boundaries are content-anchored — a prefix insertion preserves the chunk set") {
+    // THE property fixed-stride chunking (q101) lacks: doc 2 is doc 1
+    // with 4 chars inserted at the head; every content-defined cut in
+    // doc 1 recurs (shifted) in doc 2, so all of doc 1's chunk
+    // fingerprints except the first (which absorbs the edit) must
+    // reappear verbatim in doc 2's chunk set.
+    val o = new SegmentOps(GraftConfig(cdcWindow = 4, cdcModulus = 4))
+    val a = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val dir = docs(1L -> a, 2L -> ("xyz " + a))
+    val fp = o.q269CdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val fa = fp.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val fb = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert(fa.length >= 3, "corpus must produce several chunks or the test is vacuous")
+    assert(fa.tail.forall(fb.contains),
+      "every chunk of the original after the edit region must survive the shift")
+  }
+
+  test("q270: shifted duplicates score high dup_frac; a unique doc scores zero") {
+    val o = new SegmentOps(GraftConfig(cdcWindow = 4, cdcModulus = 4))
+    val a = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    // doc 3 uses a DISJOINT alphabet (digits/uppercase vs the lorem
+    // text's lowercase+space): at modulus 4 the chunks are short enough
+    // that ordinary English substrings legitimately recur across docs,
+    // so "no shared content" must hold at the character level
+    val dir = docs(1L -> a, 2L -> ("xyz " + a),
+      3L -> "0123456789ZYXWVU0987654321QWERTY0246813579POIUYT")
+    val got = o.q270CdcDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._2 >= got(1L)._1 - 1,
+      "all but the edit-region chunk of the original are shared")
+    assert(got(2L)._2 >= 1L)
+    assert(got(3L)._3 == 0.0, "the unique doc shares nothing")
+  }
+
   test("q263: artifact-plus-delta merge equals the from-scratch rebuild (q102)") {
     // On the real sf corpus both splits are non-empty; the merge must
     // reproduce q102's full index EXACTLY — df, cf, and the re-capped
