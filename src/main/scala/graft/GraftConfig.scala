@@ -192,6 +192,9 @@ case class GraftConfig(
     // saturates at 1 — π = min(1, n_chars/target); must stay ≤ ~2^20 so
     // the integer keep test min(w,target)·2^32 can't overflow BIGINT
     ppsTargetChars: Long = 500L,
+    // l-diversity audit (q274): minimum distinct sensitive-attribute
+    // values (source) a quasi-identifier group must contain
+    lDiversityL: Int = 3,
     // token-budget recipe selection (q267): per-source token budget —
     // the greedy hash-ordered prefix keeps docs while the running total
     // is under it (data recipes are specified in TOKENS, not doc counts)

@@ -800,6 +800,31 @@ class CurationOps(val cfg: GraftConfig) {
        |  count(*) AS n_docs, count(*) < ${cfg.kAnonK} AS at_risk
        |FROM documents GROUP BY 1, 2, 3""".stripMargin
 
+  /** q274: L-DIVERSITY audit — the attack k-anonymity does not stop:
+    * a quasi-identifier group can hold ≥ k docs yet draw them all from
+    * ONE source, so membership in the group REVEALS the sensitive
+    * attribute even though no individual doc is singled out. Per QI
+    * group (lang, ${cfg.kAnonLenBin}-char length bin): size, distinct
+    * sensitive values (source), and the diverse flag (distinct ≥
+    * l=${cfg.lDiversityL}). Read beside q137: a release gate needs BOTH
+    * flags green, and the failing rows are q241's generalization
+    * worklist. Pure map-combinable aggregate — |groups| partial rows at
+    * any corpus size (countDistinct over the low-cardinality source set
+    * is a two-phase exact aggregate, never a corpus-wide state). */
+  def q274LDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), expr(s"n_chars div ${cfg.kAnonLenBin}").as("len_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("l_diverse", col("n_sources") >= cfg.lDiversityL)
+
+  def q274Sql: String =
+    s"""SELECT lang, n_chars // ${cfg.kAnonLenBin} AS len_bin,
+       |  count(*) AS n_docs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  count(DISTINCT source) >= ${cfg.lDiversityL} AS l_diverse
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   /** The q241 generalization ladder: level → (lang kept?, source kept?,
     * length-bin width multiplier; 0 = length suppressed). Monotone by
     * construction — each level coarsens the previous one, so group

@@ -1490,7 +1490,12 @@ class SimilarityOps(val cfg: GraftConfig) {
     * worth of space with m·k codewords. Returns (sub_id, cent_id, ce). */
   private[graft] def pqTrain(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = emb(spark, dir)
+    pqTrainOn(emb(spark, dir))
+  }
+
+  /** The PQ training loop over ANY (vec_id, embedding) table — the
+    * corpus itself (q222) or its IVF residuals (q271). */
+  private def pqTrainOn(e: DataFrame): DataFrame =
     (1 to PqM).map { s =>
       val es = e.select(col("vec_id"), expr(subExpr(s)).as("sub"))
       val init = es.filter(col("vec_id") < PqK)
@@ -1499,7 +1504,6 @@ class SimilarityOps(val cfg: GraftConfig) {
       (1 to PqIters).foldLeft(init) { (cb, _) => pqUpdate(pqAssign(es, cb)) }
         .withColumn("sub_id", lit(s))
     }.reduce(_ unionAll _)
-  }
 
   /** The persisted PQ codebook for a dataset — loaded from the shared
     * scratch artifact, trained-and-saved on first use (the q210/q188
@@ -1564,10 +1568,12 @@ class SimilarityOps(val cfg: GraftConfig) {
   /** One subspace's DuckDB L2 assignment: same exact-integer
     * d² = Σfloor(a²·1e13) + Σfloor(b²·1e13) − 2·Σfloor(ab·1e13),
     * argmin by (d², cent_id). */
-  private def pqDuckAssign(s: Int, cTbl: String, out: String): String =
+  private def pqDuckAssign(s: Int, cTbl: String, out: String,
+      src: String = ""): String = {
+    val st = if (src.isEmpty) s"e$s" else src
     s"""${out}_ex AS (SELECT e.vec_id AS ia, c.cent_id AS ib,
        |    unnest(e.sub) AS a, unnest(c.ce) AS b
-       |  FROM e$s e, $cTbl c),
+       |  FROM $st e, $cTbl c),
        |${out}_d AS (SELECT ia, ib,
        |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
        |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
@@ -1576,14 +1582,18 @@ class SimilarityOps(val cfg: GraftConfig) {
        |$out AS (SELECT ia AS vec_id, ib AS cell FROM (
        |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
        |    FROM ${out}_d) WHERE rk = 1)""".stripMargin
+  }
 
-  private def pqDuckUpdate(s: Int, aTbl: String, out: String): String =
-    s"""${out}_j AS (SELECT $aTbl.cell, e.sub FROM $aTbl JOIN e$s e USING (vec_id)),
+  private def pqDuckUpdate(s: Int, aTbl: String, out: String,
+      src: String = ""): String = {
+    val st = if (src.isEmpty) s"e$s" else src
+    s"""${out}_j AS (SELECT $aTbl.cell, e.sub FROM $aTbl JOIN $st e USING (vec_id)),
        |${out}_m AS (SELECT cell, g,
        |    CAST(SUM(CAST(floor(CAST(sub[g] AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)/count(*)/1e7 AS m
        |  FROM ${out}_j, LATERAL (SELECT unnest(generate_series(1, len(sub))) AS g) t
        |  GROUP BY cell, g),
        |$out AS (SELECT cell AS cent_id, array_agg(m ORDER BY g) AS ce FROM ${out}_m GROUP BY cell)""".stripMargin
+  }
 
   /** Shared PQ oracle preamble: per subspace s, slice table e{s},
     * training chain c{s}_0..c{s}_$PqIters, final assignment f{s}. */
@@ -1845,6 +1855,209 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   def q262Sql: String =
     s"""$ivfPqCtes,
+       |tr_ex AS (SELECT q.vec_id AS qid, e2.vec_id AS xid,
+       |    unnest(q.embedding) AS a, unnest(e2.embedding) AS b
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q, embeddings e2
+       |  WHERE e2.vec_id <> q.vec_id),
+       |tr_d AS (SELECT qid, xid,
+       |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+       |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+       |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+       |  FROM tr_ex GROUP BY qid, xid),
+       |truth AS (SELECT qid AS query_id, xid AS vec_id FROM (
+       |    SELECT qid, xid, row_number() OVER (PARTITION BY qid ORDER BY d2, xid) AS rk
+       |    FROM tr_d) WHERE rk <= $IvfTopK)
+       |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN adtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+
+  // ---------- Residual IVF-PQ (q271/q272) ----------
+
+  /** Per-vector IVF RESIDUAL r = x − c(cell): the quantity PQ encodes
+    * in the production IVF-PQ composition — residual norms are far
+    * smaller than vector norms, so the same m·k codewords spend their
+    * resolution on the part IVF did not already explain. Broadcast
+    * centroid join on the assigned cell; elementwise subtraction is a
+    * codegen'd zip_with (one exact IEEE op per dim). Output keeps the
+    * residual under the `embedding` name so the PQ kernels apply
+    * unchanged. */
+  private def residualsOf(e: DataFrame, cents: DataFrame): DataFrame =
+    assign(e, cents)
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(embedding, ce, (x, c) -> CAST(x AS DOUBLE) - c)")
+          .as("embedding"))
+
+  /** Persisted RESIDUAL codebook — trained on the IVF residuals, so the
+    * artifact depends on BOTH index configurations: every shaping knob
+    * is in the tag (the q242/q263 content-keying discipline). */
+  private[graft] def persistedResCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.dir(
+      s"pqres_cb_m${PqM}_k${PqK}_i${PqIters}_c${NumCentroids}_ki${KmeansIters}_tm$TrainMod",
+      dir)
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+      pqTrainOn(residualsOf(e, trainIndex(spark, dir)))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** q271: RESIDUAL IVF-PQ SEARCH — the full Faiss-style IVFPQ serving
+    * shape, one refinement past q261: the PQ codebook is trained on and
+    * encodes the IVF RESIDUALS (x − centroid), and ADC lookup tables
+    * are built per (query, probed cell) from the query's own residual
+    * against that cell — so distance resolution concentrates where the
+    * coarse quantizer left error. All-BIGINT fixed-point distances end
+    * to end (ties to vec_id), both engines rank bitwise. q272 measures
+    * what the refinement buys (its recall vs q262's, same truth).
+    *
+    * Scale: centroids and codebook broadcast; residual computation and
+    * encode are zero-shuffle corpus scans; LUTs are
+    * queries × nprobe × m·k rows (tiny, broadcast); per-query cost is
+    * Σ|probed cell| code lookups — identical shape to q261 with one
+    * extra broadcast join on the corpus scan. */
+  def q271IvfPqResidualSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val cb = persistedResCodebook(spark, dir)
+    val res = residualsOf(e, cents)
+    val codes = pqEncodeWith(res.select("vec_id", "embedding"), cb)
+      .join(res.select("vec_id", "cell"), "vec_id")
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val probes = probeCells(qv, cents, cfg.ivfNprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // query residual PER PROBED CELL: qr = qe − c(cell)
+    val qres = broadcast(probes
+      .join(qv.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))), "cell")
+      .select(col("query_id"), col("cell"),
+        expr("zip_with(qe, ce, (x, c) -> CAST(x AS DOUBLE) - c)").as("qr")))
+    val luts = (1 to PqM).map { s =>
+      broadcast(qres.select(col("query_id"), col("cell"),
+          expr(subExpr(s, "qr")).as("qs"))
+        .withColumn("qn2s", expr("vec_dot_fixed(qs, qs)"))
+        .crossJoin(broadcast(cb.filter(col("sub_id") === s)))
+        .select(col("query_id"), col("cell"), col("cent_id").as(s"c$s"),
+          (col("qn2s") + expr("vec_dot_fixed(ce, ce)")
+            - lit(2L) * expr("vec_dot_fixed(qs, ce)")).as(s"d$s")))
+    }
+    val cand = broadcast(probes).join(codes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+    val ad = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, i)) =>
+      acc.join(lut, Seq("query_id", "cell", s"c${i + 1}"))
+    }.select(col("query_id"), col("vec_id"),
+      (1 to PqM).map(s => col(s"d$s")).reduce(_ + _).as("ad2"))
+    val w = Window.partitionBy("query_id").orderBy(col("ad2"), col("vec_id"))
+    ad.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select("query_id", "vec_id", "rk", "ad2")
+  }
+
+  /** Shared oracle preamble for q271/q272: IVF training → residuals →
+    * residual-PQ training → per-(query, cell) residual LUTs → ADC over
+    * probed cells, ending at `adtop`. */
+  private def resIvfPqCtes: String = {
+    val resSlices = (1 to PqM).map { s =>
+      s"rs$s AS (SELECT vec_id, ${pqSubSqlDuck(s, "rvec")} AS sub FROM rv)"
+    }.mkString(",\n")
+    val training = (1 to PqM).map { s =>
+      val iters = (1 to PqIters).map { i =>
+        s"""${pqDuckAssign(s, s"c${s}_${i - 1}", s"a${s}_$i", src = s"rs$s")},
+           |${pqDuckUpdate(s, s"a${s}_$i", s"c${s}_$i", src = s"rs$s")}""".stripMargin
+      }.mkString(",\n")
+      s"""c${s}_0 AS (SELECT vec_id AS cent_id,
+         |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM rs$s WHERE vec_id < $PqK),
+         |$iters,
+         |${pqDuckAssign(s, s"c${s}_$PqIters", s"f$s", src = s"rs$s")}""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val codeCols = (1 to PqM).map(s => s"f$s.cell AS c$s").mkString(", ")
+    val lutCtes = (1 to PqM).map { s =>
+      s"""ql$s AS (SELECT query_id, cell, ${pqSubSqlDuck(s, "qr")} AS qs FROM qres),
+         |lut${s}_ex AS (SELECT q.query_id, q.cell, c.cent_id,
+         |    unnest(q.qs) AS a, unnest(c.ce) AS b
+         |  FROM ql$s q, c${s}_$PqIters c),
+         |lut$s AS (SELECT query_id, cell, cent_id,
+         |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+         |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+         |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+         |  FROM lut${s}_ex GROUP BY query_id, cell, cent_id)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (1 to PqM).map(s =>
+      s"JOIN lut$s l$s ON l$s.query_id = cd.query_id AND l$s.cell = cd.cell AND l$s.cent_id = cd.c$s")
+      .mkString("\n|  ")
+    val adSum = (1 to PqM).map(s => s"l$s.d2").mkString(" + ")
+    s"""$trainedAssignCtes,
+       |rv AS (SELECT av.vec_id, av.cell,
+       |    list_transform(range(1, 1 + len(av.embedding)),
+       |      i -> CAST(av.embedding[i] AS DOUBLE) - c.ce[i]) AS rvec
+       |  FROM av JOIN c$KmeansIters c ON c.cent_id = av.cell),
+       |$resSlices,
+       |$training,
+       |codesj AS (SELECT f1.vec_id, rv.cell, $codeCols
+       |  FROM f1 $codeJoins JOIN rv USING (vec_id)),
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries)
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qres AS (SELECT p.query_id, p.cell,
+       |    list_transform(range(1, 1 + len(e.embedding)),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) AS qr
+       |  FROM qprobe p JOIN e ON e.vec_id = p.query_id
+       |  JOIN c$KmeansIters c ON c.cent_id = p.cell),
+       |$lutCtes,
+       |cd AS (SELECT p.query_id, x.cell, x.vec_id${(1 to PqM).map(s => s", x.c$s").mkString}
+       |  FROM qprobe p JOIN codesj x ON x.cell = p.cell AND x.vec_id <> p.query_id),
+       |adx AS (SELECT cd.query_id, cd.vec_id, $adSum AS ad2
+       |  FROM cd
+       |  $lutJoins),
+       |adtop AS (SELECT query_id, vec_id, rk, ad2 FROM (
+       |    SELECT query_id, vec_id, ad2,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad2, vec_id) AS rk
+       |    FROM adx) WHERE rk <= $IvfTopK)""".stripMargin
+  }
+
+  def q271Sql: String =
+    s"""$resIvfPqCtes
+       |SELECT query_id, vec_id, rk, ad2 FROM adtop""".stripMargin
+
+  /** q272: RESIDUAL IVF-PQ RECALL — q271's measured answer against the
+    * same exact full-space L2 truth q262 uses, so the two serving
+    * shapes (global-codebook q261 vs residual q271) are directly
+    * comparable recall-for-recall: the refinement's value is a NUMBER,
+    * not an assumption (on an isotropic synthetic corpus it may well
+    * be ~zero — that is a finding, the q223 honesty discipline). */
+  def q272IvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir)
+      .withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val truth = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= IvfTopK)
+      .select("query_id", "vec_id")
+    val approx = q271IvfPqResidualSearch(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(IvfTopK.toDouble)).as("recall"))
+  }
+
+  def q272Sql: String =
+    s"""$resIvfPqCtes,
        |tr_ex AS (SELECT q.vec_id AS qid, e2.vec_id AS xid,
        |    unnest(q.embedding) AS a, unnest(e2.embedding) AS b
        |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q, embeddings e2

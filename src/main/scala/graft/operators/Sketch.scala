@@ -1077,12 +1077,20 @@ class SketchOps(val cfg: GraftConfig) {
     * (the eval) re-expands the corpus per window — the cost the
     * register artifact eliminates. */
   def q252RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val W = cfg.rollingQuantileDays
-    val ev = Tables.events(spark, dir)
+    val ev = rollingEv(spark, dir)
+    rollingDistinctOf(ev, hllRegisterAgg(ev, Seq("day")))
+  }
+
+  private def rollingEv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"),
         col("user_id").cast("string").as("token"))
+
+  /** The q252 consumer over ANY per-day register table — freshly
+    * sketched (q252) or artifact-plus-delta merged (q273). */
+  private def rollingDistinctOf(ev: DataFrame, daily: DataFrame): DataFrame = {
+    val W = cfg.rollingQuantileDays
     val days = ev.select("day").distinct()
-    val daily = hllRegisterAgg(ev, Seq("day"))
     val merged = daily
       .withColumn("target_day", explode(sequence(col("day"), col("day") + (W - 1))))
       .join(days.select(col("day").as("target_day")), Seq("target_day"))
@@ -1100,6 +1108,38 @@ class SketchOps(val cfg: GraftConfig) {
         ((col("est_users") - col("exact_users").cast("double"))
           / col("exact_users").cast("double")).as("rel_err"))
   }
+
+  /** q273: the DAILY-REGISTER LEDGER — the incremental lifecycle q252's
+    * scaladoc promises ("yesterday's registers are simply reloaded"),
+    * made real code: all days BEFORE the feed's max day live in a
+    * persisted, content-keyed register artifact (the q242/q263
+    * build-if-absent discipline); only the newest day is sketched
+    * fresh; the per-day tables union (days are disjoint) and the q252
+    * consumer runs unchanged on the merge. Nightly cost = one delta-day
+    * sketch + the metadata-sized window merge — the base corpus is
+    * never re-sketched (with a date-partitioned landing the delta
+    * filter would also prune directories, q146's mode). The oracle is
+    * q252's FULL recompute, so artifact-plus-delta ≡ resketch is
+    * re-proven end to end every round; the exact_users column remains
+    * the eval side and deliberately re-scans (it is the cost the
+    * registers replace). */
+  def q273RegisterLedger(spark: SparkSession, dir: String): DataFrame = {
+    val ev = rollingEv(spark, dir)
+    val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+    val basePath = graft.sources.Scratch.keyedDir(
+      "hllday_base", dir, spark, Seq("events.parquet"), s"hex=$CmHexChars")
+    val p = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      hllRegisterAgg(ev.filter(col("day") < maxDay), Seq("day"))
+        .write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val delta = hllRegisterAgg(ev.filter(col("day") === maxDay), Seq("day"))
+    rollingDistinctOf(ev, base.unionByName(delta))
+  }
+
+  /** Merged ≡ resketched by construction — the oracle IS q252's. */
+  def q273Sql: String = q252Sql
 
   def q252Sql: String = {
     val sfxLen = 32 - CmHexChars

@@ -519,6 +519,24 @@ class CurationSpec extends GraftSpec {
     assert(run() == got, "hash-drawn pairs are a pure function of the corpus")
   }
 
+  test("q274: a k-anonymous group from one source still fails l-diversity") {
+    import spark.implicits._
+    val o = new CurationOps(GraftConfig(kAnonLenBin = 10, lDiversityL = 2))
+    val dir = java.nio.file.Files.createTempDirectory("ldiv").toString
+    // bin 0: 3 docs, all source A (k-anonymous at k=3, NOT 2-diverse);
+    // bin 1: 2 docs from A and B (2-diverse)
+    Seq((1L, "aaaa", "A"), (2L, "bbbb", "A"), (3L, "cccc", "A"),
+      (4L, "d" * 15, "A"), (5L, "e" * 15, "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = o.q274LDiversity(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(0L) == ((3L, 1L, false)), "size alone must not satisfy diversity")
+    assert(got(1L) == ((2L, 2L, true)))
+  }
+
   test("q267: every source lands within one document of its token budget, deterministically") {
     val b = GraftConfig.default.recipeTokensPerSource
     val rows = graft.operators.Curation.q267TokenBudget(spark, sf).collect()

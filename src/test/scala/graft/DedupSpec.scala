@@ -399,6 +399,44 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("q271/q272: one cell + singleton residual codewords make ADC exact — recall 1") {
+    // With ONE IVF cell every vector's residual is x − mean, and with
+    // codewords ≥ vectors each residual is (within the 1e-7 exact-mean
+    // quantum) its own codeword; subspaces partition the dims, so the
+    // residual ADC sum telescopes to |q − x|² exactly and the ranking
+    // equals full-space truth at every query.
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      pqSubspaces = 2, pqCodewords = 8, pqIters = 2,
+      annQueries = 3, annTopK = 2,
+      ivfCentroids = 1, ivfNprobe = 1, ivfTopK = 2, kmeansIters = 1))
+    val res = ops.q271IvfPqResidualSearch(spark, dir).collect()
+    assert(res.map(_.getAs[Long]("query_id")).distinct.length == 3)
+    res.foreach(r => assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 2))
+    ops.q272IvfPqResidualRecall(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"query ${r.getAs[Long]("query_id")}: exact residual codebook must give recall 1")
+    }
+  }
+
+  test("q271/q272 real corpus: ranks bounded, eval one row per query, recall in [0,1]") {
+    val k = Similarity.IvfTopK
+    val res = Similarity.q271IvfPqResidualSearch(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.head == 1 && rks.last <= k && rks.distinct.length == rks.length)
+    }
+    val ev = Similarity.q272IvfPqResidualRecall(spark, sf).collect()
+    assert(ev.length == Similarity.NumQueries)
+    ev.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") == math.round(rec * k))
+    }
+  }
+
   test("q268: when the prefix dims carry all the signal, every tier's recall is 1") {
     // vectors differ ONLY in their first 2 dims (the rest are zero), so
     // truncated rankings at any tier ≥ the signal dims equal the

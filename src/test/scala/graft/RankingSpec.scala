@@ -496,6 +496,38 @@ class RankingSpec extends GraftSpec {
     }
   }
 
+  test("q273: artifact-plus-delta registers reproduce q252's resketch row for row") {
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet
+    val full = key(Sketch.q252RollingDistinct(spark, sf).collect())
+    val merged = key(Sketch.q273RegisterLedger(spark, sf).collect())
+    assert(merged == full, "the register ledger must equal the full resketch")
+    assert(merged.nonEmpty)
+  }
+
+  test("q273: reads the persisted base registers (doctored artifact shifts the estimate)") {
+    import spark.implicits._
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("hllledger").toString
+    Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 11L, 3L))
+      .map { case (id, d, u) => (id, new java.sql.Timestamp(d * DayMs), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val before = Sketch.q273RegisterLedger(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // day -> present
+    // doctor the base-day artifact: claim day 10 saturated EVERY register
+    val path = graft.sources.Scratch.keyedDir(
+      "hllday_base", dir, spark, Seq("events.parquet"), s"hex=${Sketch.CmHexChars}")
+    val m = 1 << (4 * Sketch.CmHexChars)
+    (0 until m).map(b => (10L, f"$b%02x", 5L))
+      .toDF("day", "bucket", "max_rho")
+      .write.mode("overwrite").parquet(path)
+    val after = Sketch.q273RegisterLedger(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before(10L) == 2L && after(10L) == m.toLong,
+      "q273 must merge from the PERSISTED registers, not resketch the base days")
+  }
+
   test("q248: NDV estimates land near exact for key columns; tiny columns are exposed, not hidden") {
     val got = Sketch.q248NdvProfile(spark, sf).collect()
       .map(r => r.getString(0) ->
