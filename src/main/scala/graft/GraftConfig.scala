@@ -192,6 +192,9 @@ case class GraftConfig(
     // saturates at 1 — π = min(1, n_chars/target); must stay ≤ ~2^20 so
     // the integer keep test min(w,target)·2^32 can't overflow BIGINT
     ppsTargetChars: Long = 500L,
+    // PCM decimation (q276): boxcar downsample factor (16 kHz -> 4 kHz
+    // would be 4; synthetic clips hold 32 samples -> 8 output blocks)
+    pcmDecimate: Int = 4,
     // l-diversity audit (q274): minimum distinct sensitive-attribute
     // values (source) a quasi-identifier group must contain
     lDiversityL: Int = 3,

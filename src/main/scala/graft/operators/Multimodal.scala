@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftConfig
 import graft.sources.Tables
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
@@ -425,6 +426,66 @@ object Multimodal {
       |  CAST(SUM(CASE WHEN pv IS NOT NULL AND pv*v < 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS zero_crossings
       |FROM sc GROUP BY doc_id, frame""".stripMargin
+
+  case class PcmBlock(doc_id: Long, idx: Int, n_in: Int, sum_in: Long,
+                      v_out: Double)
+
+  /** q276: PCM DECIMATION — boxcar-averaged downsample by
+    * ${GraftConfig.default.pcmDecimate}× (16 kHz speech corpora ship to
+    * 8 kHz ASR front-ends through exactly this: average k consecutive
+    * samples, emit one): per output sample its input count, the EXACT
+    * integer input sum, and the mean. The boxcar is the crudest
+    * anti-alias filter but the arithmetic one a cross-engine oracle can
+    * hash: the sum is exact BIGINT and the mean one dyadic division
+    * (s / 4 is exact in IEEE — no rounding at all), so the whole
+    * decode→block→resample path verifies bitwise, the audio analogue
+    * of q114's image downsample.
+    *
+    * Scale: same pure map stage as q134 — the strict WAV walk plus one
+    * in-row pass over the samples; output is n/k rows per clip, zero
+    * shuffles at any corpus size. */
+  def q276PcmDecimate(spark: SparkSession, dir: String): DataFrame =
+    decodePcmDecimate(wavTable(spark, dir), GraftConfig.default.pcmDecimate)
+
+  private[graft] def decodePcmDecimate(ds: Dataset[(Long, Array[Byte])],
+      k: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val (dataOff, dataLen) = parseWavHeader(bytes)
+      val n = dataLen / 2
+      (0 until (n + k - 1) / k).map { b =>
+        val lo = b * k
+        val hi = math.min(lo + k, n)
+        var s = 0L; var j = lo
+        while (j < hi) {
+          val b0 = bytes(dataOff + 2 * j) & 0xff
+          val b1 = bytes(dataOff + 2 * j + 1)
+          s += (b1 << 8) | b0
+          j += 1
+        }
+        PcmBlock(id, b, hi - lo, s, s.toDouble / (hi - lo))
+      }
+    }).toDF()
+  }
+
+  def q276Sql: String = {
+    val k = GraftConfig.default.pcmDecimate
+    s"""WITH h4 AS (SELECT doc_id,
+       |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+       |  FROM documents),
+       |s AS (SELECT doc_id, j,
+       |    CASE WHEN hi >= 128 THEN hi*256 + lo - 65536 ELSE hi*256 + lo END AS v
+       |  FROM (SELECT doc_id, j,
+       |      (strpos('0123456789abcdef', substr(hx, 4*j+1, 1)) - 1) * 16
+       |        + (strpos('0123456789abcdef', substr(hx, 4*j+2, 1)) - 1) AS lo,
+       |      (strpos('0123456789abcdef', substr(hx, 4*j+3, 1)) - 1) * 16
+       |        + (strpos('0123456789abcdef', substr(hx, 4*j+4, 1)) - 1) AS hi
+       |    FROM h4, LATERAL (SELECT unnest(generate_series(0, 31)) AS j) t))
+       |SELECT doc_id, CAST(j // $k AS INT) AS idx, CAST(count(*) AS INT) AS n_in,
+       |  CAST(SUM(v) AS BIGINT) AS sum_in,
+       |  CAST(SUM(v) AS DOUBLE) / count(*) AS v_out
+       |FROM s GROUP BY doc_id, j // $k""".stripMargin
+  }
 
   /** q226 voiced/unvoiced gate: frame energy at/above this fires. Sits
     * at the corpus's frame-energy median (measured: min 3.5e8, median

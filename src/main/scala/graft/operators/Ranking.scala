@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftConfig
@@ -113,28 +113,14 @@ class RankingOps(val cfg: GraftConfig) {
        |      (1.0 - CAST($B AS DOUBLE) + CAST($B AS DOUBLE) * dl.dl / stats.avgdl)) AS score
        |FROM tf JOIN dl USING (doc_id) CROSS JOIN stats""".stripMargin
 
-  /** q110: HYBRID retrieval — reciprocal-rank fusion of the BM25 text
-    * ranking (query = $Terms) and the cosine vector ranking (query =
-    * the embedding of vec_id ${cfg.hybridQueryVec}), the standard
-    * sparse+dense fusion of a modern retrieval stack. RRF works on
-    * RANKS, not scores — 1/(k+r) terms from integer ranks, so the fused
-    * score is deterministic across engines by construction.
-    *
-    * Scale shape — pool-then-fuse, never rank the corpus: each side
-    * reduces to its top-$PoolK candidates via orderBy+limit
-    * (TakeOrderedAndProject: per-partition top-k, one bounded merge);
-    * ranks are assigned INSIDE the ≤$PoolK-row pools (the only
-    * unpartitioned windows run on pool-sized data); the fusion is a
-    * full outer join of two pool tables. The corpus-sized work is one
-    * token scan (BM25 side, map-combinable conditional sums) and one
-    * embedding scan against a single broadcast query vector. The BM25
-    * total is a FIXED-ORDER chain of per-term IEEE terms, not a
-    * float SUM, so both engines compute bit-identical pool orderings. */
-  def q110HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** The two score-carrying retrieval pools (text: doc_id, bm25, brank;
+    * vector: doc_id, cosine, vrank) — q110 fuses their RANKS (RRF),
+    * q277 fuses their min-max-NORMALIZED scores; one pool builder
+    * serves both fusions. */
+  private def hybridPools(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     import graft.functions.Vec
     val PoolK = cfg.rrfPoolK
-    val RrfC = cfg.rrfK
     // text side: q90's one-aggregate BM25, totalled per doc in fixed term order
     val tfCols = Terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf$i")
@@ -170,6 +156,29 @@ class RankingOps(val cfg: GraftConfig) {
       .orderBy(col("cosine").desc, col("doc_id")).limit(PoolK)
       .withColumn("vrank",
         row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+    (bmPool, vecPool)
+  }
+
+  /** q110: HYBRID retrieval — reciprocal-rank fusion of the BM25 text
+    * ranking (query = $Terms) and the cosine vector ranking (query =
+    * the embedding of vec_id ${cfg.hybridQueryVec}), the standard
+    * sparse+dense fusion of a modern retrieval stack. RRF works on
+    * RANKS, not scores — 1/(k+r) terms from integer ranks, so the fused
+    * score is deterministic across engines by construction.
+    *
+    * Scale shape — pool-then-fuse, never rank the corpus: each side
+    * reduces to its top-$PoolK candidates via orderBy+limit
+    * (TakeOrderedAndProject: per-partition top-k, one bounded merge);
+    * ranks are assigned INSIDE the ≤$PoolK-row pools (the only
+    * unpartitioned windows run on pool-sized data); the fusion is a
+    * full outer join of two pool tables. The corpus-sized work is one
+    * token scan (BM25 side, map-combinable conditional sums) and one
+    * embedding scan against a single broadcast query vector. The BM25
+    * total is a FIXED-ORDER chain of per-term IEEE terms, not a
+    * float SUM, so both engines compute bit-identical pool orderings. */
+  def q110HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val RrfC = cfg.rrfK
+    val (bmPool, vecPool) = hybridPools(spark, dir)
     // fuse: RRF over the union of the two pools; a missing side adds 0
     val rrf =
       when(col("brank").isNotNull, lit(1.0) / (lit(RrfC) + col("brank"))).otherwise(lit(0.0)) +
@@ -178,6 +187,86 @@ class RankingOps(val cfg: GraftConfig) {
       .join(vecPool.select("doc_id", "vrank"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("brank"), col("vrank"), rrf.as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(cfg.rrfTopK)
+  }
+
+  /** q277: MIN-MAX SCORE FUSION — the OTHER standard hybrid-retrieval
+    * combiner beside q110's RRF: each pool's scores rescale to [0, 1]
+    * by the pool's own min/max ((s − min)/(max − min); a constant pool
+    * rescales to 1 — it is its own maximum) and the fused score is the
+    * sum, with a missing side contributing 0 (q110's convention). RRF
+    * uses only ranks and is scale-free but position-quantized; min-max
+    * keeps score GAPS (two near-tied BM25 docs stay near-tied after
+    * fusion) at the price of outlier sensitivity — shipping both lets
+    * the eval pick per corpus. Determinism: every normalization is one
+    * fixed IEEE chain over the pool's min/max (order-free extremes), so
+    * both engines fuse bitwise-identically.
+    *
+    * Scale: identical to q110 — two partial-top-k pools (never a
+    * corpus sort), one-row min/max broadcasts, a PoolK-row fuse. */
+  def q277MinmaxFusion(spark: SparkSession, dir: String): DataFrame = {
+    val (bmPool, vecPool) = hybridPools(spark, dir)
+    val bs = bmPool.agg(min(col("bm25")).as("bmin"), max(col("bm25")).as("bmax"))
+    val vs = vecPool.agg(min(col("cosine")).as("vmin"), max(col("cosine")).as("vmax"))
+    def norm(s: Column, lo: Column, hi: Column): Column =
+      when(s.isNull, lit(0.0))
+        .when(hi === lo, lit(1.0))
+        .otherwise((s - lo) / (hi - lo))
+    bmPool.select("doc_id", "bm25")
+      .join(vecPool.select("doc_id", "cosine"), Seq("doc_id"), "full_outer")
+      .crossJoin(broadcast(bs)).crossJoin(broadcast(vs))
+      .select(col("doc_id"), col("bm25"), col("cosine"),
+        (norm(col("bm25"), col("bmin"), col("bmax"))
+          + norm(col("cosine"), col("vmin"), col("vmax"))).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id")).limit(cfg.rrfTopK)
+  }
+
+  def q277Sql: String = {
+    val PoolK = cfg.rrfPoolK
+    val tfConds = Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }.mkString(",\n|    ")
+    val termScores = Terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN CAST(tf$i AS DOUBLE) * (CAST($K1 AS DOUBLE) + 1.0) /
+         |      (tf$i + CAST($K1 AS DOUBLE) * (1.0 - CAST($B AS DOUBLE)
+         |        + CAST($B AS DOUBLE) * dl / avgdl)) ELSE 0.0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, t AS token FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bydoc AS (SELECT doc_id, count(*) AS dl,
+       |    $tfConds
+       |  FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM bydoc),
+       |bmtot AS (SELECT doc_id, $termScores AS bm25 FROM bydoc CROSS JOIN stats),
+       |bmpool AS (SELECT doc_id, bm25
+       |  FROM (SELECT * FROM bmtot WHERE bm25 > 0.0
+       |        ORDER BY bm25 DESC, doc_id LIMIT $PoolK)),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${cfg.hybridQueryVec}),
+       |pairs AS (SELECT vec_id AS doc_id, qe, embedding AS ve FROM embeddings, q
+       |  WHERE vec_id <> ${cfg.hybridQueryVec}),
+       |ex AS (SELECT doc_id, unnest(qe) AS a, unnest(ve) AS b FROM pairs),
+       |dots AS (SELECT doc_id,
+       |    ${graft.functions.Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${graft.functions.Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${graft.functions.Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ex GROUP BY doc_id),
+       |vecpool AS (SELECT doc_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM (SELECT * FROM dots
+       |        ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, doc_id
+       |        LIMIT $PoolK)),
+       |bstats AS (SELECT min(bm25) AS bmin, max(bm25) AS bmax FROM bmpool),
+       |vstats AS (SELECT min(cosine) AS vmin, max(cosine) AS vmax FROM vecpool)
+       |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.bm25, v.cosine,
+       |  (CASE WHEN b.bm25 IS NULL THEN 0.0
+       |        WHEN bmax = bmin THEN 1.0
+       |        ELSE (b.bm25 - bmin) / (bmax - bmin) END)
+       |  + (CASE WHEN v.cosine IS NULL THEN 0.0
+       |          WHEN vmax = vmin THEN 1.0
+       |          ELSE (v.cosine - vmin) / (vmax - vmin) END) AS fused
+       |FROM bmpool b FULL OUTER JOIN vecpool v ON b.doc_id = v.doc_id
+       |CROSS JOIN bstats CROSS JOIN vstats
+       |ORDER BY fused DESC, doc_id LIMIT ${cfg.rrfTopK}""".stripMargin
   }
 
   def q110Sql: String = {

@@ -479,10 +479,14 @@ class TemporalOps(val cfg: GraftConfig) {
     * sweep and the final join) + one keyed aggregate to pair each
     * session's two ranks — never a session×session product; a
     * 10⁹-session day costs one sort. */
-  def q236SessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-sessionized (user_id, session_id, start_ms, end_ms) intervals —
+    * the interval table q236 (concurrency) and q275 (union coverage)
+    * both consume; stage-cut so each consumer's passes reuse one
+    * materialization. */
+  private def gapSessions(spark: SparkSession, dir: String): DataFrame = {
     val gap = cfg.sessionGapMs
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
-    val sess = graft.Ck.lazyStage(
+    graft.Ck.lazyStage(
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
         .withColumn("new_sess",
@@ -493,6 +497,10 @@ class TemporalOps(val cfg: GraftConfig) {
         .groupBy("user_id", "session_id")
         .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms")),
       cfg)
+  }
+
+  def q236SessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gapSessions(spark, dir)
     def kind(v: Column, k: Int, ws: Long, we: Long, carryIds: Boolean) =
       sess.select(v.as("v"), lit(k).as("k"), lit(ws).as("ws"), lit(we).as("we"),
         (if (carryIds) col("user_id") else lit(null).cast("long")).as("user_id"),
@@ -514,6 +522,74 @@ class TemporalOps(val cfg: GraftConfig) {
       .select(col("user_id"), col("session_id"), col("start_ms"), col("end_ms"),
         (col("n_starts_le_end") - col("n_ends_lt_start") - 1L).as("n_concurrent"))
   }
+
+  /** q275: INTERVAL-UNION coverage — the companion number to q236's
+    * peak concurrency: merge ALL session intervals (across users) into
+    * maximal covered ISLANDS and report each island's span, session
+    * count, and covered milliseconds. "How much wall-clock was the
+    * platform active at all, and in how many disjoint busy periods" —
+    * the capacity-planning denominator (q236 gives the peak numerator).
+    * Two intervals merge when they overlap or touch to the millisecond
+    * (s₂ ≤ e₁ + 1 — integer-time coverage has no gap between e and
+    * e+1).
+    *
+    * Scale: the classic sweep, never a sort-merge self-join: interval
+    * bounds become ±1 deltas on a SINGLE integer sort key (2s for
+    * starts, 2(e+1)+1 for ends — parity separates kinds, grouping by
+    * key kills tie-order ambiguity), one range-partitioned prefix scan
+    * ([[Scan.exclusiveRunningSums]] — the q236 kernel) finds the
+    * groups where the active count returns to zero (island openers), a
+    * second scan numbers the openers, and sessions map to their island
+    * by equi-join on start key. No global window, no O(n²) inequality
+    * join — three bounded shuffles. */
+  def q275IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gapSessions(spark, dir)
+    val bounds = sess
+      .select((col("start_ms") * 2).as("sk"), lit(1L).as("d"), lit(1L).as("ns"))
+      .unionAll(sess.select(((col("end_ms") + 1L) * 2 + 1L).as("sk"),
+        lit(-1L).as("d"), lit(0L).as("ns")))
+      .groupBy("sk").agg(sum(col("d")).as("d"), sum(col("ns")).as("ns"))
+    val p1 = Scan
+      .exclusiveRunningSums(bounds, cfg.skylineRangeParts, Seq("sk"), Seq("d"), cfg)
+      .withColumn("opener",
+        when(col("ns") > 0 && col("run_d") === 0L, 1L).otherwise(0L))
+    val p2 = Scan
+      .exclusiveRunningSums(p1, cfg.skylineRangeParts, Seq("sk"), Seq("opener"), cfg)
+      .withColumn("island_id", col("run_opener") + col("opener"))
+    val byStart = p2.filter(col("ns") > 0)
+      .select(expr("sk div 2").as("start_ms"), col("island_id"))
+    sess.join(byStart, "start_ms")
+      .groupBy("island_id")
+      .agg(min(col("start_ms")).as("start_ms"), max(col("end_ms")).as("end_ms"),
+        count(lit(1)).as("n_sessions"))
+      .select(col("island_id"), col("start_ms"), col("end_ms"), col("n_sessions"),
+        (col("end_ms") - col("start_ms") + 1L).as("covered_ms"))
+  }
+
+  def q275Sql: String =
+    s"""WITH flags AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${cfg.sessionGapMs} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |se AS (SELECT user_id,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id, ms
+       |  FROM flags),
+       |sess AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
+       |  FROM se GROUP BY 1, 2),
+       |ord AS (SELECT *, max(end_ms) OVER (ORDER BY start_ms, end_ms, user_id, session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM sess),
+       |op AS (SELECT *, CASE WHEN pmax IS NULL OR start_ms > pmax + 1 THEN 1 ELSE 0 END AS opener
+       |  FROM ord),
+       |isl AS (SELECT *, CAST(SUM(opener) OVER (ORDER BY start_ms, end_ms, user_id, session_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id FROM op)
+       |SELECT island_id, min(start_ms) AS start_ms, max(end_ms) AS end_ms,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  max(end_ms) - min(start_ms) + 1 AS covered_ms
+       |FROM isl GROUP BY 1""".stripMargin
 
   def q236Sql: String =
     s"""WITH flags AS (

@@ -496,6 +496,23 @@ class RankingSpec extends GraftSpec {
     }
   }
 
+  test("q277: min-max fusion is bounded, deterministic, and each pool's argmax normalizes to 1") {
+    val rows = Ranking.q277MinmaxFusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= GraftConfig.default.rrfTopK)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fused")
+      assert(f >= 0.0 && f <= 2.0, "two [0,1] normalizations sum to at most 2")
+    }
+    // determinism: a second run fuses identically
+    val again = Ranking.q277MinmaxFusion(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // each pool's argmax doc normalizes to 1 on its side, so its fused
+    // score is ≥ 1 — and the top-k keeps the maximum-fused row, so the
+    // output maximum must clear 1 whenever any pool is non-empty
+    assert(rows.map(_.getAs[Double]("fused")).max >= 1.0 - 1e-12,
+      "a pool argmax (norm 1) must survive into the fused top-k")
+  }
+
   test("q273: artifact-plus-delta registers reproduce q252's resketch row for row") {
     def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet

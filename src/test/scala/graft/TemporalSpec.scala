@@ -235,4 +235,47 @@ class TemporalSpec extends GraftSpec {
       (3L, 1L) -> 1L  // E overlaps A via the shared ms-50 endpoint
     ))
   }
+
+  test("q275: overlapping, contained, contiguous, and isolated intervals island correctly") {
+    val ops = new TemporalOps(GraftConfig(sessionGapMs = 100))
+    val dir = events(
+      // A=[0,10] (user 1), B=[5,8] (user 2, contained in A)
+      (1L, 1L, 0L, "v"), (2L, 1L, 10L, "v"),
+      (3L, 2L, 5L, "v"), (4L, 2L, 8L, "v"),
+      // C=[500,550] (user 3), D=[551,600] (user 4 — CONTIGUOUS with C:
+      // ms 551 starts right after 550 ends, no uncovered ms between)
+      (5L, 3L, 500L, "v"), (6L, 3L, 550L, "v"),
+      (7L, 4L, 551L, "v"), (8L, 4L, 600L, "v"),
+      // E=[900,900] isolated point; F=[902,902] — gap at ms 901 splits
+      (9L, 5L, 900L, "v"), (10L, 6L, 902L, "v"))
+    val got = ops.q275IntervalUnion(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (0L, 10L, 2L, 11L),    // A ∪ B
+      (500L, 600L, 2L, 101L), // C ∪ D merge across the 550|551 seam
+      (900L, 900L, 1L, 1L),
+      (902L, 902L, 1L, 1L)))
+    val ids = ops.q275IntervalUnion(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), "islands number densely in start order")
+  }
+
+  test("q275 real corpus: islands partition the covered time exactly (vs collected reference)") {
+    val rows = Temporal.q275IntervalUnion(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute reference: merge collected session intervals in driver code
+    val sess = Temporal.q236SessionConcurrency(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).sorted
+    val ref = sess.foldLeft(List.empty[(Long, Long, Long)]) {
+      case (acc, (s, e)) => acc match {
+        case (is, ie, n) :: t if s <= ie + 1 => (is, math.max(ie, e), n + 1) :: t
+        case _ => (s, e, 1L) :: acc
+      }
+    }.reverse.map { case (s, e, n) => (s, e, n, e - s + 1) }
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.toSeq == ref, "kernel islands must equal the merged reference")
+    sorted.sliding(2).foreach {
+      case Array((_, e1, _, _), (s2, _, _, _)) => assert(s2 > e1 + 1, "islands are maximal")
+      case _ =>
+    }
+  }
 }

@@ -479,6 +479,33 @@ class TextStreamSpec extends GraftSpec {
     assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
   }
 
+  test("q276: boxcar decimation sums match hand arithmetic; tail block partial; means exact") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val samples = Seq(100, -300, 7, 9, -32768, 32767, 1, 2, 5, 6)
+    val out = Multimodal.decodePcmDecimate(Seq((1L, wav(samples))).toDS(), 4)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0) == ((4, -184L, -46.0)))
+    assert(out(1) == ((4, 2L, 0.5)))
+    assert(out(2) == ((2, 11L, 5.5)), "tail block averages over its own count")
+    // real table: 32 samples / 4 → 8 blocks per doc; block sums must
+    // reconcile with the frame table's samples (shared decode path)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(Multimodal.q276PcmDecimate(spark, sf).count() == 8 * nDocs)
+  }
+
   test("q134: PCM frame features match hand arithmetic; chunk walk skips junk; strict on malformed") {
     import spark.implicits._
     import graft.operators.Multimodal
