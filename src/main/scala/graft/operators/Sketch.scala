@@ -221,6 +221,56 @@ class SketchOps(val cfg: GraftConfig) {
 
   def q147Sql: String = q96Sql
 
+  /** q278: STREAMING per-day HLL registers — the live producer of the
+    * exact artifact q273's ledger persists and q252/q266 consume: a
+    * running events stream maintains one register set PER DAY as its
+    * aggregation state (days × 16^$CmHexChars longs — bounded by the
+    * calendar, not the traffic), so "today's registers" exist the
+    * moment the day does and the nightly ledger write is a state dump,
+    * not a batch re-scan. Register max is order-insensitive, so the
+    * bounded-replay drain equals the batch per-day sketch bit for bit
+    * (the q147 contract, keyed), and a live stream's registers merge
+    * with any batch shard's by element max.
+    *
+    * Scale: Complete-mode state is days × m rows; at production scale
+    * the same query runs in update mode with the sink upserting
+    * per-(day, bucket) rows. */
+  def q278StreamDayHll(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = graft.sources.Tables.normalizeEventTs(raw)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id").cast("string").as("token"))
+    val regs = hllRegisterAgg(ev, Seq("day"))
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = regs.writeStream.format("memory").queryName("graft_q278")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q278")
+    }
+  }
+
+  /** The batch per-day register pipeline, verbatim (q252's preamble). */
+  def q278Sql: String = {
+    val sfxLen = 32 - CmHexChars
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |    CAST(user_id AS VARCHAR) AS token FROM events),
+       |hashed AS (SELECT day, md5(token) AS h FROM ev),
+       |parts AS (SELECT day, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx FROM hashed),
+       |zs AS (SELECT day, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT day, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT day, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs)
+       |SELECT day, bucket, max(rho) AS max_rho FROM rhos GROUP BY 1, 2""".stripMargin
+  }
+
   /** Distributed per-key HLL estimate over a q139-shaped register
     * table: α·m²/Σ2^-ρ with linear-counting small-range correction,
     * computed per key with a FIXED bucket-ascending in-row fold

@@ -513,6 +513,33 @@ class RankingSpec extends GraftSpec {
       "a pool argmax (norm 1) must survive into the fused top-k")
   }
 
+  test("q278: streaming per-day registers drain bit-equal to the batch daily sketch") {
+    // batch reference: the register pipeline re-derived inline (the
+    // q95 spec precedent) keyed by day over the same events
+    val hex = Sketch.CmHexChars
+    val sfxLen = 32 - hex
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+    val batch = ev
+      .select(col("day"), substring(col("h"), 1, hex).as("bucket"),
+        substring(col("h"), hex + 1, sfxLen).as("sfx"))
+      .select(col("day"), col("bucket"),
+        length(regexp_extract(col("sfx"), "^0*", 0)).as("z"), col("sfx"))
+      .select(col("day"), col("bucket"), col("z"),
+        expr("substring(sfx, z + 1, 1)").as("nib"))
+      .select(col("day"), col("bucket"),
+        when(col("nib") === "", lit(4 * sfxLen + 1))
+          .otherwise(col("z") * 4 + lit(1) +
+            when(col("nib") === "1", 3)
+              .when(col("nib").isin("2", "3"), 2)
+              .when(col("nib").isin("4", "5", "6", "7"), 1)
+              .otherwise(0)).as("rho"))
+      .groupBy("day", "bucket").agg(max(col("rho")).cast("long").as("max_rho"))
+    val streamed = Sketch.q278StreamDayHll(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q273: artifact-plus-delta registers reproduce q252's resketch row for row") {
     def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet
