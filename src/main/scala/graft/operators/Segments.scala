@@ -179,24 +179,31 @@ class SegmentOps(val cfg: GraftConfig) {
   private def cdcChunksOf(docs: DataFrame): DataFrame = {
     val Wd = cfg.cdcWindow
     val M = cfg.cdcModulus
-    docs
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .withColumn("cuts", expr(
-        s"""concat(
-           |  filter(sequence(1, greatest(n, 1)), i -> i >= $Wd AND i < n AND
-           |    CAST(conv(substring(md5(substring(text, i - $Wd + 1, $Wd)), 1, 4),
-           |      16, 10) AS BIGINT) % $M = 0),
-           |  array(n))""".stripMargin))
-      .select(col("doc_id"), col("text"), col("cuts"),
-        posexplode(col("cuts")).as(Seq("ord0", "endp")))
-      .select(col("doc_id"), col("text"), col("endp"),
-        (col("ord0") + 1).cast("long").as("chunk_ord"),
-        when(col("ord0") === 0, lit(1))
-          .otherwise(element_at(col("cuts"), col("ord0")) + 1).as("start0"))
+    val base = docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    // Content cuts as ROWS with the boundary test a TOP-LEVEL md5 column
+    // (whole-stage codegen'd — the q55 idiom; the same test inside a
+    // higher-order-function lambda runs interpreted per element and
+    // measured 7× slower at sf0.1). The exploded position stream is
+    // filtered inside codegen, so only ~len/modulus cut rows ever
+    // materialize; text rides along so the fingerprint needs no join
+    // back (replication factor len/modulus through one doc_id shuffle —
+    // the q158 span-reconstruction cost shape).
+    val cuts = base.filter(col("n") > Wd)
+      .withColumn("i", explode(expr(s"sequence($Wd, n - 1)")))
+      .filter(expr(s"""CAST(conv(substring(md5(substring(text, i - $Wd + 1, $Wd)),
+        1, 4), 16, 10) AS BIGINT) % $M = 0"""))
+      .select(col("doc_id"), col("i").as("cut"), col("text"))
+    val allCuts = cuts
+      .unionAll(base.select(col("doc_id"), col("n").as("cut"), col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("cut")
+    allCuts
+      .withColumn("start0", coalesce(lag(col("cut"), 1).over(w) + 1, lit(1)))
+      .withColumn("chunk_ord", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("chunk_ord"),
         col("start0").cast("long").as("start"),
-        (col("endp") - col("start0") + 1).cast("long").as("chunk_len"),
-        expr("md5(substring(text, start0, endp - start0 + 1))").as("chunk_fp"))
+        (col("cut") - col("start0") + 1).cast("long").as("chunk_len"),
+        expr("md5(substring(text, start0, cut - start0 + 1))").as("chunk_fp"))
   }
 
   /** Shared oracle CTEs ending at `chunks` (doc_id, chunk_ord, start,
