@@ -236,6 +236,29 @@ class PlanSpec extends GraftSpec {
       "q210's apply must be ONE corpus scan")
   }
 
+  test("q275 interval union: the global sweep rides the range-partitioned kernel") {
+    // the island computation must never appear as one unpartitioned
+    // global window over all bounds — the Scan kernel's per-pid local
+    // windows plus a broadcast pid-prefix are the only windows allowed,
+    // and every one of them is pid-partitioned
+    val p = plan("q275_interval_union")
+    val unpartitioned = p.linesIterator.count(l =>
+      l.trim.startsWith("Window ") && !l.contains("windowspecdefinition(pid"))
+    assert(unpartitioned <= 1, // the pid-prefix window (ORDER BY pid) is pid-count-sized
+      s"q275 must not sort corpus-sized bounds in one partition\n$p")
+    assert(!p.contains("CartesianProduct"), "sweep, never an inequality self-join")
+  }
+
+  test("q269 CDC chunking: boundary hashing stays inside whole-stage codegen") {
+    val p = plan("q269_cdc_chunks")
+    assert(!p.contains("Join"), "text rides the cut rows — no join back to the corpus")
+    // the md5 boundary test must sit under a codegen'd Filter, not in a
+    // higher-order-function lambda (interpreted per element — the 7×
+    // regression this pin guards)
+    assert(!p.contains("ArrayFilter"),
+      "boundary test must be a top-level Filter column, not a HOF lambda")
+  }
+
   test("q263 incremental index: one documents scan (delta) once the artifact exists") {
     // warm the artifact, then pin the delta-only cost shape on the
     // FINALIZED adaptive plan (the stats/head branches share the delta
