@@ -502,9 +502,20 @@ class RelationalOps(val cfg: GraftConfig) {
 
   /** The q265 salt choice: ceil(CMS hottest-key upper bound /
     * cfg.saltTargetRows), floored at 1 and capped by cfg.saltFactor·4
-    * (replication cost guard). Exposed for the spec. */
+    * (replication cost guard). Exposed for the spec.
+    *
+    * NOTE (documented per the round-12 advice): this runs the sketch
+    * pass EAGERLY — building q265's DataFrame launches one
+    * fixed-state aggregate job before the plan exists, because the
+    * salt factor is a plan PARAMETER (the join's replication arity),
+    * not a runtime value. That is the same build-time/run-time split a
+    * CBO statistics pass has; callers constructing plans without
+    * executing them (e.g. registry enumeration followed by .explain)
+    * pay one small scan. An empty keys frame yields a NULL upper
+    * bound → salt 1 (plain join), handled explicitly. */
   private[graft] def sketchSaltFactor(keys: DataFrame): Int = {
-    val est = Sketch.cmsMaxFreq(keys).collect().head.getAs[Long]("max_freq_est")
+    val est = Option(Sketch.cmsMaxFreq(keys).collect().head
+      .getAs[java.lang.Long]("max_freq_est")).map(_.longValue).getOrElse(0L)
     val raw = (est + cfg.saltTargetRows - 1) / cfg.saltTargetRows
     math.max(1L, math.min(raw, cfg.saltFactor.toLong * 4)).toInt
   }

@@ -314,12 +314,13 @@ class SegmentOps(val cfg: GraftConfig) {
   /** Persisted BASE-split index artifact (the q242/q210 build-if-absent
     * lifecycle: built once over the train split, every later run
     * loads). The path carries BOTH knobs that shape the artifact's
-    * content — the posting cap and the split boundary — so a
-    * reconfigured instance can never silently reuse a stale index (the
-    * round-11 advice on config-keyed artifacts). */
+    * content — the posting cap and the split boundary — AND a metadata
+    * fingerprint of documents.parquet itself, so neither a
+    * reconfigured instance nor an in-place corpus regeneration can
+    * silently reuse a stale index (the round-12 advice closure). */
   private[graft] def persistedBaseIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.sources.Scratch.dir(
-      s"inv_idx_cap${Cap}_u${cfg.splitTrainUpper}", dir)
+    val path = graft.sources.Scratch.keyedDir("inv_idx", dir, spark,
+      Seq("documents.parquet"), s"cap=$Cap,u=${cfg.splitTrainUpper}")
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {

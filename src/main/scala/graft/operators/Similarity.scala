@@ -1510,8 +1510,11 @@ class SimilarityOps(val cfg: GraftConfig) {
     * artifact lifecycle: training runs once, every consumer loads).
     * Parquet round-trips the DOUBLE codeword arrays bit-exactly. */
   private[graft] def persistedPqCodebook(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.sources.Scratch.dir(
-      s"pq_cb_m${PqM}_k${PqK}_i$PqIters", dir)
+    // Content-keyed (config + embeddings metadata fingerprint): an
+    // in-place corpus regeneration changes the path, so a codebook
+    // trained on the old vectors can never be silently served.
+    val path = graft.sources.Scratch.keyedDir("pq_cb", dir, spark,
+      Seq("embeddings.parquet"), s"m=$PqM,k=$PqK,i=$PqIters")
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) pqTrain(spark, dir).write.mode("overwrite").parquet(path)
@@ -1811,7 +1814,7 @@ class SimilarityOps(val cfg: GraftConfig) {
        |cand AS (SELECT q.query_id, av.vec_id FROM qprobe q
        |  JOIN av ON av.cell = q.cell AND av.vec_id <> q.query_id),
        |$pqLutCtes,
-       |adx AS (SELECT c.query_id, c.vec_id, $adSum AS ad2
+       |adx AS (SELECT c.query_id, c.vec_id, CAST($adSum AS BIGINT) AS ad2
        |  FROM cand c JOIN codesj x USING (vec_id)
        |  $lutJoins),
        |adtop AS (SELECT query_id, vec_id, rk, ad2 FROM (
@@ -1891,12 +1894,15 @@ class SimilarityOps(val cfg: GraftConfig) {
           .as("embedding"))
 
   /** Persisted RESIDUAL codebook — trained on the IVF residuals, so the
-    * artifact depends on BOTH index configurations: every shaping knob
-    * is in the tag (the q242/q263 content-keying discipline). */
+    * artifact depends on BOTH index configurations (every shaping knob
+    * in the cfgKey) AND on the corpus bytes (embeddings metadata
+    * fingerprint — the q242/q263 content-keying discipline): a knob
+    * change or an in-place regeneration makes the stale artifact
+    * unreachable instead of silently trusted. */
   private[graft] def persistedResCodebook(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.sources.Scratch.dir(
-      s"pqres_cb_m${PqM}_k${PqK}_i${PqIters}_c${NumCentroids}_ki${KmeansIters}_tm$TrainMod",
-      dir)
+    val path = graft.sources.Scratch.keyedDir("pqres_cb", dir, spark,
+      Seq("embeddings.parquet"),
+      s"m=$PqM,k=$PqK,i=$PqIters,c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod")
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
@@ -2016,7 +2022,7 @@ class SimilarityOps(val cfg: GraftConfig) {
        |$lutCtes,
        |cd AS (SELECT p.query_id, x.cell, x.vec_id${(1 to PqM).map(s => s", x.c$s").mkString}
        |  FROM qprobe p JOIN codesj x ON x.cell = p.cell AND x.vec_id <> p.query_id),
-       |adx AS (SELECT cd.query_id, cd.vec_id, $adSum AS ad2
+       |adx AS (SELECT cd.query_id, cd.vec_id, CAST($adSum AS BIGINT) AS ad2
        |  FROM cd
        |  $lutJoins),
        |adtop AS (SELECT query_id, vec_id, rk, ad2 FROM (

@@ -1175,7 +1175,11 @@ class SketchOps(val cfg: GraftConfig) {
     * registers replace). */
   def q273RegisterLedger(spark: SparkSession, dir: String): DataFrame = {
     val ev = rollingEv(spark, dir)
-    val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+    // max over an empty feed is NULL — return the (empty) full shape
+    // rather than NPE on getLong (the round-12 advice).
+    val maxDayOpt = Option(ev.agg(max(col("day"))).head().getAs[java.lang.Long](0))
+    if (maxDayOpt.isEmpty) return rollingDistinctOf(ev, hllRegisterAgg(ev, Seq("day")))
+    val maxDay = maxDayOpt.get.longValue
     val basePath = graft.sources.Scratch.keyedDir(
       "hllday_base", dir, spark, Seq("events.parquet"), s"hex=$CmHexChars")
     val p = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")

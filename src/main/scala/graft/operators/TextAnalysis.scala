@@ -703,9 +703,12 @@ class TextAnalysisOps(val cfg: GraftConfig) {
 
   /** The persisted tokenizer's merge list for a dataset — loaded from
     * the shared scratch artifact, trained-and-saved on first use (the
-    * q210 lifecycle; q217 consumes the same artifact). */
+    * q210 lifecycle; q217 consumes the same artifact). Content-keyed on
+    * the merge count AND the documents metadata fingerprint, so a
+    * regenerated corpus retrains instead of serving stale merges. */
   private[graft] def persistedMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
-    val path = graft.sources.Scratch.dir(s"bpe_tok_k${cfg.bpeNumMerges}", dir)
+    val path = graft.sources.Scratch.keyedDir("bpe_tok", dir, spark,
+      Seq("documents.parquet"), s"k=${cfg.bpeNumMerges}")
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) saveTokenizer(spark, dir, path)

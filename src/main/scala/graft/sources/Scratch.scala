@@ -29,7 +29,19 @@ private[graft] object Scratch {
     * an in-place corpus regeneration changes the PATH, so a stale
     * artifact becomes unreachable instead of silently trusted (the
     * round-11 advice on q242). The listing is filesystem METADATA — no
-    * data is read; at 100 TB this is one namenode call per input. */
+    * data is read; at 100 TB this is one namenode call per input.
+    *
+    * GRANULARITY BOUND (documented per the round-12 advice): the
+    * fingerprint is (per-file name, length, mtime). mtime precision is
+    * whatever the filesystem reports (ms on HDFS/local ext4), so a
+    * same-length in-place rewrite landing inside one mtime tick keys
+    * the identical path. That window is closed further by the per-file
+    * LENGTHS — parquet rewrites of changed data virtually never
+    * byte-match every part file — and production writers (Spark jobs)
+    * emit fresh part-file names per job, which change the name
+    * component outright. Reading data bytes (checksums) is
+    * deliberately out of scope: it would turn a namenode call into an
+    * input-sized scan on every artifact probe. */
   def keyedDir(tag: String, dataDir: String,
       spark: org.apache.spark.sql.SparkSession,
       inputs: Seq[String], cfgKey: String): String = {

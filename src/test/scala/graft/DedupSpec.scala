@@ -332,7 +332,8 @@ class DedupSpec extends GraftSpec {
       annQueries = 3, annTopK = 2))
     ops.q222PqEncode(spark, dir).collect() // trains + persists
     // doctor the artifact down to ONE codeword per subspace
-    val path = graft.sources.Scratch.dir("pq_cb_m2_k8_i1", dir)
+    val path = graft.sources.Scratch.keyedDir("pq_cb", dir, spark,
+      Seq("embeddings.parquet"), "m=2,k=8,i=1")
     Seq((0L, Seq(0.0, 0.0), 1), (0L, Seq(0.0, 0.0), 2))
       .toDF("cent_id", "ce", "sub_id")
       .write.mode("overwrite").parquet(path)

@@ -275,7 +275,7 @@ class PlanSpec extends GraftSpec {
       l.contains("Scan parquet") && l.contains("documents")) == 1,
       s"q263 must scan documents once (delta only) — base must load from the artifact\n$p")
     assert(p.linesIterator.exists(l =>
-      l.contains("Scan parquet") && l.contains("inv_idx_cap")),
+      l.contains("Scan parquet") && l.contains("inv_idx")),
       s"q263's base side must be the persisted index artifact\n$p")
   }
 

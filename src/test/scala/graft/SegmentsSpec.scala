@@ -147,7 +147,8 @@ class SegmentsSpec extends GraftSpec {
     val dir = docs(0L -> "t t", 1L -> "t u", 2L -> "v t")
     val o = new SegmentOps(GraftConfig(postingsCap = 2))
     o.q263IndexDelta(spark, dir).collect() // builds + persists the base index
-    val path = graft.sources.Scratch.dir(s"inv_idx_cap2_u${o.cfg.splitTrainUpper}", dir)
+    val path = graft.sources.Scratch.keyedDir("inv_idx", dir, spark,
+      Seq("documents.parquet"), s"cap=2,u=${o.cfg.splitTrainUpper}")
     // doctor: one token with an absurd df — must surface verbatim in the merge
     Seq(("zzz_doctored", 999L, 999L, Seq(7L)))
       .toDF("token", "df", "cf", "heads")

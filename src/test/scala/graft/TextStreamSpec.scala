@@ -189,7 +189,8 @@ class TextStreamSpec extends GraftSpec {
     // the second call must READ the artifact, not retrain: doctor the
     // persisted merge list down to merge #1 only and observe the apply
     // step follow the doctored artifact
-    val scratch = graft.sources.Scratch.dir("bpe_tok_k3", dir)
+    val scratch = graft.sources.Scratch.keyedDir("bpe_tok", dir, spark,
+      Seq("documents.parquet"), "k=3")
     spark.read.parquet(scratch).filter(col("iter") === 1L)
       .repartition(1).write.mode("overwrite").parquet(scratch + "_cut")
     spark.read.parquet(scratch + "_cut").repartition(1)

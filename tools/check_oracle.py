@@ -41,15 +41,18 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); fail += 1; continue
     if len(a) != len(b):
         print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fail += 1; continue
-    # The driver hashes RENDERED values, so a DuckDB HUGEINT (pandas
-    # dtype 'object') against a Spark BIGINT ('int64') hash-mismatches
-    # even at equal values (round-11 q239). Surface that class here as a
-    # hard FAIL: integer on the Spark side + object on the DuckDB side
-    # means the oracle left an aggregate uncast.
+    # The driver hashes RENDERED values, so a DuckDB HUGEINT against a
+    # Spark BIGINT hash-mismatches even at equal values (round-11 q239).
+    # duckdb's .df() maps HUGEINT to dtype 'object' when values overflow
+    # int64 but to 'float64' when they fit (the round-12 q261/q271 slip),
+    # so BOTH dtype splits mean the oracle left an aggregate uncast.
+    # Surface either as a hard FAIL: integer Spark side + object-or-float
+    # DuckDB side.
     hugeint = [c for c in a.columns
-               if a[c].dtype.kind in "iu" and b[c].dtype == object]
+               if a[c].dtype.kind in "iu"
+               and (b[c].dtype == object or b[c].dtype.kind == "f")]
     if hugeint:
-        print(f"FAIL {name}: uncast oracle aggregate (DuckDB HUGEINT) in {hugeint}")
+        print(f"FAIL {name}: uncast oracle aggregate (DuckDB HUGEINT renders as {[str(b[c].dtype) for c in hugeint]}) in {hugeint}")
         fail += 1; continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
