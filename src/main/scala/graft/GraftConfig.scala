@@ -122,6 +122,15 @@ case class GraftConfig(
     ivfTrainMod: Int = 1,
     // kNN graph (q140): neighbors kept per vector
     knnK: Int = 5,
+    // graph-ANN beam search over the q140 graph (q279/q280): fixed
+    // deterministic entry-point count, beam width, and hop count. Per
+    // query the candidate set is bounded by
+    // entries + hops·beam·knnK — the HNSW/NSW cost model — never the
+    // corpus. Hops are a FIXED count, not convergence-tested
+    // (determinism over adaptivity, the pcaIters discipline).
+    beamEntries: Int = 8,
+    beamWidth: Int = 8,
+    beamHops: Int = 3,
     // product quantization (q222/q223): subspace count (must divide the
     // embedding dim), codewords per subspace, Lloyd iterations. 4×8 on
     // 64-dim = 16 doubles/vector → 4 small ints — the compression a
@@ -177,6 +186,20 @@ case class GraftConfig(
     // rest test); compared as fixed-width hex strings on both engines
     splitTrainUpper: String = "cd",
     splitValUpper: String = "e6",
+    // decremental CC (q281): edges whose md5 bucket is ≥ this bound
+    // form the deterministic DELETE batch (0xd0-0xff ≈ 18.75% of
+    // edges) retracted against the persisted full-graph labels
+    ccDeleteLower: String = "d0",
+    // feature-hashing text embedder (q282) dimension count and the
+    // derived-vector near-dup (q283) cosine threshold
+    featHashDim: Int = 32,
+    // 0.95 measured selective-but-nonempty at sf0.01 (47 of 124,750
+    // possible pairs; 0.6 passed 41% of all pairs — bag-of-words
+    // vectors of same-vocabulary docs are globally correlated)
+    derivedNeardupMin: Double = 0.95,
+    // register-ledger compaction (q284): aged daily register rows
+    // merge into super-registers of this many days
+    ledgerPeriodDays: Int = 28,
     vocabTopK: Int = 100,
     bigramMinCount: Int = 5,
     // repetition quality filter (Gopher/MassiveText-style): char k-gram

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftConfig
+import graft.sources.Tables
+
+/** Text→embedding featurizer — the bridge that closes the one seam
+  * where the ANN/dedup stack still depended on EXTERNAL vectors (the
+  * synthetic `embeddings` table): a deterministic feature-hashing
+  * embedder deriving integer vectors from `documents` text, plus the
+  * consuming near-dup row that runs the similarity machinery on the
+  * DERIVED vectors end-to-end.
+  *
+  * Method: classic signed feature hashing (hashing trick). Every
+  * whitespace token hashes once (md5, the suite-wide deterministic
+  * hash); hex chars 1-8 pick the dimension (mod featHashDim), hex char
+  * 9 picks the sign (≥ '8' → −1); a doc's vector is the signed
+  * occurrence count per dimension — INTEGER-EXACT accumulation, no
+  * floats anywhere in the representation, so both engines agree
+  * bitwise and the vectors are reproducible across runs, engines, and
+  * partitionings. Output is the SPARSE long form (doc_id, dim, val≠0):
+  * cancelled dimensions carry no information (they add 0 to every dot
+  * product and norm) and the sparse form is what the sparse-dot
+  * consumer joins on.
+  *
+  * No reference counterpart (CloudBrush has no embedder); the design
+  * is the published hashing-trick shape (Weinberger et al., feature
+  * hashing) re-expressed as one Spark scan + one grouped aggregate.
+  */
+class EmbedOps(val cfg: GraftConfig) {
+  private val D = cfg.featHashDim
+
+  /** q282: FEATURE-HASHED TEXT EMBEDDING — each document's text
+    * projected into $D integer dimensions by signed token hashing.
+    *
+    * Scale: one corpus scan (explode + two codegen'd md5-derived
+    * columns — NEVER md5 inside a higher-order-function lambda, the
+    * q269 lesson: HOF lambdas run interpreted per element) feeding one
+    * (doc_id, dim) hash aggregate. Tokens of a doc are scan-local, so
+    * map-side partial aggregation collapses the token stream to
+    * ≤ docs×$D partial rows before the only shuffle; state per task is
+    * bounded by its doc slice × $D, never the token count. At 100 TB
+    * this is the same one-pass shape as q50/q53 with one bounded
+    * exchange on top. */
+  def q282TextEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hx", md5(concat(col("tok"), lit(":f"))))
+      .select(col("doc_id"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % D).as("dim"),
+        when(substring(col("hx"), 9, 1) >= "8", lit(-1L)).otherwise(lit(1L)).as("s"))
+      .groupBy("doc_id", "dim").agg(sum(col("s")).as("val"))
+      .filter(col("val") =!= 0)
+
+  /** The shared CTE chain: tokens → signed hashed features → the
+    * sparse vector table `v(doc_id, dim, val)`. */
+  private def vecCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hx AS (SELECT doc_id, md5(tok || ':f') AS h FROM toks),
+       |sv AS (SELECT doc_id,
+       |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % $D AS dim,
+       |    CASE WHEN substr(h, 9, 1) >= '8' THEN -1 ELSE 1 END AS s
+       |  FROM hx),
+       |v AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS val
+       |  FROM sv GROUP BY doc_id, dim HAVING sum(s) <> 0)""".stripMargin
+
+  def q282Sql: String =
+    s"""WITH $vecCtes
+       |SELECT doc_id, dim, val FROM v""".stripMargin
+
+  /** q283: DERIVED-VECTOR NEAR-DUP — the q34 consumer re-run on
+    * vectors DERIVED from text by q282 instead of the external
+    * embeddings table: candidate pairs block on the DOMINANT FEATURE
+    * (each doc's max-|val| dimension plus its sign — near-duplicate
+    * texts share their heaviest hashed feature with high probability;
+    * ties break to the smallest dim), and only candidates pay the
+    * exact sparse dot product. dot and the norms are exact BIGINT
+    * sums; cosine is ONE double division of exact integers (the suite
+    * discipline), thresholded at ${cfg.derivedNeardupMin}.
+    *
+    * Scale: blocking is an equi-join on (dominant dim, sign) — 2·$D
+    * buckets, candidates Σ|bucket|², never corpus² (the q58 pigeonhole
+    * shape; recall loss of single-feature blocking is the documented
+    * trade — a doc pair disagreeing on its heaviest feature is far
+    * from duplicate in this representation). The dot pass joins the
+    * candidate list against the sparse vector table on (doc, dim) —
+    * candidate×overlap rows, grouped with map-side partials. The
+    * sparse vector table is lineage-cut once (Ck) and feeds all four
+    * consumers (norms, dominants, both dot sides) without re-running
+    * the corpus scan. */
+  def q283DerivedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Ck.lazyStage(q282TextEmbed(spark, dir), cfg)
+    val n2 = v.groupBy("doc_id").agg(sum(col("val") * col("val")).as("n2"))
+    val wD = Window.partitionBy("doc_id").orderBy(abs(col("val")).desc, col("dim"))
+    val dom = v.withColumn("rk", row_number().over(wD)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("dim").as("ddim"),
+        when(col("val") < 0, lit(-1L)).otherwise(lit(1L)).as("dsign"))
+    val cand = dom.as("x").join(dom.as("y"),
+        col("x.ddim") === col("y.ddim") && col("x.dsign") === col("y.dsign") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cand
+      .join(v.select(col("doc_id").as("doc_a"), col("dim"), col("val").as("va")), "doc_a")
+      .join(v.select(col("doc_id").as("doc_b"), col("dim"), col("val").as("vb")),
+        Seq("doc_b", "dim"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("va") * col("vb")).as("dot"))
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cosine"))
+      .filter(col("cosine") >= cfg.derivedNeardupMin)
+  }
+
+  def q283Sql: String =
+    s"""WITH $vecCtes,
+       |n2 AS (SELECT doc_id, sum(val * val) AS n2 FROM v GROUP BY doc_id),
+       |dom AS (SELECT doc_id, dim AS ddim,
+       |    CASE WHEN val < 0 THEN -1 ELSE 1 END AS dsign
+       |  FROM (SELECT doc_id, dim, val, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY abs(val) DESC, dim) AS rk FROM v)
+       |  WHERE rk = 1),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM dom x JOIN dom y ON x.ddim = y.ddim AND x.dsign = y.dsign
+       |    AND x.doc_id < y.doc_id),
+       |dots AS (SELECT c.doc_a, c.doc_b, sum(a.val * b.val) AS dot
+       |  FROM cand c
+       |  JOIN v a ON a.doc_id = c.doc_a
+       |  JOIN v b ON b.doc_id = c.doc_b AND b.dim = a.dim
+       |  GROUP BY c.doc_a, c.doc_b),
+       |cs AS (SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN n2 na ON na.doc_id = d.doc_a
+       |  JOIN n2 nb ON nb.doc_id = d.doc_b)
+       |SELECT doc_a, doc_b, dot, cosine FROM cs
+       |WHERE cosine >= ${cfg.derivedNeardupMin}""".stripMargin
+}
+
+/** Default-configured instance (see [[graft.GraftConfig]]). */
+object Embed extends EmbedOps(GraftConfig.default)

@@ -1721,8 +1721,7 @@ class GraphOpsLib(val cfg: GraftConfig) {
   def q242IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Ck.lazyStage(
       edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
-        .withColumn("b", substring(md5(concat(col("u").cast("string"), lit(":"),
-          col("v").cast("string"))), 1, 2)),
+        .withColumn("b", edgeBucket),
       cfg)
     // the nightly base labels are a PERSISTED artifact (the
     // q210/q204 lifecycle): built on first use, loaded forever after —
@@ -1776,6 +1775,99 @@ class GraphOpsLib(val cfg: GraftConfig) {
   /** Identical components to the full rebuild by construction — the
     * oracle IS q144's recursive-reachability SQL over ALL edges. */
   def q242Sql: String = q144Sql
+
+  /** The md5 bucket every edge hashes to — the deterministic split
+    * shared by q242 (insert delta) and q281 (delete batch). */
+  private def edgeBucket: Column =
+    substring(md5(concat(col("u").cast("string"), lit(":"),
+      col("v").cast("string"))), 1, 2)
+
+  /** q281: DECREMENTAL connected components — the delete-batch path
+    * q242's scaladoc documented as the standard caveat ("deletions need
+    * per-component recompute"), now implemented instead of deferred:
+    * the persisted FULL-graph base labels absorb an edge DELETE batch
+    * (the md5 band ≥ ${cfg.ccDeleteLower} — a deterministic stand-in
+    * for a day's retractions) by TOUCHED-COMPONENT recompute. Deletion
+    * can only SPLIT components, never merge them, and every edge lives
+    * inside one base component — so components fall in two classes:
+    * UNTOUCHED (no deleted edge; labels provably still valid, kept
+    * verbatim from the artifact) and TOUCHED (≥ 1 deleted edge; the
+    * shared [[Cc]] kernel re-runs on exactly their induced surviving
+    * subgraph — nodes that lose every edge fall out and re-label as
+    * themselves). The touched-label list is the recompute's whole
+    * steering state, bounded by 2·|delete batch| — it broadcasts, as
+    * q242's quotient merge map does.
+    *
+    * At 100 TB: two lookup joins on the delete batch's endpoints, one
+    * broadcast semi-restriction of the surviving edges to the touched
+    * components, and a CC whose input is Σ|touched component| edges —
+    * cost ∝ the blast radius of the day's deletions, never the graph.
+    * A retraction wave touching everything degrades to q144's full
+    * rebuild, which is the correct worst case. Output and oracle are
+    * exactly q144's full recompute ON THE POST-DELETE EDGE SET: the
+    * split must land on identical components. The touched-set
+    * MINIMALITY (untouched nodes keep bitwise-identical labels; every
+    * relabeled node sits in a touched component) is spec-pinned. */
+  def q281DecrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Ck.lazyStage(
+      edges2(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+        .withColumn("b", edgeBucket),
+      cfg)
+    // base labels over the FULL edge set (not q242's train split — the
+    // decremental story starts from a complete nightly artifact);
+    // content-keyed on the one edge-shaping knob + corpus metadata
+    val basePath = graft.sources.Scratch.keyedDir("ccfull", dir, spark,
+      Seq("documents.parquet"), s"maxOverlapKeyDf=${cfg.maxOverlapKeyDf}")
+    val success = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      Cc.labels(e.select("u", "v"), cfg).write.mode("overwrite").parquet(basePath)
+    val baseLbl = spark.read.parquet(basePath)
+    val deleted = e.filter(col("b") >= cfg.ccDeleteLower)
+    val kept = e.filter(col("b") < cfg.ccDeleteLower).select("u", "v")
+    // touched components: every base label adjacent to a deleted edge
+    // (E-edge endpoints always carry a base label)
+    val touched = deleted.select(col("u").as("node"))
+      .unionAll(deleted.select(col("v").as("node")))
+      .join(baseLbl, "node").select("lbl").distinct()
+    // induced surviving subgraph: an edge's endpoints share one base
+    // component, so the src label alone decides membership
+    val sub = kept
+      .join(baseLbl.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(broadcast(touched.select(col("lbl").as("lu"))), Seq("lu"))
+      .select("u", "v")
+    val subLbl = Cc.labels(sub, cfg)
+    val finalLbl = baseLbl.join(broadcast(touched), Seq("lbl"), "left_anti")
+      .select("node", "lbl")
+      .unionByName(baseLbl.join(broadcast(touched), Seq("lbl")).select("node")
+        .join(subLbl.withColumnRenamed("lbl", "nl"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("node")).as("lbl")))
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val comp = docs
+      .join(finalLbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component_id"))
+    val sz = comp.groupBy("component_id").agg(count(lit(1)).as("component_size"))
+    comp.join(sz, "component_id")
+      .select(col("doc_id"), col("component_id"), col("component_size"))
+  }
+
+  /** q144's recursive-reachability SQL restricted to the POST-DELETE
+    * edge set — the full recompute the decremental merge must equal. */
+  def q281Sql: String =
+    s"""WITH RECURSIVE
+       |eds AS MATERIALIZED (SELECT src, dst FROM ($edges2Sql)
+       |  WHERE substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 2)
+       |    < '${cfg.ccDeleteLower}'),
+       |und AS MATERIALIZED (SELECT src AS u, dst AS v FROM eds
+       |  UNION SELECT dst, src FROM eds),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u),
+       |comp AS (SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
+       |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+       |sz AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+       |SELECT comp.doc_id, comp.component_id, sz.component_size
+       |FROM comp JOIN sz USING (component_id)""".stripMargin
 
   /** q159: K-CORE decomposition (k = ${cfg.kcoreK}) of the undirected
     * overlap graph — the maximal subgraph where every node keeps ≥ k

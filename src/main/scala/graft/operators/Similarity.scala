@@ -2224,6 +2224,202 @@ class SimilarityOps(val cfg: GraftConfig) {
       |SELECT source, CAST(n AS BIGINT) AS n_vecs, ad AS max_dim_drift,
       |  CAST(pos AS BIGINT) AS drift_dim
       |FROM rk WHERE rk = 1""".stripMargin
+
+  // ---------- Graph-ANN serving (q279/q280) ----------
+
+  /** The persisted kNN-graph artifact — q140's output under the
+    * build-if-absent lifecycle (train once, every consumer loads), the
+    * q188/q210 discipline. Content-keyed on every knob that shapes the
+    * graph (k, probe width, the IVF index's own config) AND the corpus
+    * metadata fingerprint, so neither a reconfigured instance nor an
+    * in-place regeneration can serve a stale graph. */
+  private[graft] def persistedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("knn_graph", dir, spark,
+      Seq("embeddings.parquet"),
+      s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) q140KnnGraph(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q279: GRAPH-ANN SEARCH — the third serving tier beside IVF (q41)
+    * and IVF-PQ (q261): NSW-style beam search over the PERSISTED q140
+    * kNN graph. From $beamEntries fixed entry points (the first
+    * corpus ids after the query panel — deterministic, never a query
+    * itself), each of $beamHops rounds expands the current
+    * $beamWidth-wide beam one graph hop, scores only the NEWLY reached
+    * nodes by exact cosine against the unquantized query, and re-beams;
+    * the answer is the top-$TopK of everything visited. Hop count is
+    * FIXED, not convergence-tested (determinism over adaptivity — the
+    * pcaIters discipline), and every ranking ties to vec_id, so both
+    * engines walk the identical frontier.
+    *
+    * Scale: the candidate set is entries + hops·beam·k per query —
+    * the NSW cost model, bounded by config, never by corpus size. Per
+    * hop: one join of the (queries×beam)-row frontier against the
+    * degree-bounded edge artifact, one anti-join against the visited
+    * set, one embedding fetch for the fresh nodes (a point-lookup join
+    * a production serving tier answers from its vector store; here a
+    * broadcast of the tiny candidate list against the corpus scan) —
+    * no full-space scoring anywhere. Recall loss vs exhaustive search
+    * is MEASURED by q280 (the approximation-ships-with-its-eval
+    * rule). */
+  def q279GraphAnnSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val edges = persistedKnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val qv = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2")))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(qv, "query_id").join(e, "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          Vec.cosineFromParts(Vec.dotN("qe", "embedding"),
+            col("qn2"), col("n2")).as("cosine"))
+    val wB = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def beamOf(vis: DataFrame): DataFrame =
+      vis.withColumn("brk", row_number().over(wB))
+        .filter(col("brk") <= cfg.beamWidth).select("query_id", "vec_id")
+    val entries = e.filter(col("vec_id") >= NumQueries
+        && col("vec_id") < NumQueries + cfg.beamEntries)
+      .select("vec_id")
+    var visited = score(qv.select("query_id").crossJoin(broadcast(entries)))
+    for (_ <- 1 to cfg.beamHops) {
+      val frontier = beamOf(visited).withColumnRenamed("vec_id", "src")
+        .join(edges, "src")
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+        .join(visited.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+      visited = visited.unionByName(score(frontier))
+    }
+    visited.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "vec_id", "rk", "cosine")
+  }
+
+  /** Oracle CTE chain rebuilding the q140 graph from scratch (so the
+    * persisted artifact is re-proven ≡ rebuild every round), ending at
+    * `knn(src, dst)`. Names are g-prefixed to stay disjoint from the
+    * trainedAssignCtes names they compose with. */
+  private def knnGraphCtes: String =
+    s"""$trainedAssignCtes,
+       |gprobe AS (SELECT ia AS vec_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots) WHERE rk <= ${cfg.ivfNprobe}),
+       |gqv AS (SELECT p.vec_id, e.embedding AS qe, p.cell
+       |  FROM gprobe p JOIN e ON e.vec_id = p.vec_id),
+       |gpairs AS (SELECT gqv.vec_id, av.vec_id AS nbr_id, gqv.qe, av.embedding AS ve
+       |  FROM gqv JOIN av USING (cell) WHERE av.vec_id <> gqv.vec_id),
+       |gx AS (SELECT vec_id AS ia, nbr_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM gpairs),
+       |gd AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM gx GROUP BY ia, ib),
+       |gc AS (SELECT ia, ib,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM gd),
+       |knn AS (SELECT ia AS src, ib AS dst FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
+       |    FROM gc) WHERE rk <= ${cfg.knnK})""".stripMargin
+
+  /** One beam-search scoring block: exact cosine of every candidate in
+    * `cand`(query_id, vec_id) against its query, same fixed-point
+    * arithmetic as the Spark side. */
+  private def beamScoreCtes(cand: String, out: String): String =
+    s"""${out}_ex AS (SELECT c.query_id, c.vec_id,
+       |    unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM $cand c JOIN bq q USING (query_id) JOIN e v ON v.vec_id = c.vec_id),
+       |${out}_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ${out}_ex GROUP BY query_id, vec_id),
+       |$out AS (SELECT query_id, vec_id,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM ${out}_d)""".stripMargin
+
+  /** The full beam walk as chained CTEs (one beam/frontier/score block
+    * per hop), ending at `vis${beamHops}` — the visited set with
+    * scores. */
+  private def beamWalkCtes: String = {
+    val hops = (1 to cfg.beamHops).map { h =>
+      s"""bm${h - 1} AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM vis${h - 1}) WHERE rk <= ${cfg.beamWidth}),
+         |cf$h AS (SELECT b.query_id, k.dst AS vec_id
+         |    FROM bm${h - 1} b JOIN knn k ON k.src = b.vec_id
+         |    WHERE k.dst <> b.query_id
+         |  EXCEPT SELECT query_id, vec_id FROM vis${h - 1}),
+         |${beamScoreCtes(s"cf$h", s"sc$h")},
+         |vis$h AS (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnGraphCtes,
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+       |  WHERE vec_id < $NumQueries),
+       |ent AS (SELECT q.query_id, n.vec_id FROM bq q,
+       |  (SELECT vec_id FROM e WHERE vec_id >= $NumQueries
+       |     AND vec_id < ${NumQueries + cfg.beamEntries}) n),
+       |${beamScoreCtes("ent", "vis0")},
+       |$hops""".stripMargin
+  }
+
+  def q279Sql: String =
+    s"""$beamWalkCtes
+       |SELECT query_id, vec_id, rk, cosine FROM (
+       |  SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM vis${cfg.beamHops}) WHERE rk <= $TopK""".stripMargin
+
+  /** q280: GRAPH-ANN RECALL — q279's measured answer against q40's
+    * exhaustive cosine truth at the same k (the q262 discipline): per
+    * query, |beam top-$TopK ∩ exact top-$TopK| / $TopK. This number
+    * carries the walk's whole loss — entry points that start in the
+    * wrong region, beams that prune the true branch, hop budgets that
+    * stop short — which is the only recall a caller of q279 feels.
+    * The eval join is queries × k rows; its cost is the two searches
+    * it audits. */
+  def q280GraphAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q40AnnBrute(spark, dir).select("query_id", "vec_id")
+    val approx = q279GraphAnnSearch(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(TopK.toDouble)).as("recall"))
+  }
+
+  def q280Sql: String =
+    s"""$beamWalkCtes,
+       |beamtop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM vis${cfg.beamHops}) WHERE rk <= $TopK),
+       |tr_ex AS (SELECT q.query_id, v.vec_id,
+       |    unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q, e v WHERE v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $TopK)
+       |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN beamtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -1316,6 +1316,113 @@ class SketchOps(val cfg: GraftConfig) {
        |JOIN x_mau USING (target_day)""".stripMargin
   }
 
+  /** q284: LEDGER COMPACTION — the merge-tree rollup the register
+    * family needed (the round-12 verdict's #6): q273/q278 persist
+    * per-day registers forever, so the ledger artifact grows one
+    * m-register row-set per day without bound; register-max is
+    * ASSOCIATIVE, so aged days compact losslessly into
+    * ${cfg.ledgerPeriodDays}-day SUPER-REGISTERS (daily→period merge ≡
+    * sketching the period directly — the oracle re-proves this bitwise
+    * every round by recomputing from raw events). Periods strictly
+    * before the one containing the feed's max day are aged: their
+    * daily rows collapse to one register set per period in a
+    * content-keyed build-if-absent artifact; the CURRENT period stays
+    * daily (rolling consumers like q252 still need day granularity
+    * inside their window — compaction only ages out days no rolling
+    * window can reach). The consumer here reads the MIXED ledger
+    * transparently: per-period distinct users where aged periods read
+    * one super-register set and the current period merges its daily
+    * rows — the same register-max, keyed differently. Output tags each
+    * period with its serving granularity (`src`), and the exact side
+    * ships as the eval (the rule).
+    *
+    * Scale: the ledger stays CALENDAR-BOUNDED — aged periods cost
+    * m registers per ${cfg.ledgerPeriodDays} days instead of per day
+    * (a 28× artifact shrink at steady state), the compaction pass is a
+    * metadata-sized grouped max over register rows (never a corpus
+    * re-scan), and long-horizon distinct queries merge
+    * periods-not-days. Distinct counts do NOT sum across periods
+    * (union-not-sum) — but the union IS native to the registers, which
+    * is why the rollup is lossless where a count rollup would be
+    * wrong; the spec extends the union-not-sum pin to the mixed
+    * ledger. */
+  def q284LedgerCompact(spark: SparkSession, dir: String): DataFrame = {
+    val P = cfg.ledgerPeriodDays
+    val ev = rollingEv(spark, dir)
+    val maxDayOpt = Option(ev.agg(max(col("day"))).head().getAs[java.lang.Long](0))
+    if (maxDayOpt.isEmpty)
+      return ev.select(lit(0L).as("period"), lit(0L).as("n_days"), lit("").as("src"),
+        lit(0L).as("present"), lit(0.0).as("est_users"), lit(0L).as("exact_users"),
+        lit(0.0).as("rel_err")).limit(0)
+    val curStart = (maxDayOpt.get.longValue / P) * P
+    val basePath = graft.sources.Scratch.keyedDir(
+      "hllperiod_base", dir, spark, Seq("events.parquet"),
+      s"hex=$CmHexChars,p=$P,cs=$curStart")
+    val sp = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp))
+      hllRegisterAgg(ev.filter(col("day") < curStart), Seq("day"))
+        .select(expr(s"day div $P").as("period"), col("bucket"), col("max_rho"))
+        .groupBy("period", "bucket").agg(max(col("max_rho")).as("max_rho"))
+        .write.mode("overwrite").parquet(basePath)
+    val compacted = spark.read.parquet(basePath)
+    val daily = hllRegisterAgg(ev.filter(col("day") >= curStart), Seq("day"))
+      .select(expr(s"day div $P").as("period"), col("bucket"), col("max_rho"))
+    val mixed = compacted.unionByName(daily)
+      .groupBy("period", "bucket").agg(max(col("max_rho")).as("max_rho"))
+    val est = mixed.groupBy("period").agg(hllZAgg.head, hllZAgg.tail: _*)
+      .select(col("period"), col("present"), hllEstCol.as("est_users"))
+    val evp = ev.select(expr(s"day div $P").as("period"), col("day"), col("token"))
+    val nd = evp.select("period", "day").distinct()
+      .groupBy("period").agg(count(lit(1)).as("n_days"))
+    val exact = evp.select("period", "token").distinct()
+      .groupBy("period").agg(count(lit(1)).as("exact_users"))
+    est.join(nd, "period").join(exact, "period")
+      .select(col("period"), col("n_days"),
+        when(col("period") < lit(curStart / P), lit("compact"))
+          .otherwise(lit("daily")).as("src"),
+        col("present"), col("est_users"), col("exact_users"),
+        ((col("est_users") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double")).as("rel_err"))
+  }
+
+  /** Full recompute from raw events, grouped straight by period — the
+    * compacted-mixed ledger must equal it bitwise (register-max
+    * associativity is the claim under test). */
+  def q284Sql: String = {
+    val P = cfg.ledgerPeriodDays
+    val sfxLen = 32 - CmHexChars
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |    CAST(user_id AS VARCHAR) AS token FROM events),
+       |hashed AS (SELECT day, md5(token) AS h FROM ev),
+       |parts AS (SELECT day, substr(h, 1, $CmHexChars) AS bucket,
+       |    substr(h, ${CmHexChars + 1}, $sfxLen) AS sfx FROM hashed),
+       |zs AS (SELECT day, bucket, len(regexp_extract(sfx, '^0*')) AS z, sfx FROM parts),
+       |nibs AS (SELECT day, bucket, z, substr(sfx, z + 1, 1) AS nib FROM zs),
+       |rhos AS (SELECT day, bucket,
+       |    CASE WHEN nib = '' THEN ${4 * sfxLen + 1}
+       |    ELSE z * 4 + 1 + (CASE WHEN nib = '1' THEN 3
+       |      WHEN nib IN ('2', '3') THEN 2
+       |      WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |      ELSE 0 END) END AS rho
+       |  FROM nibs),
+       |per AS (SELECT day // $P AS period, bucket, max(rho) AS max_rho
+       |  FROM rhos GROUP BY 1, 2),
+       |cp AS (SELECT max(day) // $P AS cp FROM ev),
+       |z AS (SELECT period, $hllZSqlDuck FROM per GROUP BY period),
+       |est AS (SELECT period, present, $hllEstSqlDuck AS est_users FROM z),
+       |nd AS (SELECT day // $P AS period,
+       |    CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM ev GROUP BY 1),
+       |exact AS (SELECT day // $P AS period,
+       |    CAST(count(DISTINCT token) AS BIGINT) AS exact_users FROM ev GROUP BY 1)
+       |SELECT e.period, nd.n_days,
+       |  CASE WHEN e.period < (SELECT cp FROM cp) THEN 'compact' ELSE 'daily' END AS src,
+       |  e.present, e.est_users, x.exact_users,
+       |  (e.est_users - CAST(x.exact_users AS DOUBLE)) / CAST(x.exact_users AS DOUBLE)
+       |    AS rel_err
+       |FROM est e JOIN nd USING (period) JOIN exact x USING (period)""".stripMargin
+  }
+
   /** q248: ONE-PASS NDV COLUMN PROFILE — the statistics collector
     * behind ANALYZE TABLE / CBO cardinalities, as a single scan: every
     * profiled lineitem column unpivots to (column, value) pairs

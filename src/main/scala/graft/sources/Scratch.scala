@@ -31,17 +31,22 @@ private[graft] object Scratch {
     * round-11 advice on q242). The listing is filesystem METADATA — no
     * data is read; at 100 TB this is one namenode call per input.
     *
-    * GRANULARITY BOUND (documented per the round-12 advice): the
-    * fingerprint is (per-file name, length, mtime). mtime precision is
-    * whatever the filesystem reports (ms on HDFS/local ext4), so a
-    * same-length in-place rewrite landing inside one mtime tick keys
-    * the identical path. That window is closed further by the per-file
-    * LENGTHS — parquet rewrites of changed data virtually never
-    * byte-match every part file — and production writers (Spark jobs)
-    * emit fresh part-file names per job, which change the name
-    * component outright. Reading data bytes (checksums) is
-    * deliberately out of scope: it would turn a namenode call into an
-    * input-sized scan on every artifact probe. */
+    * GRANULARITY (the round-12 advice, closed): the fingerprint is
+    * (per-file name, length, mtime) PLUS a bounded CONTENT PROBE — the
+    * first and last $ProbeBytes bytes of up to $ProbeFiles data files
+    * (name-sorted). A same-length in-place rewrite inside one mtime
+    * tick now reroutes unless those bytes agree too, and a parquet
+    * tail carries the footer (row-group offsets, column stats), which
+    * a rewrite of CHANGED data essentially never byte-matches; when
+    * head+tail DO agree the content is the deterministic writer's
+    * identical output, for which the cached artifact is valid anyway.
+    * Cost stays metadata-shaped: one namenode listing + ≤ $ProbeFiles
+    * short positioned reads per artifact probe, independent of input
+    * size — full checksums remain deliberately out of scope (an
+    * input-sized scan per probe). */
+  private val ProbeFiles = 16
+  private val ProbeBytes = 16
+
   def keyedDir(tag: String, dataDir: String,
       spark: org.apache.spark.sql.SparkSession,
       inputs: Seq[String], cfgKey: String): String = {
@@ -50,8 +55,23 @@ private[graft] object Scratch {
       val p = new org.apache.hadoop.fs.Path(dataDir, in)
       val fs = p.getFileSystem(hconf)
       if (!fs.exists(p)) Seq(s"$in:absent")
-      else fs.listStatus(p).sortBy(_.getPath.getName).map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      else {
+        val sts = fs.listStatus(p).sortBy(_.getPath.getName)
+        val probes = sts.iterator.filter(st => st.isFile && st.getLen > 0)
+          .take(ProbeFiles).map { st =>
+            val n = math.min(ProbeBytes.toLong, st.getLen).toInt
+            val head = new Array[Byte](n)
+            val tail = new Array[Byte](n)
+            val is = fs.open(st.getPath)
+            try {
+              is.readFully(0L, head)
+              is.readFully(st.getLen - n, tail)
+            } finally is.close()
+            st.getPath.getName + "#" + (head ++ tail).map("%02x".format(_)).mkString
+          }.mkString("|")
+        sts.map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}") :+ probes
+      }
     }
     dir(s"${tag}_c${fp(cfgKey)}_d${fp(metas.mkString(","))}", dataDir)
   }

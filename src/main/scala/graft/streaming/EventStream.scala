@@ -534,11 +534,17 @@ object EventStream {
       fs.setTimes(dst, mtime, -1)
     }
     val ems = unix_millis(col("ts"))
-    land(ev.filter(ems >= cutMs && ems < hmax * HourMs), "b1_ontime", 1000L)
-    land(ev.filter(ems >= hmax * HourMs), "b2_ontime_tail", 2000L)
-    land(ev.filter(ems < cutMs), "b3_late", 3000L)
-    land(Seq((-1L, new java.sql.Timestamp(cutMs + 40L * DayMs), "zzz_flush"))
-      .toDF("event_id", "ts", "event_type"), "b4_flush", 4000L)
+    // stage tags answer "where does q243's wall time go" IN the bench
+    // artifact (round-12 verdict #8): the 4-file landing write, the
+    // 4-micro-batch ordered replay, and the semantics asserts,
+    // separately measured
+    graft.Trace("q243.land") {
+      land(ev.filter(ems >= cutMs && ems < hmax * HourMs), "b1_ontime", 1000L)
+      land(ev.filter(ems >= hmax * HourMs), "b2_ontime_tail", 2000L)
+      land(ev.filter(ems < cutMs), "b3_late", 3000L)
+      land(Seq((-1L, new java.sql.Timestamp(cutMs + 40L * DayMs), "zzz_flush"))
+        .toDF("event_id", "ts", "event_type"), "b4_flush", 4000L)
+    }
     val raw = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
       .option("maxFilesPerTrigger", "1")
@@ -552,7 +558,7 @@ object EventStream {
     val streamed = withStreamParts(spark) {
       val q = agg.writeStream.format("memory").queryName("graft_q243")
         .outputMode(OutputMode.Append()).start()
-      try q.processAllAvailable() finally q.stop()
+      try graft.Trace("q243.replay") { q.processAllAvailable() } finally q.stop()
       // Engine-semantics tripwire (round-11 advice): this operator's
       // oracle encodes MEASURED Spark 4.1 microbatch behavior
       // (mtime-ordered file source, the one-batch-stale watermark that
@@ -560,18 +566,20 @@ object EventStream {
       // semantics). Assert the progression those measurements rely on,
       // so an engine upgrade fails HERE with a pointed message instead
       // of as a confusing oracle hash mismatch.
-      val fileBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(fileBatches == 4,
-        s"q243 expects 4 one-file micro-batches (mtime-ordered source), saw " +
-          s"$fileBatches — file-source batching semantics changed; re-derive " +
-          "the oracle with tools/LateProbe")
-      val wm = Option(q.lastProgress)
-        .flatMap(p => Option(p.eventTime.get("watermark")))
-        .map(s => java.time.Instant.parse(s).toEpochMilli)
-      require(wm.exists(_ >= cutMs),
-        s"q243 expects the final watermark ($wm) at/past the late cut " +
-          s"($cutMs) — watermark-advance semantics changed; re-derive the " +
-          "oracle with tools/LateProbe2")
+      graft.Trace("q243.asserts") {
+        val fileBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(fileBatches == 4,
+          s"q243 expects 4 one-file micro-batches (mtime-ordered source), saw " +
+            s"$fileBatches — file-source batching semantics changed; re-derive " +
+            "the oracle with tools/LateProbe")
+        val wm = Option(q.lastProgress)
+          .flatMap(p => Option(p.eventTime.get("watermark")))
+          .map(s => java.time.Instant.parse(s).toEpochMilli)
+        require(wm.exists(_ >= cutMs),
+          s"q243 expects the final watermark ($wm) at/past the late cut " +
+            s"($cutMs) — watermark-advance semantics changed; re-derive the " +
+            "oracle with tools/LateProbe2")
+      }
       spark.table("graft_q243")
     }
     val batch = ev

@@ -581,4 +581,71 @@ class DedupSpec extends GraftSpec {
     }
     assert(run() == got, "pairs are a pure function of corpus + index")
   }
+
+  test("q279: full-coverage entry set makes the beam walk equal exhaustive search, recall 1") {
+    // 1 query + 7 entries covering every other vector: visited = corpus
+    // minus the query panel, which is exactly q40's candidate set here,
+    // so beam top-k must equal brute-force top-k bitwise.
+    val dir = pqDir((0L to 7L).map(i =>
+      i -> Seq((i * 0.3f) % 1.1f, 0.7f - i * 0.1f, (i * i % 5) * 0.2f, 0.4f)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      annQueries = 1, annTopK = 3, beamEntries = 7, beamWidth = 16,
+      beamHops = 1, ivfCentroids = 4, kmeansIters = 1))
+    val beam = ops.q279GraphAnnSearch(spark, dir)
+    val brute = ops.q40AnnBrute(spark, dir)
+    assert(beam.exceptAll(brute).isEmpty && brute.exceptAll(beam).isEmpty,
+      "full-coverage beam must reproduce the exact ranking")
+    ops.q280GraphAnnRecall(spark, dir).collect().foreach(r =>
+      assert(r.getAs[Double]("recall") == 1.0))
+  }
+
+  test("q279: results stay inside the hop-bounded reachable set of the entry graph") {
+    val cfg = GraftConfig.default
+    val edges = Similarity.persistedKnnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    val entries = ((cfg.annQueries.toLong) until
+      (cfg.annQueries + cfg.beamEntries).toLong).toSet
+    // superset of anything any beam can visit: the FULL h-hop
+    // neighborhood of the entry set (beam pruning only shrinks it)
+    var reach = entries
+    for (_ <- 1 to cfg.beamHops)
+      reach = reach ++ reach.flatMap(v => edges.getOrElse(v, Set.empty))
+    val res = Similarity.q279GraphAnnSearch(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks == (1 to rks.size) && rks.size <= cfg.annTopK, "dense ranks, <= k")
+      rows.foreach { r =>
+        assert(r.getLong(1) != q, "never the query itself")
+        assert(reach.contains(r.getLong(1)),
+          s"result ${r.getLong(1)} outside the $q walk's reachable set — probe not bounded")
+      }
+    }
+    Similarity.q280GraphAnnRecall(spark, sf).collect().foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("q279 serves from the PERSISTED graph, not a rebuild (doctored artifact collapses the walk)") {
+    import spark.implicits._
+    val dir = pqDir((0L to 7L).map(i =>
+      i -> Seq((i * 0.3f) % 1.1f, 0.7f - i * 0.1f, (i * i % 5) * 0.2f, 0.4f)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      annQueries = 1, annTopK = 3, beamEntries = 2, beamWidth = 16,
+      beamHops = 2, ivfCentroids = 4, kmeansIters = 1))
+    ops.q279GraphAnnSearch(spark, dir).collect() // builds + persists the graph
+    val path = graft.sources.Scratch.keyedDir("knn_graph", dir, spark,
+      Seq("embeddings.parquet"),
+      s"k=${ops.cfg.knnK},np=${ops.cfg.ivfNprobe},c=4,ki=1,tm=${ops.cfg.ivfTrainMod}")
+    // doctor: no edges at all -> every hop's frontier is empty, so the
+    // answer must be exactly the scored entry points (ids 1 and 2)
+    Seq.empty[(Long, Long, Int, Double)].toDF("vec_id", "nbr_id", "rk", "cosine")
+      .write.mode("overwrite").parquet(path)
+    val got = ops.q279GraphAnnSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L)),
+      s"edge-free artifact must collapse the walk to the entry points, got $got")
+  }
 }

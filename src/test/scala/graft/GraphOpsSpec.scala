@@ -71,6 +71,54 @@ class GraphOpsSpec extends GraftSpec {
     assert(merged.nonEmpty)
   }
 
+  test("q281: decremental split equals a direct CC on the post-delete edge set") {
+    val cfg = GraftConfig.default
+    val e = GraphOps.edges2(spark, sf).select(col("src").as("u"), col("dst").as("v"))
+      .withColumn("b", substring(md5(concat(col("u").cast("string"), lit(":"),
+        col("v").cast("string"))), 1, 2))
+    assert(e.filter(col("b") >= cfg.ccDeleteLower).count() > 0, "delete batch must be non-empty")
+    assert(e.filter(col("b") < cfg.ccDeleteLower).count() > 0, "surviving set must be non-empty")
+    // direct recompute through a DIFFERENT code path: the kernel on the
+    // kept edges, no base/touched machinery
+    val lbl = graft.operators.Cc.labels(
+      e.filter(col("b") < cfg.ccDeleteLower).select("u", "v"), cfg)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id")
+    val comp = docs.join(lbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component_id"))
+    val sz = comp.groupBy("component_id").agg(count(lit(1)).as("component_size"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = key(comp.join(sz, "component_id")
+      .select(col("doc_id"), col("component_id"), col("component_size")))
+    val got = key(GraphOps.q281DecrementalCc(spark, sf))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q281 minimality: untouched components keep persisted labels; only touched relabel") {
+    val cfg = GraftConfig.default
+    val res = GraphOps.q281DecrementalCc(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    val basePath = graft.sources.Scratch.keyedDir("ccfull", sf, spark,
+      Seq("documents.parquet"), s"maxOverlapKeyDf=${cfg.maxOverlapKeyDf}")
+    val base = spark.read.parquet(basePath).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    val deleted = GraphOps.edges2(spark, sf).select(col("src").as("u"), col("dst").as("v"))
+      .withColumn("b", substring(md5(concat(col("u").cast("string"), lit(":"),
+        col("v").cast("string"))), 1, 2))
+      .filter(col("b") >= cfg.ccDeleteLower).select("u", "v").collect()
+    val touched = deleted.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .flatMap(base.get).toSet
+    assert(touched.nonEmpty && touched.size < base.values.toSet.size,
+      "test corpus must leave some components untouched for minimality to mean anything")
+    base.foreach { case (node, l) =>
+      if (!touched(l))
+        assert(res(node) == l, s"untouched node $node must keep its persisted label $l")
+      if (res(node) != l)
+        assert(touched(l), s"relabeled node $node sits outside the touched set — recompute not minimal")
+    }
+  }
+
   test("q242 artifact path is content-keyed: knob change or corpus rewrite reroutes it") {
     import graft.sources.Scratch
     val in = Seq("documents.parquet")
@@ -83,10 +131,30 @@ class GraphOpsSpec extends GraftSpec {
     Seq((1L, "x")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val before = Scratch.keyedDir("t", dir, spark, in, "k")
-    Thread.sleep(1100) // mtime granularity
+    // no mtime-granularity sleep needed since the round-13 content
+    // probe: changed bytes reroute even inside one mtime tick
     Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val after = Scratch.keyedDir("t", dir, spark, in, "k")
     assert(before != after, "regenerated corpus bytes must key a different artifact")
+  }
+
+  test("keyedDir content probe: same name+length+mtime, different bytes → different key") {
+    import graft.sources.Scratch
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("ckey2").toString
+    val sub = Paths.get(dir, "documents.parquet")
+    Files.createDirectories(sub)
+    val f = sub.resolve("part-00000")
+    val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    Files.write(f, Array.fill[Byte](64)(1))
+    Files.setLastModifiedTime(f, t)
+    val a = Scratch.keyedDir("t", dir, spark, Seq("documents.parquet"), "k")
+    Files.write(f, Array.fill[Byte](64)(2)) // same length
+    Files.setLastModifiedTime(f, t)         // same mtime, forced
+    val b = Scratch.keyedDir("t", dir, spark, Seq("documents.parquet"), "k")
+    assert(a != b,
+      "a same-size same-mtime rewrite must reroute via the content probe — " +
+        "the stale-artifact window the round-12 advice flagged")
   }
 }

@@ -572,6 +572,94 @@ class RankingSpec extends GraftSpec {
       "q273 must merge from the PERSISTED registers, not resketch the base days")
   }
 
+  test("q284: mixed ledger serves both granularities; union-not-sum holds per period") {
+    val P = GraftConfig.default.ledgerPeriodDays
+    val rows = Sketch.q284LedgerCompact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val srcs = rows.map(_.getAs[String]("src")).toSet
+    assert(srcs == Set("compact", "daily"),
+      s"test corpus must exercise BOTH ledger granularities, got $srcs")
+    // union-not-sum extended to the mixed ledger: a period's distinct
+    // count is ≤ the sum of its days' distincts, strictly < whenever a
+    // user is active on several days of the period
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id").cast("string").as("token"))
+    val dailyDistinct = ev.distinct().groupBy(expr(s"day div $P").as("period"))
+      .agg(count(lit(1)).as("sum_daily"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var strict = false
+    rows.foreach { r =>
+      val (p, exact) = (r.getLong(0), r.getAs[Long]("exact_users"))
+      assert(exact <= dailyDistinct(p), "period distinct can never exceed the daily sum")
+      if (exact < dailyDistinct(p)) strict = true
+      assert(r.getAs[Double]("est_users") > 0.0 && r.getAs[Long]("present") >= 1L)
+    }
+    assert(strict, "corpus must exercise the strict union<sum case or the pin is vacuous")
+  }
+
+  test("q284: compacted artifact registers equal a straight-by-period resketch bitwise") {
+    val P = GraftConfig.default.ledgerPeriodDays
+    val hex = Sketch.CmHexChars
+    val sfxLen = 32 - hex
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+    val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+    val curStart = (maxDay / P) * P
+    // independent reference: the manual register chain (q278 spec
+    // precedent) grouped straight by period over the aged days
+    val expected = ev.filter(col("day") < curStart)
+      .select(col("day"), substring(col("h"), 1, hex).as("bucket"),
+        substring(col("h"), hex + 1, sfxLen).as("sfx"))
+      .select(col("day"), col("bucket"),
+        length(regexp_extract(col("sfx"), "^0*", 0)).as("z"), col("sfx"))
+      .select(col("day"), col("bucket"), col("z"),
+        expr("substring(sfx, z + 1, 1)").as("nib"))
+      .select(expr(s"day div $P").as("period"), col("bucket"),
+        when(col("nib") === "", lit(4 * sfxLen + 1))
+          .otherwise(col("z") * 4 + lit(1) +
+            when(col("nib") === "1", 3)
+              .when(col("nib").isin("2", "3"), 2)
+              .when(col("nib").isin("4", "5", "6", "7"), 1)
+              .otherwise(0)).as("rho"))
+      .groupBy("period", "bucket").agg(max(col("rho")).cast("long").as("max_rho"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Sketch.q284LedgerCompact(spark, sf).collect() // ensure artifact exists
+    val path = graft.sources.Scratch.keyedDir("hllperiod_base", sf, spark,
+      Seq("events.parquet"), s"hex=$hex,p=$P,cs=$curStart")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("period"), r.getAs[String]("bucket"),
+        r.getAs[Long]("max_rho"))).toSet
+    assert(got == expected,
+      "daily→period compaction must be lossless (register-max associativity)")
+    assert(got.nonEmpty)
+  }
+
+  test("q284: reads the persisted super-registers (doctored artifact saturates the aged period)") {
+    import spark.implicits._
+    val P = GraftConfig.default.ledgerPeriodDays
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("hllcompact").toString
+    // day 10 → period 0 (aged once day 30 exists: period 1 is current)
+    Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 30L, 3L))
+      .map { case (id, d, u) => (id, new java.sql.Timestamp(d * DayMs), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val before = Sketch.q284LedgerCompact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("present")).toMap
+    val path = graft.sources.Scratch.keyedDir("hllperiod_base", dir, spark,
+      Seq("events.parquet"), s"hex=${Sketch.CmHexChars},p=$P,cs=${(30L / P) * P}")
+    val m = 1 << (4 * Sketch.CmHexChars)
+    (0 until m).map(b => (0L, f"$b%02x", 5L))
+      .toDF("period", "bucket", "max_rho")
+      .write.mode("overwrite").parquet(path)
+    val after = Sketch.q284LedgerCompact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("present")).toMap
+    assert(before(0L) == 2L && after(0L) == m.toLong,
+      "q284 must serve aged periods from the PERSISTED super-registers")
+  }
+
   test("q248: NDV estimates land near exact for key columns; tiny columns are exposed, not hidden") {
     val got = Sketch.q248NdvProfile(spark, sf).collect()
       .map(r => r.getString(0) ->
