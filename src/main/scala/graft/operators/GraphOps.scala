@@ -1831,15 +1831,19 @@ class GraphOpsLib(val cfg: GraftConfig) {
       .unionAll(deleted.select(col("v").as("node")))
       .join(baseLbl, "node").select("lbl").distinct()
     // induced surviving subgraph: an edge's endpoints share one base
-    // component, so the src label alone decides membership
+    // component, so src membership alone decides. Restrict via the
+    // TOUCHED-NODE list (blast-radius-sized: Σ|touched component|),
+    // never via a join against the corpus-sized label table — at scale
+    // that join would re-shuffle every surviving edge to filter out
+    // most of them; AQE broadcasts the node list while it fits
+    val touchedNodes = baseLbl.join(broadcast(touched), Seq("lbl")).select("node")
     val sub = kept
-      .join(baseLbl.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
-      .join(broadcast(touched.select(col("lbl").as("lu"))), Seq("lu"))
+      .join(touchedNodes.select(col("node").as("u")), Seq("u"))
       .select("u", "v")
     val subLbl = Cc.labels(sub, cfg)
     val finalLbl = baseLbl.join(broadcast(touched), Seq("lbl"), "left_anti")
       .select("node", "lbl")
-      .unionByName(baseLbl.join(broadcast(touched), Seq("lbl")).select("node")
+      .unionByName(touchedNodes
         .join(subLbl.withColumnRenamed("lbl", "nl"), Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("node")).as("lbl")))
     val docs = Tables.documents(spark, dir).select("doc_id")

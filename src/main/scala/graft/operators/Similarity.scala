@@ -2273,8 +2273,13 @@ class SimilarityOps(val cfg: GraftConfig) {
     val qv = broadcast(e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("qe"), col("n2").as("qn2")))
+    // the candidate list (bounded by queries × beam × k) BROADCASTS
+    // against the corpus scan — the point-lookup shape that holds at
+    // 100 TB; without the hint, local-mode stats broadcast the CORPUS
+    // instead (right answer at sf0.001, wrong shape at scale)
     def score(cand: DataFrame): DataFrame =
-      cand.join(qv, "query_id").join(e, "vec_id")
+      broadcast(cand.join(qv, "query_id"))
+        .join(e, "vec_id")
         .select(col("query_id"), col("vec_id"),
           Vec.cosineFromParts(Vec.dotN("qe", "embedding"),
             col("qn2"), col("n2")).as("cosine"))
@@ -2293,7 +2298,10 @@ class SimilarityOps(val cfg: GraftConfig) {
         .filter(col("dst") =!= col("query_id"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .distinct()
-        .join(visited.select("query_id", "vec_id"),
+        // the visited list is the walk's steering state — bounded by
+        // entries + hops·beam·k per query, so it broadcasts; a plain
+        // anti-join plans as SMJ statically (derived sides, no stats)
+        .join(broadcast(visited.select("query_id", "vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
       visited = visited.unionByName(score(frontier))
     }

@@ -536,4 +536,22 @@ class PlanSpec extends GraftSpec {
   test("q253 shard manifest: offsets from exactly one per-shard window, never a global cumsum") {
     assert(windows(plan("q253_shard_manifest")) == 1)
   }
+
+  test("q279 beam search: bounded probe — every hop join broadcasts, corpus never sort-merge-shuffles") {
+    val p = plan("q279_graph_ann")
+    assert(!p.contains("SortMergeJoin"),
+      "a hop join fell back to SMJ — the bounded candidate list must broadcast " +
+        "against the corpus scan (the point-lookup shape)")
+    // the one nested-loop cross is the queries × beamEntries seed —
+    // config-bounded by construction; anything else would be a
+    // corpus-sized cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the entry-panel seed cross is expected (queries × beamEntries)")
+  }
+
+  test("q283 derived near-dup: equi-join blocking only — no cartesian, no nested-loop pair generation") {
+    val p = plan("q283_derived_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must come from the (dominant dim, sign) equi-join")
+  }
 }
