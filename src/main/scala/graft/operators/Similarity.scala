@@ -2428,6 +2428,177 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM truth t LEFT JOIN beamtop a
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
+
+  // ---------- Incremental kNN-graph maintenance (q285) ----------
+
+  /** q285: INCREMENTAL kNN-GRAPH maintenance — q188's nightly-ingest
+    * story applied to the GRAPH serving tier (q279's artifact), closing
+    * the tier's incremental asymmetry: the base-split kNN graph AND the
+    * base probe lists persist as content-keyed nightly artifacts; an
+    * arriving delta split is absorbed WITHOUT re-propagating the base:
+    * (1) each delta vector gets its OUT-edges by the q140 rule against
+    * the base members of its probed cells (delta-sized work), and
+    * (2) the base side is NOT rewritten — instead the query computes
+    * the GRAPH-DEBT eval that decides recompaction (the q188
+    * drift-row discipline): a base node u is STALE when some delta
+    * vector lands in a cell u probes and would enter u's stored top-k
+    * (beats the k-th entry under the (cosine desc, id asc) order, or
+    * u's list still has room). Output is the one-row decision table:
+    * base/delta sizes, delta out-edges added, base nodes TOUCHED by
+    * any (probe-cell, delta) candidacy, base nodes STALE, and the
+    * stale fraction — when stale_frac crosses the operator's budget,
+    * the nightly job pays the q140 rebuild; until then serving runs on
+    * base graph + delta out-edges.
+    *
+    * Scale: the delta pass costs |delta| probe-ranks + Σ|probed cell ∩
+    * base| scoring (the q140 per-vector bound) and the reverse-candidate
+    * join is probes⋈delta on the cell key — work ∝ the night's batch ×
+    * cell occupancy, never the base corpus; the stored k-th entries are
+    * an artifact-sized window. The deliberate trade — in-edges of base
+    * nodes go stale until recompaction, but the DEBT IS MEASURED — is
+    * the same one q188 ships for cell occupancy. */
+  def q285KnnDelta(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+    val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
+    val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
+    val cents = trainIndexOn(base)
+    val bAssigned = assign(base, cents)
+    val ckey = s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids," +
+      s"ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}"
+    val gPath = graft.sources.Scratch.keyedDir("knnd_graph", dir, spark,
+      Seq("embeddings.parquet"), ckey)
+    val pPath = graft.sources.Scratch.keyedDir("knnd_probes", dir, spark,
+      Seq("embeddings.parquet"), ckey)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def missing(p: String): Boolean = {
+      val s = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      !s.getFileSystem(hconf).exists(s)
+    }
+    val wK = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+    def knnOver(probes: DataFrame, q: DataFrame): DataFrame = probes
+      .join(q.select(col("vec_id"), col("embedding").as("qe"), col("n2").as("qn2")), "vec_id")
+      .join(bAssigned.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("ve"), col("n2").as("vn2")), "cell")
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "ve"), col("qn2"), col("vn2")).as("cosine"))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= cfg.knnK)
+    if (missing(pPath))
+      probeCells(base, cents, cfg.ivfNprobe)
+        .write.mode("overwrite").parquet(pPath)
+    val pr = spark.read.parquet(pPath)
+    if (missing(gPath))
+      knnOver(pr, base).write.mode("overwrite").parquet(gPath)
+    val g = spark.read.parquet(gPath)
+    // nightly delta pass — everything below is delta-proportional
+    val dAssigned = assign(delta, cents).select(col("vec_id"), col("cell"))
+    val dEdges = knnOver(probeCells(delta, cents, cfg.ivfNprobe), delta)
+    val wLast = Window.partitionBy("vec_id").orderBy(col("rk").desc)
+    val kth = g.withColumn("lrk", row_number().over(wLast)).filter(col("lrk") === 1)
+      .select(col("vec_id").as("u"), col("rk").as("deg"),
+        col("cosine").as("kth_cos"), col("nbr_id").as("kth_nbr"))
+    val scored = pr.select(col("vec_id").as("u"), col("cell"))
+      .join(dAssigned.select(col("cell"), col("vec_id").as("v")), "cell")
+      .join(base.select(col("vec_id").as("u"), col("embedding").as("ue"),
+        col("n2").as("un2")), "u")
+      .join(delta.select(col("vec_id").as("v"), col("embedding").as("ve"),
+        col("n2").as("vn2")), "v")
+      .select(col("u"), col("v"),
+        Vec.cosineFromParts(Vec.dotN("ue", "ve"), col("un2"), col("vn2")).as("cos"))
+      .join(kth, Seq("u"), "left")
+    val stale = scored.filter(
+      coalesce(col("deg"), lit(0)) < cfg.knnK ||
+        col("cos") > col("kth_cos") ||
+        (col("cos") === col("kth_cos") && col("v") < col("kth_nbr")))
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(delta.agg(count(lit(1)).as("n_delta")))
+      .crossJoin(dEdges.agg(count(lit(1)).as("delta_edges")))
+      .crossJoin(scored.agg(countDistinct(col("u")).as("touched_base")))
+      .crossJoin(stale.agg(countDistinct(col("u")).as("stale_base")))
+      .select(col("n_base"), col("n_delta"), col("delta_edges"),
+        col("touched_base"), col("stale_base"),
+        (col("stale_base").cast("double") / col("n_base").cast("double"))
+          .as("stale_frac"))
+  }
+
+  /** Full replay in SQL: base-trained index, base probes/graph, delta
+    * assignment, the delta out-edge build, and the stale test — every
+    * cosine the same fixed-point chain, every rank the same
+    * (cosine desc, id asc) order. */
+  def q285Sql: String = {
+    val training = (1 to KmeansIters).map { i =>
+      s"""${duckAssign(s"c${i - 1}", s"a$i", onlySample = true)},
+         |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
+    }.mkString(",\n")
+    def probesOf(dots: String, out: String): String =
+      s"""$out AS (SELECT ia AS vec_id, ib AS cell FROM (
+         |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+         |    FROM $dots) WHERE rk <= ${cfg.ivfNprobe})""".stripMargin
+    def knnOf(probes: String, qsrc: String, out: String): String =
+      s"""${out}_p AS (SELECT p.vec_id, q.embedding AS qe, ab.vec_id AS nbr_id, be.embedding AS ve
+         |  FROM $probes p
+         |  JOIN $qsrc q ON q.vec_id = p.vec_id
+         |  JOIN ab ON ab.cell = p.cell AND ab.vec_id <> p.vec_id
+         |  JOIN e be ON be.vec_id = ab.vec_id),
+         |${out}_x AS (SELECT vec_id AS ia, nbr_id AS ib,
+         |    unnest(qe) AS a, unnest(ve) AS b FROM ${out}_p),
+         |${out}_d AS (SELECT ia, ib,
+         |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+         |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+         |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+         |  FROM ${out}_x GROUP BY ia, ib),
+         |$out AS (SELECT ia AS vec_id, ib AS nbr_id, rk, cosine FROM (
+         |    SELECT ia, ib,
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine,
+         |      row_number() OVER (PARTITION BY ia ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+         |    FROM ${out}_d) WHERE rk <= ${cfg.knnK})""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '${cfg.splitTrainUpper}'),
+       |ed AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '${cfg.splitTrainUpper}'),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCentroids),
+       |$training,
+       |${duckAssign(s"c$KmeansIters", "ab")},
+       |${duckAssign(s"c$KmeansIters", "ad", src = "ed")},
+       |${probesOf("ab_dots", "bp")},
+       |${probesOf("ad_dots", "dp")},
+       |${knnOf("bp", "e", "bg")},
+       |${knnOf("dp", "ed", "dg")},
+       |kth AS (SELECT vec_id AS u, rk AS deg, cosine AS kth_cos, nbr_id AS kth_nbr FROM (
+       |    SELECT vec_id, rk, cosine, nbr_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY rk DESC) AS lrk
+       |    FROM bg) WHERE lrk = 1),
+       |cnd AS (SELECT bp.vec_id AS u, ad.vec_id AS v
+       |  FROM bp JOIN ad ON ad.cell = bp.cell),
+       |sx AS (SELECT c.u, c.v, unnest(ue.embedding) AS a, unnest(ve.embedding) AS b
+       |  FROM cnd c JOIN e ue ON ue.vec_id = c.u JOIN ed ve ON ve.vec_id = c.v),
+       |sd AS (SELECT u, v,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM sx GROUP BY u, v),
+       |sc AS (SELECT sd.u, sd.v,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos,
+       |    kth.deg, kth.kth_cos, kth.kth_nbr
+       |  FROM sd LEFT JOIN kth ON kth.u = sd.u),
+       |st AS (SELECT u FROM sc
+       |  WHERE coalesce(deg, 0) < ${cfg.knnK} OR cos > kth_cos
+       |    OR (cos = kth_cos AND v < kth_nbr)),
+       |agg AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_base,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_delta,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM dg) AS delta_edges,
+       |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM sc) AS touched_base,
+       |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM st) AS stale_base)
+       |SELECT n_base, n_delta, delta_edges, touched_base, stale_base,
+       |  CAST(stale_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS stale_frac
+       |FROM agg""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

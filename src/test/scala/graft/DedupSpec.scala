@@ -130,6 +130,55 @@ class DedupSpec extends GraftSpec {
     assert(row.getAs[Double]("merged_balance") >= 1.0 - 1e-9)
   }
 
+  test("q285: graph-debt totals reconcile (one row; touched bounds stale; edges bounded by delta×k)") {
+    val cfg = GraftConfig.default
+    val r = Similarity.q285KnnDelta(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nb, nd) = (row.getAs[Long]("n_base"), row.getAs[Long]("n_delta"))
+    assert(nb + nd == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(nb > 0 && nd > 0, "split must exercise both sides")
+    val (touched, stale) = (row.getAs[Long]("touched_base"), row.getAs[Long]("stale_base"))
+    assert(stale <= touched && touched <= nb,
+      "stale ⊆ touched ⊆ base — the debt metric must reconcile")
+    assert(row.getAs[Long]("delta_edges") <= nd * cfg.knnK,
+      "each delta vector adds at most k out-edges")
+    assert(row.getAs[Double]("stale_frac") ==
+      stale.toDouble / nb.toDouble)
+  }
+
+  test("q285 reads the persisted base graph: doctored k-th entries flip the stale verdict") {
+    val base = GraftConfig.default
+    // a distinct knnK keys a PRIVATE artifact pair for this test, so
+    // doctoring cannot leak into other suites' artifacts
+    val ops = new graft.operators.SimilarityOps(GraftConfig(knnK = base.knnK + 1))
+    val k = ops.cfg.knnK
+    ops.q285KnnDelta(spark, sf).collect() // builds graph + probe artifacts
+    val ckey = s"k=$k,np=${base.ivfNprobe},c=${base.ivfCentroids}," +
+      s"ki=${base.kmeansIters},tm=${base.ivfTrainMod},u=${base.splitTrainUpper}"
+    val gPath = graft.sources.Scratch.keyedDir("knnd_graph", sf, spark,
+      Seq("embeddings.parquet"), ckey)
+    val nodes = spark.read.parquet(gPath).select("vec_id").distinct().collect()
+      .map(_.getLong(0))
+    import spark.implicits._
+    // doctor A: every stored list is FULL and UNBEATABLE (k-th cosine
+    // 2.0 with nbr_id -1) — nothing can enter, stale_base must be 0
+    nodes.flatMap(u => (1 to k).map(rk => (u, -rk.toLong, rk, 2.0)))
+      .toSeq.toDF("vec_id", "nbr_id", "rk", "cosine")
+      .write.mode("overwrite").parquet(gPath)
+    val unbeatable = ops.q285KnnDelta(spark, sf).collect().head
+    assert(unbeatable.getAs[Long]("stale_base") == 0L,
+      "an unbeatable stored top-k must never read stale — q285 is not reading the artifact")
+    // doctor B: every stored list is EMPTY-roomed (deg 0 via no rows)
+    // — every touched node is stale by the has-room branch
+    Seq.empty[(Long, Long, Int, Double)].toDF("vec_id", "nbr_id", "rk", "cosine")
+      .write.mode("overwrite").parquet(gPath)
+    val roomy = ops.q285KnnDelta(spark, sf).collect().head
+    assert(roomy.getAs[Long]("stale_base") == roomy.getAs[Long]("touched_base"),
+      "with room in every list, every touched base node is stale")
+    assert(roomy.getAs[Long]("touched_base") > 0L)
+  }
+
   test("q200 dedup curve: monotonically non-increasing in the threshold, base point equals q131") {
     val rows = Dedup.q200DedupCurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
