@@ -2265,11 +2265,19 @@ class SimilarityOps(val cfg: GraftConfig) {
     * no full-space scoring anywhere. Recall loss vs exhaustive search
     * is MEASURED by q280 (the approximation-ships-with-its-eval
     * rule). */
-  def q279GraphAnnSearch(spark: SparkSession, dir: String): DataFrame = {
+  def q279GraphAnnSearch(spark: SparkSession, dir: String): DataFrame =
+    beamSearchOver(spark, dir,
+      persistedKnnGraph(spark, dir)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+
+  /** The beam walk itself, over an arbitrary (src, dst) edge table —
+    * q279 serves the full persisted graph; q286 serves the STALE mixed
+    * state (base graph + delta out-edges). The vector store is always
+    * the full corpus: exact scoring of whatever the walk reaches. */
+  private[graft] def beamSearchOver(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val edges = persistedKnnGraph(spark, dir)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val qv = broadcast(e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("qe"), col("n2").as("qn2")))
@@ -2340,10 +2348,10 @@ class SimilarityOps(val cfg: GraftConfig) {
   /** One beam-search scoring block: exact cosine of every candidate in
     * `cand`(query_id, vec_id) against its query, same fixed-point
     * arithmetic as the Spark side. */
-  private def beamScoreCtes(cand: String, out: String): String =
+  private def beamScoreCtes(cand: String, out: String, vecTbl: String = "e"): String =
     s"""${out}_ex AS (SELECT c.query_id, c.vec_id,
        |    unnest(q.qe) AS a, unnest(v.embedding) AS b
-       |  FROM $cand c JOIN bq q USING (query_id) JOIN e v ON v.vec_id = c.vec_id),
+       |  FROM $cand c JOIN bq q USING (query_id) JOIN $vecTbl v ON v.vec_id = c.vec_id),
        |${out}_d AS (SELECT query_id, vec_id,
        |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
        |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
@@ -2353,31 +2361,37 @@ class SimilarityOps(val cfg: GraftConfig) {
        |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
        |  FROM ${out}_d)""".stripMargin
 
-  /** The full beam walk as chained CTEs (one beam/frontier/score block
-    * per hop), ending at `vis${beamHops}` — the visited set with
-    * scores. */
-  private def beamWalkCtes: String = {
+  /** The hop chain over a named edge table and vector store (one
+    * beam/frontier/score block per hop), ending at `vis${beamHops}` —
+    * the visited set with scores. Parameterized so q279 (full graph,
+    * corpus `e`) and q286 (mixed stale edges, corpus `ea`) share it. */
+  private def beamHopCtes(knnTbl: String, vecTbl: String): String = {
     val hops = (1 to cfg.beamHops).map { h =>
       s"""bm${h - 1} AS (SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, vec_id) AS rk
          |    FROM vis${h - 1}) WHERE rk <= ${cfg.beamWidth}),
          |cf$h AS (SELECT b.query_id, k.dst AS vec_id
-         |    FROM bm${h - 1} b JOIN knn k ON k.src = b.vec_id
+         |    FROM bm${h - 1} b JOIN $knnTbl k ON k.src = b.vec_id
          |    WHERE k.dst <> b.query_id
          |  EXCEPT SELECT query_id, vec_id FROM vis${h - 1}),
-         |${beamScoreCtes(s"cf$h", s"sc$h")},
+         |${beamScoreCtes(s"cf$h", s"sc$h", vecTbl)},
          |vis$h AS (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h)""".stripMargin
     }.mkString(",\n")
-    s"""$knnGraphCtes,
-       |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+    s"""bq AS (SELECT vec_id AS query_id, embedding AS qe FROM $vecTbl
        |  WHERE vec_id < $NumQueries),
        |ent AS (SELECT q.query_id, n.vec_id FROM bq q,
-       |  (SELECT vec_id FROM e WHERE vec_id >= $NumQueries
+       |  (SELECT vec_id FROM $vecTbl WHERE vec_id >= $NumQueries
        |     AND vec_id < ${NumQueries + cfg.beamEntries}) n),
-       |${beamScoreCtes("ent", "vis0")},
+       |${beamScoreCtes("ent", "vis0", vecTbl)},
        |$hops""".stripMargin
   }
+
+  /** The full-graph beam walk: rebuild-from-scratch graph CTEs + the
+    * hop chain. */
+  private def beamWalkCtes: String =
+    s"""$knnGraphCtes,
+       |${beamHopCtes("knn", "e")}""".stripMargin
 
   def q279Sql: String =
     s"""$beamWalkCtes
@@ -2394,9 +2408,15 @@ class SimilarityOps(val cfg: GraftConfig) {
     * stop short — which is the only recall a caller of q279 feels.
     * The eval join is queries × k rows; its cost is the two searches
     * it audits. */
-  def q280GraphAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+  def q280GraphAnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBrute(spark, dir, q279GraphAnnSearch(spark, dir))
+
+  /** Per-query |approx ∩ exact-top-k| / k against q40's exhaustive
+    * cosine truth — the shared eval tail of q280 and q286. */
+  private[graft] def recallVsBrute(spark: SparkSession, dir: String,
+      approxDf: DataFrame): DataFrame = {
     val truth = q40AnnBrute(spark, dir).select("query_id", "vec_id")
-    val approx = q279GraphAnnSearch(spark, dir)
+    val approx = approxDf
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
@@ -2457,7 +2477,13 @@ class SimilarityOps(val cfg: GraftConfig) {
     * an artifact-sized window. The deliberate trade — in-edges of base
     * nodes go stale until recompaction, but the DEBT IS MEASURED — is
     * the same one q188 ships for cell occupancy. */
-  def q285KnnDelta(spark: SparkSession, dir: String): DataFrame = {
+  /** The incremental graph state q285 measures and q286 serves:
+    * (base graph artifact, base probe artifact, delta out-edges,
+    * delta cell assignment, base split, delta split). The first two
+    * are persisted content-keyed; everything delta-side is computed
+    * fresh per night. */
+  private[graft] def knnDeltaParts(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
       .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
@@ -2493,9 +2519,14 @@ class SimilarityOps(val cfg: GraftConfig) {
     if (missing(gPath))
       knnOver(pr, base).write.mode("overwrite").parquet(gPath)
     val g = spark.read.parquet(gPath)
-    // nightly delta pass — everything below is delta-proportional
+    // nightly delta pass — delta-proportional
     val dAssigned = assign(delta, cents).select(col("vec_id"), col("cell"))
     val dEdges = knnOver(probeCells(delta, cents, cfg.ivfNprobe), delta)
+    (g, pr, dEdges, dAssigned, base, delta)
+  }
+
+  def q285KnnDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (g, pr, dEdges, dAssigned, base, delta) = knnDeltaParts(spark, dir)
     val wLast = Window.partitionBy("vec_id").orderBy(col("rk").desc)
     val kth = g.withColumn("lrk", row_number().over(wLast)).filter(col("lrk") === 1)
       .select(col("vec_id").as("u"), col("rk").as("deg"),
@@ -2528,7 +2559,10 @@ class SimilarityOps(val cfg: GraftConfig) {
     * assignment, the delta out-edge build, and the stale test — every
     * cosine the same fixed-point chain, every rank the same
     * (cosine desc, id asc) order. */
-  def q285Sql: String = {
+  /** Shared q285/q286 oracle preamble: base/delta split, base-trained
+    * index, base probes `bp` / delta probes `dp`, base graph `bg`,
+    * delta out-edges `dg` (starts with WITH; composes by appending). */
+  private def knnDeltaCtes: String = {
     val training = (1 to KmeansIters).map { i =>
       s"""${duckAssign(s"c${i - 1}", s"a$i", onlySample = true)},
          |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
@@ -2568,7 +2602,11 @@ class SimilarityOps(val cfg: GraftConfig) {
        |${probesOf("ab_dots", "bp")},
        |${probesOf("ad_dots", "dp")},
        |${knnOf("bp", "e", "bg")},
-       |${knnOf("dp", "ed", "dg")},
+       |${knnOf("dp", "ed", "dg")}""".stripMargin
+  }
+
+  def q285Sql: String =
+    s"""$knnDeltaCtes,
        |kth AS (SELECT vec_id AS u, rk AS deg, cosine AS kth_cos, nbr_id AS kth_nbr FROM (
        |    SELECT vec_id, rk, cosine, nbr_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY rk DESC) AS lrk
@@ -2598,7 +2636,58 @@ class SimilarityOps(val cfg: GraftConfig) {
        |SELECT n_base, n_delta, delta_edges, touched_base, stale_base,
        |  CAST(stale_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS stale_frac
        |FROM agg""".stripMargin
+
+  /** q286: STALE-STATE SERVING RECALL — the measured answer to "what
+    * does q285's graph debt COST a caller" (the approximation-ships-
+    * with-its-eval rule applied to the INCREMENTAL STATE itself, not
+    * just the index): the q279 beam walk runs over the MIXED edge set
+    * q285 leaves behind — the persisted base graph plus the delta
+    * out-edges, with NO base→delta in-edges (exactly the staleness
+    * q285 counts) — and recall is scored against q40's exhaustive
+    * truth over the FULL corpus. Delta content is reachable only
+    * through entry points that happen to be delta vectors, so queries
+    * whose true neighbors arrived in the delta lose them — this row
+    * turns that loss into a number a caller compares directly with
+    * q280 (the fresh-graph recall at the same beam budget): the gap IS
+    * the serving cost of deferred recompaction, measured per query.
+    *
+    * Scale: one beam walk (q279's bounded cost model) + the queries×k
+    * eval join; the mixed edge table is the base artifact unioned with
+    * the delta-sized out-edge batch — no rebuild anywhere. */
+  def q286StaleServeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (g, _, dEdges, _, _, _) = knnDeltaParts(spark, dir)
+    val mixed = g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .unionByName(dEdges.select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    recallVsBrute(spark, dir, beamSearchOver(spark, dir, mixed))
   }
+
+  def q286Sql: String =
+    s"""$knnDeltaCtes,
+       |ea AS (SELECT vec_id, embedding FROM embeddings),
+       |knnm AS (SELECT vec_id AS src, nbr_id AS dst FROM bg
+       |  UNION ALL SELECT vec_id, nbr_id FROM dg),
+       |${beamHopCtes("knnm", "ea")},
+       |beamtop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM vis${cfg.beamHops}) WHERE rk <= $TopK),
+       |tr_ex AS (SELECT q.query_id, v.vec_id,
+       |    unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q, ea v WHERE v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $TopK)
+       |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN beamtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -153,11 +153,16 @@ class DedupSpec extends GraftSpec {
     // doctoring cannot leak into other suites' artifacts
     val ops = new graft.operators.SimilarityOps(GraftConfig(knnK = base.knnK + 1))
     val k = ops.cfg.knnK
-    ops.q285KnnDelta(spark, sf).collect() // builds graph + probe artifacts
     val ckey = s"k=$k,np=${base.ivfNprobe},c=${base.ivfCentroids}," +
       s"ki=${base.kmeansIters},tm=${base.ivfTrainMod},u=${base.splitTrainUpper}"
     val gPath = graft.sources.Scratch.keyedDir("knnd_graph", sf, spark,
       Seq("embeddings.parquet"), ckey)
+    // the scratch artifact survives JVM runs — a previous run leaves it
+    // DOCTORED, so force a clean rebuild before doctoring again
+    val gp = new org.apache.hadoop.fs.Path(gPath)
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(gp)) fs.delete(gp, true)
+    ops.q285KnnDelta(spark, sf).collect() // builds graph + probe artifacts
     val nodes = spark.read.parquet(gPath).select("vec_id").distinct().collect()
       .map(_.getLong(0))
     import spark.implicits._
@@ -177,6 +182,28 @@ class DedupSpec extends GraftSpec {
     assert(roomy.getAs[Long]("stale_base") == roomy.getAs[Long]("touched_base"),
       "with room in every list, every touched base node is stale")
     assert(roomy.getAs[Long]("touched_base") > 0L)
+  }
+
+  test("q286: well-formed per-query recall of the stale mixed serving state") {
+    val cfg = GraftConfig.default
+    val rows = Similarity.q286StaleServeRecall(spark, sf).collect()
+    assert(rows.length == cfg.annQueries, "one recall row per query")
+    rows.foreach { r =>
+      val (hit, rec) = (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))
+      assert(hit >= 0 && hit <= cfg.annTopK)
+      assert(rec == hit.toDouble / cfg.annTopK)
+    }
+  }
+
+  test("q286: with an EMPTY delta the stale state IS the fresh graph — recall equals q280 bitwise") {
+    // splitTrainUpper "zz" puts every vector in base: the mixed edge
+    // set degenerates to the full q140 graph, so stale-state serving
+    // must reproduce the fresh-graph recall row for row
+    val ops = new graft.operators.SimilarityOps(GraftConfig(splitTrainUpper = "zz"))
+    val fresh = ops.q280GraphAnnRecall(spark, sf)
+    val stale = ops.q286StaleServeRecall(spark, sf)
+    assert(stale.exceptAll(fresh).isEmpty && fresh.exceptAll(stale).isEmpty,
+      "empty-delta mixed state must serve identically to the fresh graph")
   }
 
   test("q200 dedup curve: monotonically non-increasing in the threshold, base point equals q131") {
