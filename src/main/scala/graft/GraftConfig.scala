@@ -200,6 +200,9 @@ case class GraftConfig(
     // register-ledger compaction (q284): aged daily register rows
     // merge into super-registers of this many days
     ledgerPeriodDays: Int = 28,
+    // q287 blocking eval: fixed-COUNT md5-ordered doc sample (the
+    // all-pairs side stays O(sample²) at any corpus size)
+    derivedEvalSample: Int = 400,
     vocabTopK: Int = 100,
     bigramMinCount: Int = 5,
     // repetition quality filter (Gopher/MassiveText-style): char k-gram

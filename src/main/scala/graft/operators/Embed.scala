@@ -138,6 +138,102 @@ class EmbedOps(val cfg: GraftConfig) {
        |  JOIN n2 nb ON nb.doc_id = d.doc_b)
        |SELECT doc_a, doc_b, dot, cosine FROM cs
        |WHERE cosine >= ${cfg.derivedNeardupMin}""".stripMargin
+
+  /** q287: BLOCKING EVAL for the derived-vector near-dup — q283's
+    * single-feature blocking ships with its measured loss (the q132
+    * LSH-eval discipline; an un-evaluated candidate filter is the
+    * unshipped-eval sin): on a DETERMINISTIC ${cfg.derivedEvalSample}-doc
+    * sample (md5-ordered take — fixed COUNT, so the eval's pair space
+    * is capped at any corpus size), compute ALL exact-threshold pairs
+    * by full sparse dot, the blocked candidate pairs (shared dominant
+    * signed feature), and their intersection; one row ships
+    * exact/candidate/hit counts plus recall (hits/exact — the pairs
+    * single-feature blocking finds) and precision (hits/candidates —
+    * how selective the block is). Empty denominators read 1.0
+    * (vacuously perfect, same CASE on both engines).
+    *
+    * Scale: the sample is a TakeOrdered of fixed size — never a
+    * corpus-fraction — so the all-pairs side is O(sample²) forever;
+    * the corpus-wide operator stays q283, this row only prices its
+    * filter. */
+  def q287DerivedDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Ck.lazyStage(q282TextEmbed(spark, dir), cfg)
+    val sampleIds = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("h", md5(concat(lit("dr:"), col("doc_id").cast("string"))))
+      .orderBy(col("h"), col("doc_id")).limit(cfg.derivedEvalSample)
+      .select("doc_id")
+    val sv = v.join(broadcast(sampleIds), "doc_id")
+    val n2 = sv.groupBy("doc_id").agg(sum(col("val") * col("val")).as("n2"))
+    val dots = sv.select(col("doc_id").as("doc_a"), col("dim"), col("val").as("va"))
+      .join(sv.select(col("doc_id").as("doc_b"), col("dim"), col("val").as("vb")), "dim")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("va") * col("vb")).as("dot"))
+    val exact = dots
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .filter(col("dot").cast("double")
+        / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+        >= cfg.derivedNeardupMin)
+      .select("doc_a", "doc_b")
+    val wD = Window.partitionBy("doc_id").orderBy(abs(col("val")).desc, col("dim"))
+    val dom = sv.withColumn("rk", row_number().over(wD)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("dim").as("ddim"),
+        when(col("val") < 0, lit(-1L)).otherwise(lit(1L)).as("dsign"))
+    val cand = dom.as("x").join(dom.as("y"),
+        col("x.ddim") === col("y.ddim") && col("x.dsign") === col("y.dsign") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val hits = exact.join(cand, Seq("doc_a", "doc_b"))
+    sampleIds.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(exact.agg(count(lit(1)).as("exact_pairs")))
+      .crossJoin(cand.agg(count(lit(1)).as("cand_pairs")))
+      .crossJoin(hits.agg(count(lit(1)).as("hit_pairs")))
+      .select(col("n_sample"), col("exact_pairs"), col("cand_pairs"), col("hit_pairs"),
+        when(col("exact_pairs") === 0, lit(1.0))
+          .otherwise(col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+          .as("recall"),
+        when(col("cand_pairs") === 0, lit(1.0))
+          .otherwise(col("hit_pairs").cast("double") / col("cand_pairs").cast("double"))
+          .as("precision"))
+  }
+
+  def q287Sql: String =
+    s"""WITH $vecCtes,
+       |smp AS (SELECT doc_id FROM documents
+       |  ORDER BY md5('dr:' || CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT ${cfg.derivedEvalSample}),
+       |svv AS (SELECT v.doc_id, v.dim, v.val FROM v JOIN smp USING (doc_id)),
+       |n2 AS (SELECT doc_id, sum(val * val) AS n2 FROM svv GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.val * b.val) AS dot
+       |  FROM svv a JOIN svv b ON b.dim = a.dim AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT d.doc_a, d.doc_b FROM dots d
+       |  JOIN n2 na ON na.doc_id = d.doc_a
+       |  JOIN n2 nb ON nb.doc_id = d.doc_b
+       |  WHERE CAST(d.dot AS DOUBLE) /
+       |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |    >= ${cfg.derivedNeardupMin}),
+       |dom AS (SELECT doc_id, dim AS ddim,
+       |    CASE WHEN val < 0 THEN -1 ELSE 1 END AS dsign
+       |  FROM (SELECT doc_id, dim, val, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY abs(val) DESC, dim) AS rk FROM svv)
+       |  WHERE rk = 1),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM dom x JOIN dom y ON x.ddim = y.ddim AND x.dsign = y.dsign
+       |    AND x.doc_id < y.doc_id),
+       |hits AS (SELECT e.doc_a, e.doc_b FROM exact e JOIN cand c
+       |  ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b),
+       |agg AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS exact_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS cand_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS hit_pairs)
+       |SELECT n_sample, exact_pairs, cand_pairs, hit_pairs,
+       |  CASE WHEN exact_pairs = 0 THEN 1.0
+       |    ELSE CAST(hit_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) END AS recall,
+       |  CASE WHEN cand_pairs = 0 THEN 1.0
+       |    ELSE CAST(hit_pairs AS DOUBLE) / CAST(cand_pairs AS DOUBLE) END AS precision
+       |FROM agg""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

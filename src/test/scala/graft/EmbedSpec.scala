@@ -65,6 +65,25 @@ class EmbedSpec extends GraftSpec {
       "unrelated docs must not pass a 0.999 threshold")
   }
 
+  test("q287: eval totals reconcile; identical-corpus degeneracy reads perfect recall AND precision") {
+    val r = graft.operators.Embed.q287DerivedDedupEval(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (ex, cd, ht) = (row.getAs[Long]("exact_pairs"),
+      row.getAs[Long]("cand_pairs"), row.getAs[Long]("hit_pairs"))
+    assert(ht <= ex && ht <= cd, "hits are the intersection")
+    assert(row.getAs[Long]("n_sample") ==
+      math.min(GraftConfig.default.derivedEvalSample.toLong,
+        spark.read.parquet(s"$sf/documents.parquet").count()))
+    val (rec, prec) = (row.getAs[Double]("recall"), row.getAs[Double]("precision"))
+    assert(rec >= 0.0 && rec <= 1.0 && prec >= 0.0 && prec <= 1.0)
+    // identical corpus: every pair is exact AND blocked together
+    val dir = docs((0L to 5L).map(i => i -> "same words every single time"): _*)
+    val one = graft.operators.Embed.q287DerivedDedupEval(spark, dir).collect().head
+    assert(one.getAs[Long]("exact_pairs") == 15L && one.getAs[Long]("hit_pairs") == 15L)
+    assert(one.getAs[Double]("recall") == 1.0 && one.getAs[Double]("precision") == 1.0)
+  }
+
   test("q283 blocking invariant: every reported pair shares its dominant signed feature") {
     val ops = new graft.operators.EmbedOps(
       GraftConfig(derivedNeardupMin = 0.9)) // wider net on the real corpus
