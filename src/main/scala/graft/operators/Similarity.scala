@@ -2656,8 +2656,14 @@ class SimilarityOps(val cfg: GraftConfig) {
     * the delta-sized out-edge batch — no rebuild anywhere. */
   def q286StaleServeRecall(spark: SparkSession, dir: String): DataFrame = {
     val (g, _, dEdges, _, _, _) = knnDeltaParts(spark, dir)
-    val mixed = g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      .unionByName(dEdges.select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    // lineage-cut the mixed edge table ONCE: the beam loop consumes it
+    // every hop, and an uncut union would re-derive the whole delta
+    // out-edge pipeline (train + assign + probe) per hop — measured
+    // 11.0 s → 4.6 s at sf0.1
+    val mixed = graft.Ck.lazyStage(
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .unionByName(dEdges.select(col("vec_id").as("src"), col("nbr_id").as("dst"))),
+      cfg)
     recallVsBrute(spark, dir, beamSearchOver(spark, dir, mixed))
   }
 

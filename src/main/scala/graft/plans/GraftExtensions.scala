@@ -15,6 +15,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotFixed)
+    ext.injectFunction(GraftExtensions.vecDotLong)
     ext.injectFunction(GraftExtensions.shingleSet)
     ext.injectFunction(GraftExtensions.shingleStats)
     ext.injectFunction(GraftExtensions.minhashSig)
@@ -36,6 +37,22 @@ object GraftExtensions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }
       FixedPointDot(children(0), children(1))
+    })
+
+  private val vecDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot_long"),
+    new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "vec_dot_long",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      VecDotLong(children(0), children(1))
     })
 
   /** Validate the evaluated k of a registered shingle function: these
@@ -108,7 +125,7 @@ object GraftExtensions {
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(vecDotFixed, shingleSet, shingleStats, minhashSig).foreach { fn =>
+    Seq(vecDotFixed, vecDotLong, shingleSet, shingleStats, minhashSig).foreach { fn =>
       if (!reg.functionExists(fn._1)) {
         reg.registerFunction(fn._1, fn._2, fn._3)
       }
