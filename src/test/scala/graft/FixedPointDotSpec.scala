@@ -18,6 +18,29 @@ class FixedPointDotSpec extends GraftSpec {
     assert(pairs.filter(col("hof") =!= col("native")).count() == 0)
   }
 
+  test("native vec_dot_long is bit-identical to the interpreted long fold and to the sparse sum") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map(i =>
+      i -> Array.fill(16)(rnd.nextInt(2001) - 1000L)).toDF("id", "vec")
+    val pairs = vecs.as("x").crossJoin(vecs.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(
+        expr("vec_dot_long(x.vec, y.vec)").as("native"),
+        expr("aggregate(zip_with(x.vec, y.vec, (a, b) -> a * b), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)").as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+    // and it codegens — over a non-foldable source (a literal local
+    // table constant-folds to LocalTableScan and hides the expression)
+    val plan = spark.range(100)
+      .select(expr("transform(sequence(CAST(0 AS BIGINT), CAST(15 AS BIGINT)), j -> j + id)").as("vec"))
+      .select(expr("vec_dot_long(vec, vec)").as("n2"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" stage prefix on the Project is the WholeStageCodegen marker
+    assert("""\*\(\d+\) Project \[vec_dot_long""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("native expression participates in codegen (no interpreted lambdas in plan)") {
     GraftExtensions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
