@@ -32,27 +32,32 @@ import graft.sources.Tables
 class EmbedOps(val cfg: GraftConfig) {
   private val D = cfg.featHashDim
 
+  /** The dense derived vector as ONE native scan column (plus its
+    * exact norm) — the shared producer of q282/q283/q288/q289. */
+  private def denseVecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(s"feat_hash_vec(text, $D)").as("vec"))
+  }
+
   /** q282: FEATURE-HASHED TEXT EMBEDDING — each document's text
     * projected into $D integer dimensions by signed token hashing.
     *
-    * Scale: one corpus scan (explode + two codegen'd md5-derived
-    * columns — NEVER md5 inside a higher-order-function lambda, the
-    * q269 lesson: HOF lambdas run interpreted per element) feeding one
-    * (doc_id, dim) hash aggregate. Tokens of a doc are scan-local, so
-    * map-side partial aggregation collapses the token stream to
-    * ≤ docs×$D partial rows before the only shuffle; state per task is
-    * bounded by its doc slice × $D, never the token count. At 100 TB
-    * this is the same one-pass shape as q50/q53 with one bounded
-    * exchange on top. */
+    * Scale: the whole embedder is the native `feat_hash_vec`
+    * expression — tokenize, hash, and accumulate inside the scan, one
+    * call per row (never md5 inside a higher-order-function lambda,
+    * the q269 lesson) — so deriving vectors from a 100 TB corpus is a
+    * PURE MAP with ZERO shuffle: the in-row posexplode to the sparse
+    * long form is generate-on-scan, and there is no (doc, dim)
+    * re-aggregation at all (the explode+groupBy formulation this
+    * replaces shuffled docs×$D partial rows; PlanSpec pins the
+    * exchange-free plan). Statelessness is also what makes the q288
+    * STREAMING twin run in plain append mode with no watermark. */
   def q282TextEmbed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("hx", md5(concat(col("tok"), lit(":f"))))
-      .select(col("doc_id"),
-        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % D).as("dim"),
-        when(substring(col("hx"), 9, 1) >= "8", lit(-1L)).otherwise(lit(1L)).as("s"))
-      .groupBy("doc_id", "dim").agg(sum(col("s")).as("val"))
+    denseVecs(spark, dir)
+      .select(col("doc_id"), posexplode(col("vec")).as(Seq("dim", "val")))
       .filter(col("val") =!= 0)
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
 
   /** The shared CTE chain: tokens → signed hashed features → the
     * sparse vector table `v(doc_id, dim, val)`. */
@@ -94,22 +99,19 @@ class EmbedOps(val cfg: GraftConfig) {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val v = graft.Ck.lazyStage(q282TextEmbed(spark, dir), cfg)
     // DENSE per-doc vectors for the verify pass: each candidate pair
-    // then costs ONE row per side plus a native codegen'd $D-long dot
+    // costs ONE row per side plus the native codegen'd $D-long dot
     // (vec_dot_long), instead of ~nnz sparse rows through a
     // (pair × dim) shuffle join — the corpus's one stop-word-dominated
     // block makes candidates bucket-quadratic (5.3M pairs at sf0.1;
     // the skew is corpus-intrinsic, measured: top-2 and sign-band
     // blockings both read WORSE recall-for-cost), so the verify loop
     // is the cost and it must be a primitive loop: sparse join 22.0 s
-    // → dense interpreted fold 13.4 s → dense native dot 2.2 s warm
-    // (all sf0.1); the dot stays exact BIGINT (absent dims are 0)
-    val dense = v.groupBy("doc_id").agg(
-      expr("map_from_entries(collect_list(struct(dim, val)))").as("m"),
-      sum(col("val") * col("val")).as("n2"))
-      .select(col("doc_id"),
-        expr(s"transform(sequence(CAST(0 AS BIGINT), CAST(${D - 1} AS BIGINT)), " +
-          "j -> coalesce(element_at(m, j), CAST(0 AS BIGINT)))").as("vec"),
-        col("n2"))
+    // → dense interpreted fold 13.4 s → dense native dot 1.45 s
+    // (all sf0.1); the dot stays exact BIGINT (absent dims are 0).
+    // The dense table now comes straight off the feat_hash_vec scan.
+    val dense = denseVecs(spark, dir)
+      .select(col("doc_id"), col("vec"),
+        expr("vec_dot_long(vec, vec)").as("n2"))
     val wD = Window.partitionBy("doc_id").orderBy(abs(col("val")).desc, col("dim"))
     val dom = v.withColumn("rk", row_number().over(wD)).filter(col("rk") === 1)
       .select(col("doc_id"), col("dim").as("ddim"),
@@ -250,6 +252,87 @@ class EmbedOps(val cfg: GraftConfig) {
        |  CASE WHEN cand_pairs = 0 THEN 1.0
        |    ELSE CAST(hit_pairs AS DOUBLE) / CAST(cand_pairs AS DOUBLE) END AS precision
        |FROM agg""".stripMargin
+
+  /** q288: STREAMING text embedder — the live-intake twin of q282 (the
+    * q147/q278 streaming-twin discipline, applied to the featurizer):
+    * documents land as parquet files, `readStream` tails the directory,
+    * and every micro-batch embeds its rows with the SAME native
+    * `feat_hash_vec` scan expression as batch. Because the embedder is
+    * a per-row expression, the stream is completely STATELESS — plain
+    * append mode, no watermark, no aggregation state at any corpus
+    * size — so the drain equals the batch q282 bit for bit (which is
+    * exactly what the oracle re-checks). This is the shape that embeds
+    * a crawler's intake incrementally instead of re-scanning the
+    * corpus nightly. */
+  def q288StreamEmbed(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val path = graft.sources.Scratch.dir("embed_stream", dir)
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    val out = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(path)
+      .select(col("doc_id"), posexplode(expr(s"feat_hash_vec(text, $D)")).as(Seq("dim", "val")))
+      .filter(col("val") =!= 0)
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+    graft.streaming.EventStream.withStreamParts(spark) {
+      val q = out.writeStream.format("memory").queryName("graft_q288")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("graft_q288")
+    }
+  }
+
+  /** Drained stream ≡ batch embedder by statelessness — the oracle IS
+    * q282's. */
+  def q288Sql: String = q282Sql
+
+  /** q289: DERIVED-VECTOR ANN — q40's exhaustive-cosine search shape
+    * re-run END-TO-END on vectors derived from `documents` text: the
+    * first ${cfg.annQueries} doc ids are the query panel, every doc
+    * with a non-degenerate vector is a candidate, exact integer dots
+    * via the native `vec_dot_long`, ties to doc_id. With q283 (dedup
+    * side) and this row (search side), the whole similarity stack runs
+    * from raw text with no external embedding table anywhere.
+    *
+    * Scale: the q40 shape exactly — the tiny query panel broadcasts
+    * onto ONE corpus scan (vectors derived in-scan by feat_hash_vec,
+    * never materialized), per-query top-k under WindowGroupLimit.
+    * Zero-vector docs (all dimensions cancelled) are unsearchable by
+    * definition and excluded on BOTH engines. */
+  def q289DerivedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseVecs(spark, dir)
+      .select(col("doc_id"), col("vec"), expr("vec_dot_long(vec, vec)").as("n2"))
+      .filter(col("n2") > 0)
+    val qv = broadcast(dense.filter(col("doc_id") < cfg.annQueries)
+      .select(col("doc_id").as("query_id"), col("vec").as("qv"), col("n2").as("qn2")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    dense.crossJoin(qv)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (expr("CAST(vec_dot_long(qv, vec) AS DOUBLE)")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double")))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cfg.annTopK)
+      .select("query_id", "doc_id", "rk", "cosine")
+  }
+
+  def q289Sql: String =
+    s"""WITH $vecCtes,
+       |n2 AS (SELECT doc_id, sum(val * val) AS n2 FROM v GROUP BY doc_id),
+       |qn AS (SELECT doc_id AS query_id, n2 FROM n2 WHERE doc_id < ${cfg.annQueries}),
+       |sd AS (SELECT a.doc_id AS query_id, b.doc_id, sum(a.val * b.val) AS dot
+       |  FROM v a JOIN v b ON b.dim = a.dim
+       |  WHERE a.doc_id < ${cfg.annQueries} GROUP BY 1, 2),
+       |scored AS (SELECT qn.query_id, c.doc_id,
+       |    CAST(coalesce(sd.dot, 0) AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+       |  FROM qn JOIN n2 c ON c.doc_id <> qn.query_id
+       |  LEFT JOIN sd ON sd.query_id = qn.query_id AND sd.doc_id = c.doc_id)
+       |SELECT query_id, doc_id, rk, cosine FROM (
+       |  SELECT query_id, doc_id, cosine, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM scored) WHERE rk <= ${cfg.annTopK}""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotFixed)
     ext.injectFunction(GraftExtensions.vecDotLong)
+    ext.injectFunction(GraftExtensions.featHashVec)
     ext.injectFunction(GraftExtensions.shingleSet)
     ext.injectFunction(GraftExtensions.shingleStats)
     ext.injectFunction(GraftExtensions.minhashSig)
@@ -53,6 +54,22 @@ object GraftExtensions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }
       VecDotLong(children(0), children(1))
+    })
+
+  private val featHashVec: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("feat_hash_vec"),
+    new ExpressionInfo(classOf[FeatHashVec].getName, "feat_hash_vec"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "feat_hash_vec",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      FeatHashVec(children(0), children(1))
     })
 
   /** Validate the evaluated k of a registered shingle function: these
@@ -125,7 +142,7 @@ object GraftExtensions {
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(vecDotFixed, vecDotLong, shingleSet, shingleStats, minhashSig).foreach { fn =>
+    Seq(vecDotFixed, vecDotLong, featHashVec, shingleSet, shingleStats, minhashSig).foreach { fn =>
       if (!reg.functionExists(fn._1)) {
         reg.registerFunction(fn._1, fn._2, fn._3)
       }

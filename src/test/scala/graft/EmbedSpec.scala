@@ -65,6 +65,52 @@ class EmbedSpec extends GraftSpec {
       "unrelated docs must not pass a 0.999 threshold")
   }
 
+  test("feat_hash_vec: the native scan expression equals the explode+groupBy SQL formulation") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val D = GraftConfig.default.featHashDim
+    // the original column-chain formulation, replicated inline
+    val reference = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hx", md5(concat(col("tok"), lit(":f"))))
+      .select(col("doc_id"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % D).as("dim"),
+        when(substring(col("hx"), 9, 1) >= "8", lit(-1L)).otherwise(lit(1L)).as("s"))
+      .groupBy("doc_id", "dim").agg(sum(col("s")).as("val"))
+      .filter(col("val") =!= 0)
+    val native = graft.operators.Embed.q282TextEmbed(spark, sf)
+    assert(native.exceptAll(reference).isEmpty && reference.exceptAll(native).isEmpty,
+      "native feat_hash_vec must reproduce the hash-chain formulation bitwise")
+    assert(native.count() > 0)
+  }
+
+  test("q288: the stateless stream drains bit-equal to the batch embedder") {
+    val batch = graft.operators.Embed.q282TextEmbed(spark, sf)
+    val streamed = graft.operators.Embed.q288StreamEmbed(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
+  test("q289: derived ANN is well-formed; an exact text duplicate ranks first at cosine 1") {
+    val cfg = GraftConfig.default
+    val rows = graft.operators.Embed.q289DerivedAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks == (1 to rks.size) && rks.size <= cfg.annTopK)
+      rs.foreach(r => assert(r.getLong(1) != q, "never the query itself"))
+    }
+    // duplicate text: doc 100 repeats doc 0's text → for query 0 the
+    // dup must rank first with cosine exactly 1
+    val dir = docs((0L -> "alpha beta gamma delta") +:
+      (1L to 99L).map(i => i -> s"filler words number $i distinct") :+
+      (100L -> "alpha beta gamma delta"): _*)
+    val ops = new graft.operators.EmbedOps(GraftConfig(annQueries = 1, annTopK = 3))
+    val top = ops.q289DerivedAnn(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).minBy(_.getAs[Int]("rk"))
+    assert(top.getLong(1) == 100L && top.getAs[Double]("cosine") == 1.0,
+      "the exact text duplicate must rank first at cosine exactly 1")
+  }
+
   test("q287: eval totals reconcile; identical-corpus degeneracy reads perfect recall AND precision") {
     val r = graft.operators.Embed.q287DerivedDedupEval(spark, sf).collect()
     assert(r.length == 1)

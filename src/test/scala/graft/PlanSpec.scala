@@ -549,6 +549,13 @@ class PlanSpec extends GraftSpec {
       "the entry-panel seed cross is expected (queries × beamEntries)")
   }
 
+  test("q282 embedder is a pure scan: zero semantic exchanges, native feat_hash_vec") {
+    val p = plan("q282_text_embed")
+    assert(semanticExchanges(p) == 0,
+      "q282 must not shuffle — the native expression embeds in-scan")
+    assert(p.contains("feat_hash_vec"), p)
+  }
+
   test("q283 derived near-dup: equi-join blocking only — no cartesian, no nested-loop pair generation") {
     val p = plan("q283_derived_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
