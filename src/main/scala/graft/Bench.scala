@@ -19,6 +19,15 @@ object Bench {
     // different neighbors instead of biasing the same victim every round.
     val order = scala.util.Random.shuffle(SparkEntry.queries.keys.toList)
 
+    // Box-state fields (round-13 verdict item 7): the r13 A/B spread on
+    // identical code (359.9 vs 426.6 s) was wider than most per-query
+    // effects the verdicts adjudicate, so the artifact now RECORDS the
+    // box state instead of leaving the judge to infer it — 1-minute
+    // load average at start and end of the run.
+    def load1: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load1Start = load1
+
     def withFreshSession[T](f: org.apache.spark.sql.SparkSession => T): T = {
       val spark = GraftSession.builder()
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
@@ -80,9 +89,30 @@ object Bench {
         (r1, r2, stages)
       }
     }
+    // Environment-noise map: queries whose two runs disagreed 1.5×+.
+    // When MORE THAN 5 queries land in it the box was contaminated
+    // enough that the min-of-two is itself suspect (round-13 verdict
+    // item 7), so the flagged queries get ONE more isolated run each
+    // and report min-of-three.
+    val contamKeys = both.collect {
+      case (k, (r1, r2, _)) if r1 >= 0 && r2 >= 0 &&
+          math.max(r1, r2) > math.min(r1, r2) * 1.5 + 0.5 => k
+    }
+    val thirdRuns: Map[String, Double] =
+      if (contamKeys.size <= 5) Map.empty
+      else contamKeys.map { k =>
+        val fn = SparkEntry.queries(k)
+        k -> withFreshSession { spark =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        }
+      }.toMap
     val results = both.map { case (k, (r1, r2, _)) =>
-      // min over the SUCCESSFUL runs; -1 only when both failed
-      k -> Seq(r1, r2).filter(_ >= 0).sorted.headOption.getOrElse(-1.0)
+      // min over the SUCCESSFUL runs (incl. any third); -1 only when all failed
+      k -> (Seq(r1, r2) ++ thirdRuns.get(k)).filter(_ >= 0).sorted.headOption.getOrElse(-1.0)
     }
     // 3-decimal formatting: the driver captures only the tail of stdout,
     // and 9-digit doubles across ~120 queries pushed the single JSON line
@@ -99,7 +129,8 @@ object Bench {
         if (stages.isEmpty) ""
         else ",\"stages\":" + stages.map { case (t, s) =>
           "[\"" + t + "\"," + f(s) + "]" }.mkString("[", ",", "]")
-      s"\"" + k + "\":{\"runs\":[" + f(r1) + "," + f(r2) + "]" + st + "}"
+      val runs = (Seq(r1, r2) ++ thirdRuns.get(k)).map(f).mkString(",")
+      s"\"" + k + "\":{\"runs\":[" + runs + "]" + st + "}"
     }.mkString("{", ",", "}")
     val orderJson = order.map("\"" + _ + "\"").mkString("[", ",", "]")
     // archive the full per-query detail PER ROUND (round-10 verdict item
@@ -129,13 +160,12 @@ object Bench {
           java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json"),
           detailJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // diagnostic only (the headline already takes the min): queries whose
-    // two runs disagreed 1.5×+ in either direction — an environment-noise
-    // map for the round artifact, value = the reported min
-    val contam = both.collect {
-      case (k, (r1, r2, _)) if r1 >= 0 && r2 >= 0 &&
-          math.max(r1, r2) > math.min(r1, r2) * 1.5 + 0.5 =>
-        s"\"" + k + "\":" + f(math.min(r1, r2))
+    // diagnostic only (the headline already takes the min): the
+    // environment-noise map, value = the reported min (of three when
+    // the rerun pass fired)
+    val resultMap = results.toMap
+    val contam = contamKeys.map { k =>
+      s"\"" + k + "\":" + f(resultMap(k))
     }.mkString("{", ",", "}")
     // The driver captures only the LAST ~2000 chars of stdout; a
     // 211-query map is ~5 KB, so the full line can never survive the
@@ -153,6 +183,6 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
     val detailFile = if (roundN > 0) f"BENCH_DETAIL_r$roundN%02d.json" else "BENCH_DETAIL.json"
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"detail":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"reruns":${thirdRuns.size},"load1_start":${f(load1Start)},"load1_end":${f(load1)},"detail":"$detailFile","sf":"$sfDir"}""")
   }
 }

@@ -500,6 +500,121 @@ class DedupOps(val cfg: GraftConfig) {
        |  f.doc_id <> k.keeper_id AS is_dup
        |FROM fam f JOIN fsz s USING (family_id) JOIN keeper k USING (family_id)""".stripMargin
 
+  /** q296: DECREMENTAL DEDUP FAMILIES — q281's touched-component
+    * kernel applied to q57's near-dup family table under a DOC
+    * retraction batch (right-to-be-forgotten hitting the DERIVED
+    * state — the q249 motivation applied to the dedup artifact): the
+    * near-dup pair table and the family labels persist as content-keyed
+    * nightly artifacts; retracting the deterministic md5 band ≥
+    * ${cfg.docRetractLower} removes those docs and their incident
+    * pairs from the ARTIFACT (a retracted doc's influence on other
+    * pairs' corpus statistics — rare-shingle df — dissipates at the
+    * next full rebuild, the same deliberate measured debt q285 ships).
+    * Node deletion only SPLITS families, and every pair lives inside
+    * one family — so untouched families (no retracted member) keep
+    * their labels verbatim from the artifact, and the shared [[Cc]]
+    * kernel re-runs on exactly the touched families' induced surviving
+    * pair subgraph (survivors losing every pair re-label as
+    * themselves). Keepers/sizes re-derive over surviving docs in q57's
+    * one struct-min aggregate; output is q57's contract restricted to
+    * survivors.
+    *
+    * At 100 TB: two lookup joins on the retraction batch, one
+    * broadcast restriction of the surviving pairs to the touched
+    * families (blast-radius-sized steering state — the q281 shape),
+    * and a CC whose input is Σ|touched family| pairs — cost ∝ the
+    * retraction wave, never the corpus. Oracle = the full q57
+    * recompute on the surviving docs over the artifact's pair set;
+    * spec pins untouched-family rows byte-identical and relabeled
+    * docs ⊆ touched families. */
+  def q296DecrementalFamilies(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val ckey = s"k=${cfg.shingleK},rdf=$RareDf,mh=$MinhashJ,j=$JaccardJ"
+    val pPath = graft.sources.Scratch.keyedDir("ndpairs_full", dir, spark,
+      Seq("documents.parquet"), ckey)
+    val lPath = graft.sources.Scratch.keyedDir("famlbl_full", dir, spark,
+      Seq("documents.parquet"), ckey)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def missing(p: String): Boolean = {
+      val s = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      !s.getFileSystem(hconf).exists(s)
+    }
+    if (missing(pPath) || missing(lPath)) {
+      val (edges, arr) = nearDupEdgesScratch(spark, dir)
+      val pairs = graft.Trace("q296.pairs")(edges.localCheckpoint(true))
+      arr.unpersist(false)
+      pairs.write.mode("overwrite").parquet(pPath)
+      Cc.labels(pairs.select(col("id_a").as("u"), col("id_b").as("v")), cfg)
+        .write.mode("overwrite").parquet(lPath)
+      pairs.unpersist(false)
+    }
+    val pairs = spark.read.parquet(pPath)
+    val storedLbl = spark.read.parquet(lPath)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
+    val surviving = docs.filter(col("b") < cfg.docRetractLower).drop("b")
+    val retracted = docs.filter(col("b") >= cfg.docRetractLower).select("doc_id")
+    // touched families: the stored label of every retracted doc
+    // (absent from the label table = a singleton — its removal leaves
+    // no surviving member to relabel)
+    val touched = retracted.join(storedLbl, Seq("doc_id"), "left")
+      .select(coalesce(col("lbl"), col("doc_id")).as("tfam")).distinct()
+    val survFam = surviving.join(storedLbl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("lbl"), col("doc_id")).as("fam"))
+    // induced surviving pair subgraph of the touched families: pairs
+    // live within one family, so the id_a side's membership decides;
+    // the touched-family list is blast-radius-sized — broadcast
+    val touchedDocs = survFam.join(broadcast(touched), col("fam") === col("tfam"))
+      .select("doc_id")
+    val spairs = pairs
+      .join(surviving.select(col("doc_id").as("id_a")), Seq("id_a"))
+      .join(surviving.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val tpairs = spairs.join(broadcast(touchedDocs.withColumnRenamed("doc_id", "id_a")),
+      Seq("id_a"))
+    val subLbl = Cc.labels(tpairs.select(col("id_a").as("u"), col("id_b").as("v")), cfg)
+    val finalFam = survFam
+      .join(broadcast(touched), col("fam") === col("tfam"), "left")
+      .join(subLbl.select(col("node").as("doc_id"), col("lbl").as("nl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("tfam").isNotNull, coalesce(col("nl"), col("doc_id")))
+          .otherwise(col("fam")).as("family_id"))
+    val agg = finalFam.groupBy("family_id").agg(
+      count(lit(1)).as("family_size"),
+      min(struct((-col("n_chars")).as("negl"), col("doc_id").as("id"))).as("k"))
+    finalFam.join(agg, "family_id")
+      .select(col("doc_id"), col("family_id"), col("k.id").as("keeper_id"),
+        col("family_size"), (col("doc_id") =!= col("k.id")).as("is_dup"))
+  }
+
+  /** q57's recursive-reachability SQL over the artifact's pair set
+    * restricted to SURVIVING docs — the full recompute the decremental
+    * merge must equal. */
+  def q296Sql: String =
+    s"""WITH RECURSIVE
+       |$nearDupEdgesSql,
+       |surv AS MATERIALIZED (SELECT doc_id, n_chars FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${cfg.docRetractLower}'),
+       |spairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM pairs p
+       |  JOIN surv sa ON sa.doc_id = p.id_a
+       |  JOIN surv sb ON sb.doc_id = p.id_b),
+       |und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM spairs
+       |  UNION SELECT id_b, id_a FROM spairs),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
+       |fam AS (SELECT d.doc_id, d.n_chars, coalesce(l.family_id, d.doc_id) AS family_id
+       |  FROM surv d LEFT JOIN lbl l USING (doc_id)),
+       |fsz AS (SELECT family_id, count(*) AS family_size, max(n_chars) AS mx
+       |  FROM fam GROUP BY family_id),
+       |keeper AS (SELECT f.family_id, min(f.doc_id) AS keeper_id
+       |  FROM fam f JOIN fsz USING (family_id) WHERE f.n_chars = fsz.mx
+       |  GROUP BY f.family_id)
+       |SELECT f.doc_id, f.family_id, k.keeper_id, s.family_size,
+       |  f.doc_id <> k.keeper_id AS is_dup
+       |FROM fam f JOIN fsz s USING (family_id) JOIN keeper k USING (family_id)""".stripMargin
+
   /** q197: FAMILY-CONSISTENT train/val/test split — the leakage-proof
     * splitter: q68's content-stable md5 split hashes the DOC id, so two
     * near-duplicates can land on opposite sides of the train/eval

@@ -77,49 +77,55 @@ class EmbedOps(val cfg: GraftConfig) {
 
   /** q283: DERIVED-VECTOR NEAR-DUP — the q34 consumer re-run on
     * vectors DERIVED from text by q282 instead of the external
-    * embeddings table: candidate pairs block on the DOMINANT FEATURE
-    * (each doc's max-|val| dimension plus its sign — near-duplicate
-    * texts share their heaviest hashed feature with high probability;
-    * ties break to the smallest dim), and only candidates pay the
-    * exact sparse dot product. dot and the norms are exact BIGINT
-    * sums; cosine is ONE double division of exact integers (the suite
-    * discipline), thresholded at ${cfg.derivedNeardupMin}.
+    * embeddings table. Candidate pairs come from BANDED
+    * RANDOM-HYPERPLANE SIGN LSH (SimHash, Charikar '02) over the
+    * derived vector — ${cfg.derivedBands} bands of
+    * ${cfg.derivedBandBits} deterministic ±1-hyperplane sign bits
+    * each, computed by the native `sign_bands_long` expression (one
+    * codegen call per row, the feat_hash_vec discipline); a pair is a
+    * candidate when it agrees on ANY full band whose (band, key)
+    * bucket holds ≤ ${cfg.derivedBandMaxDf} docs (hot buckets are
+    * dropped from candidate generation — the maxOverlapKeyDf /
+    * MatchPrefix hot-key discipline, recall cost re-priced by q287).
+    * Only candidates pay the exact dense dot: dot and norms are exact
+    * BIGINT sums via `vec_dot_long`, cosine ONE double division of
+    * exact integers (the suite discipline), thresholded at
+    * ${cfg.derivedNeardupMin}.
     *
-    * Scale: blocking is an equi-join on (dominant dim, sign) — 2·$D
-    * buckets, candidates Σ|bucket|², never corpus² (the q58 pigeonhole
-    * shape; recall loss of single-feature blocking is the documented
-    * trade — a doc pair disagreeing on its heaviest feature is far
-    * from duplicate in this representation). The dot pass joins the
-    * candidate list against the sparse vector table on (doc, dim) —
-    * candidate×overlap rows, grouped with map-side partials. The
-    * sparse vector table is lineage-cut once (Ck) and feeds all four
-    * consumers (norms, dominants, both dot sides) without re-running
-    * the corpus scan. */
+    * Scale: banding is a zero-shuffle scan expression; the only
+    * shuffles are the (band, key) frequency aggregate (map-side
+    * combinable) and the capped equi-join, and the df cap makes the
+    * candidate count PROVABLY sub-quadratic — ≤ bands·cap·n/2 = O(n),
+    * never Σ|bucket|² over uncapped buckets (the previous
+    * dominant-feature block had only 2·$D possible buckets and this
+    * corpus's stop-word bucket held ~65% of all docs: Θ(n²)/const
+    * candidates, 5.3M pairs at sf0.1). Measured at sf0.1: recall
+    * 0.963 vs the exact-threshold truth (the dominant-feature block
+    * read 0.960) at 6.4× fewer candidates (825k vs 5.3M); each
+    * candidate pair then costs one row per side plus the native
+    * codegen'd $D-long dot — the verify chain that measured 22.0 s as
+    * a sparse (pair × dim) shuffle join and 1.45 s as the dense
+    * native loop. The banded table is lineage-cut once (Ck) so the
+    * self-join's two sides share one derivation of the scan. */
   def q283DerivedNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val v = graft.Ck.lazyStage(q282TextEmbed(spark, dir), cfg)
-    // DENSE per-doc vectors for the verify pass: each candidate pair
-    // costs ONE row per side plus the native codegen'd $D-long dot
-    // (vec_dot_long), instead of ~nnz sparse rows through a
-    // (pair × dim) shuffle join — the corpus's one stop-word-dominated
-    // block makes candidates bucket-quadratic (5.3M pairs at sf0.1;
-    // the skew is corpus-intrinsic, measured: top-2 and sign-band
-    // blockings both read WORSE recall-for-cost), so the verify loop
-    // is the cost and it must be a primitive loop: sparse join 22.0 s
-    // → dense interpreted fold 13.4 s → dense native dot 1.45 s
-    // (all sf0.1); the dot stays exact BIGINT (absent dims are 0).
-    // The dense table now comes straight off the feat_hash_vec scan.
     val dense = denseVecs(spark, dir)
       .select(col("doc_id"), col("vec"),
         expr("vec_dot_long(vec, vec)").as("n2"))
-    val wD = Window.partitionBy("doc_id").orderBy(abs(col("val")).desc, col("dim"))
-    val dom = v.withColumn("rk", row_number().over(wD)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("dim").as("ddim"),
-        when(col("val") < 0, lit(-1L)).otherwise(lit(1L)).as("dsign"))
-    val cand = dom.as("x").join(dom.as("y"),
-        col("x.ddim") === col("y.ddim") && col("x.dsign") === col("y.dsign") &&
+      .filter(col("n2") > 0)
+    val bands = dense.select(col("doc_id"),
+      posexplode(expr(s"sign_bands_long(vec, ${cfg.derivedBands}, ${cfg.derivedBandBits})"))
+        .as(Seq("band", "bk")))
+    val bdf = bands.groupBy("band", "bk").agg(count(lit(1)).as("df"))
+    val ok = graft.Ck.lazyStage(
+      bands.join(bdf.filter(col("df") <= cfg.derivedBandMaxDf).select("band", "bk"),
+        Seq("band", "bk")),
+      cfg)
+    val cand = ok.as("x").join(ok.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     cand
       .join(dense.select(col("doc_id").as("doc_a"), col("vec").as("va"), col("n2").as("na2")), "doc_a")
       .join(dense.select(col("doc_id").as("doc_b"), col("vec").as("vb"), col("n2").as("nb2")), "doc_b")
@@ -132,16 +138,35 @@ class EmbedOps(val cfg: GraftConfig) {
       .filter(col("cosine") >= cfg.derivedNeardupMin)
   }
 
+  /** Shared DuckDB banding chain over a sparse vector table
+    * `src(doc_id, dim, val)` — deterministic ±1 hyperplanes (the same
+    * md5('pl:p:d') rule as [[graft.plans.SignBands]]), per-plane sign
+    * bits (missing dims contribute 0, sign(0) = +, identical to the
+    * dense Spark dot), integer band keys, bucket df, and the hot-bucket
+    * cap — ending at `okb(doc_id, band, bk)`. Claims CTE names
+    * pl/bits/bnd/bdf/okb. */
+  private def bandCtes(src: String): String =
+    s"""pl AS (SELECT p, d,
+       |    CASE WHEN substr(md5('pl:' || p || ':' || d), 1, 1) >= '8' THEN -1 ELSE 1 END AS w
+       |  FROM (SELECT unnest(generate_series(0, ${cfg.derivedBands * cfg.derivedBandBits - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, ${D - 1})) AS d)),
+       |bits AS (SELECT s.doc_id, pl.p,
+       |    CASE WHEN sum(pl.w * s.val) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM $src s JOIN pl ON pl.d = s.dim GROUP BY 1, 2),
+       |bnd AS (SELECT doc_id, p // ${cfg.derivedBandBits} AS band,
+       |    CAST(sum(bit * (1::BIGINT << CAST(p % ${cfg.derivedBandBits} AS INTEGER))) AS BIGINT) AS bk
+       |  FROM bits GROUP BY 1, 2),
+       |bdf AS (SELECT band, bk, count(*) AS df FROM bnd GROUP BY 1, 2),
+       |okb AS (SELECT bnd.doc_id, bnd.band, bnd.bk FROM bnd
+       |  JOIN bdf ON bdf.band = bnd.band AND bdf.bk = bnd.bk
+       |  WHERE bdf.df <= ${cfg.derivedBandMaxDf})""".stripMargin
+
   def q283Sql: String =
     s"""WITH $vecCtes,
        |n2 AS (SELECT doc_id, sum(val * val) AS n2 FROM v GROUP BY doc_id),
-       |dom AS (SELECT doc_id, dim AS ddim,
-       |    CASE WHEN val < 0 THEN -1 ELSE 1 END AS dsign
-       |  FROM (SELECT doc_id, dim, val, row_number() OVER (PARTITION BY doc_id
-       |      ORDER BY abs(val) DESC, dim) AS rk FROM v)
-       |  WHERE rk = 1),
-       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM dom x JOIN dom y ON x.ddim = y.ddim AND x.dsign = y.dsign
+       |${bandCtes("v")},
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM okb x JOIN okb y ON x.band = y.band AND x.bk = y.bk
        |    AND x.doc_id < y.doc_id),
        |dots AS (SELECT c.doc_a, c.doc_b, sum(a.val * b.val) AS dot
        |  FROM cand c
@@ -158,17 +183,19 @@ class EmbedOps(val cfg: GraftConfig) {
        |WHERE cosine >= ${cfg.derivedNeardupMin}""".stripMargin
 
   /** q287: BLOCKING EVAL for the derived-vector near-dup — q283's
-    * single-feature blocking ships with its measured loss (the q132
-    * LSH-eval discipline; an un-evaluated candidate filter is the
+    * df-capped sign-LSH blocking ships with its measured loss (the
+    * q132 LSH-eval discipline; an un-evaluated candidate filter is the
     * unshipped-eval sin): on a DETERMINISTIC ${cfg.derivedEvalSample}-doc
     * sample (md5-ordered take — fixed COUNT, so the eval's pair space
     * is capped at any corpus size), compute ALL exact-threshold pairs
-    * by full sparse dot, the blocked candidate pairs (shared dominant
-    * signed feature), and their intersection; one row ships
-    * exact/candidate/hit counts plus recall (hits/exact — the pairs
-    * single-feature blocking finds) and precision (hits/candidates —
-    * how selective the block is). Empty denominators read 1.0
-    * (vacuously perfect, same CASE on both engines).
+    * by full sparse dot, the blocked candidate pairs (any shared
+    * band key whose sample-local bucket is under the df cap — the
+    * exact q283 mechanism applied to the sample), and their
+    * intersection; one row ships exact/candidate/hit counts plus
+    * recall (hits/exact — the pairs the banding finds) and precision
+    * (hits/candidates — how selective the block is). Empty
+    * denominators read 1.0 (vacuously perfect, same CASE on both
+    * engines).
     *
     * Scale: the sample is a TakeOrdered of fixed size — never a
     * corpus-fraction — so the all-pairs side is O(sample²) forever;
@@ -193,14 +220,22 @@ class EmbedOps(val cfg: GraftConfig) {
         / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
         >= cfg.derivedNeardupMin)
       .select("doc_a", "doc_b")
-    val wD = Window.partitionBy("doc_id").orderBy(abs(col("val")).desc, col("dim"))
-    val dom = sv.withColumn("rk", row_number().over(wD)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("dim").as("ddim"),
-        when(col("val") < 0, lit(-1L)).otherwise(lit(1L)).as("dsign"))
-    val cand = dom.as("x").join(dom.as("y"),
-        col("x.ddim") === col("y.ddim") && col("x.dsign") === col("y.dsign") &&
+    val sdense = denseVecs(spark, dir)
+      .join(broadcast(sampleIds), "doc_id")
+      .select(col("doc_id"), col("vec"), expr("vec_dot_long(vec, vec)").as("vn2"))
+      .filter(col("vn2") > 0)
+    val sbands = sdense.select(col("doc_id"),
+      posexplode(expr(s"sign_bands_long(vec, ${cfg.derivedBands}, ${cfg.derivedBandBits})"))
+        .as(Seq("band", "bk")))
+    val sbdf = sbands.groupBy("band", "bk").agg(count(lit(1)).as("df"))
+    val sok = sbands.join(
+      sbdf.filter(col("df") <= cfg.derivedBandMaxDf).select("band", "bk"),
+      Seq("band", "bk"))
+    val cand = sok.as("x").join(sok.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     val hits = exact.join(cand, Seq("doc_a", "doc_b"))
     sampleIds.agg(count(lit(1)).as("n_sample"))
       .crossJoin(exact.agg(count(lit(1)).as("exact_pairs")))
@@ -231,13 +266,9 @@ class EmbedOps(val cfg: GraftConfig) {
        |  WHERE CAST(d.dot AS DOUBLE) /
        |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
        |    >= ${cfg.derivedNeardupMin}),
-       |dom AS (SELECT doc_id, dim AS ddim,
-       |    CASE WHEN val < 0 THEN -1 ELSE 1 END AS dsign
-       |  FROM (SELECT doc_id, dim, val, row_number() OVER (PARTITION BY doc_id
-       |      ORDER BY abs(val) DESC, dim) AS rk FROM svv)
-       |  WHERE rk = 1),
-       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM dom x JOIN dom y ON x.ddim = y.ddim AND x.dsign = y.dsign
+       |${bandCtes("svv")},
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM okb x JOIN okb y ON x.band = y.band AND x.bk = y.bk
        |    AND x.doc_id < y.doc_id),
        |hits AS (SELECT e.doc_a, e.doc_b FROM exact e JOIN cand c
        |  ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b),
@@ -333,6 +364,216 @@ class EmbedOps(val cfg: GraftConfig) {
        |  SELECT query_id, doc_id, cosine, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, doc_id) AS rk
        |  FROM scored) WHERE rk <= ${cfg.annTopK}""".stripMargin
+
+  // ---------- Derived-vector IVF serving tier (q292/q293) ----------
+
+  /** Fixed-point scale of the derived-index centroids: a centroid
+    * dimension is floor(Σ member counts · CentScale / members) — an
+    * exact integer on both engines (floor-division implemented as
+    * (a − pmod(a, b)) / b, identical for negative sums too), so Lloyd
+    * iterations are INTEGER-EXACT end to end and both engines train
+    * bit-identical centroids. 1e4 keeps every dot far inside long
+    * range: |centroid dim| ≤ 1e4·max|count|, |dot| ≤ 32·1e4·max² —
+    * safe to |count| ~ 10⁶ per dimension. */
+  private val CentScale = 10000L
+
+  /** Dense derived vectors with exact norms, zero-norm docs excluded
+    * (unsearchable by definition — all dimensions cancelled). */
+  private def denseNonzero(spark: SparkSession, dir: String): DataFrame =
+    denseVecs(spark, dir)
+      .select(col("doc_id"), col("vec"), expr("vec_dot_long(vec, vec)").as("n2"))
+      .filter(col("n2") > 0)
+
+  /** Nearest-centroid assignment over the derived integer vectors —
+    * the q41 zero-shuffle shape: centroids pack into ONE broadcast
+    * array-of-structs row, each doc argmaxes with the native
+    * `vec_dot_long` inside an aggregate HOF (ties to the lowest
+    * cent_id; a degenerate all-zero centroid reads sentinel −2.0 on
+    * both engines). Pure map over the corpus. */
+  private def assignDerived(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = broadcast(cents
+      .select(struct(col("cent_id"), col("ce"),
+        expr("vec_dot_long(ce, ce)").as("cn2")).as("c"))
+      .groupBy().agg(array_sort(collect_list(col("c"))).as("cents")))
+    e.crossJoin(packed)
+      .withColumn("cell", expr(
+        """aggregate(
+          |  transform(cents, c -> named_struct(
+          |    'cid', c.cent_id,
+          |    'cs', CASE WHEN c.cn2 = 0 THEN CAST(-2.0 AS DOUBLE)
+          |      ELSE CAST(vec_dot_long(vec, c.ce) AS DOUBLE)
+          |        / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) END)),
+          |  named_struct('cid', CAST(NULL AS BIGINT), 'cs', CAST(-1e9 AS DOUBLE)),
+          |  (acc, x) -> IF(x.cs > acc.cs, x, acc),
+          |  acc -> acc.cid)""".stripMargin))
+      .drop("cents")
+  }
+
+  /** Exact integer centroid update: per (cell, dim) the member-count
+    * sum is an exact BIGINT, the mean lands at CentScale fixed point
+    * via exact floor division — map-side-combinable aggregate, no
+    * floats anywhere in the index state. */
+  private def updateDerivedCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+      .select(col("cell"), col("pos"),
+        expr(s"(sx * $CentScale - pmod(sx * $CentScale, cn)) div cn").as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
+      .select(col("cell").as("cent_id"), col("ce"))
+
+  /** Deterministic integer Lloyd over the derived vectors: seeds are
+    * the first ${cfg.ivfCentroids} nonzero docs' vectors at CentScale,
+    * ${cfg.kmeansIters} exact-fixed-point iterations — the q41 trainer
+    * re-instantiated on integer arithmetic. */
+  private[graft] def trainDerivedIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = denseNonzero(spark, dir)
+    val init = e.filter(col("doc_id") < cfg.ivfCentroids)
+      .select(col("doc_id").as("cent_id"),
+        expr(s"transform(vec, x -> x * $CentScale)").as("ce"))
+    (1 to cfg.kmeansIters).foldLeft(init) { (c, _) =>
+      updateDerivedCentroids(assignDerived(e, c))
+    }
+  }
+
+  /** q292: DERIVED-VECTOR IVF SEARCH — the SERVING tier the
+    * text→embedding bridge was missing: q41's IVF (train → assign →
+    * probe → rank) re-instantiated END-TO-END on vectors derived from
+    * `documents` text, zero reads of the synthetic `embeddings` table
+    * anywhere in the plan (PlanSpec-pinned). Training is integer-exact
+    * Lloyd (CentScale fixed-point centroids), assignment a zero-shuffle
+    * broadcast argmax, queries (the first ${cfg.annQueries} doc ids)
+    * probe their ${cfg.ivfNprobe} nearest cells and rank only those
+    * cells' members by exact `vec_dot_long` cosine — per-query work
+    * Σ nprobe·|cell|, never the corpus. With q283 (dedup), q289
+    * (exhaustive search), and this row, every tier of the similarity
+    * stack runs from raw text. */
+  def q292DerivedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = denseNonzero(spark, dir)
+    val cents = trainDerivedIndex(spark, dir)
+    val assigned = assignDerived(e, cents)
+    val cpk = broadcast(cents.select(col("cent_id"), col("ce"),
+      expr("vec_dot_long(ce, ce)").as("cn2")))
+    val qv = e.filter(col("doc_id") < cfg.annQueries)
+    val wP = Window.partitionBy("doc_id").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = qv.crossJoin(cpk)
+      .select(col("doc_id"), col("cent_id"),
+        when(col("cn2") === 0, lit(-2.0)).otherwise(
+          expr("CAST(vec_dot_long(vec, ce) AS DOUBLE)")
+            / (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+      .withColumn("crk", row_number().over(wP))
+      .filter(col("crk") <= cfg.ivfNprobe)
+      .select(col("doc_id"), col("cent_id").as("cell"))
+    val queries = probes
+      .join(qv.select(col("doc_id"), col("vec").as("qv"), col("n2").as("qn2")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("qv"), col("qn2"), col("cell"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    queries.join(assigned.select(col("cell"), col("doc_id"), col("vec"), col("n2")), "cell")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (expr("CAST(vec_dot_long(qv, vec) AS DOUBLE)")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double")))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= cfg.ivfTopK)
+      .select("query_id", "doc_id", "rk", "cosine")
+  }
+
+  /** DuckDB twin of the integer Lloyd + probe + rank chain, all over
+    * the SPARSE derived-vector table (absent dims contribute 0 to
+    * every sum, zero centroid entries are dropped — same dots): one
+    * (assignment, update) CTE pair per configured iteration, exact
+    * floor division as (a − ((a%b)+b)%b) // b. */
+  private def derivedTrainCtes: String = {
+    val C = cfg.ivfCentroids
+    def assignOf(cTbl: String, out: String): String =
+      s"""${out}_cn AS (SELECT cent_id, sum(cval * cval) AS cn2 FROM $cTbl GROUP BY 1),
+         |${out}_dt AS (SELECT v2.doc_id, c.cent_id, sum(v2.val * c.cval) AS dot
+         |  FROM v v2 JOIN $cTbl c ON c.dim = v2.dim GROUP BY 1, 2),
+         |${out}_fr AS (SELECT d2.doc_id, d2.n2, cn.cent_id, cn.cn2
+         |  FROM dn2 d2 CROSS JOIN ${out}_cn cn),
+         |${out}_sc AS (SELECT f.doc_id, f.cent_id,
+         |    CASE WHEN f.cn2 = 0 THEN CAST(-2.0 AS DOUBLE)
+         |      ELSE CAST(coalesce(dt.dot, 0) AS DOUBLE)
+         |        / (sqrt(CAST(f.n2 AS DOUBLE)) * sqrt(CAST(f.cn2 AS DOUBLE))) END AS cs
+         |  FROM ${out}_fr f
+         |  LEFT JOIN ${out}_dt dt ON dt.doc_id = f.doc_id AND dt.cent_id = f.cent_id),
+         |$out AS (SELECT doc_id, cent_id AS cell FROM (
+         |    SELECT doc_id, cent_id, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cs DESC, cent_id) AS rk FROM ${out}_sc) WHERE rk = 1)""".stripMargin
+    def updateOf(aTbl: String, out: String): String =
+      s"""${out}_n AS (SELECT cell, count(*) AS cn FROM $aTbl GROUP BY 1),
+         |${out}_s AS (SELECT a.cell, v3.dim, sum(v3.val) AS sx
+         |  FROM $aTbl a JOIN v v3 USING (doc_id) GROUP BY 1, 2),
+         |$out AS (SELECT s.cell AS cent_id, s.dim,
+         |    (s.sx * $CentScale - ((s.sx * $CentScale % n.cn) + n.cn) % n.cn) // n.cn AS cval
+         |  FROM ${out}_s s JOIN ${out}_n n USING (cell)
+         |  WHERE (s.sx * $CentScale - ((s.sx * $CentScale % n.cn) + n.cn) % n.cn) // n.cn <> 0)""".stripMargin
+    val iters = (1 to cfg.kmeansIters).map { i =>
+      s"""${assignOf(s"dc${i - 1}", s"da$i")},
+         |${updateOf(s"da$i", s"dc$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""dn2 AS (SELECT doc_id, sum(val * val) AS n2 FROM v GROUP BY doc_id),
+       |dc0 AS (SELECT doc_id AS cent_id, dim, val * $CentScale AS cval
+       |  FROM v WHERE doc_id < $C),
+       |$iters,
+       |${assignOf(s"dc${cfg.kmeansIters}", "daf")}""".stripMargin
+  }
+
+  def q292Sql: String =
+    s"""WITH $vecCtes,
+       |$derivedTrainCtes,
+       |qprobe AS (SELECT doc_id, cent_id AS cell FROM (
+       |    SELECT doc_id, cent_id, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cs DESC, cent_id) AS rk
+       |    FROM daf_sc WHERE doc_id < ${cfg.annQueries})
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |cp AS (SELECT qp.doc_id AS query_id, m.doc_id
+       |  FROM qprobe qp JOIN daf m ON m.cell = qp.cell AND m.doc_id <> qp.doc_id),
+       |pd AS (SELECT a.doc_id AS query_id, b.doc_id, sum(a.val * b.val) AS dot
+       |  FROM v a JOIN v b ON b.dim = a.dim
+       |  WHERE a.doc_id < ${cfg.annQueries} GROUP BY 1, 2),
+       |scored AS (SELECT cp.query_id, cp.doc_id,
+       |    CAST(coalesce(pd.dot, 0) AS DOUBLE)
+       |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(mn.n2 AS DOUBLE))) AS cosine
+       |  FROM cp
+       |  JOIN dn2 qn ON qn.doc_id = cp.query_id
+       |  JOIN dn2 mn ON mn.doc_id = cp.doc_id
+       |  LEFT JOIN pd ON pd.query_id = cp.query_id AND pd.doc_id = cp.doc_id)
+       |SELECT query_id, doc_id, rk, cosine FROM (
+       |  SELECT query_id, doc_id, cosine, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM scored) WHERE rk <= ${cfg.ivfTopK}""".stripMargin
+
+  /** q293: DERIVED-IVF RECALL@k — the eval q292 ships with (the
+    * q123 discipline re-instantiated on the derived tier): per query,
+    * |IVF top-${cfg.ivfTopK} ∩ exhaustive top-${cfg.ivfTopK}| /
+    * ${cfg.ivfTopK} against q289's brute-force derived truth truncated
+    * to the same k. Both inputs are queries×k tables — the eval join
+    * costs nothing beyond the two searches it audits; like them it
+    * never reads the `embeddings` table. */
+  def q293DerivedIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q289DerivedAnn(spark, dir)
+      .filter(col("rk") <= cfg.ivfTopK).select("query_id", "doc_id")
+    val approx = q292DerivedIvf(spark, dir)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / cfg.ivfTopK).as("recall"))
+  }
+
+  def q293Sql: String =
+    s"""WITH brute AS ($q289Sql),
+       |ivf AS ($q292Sql)
+       |SELECT b.query_id, CAST(count(i.doc_id) AS BIGINT) AS hits,
+       |  CAST(count(i.doc_id) AS DOUBLE) / ${cfg.ivfTopK} AS recall
+       |FROM (SELECT query_id, doc_id FROM brute WHERE rk <= ${cfg.ivfTopK}) b
+       |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.doc_id = i.doc_id
+       |GROUP BY b.query_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

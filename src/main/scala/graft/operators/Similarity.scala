@@ -116,7 +116,12 @@ class SimilarityOps(val cfg: GraftConfig) {
     * reference-grade IVF recall decays with centroid count when only the
     * argmax cell is probed. The window is over queries×centroids rows
     * (tiny); the corpus side never sees it. */
-  private def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    probeCellsRanked(q, cents, nprobe).select(col("vec_id"), col("cell"))
+
+  /** As [[probeCells]] but keeping the probe rank — q294's IVF-guided
+    * entry selection orders entry candidates by (cell rank, member id). */
+  private def probeCellsRanked(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val c = broadcast(cents.select(col("cent_id"), col("ce"),
       expr("CAST(vec_dot_fixed(ce, ce) AS DOUBLE)").as("cn2")))
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
@@ -126,7 +131,7 @@ class SimilarityOps(val cfg: GraftConfig) {
           / (sqrt(col("n2")) * sqrt(col("cn2")))).as("ccos"))
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") <= nprobe)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("crk"))
   }
 
   /** q41: IVF ANN — deterministic Lloyd k-means (seeded from the first
@@ -2272,10 +2277,12 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   /** The beam walk itself, over an arbitrary (src, dst) edge table —
     * q279 serves the full persisted graph; q286 serves the STALE mixed
-    * state (base graph + delta out-edges). The vector store is always
+    * state (base graph + delta out-edges); q294's B arm passes its own
+    * per-query IVF-guided `entries(query_id, vec_id)` (None = the
+    * default fixed first-ids entry set). The vector store is always
     * the full corpus: exact scoring of whatever the walk reaches. */
   private[graft] def beamSearchOver(spark: SparkSession, dir: String,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, entriesPerQuery: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val qv = broadcast(e.filter(col("vec_id") < NumQueries)
@@ -2296,10 +2303,13 @@ class SimilarityOps(val cfg: GraftConfig) {
     def beamOf(vis: DataFrame): DataFrame =
       vis.withColumn("brk", row_number().over(wB))
         .filter(col("brk") <= cfg.beamWidth).select("query_id", "vec_id")
-    val entries = e.filter(col("vec_id") >= NumQueries
-        && col("vec_id") < NumQueries + cfg.beamEntries)
-      .select("vec_id")
-    var visited = score(qv.select("query_id").crossJoin(broadcast(entries)))
+    val ent0 = entriesPerQuery.getOrElse {
+      val entries = e.filter(col("vec_id") >= NumQueries
+          && col("vec_id") < NumQueries + cfg.beamEntries)
+        .select("vec_id")
+      qv.select("query_id").crossJoin(broadcast(entries))
+    }
+    var visited = score(ent0)
     for (_ <- 1 to cfg.beamHops) {
       val frontier = beamOf(visited).withColumnRenamed("vec_id", "src")
         .join(edges, "src")
@@ -2348,10 +2358,11 @@ class SimilarityOps(val cfg: GraftConfig) {
   /** One beam-search scoring block: exact cosine of every candidate in
     * `cand`(query_id, vec_id) against its query, same fixed-point
     * arithmetic as the Spark side. */
-  private def beamScoreCtes(cand: String, out: String, vecTbl: String = "e"): String =
+  private def beamScoreCtes(cand: String, out: String, vecTbl: String = "e",
+      bqTbl: String = "bq"): String =
     s"""${out}_ex AS (SELECT c.query_id, c.vec_id,
        |    unnest(q.qe) AS a, unnest(v.embedding) AS b
-       |  FROM $cand c JOIN bq q USING (query_id) JOIN $vecTbl v ON v.vec_id = c.vec_id),
+       |  FROM $cand c JOIN $bqTbl q USING (query_id) JOIN $vecTbl v ON v.vec_id = c.vec_id),
        |${out}_d AS (SELECT query_id, vec_id,
        |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
        |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
@@ -2384,6 +2395,30 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  (SELECT vec_id FROM $vecTbl WHERE vec_id >= $NumQueries
        |     AND vec_id < ${NumQueries + cfg.beamEntries}) n),
        |${beamScoreCtes("ent", "vis0", vecTbl)},
+       |$hops""".stripMargin
+  }
+
+  /** A SECOND hop chain under a name prefix, reusing an existing `bq`
+    * and a caller-supplied entry CTE (named `${pfx}ent`) — q294 runs
+    * two walks over the same graph in one oracle query, and the
+    * default-named chain's CTEs must stay untouched. Claims
+    * ${pfx}{ent,vis*,bm*,cf*,sc*}. */
+  private def beamHopCtesNamed(knnTbl: String, vecTbl: String, pfx: String,
+      entCte: String): String = {
+    val hops = (1 to cfg.beamHops).map { h =>
+      s"""${pfx}bm${h - 1} AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM ${pfx}vis${h - 1}) WHERE rk <= ${cfg.beamWidth}),
+         |${pfx}cf$h AS (SELECT b.query_id, k.dst AS vec_id
+         |    FROM ${pfx}bm${h - 1} b JOIN $knnTbl k ON k.src = b.vec_id
+         |    WHERE k.dst <> b.query_id
+         |  EXCEPT SELECT query_id, vec_id FROM ${pfx}vis${h - 1}),
+         |${beamScoreCtes(s"${pfx}cf$h", s"${pfx}sc$h", vecTbl)},
+         |${pfx}vis$h AS (SELECT * FROM ${pfx}vis${h - 1} UNION ALL SELECT * FROM ${pfx}sc$h)""".stripMargin
+    }.mkString(",\n")
+    s"""$entCte,
+       |${beamScoreCtes(s"${pfx}ent", s"${pfx}vis0", vecTbl)},
        |$hops""".stripMargin
   }
 
@@ -2477,13 +2512,16 @@ class SimilarityOps(val cfg: GraftConfig) {
     * an artifact-sized window. The deliberate trade — in-edges of base
     * nodes go stale until recompaction, but the DEBT IS MEASURED — is
     * the same one q188 ships for cell occupancy. */
-  /** The incremental graph state q285 measures and q286 serves:
-    * (base graph artifact, base probe artifact, delta out-edges,
-    * delta cell assignment, base split, delta split). The first two
-    * are persisted content-keyed; everything delta-side is computed
-    * fresh per night. */
-  private[graft] def knnDeltaParts(spark: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The incremental graph state q285 measures, q286 serves, and q290
+    * recompacts: the base graph and base probe artifacts are persisted
+    * content-keyed; everything delta-side (out-edges, assignment,
+    * probes) is computed fresh per night; the base assignment rides
+    * along for consumers that need the full member table. */
+  private[graft] case class KnnDeltaState(
+      g: DataFrame, pr: DataFrame, dEdges: DataFrame, dAssigned: DataFrame,
+      base: DataFrame, delta: DataFrame, bAssigned: DataFrame, dProbes: DataFrame)
+
+  private[graft] def knnDeltaParts(spark: SparkSession, dir: String): KnnDeltaState = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
       .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
@@ -2521,12 +2559,17 @@ class SimilarityOps(val cfg: GraftConfig) {
     val g = spark.read.parquet(gPath)
     // nightly delta pass — delta-proportional
     val dAssigned = assign(delta, cents).select(col("vec_id"), col("cell"))
-    val dEdges = knnOver(probeCells(delta, cents, cfg.ivfNprobe), delta)
-    (g, pr, dEdges, dAssigned, base, delta)
+    val dProbes = probeCells(delta, cents, cfg.ivfNprobe)
+    val dEdges = knnOver(dProbes, delta)
+    KnnDeltaState(g, pr, dEdges, dAssigned, base, delta,
+      bAssigned.select(col("vec_id"), col("cell"), col("embedding"), col("n2")),
+      dProbes)
   }
 
   def q285KnnDelta(spark: SparkSession, dir: String): DataFrame = {
-    val (g, pr, dEdges, dAssigned, base, delta) = knnDeltaParts(spark, dir)
+    val st = knnDeltaParts(spark, dir)
+    val (g, pr, dEdges, dAssigned, base, delta) =
+      (st.g, st.pr, st.dEdges, st.dAssigned, st.base, st.delta)
     val wLast = Window.partitionBy("vec_id").orderBy(col("rk").desc)
     val kth = g.withColumn("lrk", row_number().over(wLast)).filter(col("lrk") === 1)
       .select(col("vec_id").as("u"), col("rk").as("deg"),
@@ -2572,25 +2615,6 @@ class SimilarityOps(val cfg: GraftConfig) {
          |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
          |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
          |    FROM $dots) WHERE rk <= ${cfg.ivfNprobe})""".stripMargin
-    def knnOf(probes: String, qsrc: String, out: String): String =
-      s"""${out}_p AS (SELECT p.vec_id, q.embedding AS qe, ab.vec_id AS nbr_id, be.embedding AS ve
-         |  FROM $probes p
-         |  JOIN $qsrc q ON q.vec_id = p.vec_id
-         |  JOIN ab ON ab.cell = p.cell AND ab.vec_id <> p.vec_id
-         |  JOIN e be ON be.vec_id = ab.vec_id),
-         |${out}_x AS (SELECT vec_id AS ia, nbr_id AS ib,
-         |    unnest(qe) AS a, unnest(ve) AS b FROM ${out}_p),
-         |${out}_d AS (SELECT ia, ib,
-         |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
-         |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
-         |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
-         |  FROM ${out}_x GROUP BY ia, ib),
-         |$out AS (SELECT ia AS vec_id, ib AS nbr_id, rk, cosine FROM (
-         |    SELECT ia, ib,
-         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine,
-         |      row_number() OVER (PARTITION BY ia ORDER BY
-         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
-         |    FROM ${out}_d) WHERE rk <= ${cfg.knnK})""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '${cfg.splitTrainUpper}'),
        |ed AS (SELECT vec_id, embedding FROM embeddings
@@ -2601,9 +2625,34 @@ class SimilarityOps(val cfg: GraftConfig) {
        |${duckAssign(s"c$KmeansIters", "ad", src = "ed")},
        |${probesOf("ab_dots", "bp")},
        |${probesOf("ad_dots", "dp")},
-       |${knnOf("bp", "e", "bg")},
-       |${knnOf("dp", "ed", "dg")}""".stripMargin
+       |${duckKnnOf("bp", "e", "bg")},
+       |${duckKnnOf("dp", "ed", "dg")}""".stripMargin
   }
+
+  /** One q140-rule kNN build in DuckDB over named probe/member/vector
+    * tables, ending at `$out(vec_id, nbr_id, rk, cosine)` — shared by
+    * the incremental-family oracles (bg/dg over the split tables) and
+    * the q290 rebuild (union probes over the union member table). */
+  private def duckKnnOf(probes: String, qsrc: String, out: String,
+      members: String = "ab", vecs: String = "e"): String =
+    s"""${out}_p AS (SELECT p.vec_id, q.embedding AS qe, $members.vec_id AS nbr_id, be.embedding AS ve
+       |  FROM $probes p
+       |  JOIN $qsrc q ON q.vec_id = p.vec_id
+       |  JOIN $members ON $members.cell = p.cell AND $members.vec_id <> p.vec_id
+       |  JOIN $vecs be ON be.vec_id = $members.vec_id),
+       |${out}_x AS (SELECT vec_id AS ia, nbr_id AS ib,
+       |    unnest(qe) AS a, unnest(ve) AS b FROM ${out}_p),
+       |${out}_d AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ${out}_x GROUP BY ia, ib),
+       |$out AS (SELECT ia AS vec_id, ib AS nbr_id, rk, cosine FROM (
+       |    SELECT ia, ib,
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine,
+       |      row_number() OVER (PARTITION BY ia ORDER BY
+       |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM ${out}_d) WHERE rk <= ${cfg.knnK})""".stripMargin
 
   def q285Sql: String =
     s"""$knnDeltaCtes,
@@ -2655,7 +2704,8 @@ class SimilarityOps(val cfg: GraftConfig) {
     * eval join; the mixed edge table is the base artifact unioned with
     * the delta-sized out-edge batch — no rebuild anywhere. */
   def q286StaleServeRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (g, _, dEdges, _, _, _) = knnDeltaParts(spark, dir)
+    val st = knnDeltaParts(spark, dir)
+    val (g, dEdges) = (st.g, st.dEdges)
     // lineage-cut the mixed edge table ONCE: the beam loop consumes it
     // every hop, and an uncut union would re-derive the whole delta
     // out-edge pipeline (train + assign + probe) per hop — measured
@@ -2694,6 +2744,248 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM truth t LEFT JOIN beamtop a
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
+
+  // ---------- Graph recompaction (q290/q291) ----------
+
+  /** q290: kNN-GRAPH RECOMPACTION — the operator that PAYS the debt
+    * q285 measures and q286 prices: refresh exactly the STALE base
+    * rows by TOP-K-OF-UNION, give the delta split its full
+    * union-aware out-edges, and leave every untouched base row
+    * byte-identical to the stored artifact. Soundness is the q263
+    * argument: a base node's stored list is the exact top-k of its
+    * probed cells' BASE members, so the top-k over base ∪ delta
+    * members is exactly the top-k of (stored list ∪ the node's delta
+    * candidates) — any base candidate outside the stored list is
+    * dominated by k stored entries that are all still in the pool.
+    * Nodes that are touched but not stale need no refresh (their
+    * delta candidates all rank below the stored k-th entry), so the
+    * rewrite set is the MINIMAL one — exactly q285's stale_base rows
+    * plus the delta-sized new split.
+    *
+    * Output is the full post-recompaction graph under the q140
+    * contract (vec_id, nbr_id, rk, cosine) over base ∪ delta with the
+    * BASE-trained index — the artifact the nightly job would persist
+    * in place of (base graph + delta out-edges), after which q286's
+    * measured recall gap closes (q291 re-prices serving on it).
+    *
+    * Scale: the stale set is blast-radius-bounded (⊆ q285's
+    * touched_base — it broadcasts), the union re-rank touches
+    * stale·(k + delta-candidates) rows, the delta side is the q285
+    * nightly pass against the union member table, and the untouched
+    * rows move as a pure anti-join passthrough of the stored
+    * artifact — nothing re-propagates the base corpus. */
+  def q290KnnRecompact(spark: SparkSession, dir: String): DataFrame = {
+    val st = knnDeltaParts(spark, dir)
+    val wLast = Window.partitionBy("vec_id").orderBy(col("rk").desc)
+    val kth = st.g.withColumn("lrk", row_number().over(wLast)).filter(col("lrk") === 1)
+      .select(col("vec_id").as("u"), col("rk").as("deg"),
+        col("cosine").as("kth_cos"), col("nbr_id").as("kth_nbr"))
+    // every (base node, delta vector) candidacy through a shared probed
+    // cell, scored exactly — q285's reverse-candidate table
+    val scored = st.pr.select(col("vec_id").as("u"), col("cell"))
+      .join(st.dAssigned.select(col("cell"), col("vec_id").as("v")), "cell")
+      .join(st.base.select(col("vec_id").as("u"), col("embedding").as("ue"),
+        col("n2").as("un2")), "u")
+      .join(st.delta.select(col("vec_id").as("v"), col("embedding").as("ve"),
+        col("n2").as("vn2")), "v")
+      .select(col("u"), col("v"),
+        Vec.cosineFromParts(Vec.dotN("ue", "ve"), col("un2"), col("vn2")).as("cos"))
+    val staleU = scored.join(kth, Seq("u"), "left")
+      .filter(coalesce(col("deg"), lit(0)) < cfg.knnK ||
+        col("cos") > col("kth_cos") ||
+        (col("cos") === col("kth_cos") && col("v") < col("kth_nbr")))
+      .select("u").distinct()
+    val wK = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id"))
+    // stale rows: re-rank stored list ∪ delta candidates (exact by the
+    // top-k-of-union argument); the stale list is blast-radius-sized —
+    // broadcast so the passthrough anti-join and the two restrictions
+    // stay map-side at scale
+    val refreshed = st.g.join(broadcast(staleU.withColumnRenamed("u", "vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+      .unionByName(scored.join(broadcast(staleU), Seq("u"))
+        .select(col("u").as("vec_id"), col("v").as("nbr_id"), col("cos").as("cosine")))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= cfg.knnK)
+    val kept = st.g.join(broadcast(staleU.withColumnRenamed("u", "vec_id")),
+      Seq("vec_id"), "left_anti")
+    // delta rows: the q140 rule against the UNION member table (base ∪
+    // delta members of each probed cell) — q285's dEdges saw base
+    // members only; recompaction closes that gap too
+    val members = st.bAssigned
+      .select(col("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("ve"), col("n2").as("vn2"))
+      .unionByName(st.dAssigned.join(st.delta, "vec_id")
+        .select(col("cell"), col("vec_id").as("nbr_id"),
+          col("embedding").as("ve"), col("n2").as("vn2")))
+    val dRows = st.dProbes
+      .join(st.delta.select(col("vec_id"), col("embedding").as("qe"),
+        col("n2").as("qn2")), "vec_id")
+      .join(members, "cell")
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "ve"), col("qn2"), col("vn2")).as("cosine"))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= cfg.knnK)
+    kept.select("vec_id", "nbr_id", "rk", "cosine")
+      .unionByName(refreshed.select("vec_id", "nbr_id", "rk", "cosine"))
+      .unionByName(dRows.select("vec_id", "nbr_id", "rk", "cosine"))
+  }
+
+  /** Shared q290/q291 oracle tail: the FULL q140-rule rebuild over
+    * base ∪ delta with the base-trained index — union probes, union
+    * member table, full vector store — ending at `krg`. The
+    * incremental merge must equal this rebuild exactly (the q242/q281
+    * discipline applied to the kNN graph). */
+  private def recompactCtes: String =
+    s"""ea AS (SELECT vec_id, embedding FROM embeddings),
+       |abu AS (SELECT vec_id, cell FROM ab UNION ALL SELECT vec_id, cell FROM ad),
+       |pu AS (SELECT vec_id, cell FROM bp UNION ALL SELECT vec_id, cell FROM dp),
+       |${duckKnnOf("pu", "ea", "krg", members = "abu", vecs = "ea")}""".stripMargin
+
+  def q290Sql: String =
+    s"""$knnDeltaCtes,
+       |$recompactCtes
+       |SELECT vec_id, nbr_id, rk, cosine FROM krg""".stripMargin
+
+  /** q291: POST-RECOMPACTION SERVING RECALL — the closing number of
+    * the q285/q286/q290 arc: the q279 beam walk re-runs over the
+    * RECOMPACTED graph at the identical beam budget, recall scored
+    * against q40's full-corpus exhaustive truth — directly comparable
+    * with q286 (the stale mixed state this recompaction replaced) and
+    * with q280 (the fresh full-trained graph). The verdict the
+    * decision table needs: q285 says HOW MUCH debt, q286 what it
+    * COSTS, this row what paying it BUYS. Cost: one bounded beam walk
+    * + the queries×k eval join; the recompacted edge table is
+    * lineage-cut once (the q286 lesson — the hop loop consumes it
+    * every round). */
+  def q291RecompactRecall(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Ck.lazyStage(
+      q290KnnRecompact(spark, dir)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      cfg)
+    recallVsBrute(spark, dir, beamSearchOver(spark, dir, edges))
+  }
+
+  def q291Sql: String =
+    s"""$knnDeltaCtes,
+       |$recompactCtes,
+       |knnr AS (SELECT vec_id AS src, nbr_id AS dst FROM krg),
+       |${beamHopCtes("knnr", "ea")},
+       |beamtop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM vis${cfg.beamHops}) WHERE rk <= $TopK),
+       |tr_ex AS (SELECT q.query_id, v.vec_id,
+       |    unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q, ea v WHERE v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $TopK)
+       |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN beamtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+
+  // ---------- Beam entry-point selection A/B (q294) ----------
+
+  /** The IVF-guided entry set: each query's ${cfg.beamEntries} beam
+    * entry points are drawn from its ${cfg.ivfNprobe} nearest IVF
+    * cells' members, ordered (cell rank, member id) — the coarse
+    * quantizer steers the walk into the query's region instead of a
+    * fixed corner of the id space. Deterministic: probe ranks tie to
+    * cent_id, members to vec_id; the query itself is excluded. */
+  private def ivfGuidedEntries(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val members = assign(e, cents).select(col("cell"), col("vec_id").as("cand"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val wE = Window.partitionBy("query_id").orderBy(col("crk"), col("cand"))
+    probeCellsRanked(qv, cents, cfg.ivfNprobe)
+      .select(col("vec_id").as("query_id"), col("cell"), col("crk"))
+      .join(members, "cell")
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("erk", row_number().over(wE))
+      .filter(col("erk") <= cfg.beamEntries)
+      .select(col("query_id"), col("cand").as("vec_id"))
+  }
+
+  /** q294: BEAM ENTRY-POINT SELECTION A/B — NSW recall is
+    * entry-dominated, and q280's fixed first-ids entries are a known
+    * weak prior; this row MEASURES the alternative instead of assuming
+    * it (the q262 matched-budget discipline): arm `fixed` is exactly
+    * q279/q280's walk; arm `ivf` replaces only the entry set with
+    * [[ivfGuidedEntries]] at the IDENTICAL configured candidate budget
+    * (same ${cfg.beamEntries} entries, ${cfg.beamHops} hops,
+    * ${cfg.beamWidth} beam, same graph) — recall per query per arm
+    * against q40's exhaustive truth, so the lift (or its honest
+    * absence on this corpus) is one subtraction.
+    *
+    * Scale: two bounded beam walks + two queries×k eval joins; the
+    * entry selection itself is the IVF probe rank (queries×centroids,
+    * map-side) joined against the cell members of nprobe cells per
+    * query — serving-tier point-lookup work, no full-space scoring. */
+  def q294BeamEntryEval(spark: SparkSession, dir: String): DataFrame = {
+    val edges = persistedKnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val fixed = recallVsBrute(spark, dir, beamSearchOver(spark, dir, edges))
+      .select(lit("fixed").as("entry_mode"), col("query_id"), col("n_hit"), col("recall"))
+    val guided = recallVsBrute(spark, dir,
+        beamSearchOver(spark, dir, edges, Some(ivfGuidedEntries(spark, dir))))
+      .select(lit("ivf").as("entry_mode"), col("query_id"), col("n_hit"), col("recall"))
+    fixed.unionByName(guided)
+  }
+
+  def q294Sql: String = {
+    val ient =
+      s"""ient AS (SELECT query_id, vec_id FROM (
+         |    SELECT qp.ia AS query_id, av.vec_id,
+         |      row_number() OVER (PARTITION BY qp.ia ORDER BY qp.crk, av.vec_id) AS erk
+         |    FROM (SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS crk
+         |      FROM af_dots WHERE ia < $NumQueries) qp
+         |    JOIN av ON av.cell = qp.ib AND av.vec_id <> qp.ia
+         |    WHERE qp.crk <= ${cfg.ivfNprobe})
+         |  WHERE erk <= ${cfg.beamEntries})""".stripMargin
+    def topOf(vis: String, out: String): String =
+      s"""$out AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM $vis) WHERE rk <= $TopK)""".stripMargin
+    s"""$beamWalkCtes,
+       |${beamHopCtesNamed("knn", "e", "i", ient)},
+       |${topOf(s"vis${cfg.beamHops}", "ftop")},
+       |${topOf(s"ivis${cfg.beamHops}", "itop")},
+       |tr_ex AS (SELECT q.query_id, v.vec_id,
+       |    unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q, e v WHERE v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $TopK)
+       |SELECT 'fixed' AS entry_mode, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN ftop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id
+       |UNION ALL
+       |SELECT 'ivf' AS entry_mode, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN itop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -1598,6 +1598,132 @@ class SketchOps(val cfg: GraftConfig) {
        |FROM cutb c JOIN exact e2 USING (target_day)""".stripMargin
   }
 
+  /** q295: QUANTILE-LEDGER COMPACTION — q284's merge-tree rollup
+    * applied to the DAILY QUANTILE ledger (q245 otherwise persists one
+    * bucket table per day forever): bucket counts are SUM-mergeable
+    * (q205's pinned property — addition plays the role register-max
+    * plays for HLL), so days strictly before the current
+    * ${cfg.ledgerPeriodDays}-day period compact LOSSLESSLY into
+    * per-period super-buckets (content-keyed build-if-absent artifact;
+    * daily→period merge ≡ sketching the period directly, which is
+    * exactly what the straight-by-period oracle re-proves bitwise).
+    * The current period stays daily — q245's rolling window needs day
+    * granularity only inside its trailing reach; compaction ages out
+    * days no window reaches. The consumer answers each period's
+    * p${cfg.rollingQuantileP} from the MIXED ledger transparently
+    * (aged = one super-bucket set, current = its daily rows summed —
+    * the same merge, keyed differently), tags the serving granularity
+    * (`src`), and ships the q206-style guaranteed-bounds eval: the
+    * exact per-period percentile must land inside the cut bucket.
+    *
+    * Scale: the ledger stays CALENDAR-BOUNDED — ≤ 64·2^${QsK + 1}
+    * bucket rows per ${cfg.ledgerPeriodDays} days instead of per day
+    * (a 28× artifact shrink at steady state); compaction is a
+    * metadata-sized grouped SUM over bucket rows, never a re-scan of
+    * order history; the per-period cut is a window over one period's
+    * bounded bucket set. */
+  def q295QuantileCompact(spark: SparkSession, dir: String): DataFrame = {
+    val P = cfg.ledgerPeriodDays
+    val Pc = cfg.rollingQuantileP
+    val vals = Tables.orders(spark, dir)
+      .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+    val maxDayOpt = Option(vals.agg(max(col("day"))).head().getAs[java.lang.Long](0))
+    if (maxDayOpt.isEmpty)
+      return vals.select(lit(0L).as("period"), lit(0L).as("n_days"), lit("").as("src"),
+        lit(0L).as("n"), lit(0L).as("lo100"), lit(0L).as("hi100"),
+        lit(0L).as("exact_v100"), lit(false).as("in_bounds")).limit(0)
+    val curStart = (maxDayOpt.get.longValue / P) * P
+    val basePath = graft.sources.Scratch.keyedDir(
+      "qsperiod_base", dir, spark, Seq("orders.parquet"),
+      s"qsk=$QsK,p=$P,cs=$curStart")
+    val sp = new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def periodBuckets(slice: DataFrame): DataFrame =
+      qsBuckets(slice.select(col("day").as("cls"), col("v")))
+        .select(expr(s"cls div $P").as("period"), col("e"), col("m"),
+          col("lo100"), col("hi100"), col("cnt"))
+        .groupBy("period", "e", "m", "lo100", "hi100")
+        .agg(sum(col("cnt")).as("cnt"))
+    if (!fs.exists(sp))
+      periodBuckets(vals.filter(col("day") < curStart))
+        .write.mode("overwrite").parquet(basePath)
+    val compacted = spark.read.parquet(basePath)
+    val daily = periodBuckets(vals.filter(col("day") >= curStart))
+    val mixed = compacted.unionByName(daily)
+      .groupBy("period", "e", "m", "lo100", "hi100").agg(sum(col("cnt")).as("cnt"))
+    val ranks = mixed.groupBy("period").agg(sum(col("cnt")).as("n"))
+      .select(col("period"), col("n"), expr(s"(n * $Pc + 99) div 100").as("r"))
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("period")
+      .orderBy(col("lo100"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = mixed.withColumn("cum", sum(col("cnt")).over(wCum))
+      .select("period", "lo100", "hi100", "cum")
+    val cut = ranks.join(cum, "period")
+      .filter(col("cum") >= col("r"))
+      .groupBy("period", "n")
+      .agg(min(struct(col("lo100"), col("hi100"))).as("mm"))
+      .select(col("period"), col("n"),
+        col("mm.lo100").as("lo100"), col("mm.hi100").as("hi100"))
+    val evp = vals.select(expr(s"day div $P").as("period"), col("day"), col("v"))
+    val nd = evp.select("period", "day").distinct()
+      .groupBy("period").agg(count(lit(1)).as("n_days"))
+    val wP = org.apache.spark.sql.expressions.Window.partitionBy("period")
+    val exact = evp
+      .withColumn("rn", row_number().over(wP.orderBy(col("v"))))
+      .withColumn("nn", count(lit(1)).over(wP))
+      .filter(col("rn") === expr(s"(nn * $Pc + 99) div 100"))
+      .select(col("period"), col("v").as("exact_v100"))
+    cut.join(nd, "period").join(exact, "period")
+      .select(col("period"), col("n_days"),
+        when(col("period") < lit(curStart / P), lit("compact"))
+          .otherwise(lit("daily")).as("src"),
+        col("n"), col("lo100"), col("hi100"), col("exact_v100"),
+        col("exact_v100").between(col("lo100"), col("hi100")).as("in_bounds"))
+  }
+
+  /** Full recompute from raw orders, sketched straight by period — the
+    * compacted-mixed ledger must equal it bitwise (bucket-count SUM
+    * associativity is the claim under test). */
+  def q295Sql: String = {
+    val P = cfg.ledgerPeriodDays
+    val Pc = cfg.rollingQuantileP
+    s"""WITH vals AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |ebl AS (SELECT day // $P AS period, v, CAST(length(bin(v)) AS BIGINT) AS e FROM vals),
+       |dd AS (SELECT period, v, e,
+       |    CAST(power(2.0, greatest(e - 1 - $QsK, 0)) AS BIGINT) AS d FROM ebl),
+       |skd AS (SELECT period, e, v // d AS m, d, count(*) AS cnt
+       |  FROM dd GROUP BY 1, 2, 3, 4),
+       |mg AS (SELECT period, e, m, m * d AS lo100, (m + 1) * d - 1 AS hi100,
+       |    CAST(cnt AS BIGINT) AS cnt FROM skd),
+       |ns AS (SELECT period, CAST(sum(cnt) AS BIGINT) AS n FROM mg GROUP BY 1),
+       |cum AS (SELECT a.period, a.lo100, a.hi100, CAST(sum(b.cnt) AS BIGINT) AS cum
+       |  FROM mg a JOIN mg b ON b.period = a.period AND b.lo100 <= a.lo100
+       |  GROUP BY 1, 2, 3),
+       |cut AS (SELECT c.period, ns.n, min(c.lo100) AS lo100
+       |  FROM cum c JOIN ns USING (period)
+       |  WHERE c.cum >= (ns.n * $Pc + 99) // 100
+       |  GROUP BY 1, 2),
+       |cutb AS (SELECT c.period, c.n, c.lo100, m.hi100
+       |  FROM cut c JOIN mg m ON m.period = c.period AND m.lo100 = c.lo100),
+       |nd AS (SELECT day // $P AS period,
+       |    CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM vals GROUP BY 1),
+       |ex AS (SELECT day // $P AS period, v,
+       |    row_number() OVER (PARTITION BY day // $P ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY day // $P) AS nn
+       |  FROM vals),
+       |exact AS (SELECT period, v AS exact_v100 FROM ex
+       |  WHERE rn = (nn * $Pc + 99) // 100),
+       |cp AS (SELECT max(day) // $P AS cp FROM vals)
+       |SELECT c.period, nd.n_days,
+       |  CASE WHEN c.period < (SELECT cp FROM cp) THEN 'compact' ELSE 'daily' END AS src,
+       |  c.n, c.lo100, c.hi100, e2.exact_v100,
+       |  e2.exact_v100 BETWEEN c.lo100 AND c.hi100 AS in_bounds
+       |FROM cutb c JOIN nd USING (period) JOIN exact e2 USING (period)""".stripMargin
+  }
+
   /** q234: EXACT heavy hitters over an unbounded key domain in two
     * bounded-memory passes — every word bigram with true count ≥
     * $CmHeavyMin, exactly (count and all), WITHOUT ever running the

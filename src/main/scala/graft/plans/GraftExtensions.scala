@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotFixed)
     ext.injectFunction(GraftExtensions.vecDotLong)
     ext.injectFunction(GraftExtensions.featHashVec)
+    ext.injectFunction(GraftExtensions.signBandsLong)
     ext.injectFunction(GraftExtensions.shingleSet)
     ext.injectFunction(GraftExtensions.shingleStats)
     ext.injectFunction(GraftExtensions.minhashSig)
@@ -70,6 +71,22 @@ object GraftExtensions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }
       FeatHashVec(children(0), children(1))
+    })
+
+  private val signBandsLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sign_bands_long"),
+    new ExpressionInfo(classOf[SignBandsLong].getName, "sign_bands_long"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "sign_bands_long",
+            "expectedNum" -> "3 (vec, literal bands, literal bits)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      SignBandsLong(children(0), children(1), children(2))
     })
 
   /** Validate the evaluated k of a registered shingle function: these
@@ -142,7 +159,8 @@ object GraftExtensions {
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(vecDotFixed, vecDotLong, featHashVec, shingleSet, shingleStats, minhashSig).foreach { fn =>
+    Seq(vecDotFixed, vecDotLong, featHashVec, signBandsLong,
+        shingleSet, shingleStats, minhashSig).foreach { fn =>
       if (!reg.functionExists(fn._1)) {
         reg.registerFunction(fn._1, fn._2, fn._3)
       }

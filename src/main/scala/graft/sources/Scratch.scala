@@ -59,15 +59,24 @@ private[graft] object Scratch {
         val sts = fs.listStatus(p).sortBy(_.getPath.getName)
         val probes = sts.iterator.filter(st => st.isFile && st.getLen > 0)
           .take(ProbeFiles).map { st =>
-            val n = math.min(ProbeBytes.toLong, st.getLen).toInt
-            val head = new Array[Byte](n)
-            val tail = new Array[Byte](n)
-            val is = fs.open(st.getPath)
+            // a file deleted or mid-rewrite between listStatus and open
+            // (concurrent artifact writers share this scratch) must
+            // degrade to a marker, not fail the whole path computation —
+            // keyedDir stays total under concurrent writes
             try {
-              is.readFully(0L, head)
-              is.readFully(st.getLen - n, tail)
-            } finally is.close()
-            st.getPath.getName + "#" + (head ++ tail).map("%02x".format(_)).mkString
+              val n = math.min(ProbeBytes.toLong, st.getLen).toInt
+              val head = new Array[Byte](n)
+              val tail = new Array[Byte](n)
+              val is = fs.open(st.getPath)
+              try {
+                is.readFully(0L, head)
+                is.readFully(st.getLen - n, tail)
+              } finally is.close()
+              st.getPath.getName + "#" + (head ++ tail).map("%02x".format(_)).mkString
+            } catch {
+              case _: java.io.IOException =>
+                st.getPath.getName + "#unreadable"
+            }
           }.mkString("|")
         sts.map(st =>
           s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}") :+ probes

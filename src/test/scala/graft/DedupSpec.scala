@@ -206,6 +206,93 @@ class DedupSpec extends GraftSpec {
       "empty-delta mixed state must serve identically to the fresh graph")
   }
 
+  test("q290 minimality: untouched base rows byte-identical; every rewritten base node gained a delta neighbor") {
+    val cfg = GraftConfig.default
+    def md5b(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1).map(b => f"${b & 0xff}%02x").mkString
+    val isBase = (id: Long) => md5b(id) < cfg.splitTrainUpper
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("cosine")))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.toSet }
+    val stored = keyed(Similarity.knnDeltaParts(spark, sf).g.collect())
+    val out = keyed(Similarity.q290KnnRecompact(spark, sf).collect())
+    val baseNodes = out.keys.filter(isBase).toSeq
+    val deltaNodes = out.keys.filterNot(isBase).toSeq
+    assert(baseNodes.nonEmpty && deltaNodes.nonEmpty, "both splits must appear")
+    val changed = baseNodes.filter(u => out(u) != stored.getOrElse(u, Set.empty))
+    assert(changed.nonEmpty, "a non-empty delta must rewrite SOME stale base rows")
+    assert(baseNodes.exists(u => out(u) == stored.getOrElse(u, Set.empty)),
+      "recompaction must leave untouched base rows byte-identical, not rewrite everything")
+    changed.foreach { u =>
+      assert(out(u).exists { case (_, nbr, _, _) => !isBase(nbr) },
+        s"base node $u was rewritten without gaining a delta neighbor — rewrite not minimal")
+    }
+    // delta rows are well-formed under the q140 contract
+    deltaNodes.foreach { u =>
+      val rks = out(u).map(_._3).toSeq.sorted
+      assert(rks == (1 to rks.size) && rks.size <= cfg.knnK)
+    }
+  }
+
+  test("q290/q291 empty-delta degeneracy: recompacted graph ≡ q140, recall ≡ q280 bitwise") {
+    val ops = new graft.operators.SimilarityOps(GraftConfig(splitTrainUpper = "zz"))
+    val rebuilt = ops.q140KnnGraph(spark, sf)
+    val recompacted = ops.q290KnnRecompact(spark, sf)
+    assert(recompacted.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(recompacted).isEmpty,
+      "with no delta, recompaction must reproduce the full q140 graph bitwise")
+    val fresh = ops.q280GraphAnnRecall(spark, sf)
+    val served = ops.q291RecompactRecall(spark, sf)
+    assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty,
+      "post-recompaction serving must equal fresh-graph recall row for row")
+  }
+
+  test("q294: two rows per query; the fixed arm reproduces q280 bitwise (matched budget)") {
+    val cfg = GraftConfig.default
+    val rows = Similarity.q294BeamEntryEval(spark, sf).collect()
+    assert(rows.length == 2 * cfg.annQueries, "one row per query per arm")
+    val fixed = rows.filter(_.getString(0) == "fixed")
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val q280 = Similarity.q280GraphAnnRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fixed == q280, "the A arm must be exactly q280's walk — else the A/B is unmatched")
+    rows.filter(_.getString(0) == "ivf").foreach { r =>
+      val (hit, rec) = (r.getLong(2), r.getDouble(3))
+      assert(hit >= 0 && hit <= cfg.annTopK && rec == hit.toDouble / cfg.annTopK)
+    }
+  }
+
+  test("q296 minimality: untouched-family rows byte-identical to q57; relabels confined to touched families") {
+    val cfg = GraftConfig.default
+    def bucket(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1).map(b => f"${b & 0xff}%02x").mkString
+    val full = Dedup.q57DedupFamilies(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val retracted = full.keys.filter(bucket(_) >= cfg.docRetractLower).toSet
+    assert(retracted.nonEmpty, "the retraction band must hit some docs")
+    val touchedFams = retracted.map(d => full(d)._1)
+    val dec = Dedup.q296DecrementalFamilies(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(dec.keySet == full.keySet -- retracted,
+      "output must be exactly the surviving docs")
+    var untouchedSeen = false
+    dec.foreach { case (doc, row) =>
+      if (!touchedFams(full(doc)._1)) {
+        assert(row == full(doc),
+          s"doc $doc sits in an untouched family but its row changed — recompute not minimal")
+        untouchedSeen = true
+      }
+    }
+    assert(untouchedSeen, "corpus must leave some families untouched or minimality is vacuous")
+    // a touched family with a survivor necessarily shrank — its rows change
+    val touchedSurvivors = dec.keys.filter(d => touchedFams(full(d)._1))
+    if (touchedSurvivors.nonEmpty)
+      assert(touchedSurvivors.exists(d => dec(d) != full(d)),
+        "a touched family kept a survivor yet no row changed — the retraction was not applied")
+  }
+
   test("q200 dedup curve: monotonically non-increasing in the threshold, base point equals q131") {
     val rows = Dedup.q200DedupCurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)

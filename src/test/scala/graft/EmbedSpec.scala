@@ -130,25 +130,98 @@ class EmbedSpec extends GraftSpec {
     assert(one.getAs[Double]("recall") == 1.0 && one.getAs[Double]("precision") == 1.0)
   }
 
-  test("q283 blocking invariant: every reported pair shares its dominant signed feature") {
+  /** Independent JVM replication of the banded sign-LSH keys: ±1
+    * hyperplane weights from md5("pl:p:d") (first hex char ≥ '8' →
+    * −1), bit j of band B set when plane B·bits+j dots ≥ 0 against
+    * the dense vector. */
+  private def refBands(v: Map[Long, Long], dim: Int, bands: Int, bits: Int): Seq[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, d: Int): Long = {
+      val hx = md.digest(s"pl:$p:$d".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      if (hx.charAt(0) >= '8') -1L else 1L
+    }
+    (0 until bands).map { b =>
+      var key = 0L
+      for (j <- 0 until bits) {
+        val p = b * bits + j
+        val dot = (0 until dim).map(d => w(p, d) * v.getOrElse(d.toLong, 0L)).sum
+        if (dot >= 0L) key |= 1L << j
+      }
+      b -> key
+    }
+  }
+
+  test("sign_bands_long matches an independent JVM replication of the hyperplane rule") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val cfg = GraftConfig.default
+    val got = graft.sources.Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"),
+        expr(s"sign_bands_long(feat_hash_vec(text, ${cfg.featHashDim}), " +
+          s"${cfg.derivedBands}, ${cfg.derivedBandBits})").as("keys"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val v = graft.operators.Embed.q282TextEmbed(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    got.foreach { case (id, keys) =>
+      val expect = refBands(v.getOrElse(id, Map.empty), cfg.featHashDim,
+        cfg.derivedBands, cfg.derivedBandBits).map(_._2)
+      assert(keys == expect, s"doc $id band keys diverge from the replication")
+    }
+  }
+
+  test("q283 blocking invariant: every reported pair shares a band key surviving the df cap") {
     val ops = new graft.operators.EmbedOps(
       GraftConfig(derivedNeardupMin = 0.9)) // wider net on the real corpus
+    val cfg = ops.cfg
     val v = ops.q282TextEmbed(spark, sf).collect()
       .groupBy(_.getLong(0))
       .map { case (id, rs) => id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
-    def dominant(m: Map[Long, Long]): (Long, Long) = {
-      val (dim, value) = m.toSeq.sortBy { case (dim, value) => (-math.abs(value), dim) }.head
-      (dim, if (value < 0) -1L else 1L)
-    }
+    val keys = v.map { case (id, m) =>
+      id -> refBands(m, cfg.featHashDim, cfg.derivedBands, cfg.derivedBandBits).toSet }
+    val df = keys.values.flatten.groupBy(identity).map { case (k, xs) => k -> xs.size }
     val res = ops.q283DerivedNearDup(spark, sf).collect()
     assert(res.nonEmpty, "sf0.001 corpus must yield at least one 0.9-pair")
     res.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       assert(a < b, "pairs must be ordered once, never mirrored")
-      assert(dominant(v(a)) == dominant(v(b)),
-        s"pair ($a,$b) escaped the dominant-feature block — candidate generation unbounded")
+      val shared = keys(a).intersect(keys(b))
+        .filter(k => df(k) <= cfg.derivedBandMaxDf)
+      assert(shared.nonEmpty,
+        s"pair ($a,$b) escaped the capped band block — candidate generation unbounded")
       val cos = r.getAs[Double]("cosine")
       assert(cos >= 0.9 && cos <= 1.0)
     }
+  }
+
+  test("q292/q293: derived IVF tier is well-formed; recall reconciles against the brute truth") {
+    val cfg = GraftConfig.default
+    val ivf = graft.operators.Embed.q292DerivedIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks == (1 to rks.size) && rks.size <= cfg.ivfTopK)
+      rs.foreach(r => assert(r.getLong(1) != q, "never the query itself"))
+    }
+    val rec = graft.operators.Embed.q293DerivedIvfRecall(spark, sf).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      val (h, rc) = (r.getAs[Long]("hits"), r.getAs[Double]("recall"))
+      assert(h >= 0 && h <= cfg.ivfTopK && rc == h.toDouble / cfg.ivfTopK)
+    }
+  }
+
+  test("q283 candidate bound: the df cap drops hot buckets (verdict flips both ways)") {
+    // six identical docs: every band bucket holds all six
+    val dir = docs((0L to 5L).map(i => i -> "same words every single time"): _*)
+    val tight = new graft.operators.EmbedOps(
+      GraftConfig(derivedBandMaxDf = 2, derivedNeardupMin = 0.9))
+    assert(tight.q283DerivedNearDup(spark, dir).count() == 0L,
+      "with every bucket above the cap, candidate generation must emit nothing")
+    val loose = new graft.operators.EmbedOps(
+      GraftConfig(derivedBandMaxDf = 15, derivedNeardupMin = 0.9))
+    assert(loose.q283DerivedNearDup(spark, dir).count() == 15L,
+      "under the cap the full identical-doc clique must surface")
   }
 }

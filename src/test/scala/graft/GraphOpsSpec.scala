@@ -131,8 +131,11 @@ class GraphOpsSpec extends GraftSpec {
     Seq((1L, "x")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val before = Scratch.keyedDir("t", dir, spark, in, "k")
-    // no mtime-granularity sleep needed since the round-13 content
-    // probe: changed bytes reroute even inside one mtime tick
+    // no mtime-granularity sleep needed here: the round-13 content probe
+    // is bounded (first 16 name-sorted files, 16-byte head/tail), which
+    // covers this single-part rewrite; a same-name/length/mtime rewrite
+    // confined to later part files or middle bytes is outside the
+    // probe's documented trade-off (see the Scratch scaladoc)
     Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val after = Scratch.keyedDir("t", dir, spark, in, "k")

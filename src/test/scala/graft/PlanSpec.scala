@@ -559,6 +559,18 @@ class PlanSpec extends GraftSpec {
   test("q283 derived near-dup: equi-join blocking only — no cartesian, no nested-loop pair generation") {
     val p = plan("q283_derived_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "candidate pairs must come from the (dominant dim, sign) equi-join")
+      "candidate pairs must come from the capped (band, key) equi-join")
+    // the native sign_bands_long scan sits behind the candidate table's
+    // lineage cut, so it is pinned by EmbedSpec's JVM-replication parity
+    // test rather than by this final-plan grep
+  }
+
+  test("q292/q293 derived IVF tier: zero reads of the embeddings table, native integer dots") {
+    Seq("q292_derived_ivf", "q293_derived_ivf_recall").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("embeddings"),
+        s"$n must serve entirely from text-derived vectors — found an embeddings scan")
+      assert(p.contains("vec_dot_long"), s"$n must score with the native integer dot")
+    }
   }
 }

@@ -660,6 +660,85 @@ class RankingSpec extends GraftSpec {
       "q284 must serve aged periods from the PERSISTED super-registers")
   }
 
+  test("q295: mixed quantile ledger serves both granularities; every period's exact lands in its cut bucket") {
+    val rows = Sketch.q295QuantileCompact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val srcs = rows.map(_.getAs[String]("src")).toSet
+    assert(srcs == Set("compact", "daily"),
+      s"test corpus must exercise BOTH ledger granularities, got $srcs")
+    val P = GraftConfig.default.ledgerPeriodDays
+    val perPeriod = graft.sources.Tables.orders(spark, sf)
+      .select(expr(s"(unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000) div $P").as("period"))
+      .groupBy("period").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_bounds"),
+        s"period ${r.getLong(0)}: exact percentile escaped the cut bucket — the error bound broke")
+      assert(r.getAs[Long]("n") == perPeriod(r.getLong(0)),
+        "the mixed ledger's total count must equal the period's raw row count")
+      assert(r.getAs[Long]("lo100") <= r.getAs[Long]("hi100"))
+    }
+  }
+
+  test("q295: compacted artifact buckets equal a straight-by-period sketch bitwise (sum-mergeability)") {
+    val P = GraftConfig.default.ledgerPeriodDays
+    val vals = graft.sources.Tables.orders(spark, sf)
+      .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+    val maxDay = vals.agg(max(col("day"))).head().getLong(0)
+    val curStart = (maxDay / P) * P
+    val k = GraftConfig.default.quantileSketchBits
+    // independent reference: one sketch built straight over each aged
+    // period (never through the daily ledger)
+    val expected = vals.filter(col("day") < curStart)
+      .withColumn("e", length(conv(col("v"), 10, 2)).cast("long"))
+      .withColumn("d", expr(s"CAST(power(2.0, greatest(e - 1 - $k, 0)) AS BIGINT)"))
+      .withColumn("m", expr("v div d"))
+      .groupBy(expr(s"day div $P").as("period"), col("e"), col("m"), col("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("period"), col("e"), col("m"),
+        (col("m") * col("d")).as("lo100"),
+        ((col("m") + lit(1L)) * col("d") - lit(1L)).as("hi100"), col("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    Sketch.q295QuantileCompact(spark, sf).collect() // ensure artifact exists
+    val path = graft.sources.Scratch.keyedDir("qsperiod_base", sf, spark,
+      Seq("orders.parquet"), s"qsk=$k,p=$P,cs=$curStart")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("period"), r.getAs[Long]("e"), r.getAs[Long]("m"),
+        r.getAs[Long]("lo100"), r.getAs[Long]("hi100"), r.getAs[Long]("cnt")))
+      .toSet
+    assert(got == expected,
+      "daily→period compaction must be lossless (bucket-count sum associativity)")
+    assert(got.nonEmpty)
+  }
+
+  test("q295: reads the persisted super-buckets (doctored artifact shifts the aged period's total)") {
+    import spark.implicits._
+    val P = GraftConfig.default.ledgerPeriodDays
+    val DayMs = 86400000L
+    val dir = java.nio.file.Files.createTempDirectory("qscompact").toString
+    // days 10/11 → period 0 (aged once day 30 makes period 1 current)
+    Seq((10L, 100.00), (11L, 200.00), (30L, 300.00))
+      .map { case (d, p) => (new java.sql.Timestamp(d * DayMs), p) }
+      .toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val before = Sketch.q295QuantileCompact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    val k = GraftConfig.default.quantileSketchBits
+    val path = graft.sources.Scratch.keyedDir("qsperiod_base", dir, spark,
+      Seq("orders.parquet"), s"qsk=$k,p=$P,cs=${(30L / P) * P}")
+    // doctor: one absurd-count bucket replaces the aged period's table
+    Seq((0L, 1L, 0L, 0L, 0L, 999L))
+      .toDF("period", "e", "m", "lo100", "hi100", "cnt")
+      .write.mode("overwrite").parquet(path)
+    val after = Sketch.q295QuantileCompact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    assert(before(0L) == 2L && after(0L) == 999L,
+      "q295 must serve aged periods from the PERSISTED super-buckets")
+  }
+
   test("q248: NDV estimates land near exact for key columns; tiny columns are exposed, not hidden") {
     val got = Sketch.q248NdvProfile(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -11,11 +11,14 @@ new = json.load(open(sys.argv[2]))["queries"]
 def rep(d, k):
     rs = [r for r in d[k]["runs"] if r >= 0]
     return min(rs) if rs else None
-common = sorted(set(old) & set(new))
+# queries whose every recorded run failed (rep None) can't be compared —
+# drop them from both sides instead of TypeError-ing the sums
+common = sorted(k for k in set(old) & set(new)
+                if rep(old, k) is not None and rep(new, k) is not None)
 ot = sum(rep(old, k) for k in common)
 nt = sum(rep(new, k) for k in common)
 print(f"common {len(common)}: old {ot:.1f}s new {nt:.1f}s ratio {nt/ot:.3f}")
-added = sorted(set(new) - set(old))
+added = sorted(k for k in set(new) - set(old) if rep(new, k) is not None)
 at = sum(rep(new, k) for k in added)
 print(f"added {len(added)}: {at:.1f}s total")
 for k in added:
