@@ -2250,15 +2250,20 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   /** q279: GRAPH-ANN SEARCH — the third serving tier beside IVF (q41)
     * and IVF-PQ (q261): NSW-style beam search over the PERSISTED q140
-    * kNN graph. From $beamEntries fixed entry points (the first
-    * corpus ids after the query panel — deterministic, never a query
-    * itself), each of $beamHops rounds expands the current
-    * $beamWidth-wide beam one graph hop, scores only the NEWLY reached
-    * nodes by exact cosine against the unquantized query, and re-beams;
-    * the answer is the top-$TopK of everything visited. Hop count is
-    * FIXED, not convergence-tested (determinism over adaptivity — the
-    * pcaIters discipline), and every ranking ties to vec_id, so both
-    * engines walk the identical frontier.
+    * kNN graph. Entry points are IVF-GUIDED (since round 14 — the
+    * q294 A/B measured the old fixed first-ids prior at mean recall
+    * 0.24 vs 0.74 for guided entries at the identical budget): each
+    * query's $beamEntries entries are drawn from its $ivfNprobe
+    * nearest IVF cells' members ordered (cell rank, member id) — the
+    * coarse quantizer the graph was built with steers the walk into
+    * the query's region, the HNSW entry-layer idea served from state
+    * the tier already owns. Each of $beamHops rounds then expands the
+    * current $beamWidth-wide beam one graph hop, scores only the NEWLY
+    * reached nodes by exact cosine against the unquantized query, and
+    * re-beams; the answer is the top-$TopK of everything visited. Hop
+    * count is FIXED, not convergence-tested (determinism over
+    * adaptivity — the pcaIters discipline), and every ranking ties to
+    * vec_id, so both engines walk the identical frontier.
     *
     * Scale: the candidate set is entries + hops·beam·k per query —
     * the NSW cost model, bounded by config, never by corpus size. Per
@@ -2273,7 +2278,8 @@ class SimilarityOps(val cfg: GraftConfig) {
   def q279GraphAnnSearch(spark: SparkSession, dir: String): DataFrame =
     beamSearchOver(spark, dir,
       persistedKnnGraph(spark, dir)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      Some(ivfGuidedEntries(spark, dir)))
 
   /** The beam walk itself, over an arbitrary (src, dst) edge table —
     * q279 serves the full persisted graph; q286 serves the STALE mixed
@@ -2372,11 +2378,55 @@ class SimilarityOps(val cfg: GraftConfig) {
        |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
        |  FROM ${out}_d)""".stripMargin
 
+  /** The fixed first-ids entry CTE — the pre-round-14 prior, kept as
+    * q294's ablation arm. */
+  private def fixedEntSql(vecTbl: String, name: String = "ent"): String =
+    s"""$name AS (SELECT q.query_id, n.vec_id FROM bq q,
+       |  (SELECT vec_id FROM $vecTbl WHERE vec_id >= $NumQueries
+       |     AND vec_id < ${NumQueries + cfg.beamEntries}) n)""".stripMargin
+
+  /** The IVF-guided entry CTE over the FULL trained index — requires
+    * trainedAssignCtes (af_dots, av) in scope; each query's entries
+    * are its nprobe nearest cells' members ordered (cell rank,
+    * member id), capped at beamEntries, never the query itself. */
+  private def guidedFullEntSql(name: String = "ent"): String =
+    s"""$name AS (SELECT query_id, vec_id FROM (
+       |    SELECT qp.ia AS query_id, av.vec_id,
+       |      row_number() OVER (PARTITION BY qp.ia ORDER BY qp.crk, av.vec_id) AS erk
+       |    FROM (SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS crk
+       |      FROM af_dots WHERE ia < $NumQueries) qp
+       |    JOIN av ON av.cell = qp.ib AND av.vec_id <> qp.ia
+       |    WHERE qp.crk <= ${cfg.ivfNprobe})
+       |  WHERE erk <= ${cfg.beamEntries})""".stripMargin
+
+  /** The IVF-guided entry chain over the BASE-TRAINED split state —
+    * requires knnDeltaCtes (c$KmeansIters, ab, ad) and `ea` in scope;
+    * query probe dots come from a panel assignment pass against the
+    * base-trained centroids, members from the base ∪ delta
+    * assignments. Claims eq, the qa chain, am, and `ent`. */
+  private def guidedSplitEntSql: String =
+    s"""eq AS (SELECT vec_id, embedding FROM ea WHERE vec_id < $NumQueries),
+       |${duckAssign(s"c$KmeansIters", "qa", src = "eq")},
+       |am AS (SELECT vec_id, cell FROM ab UNION ALL SELECT vec_id, cell FROM ad),
+       |ent AS (SELECT query_id, vec_id FROM (
+       |    SELECT qp.ia AS query_id, am.vec_id,
+       |      row_number() OVER (PARTITION BY qp.ia ORDER BY qp.crk, am.vec_id) AS erk
+       |    FROM (SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS crk
+       |      FROM qa_dots) qp
+       |    JOIN am ON am.cell = qp.ib AND am.vec_id <> qp.ia
+       |    WHERE qp.crk <= ${cfg.ivfNprobe})
+       |  WHERE erk <= ${cfg.beamEntries})""".stripMargin
+
   /** The hop chain over a named edge table and vector store (one
     * beam/frontier/score block per hop), ending at `vis${beamHops}` —
     * the visited set with scores. Parameterized so q279 (full graph,
-    * corpus `e`) and q286 (mixed stale edges, corpus `ea`) share it. */
-  private def beamHopCtes(knnTbl: String, vecTbl: String): String = {
+    * corpus `e`, guided entries) and q286/q291 (mixed/recompacted
+    * edges, corpus `ea`, split-state guided entries) share it; None
+    * entries = the fixed first-ids prior (q294's ablation arm). */
+  private def beamHopCtes(knnTbl: String, vecTbl: String,
+      entSql: Option[String] = None): String = {
     val hops = (1 to cfg.beamHops).map { h =>
       s"""bm${h - 1} AS (SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
@@ -2391,9 +2441,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     }.mkString(",\n")
     s"""bq AS (SELECT vec_id AS query_id, embedding AS qe FROM $vecTbl
        |  WHERE vec_id < $NumQueries),
-       |ent AS (SELECT q.query_id, n.vec_id FROM bq q,
-       |  (SELECT vec_id FROM $vecTbl WHERE vec_id >= $NumQueries
-       |     AND vec_id < ${NumQueries + cfg.beamEntries}) n),
+       |${entSql.getOrElse(fixedEntSql(vecTbl))},
        |${beamScoreCtes("ent", "vis0", vecTbl)},
        |$hops""".stripMargin
   }
@@ -2423,10 +2471,10 @@ class SimilarityOps(val cfg: GraftConfig) {
   }
 
   /** The full-graph beam walk: rebuild-from-scratch graph CTEs + the
-    * hop chain. */
+    * hop chain with the serving default's IVF-guided entries. */
   private def beamWalkCtes: String =
     s"""$knnGraphCtes,
-       |${beamHopCtes("knn", "e")}""".stripMargin
+       |${beamHopCtes("knn", "e", Some(guidedFullEntSql()))}""".stripMargin
 
   def q279Sql: String =
     s"""$beamWalkCtes
@@ -2519,7 +2567,8 @@ class SimilarityOps(val cfg: GraftConfig) {
     * along for consumers that need the full member table. */
   private[graft] case class KnnDeltaState(
       g: DataFrame, pr: DataFrame, dEdges: DataFrame, dAssigned: DataFrame,
-      base: DataFrame, delta: DataFrame, bAssigned: DataFrame, dProbes: DataFrame)
+      base: DataFrame, delta: DataFrame, bAssigned: DataFrame, dProbes: DataFrame,
+      cents: DataFrame)
 
   private[graft] def knnDeltaParts(spark: SparkSession, dir: String): KnnDeltaState = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
@@ -2563,7 +2612,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     val dEdges = knnOver(dProbes, delta)
     KnnDeltaState(g, pr, dEdges, dAssigned, base, delta,
       bAssigned.select(col("vec_id"), col("cell"), col("embedding"), col("n2")),
-      dProbes)
+      dProbes, cents)
   }
 
   def q285KnnDelta(spark: SparkSession, dir: String): DataFrame = {
@@ -2693,12 +2742,17 @@ class SimilarityOps(val cfg: GraftConfig) {
     * q285 leaves behind — the persisted base graph plus the delta
     * out-edges, with NO base→delta in-edges (exactly the staleness
     * q285 counts) — and recall is scored against q40's exhaustive
-    * truth over the FULL corpus. Delta content is reachable only
-    * through entry points that happen to be delta vectors, so queries
-    * whose true neighbors arrived in the delta lose them — this row
-    * turns that loss into a number a caller compares directly with
-    * q280 (the fresh-graph recall at the same beam budget): the gap IS
-    * the serving cost of deferred recompaction, measured per query.
+    * truth over the FULL corpus. Entries are the split state's own
+    * guided set ([[splitGuidedEntries]] — base-trained quantizer over
+    * base ∪ delta assignments, so fresh delta content IS reachable as
+    * an entry; what remains missing is the base→delta in-edge graph
+    * structure, which is precisely the debt). Queries whose true
+    * neighbors arrived in the delta can reach them only as entries,
+    * never through the graph — this row turns that loss into a number
+    * a caller compares directly with q280 (the fresh-graph recall at
+    * the same beam budget) and q291 (after recompaction pays the
+    * debt): the gap IS the serving cost of deferred recompaction,
+    * measured per query.
     *
     * Scale: one beam walk (q279's bounded cost model) + the queries×k
     * eval join; the mixed edge table is the base artifact unioned with
@@ -2714,7 +2768,8 @@ class SimilarityOps(val cfg: GraftConfig) {
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
         .unionByName(dEdges.select(col("vec_id").as("src"), col("nbr_id").as("dst"))),
       cfg)
-    recallVsBrute(spark, dir, beamSearchOver(spark, dir, mixed))
+    recallVsBrute(spark, dir,
+      beamSearchOver(spark, dir, mixed, Some(splitGuidedEntries(spark, dir, st))))
   }
 
   def q286Sql: String =
@@ -2722,7 +2777,7 @@ class SimilarityOps(val cfg: GraftConfig) {
        |ea AS (SELECT vec_id, embedding FROM embeddings),
        |knnm AS (SELECT vec_id AS src, nbr_id AS dst FROM bg
        |  UNION ALL SELECT vec_id, nbr_id FROM dg),
-       |${beamHopCtes("knnm", "ea")},
+       |${beamHopCtes("knnm", "ea", Some(guidedSplitEntSql))},
        |beamtop AS (SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, vec_id) AS rk
@@ -2859,18 +2914,20 @@ class SimilarityOps(val cfg: GraftConfig) {
     * lineage-cut once (the q286 lesson — the hop loop consumes it
     * every round). */
   def q291RecompactRecall(spark: SparkSession, dir: String): DataFrame = {
+    val st = knnDeltaParts(spark, dir)
     val edges = graft.Ck.lazyStage(
       q290KnnRecompact(spark, dir)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       cfg)
-    recallVsBrute(spark, dir, beamSearchOver(spark, dir, edges))
+    recallVsBrute(spark, dir,
+      beamSearchOver(spark, dir, edges, Some(splitGuidedEntries(spark, dir, st))))
   }
 
   def q291Sql: String =
     s"""$knnDeltaCtes,
        |$recompactCtes,
        |knnr AS (SELECT vec_id AS src, nbr_id AS dst FROM krg),
-       |${beamHopCtes("knnr", "ea")},
+       |${beamHopCtes("knnr", "ea", Some(guidedSplitEntSql))},
        |beamtop AS (SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, vec_id) AS rk
@@ -2895,16 +2952,23 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   // ---------- Beam entry-point selection A/B (q294) ----------
 
-  /** The IVF-guided entry set: each query's ${cfg.beamEntries} beam
-    * entry points are drawn from its ${cfg.ivfNprobe} nearest IVF
-    * cells' members, ordered (cell rank, member id) — the coarse
-    * quantizer steers the walk into the query's region instead of a
-    * fixed corner of the id space. Deterministic: probe ranks tie to
-    * cent_id, members to vec_id; the query itself is excluded. */
-  private def ivfGuidedEntries(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF-guided entry set over an arbitrary quantizer state: each
+    * query's ${cfg.beamEntries} beam entry points are drawn from its
+    * ${cfg.ivfNprobe} nearest cells' members, ordered (cell rank,
+    * member id) — the coarse quantizer steers the walk into the
+    * query's region instead of a fixed corner of the id space.
+    * Deterministic: probe ranks tie to cent_id, members to vec_id; the
+    * query itself is excluded. q279 passes the full-trained index and
+    * full assignment; q286/q291 pass their base-trained index and the
+    * base ∪ delta assignments (the state the incremental tier already
+    * owns — which is also what makes fresh DELTA content reachable as
+    * entries, closing the old fixed-entry blind spot). */
+  private def guidedEntriesOver(spark: SparkSession, dir: String,
+      cents: DataFrame, members: DataFrame): DataFrame = {
+    // registration FIRST: withColumn analyzes eagerly, so the native
+    // functions must exist before the first Vec expression resolves
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val cents = trainIndex(spark, dir)
-    val members = assign(e, cents).select(col("cell"), col("vec_id").as("cand"))
     val qv = e.filter(col("vec_id") < NumQueries)
     val wE = Window.partitionBy("query_id").orderBy(col("crk"), col("cand"))
     probeCellsRanked(qv, cents, cfg.ivfNprobe)
@@ -2916,16 +2980,36 @@ class SimilarityOps(val cfg: GraftConfig) {
       .select(col("query_id"), col("cand").as("vec_id"))
   }
 
+  /** Full-index guided entries — q279's (and q294's B arm's) entry set. */
+  private[graft] def ivfGuidedEntries(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    guidedEntriesOver(spark, dir, cents,
+      assign(e, cents).select(col("cell"), col("vec_id").as("cand")))
+  }
+
+  /** Base-trained-state guided entries — what the incremental tier
+    * (q286 stale serving, q291 post-recompaction serving) can steer
+    * with before any full retrain: its own centroids and the base ∪
+    * delta cell assignments. */
+  private[graft] def splitGuidedEntries(spark: SparkSession, dir: String,
+      st: KnnDeltaState): DataFrame =
+    guidedEntriesOver(spark, dir, st.cents,
+      st.bAssigned.select(col("cell"), col("vec_id").as("cand"))
+        .unionByName(st.dAssigned.select(col("cell"), col("vec_id").as("cand"))))
+
   /** q294: BEAM ENTRY-POINT SELECTION A/B — NSW recall is
-    * entry-dominated, and q280's fixed first-ids entries are a known
-    * weak prior; this row MEASURES the alternative instead of assuming
-    * it (the q262 matched-budget discipline): arm `fixed` is exactly
-    * q279/q280's walk; arm `ivf` replaces only the entry set with
-    * [[ivfGuidedEntries]] at the IDENTICAL configured candidate budget
-    * (same ${cfg.beamEntries} entries, ${cfg.beamHops} hops,
-    * ${cfg.beamWidth} beam, same graph) — recall per query per arm
-    * against q40's exhaustive truth, so the lift (or its honest
-    * absence on this corpus) is one subtraction.
+    * entry-dominated; this row MEASURED the IVF-guided entry set
+    * against the fixed first-ids prior at the IDENTICAL configured
+    * candidate budget (same ${cfg.beamEntries} entries,
+    * ${cfg.beamHops} hops, ${cfg.beamWidth} beam, same graph — the
+    * q262 matched-budget discipline) and the measurement DECIDED the
+    * default: mean recall 0.24 fixed vs 0.74 guided at sf0.01, so
+    * q279 now serves with [[ivfGuidedEntries]] and this row remains
+    * the standing ablation — arm `ivf` is exactly q279/q280's walk
+    * (spec-pinned ≡ q280), arm `fixed` the retired prior, so a future
+    * corpus where the guide stops paying shows up as one subtraction.
     *
     * Scale: two bounded beam walks + two queries×k eval joins; the
     * entry selection itself is the IVF probe rank (queries×centroids,
@@ -2943,25 +3027,17 @@ class SimilarityOps(val cfg: GraftConfig) {
   }
 
   def q294Sql: String = {
-    val ient =
-      s"""ient AS (SELECT query_id, vec_id FROM (
-         |    SELECT qp.ia AS query_id, av.vec_id,
-         |      row_number() OVER (PARTITION BY qp.ia ORDER BY qp.crk, av.vec_id) AS erk
-         |    FROM (SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
-         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS crk
-         |      FROM af_dots WHERE ia < $NumQueries) qp
-         |    JOIN av ON av.cell = qp.ib AND av.vec_id <> qp.ia
-         |    WHERE qp.crk <= ${cfg.ivfNprobe})
-         |  WHERE erk <= ${cfg.beamEntries})""".stripMargin
     def topOf(vis: String, out: String): String =
       s"""$out AS (SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, vec_id) AS rk
          |    FROM $vis) WHERE rk <= $TopK)""".stripMargin
+    // default chain = the guided serving walk (arm 'ivf'); the
+    // x-prefixed chain re-runs it with the retired fixed-entries prior
     s"""$beamWalkCtes,
-       |${beamHopCtesNamed("knn", "e", "i", ient)},
-       |${topOf(s"vis${cfg.beamHops}", "ftop")},
-       |${topOf(s"ivis${cfg.beamHops}", "itop")},
+       |${beamHopCtesNamed("knn", "e", "x", fixedEntSql("e", "xent"))},
+       |${topOf(s"vis${cfg.beamHops}", "itop")},
+       |${topOf(s"xvis${cfg.beamHops}", "ftop")},
        |tr_ex AS (SELECT q.query_id, v.vec_id,
        |    unnest(q.qe) AS a, unnest(v.embedding) AS b
        |  FROM bq q, e v WHERE v.vec_id <> q.query_id),

@@ -247,16 +247,16 @@ class DedupSpec extends GraftSpec {
       "post-recompaction serving must equal fresh-graph recall row for row")
   }
 
-  test("q294: two rows per query; the fixed arm reproduces q280 bitwise (matched budget)") {
+  test("q294: two rows per query; the ivf arm reproduces q280 bitwise (the serving default)") {
     val cfg = GraftConfig.default
     val rows = Similarity.q294BeamEntryEval(spark, sf).collect()
     assert(rows.length == 2 * cfg.annQueries, "one row per query per arm")
-    val fixed = rows.filter(_.getString(0) == "fixed")
+    val ivf = rows.filter(_.getString(0) == "ivf")
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val q280 = Similarity.q280GraphAnnRecall(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(fixed == q280, "the A arm must be exactly q280's walk — else the A/B is unmatched")
-    rows.filter(_.getString(0) == "ivf").foreach { r =>
+    assert(ivf == q280, "the ivf arm must be exactly q280's walk — else the A/B is unmatched")
+    rows.filter(_.getString(0) == "fixed").foreach { r =>
       val (hit, rec) = (r.getLong(2), r.getDouble(3))
       assert(hit >= 0 && hit <= cfg.annTopK && rec == hit.toDouble / cfg.annTopK)
     }
@@ -746,14 +746,15 @@ class DedupSpec extends GraftSpec {
   }
 
   test("q279: full-coverage entry set makes the beam walk equal exhaustive search, recall 1") {
-    // 1 query + 7 entries covering every other vector: visited = corpus
-    // minus the query panel, which is exactly q40's candidate set here,
-    // so beam top-k must equal brute-force top-k bitwise.
+    // 1 query + 7 entries covering every other vector: with nprobe =
+    // centroids the guided entry pool is the whole corpus minus the
+    // query, beamEntries = 7 admits all of it, and visited is exactly
+    // q40's candidate set — beam top-k must equal brute-force bitwise.
     val dir = pqDir((0L to 7L).map(i =>
       i -> Seq((i * 0.3f) % 1.1f, 0.7f - i * 0.1f, (i * i % 5) * 0.2f, 0.4f)): _*)
     val ops = new graft.operators.SimilarityOps(GraftConfig(
       annQueries = 1, annTopK = 3, beamEntries = 7, beamWidth = 16,
-      beamHops = 1, ivfCentroids = 4, kmeansIters = 1))
+      beamHops = 1, ivfCentroids = 4, kmeansIters = 1, ivfNprobe = 4))
     val beam = ops.q279GraphAnnSearch(spark, dir)
     val brute = ops.q40AnnBrute(spark, dir)
     assert(beam.exceptAll(brute).isEmpty && brute.exceptAll(beam).isEmpty,
@@ -767,18 +768,24 @@ class DedupSpec extends GraftSpec {
     val edges = Similarity.persistedKnnGraph(spark, sf)
       .select("vec_id", "nbr_id").collect()
       .groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
-    val entries = ((cfg.annQueries.toLong) until
-      (cfg.annQueries + cfg.beamEntries).toLong).toSet
-    // superset of anything any beam can visit: the FULL h-hop
-    // neighborhood of the entry set (beam pruning only shrinks it)
-    var reach = entries
-    for (_ <- 1 to cfg.beamHops)
-      reach = reach ++ reach.flatMap(v => edges.getOrElse(v, Set.empty))
+    // per-query entry seeds are the IVF-guided set (the round-14
+    // serving default); the FULL h-hop neighborhood of each seed set
+    // is a superset of anything that query's beam can visit
+    val entries = Similarity.ivfGuidedEntries(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def reachOf(seed: Set[Long]): Set[Long] = {
+      var reach = seed
+      for (_ <- 1 to cfg.beamHops)
+        reach = reach ++ reach.flatMap(v => edges.getOrElse(v, Set.empty))
+      reach
+    }
     val res = Similarity.q279GraphAnnSearch(spark, sf).collect()
     assert(res.nonEmpty)
     res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
       val rks = rows.map(_.getAs[Int]("rk")).sorted.toSeq
       assert(rks == (1 to rks.size) && rks.size <= cfg.annTopK, "dense ranks, <= k")
+      val reach = reachOf(entries.getOrElse(q, Set.empty))
       rows.foreach { r =>
         assert(r.getLong(1) != q, "never the query itself")
         assert(reach.contains(r.getLong(1)),
@@ -803,12 +810,16 @@ class DedupSpec extends GraftSpec {
       Seq("embeddings.parquet"),
       s"k=${ops.cfg.knnK},np=${ops.cfg.ivfNprobe},c=4,ki=1,tm=${ops.cfg.ivfTrainMod}")
     // doctor: no edges at all -> every hop's frontier is empty, so the
-    // answer must be exactly the scored entry points (ids 1 and 2)
+    // answer must be exactly the scored (guided) entry points
     Seq.empty[(Long, Long, Int, Double)].toDF("vec_id", "nbr_id", "rk", "cosine")
       .write.mode("overwrite").parquet(path)
+    val expected = ops.ivfGuidedEntries(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && expected.size <= ops.cfg.annTopK,
+      "entry set must fit inside top-k for the collapse check to be exact")
     val got = ops.q279GraphAnnSearch(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((0L, 1L), (0L, 2L)),
-      s"edge-free artifact must collapse the walk to the entry points, got $got")
+    assert(got == expected,
+      s"edge-free artifact must collapse the walk to the entry points, got $got vs $expected")
   }
 }
