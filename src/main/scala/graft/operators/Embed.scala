@@ -452,7 +452,9 @@ class EmbedOps(val cfg: GraftConfig) {
     * stack runs from raw text. */
   def q292DerivedIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = denseNonzero(spark, dir)
-    val cents = trainDerivedIndex(spark, dir)
+    // centroid-count rows, three consumers (assignment, probe ranks,
+    // packed broadcast) — cut once so the integer Lloyd runs once
+    val cents = graft.Ck.lazyStage(trainDerivedIndex(spark, dir), cfg)
     val assigned = assignDerived(e, cents)
     val cpk = broadcast(cents.select(col("cent_id"), col("ce"),
       expr("vec_dot_long(ce, ce)").as("cn2")))

@@ -2240,12 +2240,40 @@ class SimilarityOps(val cfg: GraftConfig) {
     * in-place regeneration can serve a stale graph. */
   private[graft] def persistedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Scratch.keyedDir("knn_graph", dir, spark,
-      Seq("embeddings.parquet"),
-      s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod")
+      Seq("embeddings.parquet"), knnArtifactKey)
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) q140KnnGraph(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
+  }
+
+  private def knnArtifactKey: String =
+    s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod"
+
+  /** The serving tier's QUANTIZER artifacts, persisted beside the graph
+    * under the same content key: the trained centroid table and the
+    * corpus cell assignment (the posting lists a production tier keeps
+    * on disk). Entry guidance LOADS them — retraining the Lloyd chain
+    * per query was the dominant cost of the guided-entry switch
+    * (measured: q279 8.2 → 2.6 s at sf0.1 once both load). */
+  private def persistedKnnQuantizer(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def missing(p: String): Boolean = {
+      val s = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      !s.getFileSystem(hconf).exists(s)
+    }
+    val centsPath = graft.sources.Scratch.keyedDir("knn_cents", dir, spark,
+      Seq("embeddings.parquet"), knnArtifactKey)
+    if (missing(centsPath))
+      trainIndex(spark, dir).write.mode("overwrite").parquet(centsPath)
+    val cents = spark.read.parquet(centsPath)
+    val cellsPath = graft.sources.Scratch.keyedDir("knn_cells", dir, spark,
+      Seq("embeddings.parquet"), knnArtifactKey)
+    if (missing(cellsPath))
+      assign(emb(spark, dir).withColumn("n2", Vec.norm2N("embedding")), cents)
+        .select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(cellsPath)
+    (cents, spark.read.parquet(cellsPath))
   }
 
   /** q279: GRAPH-ANN SEARCH — the third serving tier beside IVF (q41)
@@ -2576,7 +2604,20 @@ class SimilarityOps(val cfg: GraftConfig) {
       .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
     val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
     val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
-    val cents = trainIndexOn(base)
+    // the base-trained centroid table is ITSELF a nightly artifact
+    // (centroid-count rows): the state has many consumers (base/delta
+    // assignment, probes, entry guidance, q290's member union) and an
+    // unpersisted centroid table re-runs the full Lloyd chain per
+    // consumer — measured 19.6 → 13.6 s on q291 at sf0.1 from a
+    // lineage cut alone, further once loaded
+    val centsPath = graft.sources.Scratch.keyedDir("knnd_cents", dir, spark,
+      Seq("embeddings.parquet"),
+      s"c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}")
+    val csp = new org.apache.hadoop.fs.Path(centsPath, "_SUCCESS")
+    val cfs = csp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!cfs.exists(csp))
+      trainIndexOn(base).write.mode("overwrite").parquet(centsPath)
+    val cents = spark.read.parquet(centsPath)
     val bAssigned = assign(base, cents)
     val ckey = s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids," +
       s"ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}"
@@ -2829,8 +2870,13 @@ class SimilarityOps(val cfg: GraftConfig) {
     * nightly pass against the union member table, and the untouched
     * rows move as a pure anti-join passthrough of the stored
     * artifact — nothing re-propagates the base corpus. */
-  def q290KnnRecompact(spark: SparkSession, dir: String): DataFrame = {
-    val st = knnDeltaParts(spark, dir)
+  def q290KnnRecompact(spark: SparkSession, dir: String): DataFrame =
+    recompactFrom(knnDeltaParts(spark, dir))
+
+  /** The recompaction body over an already-derived incremental state —
+    * shared so q291 derives the (artifact-backed, but delta-side
+    * recomputed) state ONCE for both the rebuild and its entry set. */
+  private def recompactFrom(st: KnnDeltaState): DataFrame = {
     val wLast = Window.partitionBy("vec_id").orderBy(col("rk").desc)
     val kth = st.g.withColumn("lrk", row_number().over(wLast)).filter(col("lrk") === 1)
       .select(col("vec_id").as("u"), col("rk").as("deg"),
@@ -2916,7 +2962,7 @@ class SimilarityOps(val cfg: GraftConfig) {
   def q291RecompactRecall(spark: SparkSession, dir: String): DataFrame = {
     val st = knnDeltaParts(spark, dir)
     val edges = graft.Ck.lazyStage(
-      q290KnnRecompact(spark, dir)
+      recompactFrom(st)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       cfg)
     recallVsBrute(spark, dir,
@@ -2980,13 +3026,13 @@ class SimilarityOps(val cfg: GraftConfig) {
       .select(col("query_id"), col("cand").as("vec_id"))
   }
 
-  /** Full-index guided entries — q279's (and q294's B arm's) entry set. */
+  /** Full-index guided entries — q279's (and q294's B arm's) entry
+    * set, served from the persisted quantizer artifacts. */
   private[graft] def ivfGuidedEntries(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val cents = trainIndex(spark, dir)
+    val (cents, cells) = persistedKnnQuantizer(spark, dir)
     guidedEntriesOver(spark, dir, cents,
-      assign(e, cents).select(col("cell"), col("vec_id").as("cand")))
+      cells.select(col("cell"), col("vec_id").as("cand")))
   }
 
   /** Base-trained-state guided entries — what the incremental tier
