@@ -1604,20 +1604,24 @@ class SimilarityOps(val cfg: GraftConfig) {
   }
 
   /** Shared PQ oracle preamble: per subspace s, slice table e{s},
-    * training chain c{s}_0..c{s}_$PqIters, final assignment f{s}. */
-  private def pqTrainCtes: String =
+    * training chain c{s}_0..c{s}_$PqIters, final assignment f{s}.
+    * `where` filters the training corpus (q299 trains on the base
+    * split only; every other consumer trains on the full table). */
+  private def pqTrainCtesFor(where: String): String =
     (1 to PqM).map { s =>
       val iters = (1 to PqIters).map { i =>
         s"""${pqDuckAssign(s, s"c${s}_${i - 1}", s"a${s}_$i")},
            |${pqDuckUpdate(s, s"a${s}_$i", s"c${s}_$i")}""".stripMargin
       }.mkString(",\n")
-      s"""e$s AS (SELECT vec_id, ${pqSubSqlDuck(s)} AS sub FROM embeddings),
+      s"""e$s AS (SELECT vec_id, ${pqSubSqlDuck(s)} AS sub FROM embeddings$where),
          |c${s}_0 AS (SELECT vec_id AS cent_id,
          |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS ce
          |  FROM e$s WHERE vec_id < $PqK),
          |$iters,
          |${pqDuckAssign(s, s"c${s}_$PqIters", s"f$s")}""".stripMargin
     }.mkString(",\n")
+
+  private def pqTrainCtes: String = pqTrainCtesFor("")
 
   def q222Sql: String = {
     val joins = (2 to PqM).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
@@ -3107,6 +3111,263 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM truth t LEFT JOIN itop a
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Scalar-quantized (int8) serving tier: q297 search, q298 recall
+  // ---------------------------------------------------------------
+
+  /** The corpus as q89's int8 codes, as `array<bigint>` plus the exact
+    * integer squared norm — the form the SQ dot consumes. One pure
+    * scan projection (zero shuffle); at serving scale the codes are
+    * the persisted artifact and this projection is what writes it. */
+  private def sqCodes(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("amax"))
+      .select(col("vec_id"),
+        expr("""CASE WHEN amax = 0.0
+               |  THEN transform(embedding, x -> CAST(0 AS BIGINT))
+               |  ELSE transform(embedding, x ->
+               |    CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT))
+               |END""".stripMargin).as("codes"))
+      .withColumn("cn2", expr("vec_dot_long(codes, codes)"))
+
+  /** Shared DuckDB CTEs for the SQ tier: per-vector int8 codes (q89's
+    * exact construction) and their integer squared norms. */
+  private def sqDuckCtes: String =
+    s"""sqa AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |sqc AS (SELECT vec_id,
+       |    CASE WHEN amax = 0.0
+       |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding, x ->
+       |        CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT))
+       |    END AS codes
+       |  FROM sqa),
+       |sqq AS (SELECT vec_id AS query_id, codes AS qc FROM sqc
+       |  WHERE vec_id < $NumQueries),
+       |sqex AS (SELECT q.query_id, c.vec_id, unnest(q.qc) AS a, unnest(c.codes) AS b
+       |  FROM sqq q, sqc c WHERE c.vec_id <> q.query_id),
+       |sqd AS (SELECT query_id, vec_id,
+       |    SUM(a*b) AS dot, SUM(a*a) AS na, SUM(b*b) AS nb
+       |  FROM sqex GROUP BY query_id, vec_id),
+       |sqr AS (SELECT query_id, vec_id,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS ccos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+       |      vec_id) AS rk
+       |  FROM sqd),
+       |sqtop AS (SELECT query_id, vec_id, rk, ccos FROM sqr WHERE rk <= $TopK)""".stripMargin
+
+  /** q297: SCALAR-QUANTIZED (int8) SEARCH — the fourth serving tier:
+    * q89 compresses the corpus 4× (one int8 per coordinate, per-vector
+    * max-abs scale) and this query SERVES from the codes. Symmetric
+    * SQ: queries quantize with the same rule, scores are code-space
+    * cosine — the per-vector scale cancels in the cosine, so the code
+    * cosine approximates the float cosine up to rounding (the loss
+    * q298 measures; the q123/q223 approximation-ships-with-its-eval
+    * rule). The code dot is an exact BIGINT sum (`vec_dot_long` —
+    * int8·int8 over any realistic d can't overflow a long), the code
+    * norms likewise; the cosine is one double division of exact
+    * integers, so both engines rank identical values.
+    *
+    * Scale: the plan is EXACTLY q40's — broadcast query panel, one
+    * corpus scan, partial top-k — but the scanned bytes are the 4×-
+    * smaller code table and the inner loop is integer multiply-add
+    * (SIMD-friendly) instead of float: this is what a "brute force"
+    * tier actually ships at 100 TB, and it composes with IVF (probe
+    * then SQ-score) without changing either side. Codes are computed
+    * inline here (a zero-shuffle projection); at scale they are the
+    * persisted index artifact and the scan reads them directly. */
+  def q297SqSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val c = sqCodes(emb(spark, dir))
+    val q = broadcast(c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"), col("cn2").as("qn2")))
+    val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("vec_id"))
+    q.crossJoin(c)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("CAST(vec_dot_long(qc, codes) AS DOUBLE)")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double")))).as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "vec_id", "rk", "ccos")
+  }
+
+  def q297Sql: String =
+    s"""WITH $sqDuckCtes
+       |SELECT query_id, vec_id, rk, ccos FROM sqtop""".stripMargin
+
+  /** q298: SQ RECALL — q297's measured answer: exact float-cosine
+    * top-$TopK truth (q40's construction) vs the int8 code-cosine
+    * top-$TopK, one row per query with hits and recall. Same metric
+    * on both sides (cosine truth for a cosine-serving code — the q215
+    * metric-match lesson). The published number is what the 4×
+    * compression costs on THIS corpus; the decision it feeds is
+    * whether the brute tier can ship codes instead of floats.
+    *
+    * Scale: two broadcast-panel scans (one over floats for truth, one
+    * over codes) plus a queries×k join — eval-sized, like q123. */
+  def q298SqRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val truth = q40AnnBrute(spark, dir).select("query_id", "vec_id")
+    val sq = q297SqSearch(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(sq, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(TopK.toDouble)).as("recall"))
+  }
+
+  def q298Sql: String =
+    s"""WITH $sqDuckCtes,
+       |tq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |tex AS (SELECT q.query_id, e.vec_id, unnest(q.qe) AS a, unnest(e.embedding) AS b
+       |  FROM tq q, embeddings e WHERE e.vec_id <> q.query_id),
+       |td AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM td) WHERE rk <= $TopK)
+       |SELECT t.query_id, CAST(count(s.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(s.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN sqtop s
+       |  ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q299: incremental PQ maintenance (codebook drift under a delta)
+  // ---------------------------------------------------------------
+
+  /** The PQ codebook trained on the BASE split only (the vectors that
+    * existed when the index shipped) — q188's frozen-artifact
+    * lifecycle applied to the PQ tier: trained once, keyedDir-
+    * persisted (content-keyed on the PQ knobs AND the split boundary),
+    * loaded by every consumer. */
+  private[graft] def persistedBasePqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("pq_cb_base", dir, spark,
+      Seq("embeddings.parquet"),
+      s"m=$PqM,k=$PqK,i=$PqIters,split=${cfg.splitTrainUpper}")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      graft.plans.GraftExtensions.ensureRegistered(spark)
+      val base = emb(spark, dir)
+        .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+        .filter(col("bk") < cfg.splitTrainUpper)
+        .select("vec_id", "embedding")
+      pqTrainOn(base).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Per-vector, per-subspace MINIMUM quantization error under a
+    * frozen codebook — pqEncodeWith's fold keeping the min d² instead
+    * of its argmin. Exact BIGINT fixed-point, zero shuffle (broadcast
+    * codebook, codegen'd HOF over the scan). Returns
+    * (vec_id, e1..e$PqM). */
+  private def pqErrWith(e: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = broadcast(cb
+      .select(struct(col("sub_id"), col("cent_id"), col("ce"),
+        expr("vec_dot_fixed(ce, ce)").as("cn2")).as("c"))
+      .groupBy().agg(array_sort(collect_list(col("c"))).as("cbs")))
+    val subs = e.crossJoin(packed)
+      .select(Seq(col("vec_id"), col("cbs")) ++
+        (1 to PqM).map(s => expr(subExpr(s)).as(s"sub$s")): _*)
+    subs.select(Seq(col("vec_id")) ++ (1 to PqM).map { s =>
+      expr(
+        s"""aggregate(
+           |  transform(filter(cbs, c -> c.sub_id = $s), c ->
+           |    vec_dot_fixed(sub$s, sub$s) + c.cn2 - 2 * vec_dot_fixed(sub$s, c.ce)),
+           |  CAST(NULL AS BIGINT),
+           |  (acc, x) -> IF(acc IS NULL OR x < acc, x, acc),
+           |  acc -> acc)""".stripMargin).as(s"e$s")
+    }: _*)
+  }
+
+  /** q299: INCREMENTAL PQ MAINTENANCE — the q188 nightly-ingest story
+    * for the PQ tier, closing the last serving tier without a delta
+    * path (IVF has q188, the kNN graph has q285/q290): the codebook
+    * trains on the BASE split only and FREEZES as the persisted
+    * artifact; the arriving DELTA split (the q68/q188 content-stable
+    * md5 membership rule) encodes against the frozen codewords WITHOUT
+    * retraining — PQ codes are a pure per-row map, so delta absorption
+    * is free by construction. What is NOT free is fidelity: codewords
+    * fitted to yesterday's distribution quantize tomorrow's tail
+    * worse, so the output is the per-subspace DRIFT eval that decides
+    * retraining — base vs delta mean reconstruction error (exact
+    * BIGINT fixed-point d² under the frozen codebook, the mean ONE
+    * division) and their ratio; a subspace whose ratio jumps is where
+    * the new traffic left the trained cells.
+    *
+    * Scale: the codebook is an m·k-row broadcast; both error passes
+    * are zero-shuffle scans (codegen'd HOF argmin per subspace) into a
+    * map-combinable $PqM-group aggregate — a nightly delta costs
+    * |delta| map work, never a retrain, and the base side is a
+    * |cells|-row artifact persisted with the index at scale (it
+    * recomputes here only to keep the query self-contained, the q188
+    * note). */
+  def q299PqDelta(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val all = emb(spark, dir)
+      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+    val base = all.filter(col("bk") < cfg.splitTrainUpper).select("vec_id", "embedding")
+    val delta = all.filter(col("bk") >= cfg.splitTrainUpper).select("vec_id", "embedding")
+    val cb = persistedBasePqCodebook(spark, dir)
+    def sideAgg(e: DataFrame, pre: String): DataFrame =
+      pqErrWith(e, cb)
+        .select(expr(s"stack($PqM, ${(1 to PqM).map(s => s"$s, e$s").mkString(", ")}) AS (sub_id, d2)"))
+        .groupBy("sub_id")
+        .agg(count(lit(1)).as(s"n_$pre"), sum(col("d2")).as(s"sd_$pre"))
+    sideAgg(base, "base").join(sideAgg(delta, "delta"), Seq("sub_id"))
+      .select(col("sub_id"), col("n_base"), col("n_delta"),
+        (col("sd_base").cast("double") / col("n_base").cast("double") / lit(1e13)).as("base_err"),
+        (col("sd_delta").cast("double") / col("n_delta").cast("double") / lit(1e13)).as("delta_err"))
+      .withColumn("err_ratio", col("delta_err") / col("base_err"))
+  }
+
+  def q299Sql: String = {
+    // min-d² per vector of `src` against the final base-trained
+    // codebook of subspace s
+    def minErr(s: Int, src: String, out: String): String =
+      s"""${out}_ex AS (SELECT e.vec_id AS ia, c.cent_id AS ib,
+         |    unnest(e.sub) AS a, unnest(c.ce) AS b
+         |  FROM $src e, c${s}_$PqIters c),
+         |${out}_d AS (SELECT ia, ib,
+         |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+         |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+         |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+         |  FROM ${out}_ex GROUP BY ia, ib),
+         |$out AS (SELECT ia AS vec_id, MIN(d2) AS d2 FROM ${out}_d GROUP BY ia)""".stripMargin
+    val where =
+      s" WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '${cfg.splitTrainUpper}'"
+    val deltas = (1 to PqM).map { s =>
+      s"""ed$s AS (SELECT vec_id, ${pqSubSqlDuck(s)} AS sub FROM embeddings
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '${cfg.splitTrainUpper}'),
+         |${minErr(s, s"e$s", s"berr$s")},
+         |${minErr(s, s"ed$s", s"derr$s")},
+         |bagg$s AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(d2) AS sd FROM berr$s),
+         |dagg$s AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(d2) AS sd FROM derr$s)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to PqM).map { s =>
+      s"""SELECT $s AS sub_id, b.n AS n_base, d.n AS n_delta,
+         |  CAST(b.sd AS DOUBLE)/CAST(b.n AS DOUBLE)/1e13 AS base_err,
+         |  CAST(d.sd AS DOUBLE)/CAST(d.n AS DOUBLE)/1e13 AS delta_err,
+         |  (CAST(d.sd AS DOUBLE)/CAST(d.n AS DOUBLE)/1e13)
+         |    / (CAST(b.sd AS DOUBLE)/CAST(b.n AS DOUBLE)/1e13) AS err_ratio
+         |FROM bagg$s b, dagg$s d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pqTrainCtesFor(where)},
+       |$deltas
+       |$rows""".stripMargin
   }
 }
 

@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC MERGE — the missing maintenance surface of the
+  * streaming family: q97/q186 fold a change batch into a snapshot as a
+  * BATCH job; this is the same MERGE run as a STREAM, the way a
+  * 100 TB serving table actually absorbs a Kafka CDC feed. A keyed
+  * change feed (op I/U/D, full-row values, a per-change `seq`) lands
+  * as files; `foreachBatch` folds every micro-batch into a persisted
+  * copy-on-write snapshot (new version directory per batch — the
+  * Delta/Iceberg table pattern built on plain parquet, the q238/q258
+  * lineage).
+  *
+  * The merge rule is SEQ-WINS, not arrival-wins: a change applies only
+  * when its seq beats the snapshot row's stored seq, and deletes
+  * TOMBSTONE (the row stays with alive=false and the delete's seq) so
+  * an out-of-order earlier update can never resurrect a later delete.
+  * That makes the fold an idempotent, commutative per-key argmax —
+  * the final snapshot is independent of how the feed was batched or
+  * ordered, duplicate delivery is a no-op (at-least-once transport
+  * gives exactly-once table semantics), and replay after a crash
+  * (q258's checkpoint contract) converges to the same bytes.
+  */
+object CdcStream {
+
+  /** Fold one change micro-batch into a snapshot. Snapshot columns:
+    * (o_orderkey, o_custkey, o_orderstatus, o_totalprice, seq, alive);
+    * batch columns: (k, seq, op, c_cust, c_status, c_price). Within
+    * the batch only each key's max-seq change matters (argmax of an
+    * argmax); the snapshot side keeps its row unless the change's seq
+    * strictly wins. One full-outer join per batch — with the snapshot
+    * bucketed on the key (q186's layout) only the feed side shuffles
+    * at scale. */
+  private[graft] def mergeBatch(snap: DataFrame, batch: DataFrame): DataFrame = {
+    val wB = Window.partitionBy("k").orderBy(col("bseq").desc)
+    val b1 = batch
+      .select(col("k"), col("seq").as("bseq"), col("op"),
+        col("c_cust"), col("c_status"), col("c_price"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1).drop("rn")
+    val joined = snap.join(b1, snap("o_orderkey") === b1("k"), "full_outer")
+    val win = col("k").isNotNull &&
+      (snap("o_orderkey").isNull || col("bseq") > col("seq"))
+    joined.select(
+      coalesce(col("k"), snap("o_orderkey")).as("o_orderkey"),
+      when(win, col("c_cust")).otherwise(col("o_custkey")).as("o_custkey"),
+      when(win, col("c_status")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(win, col("c_price")).otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(win, col("bseq")).otherwise(col("seq")).as("seq"),
+      when(win, col("op") =!= lit("D")).otherwise(col("alive")).as("alive"))
+  }
+
+  /** The three deterministic change waves, derived from orders (the
+    * q97 derivation widened with a seq column and overlapping keys so
+    * last-wins is exercised): wave 1 deletes/updates/inserts, wave 2
+    * re-updates and deletes some wave-1 keys (including a
+    * delete-then-update resurrection and an update-then-delete), wave
+    * 3 re-updates a subset again. */
+  private[graft] def changeWaves(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val w1 = o.filter(col("o_orderkey") % 10 <= 2)
+      .select(
+        when(col("o_orderkey") % 10 === 2, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        lit(1L).as("seq"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 10 === 1, "U").otherwise("I").as("op"),
+        col("o_custkey").as("c_cust"),
+        col("o_orderstatus").as("c_status"),
+        (col("o_totalprice") + lit(1000.0)).as("c_price"))
+    val w2 = o.filter(col("o_orderkey") % 20 <= 5 || col("o_orderkey") % 20 === 11)
+      .select(
+        col("o_orderkey").as("k"),
+        lit(2L).as("seq"),
+        when(col("o_orderkey") % 20 isin (4L, 5L, 11L), "D").otherwise("U").as("op"),
+        (col("o_custkey") + lit(7L)).as("c_cust"),
+        lit("R").as("c_status"),
+        (col("o_totalprice") + lit(2000.0)).as("c_price"))
+    val w3 = o.filter(col("o_orderkey") % 40 <= 2)
+      .select(
+        col("o_orderkey").as("k"),
+        lit(3L).as("seq"),
+        lit("U").as("op"),
+        col("o_custkey").as("c_cust"),
+        lit("Z").as("c_status"),
+        (col("o_totalprice") + lit(3000.0)).as("c_price"))
+    Seq(w1, w2, w3)
+  }
+
+  /** q300: STREAMING CDC MERGE — land the three change waves as files,
+    * stream them (maxFilesPerTrigger=1, so the fold really runs
+    * multi-batch), fold each micro-batch into a new copy-on-write
+    * snapshot version via [[mergeBatch]], and read back the final
+    * version with tombstones dropped. Equals the batch recompute
+    * (base merged with each key's max-seq change) REGARDLESS of how
+    * the file source batched the waves — the seq-wins/tombstone
+    * algebra, spec-pinned under permuted batching.
+    *
+    * Scale: per micro-batch ONE snapshot⋈batch full-outer join plus a
+    * batch-sized window; snapshot versions are immutable parquet (old
+    * versions are the time-travel/vacuum surface, q238's ledger
+    * discipline). The snapshot re-shuffles per batch here; production
+    * pins the q186 bucketed layout so only the feed moves. State on
+    * the STREAM side is just file-source offsets in the checkpoint —
+    * the table itself is the state, which is why the pattern scales
+    * to tables no state store could hold. */
+  def q300StreamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.sources.Scratch.dir("cdcm_landing", dir)
+    val ckpt = graft.sources.Scratch.dir("cdcm_ckpt", dir)
+    val snapRoot = graft.sources.Scratch.dir("cdcm_snap", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(landing, ckpt, snapRoot).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // v0: the base snapshot, every row alive at seq 0
+    val v0 = s"$snapRoot/v0"
+    graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
+      .write.parquet(v0)
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](v0)
+    // land the waves as separate files with ascending mtimes (q258's
+    // land discipline) — ordering is a nicety, not a correctness need
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    changeWaves(spark, dir).zipWithIndex.foreach { case (w, i) =>
+      val before =
+        if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+          fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+        else Set.empty[org.apache.hadoop.fs.Path]
+      w.repartition(1).write.mode("append").parquet(landing)
+      fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+        .map(_.getPath).filterNot(before)
+        .filter(_.getName.startsWith("part-"))
+        .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+    }
+    val raw = spark.readStream
+      .schema("k BIGINT, seq BIGINT, op STRING, c_cust BIGINT, c_status STRING, c_price DOUBLE")
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = raw.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val snap = spark.read.parquet(cur.get)
+          val next = s"$snapRoot/v${id + 1}"
+          mergeBatch(snap, b).write.mode("overwrite").parquet(next)
+          cur.set(next)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(cur.get)
+      .filter(col("alive"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("seq").as("last_seq"))
+  }
+
+  def q300Sql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |w1 AS (SELECT
+      |    CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k,
+      |    CAST(1 AS BIGINT) AS seq,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+      |         WHEN o_orderkey % 10 = 1 THEN 'U' ELSE 'I' END AS op,
+      |    o_custkey AS c_cust, o_orderstatus AS c_status,
+      |    o_totalprice + 1000.0 AS c_price
+      |  FROM orders WHERE o_orderkey % 10 <= 2),
+      |w2 AS (SELECT o_orderkey AS k, CAST(2 AS BIGINT) AS seq,
+      |    CASE WHEN o_orderkey % 20 IN (4, 5, 11) THEN 'D' ELSE 'U' END AS op,
+      |    o_custkey + 7 AS c_cust, 'R' AS c_status,
+      |    o_totalprice + 2000.0 AS c_price
+      |  FROM orders WHERE o_orderkey % 20 <= 5 OR o_orderkey % 20 = 11),
+      |w3 AS (SELECT o_orderkey AS k, CAST(3 AS BIGINT) AS seq, 'U' AS op,
+      |    o_custkey AS c_cust, 'Z' AS c_status,
+      |    o_totalprice + 3000.0 AS c_price
+      |  FROM orders WHERE o_orderkey % 40 <= 2),
+      |ch AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3),
+      |last AS (SELECT k, seq, op, c_cust, c_status, c_price FROM (
+      |    SELECT ch.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk FROM ch)
+      |  WHERE rk = 1)
+      |SELECT coalesce(l.k, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN l.k IS NULL THEN b.o_custkey ELSE l.c_cust END AS o_custkey,
+      |  CASE WHEN l.k IS NULL THEN b.o_orderstatus ELSE l.c_status END AS o_orderstatus,
+      |  CASE WHEN l.k IS NULL THEN b.o_totalprice ELSE l.c_price END AS o_totalprice,
+      |  coalesce(l.seq, CAST(0 AS BIGINT)) AS last_seq
+      |FROM base b FULL OUTER JOIN last l ON l.k = b.o_orderkey
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+}

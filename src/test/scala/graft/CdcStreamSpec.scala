@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.CdcStream
+
+/** q300's merge algebra: the seq-wins/tombstone fold is batching- and
+  * order-independent, idempotent under duplicate delivery, and the
+  * drained stream equals the batch last-wins merge. */
+class CdcStreamSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def snap(rows: Seq[(Long, Long, String, Double, Long, Boolean)]): DataFrame =
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq", "alive")
+
+  private def batch(rows: Seq[(Long, Long, String, Long, String, Double)]): DataFrame =
+    rows.toDF("k", "seq", "op", "c_cust", "c_status", "c_price")
+
+  private def key(df: DataFrame): Map[Long, (Long, String, Double, Long, Boolean)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+
+  test("mergeBatch: insert, update, delete, and a tombstone that blocks an older update") {
+    val s0 = snap(Seq((1L, 10L, "O", 100.0, 0L, true), (2L, 20L, "O", 200.0, 0L, true)))
+    // delete key 1 at seq 5, insert key 3 at seq 2
+    val m1 = CdcStream.mergeBatch(s0,
+      batch(Seq((1L, 5L, "D", 10L, "O", 100.0), (3L, 2L, "I", 30L, "N", 300.0))))
+    val k1 = key(m1)
+    assert(!k1(1L)._5 && k1(1L)._4 == 5L, "delete must tombstone with its seq")
+    assert(k1(3L) == ((30L, "N", 300.0, 2L, true)))
+    assert(k1(2L)._5)
+    // an OLDER update (seq 3 < tombstone's 5) must NOT resurrect key 1
+    val m2 = CdcStream.mergeBatch(m1, batch(Seq((1L, 3L, "U", 11L, "X", 111.0))))
+    assert(!key(m2)(1L)._5, "stale update resurrected a tombstone")
+    // a NEWER update (seq 7) must
+    val m3 = CdcStream.mergeBatch(m2, batch(Seq((1L, 7L, "U", 12L, "Y", 112.0))))
+    assert(key(m3)(1L) == ((12L, "Y", 112.0, 7L, true)))
+  }
+
+  test("mergeBatch: duplicate delivery is a no-op (at-least-once transport, exactly-once table)") {
+    val s0 = snap(Seq((1L, 10L, "O", 100.0, 0L, true)))
+    val b = batch(Seq((1L, 4L, "U", 99L, "Q", 9.0), (2L, 1L, "I", 5L, "N", 1.0)))
+    val once = key(CdcStream.mergeBatch(s0, b))
+    val twice = key(CdcStream.mergeBatch(CdcStream.mergeBatch(s0, b), b))
+    assert(once == twice)
+  }
+
+  test("mergeBatch: the fold is batching-independent — permuted wave order converges to the same snapshot") {
+    val base = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
+    val waves = CdcStream.changeWaves(spark, sf)
+    def fold(order: Seq[Int]): Map[Long, (Long, String, Double, Long, Boolean)] =
+      key(order.map(waves).foldLeft(base)(CdcStream.mergeBatch))
+    val fwd = fold(Seq(0, 1, 2))
+    assert(fwd == fold(Seq(2, 0, 1)), "reordered waves diverged")
+    assert(fwd == fold(Seq(1, 2, 0)), "reordered waves diverged")
+    // one mega-batch (all waves unioned) also converges
+    val mega = key(CdcStream.mergeBatch(base, waves.reduce(_ unionAll _)))
+    assert(fwd == mega, "single-batch fold diverged from multi-batch")
+  }
+
+  test("q300 end-to-end: drained stream equals the batch last-wins merge; dead keys gone") {
+    val out = CdcStream.q300StreamCdcMerge(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    // batch recompute of the same semantics, directly in Spark
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val ch = CdcStream.changeWaves(spark, sf).reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("seq").desc)
+    val last = ch.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+    val exp = o.join(last, o("o_orderkey") === last("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), o("o_orderkey")).as("o_orderkey"),
+        when(col("k").isNull, o("o_custkey")).otherwise(col("c_cust")).as("o_custkey"),
+        when(col("k").isNull, o("o_orderstatus")).otherwise(col("c_status")).as("o_orderstatus"),
+        when(col("k").isNull, o("o_totalprice")).otherwise(col("c_price")).as("o_totalprice"),
+        coalesce(col("seq"), lit(0L)).as("last_seq"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out == exp)
+    // the planted lifecycle cases, concretely: some key deleted at wave 1
+    // and never touched again is GONE; some delete-then-update survives
+    val deadAt1 = o.select("o_orderkey").collect().map(_.getLong(0))
+      .find(k => k % 20 == 10)
+    deadAt1.foreach(k => assert(!out.contains(k), s"wave-1 deleted key $k survived"))
+    val resurrected = o.select("o_orderkey").collect().map(_.getLong(0))
+      .find(k => k % 20 == 0)
+    resurrected.foreach { k =>
+      assert(out.contains(k) && out(k)._4 >= 2L, s"delete-then-update key $k missing")
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** The quantized serving tiers: SQ8 search/recall (q297/q298) and the
+  * frozen-codebook PQ delta drift eval (q299). */
+class QuantTierSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random int in [-127, 127] (plain LCG — no
+    * Math.random in specs, reruns must be bitwise). */
+  private def lcgInt(seed: Long): (Long, Int) = {
+    val next = seed * 6364136223846793005L + 1442695040888963407L
+    (next, ((next >>> 33) % 255).toInt - 127)
+  }
+
+  test("q297/q298: a code-exact corpus serves losslessly — SQ recall 1.0 everywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("sq").toString
+    // components are exact multiples of amax/127 (one coordinate pinned
+    // to ±127), so quantization is lossless: code_i recovers m_i
+    // exactly and the code cosine ranks like the float cosine
+    val vecs = (0L until 16L).map { id =>
+      var s = id * 7919L + 13L
+      val m = Array.fill(8) { val (n, v) = lcgInt(s); s = n; v }
+      m(0) = if (id % 2 == 0) 127 else -127 // force amax = 1.0 exactly
+      (id, m.map(_ / 127f).toSeq)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.q297SqSearch(spark, dir).collect()
+    assert(top.nonEmpty && top.forall(r => r.getInt(2) <= 5))
+    val rec = Similarity.q298SqRecall(spark, dir).collect()
+    assert(rec.length == 10)
+    assert(rec.forall(_.getDouble(2) == 1.0),
+      "lossless codes must reproduce the exact ranking")
+  }
+
+  test("q297: codes are honest int8 — every emitted cosine is in [-1, 1] and ranks are dense per query") {
+    val rows = Similarity.q297SqSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0000001 && c <= 1.0000001, s"code cosine out of range: $c")
+    }
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("q298 on real data: recall in [0,1], n_hit consistent") {
+    val rec = Similarity.q298SqRecall(spark, sf).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      val (nh, rc) = (r.getLong(1), r.getDouble(2))
+      assert(nh >= 0 && nh <= 5 && rc == nh / 5.0)
+    }
+  }
+
+  test("q299: an out-of-distribution delta reads err_ratio >> 1 in every subspace") {
+    val dir = java.nio.file.Files.createTempDirectory("pqd").toString
+    // membership is the operator's own content-stable md5 rule — compute
+    // it first, then PLANT the delta rows far outside the base cluster
+    val ids = (0L until 100L)
+    val bucket = ids.toDF("vec_id")
+      .select(col("vec_id"), substring(md5(col("vec_id").cast("string")), 1, 2).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val up = GraftConfig.default.splitTrainUpper
+    val vecs = ids.map { id =>
+      var s = id * 104729L + 7L
+      val jitter = Array.fill(8) { val (n, v) = lcgInt(s); s = n; v / 1270f } // ±0.1
+      val base = jitter.map(_ + 1f)
+      val v = if (bucket(id) < up) base else base.map(_ + 50f) // delta: far cluster
+      (id, v.toSeq)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.q299PqDelta(spark, dir).collect()
+    assert(out.length == GraftConfig.default.pqSubspaces)
+    out.foreach { r =>
+      val (nb, nd) = (r.getLong(1), r.getLong(2))
+      assert(nb + nd == 100L, "split sizes must reconcile with the corpus")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0)
+      assert(r.getDouble(5) > 1.5,
+        s"a far-out delta must read high drift, got ratio ${r.getDouble(5)}")
+    }
+  }
+
+  test("q299 on real data: counts reconcile with the md5 split and errors are finite") {
+    val out = Similarity.q299PqDelta(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total)
+      assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN && r.getDouble(5) > 0.0)
+    }
+  }
+}
