@@ -241,6 +241,19 @@ case class GraftConfig(
     // l-diversity audit (q274): minimum distinct sensitive-attribute
     // values (source) a quasi-identifier group must contain
     lDiversityL: Int = 3,
+    // image near-dup (q302): candidate pairs must share the quantized
+    // pooled-thumbnail key (each pooled byte >> 4); buckets above the
+    // df cap are dropped from candidate generation (the maxOverlapKeyDf
+    // hot-key discipline — a monochrome-heavy corpus would otherwise
+    // collapse into one O(n²) bucket) and survivors verify by exact
+    // integer squared L2 distance between pooled thumbnails, kept at
+    // ≤ maxD2 (≈ RMSE 8 per pooled byte on a 12-dim descriptor)
+    imageNeardupMaxD2: Long = 768L,
+    imageDupKeyMaxDf: Int = 1000,
+    // snapshot retention (q304): how many newest copy-on-write snapshot
+    // versions the vacuum keeps readable (time travel's bound — older
+    // versions' files are reclaimed)
+    cowRetainVersions: Int = 2,
     // token-budget recipe selection (q267): per-source token budget —
     // the greedy hash-ordered prefix keeps docs while the running total
     // is under it (data recipes are specified in TOKENS, not doc counts)

@@ -552,4 +552,238 @@ object Multimodal {
        |  COALESCE(longest_segment, 0) AS longest_segment,
        |  COALESCE(voiced_energy, 0) AS voiced_energy
        |FROM pd LEFT JOIN sd USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q301/q302: image descriptors + image near-dup detection
+  // ---------------------------------------------------------------
+
+  case class ImageDesc(doc_id: Long, desc: Array[Long])
+
+  /** A CONTENT-derived P6 image per doc: same 11-byte header as
+    * [[ppmTable]], but the 48 raster bytes are the first 48 characters
+    * of the (space-padded) text instead of md5 output — so documents
+    * with similar content produce similar PIXELS, which is what makes
+    * an image near-dup query falsifiable on this corpus (md5's
+    * avalanche would destroy exactly the similarity q302 exists to
+    * find; a real pipeline ingests real images whose similarity is in
+    * the bytes already). The decoder downstream still sees only a
+    * valid P6 payload. */
+  private[graft] def contentPpmTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(
+          expr("cast('P6\n4 4\n255\n' as binary)"),
+          expr("cast(rpad(text, 48, ' ') as binary)")).as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** Pooled-thumbnail image descriptor: q119's 2×2 average-pooling
+    * FUSED into the strict P6 decoder, flattened row-major
+    * (py, px, channel) into one integer vector per image — the
+    * perceptual-hash precursor (a pooled thumbnail is what
+    * pHash/aHash start from). Pure map stage, zero shuffle: at real
+    * resolution the same loop pools to 8×8×3 = 192 dims; here the 4×4
+    * synthetic rasters pool to 12. Nothing downstream knows the
+    * raster size — the descriptor length rides the data. */
+  private[graft] def imageDescriptors(spark: SparkSession, dir: String): Dataset[ImageDesc] = {
+    val ds = contentPpmTable(spark, dir)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val (w, h, _, off) = parsePpmHeader(bytes)
+      val outW = (w + 1) / 2
+      val outH = (h + 1) / 2
+      val desc = new Array[Long](outH * outW * 3)
+      var py = 0
+      while (py < outH) {
+        var px = 0
+        while (px < outW) {
+          var (r, g, b, n) = (0L, 0L, 0L, 0L)
+          var dy = 0
+          while (dy < 2) {
+            val y = 2 * py + dy
+            if (y < h) {
+              var dx = 0
+              while (dx < 2) {
+                val x = 2 * px + dx
+                if (x < w) {
+                  val p = off + 3 * (y * w + x)
+                  r += bytes(p) & 0xff
+                  g += bytes(p + 1) & 0xff
+                  b += bytes(p + 2) & 0xff
+                  n += 1
+                }
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          val base = (py * outW + px) * 3
+          desc(base) = r / n; desc(base + 1) = g / n; desc(base + 2) = b / n
+          px += 1
+        }
+        py += 1
+      }
+      ImageDesc(id, desc)
+    })
+  }
+
+  /** Descriptors with the 16-bin quantized blocking key (each pooled
+    * byte >> 4 as one hex char) and the exact integer squared norm. */
+  private[graft] def keyedDescriptors(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    imageDescriptors(spark, dir).toDF()
+      .select(col("doc_id"), col("desc"),
+        expr("array_join(transform(desc, v -> " +
+          "substring('0123456789abcdef', CAST(v div 16 AS INT) + 1, 1)), '')").as("dkey"),
+        expr("vec_dot_long(desc, desc)").as("n2"))
+  }
+
+  /** q301: IMAGE DESCRIPTOR extraction — one row per image with the
+    * pooled-thumbnail vector (comma-joined for the cross-engine hash)
+    * and its quantized blocking key. The decode→pool→flatten path is
+    * hash-verified end to end by the q76/q119 oracle discipline: the
+    * oracle recomputes every pooled byte from the source text's
+    * character codes (the raster IS the padded text's bytes), so a
+    * descriptor mismatch pinpoints the decoder, the geometry, or the
+    * pooling.
+    *
+    * Scale: a pure scan-shaped map stage (decoder + pooling fused, no
+    * shuffle). The descriptor table IS the persisted artifact an
+    * image-dedup pipeline keeps beside the corpus. */
+  def q301ImageDescriptor(spark: SparkSession, dir: String): DataFrame =
+    keyedDescriptors(spark, dir)
+      .select(col("doc_id"), col("dkey"),
+        expr("array_join(transform(desc, v -> CAST(v AS STRING)), ',')").as("descriptor"))
+
+  /** Shared oracle CTEs: pooled descriptor elements recomputed from
+    * character codes — pixel p = 8·py + 2·px + d, byte 3·p + c, each
+    * 2×2 block averages pixel offsets {0, 1, 4, 5}. */
+  private def imgElemsCtes: String =
+    """pad AS (SELECT doc_id, rpad(text, 48, ' ') AS t FROM documents),
+      |vals AS (SELECT doc_id, py, px, c,
+      |    ascii(substr(t, 3*(8*py + 2*px + d) + c + 1, 1)) AS v
+      |  FROM pad, LATERAL (SELECT unnest([0, 1]) AS py) a,
+      |    LATERAL (SELECT unnest([0, 1]) AS px) b,
+      |    LATERAL (SELECT unnest([0, 1, 4, 5]) AS d) e,
+      |    LATERAL (SELECT unnest(generate_series(0, 2)) AS c) u),
+      |elems AS (SELECT doc_id, (py*2 + px)*3 + c AS idx, SUM(v) // 4 AS v
+      |  FROM vals GROUP BY doc_id, py, px, c)""".stripMargin
+
+  def q301Sql: String =
+    s"""WITH $imgElemsCtes
+       |SELECT doc_id,
+       |  string_agg(substr('0123456789abcdef', CAST(v // 16 AS INT) + 1, 1), '' ORDER BY idx) AS dkey,
+       |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY idx) AS descriptor
+       |FROM elems GROUP BY doc_id""".stripMargin
+
+  /** q302: IMAGE NEAR-DUP DETECTION — the dedup family's candidate/
+    * verify discipline on the IMAGE modality (q34 finds near-dups on
+    * external embeddings, q283 on text-derived vectors; this one on
+    * decoded pixels): candidates are pairs sharing the quantized
+    * descriptor key — an EQUI-JOIN, never all-pairs — with buckets
+    * above ${GraftConfig.default.imageDupKeyMaxDf} docs dropped from
+    * candidate generation (the maxOverlapKeyDf hot-key guard: a
+    * monochrome-heavy corpus would otherwise collapse into one O(n²)
+    * bucket); survivors verify by exact integer squared L2 between
+    * pooled thumbnails (d² = na + nb − 2·dot, all `vec_dot_long`
+    * BIGINTs — the boundary test has NO floats at all), kept at ≤
+    * ${GraftConfig.default.imageNeardupMaxD2}.
+    *
+    * Scale: descriptor extraction is a zero-shuffle scan; blocking is
+    * one map-combinable key-frequency aggregate + a broadcast
+    * anti-join of the (tiny) hot-key list + one equi-join whose
+    * bucket sizes the df cap bounds — candidates ≤ cap·n/2 = O(n).
+    * Recall trade of the quantized key (a near-dup pair split across
+    * a bin boundary is missed) is the documented cost of the o(n²)
+    * path, the q283/q287 lesson. */
+  def q302ImageNeardup(spark: SparkSession, dir: String): DataFrame =
+    imageNeardupWith(spark, dir,
+      GraftConfig.default.imageDupKeyMaxDf, GraftConfig.default.imageNeardupMaxD2)
+
+  private[graft] def imageNeardupWith(spark: SparkSession, dir: String,
+      cap: Int, maxD2: Long): DataFrame = {
+    val d = keyedDescriptors(spark, dir)
+    val hot = d.groupBy("dkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("dkey")
+    val ok = d.join(broadcast(hot), Seq("dkey"), "left_anti")
+    val a = ok.select(col("dkey"), col("doc_id").as("doc_a"),
+      col("desc").as("da"), col("n2").as("na"))
+    val b = ok.select(col("dkey"), col("doc_id").as("doc_b"),
+      col("desc").as("db"), col("n2").as("nb"))
+    a.join(b, Seq("dkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("na") + col("nb") - lit(2L) * expr("vec_dot_long(da, db)")).as("d2"))
+      .filter(col("d2") <= maxD2)
+  }
+
+  def q302Sql: String = {
+    val cap = GraftConfig.default.imageDupKeyMaxDf
+    val maxD2 = GraftConfig.default.imageNeardupMaxD2
+    s"""WITH $imgElemsCtes,
+       |keys AS (SELECT doc_id,
+       |    string_agg(substr('0123456789abcdef', CAST(v // 16 AS INT) + 1, 1), '' ORDER BY idx) AS dkey
+       |  FROM elems GROUP BY doc_id),
+       |ok AS (SELECT doc_id, dkey FROM keys
+       |  WHERE dkey IN (SELECT dkey FROM keys GROUP BY dkey HAVING count(*) <= $cap)),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ok a JOIN ok b ON a.dkey = b.dkey AND a.doc_id < b.doc_id),
+       |dd AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM((ea.v - eb.v) * (ea.v - eb.v)) AS BIGINT) AS d2
+       |  FROM cand c
+       |  JOIN elems ea ON ea.doc_id = c.doc_a
+       |  JOIN elems eb ON eb.doc_id = c.doc_b AND eb.idx = ea.idx
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, d2 FROM dd WHERE d2 <= $maxD2""".stripMargin
+  }
+
+  /** q303: IMAGE SIMILARITY SEARCH — exact top-k nearest images by
+    * pooled-thumbnail L2, completing the modality symmetry of the
+    * search surface (q40 searches external embeddings, q289
+    * text-derived vectors, THIS decoded pixels): the first
+    * ${GraftConfig.default.annQueries} doc_ids form the query panel,
+    * every (query, image) pair scores the exact integer
+    * d² = na + nb − 2·dot over descriptors (`vec_dot_long` BIGINTs —
+    * ranking compares exact integers, ties to the lowest doc_id, no
+    * float anywhere).
+    *
+    * Scale: q40's exact plan — tiny panel broadcast against one
+    * zero-shuffle descriptor scan, then a per-query partial top-k;
+    * the corpus side reads 12 ints per image instead of pixels
+    * because the descriptor IS the persisted artifact (q301). For
+    * sub-scan latency the q302 quantized key plays IVF: probe the
+    * query's bucket ring instead of scanning — the tiers compose. */
+  def q303ImageSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nq = GraftConfig.default.annQueries
+    val k = GraftConfig.default.annTopK
+    val d = keyedDescriptors(spark, dir).select("doc_id", "desc", "n2")
+    val q = broadcast(d.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("query_id"), col("desc").as("qd"), col("n2").as("qn2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("doc_id"))
+    q.crossJoin(d)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_long(qd, desc)")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "rk", "d2")
+  }
+
+  def q303Sql: String = {
+    val nq = GraftConfig.default.annQueries
+    val k = GraftConfig.default.annTopK
+    s"""WITH $imgElemsCtes,
+       |qd AS (SELECT doc_id AS query_id, idx, v FROM elems WHERE doc_id < $nq),
+       |dd AS (SELECT q.query_id, e.doc_id,
+       |    CAST(SUM((q.v - e.v) * (q.v - e.v)) AS BIGINT) AS d2
+       |  FROM qd q JOIN elems e ON e.idx = q.idx AND e.doc_id <> q.query_id
+       |  GROUP BY q.query_id, e.doc_id),
+       |rk AS (SELECT query_id, doc_id, d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rk
+       |  FROM dd)
+       |SELECT query_id, doc_id, rk, d2 FROM rk WHERE rk <= $k""".stripMargin
+  }
 }

@@ -191,4 +191,90 @@ object CdcStream {
       |  coalesce(l.seq, CAST(0 AS BIGINT)) AS last_seq
       |FROM base b FULL OUTER JOIN last l ON l.k = b.o_orderkey
       |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
+  /** q304: SNAPSHOT RETENTION (time travel + vacuum) — the lifecycle
+    * management q300's copy-on-write chain creates the need for: every
+    * merge leaves the previous version's immutable files behind, which
+    * is what makes time-travel reads possible AND what grows storage
+    * without bound. This operator builds the 4-version chain (v0 base,
+    * v1..v3 one wave each via [[mergeBatch]]), reads EVERY version's
+    * live row count (the time-travel audit — old versions answer
+    * as-of queries bit-stably because their files never mutate), then
+    * VACUUMS to the newest ${graft.GraftConfig.default.cowRetainVersions}
+    * versions and re-lists, emitting per version (n_alive, kept). The
+    * oracle recomputes each version's live count by folding only the
+    * waves at-or-below it (last-wins per key) and pins the retention
+    * pattern — a vacuum that deletes the wrong versions, or fails to
+    * delete, flips `kept` and hash-fails.
+    *
+    * Scale: counts are one scan per version (metadata-cheap relative
+    * to the merges that built them); the vacuum is pure filesystem
+    * listing + deletes, |versions|-sized. The current version is
+    * re-read AFTER the vacuum so the emitted head count proves the
+    * survivor is intact, not remembered. */
+  def q304SnapshotRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.Scratch.dir("cow_chain", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    if (fs.exists(rootP)) fs.delete(rootP, true)
+    val base = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
+    base.write.parquet(s"$root/v0")
+    changeWaves(spark, dir).zipWithIndex.foreach { case (w, i) =>
+      mergeBatch(spark.read.parquet(s"$root/v$i"), w)
+        .write.parquet(s"$root/v${i + 1}")
+    }
+    val nVersions = 4
+    val preCounts = (0 until nVersions).map { v =>
+      v -> spark.read.parquet(s"$root/v$v").filter(col("alive")).count()
+    }.toMap
+    val cutoff = nVersions - graft.GraftConfig.default.cowRetainVersions
+    (0 until cutoff).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+    (0 until nVersions).map { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/v$v")
+      val kept = fs.exists(p)
+      // survivors re-count from their post-vacuum files: intact, not remembered
+      val n = if (kept) spark.read.parquet(s"$root/v$v").filter(col("alive")).count()
+              else preCounts(v)
+      (v, n, kept)
+    }.toDF("version", "n_alive", "kept")
+  }
+
+  def q304Sql: String = {
+    // live count as of version v: base merged with the per-key
+    // max-seq change among waves 1..v
+    def aliveAt(v: Int): String =
+      if (v == 0) "SELECT CAST(count(*) AS BIGINT) FROM orders"
+      else
+        s"""SELECT CAST(count(*) AS BIGINT) FROM (
+           |  SELECT coalesce(l.k, b.o_orderkey) AS key
+           |  FROM (SELECT o_orderkey FROM orders) b
+           |  FULL OUTER JOIN (
+           |    SELECT k, op FROM (
+           |      SELECT ch.k, ch.op, row_number() OVER (PARTITION BY ch.k ORDER BY ch.seq DESC) AS rk
+           |      FROM ch WHERE ch.seq <= $v) WHERE rk = 1) l
+           |  ON l.k = b.o_orderkey
+           |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
+    val retain = graft.GraftConfig.default.cowRetainVersions
+    val rows = (0 until 4).map { v =>
+      val kept = v >= 4 - retain
+      s"SELECT CAST($v AS INT) AS version, (${aliveAt(v)}) AS n_alive, $kept AS kept"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w1 AS (SELECT
+       |    CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k,
+       |    CAST(1 AS BIGINT) AS seq,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+       |         WHEN o_orderkey % 10 = 1 THEN 'U' ELSE 'I' END AS op
+       |  FROM orders WHERE o_orderkey % 10 <= 2),
+       |w2 AS (SELECT o_orderkey AS k, CAST(2 AS BIGINT) AS seq,
+       |    CASE WHEN o_orderkey % 20 IN (4, 5, 11) THEN 'D' ELSE 'U' END AS op
+       |  FROM orders WHERE o_orderkey % 20 <= 5 OR o_orderkey % 20 = 11),
+       |w3 AS (SELECT o_orderkey AS k, CAST(3 AS BIGINT) AS seq, 'U' AS op
+       |  FROM orders WHERE o_orderkey % 40 <= 2),
+       |ch AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+       |$rows""".stripMargin
+  }
 }

@@ -93,4 +93,22 @@ class CdcStreamSpec extends GraftSpec {
       assert(out.contains(k) && out(k)._4 >= 2L, s"delete-then-update key $k missing")
     }
   }
+
+  test("q304: every version's as-of count is exact; vacuum keeps exactly the newest two") {
+    val rows = CdcStream.q304SnapshotRetention(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows.keySet == Set(0, 1, 2, 3))
+    assert(rows.map { case (_, (_, kept)) => kept } .toSeq.count(identity) == 2)
+    assert(!rows(0)._2 && !rows(1)._2 && rows(2)._2 && rows(3)._2)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val n = o.count()
+    assert(rows(0)._1 == n, "v0 is the untouched base")
+    // v1 = base − wave-1 deletes + wave-1 inserts (new keys)
+    val d1 = o.filter(col("o_orderkey") % 10 === 0).count()
+    val i1 = o.filter(col("o_orderkey") % 10 === 2).count()
+    assert(rows(1)._1 == n - d1 + i1, "v1 as-of count must replay wave 1 exactly")
+    // the head version must equal the drained q300 stream's live rows
+    val live = CdcStream.q300StreamCdcMerge(spark, sf).count()
+    assert(rows(3)._1 == live, "time travel's head must agree with the stream fold")
+  }
 }

@@ -573,4 +573,58 @@ class TextStreamSpec extends GraftSpec {
     assert(rows.map(_.getLong(1)).sum == total,
       "file-sink manifest + checkpoint must give exactly-once across restarts")
   }
+
+  test("q301/q302: planted image dups pair at d2=0, a 1-byte nudge reads d2=1, far images never pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imgdup").toString
+    // rasters ARE the padded text bytes: 'a'*48 → all-97 pixels
+    Seq((1L, "a" * 48), (2L, "a" * 48), (3L, "a" * 47 + "e"), (4L, "z" * 48))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val desc = Multimodal.q301ImageDescriptor(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(desc(1L)._2 == Seq.fill(12)("97").mkString(","))
+    assert(desc(1L) == desc(2L))
+    // doc 3's one changed byte lands in one pooled block: (97*3+101)//4 = 98
+    assert(desc(3L)._2.split(",").count(_ == "98") == 1)
+    assert(desc(3L)._1 == desc(1L)._1, "a 1-bin-safe nudge must keep the blocking key")
+    assert(desc(4L)._1 != desc(1L)._1)
+    val pairs = Multimodal.q302ImageNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical images must pair at exact d2 0")
+    assert(pairs((1L, 3L)) == 1L && pairs((2L, 3L)) == 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "a far image must not pair")
+    // hot-key guard: with cap 1 the shared bucket (3 docs) is dropped
+    val capped = Multimodal.imageNeardupWith(spark, dir, 1, 768L).collect()
+    assert(capped.isEmpty, "df cap must drop the hot bucket from candidates")
+  }
+
+  test("q302 on real data: every pair is under the d2 bound, keys match, doc_a < doc_b") {
+    val d = Multimodal.q302ImageNeardup(spark, sf).collect()
+    assert(d.nonEmpty, "the corpus's prefix-identical docs must surface as image dups")
+    d.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 768L)
+    }
+    val keys = Multimodal.q301ImageDescriptor(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    d.foreach(r => assert(keys(r.getLong(0)) == keys(r.getLong(1)),
+      "every emitted pair must share the blocking key"))
+  }
+
+  test("q303: exact image top-k ranks the planted neighborhood in d2 order with low-id ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imgknn").toString
+    Seq((1L, "a" * 48), (2L, "a" * 48), (3L, "a" * 47 + "e"), (4L, "z" * 48))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.q303ImageSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got((1L, 1)) == ((2L, 0L)), "identical image first")
+    assert(got((1L, 2)) == ((3L, 1L)), "1-byte nudge second")
+    assert(got((1L, 3))._1 == 4L, "far image last")
+    // ties: query 3 is equidistant from 1 and 2 (d2 = 1 each) — low id first
+    assert(got((3L, 1)) == ((1L, 1L)) && got((3L, 2)) == ((2L, 1L)))
+  }
 }
