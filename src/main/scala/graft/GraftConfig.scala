@@ -254,6 +254,9 @@ case class GraftConfig(
     // versions the vacuum keeps readable (time travel's bound — older
     // versions' files are reclaimed)
     cowRetainVersions: Int = 2,
+    // IVF probe curve (q306): sweep nprobe from 1 to this bound — past
+    // the serving default so the curve shows where recall saturates
+    probeCurveMax: Int = 4,
     // token-budget recipe selection (q267): per-source token budget —
     // the greedy hash-ordered prefix keeps docs while the running total
     // is under it (data recipes are specified in TOKENS, not doc counts)

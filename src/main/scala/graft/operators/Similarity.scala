@@ -184,9 +184,20 @@ class SimilarityOps(val cfg: GraftConfig) {
   def searchWithCentroids(spark: SparkSession, dir: String, cents: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val assigned = assign(e, cents)
-    val qv = e.filter(col("vec_id") < NumQueries)
-    val queries = probeCells(qv, cents, cfg.ivfNprobe)
+    servePanel(e, e.filter(col("vec_id") < NumQueries), cents, cfg.ivfNprobe)
+  }
+
+  /** Serve an arbitrary (vec_id, embedding, n2) query panel against an
+    * assigned corpus + centroid table at a given nprobe — the shared
+    * kernel of q41, q305's per-micro-batch serve, and q306's curve
+    * points. */
+  private[graft] def servePanel(e: DataFrame, qv: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    serveAssigned(assign(e, cents), qv, cents, nprobe)
+
+  private[graft] def serveAssigned(assigned: DataFrame, qv: DataFrame,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    val queries = probeCells(qv, cents, nprobe)
       .join(qv.select(col("vec_id"), col("embedding").as("qe"), col("n2").as("qn2")), "vec_id")
       .select(col("vec_id").as("query_id"), col("qe"), col("qn2"), col("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
@@ -364,7 +375,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     * and the cost is the two searches it audits. Recall is an exact
     * integer count over a fixed divisor: engine-exact. */
   def q123AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = q40AnnBrute(spark, dir)
+    val truth = persistedBruteTruth(spark, dir)
       .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
     val approx = q41AnnIvf(spark, dir)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
@@ -396,7 +407,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     * inputs are queries × k tables — the eval join costs nothing
     * beyond the two searches it audits. */
   def q246MrrEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = q40AnnBrute(spark, dir).filter(col("rk") === 1)
+    val truth = persistedBruteTruth(spark, dir).filter(col("rk") === 1)
       .select(col("query_id"), col("vec_id").as("true_nn"))
     val ivf = q41AnnIvf(spark, dir)
       .select(col("query_id"), col("vec_id").as("true_nn"), col("rk"))
@@ -2526,11 +2537,31 @@ class SimilarityOps(val cfg: GraftConfig) {
   def q280GraphAnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallVsBrute(spark, dir, q279GraphAnnSearch(spark, dir))
 
+  /** q40's exhaustive cosine truth as a content-keyed persisted
+    * artifact (queries×k rows — tiny, full q40 output incl. rank and
+    * cosine, which parquet round-trips bit-exactly): eight evals share
+    * it (q123/q246/q280/q286/q291/q294×2/q298), and before this each
+    * re-paid the full corpus scan q40 does. Same lifecycle as every
+    * other derived artifact: keyed on the corpus fingerprint + the
+    * panel knobs, so a corpus regeneration or a knob change reroutes
+    * instead of serving stale truth. At 100 TB the truth table is
+    * exactly what an eval pipeline snapshots once per corpus
+    * version. */
+  private[graft] def persistedBruteTruth(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("ann_truth", dir, spark,
+      Seq("embeddings.parquet"), s"nq=$NumQueries,k=$TopK")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      q40AnnBrute(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Per-query |approx ∩ exact-top-k| / k against q40's exhaustive
     * cosine truth — the shared eval tail of q280 and q286. */
   private[graft] def recallVsBrute(spark: SparkSession, dir: String,
       approxDf: DataFrame): DataFrame = {
-    val truth = q40AnnBrute(spark, dir).select("query_id", "vec_id")
+    val truth = persistedBruteTruth(spark, dir).select("query_id", "vec_id")
     val approx = approxDf
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "vec_id"), "left")
@@ -3212,7 +3243,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     * over codes) plus a queries×k join — eval-sized, like q123. */
   def q298SqRecall(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val truth = q40AnnBrute(spark, dir).select("query_id", "vec_id")
+    val truth = persistedBruteTruth(spark, dir)
     val sq = q297SqSearch(spark, dir)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(sq, Seq("query_id", "vec_id"), "left")
@@ -3367,6 +3398,157 @@ class SimilarityOps(val cfg: GraftConfig) {
     }.mkString("\nUNION ALL\n")
     s"""WITH ${pqTrainCtesFor(where)},
        |$deltas
+       |$rows""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q305: streaming ANN serve; q306: the recall-vs-nprobe curve
+  // ---------------------------------------------------------------
+
+  /** The trained IVF centroid table as a content-keyed persisted
+    * artifact — the production lifecycle (train once, probe forever)
+    * that q41 keeps inline for self-containment and the serving
+    * consumers (q305/q306) load. Centroids are DOUBLE arrays: parquet
+    * round-trips them bit-exactly, so artifact ≡ retrain (the oracle
+    * retrains through the CTE chain every round, re-proving it). */
+  private[graft] def persistedIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("ivf_cents", dir, spark,
+      Seq("embeddings.parquet"), s"c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      trainIndex(spark, dir).write.mode("overwrite").parquet(path)
+    loadIndex(spark, path)
+  }
+
+  /** q305: STREAMING ANN SERVE — queries as a LIVE STREAM against the
+    * persisted IVF index (the online half of the serving story every
+    * batch tier assumes: an index trains nightly, queries arrive all
+    * day): the query panel lands as files in two waves, `foreachBatch`
+    * serves each micro-batch through the SAME probe→score→top-k kernel
+    * as batch q41 (`servePanel`) against the loaded centroid artifact,
+    * appending per-query results to the sink. Per-query top-k is
+    * batch-local by construction (a query lives in exactly one
+    * micro-batch), so the drain equals batch q41 row for row and the
+    * SAME oracle gates both (the q288 twin discipline).
+    *
+    * Scale: serving is stateless — nothing enters the state store; the
+    * centroids are a broadcast-sized artifact re-read per batch, and
+    * the corpus side is the static stream-static join leg (the q70
+    * shape). Latency is one micro-batch; throughput is q41's per-query
+    * cost. */
+  def q305StreamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val landing = graft.sources.Scratch.dir("annq_landing", dir)
+    val ckpt = graft.sources.Scratch.dir("annq_ckpt", dir)
+    val out = graft.sources.Scratch.dir("annq_out", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(landing, ckpt, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = persistedIvfIndex(spark, dir)
+    val panel = e.filter(col("vec_id") < NumQueries)
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    Seq(panel.filter(col("vec_id") % 2 === 0), panel.filter(col("vec_id") % 2 === 1))
+      .zipWithIndex.foreach { case (w, i) =>
+        val before =
+          if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+          else Set.empty[org.apache.hadoop.fs.Path]
+        w.repartition(1).write.mode("append").parquet(landing)
+        fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+          .map(_.getPath).filterNot(before)
+          .filter(_.getName.startsWith("part-"))
+          .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+      }
+    val raw = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, n2 DOUBLE")
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = raw.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          servePanel(e, b, cents, cfg.ivfNprobe)
+            .write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+  }
+
+  /** q306: the RECALL-vs-NPROBE CURVE — the tuning table every IVF
+    * deployment reads before picking its serving knob (the q200
+    * measured-curve discipline applied to the index): nprobe sweeps
+    * 1..${cfg.probeCurveMax} (past the serving default, so the curve
+    * shows where recall saturates against the probed-cells cost),
+    * each point serving the full query panel through the shared
+    * kernel at that nprobe and scoring per query against the
+    * persisted exhaustive truth at top-$IvfTopK. Per-(nprobe, query)
+    * rows — the distribution ships, scalar averaging stays with the
+    * caller (the q96/q246 convention).
+    *
+    * Scale: one corpus assignment per curve point over the broadcast
+    * centroid artifact (zero-shuffle map) + cell-bounded candidate
+    * scoring — the sweep costs curve-points × q41, and the eval join
+    * is queries×k. */
+  def q306IvfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = persistedIvfIndex(spark, dir)
+    val panel = e.filter(col("vec_id") < NumQueries)
+    val truth = persistedBruteTruth(spark, dir)
+      .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
+    (1 to cfg.probeCurveMax).map { np =>
+      val top = servePanel(e, panel, cents, np)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(top, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / IvfTopK).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  def q305Sql: String = q41Sql
+
+  def q306Sql: String = {
+    val points = (1 to cfg.probeCurveMax).map { np =>
+      s"""qprobe$np AS (SELECT ia AS query_id, ib AS cell FROM (
+         |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+         |    FROM af_dots WHERE ia < $NumQueries)
+         |  WHERE rk <= $np),
+         |qv$np AS (SELECT q.query_id, e.embedding AS qe, q.cell
+         |  FROM qprobe$np q JOIN e ON e.vec_id = q.query_id),
+         |cp$np AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
+         |  FROM qv$np qv JOIN av USING (cell) WHERE av.vec_id <> qv.query_id),
+         |tex$np AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM cp$np),
+         |tdots$np AS (SELECT ia, ib,
+         |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+         |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+         |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+         |  FROM tex$np GROUP BY ia, ib),
+         |top$np AS (SELECT ia, ib FROM (
+         |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+         |    FROM tdots$np) WHERE rk <= $IvfTopK)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to cfg.probeCurveMax).map { np =>
+      s"""SELECT $np AS nprobe, t.query_id, CAST(count(a.ib) AS BIGINT) AS n_hit,
+         |  CAST(count(a.ib) AS DOUBLE) / $IvfTopK AS recall
+         |FROM truth t LEFT JOIN top$np a
+         |  ON a.ia = t.query_id AND a.ib = t.vec_id
+         |GROUP BY t.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$trainedAssignCtes,
+       |brute AS ($q40Sql),
+       |truth AS (SELECT query_id, vec_id FROM brute WHERE rk <= $IvfTopK),
+       |$points
        |$rows""".stripMargin
   }
 }

@@ -87,6 +87,57 @@ class QuantTierSpec extends GraftSpec {
     }
   }
 
+  test("recall evals read the persisted truth artifact: doctoring it moves the recall both ways") {
+    val base = GraftConfig.default
+    // a distinct annTopK keys a PRIVATE truth artifact for this test,
+    // so doctoring cannot leak into other suites' reads
+    val ops = new graft.operators.SimilarityOps(GraftConfig(annTopK = base.annTopK + 1))
+    val path = graft.sources.Scratch.keyedDir("ann_truth", sf, spark,
+      Seq("embeddings.parquet"), s"nq=${ops.NumQueries},k=${ops.TopK}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val honest = ops.q298SqRecall(spark, sf).collect().map(_.getDouble(2)).sum
+    // doctor: truth = the SQ answer itself → recall must read perfect
+    ops.q297SqSearch(spark, sf).select("query_id", "vec_id", "rk", "ccos")
+      .withColumnRenamed("ccos", "cosine")
+      .write.mode("overwrite").parquet(path)
+    val rigged = ops.q298SqRecall(spark, sf).collect()
+    assert(rigged.forall(_.getDouble(2) == 1.0),
+      "truth ≡ answer must read recall 1.0 — the eval is not reading the artifact")
+    fs.delete(p, true) // leave no doctored state behind
+    assert(honest >= 0.0) // the honest pass ran against the real truth
+  }
+
+  test("q305: the drained streaming serve equals batch q41 row for row") {
+    val stream = Similarity.q305StreamAnnServe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val batch = Similarity.q41AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(stream == batch, "per-batch serve must reproduce the batch search bitwise")
+    assert(stream.nonEmpty)
+  }
+
+  test("q306: recall is monotone in nprobe per query and the curve point at the default matches q123") {
+    val curve = Similarity.q306IvfProbeCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val queries = curve.keys.map(_._2).toSet
+    val maxNp = GraftConfig.default.probeCurveMax
+    queries.foreach { q =>
+      (1 until maxNp).foreach { np =>
+        assert(curve((np, q)) <= curve((np + 1, q)) + 1e-12,
+          s"recall must not fall as nprobe grows (query $q, np $np)")
+      }
+    }
+    val atDefault = GraftConfig.default.ivfNprobe
+    val q123 = Similarity.q123AnnRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q123.foreach { case (q, r) =>
+      assert(curve((atDefault, q)) == r,
+        "the curve at the serving default must reproduce q123's recall")
+    }
+  }
+
   test("q299 on real data: counts reconcile with the md5 split and errors are finite") {
     val out = Similarity.q299PqDelta(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
