@@ -257,6 +257,14 @@ case class GraftConfig(
     // IVF probe curve (q306): sweep nprobe from 1 to this bound — past
     // the serving default so the curve shows where recall saturates
     probeCurveMax: Int = 4,
+    // audio near-dup (q308): candidates share the quantized frame-energy
+    // key (each frame energy >> 28); hot buckets above the df cap drop
+    // (the maxOverlapKeyDf discipline — a silence-heavy corpus would
+    // collapse into one bucket); survivors verify by exact integer L1
+    // over frame energies, kept at ≤ maxL1 (tighter than the key's own
+    // bin width, so the verify does real work)
+    audioNeardupMaxL1: Long = 100000000L,
+    audioDupKeyMaxDf: Int = 1000,
     // token-budget recipe selection (q267): per-source token budget —
     // the greedy hash-ordered prefix keeps docs while the running total
     // is under it (data recipes are specified in TOKENS, not doc counts)

@@ -739,6 +739,153 @@ object Multimodal {
        |SELECT doc_a, doc_b, d2 FROM dd WHERE d2 <= $maxD2""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q307/q308: audio fingerprints + audio near-dup detection
+  // ---------------------------------------------------------------
+
+  /** A CONTENT-derived WAV per doc: [[wavTable]]'s 44-byte canonical
+    * header, but the 64 data bytes are the first 64 characters of the
+    * (space-padded) text — similar documents produce similar SAMPLES,
+    * the property audio near-dup detection exists to exploit (md5's
+    * avalanche would destroy it; real pipelines ingest real audio
+    * whose similarity is already in the samples). The strict RIFF
+    * parser downstream still sees only a valid PCM payload. */
+  private[graft] def contentWavTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(
+          expr(s"to_binary('$WavHeaderHex', 'hex')"),
+          expr("cast(rpad(text, 64, ' ') as binary)")).as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** Per-clip frame-energy fingerprint: q134's per-frame energy FUSED
+    * into the strict RIFF decoder (one pure map stage, zero shuffle),
+    * one integer vector of per-8-sample-frame energies per clip — the
+    * audio-fingerprinting primitive (energy envelopes are what
+    * Shazam-style landmark schemes coarsen from). */
+  private[graft] def audioFingerprints(spark: SparkSession, dir: String): Dataset[ImageDesc] = {
+    val ds = contentWavTable(spark, dir)
+    import ds.sparkSession.implicits._
+    val FrameN = 8
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val (off, dataLen) = parseWavHeader(bytes)
+      val n = dataLen / 2
+      val nf = (n + FrameN - 1) / FrameN
+      val en = new Array[Long](nf)
+      var f = 0
+      while (f < nf) {
+        val lo = f * FrameN
+        val hi = math.min(lo + FrameN, n)
+        var e = 0L
+        var j = lo
+        while (j < hi) {
+          val b0 = bytes(off + 2 * j) & 0xff
+          val b1 = bytes(off + 2 * j + 1)
+          val s = (b1 << 8) | b0
+          e += s.toLong * s
+          j += 1
+        }
+        en(f) = e
+        f += 1
+      }
+      ImageDesc(id, en)
+    })
+  }
+
+  /** Fingerprints with the quantized blocking key (each frame energy
+    * >> 28) and shared oracle CTEs for the audio pair. */
+  private[graft] def keyedAudio(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprints(spark, dir).toDF()
+      .select(col("doc_id"), col("desc").as("en"),
+        expr("array_join(transform(desc, e -> CAST(e div 268435456 AS STRING)), ',')").as("akey"))
+
+  private def audElemsCtes: String =
+    """pad AS (SELECT doc_id, rpad(text, 64, ' ') AS t FROM documents),
+      |sm AS (SELECT doc_id, j,
+      |    ascii(substr(t, 2*j+2, 1)) * 256 + ascii(substr(t, 2*j+1, 1)) AS s
+      |  FROM pad, LATERAL (SELECT unnest(generate_series(0, 31)) AS j) u),
+      |fr AS (SELECT doc_id, j // 8 AS frame, CAST(SUM(s*s) AS BIGINT) AS e
+      |  FROM sm GROUP BY doc_id, j // 8)""".stripMargin
+
+  /** q307: AUDIO FINGERPRINT extraction — one row per clip with the
+    * frame-energy vector (comma-joined) and its quantized blocking
+    * key; the audio twin of q301. The decode→frame→energy path is
+    * hash-verified end to end by the character-code oracle (the q134
+    * discipline: LE int16 reconstruction, exact integer Σs²) — a
+    * fingerprint mismatch pinpoints the chunk walk, the sample
+    * decode, or the framing. Pure scan-shaped map stage; the
+    * fingerprint table is the persisted artifact an audio-dedup
+    * pipeline keeps beside the corpus. */
+  def q307AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    keyedAudio(spark, dir)
+      .select(col("doc_id"), col("akey"),
+        expr("array_join(transform(en, e -> CAST(e AS STRING)), ',')").as("fingerprint"))
+
+  def q307Sql: String =
+    s"""WITH $audElemsCtes
+       |SELECT doc_id,
+       |  string_agg(CAST(e // 268435456 AS VARCHAR), ',' ORDER BY frame) AS akey,
+       |  string_agg(CAST(e AS VARCHAR), ',' ORDER BY frame) AS fingerprint
+       |FROM fr GROUP BY doc_id""".stripMargin
+
+  /** q308: AUDIO NEAR-DUP DETECTION — the candidate/verify dedup
+    * discipline on the AUDIO modality, completing the symmetry
+    * (text q30-q34/q283, image q302, audio HERE): candidates share
+    * the quantized frame-energy key (equi-join, never all-pairs) with
+    * buckets above ${GraftConfig.default.audioDupKeyMaxDf} dropped
+    * (the hot-key guard — a silence-heavy corpus would collapse into
+    * one O(n²) bucket); survivors verify by exact integer L1 over
+    * frame energies at ≤ ${GraftConfig.default.audioNeardupMaxL1} —
+    * deliberately TIGHTER than the key's own 2^28 bin width, so the
+    * verify prunes real candidates (an all-integer boundary, the q302
+    * discipline). Recall trade of the quantized key is the documented
+    * o(n²)-path cost (q283/q287 lesson).
+    *
+    * Scale: fingerprinting is a zero-shuffle scan; blocking is one
+    * map-combinable key-frequency aggregate + broadcast anti-join +
+    * one equi-join with df-capped buckets — candidates ≤ cap·n/2. */
+  def q308AudioNeardup(spark: SparkSession, dir: String): DataFrame =
+    audioNeardupWith(spark, dir,
+      GraftConfig.default.audioDupKeyMaxDf, GraftConfig.default.audioNeardupMaxL1)
+
+  private[graft] def audioNeardupWith(spark: SparkSession, dir: String,
+      cap: Int, maxL1: Long): DataFrame = {
+    val d = keyedAudio(spark, dir)
+    val hot = d.groupBy("akey").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("akey")
+    val ok = d.join(broadcast(hot), Seq("akey"), "left_anti")
+    val a = ok.select(col("akey"), col("doc_id").as("doc_a"), col("en").as("ea"))
+    val b = ok.select(col("akey"), col("doc_id").as("doc_b"), col("en").as("eb"))
+    a.join(b, Seq("akey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ea, eb, (x, y) -> abs(x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("l1"))
+      .filter(col("l1") <= maxL1)
+  }
+
+  def q308Sql: String = {
+    val cap = GraftConfig.default.audioDupKeyMaxDf
+    val maxL1 = GraftConfig.default.audioNeardupMaxL1
+    s"""WITH $audElemsCtes,
+       |keys AS (SELECT doc_id,
+       |    string_agg(CAST(e // 268435456 AS VARCHAR), ',' ORDER BY frame) AS akey
+       |  FROM fr GROUP BY doc_id),
+       |ok AS (SELECT doc_id, akey FROM keys
+       |  WHERE akey IN (SELECT akey FROM keys GROUP BY akey HAVING count(*) <= $cap)),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ok a JOIN ok b ON a.akey = b.akey AND a.doc_id < b.doc_id),
+       |dd AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM(abs(ea.e - eb.e)) AS BIGINT) AS l1
+       |  FROM cand c
+       |  JOIN fr ea ON ea.doc_id = c.doc_a
+       |  JOIN fr eb ON eb.doc_id = c.doc_b AND eb.frame = ea.frame
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, l1 FROM dd WHERE l1 <= $maxL1""".stripMargin
+  }
+
   /** q303: IMAGE SIMILARITY SEARCH — exact top-k nearest images by
     * pooled-thumbnail L2, completing the modality symmetry of the
     * search surface (q40 searches external embeddings, q289

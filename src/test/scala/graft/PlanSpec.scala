@@ -573,4 +573,30 @@ class PlanSpec extends GraftSpec {
       assert(p.contains("vec_dot_long"), s"$n must score with the native integer dot")
     }
   }
+
+  test("q297 SQ search: broadcast panel over one code scan, native integer dots, no extra shuffle join") {
+    val p = plan("q297_sq_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the query panel must broadcast against the corpus scan")
+    assert(p.contains("vec_dot_long"), "code dots must be the native integer expression")
+    assert(!p.contains("SortMergeJoin"), "nothing in the SQ scan path may sort-merge-shuffle")
+  }
+
+  test("q302/q308 modality near-dups: equi-join blocking with the broadcast hot-key anti-join, no cartesian") {
+    Seq("q302_image_neardup", "q308_audio_neardup").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n candidate pairs must come from the capped key equi-join")
+      assert(p.contains("LeftAnti"), s"$n is missing the hot-bucket anti-join")
+    }
+  }
+
+  test("q306 probe curve: every curve point assigns via broadcast centroids — the corpus never shuffles for the join") {
+    val p = plan("q306_probe_curve")
+    assert(!p.contains("CartesianProduct"), "no unbounded pair generation in the sweep")
+    // per-point work: windows only on the query side (probe rank + final
+    // top-k per point) — corpus-keyed windows would be the skew-killer
+    assert(windows(p) <= 2 * GraftConfig.default.probeCurveMax,
+      "windows must stay on the panel side of every curve point")
+  }
 }

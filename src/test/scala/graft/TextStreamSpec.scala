@@ -613,6 +613,45 @@ class TextStreamSpec extends GraftSpec {
       "every emitted pair must share the blocking key"))
   }
 
+  test("q307/q308: planted audio dups pair at l1=0; a 1-char nudge reads the exact sample delta") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("auddup").toString
+    // samples ARE LE int16 over the padded text bytes: 'a'*64 → every
+    // sample (97<<8)|97 = 24929, frame energy 8·24929² = 4_971_640_328
+    Seq((1L, "a" * 64), (2L, "a" * 64), (3L, "a" * 63 + "e"), (4L, "z" * 64))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = Multimodal.q307AudioFingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(fp(1L)._2 == Seq.fill(4)("4971640328").mkString(","))
+    assert(fp(1L) == fp(2L))
+    assert(fp(3L)._1 == fp(1L)._1, "an in-bin nudge must keep the blocking key")
+    assert(fp(4L)._1 != fp(1L)._1)
+    val pairs = Multimodal.q308AudioNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    // doc 3's last char 'e' lands in sample 31 (high byte unchanged):
+    // s 24929 → (101<<8)|97? no — LE: low byte is char 63 ('a'), high
+    // byte char 64 ('e'→101): s' = 101·256 + 97 = 25953; the energy
+    // delta is 25953² − 24929² = 52_103_168 — the exact l1
+    assert(pairs((1L, 3L)) == 52103168L && pairs((2L, 3L)) == 52103168L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    val capped = Multimodal.audioNeardupWith(spark, dir, 1, 100000000L).collect()
+    assert(capped.isEmpty, "df cap must drop the hot bucket from candidates")
+  }
+
+  test("q308 on real data: pairs under the l1 bound, keys agree") {
+    val d = Multimodal.q308AudioNeardup(spark, sf).collect()
+    assert(d.nonEmpty, "prefix-identical docs must surface as audio dups")
+    val keys = Multimodal.q307AudioFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    d.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 100000000L)
+      assert(keys(r.getLong(0)) == keys(r.getLong(1)))
+    }
+  }
+
   test("q303: exact image top-k ranks the planted neighborhood in d2 order with low-id ties") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("imgknn").toString
