@@ -560,11 +560,57 @@ case class GraftConfig(
     // counts — both bound the driver round trip
     prfFeedbackDocs: Int = 3,
     prfExpandTerms: Int = 2,
+    // round-15+ knobs live in a nested block: the flat parameter list
+    // hit the JVM's 254-slot constructor cap (Long/Double count twice);
+    // flat `cfg.<knob>` access is preserved by forwarder defs below
+    ext: GraftExt = GraftExt(),
     // scratch base for the source round-trip queries (q65/q72/q79) —
     // MUST point at a shared filesystem on a multi-node cluster
     // (driver-local tmp is invisible to off-node executors); local
     // mode defaults to java.io.tmpdir
-    scratchDir: String = System.getProperty("java.io.tmpdir"))
+    scratchDir: String = System.getProperty("java.io.tmpdir")) {
+  // flat access forwarders for the nested round-15+ knob block
+  def profitPartToken: String = ext.profitPartToken
+  def topSupplierFrom: String = ext.topSupplierFrom
+  def topSupplierDays: Int = ext.topSupplierDays
+  def pendingPartPrefix: String = ext.pendingPartPrefix
+  def pendingShipYear: Int = ext.pendingShipYear
+  def pendingQtyMin: Double = ext.pendingQtyMin
+  def pendingNation: String = ext.pendingNation
+  def videoDupKeyMaxDf: Int = ext.videoDupKeyMaxDf
+  def videoNeardupMaxD2: Long = ext.videoNeardupMaxD2
+  def semTargetCellSize: Int = ext.semTargetCellSize
+}
+
+/** Round-15+ knobs (see [[GraftConfig.ext]] — the flat constructor hit
+  * the JVM's 254-slot cap, so new knobs accrue here; access stays flat
+  * through GraftConfig's forwarder defs). */
+case class GraftExt(
+    // q311 (Q9 profit roll-up): parts whose name contains this token;
+    // unit supply cost is proxied by the part's retail price (this
+    // schema has no partsupp table)
+    profitPartToken: String = "widget",
+    // q312 (Q15 top supplier): revenue-view window start and length
+    topSupplierFrom: String = "1997-01-01",
+    topSupplierDays: Int = 90,
+    // q313 (Q20 nested semijoin): part-name prefix, audited ship year,
+    // per-(supplier, part) moved-quantity threshold, and the audited
+    // nation — NATION_19 has qualifying suppliers at every test SF
+    pendingPartPrefix: String = "c",
+    pendingShipYear: Int = 1998,
+    pendingQtyMin: Double = 50.0,
+    pendingNation: String = "NATION_19",
+    // q315 (video near-dup): blocking-bucket df cap and the exact
+    // integer squared-L2 verify bound over the temporal fingerprint —
+    // tighter than the key's 16-wide bins by design (measured at
+    // sf0.01: 58 candidates → 40 kept)
+    videoDupKeyMaxDf: Int = 1000,
+    videoNeardupMaxD2: Long = 256L,
+    // the within-cell pair-space sizing rule (q94/q196, see
+    // SimilarityOps.cellsFor): centroid count must grow ∝ corpus so
+    // expected cell size stays at most this — the Σ|cell|²
+    // sub-quadratic contract
+    semTargetCellSize: Int = 256)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

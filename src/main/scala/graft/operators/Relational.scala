@@ -1405,6 +1405,146 @@ class RelationalOps(val cfg: GraftConfig) {
       |    a.o_totalprice AS old_price
       |  FROM base a FULL OUTER JOIN merged m ON a.o_orderkey = m.mk)
       |WHERE op IS NOT NULL""".stripMargin
+
+  /** q311: PROFIT ROLL-UP — the TPC-H Q9 shape, the multi-fact plan
+    * missing from the canon tail: per (supplier nation, order year),
+    * the profit on LIKE-filtered parts across lineitem ⋈ orders ⋈
+    * part ⋈ supplier ⋈ nation. This schema has no partsupp, so unit
+    * supply cost is proxied by the part's retail price (a dim
+    * attribute — exactly where Q9's ps_supplycost sits): profit =
+    * l_extendedprice·(1−l_discount) − p_retailprice·l_quantity, one
+    * fixed double chain per row, summed in exact DECIMAL (the q199
+    * discipline), so the roll-up is order-free and engine-identical.
+    *
+    * Plan: the LIKE-filtered part dim and the supplier→nation map
+    * BROADCAST into the fact scan (the contains-filter prunes ~part
+    * rows before any shuffle); the only big-big join is lineitem ⋈
+    * orders on the natural order key; the roll-up is one
+    * map-combinable hash aggregate over nations × years. */
+  def q311ProfitRollup(spark: SparkSession, dir: String): DataFrame = {
+    val pf = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").contains(cfg.profitPartToken))
+      .select("p_partkey", "p_retailprice"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity"), 24, 6).as("sum_profit"))
+  }
+
+  def q311Sql: String =
+    s"""SELECT nation, o_year,
+       |  CAST(SUM(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |    l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity AS amount
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE contains(p_name, '${cfg.profitPartToken}'))
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q312: TOP SUPPLIER — the TPC-H Q15 shape (max-of-aggregate view
+    * join-back): per-supplier revenue over a fixed ${cfg.topSupplierDays}-day
+    * ship window, then exactly the suppliers achieving the maximum.
+    * The view's revenue is an exact DECIMAL sum and the max and its
+    * equality join-back compare those exact decimals — no float sits
+    * at the tie boundary, so ALL maximal suppliers surface
+    * deterministically on both engines (Q15's result-set semantics).
+    *
+    * Plan: ONE windowed-fact aggregate (shipdate filter pushed to the
+    * scan) builds the |supplier|-sized view; the one-row max
+    * re-aggregates it and rides a broadcast cross-join back — the
+    * q203 global-scalar discipline; no window function anywhere. */
+  def q312TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val from = to_timestamp(lit(cfg.topSupplierFrom))
+    val until = from + expr(s"INTERVAL ${cfg.topSupplierDays} DAYS")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).as("rdec"))
+    val top = rev.agg(max(col("rdec")).as("m"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rdec") === col("m"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rdec").cast("double").as("total_revenue"))
+  }
+
+  def q312Sql: String =
+    s"""WITH rev AS (SELECT l_suppkey,
+       |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS rdec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '${cfg.topSupplierFrom}'
+       |    AND l_shipdate < TIMESTAMP '${cfg.topSupplierFrom}'
+       |      + INTERVAL ${cfg.topSupplierDays} DAY
+       |  GROUP BY 1),
+       |m AS (SELECT MAX(rdec) AS m FROM rev)
+       |SELECT s_suppkey, s_name, CAST(rdec AS DOUBLE) AS total_revenue
+       |FROM rev
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |CROSS JOIN m
+       |WHERE rdec = m.m""".stripMargin
+
+  /** q313: CAPACITY SEMIJOIN — the TPC-H Q20 shape (nested semijoin
+    * chain), the last distinct decorrelation plan in the canon tail:
+    * the ${cfg.pendingNation} suppliers who moved more than
+    * ${cfg.pendingQtyMin} units of any '${cfg.pendingPartPrefix}%'-named
+    * part in ${cfg.pendingShipYear} — supplier ⋉ (grouped lineitem ⋉
+    * LIKE-filtered part). Quantities are integral doubles, so the
+    * HAVING sum and its threshold compare exactly on both engines.
+    *
+    * Plan: innermost the prefix-filtered part dim BROADCASTS into the
+    * year-pruned fact scan; the (supplier, part) aggregate is
+    * map-combinable; both semijoin hops are LEFT SEMI (existence
+    * only — no row multiplication anywhere, Q20's defining property);
+    * the nation filter rides the broadcast nation dim. */
+  def q313CapacitySemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val pf = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(cfg.pendingPartPrefix))
+      .select("p_partkey"))
+    val movers = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === cfg.pendingShipYear)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > cfg.pendingQtyMin)
+      .select("l_suppkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === cfg.pendingNation).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+  }
+
+  def q313Sql: String =
+    s"""SELECT s_suppkey, s_name, s_acctbal
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = '${cfg.pendingNation}'
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey
+       |    WHERE p_name LIKE '${cfg.pendingPartPrefix}%'
+       |      AND year(l_shipdate) = ${cfg.pendingShipYear}
+       |    GROUP BY l_suppkey, l_partkey
+       |    HAVING SUM(l_quantity) > ${cfg.pendingQtyMin})""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -300,8 +300,10 @@ class SequenceOps(val cfg: GraftConfig) {
       .select("doc_id", "pos", "from_char", "to_char", "n_votes")
   }
 
-  def q59Sql: String =
-    s"""WITH km AS MATERIALIZED ($kmerExplodeSqlPos),
+  /** Shared q59/q310 oracle preamble ending at `v(doc_id, pos,
+    * from_char, to_char)` — every per-position correction vote. */
+  private def voteCtes: String =
+    s"""km AS MATERIALIZED ($kmerExplodeSqlPos),
        |freq AS (SELECT kmer, count(*) AS f FROM km GROUP BY kmer),
        |weak AS (SELECT km.doc_id, km.g, km.kmer FROM km
        |  JOIN freq USING (kmer) WHERE f = 1),
@@ -316,10 +318,68 @@ class SequenceOps(val cfg: GraftConfig) {
        |  FROM strong, LATERAL (SELECT unnest(generate_series(1, $K)) AS i) t),
        |v AS (SELECT wa.doc_id, wa.pos, wa.from_char, sa.to_char
        |  FROM wa JOIN sa ON wa.mi = sa.mi AND wa.mk = sa.mk
-       |  WHERE wa.from_char <> sa.to_char)
+       |  WHERE wa.from_char <> sa.to_char)""".stripMargin
+
+  def q59Sql: String =
+    s"""WITH $voteCtes
        |SELECT doc_id, pos, from_char, min(to_char) AS to_char, count(*) AS n_votes
        |FROM v GROUP BY doc_id, pos, from_char
        |HAVING count(DISTINCT to_char) = 1""".stripMargin
+
+  /** q310: CORRECTION APPLY — the transform consumer of the correction
+    * family: q59's agreeing votes FOLD INTO rewritten document text,
+    * producing the corrected corpus a curation pipeline actually wants
+    * (the reference stops at PreCorrect's message-shaped votes —
+    * PreCorrect.java:189-215 emits (id, pos, base) messages and
+    * BrushAssembler never chains an applier; Graft ships the apply).
+    * Divergence, documented: the reference guards application with a
+    * minority-dissent threshold on the vote tally; q59's vote table is
+    * STRICTER — a position is emitted only when ALL its votes agree on
+    * one replacement char (n_alts = 1) — so every emitted vote is
+    * unanimous and the guard is subsumed. Corrections are
+    * length-preserving single-char substitutions at distinct
+    * positions, so the fold is order-independent; it still applies in
+    * sorted position order for determinism.
+    *
+    * Scale: the vote table is weak-position-sparse (≪ corpus chars);
+    * one groupBy(doc_id) packs each doc's votes into a bounded array,
+    * the corpus join is a plain equi-join on doc_id (AQE broadcasts
+    * the vote side when small), and the apply itself is a row-local
+    * codegen'd `aggregate` HOF over the packed votes — no per-char
+    * explode of the corpus, no shuffle beyond the one join. */
+  def q310CorrectionApply(spark: SparkSession, dir: String): DataFrame = {
+    val votes = q59CorrectionVotes(spark, dir)
+      .groupBy("doc_id")
+      .agg(expr("array_sort(collect_list(struct(pos, to_char)))").as("vs"))
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("vs").isNull, lit(0L))
+          .otherwise(size(col("vs")).cast("long")).as("n_corrections"),
+        when(col("vs").isNull, col("text")).otherwise(expr(
+          """aggregate(vs, text, (acc, vt) ->
+            |  concat(substring(acc, 1, CAST(vt.pos AS INT) - 1), vt.to_char,
+            |    substring(acc, CAST(vt.pos AS INT) + 1, length(acc))))""".stripMargin))
+          .as("corrected"))
+  }
+
+  def q310Sql: String =
+    s"""WITH $voteCtes,
+       |votes AS (SELECT doc_id, pos, min(to_char) AS to_char
+       |  FROM v GROUP BY doc_id, pos, from_char
+       |  HAVING count(DISTINCT to_char) = 1),
+       |chars AS (SELECT d.doc_id, i, substr(d.text, i, 1) AS ch
+       |  FROM documents d,
+       |    LATERAL (SELECT unnest(generate_series(1, len(d.text))) AS i) t),
+       |corr AS (SELECT c.doc_id,
+       |    string_agg(coalesce(vt.to_char, c.ch), '' ORDER BY c.i) AS corrected,
+       |    CAST(count(vt.to_char) AS BIGINT) AS n_corrections
+       |  FROM chars c LEFT JOIN votes vt
+       |    ON vt.doc_id = c.doc_id AND vt.pos = c.i
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, coalesce(co.n_corrections, 0) AS n_corrections,
+       |  coalesce(co.corrected, d.text) AS corrected
+       |FROM documents d LEFT JOIN corr co ON co.doc_id = d.doc_id""".stripMargin
 
   private def kmerExplodeSqlPos: String =
     s"""SELECT d.doc_id, g, substr(d.text, g, $K) AS kmer

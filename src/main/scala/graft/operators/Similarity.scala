@@ -36,6 +36,24 @@ class SimilarityOps(val cfg: GraftConfig) {
   val TrainMod: Int = cfg.ivfTrainMod
   val SemCos: Double = cfg.semDedupCos
 
+  /** The CELL-COUNT SIZING RULE for the within-cell pair spaces
+    * (q94 SemDeDup, q196 cohesion): their pair work is Σ|cell|², which
+    * is sub-quadratic ONLY while expected cell size n/cells stays
+    * bounded — i.e. the centroid count must GROW with the corpus. This
+    * is the standard SemDeDup contract (Abbas et al. '23 size k ∝ n);
+    * a deployment that scales the corpus 100× while keeping `ivfCells`
+    * fixed silently goes quadratic inside cells. The rule:
+    * cells = max(configured, ⌈n / semTargetCellSize⌉), which caps
+    * EXPECTED pair work at n·target/2; REALIZED balance (skewed cells)
+    * is the thing q183's balance eval watches and q196's
+    * cohesionPairCap hard-bounds. The test corpora all sit below the
+    * knee (cellsFor(n) == configured), so the oracle-gated assignment
+    * IS the production-sized one at spec scale — the spec pins both
+    * facts. */
+  def cellsFor(n: Long): Int =
+    math.max(NumCentroids,
+      ((n + cfg.semTargetCellSize - 1) / cfg.semTargetCellSize).toInt)
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
@@ -325,8 +343,12 @@ class SimilarityOps(val cfg: GraftConfig) {
     * pairs to cells is exactly what makes semantic dedup tractable:
     * the pair space is Σ|cell|² instead of n², and each cell's
     * comparisons are one partition's work after the cell-key shuffle.
-    * At 100 TB: more centroids → smaller cells → the quadratic term is
-    * capped by the cell-size distribution the index already balances. */
+    * At 100 TB: the centroid count MUST follow [[cellsFor]] (grow ∝ n
+    * so expected cell size stays ≤ semTargetCellSize) — a fixed cell
+    * count under a growing corpus silently re-quadratizes the pair
+    * space; realized skew is q183's watch. The test corpora sit below
+    * the knee, so the configured count IS cellsFor(n) here
+    * (spec-pinned) and the oracle is unchanged. */
   def q94SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
@@ -1224,8 +1246,11 @@ class SimilarityOps(val cfg: GraftConfig) {
     * hot cell keeps ≤ cap rows map-side BEFORE the cell exchange),
     * making the eval unconditionally ≤ Σ min(|cell|, cap)² pairs at
     * ANY corpus size; `exact` = 1 marks cells the cap didn't touch
-    * (capped ≡ full there — spec-reconciled). The centroid×centroid
-    * table is |cells|² and broadcast-sized. */
+    * (capped ≡ full there — spec-reconciled). The cap is the hard
+    * bound; KEEPING cells mostly-exact under corpus growth is the
+    * [[cellsFor]] sizing rule (cells ∝ n), without which a 100× corpus
+    * caps everywhere and the eval silently measures samples only. The
+    * centroid×centroid table is |cells|² and broadcast-sized. */
   def q196ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
@@ -2906,11 +2931,34 @@ class SimilarityOps(val cfg: GraftConfig) {
     * rows move as a pure anti-join passthrough of the stored
     * artifact — nothing re-propagates the base corpus. */
   def q290KnnRecompact(spark: SparkSession, dir: String): DataFrame =
-    recompactFrom(knnDeltaParts(spark, dir))
+    persistedRecompactedGraph(spark, dir, knnDeltaParts(spark, dir))
+
+  /** The recompacted graph AS the persisted nightly artifact — the
+    * knn_cents/truth-artifact lifecycle applied a third time (the
+    * round-14 verdict's one efficiency finding): q290 IS the nightly
+    * job that pays the debt, so its output persists content-keyed
+    * (build-if-absent, the q210/q242 discipline — the key carries every
+    * index knob plus the split boundary plus the corpus fingerprint,
+    * so a knob change or corpus rewrite reroutes instead of serving
+    * stale edges), and q291 re-prices serving by READING it instead of
+    * re-deriving knnDeltaParts + the recompaction merge inline on
+    * every call — previously the suite's slowest query (12.7 s quiet /
+    * 24 s hot at sf0.1) for work q290 had already done. */
+  private[graft] def persistedRecompactedGraph(spark: SparkSession, dir: String,
+      st: => KnnDeltaState): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("knnd_recompact", dir, spark,
+      Seq("embeddings.parquet"),
+      s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids," +
+        s"ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) recompactFrom(st).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 
   /** The recompaction body over an already-derived incremental state —
-    * shared so q291 derives the (artifact-backed, but delta-side
-    * recomputed) state ONCE for both the rebuild and its entry set. */
+    * the build side of [[persistedRecompactedGraph]] (evaluated only
+    * when the artifact is absent). */
   private def recompactFrom(st: KnnDeltaState): DataFrame = {
     val wLast = Window.partitionBy("vec_id").orderBy(col("rk").desc)
     val kth = st.g.withColumn("lrk", row_number().over(wLast)).filter(col("lrk") === 1)
@@ -2991,15 +3039,17 @@ class SimilarityOps(val cfg: GraftConfig) {
     * with q280 (the fresh full-trained graph). The verdict the
     * decision table needs: q285 says HOW MUCH debt, q286 what it
     * COSTS, this row what paying it BUYS. Cost: one bounded beam walk
-    * + the queries×k eval join; the recompacted edge table is
-    * lineage-cut once (the q286 lesson — the hop loop consumes it
-    * every round). */
+    * + the queries×k eval join over the PERSISTED recompacted-graph
+    * artifact ([[persistedRecompactedGraph]] — built by whichever of
+    * q290/q291 runs first, read thereafter; the parquet scan replaces
+    * both the old inline re-derivation and its lineage cut). The
+    * incremental state still derives the guided ENTRY set, but that
+    * side is artifact-backed centroids + two broadcast-argmax assigns
+    * — map work, not the rebuild. */
   def q291RecompactRecall(spark: SparkSession, dir: String): DataFrame = {
     val st = knnDeltaParts(spark, dir)
-    val edges = graft.Ck.lazyStage(
-      recompactFrom(st)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
-      cfg)
+    val edges = persistedRecompactedGraph(spark, dir, st)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     recallVsBrute(spark, dir,
       beamSearchOver(spark, dir, edges, Some(splitGuidedEntries(spark, dir, st))))
   }
@@ -3030,6 +3080,60 @@ class SimilarityOps(val cfg: GraftConfig) {
        |FROM truth t LEFT JOIN beamtop a
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
+
+  /** q309: INDEX RETRAIN-AND-SWAP — the operator that EXECUTES the
+    * decision the maintenance arc only priced: q188/q285/q299 emit
+    * drift rows, q290 pays graph debt incrementally, and the
+    * 0.48/0.56/0.74 decision table (q286 stale / q291 recompacted /
+    * q280 fresh at sf0.01) says what a full retrain buys — this
+    * operator buys it. The serving index becomes a VERSIONED artifact
+    * under the optimistic-commit chain ([[graft.sources.VersionChain]]
+    * — the q300 CoW version discipline applied to the index): v1 is
+    * the state the incremental tier serves today (persisted base graph
+    * + delta out-edges, q285's mixed state), the FULL RETRAIN on
+    * base ∪ delta (the q140 graph under the full-trained quantizer —
+    * exactly q279's serving artifact) stages and commits as v2, and
+    * the commit marker IS the atomic swap: a reader resolving the head
+    * before the marker serves v1, after it v2 — no torn index, v1
+    * stays readable for rollback/time travel until vacuumed. Output is
+    * the post-swap recall row set, spec-pinned ≡ q280 bitwise — the
+    * fresh-trained number the whole arc exists to reach.
+    *
+    * Scale: the retrain is the q140 build (cell-bounded, the nightly
+    * job's cost — paid on the operator's schedule, not per query); the
+    * swap itself is one namenode marker create + one rename; serving
+    * cost is q279's bounded beam walk. */
+  def q309RetrainSwap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionChain
+    val root = graft.sources.Scratch.dir("knn_vchain", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    if (fs.exists(rootP)) fs.delete(rootP, true) // deterministic rerun
+    // v1: today's serving state — the mixed edge set the incremental
+    // tier is on (the 0.48 row of the decision table)
+    val st = knnDeltaParts(spark, dir)
+    val a1 = s"$root/_attempt_v1"
+    st.g.select("vec_id", "nbr_id", "rk", "cosine")
+      .unionByName(st.dEdges.select("vec_id", "nbr_id", "rk", "cosine"))
+      .write.parquet(a1)
+    require(VersionChain.commit(fs, root, 1, a1), "empty chain: v1 must commit")
+    // the retrain: full q140 rebuild on base ∪ delta under the
+    // full-trained quantizer — q279/q280's fresh serving artifact
+    val a2 = s"$root/_attempt_v2"
+    persistedKnnGraph(spark, dir).write.parquet(a2)
+    // the atomic swap: head flips v1 → v2 at the marker create
+    require(VersionChain.commit(fs, root, 2, a2), "single writer: v2 must commit")
+    val head = VersionChain.latest(fs, root).get
+    val edges = spark.read.parquet(VersionChain.dataPath(root, head))
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    recallVsBrute(spark, dir,
+      beamSearchOver(spark, dir, edges, Some(ivfGuidedEntries(spark, dir))))
+  }
+
+  /** Post-swap serving is exactly the fresh-graph walk: the oracle is
+    * q280's full retrain, and the spec pins q309 ≡ q280 bitwise. */
+  def q309Sql: String = q280Sql
 
   // ---------- Beam entry-point selection A/B (q294) ----------
 
@@ -3358,8 +3462,17 @@ class SimilarityOps(val cfg: GraftConfig) {
         .select(expr(s"stack($PqM, ${(1 to PqM).map(s => s"$s, e$s").mkString(", ")}) AS (sub_id, d2)"))
         .groupBy("sub_id")
         .agg(count(lit(1)).as(s"n_$pre"), sum(col("d2")).as(s"sd_$pre"))
-    sideAgg(base, "base").join(sideAgg(delta, "delta"), Seq("sub_id"))
-      .select(col("sub_id"), col("n_base"), col("n_delta"),
+    // anchor on a static sub_id spine, not an inner join of the two
+    // aggregates: the oracle cross-joins per-subspace SCALAR aggregates,
+    // so it emits PqM rows even when the md5 split leaves a side empty
+    // (n=0, err NULL) — an inner join would emit 0 rows and diverge on
+    // degenerate corpora
+    val spine = spark.range(1, PqM + 1).select(col("id").cast("int").as("sub_id"))
+    spine.join(sideAgg(base, "base"), Seq("sub_id"), "left")
+      .join(sideAgg(delta, "delta"), Seq("sub_id"), "left")
+      .select(col("sub_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
         (col("sd_base").cast("double") / col("n_base").cast("double") / lit(1e13)).as("base_err"),
         (col("sd_delta").cast("double") / col("n_delta").cast("double") / lit(1e13)).as("delta_err"))
       .withColumn("err_ratio", col("delta_err") / col("base_err"))
@@ -3503,8 +3616,13 @@ class SimilarityOps(val cfg: GraftConfig) {
     val panel = e.filter(col("vec_id") < NumQueries)
     val truth = persistedBruteTruth(spark, dir)
       .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
+    // the corpus cell assignment is independent of nprobe, so it is
+    // computed ONCE and stage-cut, and every curve point serves from it
+    // (serveAssigned was factored out for exactly this) — re-running
+    // assign per point cost probeCurveMax full-corpus map passes
+    val assigned = graft.Ck.lazyStage(assign(e, cents), cfg)
     (1 to cfg.probeCurveMax).map { np =>
-      val top = servePanel(e, panel, cents, np)
+      val top = serveAssigned(assigned, panel, cents, np)
         .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
       truth.join(top, Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")

@@ -35,7 +35,15 @@ object CdcStream {
     * bucketed on the key (q186's layout) only the feed side shuffles
     * at scale. */
   private[graft] def mergeBatch(snap: DataFrame, batch: DataFrame): DataFrame = {
-    val wB = Window.partitionBy("k").orderBy(col("bseq").desc)
+    // bseq desc picks each key's latest change; the trailing keys make
+    // the pick DETERMINISTIC even if a feed ever delivers two distinct
+    // changes with the same (k, seq) in one micro-batch — without them
+    // the winner would depend on partition order and the documented
+    // batching-independence guarantee would silently break. Tombstone
+    // priority (op asc puts "D" before "I"/"U") is itself arbitrary but
+    // FIXED, so replay and re-batching converge to the same bytes.
+    val wB = Window.partitionBy("k").orderBy(col("bseq").desc,
+      col("op"), col("c_cust"), col("c_status"), col("c_price"))
     val b1 = batch
       .select(col("k"), col("seq").as("bseq"), col("op"),
         col("c_cust"), col("c_status"), col("c_price"))
@@ -277,4 +285,99 @@ object CdcStream {
        |ch AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
        |$rows""".stripMargin
   }
+
+  /** q316: CONCURRENT-WRITER CONFLICT DETECTION — the optimistic-
+    * concurrency primitive the q300/q304 CoW chain lacked: two writers
+    * race the same snapshot head and the version CAS
+    * ([[graft.sources.VersionChain]]) makes the race SAFE. Both
+    * writers read head v1 (the base snapshot); writer A merges wave 1
+    * and wins the v2 marker; writer B merges wave 2 against its now-
+    * STALE base and its v2 commit FAILS — the conflict is DETECTED,
+    * not silently lost: had B's stale-based merge published, every
+    * wave-1 change would have vanished (the classic lost update).
+    * B then runs the loser protocol — discard the stale attempt,
+    * re-read the head, re-apply the SAME change batch on A's result,
+    * commit v3 — and the final snapshot equals the SERIAL A-then-B
+    * application, which the oracle recomputes as the batch seq-wins
+    * fold of both waves over the base (the q300 algebra, so the
+    * retry's correctness is hash-gated, not asserted).
+    *
+    * Scale: each attempt is one snapshot⋈batch merge (q300's per-batch
+    * cost); the CAS is one namenode exclusive-create; conflict cost is
+    * re-running the loser's merge once per race — the optimistic trade
+    * every table format makes. */
+  def q316CowConflict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionChain
+    val root = graft.sources.Scratch.dir("cow_race", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    if (fs.exists(rootP)) fs.delete(rootP, true) // deterministic rerun
+    val a0 = s"$root/_attempt_base"
+    graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
+      .write.parquet(a0)
+    require(VersionChain.commit(fs, root, 1, a0), "empty chain: base must commit")
+    val waves = changeWaves(spark, dir)
+    val (bA, bB) = (waves(0), waves(1))
+    // BOTH writers resolve the same head — the race begins here
+    val baseA = VersionChain.latest(fs, root).get
+    val baseB = VersionChain.latest(fs, root).get
+    // writer A: merge on v1, stage, CAS v2 — wins
+    val aAtt = s"$root/_attempt_a"
+    mergeBatch(spark.read.parquet(VersionChain.dataPath(root, baseA)), bA)
+      .write.parquet(aAtt)
+    require(VersionChain.commit(fs, root, baseA + 1, aAtt),
+      "A committed first and must win the v2 marker")
+    // writer B: merge on its STALE v1 base, stage, CAS v2 — must LOSE
+    val bAtt = s"$root/_attempt_b"
+    mergeBatch(spark.read.parquet(VersionChain.dataPath(root, baseB)), bB)
+      .write.parquet(bAtt)
+    require(!VersionChain.commit(fs, root, baseB + 1, bAtt),
+      "B raced A to v2 — the CAS must detect the conflict")
+    // loser protocol: the stale-based merge is WRONG (it would drop
+    // A's wave) — discard it, rebase on the new head, retry
+    fs.delete(new org.apache.hadoop.fs.Path(bAtt), true)
+    val head = VersionChain.latest(fs, root).get
+    val bAtt2 = s"$root/_attempt_b2"
+    mergeBatch(spark.read.parquet(VersionChain.dataPath(root, head)), bB)
+      .write.parquet(bAtt2)
+    require(VersionChain.commit(fs, root, head + 1, bAtt2),
+      "the rebased retry must commit cleanly")
+    spark.read.parquet(VersionChain.dataPath(root, VersionChain.latest(fs, root).get))
+      .filter(col("alive"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("seq").as("last_seq"))
+  }
+
+  /** Serial-order recompute: base + the per-key max-seq winner across
+    * BOTH racing batches (waves 1 and 2) — what the chain must hold
+    * after conflict detection and rebase. */
+  def q316Sql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |w1 AS (SELECT
+      |    CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k,
+      |    CAST(1 AS BIGINT) AS seq,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+      |         WHEN o_orderkey % 10 = 1 THEN 'U' ELSE 'I' END AS op,
+      |    o_custkey AS c_cust, o_orderstatus AS c_status,
+      |    o_totalprice + 1000.0 AS c_price
+      |  FROM orders WHERE o_orderkey % 10 <= 2),
+      |w2 AS (SELECT o_orderkey AS k, CAST(2 AS BIGINT) AS seq,
+      |    CASE WHEN o_orderkey % 20 IN (4, 5, 11) THEN 'D' ELSE 'U' END AS op,
+      |    o_custkey + 7 AS c_cust, 'R' AS c_status,
+      |    o_totalprice + 2000.0 AS c_price
+      |  FROM orders WHERE o_orderkey % 20 <= 5 OR o_orderkey % 20 = 11),
+      |ch AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+      |last AS (SELECT k, seq, op, c_cust, c_status, c_price FROM (
+      |    SELECT ch.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk FROM ch)
+      |  WHERE rk = 1)
+      |SELECT coalesce(l.k, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN l.k IS NULL THEN b.o_custkey ELSE l.c_cust END AS o_custkey,
+      |  CASE WHEN l.k IS NULL THEN b.o_orderstatus ELSE l.c_status END AS o_orderstatus,
+      |  CASE WHEN l.k IS NULL THEN b.o_totalprice ELSE l.c_price END AS o_totalprice,
+      |  coalesce(l.seq, CAST(0 AS BIGINT)) AS last_seq
+      |FROM base b FULL OUTER JOIN last l ON l.k = b.o_orderkey
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
 }

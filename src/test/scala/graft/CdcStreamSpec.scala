@@ -111,4 +111,58 @@ class CdcStreamSpec extends GraftSpec {
     val live = CdcStream.q300StreamCdcMerge(spark, sf).count()
     assert(rows(3)._1 == live, "time travel's head must agree with the stream fold")
   }
+
+  test("q316: conflict-detected rebase ≡ serial apply; the stale merge WOULD have lost A's wave") {
+    val got = CdcStream.q316CowConflict(spark, sf)
+    // serial recompute: A's wave then B's wave through the same fold
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
+    val waves = CdcStream.changeWaves(spark, sf)
+    val serial = CdcStream.mergeBatch(CdcStream.mergeBatch(base, waves(0)), waves(1))
+      .filter(col("alive"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("seq").as("last_seq"))
+    assert(got.exceptAll(serial).isEmpty && serial.exceptAll(got).isEmpty,
+      "post-rebase head must equal the serial A-then-B application")
+    // the lost-update proof: B's DISCARDED stale-base merge misses A's
+    // wave — keys A inserted (op I at %10=2, shifted by 10M) are absent
+    val staleB = CdcStream.mergeBatch(base, waves(1)).filter(col("alive"))
+    assert(staleB.filter(col("o_orderkey") >= 10000000L).count() == 0,
+      "the stale merge lacks A's inserts — publishing it would have lost them")
+    assert(got.filter(col("o_orderkey") >= 10000000L).count() > 0,
+      "the rebased head carries A's inserts forward")
+    // chain shape: three committed versions, all still readable (time travel)
+    val root = graft.sources.Scratch.dir("cow_race", sf)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.VersionChain.latest(fs, root).contains(3))
+    val v2 = spark.read.parquet(graft.sources.VersionChain.dataPath(root, 2))
+      .filter(col("alive"))
+    assert(v2.filter(col("o_orderkey") >= 10000000L).count() > 0 &&
+      v2.filter(col("o_orderstatus") === "R").count() == 0,
+      "v2 is A's intermediate: wave-1 applied, wave-2 not yet — time travel sees the race resolve")
+  }
+
+  test("VersionChain: exclusive commit — one winner, loser's attempt untouched, head monotone") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vchain").toString + "/chain"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.VersionChain.latest(fs, root).isEmpty, "empty chain has no head")
+    val a1 = s"$root/_a1"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(a1)
+    assert(graft.sources.VersionChain.commit(fs, root, 1, a1), "first commit wins")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a1)), "winner's attempt renamed into place")
+    assert(spark.read.parquet(graft.sources.VersionChain.dataPath(root, 1)).count() == 1)
+    val a2 = s"$root/_a2"
+    Seq((2L, "y")).toDF("id", "v").write.parquet(a2)
+    assert(!graft.sources.VersionChain.commit(fs, root, 1, a2),
+      "second commit of the same version must lose the CAS")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(a2)),
+      "loser's attempt is left for the caller's rebase protocol")
+    assert(graft.sources.VersionChain.latest(fs, root).contains(1), "head unchanged by the lost race")
+    assert(graft.sources.VersionChain.commit(fs, root, 2, a2), "retry at head+1 commits")
+    assert(graft.sources.VersionChain.latest(fs, root).contains(2))
+  }
 }

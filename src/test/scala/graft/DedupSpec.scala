@@ -798,6 +798,62 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("q291 reads the PERSISTED recompacted graph (doctored artifact collapses the walk to entries)") {
+    val base = GraftConfig.default
+    // a distinct knnK keys a PRIVATE artifact set for this test, so
+    // doctoring cannot leak into other suites' (or the bench's) reads
+    val ops = new graft.operators.SimilarityOps(GraftConfig(knnK = base.knnK + 2))
+    val key = s"k=${ops.cfg.knnK},np=${base.ivfNprobe},c=${base.ivfCentroids}," +
+      s"ki=${base.kmeansIters},tm=${base.ivfTrainMod},u=${base.splitTrainUpper}"
+    val path = graft.sources.Scratch.keyedDir("knnd_recompact", sf, spark,
+      Seq("embeddings.parquet"), key)
+    val pp = new org.apache.hadoop.fs.Path(path)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scratch survives JVM runs — a previous run leaves it DOCTORED
+    if (fs.exists(pp)) fs.delete(pp, true)
+    ops.q290KnnRecompact(spark, sf).collect() // the nightly job: builds + persists
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
+      "q290 must leave the recompacted graph behind as a persisted artifact")
+    import spark.implicits._
+    // doctor: no edges at all — a reading q291's walk can only ever
+    // score its guided entry points, which we can replay exactly
+    Seq.empty[(Long, Long, Int, Double)].toDF("vec_id", "nbr_id", "rk", "cosine")
+      .write.mode("overwrite").parquet(path)
+    def keyRows(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall"))).sortBy(_._1).toSeq
+    val st = ops.knnDeltaParts(spark, sf)
+    val expected = keyRows(ops.recallVsBrute(spark, sf,
+      ops.beamSearchOver(spark, sf,
+        Seq.empty[(Long, Long)].toDF("src", "dst"),
+        Some(ops.splitGuidedEntries(spark, sf, st)))).collect())
+    val got = keyRows(ops.q291RecompactRecall(spark, sf).collect())
+    assert(got == expected,
+      "edge-free artifact must collapse q291 to the entries-only recall — q291 is not reading the artifact")
+  }
+
+  test("q309 retrain-and-swap: post-swap serving ≡ q280 bitwise; both versions committed and readable") {
+    val got = Similarity.q309RetrainSwap(spark, sf)
+    val fresh = Similarity.q280GraphAnnRecall(spark, sf)
+    assert(got.exceptAll(fresh).isEmpty && fresh.exceptAll(got).isEmpty,
+      "serving from the committed head must equal the fresh-trained walk row for row")
+    val root = graft.sources.Scratch.dir("knn_vchain", sf)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.VersionChain.latest(fs, root).contains(2),
+      "the swap commits exactly v1 (pre-swap) and v2 (retrained)")
+    // rollback surface: v1 — the mixed pre-swap state — stays readable
+    // and is genuinely DIFFERENT from the retrained head
+    val v1 = spark.read.parquet(graft.sources.VersionChain.dataPath(root, 1))
+    val v2 = spark.read.parquet(graft.sources.VersionChain.dataPath(root, 2))
+    assert(v1.count() > 0 && v2.count() > 0)
+    assert(v1.exceptAll(v2).count() > 0,
+      "pre-swap mixed edges must differ from the full retrain — else the swap bought nothing")
+    // the head is CAS-guarded: a late writer racing v2 loses
+    assert(!graft.sources.VersionChain.commit(fs, root, 2, s"$root/_nope"),
+      "a second v2 commit must lose the CAS")
+  }
+
   test("q279 serves from the PERSISTED graph, not a rebuild (doctored artifact collapses the walk)") {
     import spark.implicits._
     val dir = pqDir((0L to 7L).map(i =>

@@ -485,6 +485,30 @@ class PlanSpec extends GraftSpec {
     assert(windows(p) == 0, "Q2's min must be aggregate + join-back, not a part-key window")
   }
 
+  test("q311 profit roll-up: dims broadcast, the only big-big join is lineitem⋈orders, no window") {
+    val p = plan("q311_profit_rollup")
+    assert(p.contains("BroadcastHashJoin"),
+      "the LIKE-filtered part dim and the supplier→nation map must broadcast into the fact scan")
+    assert(windows(p) == 0, "Q9 is a pure roll-up — no window anywhere")
+  }
+
+  test("q312 top supplier: shipdate pushed to the scan; the max rides a broadcast; no window") {
+    val p = plan("q312_top_supplier")
+    val scanLines = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scanLines.contains("l_shipdate"),
+      "the 90-day window filter must reach the lineitem scan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row max must broadcast into the equality join-back (the q203 discipline)")
+    assert(windows(p) == 0, "Q15's max-of-aggregate must be aggregate + join-back, not a window")
+  }
+
+  test("q313 capacity semijoin: both hops LEFT SEMI, part dim broadcasts, no row multiplication") {
+    val p = plan("q313_capacity_semijoin")
+    assert(p.contains("LeftSemi"), "the supplier hop must be existence-only")
+    assert(p.contains("BroadcastHashJoin"), "the prefix-filtered part dim must broadcast")
+    assert(windows(p) == 0)
+  }
+
   test("q203 value concentration: one fact aggregate, total rides a broadcast, no window") {
     val p = plan("q203_value_concentration")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
@@ -583,7 +607,7 @@ class PlanSpec extends GraftSpec {
   }
 
   test("q302/q308 modality near-dups: equi-join blocking with the broadcast hot-key anti-join, no cartesian") {
-    Seq("q302_image_neardup", "q308_audio_neardup").foreach { n =>
+    Seq("q302_image_neardup", "q308_audio_neardup", "q315_video_neardup").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$n candidate pairs must come from the capped key equi-join")

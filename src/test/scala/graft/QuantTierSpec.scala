@@ -147,4 +147,29 @@ class QuantTierSpec extends GraftSpec {
       assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN && r.getDouble(5) > 0.0)
     }
   }
+
+  test("cellsFor pins the Σ|cell|² sub-quadratic contract: cells grow ∝ n; test SFs sit below the knee") {
+    val cfg = GraftConfig.default
+    val target = cfg.semTargetCellSize.toLong
+    // (1) the rule keeps EXPECTED cell size bounded at every scale —
+    // the property that makes q94/q196's pair space O(n·target), not n²
+    Seq(100L, 1000L, 10000L, 1000000L, 100000000L).foreach { n =>
+      val cells = Similarity.cellsFor(n)
+      assert(cells >= cfg.ivfCentroids, "never below the configured floor")
+      assert(n.toDouble / cells <= target.toDouble,
+        s"n=$n: expected cell size ${n.toDouble / cells} must stay ≤ target $target")
+    }
+    // (2) linear growth: 100× the corpus → ≥ 50× the cells once past
+    // the knee (exact ratio depends only on ceil rounding)
+    assert(Similarity.cellsFor(100000000L) >= 50 * Similarity.cellsFor(1000000L),
+      "cells must track corpus growth, not saturate")
+    // (3) the oracle-gated corpora sit BELOW the knee: the configured
+    // centroid count already satisfies the rule, so the tested
+    // assignment IS the production-sized one and the oracle is
+    // unchanged — a future corpus regen past the knee fails here
+    // instead of silently going quadratic inside cells
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(Similarity.cellsFor(n) == cfg.ivfCentroids,
+      s"test corpus n=$n must sit below the cells knee (cfg ${cfg.ivfCentroids})")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Relational, RelationalOps}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sum, year}
 
 class RelationalSpec extends GraftSpec {
 
@@ -392,6 +392,50 @@ class RelationalSpec extends GraftSpec {
     assert(got(2L) == Some(10.0), "A\\fold2 = (60-50)/(3-2)")
     assert(got(4L) == None, "B's only orders are cust 4's own fold — no evidence, NULL not 0")
     assert(got(3L) == Some(40.0), "an order-less fold still encodes from the full complement")
+  }
+
+  test("q311 profit roll-up: non-vacuous, only token-named parts contribute, per-group profit reconciles") {
+    val cfg = GraftConfig.default
+    val rows = Relational.q311ProfitRollup(spark, sf).collect()
+    assert(rows.nonEmpty, "the widget-token filter must keep rows at every SF")
+    val keys = rows.map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "one row per (nation, year)")
+    // spot-reconcile one group against a direct recompute
+    val (n0, y0) = keys.head
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf)
+        .filter(col("p_name").contains(cfg.profitPartToken)), col("l_partkey") === col("p_partkey"))
+      .join(graft.sources.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.sources.Tables.nation(spark, sf).filter(col("n_name") === n0),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.orders(spark, sf)
+        .filter(year(col("o_orderdate")) === y0), col("l_orderkey") === col("o_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity")).cast("decimal(24,6)")).cast("double"))
+      .collect().head.getDouble(0)
+    val got = rows.find(r => r.getString(0) == n0 && r.getLong(1) == y0).get.getDouble(2)
+    assert(got == direct, s"group ($n0,$y0) profit must equal the direct recompute")
+  }
+
+  test("q312 top supplier: every surfaced supplier achieves the exact window max") {
+    val rows = Relational.q312TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty, "the 90-day window holds revenue at every SF")
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, "all surfaced suppliers tie at the max (Q15 result-set semantics)")
+  }
+
+  test("q313 capacity semijoin: existence-only (no duplicates), all in the audited nation") {
+    val cfg = GraftConfig.default
+    val rows = Relational.q313CapacitySemijoin(spark, sf).collect()
+    assert(rows.nonEmpty, s"${cfg.pendingNation} has qualifying suppliers at every SF")
+    val keys = rows.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length,
+      "semijoin must emit each supplier once no matter how many parts qualified it")
+    val nat = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === cfg.pendingNation)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(keys.forall(nat), "every surfaced supplier sits in the audited nation")
   }
 
   test("q254: one halving per elapsed half-life, integer-floor truncation, anchor at corpus max") {

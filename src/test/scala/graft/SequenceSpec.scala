@@ -36,4 +36,27 @@ class SequenceSpec extends GraftSpec {
     val t = Sequence.q16Trusted(spark, sf)
     assert(t.filter(col("min_freq") < Sequence.TrustMinFreq).count() == 0)
   }
+
+  test("q310 correction apply: folds exactly q59's votes, touches only voted positions, covers every doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val votes = Sequence.q59CorrectionVotes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getString(2), r.getString(3)))
+    val byDoc = votes.groupBy(_._1)
+    val out = Sequence.q310CorrectionApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == docs.keySet, "the corrected corpus covers every document")
+    assert(byDoc.nonEmpty, "the corpus must exercise the apply path")
+    out.foreach { case (id, (n, corrected)) =>
+      val vs = byDoc.getOrElse(id, Array.empty)
+      assert(n == vs.length, s"doc $id: n_corrections must equal its q59 vote count")
+      val expected = vs.foldLeft(docs(id)) { case (acc, (_, pos, from, to)) =>
+        assert(acc.length >= pos && docs(id).substring(pos - 1, pos) == from,
+          s"doc $id pos $pos: vote from_char must match the original text")
+        acc.substring(0, pos - 1) + to + acc.substring(pos)
+      }
+      assert(corrected == expected, s"doc $id: corrected text must be the vote fold")
+    }
+  }
 }

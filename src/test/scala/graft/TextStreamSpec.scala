@@ -652,6 +652,58 @@ class TextStreamSpec extends GraftSpec {
     }
   }
 
+  test("q314/q315: planted video dups pair at d2=0; a frame PERMUTATION breaks the temporal key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("viddup").toString
+    // frames ARE consecutive 16-char slices of the padded text
+    // 5/6's frame chars land in DIFFERENT 16-bins ('0'→3, 'A'→4,
+    // 'a'→6, 'q'→7) so the permutation is visible to the key
+    Seq((1L, "a" * 64), (2L, "a" * 64), (3L, "a" * 63 + "e"), (4L, "z" * 64),
+        (5L, "0" * 16 + "A" * 16 + "a" * 16 + "q" * 16),
+        (6L, "q" * 16 + "a" * 16 + "A" * 16 + "0" * 16))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = Multimodal.q314VideoFingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(fp(1L)._2 == Seq.fill(16)("97").mkString(","))
+    assert(fp(1L) == fp(2L))
+    // doc 3's one changed byte pools into exactly one slot: (97*3+101)//4 = 98
+    assert(fp(3L)._2.split(",").count(_ == "98") == 1)
+    assert(fp(3L)._1 == fp(1L)._1, "an in-bin nudge must keep the temporal key")
+    assert(fp(4L)._1 != fp(1L)._1)
+    // the TEMPORAL property: same frame multiset, different order —
+    // different key (a montage re-cut is not the same video)
+    assert(fp(5L)._2.split(",").sorted.sameElements(fp(6L)._2.split(",").sorted),
+      "docs 5/6 carry the same frames (as multisets)")
+    assert(fp(5L)._1 != fp(6L)._1, "frame order must be part of the blocking key")
+    val pairs = Multimodal.q315VideoNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical videos must pair at exact d2 0")
+    assert(pairs((1L, 3L)) == 1L && pairs((2L, 3L)) == 1L)
+    assert(!pairs.keySet.exists(p => Seq(4L, 5L, 6L).contains(p._1) || Seq(4L, 5L, 6L).contains(p._2)),
+      "far videos and re-cuts must not pair")
+    val capped = Multimodal.videoNeardupWith(spark, dir, 1, 256L).collect()
+    assert(capped.isEmpty, "df cap must drop the hot bucket from candidates")
+  }
+
+  test("q315 on real data: pairs under the d2 bound, temporal keys agree, verify genuinely prunes") {
+    val d = Multimodal.q315VideoNeardup(spark, sf).collect()
+    assert(d.nonEmpty, "prefix-identical docs must surface as video dups")
+    val keys = Multimodal.q314VideoFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    d.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= GraftConfig.default.videoNeardupMaxD2)
+      assert(keys(r.getLong(0)) == keys(r.getLong(1)),
+        "every emitted pair must share the temporal blocking key")
+    }
+    // the verify bound is TIGHTER than the key bins: some candidates drop
+    val loose = Multimodal.videoNeardupWith(spark, sf,
+      GraftConfig.default.videoDupKeyMaxDf, Long.MaxValue).count()
+    assert(loose > d.length,
+      "the exact-verify bound must prune real candidates, not rubber-stamp the key")
+  }
+
   test("q303: exact image top-k ranks the planted neighborhood in d2 order with low-id ties") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("imgknn").toString
