@@ -28,6 +28,18 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val load1Start = load1
 
+    // HOT-BOX POLICY (round-14 verdict item 8): the driver's box
+    // poisoned two consecutive headlines (r13 load1 6.9, r14 6.9→13.6
+    // with 20 contam entries), and the contam-only rerun pass fires
+    // AFTER the damage is spread across every query, not just the
+    // flagged ones. When the box is ALREADY loaded at start, every
+    // query runs a third evaluation inside its own context and the
+    // headline is min-of-three across the board — with the threshold
+    // and per-query load1 recorded, the artifact self-adjudicates
+    // instead of needing a quiet-box A/B after the fact.
+    val hotLoad1 = sys.env.get("GRAFT_BENCH_HOT_LOAD1").map(_.toDouble).getOrElse(2.0)
+    val hotBox = load1Start > hotLoad1
+
     def withFreshSession[T](f: org.apache.spark.sql.SparkSession => T): T = {
       val spark = GraftSession.builder()
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
@@ -51,6 +63,9 @@ object Bench {
 
     val both = order.map { name =>
       val fn = SparkEntry.queries(name)
+      // per-query box state at measurement time — the self-adjudication
+      // field: a slow number with a quiet load1 is the query's own cost
+      val qLoad = load1
       name -> withFreshSession { spark =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -86,7 +101,10 @@ object Bench {
         // BENCH_DETAIL so the fixed-cost claims about the assembly
         // tail are per-stage MEASUREMENTS in the round artifact
         val stages = Trace.drain()
-        (r1, r2, stages)
+        // hot box: a third run for EVERY query, not just contam-flagged
+        // ones — min-of-three across the board
+        val r3 = if (hotBox) { reset(); val v = once(); Trace.drain(); Some(v) } else None
+        (r1, r2, r3, stages, qLoad)
       }
     }
     // Environment-noise map: queries whose two runs disagreed 1.5×+.
@@ -95,11 +113,13 @@ object Bench {
     // item 7), so the flagged queries get ONE more isolated run each
     // and report min-of-three.
     val contamKeys = both.collect {
-      case (k, (r1, r2, _)) if r1 >= 0 && r2 >= 0 &&
+      case (k, (r1, r2, _, _, _)) if r1 >= 0 && r2 >= 0 &&
           math.max(r1, r2) > math.min(r1, r2) * 1.5 + 0.5 => k
     }
+    // the separate isolated-rerun pass stays for the COLD-box case
+    // (hot boxes already ran three everywhere)
     val thirdRuns: Map[String, Double] =
-      if (contamKeys.size <= 5) Map.empty
+      if (hotBox || contamKeys.size <= 5) Map.empty
       else contamKeys.map { k =>
         val fn = SparkEntry.queries(k)
         k -> withFreshSession { spark =>
@@ -110,9 +130,9 @@ object Bench {
           } catch { case _: Throwable => -1.0 }
         }
       }.toMap
-    val results = both.map { case (k, (r1, r2, _)) =>
+    val results = both.map { case (k, (r1, r2, r3, _, _)) =>
       // min over the SUCCESSFUL runs (incl. any third); -1 only when all failed
-      k -> (Seq(r1, r2) ++ thirdRuns.get(k)).filter(_ >= 0).sorted.headOption.getOrElse(-1.0)
+      k -> (Seq(r1, r2) ++ r3 ++ thirdRuns.get(k)).filter(_ >= 0).sorted.headOption.getOrElse(-1.0)
     }
     // 3-decimal formatting: the driver captures only the tail of stdout,
     // and 9-digit doubles across ~120 queries pushed the single JSON line
@@ -124,13 +144,13 @@ object Bench {
     // physically impossible from the plan alone, so those queries are
     // flagged in the stdout artifact's "contam" map with run1 as the
     // better estimate — with per-query contexts this should be noise-only.
-    val detail = both.map { case (k, (r1, r2, stages)) =>
+    val detail = both.map { case (k, (r1, r2, r3, stages, qLoad)) =>
       val st =
         if (stages.isEmpty) ""
         else ",\"stages\":" + stages.map { case (t, s) =>
           "[\"" + t + "\"," + f(s) + "]" }.mkString("[", ",", "]")
-      val runs = (Seq(r1, r2) ++ thirdRuns.get(k)).map(f).mkString(",")
-      s"\"" + k + "\":{\"runs\":[" + runs + "]" + st + "}"
+      val runs = (Seq(r1, r2) ++ r3 ++ thirdRuns.get(k)).map(f).mkString(",")
+      s"\"" + k + "\":{\"runs\":[" + runs + "],\"load1\":" + f(qLoad) + st + "}"
     }.mkString("{", ",", "}")
     val orderJson = order.map("\"" + _ + "\"").mkString("[", ",", "]")
     // archive the full per-query detail PER ROUND (round-10 verdict item
@@ -150,7 +170,7 @@ object Bench {
       mx + 1
     } catch { case _: Throwable => 0 }
     val detailJson =
-      s"""{"runs":"{runs:[run1,run2], stages:[[tag,sec]...] of run2} per query; reported=min(run1,run2); fresh SparkContext per query","order":$orderJson,"queries":$detail,"sf":"$sfDir"}
+      s"""{"runs":"{runs:[run1,run2(,run3 on a hot box)], load1 at query start, stages:[[tag,sec]...] of run2} per query; reported=min(runs); fresh SparkContext per query","hot_box":$hotBox,"order":$orderJson,"queries":$detail,"sf":"$sfDir"}
 """
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -183,6 +203,6 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
     val detailFile = if (roundN > 0) f"BENCH_DETAIL_r$roundN%02d.json" else "BENCH_DETAIL.json"
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"reruns":${thirdRuns.size},"load1_start":${f(load1Start)},"load1_end":${f(load1)},"detail":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"reruns":${thirdRuns.size},"hot_box":$hotBox,"hot_load1_threshold":${f(hotLoad1)},"load1_start":${f(load1Start)},"load1_end":${f(load1)},"detail":"$detailFile","sf":"$sfDir"}""")
   }
 }

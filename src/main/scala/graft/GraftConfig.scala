@@ -580,6 +580,8 @@ case class GraftConfig(
   def videoDupKeyMaxDf: Int = ext.videoDupKeyMaxDf
   def videoNeardupMaxD2: Long = ext.videoNeardupMaxD2
   def semTargetCellSize: Int = ext.semTargetCellSize
+  def ladderCoarseMod: Int = ext.ladderCoarseMod
+  def ladderCoarseProbe: Int = ext.ladderCoarseProbe
 }
 
 /** Round-15+ knobs (see [[GraftConfig.ext]] — the flat constructor hit
@@ -610,7 +612,12 @@ case class GraftExt(
     // SimilarityOps.cellsFor): centroid count must grow ∝ corpus so
     // expected cell size stays at most this — the Σ|cell|²
     // sub-quadratic contract
-    semTargetCellSize: Int = 256)
+    semTargetCellSize: Int = 256,
+    // q317 (hierarchical entry ladder): the coarse layer is centroids
+    // with cent_id % mod == 0, and a query descends through this many
+    // coarse branches before ranking their cells
+    ladderCoarseMod: Int = 4,
+    ladderCoarseProbe: Int = 2)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

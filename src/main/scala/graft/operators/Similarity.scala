@@ -2457,7 +2457,8 @@ class SimilarityOps(val cfg: GraftConfig) {
     * trainedAssignCtes (af_dots, av) in scope; each query's entries
     * are its nprobe nearest cells' members ordered (cell rank,
     * member id), capped at beamEntries, never the query itself. */
-  private def guidedFullEntSql(name: String = "ent"): String =
+  private def guidedFullEntSql(name: String = "ent",
+      nprobe: Int = cfg.ivfNprobe): String =
     s"""$name AS (SELECT query_id, vec_id FROM (
        |    SELECT qp.ia AS query_id, av.vec_id,
        |      row_number() OVER (PARTITION BY qp.ia ORDER BY qp.crk, av.vec_id) AS erk
@@ -2465,7 +2466,43 @@ class SimilarityOps(val cfg: GraftConfig) {
        |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS crk
        |      FROM af_dots WHERE ia < $NumQueries) qp
        |    JOIN av ON av.cell = qp.ib AND av.vec_id <> qp.ia
-       |    WHERE qp.crk <= ${cfg.ivfNprobe})
+       |    WHERE qp.crk <= $nprobe)
+       |  WHERE erk <= ${cfg.beamEntries})""".stripMargin
+
+  /** The two-layer ladder entry chain ([[ladderEntries]]'s oracle) —
+    * requires c$KmeansIters, af_dots, av, bq in scope. Claims
+    * l{coarse,cc_x,cc_d,br,qg,cand,rank} and `$name`. */
+  private def ladderEntSql(name: String): String =
+    s"""lcoarse AS (SELECT cent_id, ce FROM c$KmeansIters
+       |  WHERE cent_id % ${cfg.ladderCoarseMod} = 0),
+       |lcc_x AS (SELECT c.cent_id, g.cent_id AS gid, unnest(c.ce) AS a, unnest(g.ce) AS b
+       |  FROM c$KmeansIters c, lcoarse g),
+       |lcc_d AS (SELECT cent_id, gid,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM lcc_x GROUP BY cent_id, gid),
+       |lbr AS (SELECT cent_id, gid FROM (
+       |    SELECT cent_id, gid, row_number() OVER (PARTITION BY cent_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, gid) AS rk
+       |    FROM lcc_d) WHERE rk = 1),
+       |lqg AS (SELECT ia AS query_id, ib AS gid FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries AND ib % ${cfg.ladderCoarseMod} = 0)
+       |  WHERE rk <= ${cfg.ladderCoarseProbe}),
+       |lcand AS (SELECT DISTINCT q.query_id, b.cent_id
+       |  FROM lqg q JOIN lbr b ON b.gid = q.gid),
+       |lrank AS (SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, cent_id) AS crk FROM (
+       |    SELECT c.query_id, c.cent_id,
+       |      CAST(d.dot AS DOUBLE)/(sqrt(CAST(d.na AS DOUBLE))*sqrt(CAST(d.nb AS DOUBLE))) AS cos
+       |    FROM lcand c JOIN af_dots d ON d.ia = c.query_id AND d.ib = c.cent_id)),
+       |$name AS (SELECT query_id, vec_id FROM (
+       |    SELECT l.query_id, av.vec_id,
+       |      row_number() OVER (PARTITION BY l.query_id ORDER BY l.crk, av.vec_id) AS erk
+       |    FROM lrank l JOIN av ON av.cell = l.cent_id AND av.vec_id <> l.query_id
+       |    WHERE l.crk <= ${cfg.ivfNprobe})
        |  WHERE erk <= ${cfg.beamEntries})""".stripMargin
 
   /** The IVF-guided entry chain over the BASE-TRAINED split state —
@@ -3149,16 +3186,70 @@ class SimilarityOps(val cfg: GraftConfig) {
     * owns — which is also what makes fresh DELTA content reachable as
     * entries, closing the old fixed-entry blind spot). */
   private def guidedEntriesOver(spark: SparkSession, dir: String,
-      cents: DataFrame, members: DataFrame): DataFrame = {
+      cents: DataFrame, members: DataFrame,
+      nprobe: Int = cfg.ivfNprobe): DataFrame = {
     // registration FIRST: withColumn analyzes eagerly, so the native
     // functions must exist before the first Vec expression resolves
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val qv = e.filter(col("vec_id") < NumQueries)
     val wE = Window.partitionBy("query_id").orderBy(col("crk"), col("cand"))
-    probeCellsRanked(qv, cents, cfg.ivfNprobe)
+    probeCellsRanked(qv, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"), col("crk"))
       .join(members, "cell")
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("erk", row_number().over(wE))
+      .filter(col("erk") <= cfg.beamEntries)
+      .select(col("query_id"), col("cand").as("vec_id"))
+  }
+
+  /** TWO-LAYER (HNSW-style) entry descent — q317's ladder arm: the
+    * coarse layer is a deterministic SUBSET of the trained centroids
+    * (cent_id % ladderCoarseMod — HNSW's upper layer is literally a
+    * node subset), each centroid hangs off its nearest coarse node,
+    * and a query descends: rank the coarse layer (|coarse| dots), take
+    * ${cfg.ladderCoarseProbe} branches, rank ONLY those branches'
+    * centroids, probe ${cfg.ivfNprobe} cells, draw the same
+    * ${cfg.beamEntries} entries. At 1M cells the flat guided ranking
+    * pays |cells| dots per query; the ladder pays |coarse| + the
+    * branch sizes — the log-ish descent every hierarchical index
+    * buys. Whether the RESTRICTED view costs recall is exactly what
+    * q317 measures at matched budget. */
+  private[graft] def ladderEntries(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val (cents, cells) = persistedKnnQuantizer(spark, dir)
+    val coarse = cents.filter(col("cent_id") % cfg.ladderCoarseMod === 0)
+    // each centroid → its nearest coarse node (|cents| × |coarse|
+    // broadcast-tiny dots; ties to the lower coarse id)
+    val wB = Window.partitionBy("cent_id").orderBy(col("gcos").desc, col("gid"))
+    val branch = cents.select(col("cent_id"), col("ce"))
+      .crossJoin(broadcast(coarse.select(col("cent_id").as("gid"), col("ce").as("ge"))))
+      .select(col("cent_id"), col("gid"),
+        (expr("CAST(vec_dot_fixed(ce, ge) AS DOUBLE)")
+          / (sqrt(expr("CAST(vec_dot_fixed(ce, ce) AS DOUBLE)"))
+            * sqrt(expr("CAST(vec_dot_fixed(ge, ge) AS DOUBLE)")))).as("gcos"))
+      .withColumn("brk", row_number().over(wB)).filter(col("brk") === 1)
+      .select("cent_id", "gid")
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+    // layer 1: query → its nearest coarse nodes
+    val qCoarse = probeCellsRanked(qv, coarse, cfg.ladderCoarseProbe)
+      .select(col("vec_id").as("query_id"), col("cell").as("gid"))
+    // layer 0: rank only the chosen branches' centroids
+    val wC = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cent_id"))
+    val qCells = qCoarse.join(branch, Seq("gid"))
+      .join(qv.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2")), "query_id")
+      .join(broadcast(cents.select(col("cent_id"), col("ce"),
+        expr("CAST(vec_dot_fixed(ce, ce) AS DOUBLE)").as("cn2"))), "cent_id")
+      .select(col("query_id"), col("cent_id"),
+        (expr("CAST(vec_dot_fixed(qe, ce) AS DOUBLE)")
+          / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("ccos"))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= cfg.ivfNprobe)
+      .select(col("query_id"), col("cent_id").as("cell"), col("crk"))
+    val wE = Window.partitionBy("query_id").orderBy(col("crk"), col("cand"))
+    qCells.join(cells.select(col("cell"), col("vec_id").as("cand")), "cell")
       .filter(col("cand") =!= col("query_id"))
       .withColumn("erk", row_number().over(wE))
       .filter(col("erk") <= cfg.beamEntries)
@@ -3244,6 +3335,82 @@ class SimilarityOps(val cfg: GraftConfig) {
        |SELECT 'ivf' AS entry_mode, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
        |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
        |FROM truth t LEFT JOIN itop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+  }
+
+  /** q317: HIERARCHICAL ENTRY LADDER A/B — the round-14 verdict's
+    * headroom probe: q294 settled guided-vs-fixed; this row measures
+    * whether a SECOND entry layer (HNSW-style coarse descent,
+    * [[ladderEntries]]) buys recall that simply probing wider
+    * (2×nprobe flat guided entries) does not, at the IDENTICAL
+    * candidate budget (same ${cfg.beamEntries} entries,
+    * ${cfg.beamHops} hops, ${cfg.beamWidth} beam, same graph — the
+    * q294/q262 matched-budget discipline). The serving-cost asymmetry
+    * is what makes the question real at scale: the flat arm ranks ALL
+    * cells per query (|cells| dots — fine at 16, a scan at 1M), the
+    * ladder ranks |coarse| + its branches — so if recall TIES, the
+    * ladder wins the 100 TB deployment, and if the restricted descent
+    * LOSES recall, the row prices exactly what the flat scan buys.
+    * DECISION (measured at sf0.01, recorded per the q294 rule): both
+    * arms tie at mean recall 0.74 = the q280 serving default — the
+    * descent costs nothing here, so the ladder is the scale path and
+    * q279's flat guided entries stand only because 16 cells make the
+    * flat ranking free; the standing ablation re-prices that call
+    * every round.
+    *
+    * Scale: two bounded beam walks + two queries×k eval joins; both
+    * entry selections are broadcast-tiny centroid work. */
+  def q317EntryLadder(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = persistedKnnQuantizer(spark, dir)
+    val edges = persistedKnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val wide = recallVsBrute(spark, dir,
+        beamSearchOver(spark, dir, edges, Some(guidedEntriesOver(spark, dir,
+          cents, cells.select(col("cell"), col("vec_id").as("cand")),
+          nprobe = 2 * cfg.ivfNprobe))))
+      .select(lit("nprobe2x").as("entry_mode"), col("query_id"), col("n_hit"), col("recall"))
+    val ladder = recallVsBrute(spark, dir,
+        beamSearchOver(spark, dir, edges, Some(ladderEntries(spark, dir))))
+      .select(lit("ladder").as("entry_mode"), col("query_id"), col("n_hit"), col("recall"))
+    wide.unionByName(ladder)
+  }
+
+  def q317Sql: String = {
+    def topOf(vis: String, out: String): String =
+      s"""$out AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM $vis) WHERE rk <= $TopK)""".stripMargin
+    s"""$knnGraphCtes,
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+       |  WHERE vec_id < $NumQueries),
+       |${beamHopCtesNamed("knn", "e", "w",
+            guidedFullEntSql("went", nprobe = 2 * cfg.ivfNprobe))},
+       |${beamHopCtesNamed("knn", "e", "l", ladderEntSql("lent"))},
+       |${topOf(s"wvis${cfg.beamHops}", "wtop")},
+       |${topOf(s"lvis${cfg.beamHops}", "ltop")},
+       |tr_ex AS (SELECT q.query_id, v.vec_id,
+       |    unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q, e v WHERE v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $TopK)
+       |SELECT 'nprobe2x' AS entry_mode, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN wtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id
+       |UNION ALL
+       |SELECT 'ladder' AS entry_mode, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN ltop a
        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
        |GROUP BY t.query_id""".stripMargin
   }

@@ -854,6 +854,24 @@ class DedupSpec extends GraftSpec {
       "a second v2 commit must lose the CAS")
   }
 
+  test("q317 entry ladder: matched-budget arms, one row per (arm, query), ladder entries obey the descent") {
+    val cfg = GraftConfig.default
+    val rows = Similarity.q317EntryLadder(spark, sf).collect()
+    assert(rows.length == 2 * cfg.annQueries, "one recall row per query per arm")
+    val byMode = rows.groupBy(_.getString(0))
+    assert(byMode.keySet == Set("ladder", "nprobe2x"))
+    rows.foreach { r =>
+      val (hit, rec) = (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))
+      assert(hit >= 0 && hit <= cfg.annTopK && rec == hit.toDouble / cfg.annTopK)
+    }
+    // the ladder's entry set is budget-matched and never the query itself
+    val ent = Similarity.ladderEntries(spark, sf).collect()
+    val perQ = ent.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length <= cfg.beamEntries),
+      "ladder entries must respect the shared beamEntries budget")
+    ent.foreach(r => assert(r.getLong(0) != r.getLong(1), "never the query itself"))
+  }
+
   test("q279 serves from the PERSISTED graph, not a rebuild (doctored artifact collapses the walk)") {
     import spark.implicits._
     val dir = pqDir((0L to 7L).map(i =>
