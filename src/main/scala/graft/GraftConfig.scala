@@ -582,6 +582,15 @@ case class GraftConfig(
   def semTargetCellSize: Int = ext.semTargetCellSize
   def ladderCoarseMod: Int = ext.ladderCoarseMod
   def ladderCoarseProbe: Int = ext.ladderCoarseProbe
+  def dsirTargetLang: String = ext.dsirTargetLang
+  def dsirBuckets: Int = ext.dsirBuckets
+  def dsirScale: Long = ext.dsirScale
+  def dsirSampleK: Int = ext.dsirSampleK
+  def contTNum: Int = ext.contTNum
+  def contTDen: Int = ext.contTDen
+  def driftTNum: Int = ext.driftTNum
+  def driftTDen: Int = ext.driftTDen
+  def annFilterLabel: Int = ext.annFilterLabel
 }
 
 /** Round-15+ knobs (see [[GraftConfig.ext]] — the flat constructor hit
@@ -617,7 +626,29 @@ case class GraftExt(
     // with cent_id % mod == 0, and a query descends through this many
     // coarse branches before ranking their cells
     ladderCoarseMod: Int = 4,
-    ladderCoarseProbe: Int = 2)
+    ladderCoarseProbe: Int = 2,
+    // q320/q321 (DSIR importance weights + resample): the target
+    // distribution is docs in this language, features are word
+    // unigrams hashed into this many buckets, per-feature likelihood
+    // ratios live in this micro fixed-point scale, and the priority
+    // sample keeps this many docs
+    dsirTargetLang: String = "en",
+    dsirBuckets: Int = 256,
+    dsirScale: Long = 1000000L,
+    dsirSampleK: Int = 100,
+    // q324 (containment join): directional threshold |A∩B|/|A| ≥
+    // contTNum/contTDen — higher than the symmetric q131 threshold
+    // because containment flags near-complete quotes, not near-dups
+    contTNum: Int = 9,
+    contTDen: Int = 10,
+    // q325 (streaming drift monitor): retrain fires when cumulative
+    // delta arrivals reach driftTNum/driftTDen of the base corpus
+    driftTNum: Int = 1,
+    driftTDen: Int = 4,
+    // q326/q327 (attribute-filtered ANN): serve only vectors carrying
+    // this label — ~10% selectivity on the test corpora, enough for
+    // the pre-vs-post-filter gap to be measurable
+    annFilterLabel: Int = 3)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

@@ -1529,6 +1529,188 @@ class CurationOps(val cfg: GraftConfig) {
        |SELECT c.query_id, c.slot, c.neg_id
        |FROM cand c JOIN d n ON n.doc_id = c.neg_id
        |WHERE c.neg_id <> c.query_id AND c.qkey <> n.ckey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q320/q321: DSIR importance weights + priority resample
+  // ---------------------------------------------------------------
+
+  /** Per-doc token stream with the hashed feature bucket — the DSIR
+    * feature map: word unigrams hashed by md5 into ${cfg.dsirBuckets}
+    * buckets (md5 hex is identical cross-engine, the q129/q240
+    * uniform discipline). */
+  private def dsirTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % cfg.dsirBuckets)
+
+  private def dsirTokensSql: String =
+    s"""tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tb AS (SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % ${cfg.dsirBuckets} AS b
+       |  FROM tok)""".stripMargin
+
+  /** The q320 weight chain as shared oracle CTEs, ending at
+    * `ds(doc_id, n_toks, dsir_sum_micro, dsir_avg_micro)`. */
+  private def dsirWeightCtes: String = {
+    val S = cfg.dsirScale
+    s"""$dsirTokensSql,
+       |braw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+       |btgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+       |  WHERE lang = '${cfg.dsirTargetLang}' GROUP BY b),
+       |br AS (SELECT braw.b, ($S * (coalesce(ct, 0) + 1)) // (cr + 1) AS rm
+       |  FROM braw LEFT JOIN btgt USING (b)),
+       |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(SUM(rm) AS BIGINT) AS dsir_sum_micro,
+       |    CAST(SUM(rm) // count(*) AS BIGINT) AS dsir_avg_micro
+       |  FROM tb JOIN br USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q320: DSIR IMPORTANCE WEIGHTS — Data Selection via Importance
+    * Resampling's scoring pass (hashed n-gram importance weights,
+    * Xie et al. 2023) re-expressed Spark-first: word unigrams hash
+    * into ${cfg.dsirBuckets} buckets, the TARGET distribution is the
+    * '${cfg.dsirTargetLang}'-language slice (the "high-quality
+    * domain" stand-in), the RAW distribution is the whole corpus, and
+    * each doc scores the frequency-weighted sum of per-bucket
+    * add-1-smoothed likelihood RATIOS in ${cfg.dsirScale}-scale
+    * integer fixed point. Deliberate divergence from the paper: the
+    * paper sums per-feature LOG ratios; this sums the ratios
+    * themselves, because `ln` is not correctly-rounded IEEE and the
+    * cross-engine hash gate would catch last-ulp drift (the
+    * Ranking.scala PMI rationale) — ranking-equivalent for selection
+    * (both are monotone in "target-like mass per token"), and the
+    * global normalizer (Cr+B)/(Ct+B), shared by every doc, is dropped
+    * for the same reason overflow headroom matters more than an
+    * affine constant.
+    *
+    * Scale: one explode→groupBy for the ${cfg.dsirBuckets}-row bucket
+    * table (map-combinable), broadcast back onto the token stream,
+    * per-doc sum — a two-scan pipeline with a broadcast-tiny join, no
+    * corpus shuffle beyond the doc_id aggregate. */
+  def q320DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val S = cfg.dsirScale
+    val tok = dsirTokens(spark, dir)
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === cfg.dsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    // target ⊆ raw per bucket, so rm ≤ S: the per-token ratio is
+    // bounded by the scale and the per-doc sum by S · n_toks — no
+    // overflow path at any corpus size
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .withColumn("ct0", coalesce(col("ct"), lit(0L)))
+      .select(col("b"), expr(s"($S * (ct0 + 1)) div (cr + 1)").as("rm"))
+    tok.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("rm").as("dsir_sum_micro"))
+      .select(col("doc_id"), col("n_toks"), col("dsir_sum_micro"),
+        expr("dsir_sum_micro div n_toks").as("dsir_avg_micro"))
+  }
+
+  def q320Sql: String =
+    s"""WITH $dsirWeightCtes
+       |SELECT doc_id, n_toks, dsir_sum_micro, dsir_avg_micro FROM ds""".stripMargin
+
+  /** q321: IMPORTANCE RESAMPLE — the selection pass that consumes
+    * q320's weights: PRIORITY SAMPLING (Duffield-Lund-Thorup), the
+    * weighted-without-replacement scheme whose priority w/u needs no
+    * transcendental function (Gumbel-top-k needs log — the ulp
+    * discipline again): each doc draws the deterministic md5 uniform
+    * u32 (the q129 pattern), its priority is dsir_avg_micro · 2³² div
+    * (u32+1) in exact integer space, and the top-${cfg.dsirSampleK}
+    * priorities are kept (ties break to the lower doc_id; priorities
+    * are near-unique by construction). Length-debiased by using the
+    * per-token average weight, so verbose docs don't buy selection
+    * mass.
+    *
+    * Scale: q320's pipeline + one global TakeOrderedAndProject —
+    * per-partition top-k before a single bounded merge, never a full
+    * sort. */
+  def q321ImportanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val K = cfg.dsirSampleK
+    q320DsirWeights(spark, dir)
+      .withColumn("u32",
+        conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("priority", expr("(dsir_avg_micro * 4294967296) div (u32 + 1)"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(K)
+      .select("doc_id", "n_toks", "dsir_avg_micro", "priority")
+  }
+
+  def q321Sql: String =
+    s"""WITH $dsirWeightCtes,
+       |pr AS (SELECT doc_id, n_toks, dsir_avg_micro,
+       |    (dsir_avg_micro * 4294967296) //
+       |      (CAST('0x' || substr(md5('dsir:' || doc_id), 1, 8) AS BIGINT) + 1) AS priority
+       |  FROM ds)
+       |SELECT doc_id, n_toks, dsir_avg_micro, priority FROM pr
+       |ORDER BY priority DESC, doc_id LIMIT ${cfg.dsirSampleK}""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q323: Kneser-Ney bigram LM quality scoring
+  // ---------------------------------------------------------------
+
+  /** q323: KNESER-NEY LM SCORE — the CCNet-style perplexity filter's
+    * LM, upgraded from q154's add-1 smoothing to interpolated
+    * Kneser-Ney with absolute discount D = 3/4 (the standard corpus-LM
+    * smoother: mass freed by discounting observed bigrams backs off to
+    * the CONTINUATION unigram — "how many contexts does w2 complete" —
+    * not raw frequency, so boilerplate tokens that always follow the
+    * same word stop inflating fluency). Per seen bigram, in exact
+    * ${cfg.dsirScale}-scale integer fixed point (D = 3/4 is exact in
+    * quarters — ×4 scaling, zero floats, the q154/PMI ulp discipline):
+    *
+    *   p_kn = (4·c12 − 3)·S div (4·c1)  +  3·n1p·cont(w2)·S div (4·c1·N··)
+    *
+    * where c1 = Σ_w2 c12(w1,·), n1p = |{w2: c12(w1,w2)>0}|, cont(w2) =
+    * |{w1: c12(w1,w2)>0}|, N·· = distinct bigram types. Per doc: bigram
+    * count, summed p_kn, and the mean — the doc's fluency score under
+    * the corpus's own statistics.
+    *
+    * Scale: the count tables are vocab/vocab²-bounded aggregates; the
+    * per-occurrence join re-streams the doc bigrams once; the per-doc
+    * aggregate is map-combinable. Integer headroom: 3·n1p·cont·S needs
+    * n1p·cont < 3·10¹² — safe through multi-million-word vocabularies. */
+  def q323KnBigram(spark: SparkSession, dir: String): DataFrame = {
+    val S = cfg.dsirScale
+    val dp = docBigrams(spark, dir)
+    val bi = dp.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("contw"))
+    val nbb = bi.agg(count(lit(1)).as("nbb"))
+    dp.join(bi, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nbb))
+      .withColumn("p_micro",
+        expr(s"((4*c12 - 3) * $S) div (4*c1) + (3 * n1p * contw * $S) div (4 * c1 * nbb)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("kn_sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_sum_micro"),
+        expr("kn_sum_micro div n_bigrams").as("kn_micro"))
+  }
+
+  def q323Sql: String = {
+    val S = cfg.dsirScale
+    s"""WITH dp AS (
+       |  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) t
+       |  WHERE len(ws) >= 2),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM dp GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1p FROM bi GROUP BY w1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS contw FROM bi GROUP BY w2),
+       |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bi),
+       |p AS (SELECT doc_id,
+       |    ((4*c12 - 3) * $S) // (4*c1) + (3 * n1p * contw * $S) // (4 * c1 * nbb) AS p_micro
+       |  FROM dp JOIN bi USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nbb)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(p_micro) AS BIGINT) AS kn_sum_micro,
+       |  CAST(SUM(p_micro) // count(*) AS BIGINT) AS kn_micro
+       |FROM p GROUP BY doc_id""".stripMargin
+  }
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

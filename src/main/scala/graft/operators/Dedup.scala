@@ -527,7 +527,12 @@ class DedupOps(val cfg: GraftConfig) {
     * recompute on the surviving docs over the artifact's pair set;
     * spec pins untouched-family rows byte-identical and relabeled
     * docs ⊆ touched families. */
-  def q296DecrementalFamilies(spark: SparkSession, dir: String): DataFrame = {
+  /** The persisted full near-dup pair table + family labels —
+    * content-keyed build-if-absent (the knn_cents/truth lifecycle):
+    * q296 reads both, q322 reads the labels; a corpus regeneration or
+    * a knob change reroutes the key instead of serving stale
+    * families. Returns (pairs, labels(doc_id, lbl)). */
+  private[graft] def persistedFamilyArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.GraftSession.ensureCheckpointDir(spark)
     val ckey = s"k=${cfg.shingleK},rdf=$RareDf,mh=$MinhashJ,j=$JaccardJ"
     val pPath = graft.sources.Scratch.keyedDir("ndpairs_full", dir, spark,
@@ -548,9 +553,12 @@ class DedupOps(val cfg: GraftConfig) {
         .write.mode("overwrite").parquet(lPath)
       pairs.unpersist(false)
     }
-    val pairs = spark.read.parquet(pPath)
-    val storedLbl = spark.read.parquet(lPath)
-      .select(col("node").as("doc_id"), col("lbl"))
+    (spark.read.parquet(pPath),
+      spark.read.parquet(lPath).select(col("node").as("doc_id"), col("lbl")))
+  }
+
+  def q296DecrementalFamilies(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, storedLbl) = persistedFamilyArtifacts(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
       .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
     val surviving = docs.filter(col("b") < cfg.docRetractLower).drop("b")
@@ -614,6 +622,56 @@ class DedupOps(val cfg: GraftConfig) {
        |SELECT f.doc_id, f.family_id, k.keeper_id, s.family_size,
        |  f.doc_id <> k.keeper_id AS is_dup
        |FROM fam f JOIN fsz s USING (family_id) JOIN keeper k USING (family_id)""".stripMargin
+
+  /** q322: SOFT DEDUP — duplicate-aware DOWN-WEIGHTING instead of
+    * dropping: q57 keeps one doc per near-dup family and discards the
+    * rest, but several production recipes keep every copy and divide
+    * its training weight by the family size (repetition-aware
+    * sampling — the family contributes ONE doc's worth of expected
+    * gradient mass however many near-copies exist, without q57's
+    * hard choice of which copy). Per doc: the q57 family label (from
+    * the persisted [[persistedFamilyArtifacts]] label table —
+    * build-if-absent, shared with q296), the family size, the weight
+    * 1/family_size in ${cfg.dsirScale}-scale integer fixed point
+    * (div-truncated — exact cross-engine, the q320 discipline), and
+    * the doc's EFFECTIVE chars n_chars·w — what a token-budget
+    * planner (q267) should count this doc as. A singleton keeps
+    * weight 1.0; a 4-copy family's members carry 0.25 each.
+    *
+    * Scale: one artifact read + the q57 size aggregate + a label
+    * join — no pair or shingle work at serve time; the heavy lifting
+    * lives in the nightly artifact exactly like q296/q204. */
+  def q322SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val S = cfg.dsirScale
+    val (_, storedLbl) = persistedFamilyArtifacts(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val fam = docs.join(storedLbl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("lbl"), col("doc_id")).as("family_id"))
+    val sz = fam.groupBy("family_id").agg(count(lit(1)).as("family_size"))
+    fam.join(sz, "family_id")
+      .withColumn("w_micro", expr(s"$S div family_size"))
+      .select(col("doc_id"), col("family_id"), col("family_size"),
+        col("w_micro"), (col("n_chars") * col("w_micro")).as("eff_chars_micro"))
+  }
+
+  /** q57's reachability chain, ending at the weight projection. */
+  def q322Sql: String =
+    s"""WITH RECURSIVE
+       |$nearDupEdgesSql,
+       |und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
+       |fam AS (SELECT d.doc_id, d.n_chars, coalesce(l.family_id, d.doc_id) AS family_id
+       |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+       |fsz AS (SELECT family_id, CAST(count(*) AS BIGINT) AS family_size
+       |  FROM fam GROUP BY family_id)
+       |SELECT f.doc_id, f.family_id, s.family_size,
+       |  ${cfg.dsirScale} // s.family_size AS w_micro,
+       |  f.n_chars * (${cfg.dsirScale} // s.family_size) AS eff_chars_micro
+       |FROM fam f JOIN fsz s USING (family_id)""".stripMargin
 
   /** q197: FAMILY-CONSISTENT train/val/test split — the leakage-proof
     * splitter: q68's content-stable md5 split hashes the DOC id, so two
@@ -844,6 +902,78 @@ class DedupOps(val cfg: GraftConfig) {
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
   }
+
+  /** q324: CONTAINMENT JOIN — the DIRECTIONAL sibling of q131's
+    * symmetric Jaccard join: find every ordered pair where doc A is
+    * (near-)CONTAINED in doc B, c(A→B) = |A∩B|/|A| ≥
+    * ${cfg.contTNum}/${cfg.contTDen} over word-$SimW-gram sets. This
+    * is the quote/excerpt detector near-dup dedup cannot see: a short
+    * doc quoted whole inside a long one has LOW Jaccard (the union is
+    * dominated by the container) but containment ≈ 1 — exactly the
+    * "training doc embedded in another training doc" and "eval set
+    * quoted inside a crawl page" cases a contamination pipeline must
+    * catch (q67/q74 find shared n-grams; this one decides
+    * near-complete inclusion).
+    *
+    * Prefix-filter theory, asymmetric form: |A∩B| ≥ ⌈t·n_A⌉ forces
+    * A's prefix of size n_A − ⌈t·n_A⌉ + 1 (under ANY global gram
+    * order) to intersect B — note B contributes ALL its grams, not
+    * just a prefix, which is what makes the join directional. The
+    * global order is q131's df-ascending one, so the indexed prefixes
+    * hold each doc's RAREST grams and the per-key fanout of the
+    * candidate join stays small; a size filter (${cfg.contTDen}·n_B ≥
+    * ${cfg.contTNum}·n_A — a container can't be shorter than the
+    * quoted mass) prunes inside the join. Verify is the exact integer
+    * cross-multiply ${cfg.contTDen}·|A∩B| ≥ ${cfg.contTNum}·n_A — no
+    * float at the boundary. Completeness is the same theorem as q131
+    * (spec-pinned against the naive all-shared-gram join).
+    *
+    * Scale: identical bones to q131 — df map-combinable, per-DOC
+    * prefix window, candidates an equi-join of rare prefix grams
+    * against the gram table; at 100 TB the gram side is the persisted
+    * inverted index (q102) and the probe is prefix-sized. */
+  def q324ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CNum = cfg.contTNum
+    val CDen = cfg.contTDen
+    val sh = wordGrams(spark, dir)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
+      .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
+    val grams = ranked.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+    val cand = prefix.join(grams,
+        prefix("s") === grams("s") && col("src_id") =!= col("dst_id") &&
+        lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
+      .select("src_id", "dst_id")
+      .distinct()
+    val docArr = wordGramArrays(spark, dir)
+      .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
+    cand
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism)
+      .join(docArr.select(col("doc_id").as("src_id"), col("ss").as("sa"), col("n").as("na")), "src_id")
+      .join(docArr.select(col("doc_id").as("dst_id"), col("ss").as("sb")), "dst_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(lit(CDen.toLong) * col("i") >= lit(CNum.toLong) * col("na"))
+      .select(col("src_id"), col("dst_id"),
+        (col("i").cast("double") / col("na")).as("containment"))
+  }
+
+  /** Oracle: the naive complete directional join — every ordered pair
+    * sharing ≥1 gram, exact containment, integer threshold. */
+  def q324Sql: String =
+    s"""WITH sh AS ($wordGramsSql),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT src_id, dst_id, CAST(i AS DOUBLE)/na.n AS containment
+       |FROM inter JOIN sz na ON src_id = na.doc_id
+       |WHERE ${cfg.contTDen}*i >= ${cfg.contTNum}*na.n""".stripMargin
 
   /** Oracle: the naive COMPLETE join — every pair sharing ≥1 gram,
     * exact Jaccard, integer threshold. Any pair with J ≥ t > 0 shares a

@@ -1122,4 +1122,101 @@ object Multimodal {
        |  GROUP BY c.doc_a, c.doc_b)
        |SELECT doc_a, doc_b, d2 FROM dd WHERE d2 <= $maxD2""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q318/q319: audio + video similarity search (the q303 shape)
+  // ---------------------------------------------------------------
+
+  /** q318: AUDIO SIMILARITY SEARCH — exact top-k nearest clips by
+    * frame-energy L1, completing the SEARCH symmetry across modalities
+    * (q40 external embeddings, q289 text-derived, q303 decoded pixels,
+    * THIS decoded samples): the first ${GraftConfig.default.annQueries}
+    * doc_ids form the query panel, every (query, clip) pair scores the
+    * exact integer L1 over q307's fingerprints — the SAME metric the
+    * q308 near-dup verify uses, so the search ranking and the dedup
+    * boundary are mutually consistent (a clip inside the near-dup
+    * bound always out-ranks one outside it). Ties to the lowest
+    * doc_id; no float anywhere.
+    *
+    * Scale: q303's exact plan — the tiny panel broadcasts against one
+    * zero-shuffle fingerprint scan, then a per-query partial top-k;
+    * the corpus side reads ${64 / 16} ints per clip instead of PCM
+    * because the fingerprint IS the persisted artifact (q307). For
+    * sub-scan latency the q308 quantized key plays IVF — the tiers
+    * compose exactly as on the image modality. */
+  def q318AudioSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nq = GraftConfig.default.annQueries
+    val k = GraftConfig.default.annTopK
+    val d = keyedAudio(spark, dir).select("doc_id", "en")
+    val q = broadcast(d.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("query_id"), col("en").as("qe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l1"), col("doc_id"))
+    q.crossJoin(d)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        expr("aggregate(zip_with(qe, en, (x, y) -> abs(x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("l1"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "rk", "l1")
+  }
+
+  def q318Sql: String = {
+    val nq = GraftConfig.default.annQueries
+    val k = GraftConfig.default.annTopK
+    s"""WITH $audElemsCtes,
+       |qd AS (SELECT doc_id AS query_id, frame, e FROM fr WHERE doc_id < $nq),
+       |dd AS (SELECT q.query_id, f.doc_id,
+       |    CAST(SUM(abs(q.e - f.e)) AS BIGINT) AS l1
+       |  FROM qd q JOIN fr f ON f.frame = q.frame AND f.doc_id <> q.query_id
+       |  GROUP BY q.query_id, f.doc_id),
+       |rk AS (SELECT query_id, doc_id, l1,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY l1, doc_id) AS rk
+       |  FROM dd)
+       |SELECT query_id, doc_id, rk, l1 FROM rk WHERE rk <= $k""".stripMargin
+  }
+
+  /** q319: VIDEO SIMILARITY SEARCH — exact top-k nearest clips by
+    * squared L2 over q314's temporal fingerprints, the last cell of
+    * the modality×(dedup, search) matrix (dedup: q30-34/q302/q308/
+    * q315; search: q40/q303/q318/THIS). The metric is the q315 verify
+    * metric (exact integer d² = na + nb − 2·dot over FRAME-ORDERED
+    * pooled values), so a montage re-cut of the same frames ranks far
+    * — temporal order is part of the distance, not just the blocking
+    * key. Ties to the lowest doc_id; all-integer ranking.
+    *
+    * Scale: identical to q303/q318 — broadcast panel × zero-shuffle
+    * fingerprint scan + per-query partial top-k over the persisted
+    * q314 artifact. */
+  def q319VideoSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nq = GraftConfig.default.annQueries
+    val k = GraftConfig.default.annTopK
+    val d = keyedVideo(spark, dir).select("doc_id", "desc", "n2")
+    val q = broadcast(d.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("query_id"), col("desc").as("qd"), col("n2").as("qn2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("doc_id"))
+    q.crossJoin(d)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_long(qd, desc)")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "rk", "d2")
+  }
+
+  def q319Sql: String = {
+    val nq = GraftConfig.default.annQueries
+    val k = GraftConfig.default.annTopK
+    s"""WITH $vidElemsCtes,
+       |qd AS (SELECT doc_id AS query_id, idx, v FROM velems WHERE doc_id < $nq),
+       |dd AS (SELECT q.query_id, e.doc_id,
+       |    CAST(SUM((q.v - e.v) * (q.v - e.v)) AS BIGINT) AS d2
+       |  FROM qd q JOIN velems e ON e.idx = q.idx AND e.doc_id <> q.query_id
+       |  GROUP BY q.query_id, e.doc_id),
+       |rk AS (SELECT query_id, doc_id, d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rk
+       |  FROM dd)
+       |SELECT query_id, doc_id, rk, d2 FROM rk WHERE rk <= $k""".stripMargin
+  }
 }

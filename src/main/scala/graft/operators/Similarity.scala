@@ -3801,6 +3801,296 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   def q305Sql: String = q41Sql
 
+  /** q325: STREAMING DRIFT MONITOR — the maintenance loop's missing
+    * streaming half: the batch tier measures drift nightly (q188),
+    * prices graph debt (q285), recompacts (q290), and retrains+swaps
+    * (q309); THIS watches the delta ARRIVE and raises the retrain
+    * flag live. The delta split (q188's md5 band) lands as files in
+    * two waves; `foreachBatch` assigns each micro-batch against the
+    * base-trained centroid index (the same zero-shuffle broadcast
+    * argmax as batch q188) and appends per-(wave, cell) arrival
+    * counts to the sink. The drain then reads the sink once and emits
+    * the drift ledger: per (wave, cell) the in-wave arrivals, the
+    * cell's CUMULATIVE delta through that wave, the base occupancy,
+    * and the wave's retrain decision — true when cumulative arrivals
+    * reach ${GraftConfig.default.driftTNum}/${GraftConfig.default.driftTDen}
+    * of the base corpus (integer cross-multiply, no float at the
+    * trigger) — the live dial whose batch consumers are q309's swap
+    * and q290's recompaction. Wave identity is the vec_id parity that
+    * DEFINES the landing waves, so the ledger is drain-order
+    * independent and the static replay is the oracle (the q305/q288
+    * drain ≡ batch discipline).
+    *
+    * Scale: serving is stateless (nothing enters the state store) —
+    * per batch one broadcast-argmax map over the batch + a
+    * batch-sized aggregate append; the ledger read is sink-sized
+    * (waves × cells), never corpus-sized. */
+  def q325StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val landing = graft.sources.Scratch.dir("sdrift_landing", dir)
+    val ckpt = graft.sources.Scratch.dir("sdrift_ckpt", dir)
+    val out = graft.sources.Scratch.dir("sdrift_out", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(landing, ckpt, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+    val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
+    val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
+    val idxPath = graft.sources.Scratch.dir("sdrift_idx", dir)
+    trainIndexOn(base).write.mode("overwrite").parquet(idxPath)
+    val cents = loadIndex(spark, idxPath)
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    Seq(delta.filter(col("vec_id") % 2 === 0), delta.filter(col("vec_id") % 2 === 1))
+      .zipWithIndex.foreach { case (w, i) =>
+        val before =
+          if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+          else Set.empty[org.apache.hadoop.fs.Path]
+        w.repartition(1).write.mode("append").parquet(landing)
+        fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+          .map(_.getPath).filterNot(before)
+          .filter(_.getName.startsWith("part-"))
+          .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+      }
+    val raw = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, n2 DOUBLE")
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = raw.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          assign(b, cents)
+            .groupBy(pmod(col("vec_id"), lit(2L)).as("wave"), col("cell"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val dn = spark.read.parquet(out)
+      .groupBy("wave", "cell").agg(sum("n").as("delta_n"))
+    val cum = dn.withColumn("delta_cum",
+      sum("delta_n").over(Window.partitionBy("cell").orderBy("wave")))
+    val wc = dn.groupBy("wave").agg(sum("delta_n").as("wn"))
+      .withColumn("d_cum_total", sum("wn").over(Window.orderBy("wave")))
+      .select("wave", "d_cum_total")
+    val bc = assign(base, cents).groupBy("cell").agg(count(lit(1)).as("base_n"))
+    val nb = broadcast(base.agg(count(lit(1)).as("n_base")))
+    cum.join(wc, "wave")
+      .join(bc, Seq("cell"), "left")
+      .crossJoin(nb)
+      .select(col("wave"), col("cell"), col("delta_n"), col("delta_cum"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        (lit(cfg.driftTDen.toLong) * col("d_cum_total")
+          >= lit(cfg.driftTNum.toLong) * col("n_base")).as("retrain"))
+  }
+
+  /** q326: ATTRIBUTE-FILTERED ANN SEARCH — top-k restricted to
+    * vectors carrying label = ${GraftConfig.default.annFilterLabel},
+    * the filtered-vector-search feature every serving stack ends up
+    * needing (tenant isolation, language routing, freshness windows):
+    * the PRE-FILTER strategy — the label predicate lands at CANDIDATE
+    * GENERATION (probed cell members filter on label BEFORE scoring),
+    * so every one of the k result slots is spent on an eligible
+    * vector. q41's plan otherwise exactly: persisted index, one
+    * corpus assignment, nprobe probed cells per query, exact cosine,
+    * ties to the lowest id. The alternative (post-filter: search
+    * unfiltered, discard ineligible results) is NOT this query — it
+    * is q327's measured ablation arm, where its recall cost is priced
+    * rather than assumed.
+    *
+    * Scale: identical to q41 plus one pushed-down predicate on the
+    * assignment scan — at 10% selectivity the candidate set shrinks
+    * 10×; the label could equally be a partition/bucket key of the
+    * assignment artifact, making the filter a pruning, not a scan. */
+  def q326FilteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val cents = persistedIvfIndex(spark, dir)
+    val qv = e.filter(col("vec_id") < NumQueries)
+    serveAssigned(assign(e, cents).filter(col("label") === cfg.annFilterLabel),
+      qv, cents, cfg.ivfNprobe)
+  }
+
+  def q326Sql: String =
+    s"""$trainedAssignCtes,
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries)
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT q.query_id, e.embedding AS qe, q.cell
+       |  FROM qprobe q JOIN e ON e.vec_id = q.query_id),
+       |cellpairs AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
+       |  FROM qv JOIN av USING (cell)
+       |  JOIN embeddings lb ON lb.vec_id = av.vec_id
+       |  WHERE av.vec_id <> qv.query_id AND lb.label = ${cfg.annFilterLabel}),
+       |top_ex AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM cellpairs),
+       |top_dots AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM top_ex GROUP BY ia, ib),
+       |top_cos AS (SELECT ia, ib,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM top_dots)
+       |SELECT ia AS query_id, ib AS vec_id, rk, cosine FROM (
+       |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
+       |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
+
+  /** q327: PRE- vs POST-FILTER RECALL — the measured A/B behind
+    * q326's strategy choice (the q294/q317 discipline: never adopt a
+    * serving policy without pricing the alternative at matched
+    * budget): both arms probe the SAME ${cfg.ivfNprobe} cells per
+    * query and keep $IvfTopK result slots; arm `pre` filters at
+    * candidate generation (q326's walk exactly), arm `post` runs the
+    * unfiltered q41 serve and discards ineligible results AFTER the
+    * top-k is spent — the naive strategy every filtered-search
+    * deployment starts with. Each arm scores per-query recall against
+    * the exact filtered brute truth. At ~10% label selectivity the
+    * post arm's expected surviving slots are k/10 — the gap this row
+    * measures is the pre-filter's entire value proposition, and a
+    * future corpus where the label correlates with the query
+    * neighborhood (post-filter loses nothing) shows up as one
+    * subtraction. MEASURED at sf0.01 (the q294 rule — the decision is
+    * recorded): mean recall 0.567 pre vs 0.133 post — a 4.3× gap at
+    * identical probe budget, so q326 serves pre-filtered.
+    *
+    * Scale: two cell-bounded serves off ONE shared corpus assignment
+    * + a queries×k eval join; the truth side scans only the
+    * label-eligible slice (selectivity × corpus). */
+  def q327FilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val L = cfg.annFilterLabel
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val cents = persistedIvfIndex(spark, dir)
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val assigned = graft.Ck.lazyStage(assign(e, cents), cfg)
+    val pre = serveAssigned(assigned.filter(col("label") === L), qv, cents, cfg.ivfNprobe)
+      .select(col("query_id"), col("vec_id"))
+    val post = serveAssigned(assigned, qv, cents, cfg.ivfNprobe)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === L)
+      .select(col("query_id"), col("vec_id"))
+    // exact filtered truth: brute cosine over the eligible slice only
+    val lblSide = e.filter(col("label") === L)
+    val panel = broadcast(qv.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("n2").as("qn2")))
+    val wT = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val truth = panel.crossJoin(lblSide)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= IvfTopK)
+      .select("query_id", "vec_id")
+    def scored(arm: String, hits: DataFrame): DataFrame =
+      truth.join(hits.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(arm).as("arm"), col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / IvfTopK).as("recall"))
+    scored("pre", pre).unionByName(scored("post", post))
+  }
+
+  def q327Sql: String = {
+    val L = cfg.annFilterLabel
+    def topOf(pairs: String, out: String, filtered: Boolean): String = {
+      val f = if (filtered) s"AND lb.label = $L" else ""
+      s"""${out}_cp AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
+         |  FROM qv JOIN av USING (cell)
+         |  JOIN embeddings lb ON lb.vec_id = av.vec_id
+         |  WHERE av.vec_id <> qv.query_id $f),
+         |${out}_ex AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM ${out}_cp),
+         |${out}_d AS (SELECT ia, ib,
+         |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+         |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+         |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+         |  FROM ${out}_ex GROUP BY ia, ib),
+         |$out AS (SELECT ia AS query_id, ib AS vec_id FROM (
+         |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+         |    FROM ${out}_d) WHERE rk <= $IvfTopK)""".stripMargin
+    }
+    s"""$trainedAssignCtes,
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries)
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT q.query_id, e.embedding AS qe, q.cell
+       |  FROM qprobe q JOIN e ON e.vec_id = q.query_id),
+       |${topOf("prepairs", "pretop", filtered = true)},
+       |${topOf("postpairs", "postraw", filtered = false)},
+       |posttop AS (SELECT p.query_id, p.vec_id FROM postraw p
+       |  JOIN embeddings lb ON lb.vec_id = p.vec_id WHERE lb.label = $L),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),
+       |tr_ex AS (SELECT q.query_id, v.vec_id, unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q JOIN (SELECT e.vec_id, e.embedding FROM e
+       |    JOIN embeddings lb USING (vec_id) WHERE lb.label = $L) v
+       |    ON v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $IvfTopK)
+       |SELECT 'pre' AS arm, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN pretop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id
+       |UNION ALL
+       |SELECT 'post' AS arm, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN posttop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+  }
+
+  /** Static replay: the q188 training chain on the base split, both
+    * assignments, waves from the parity that DEFINES the landing. */
+  def q325Sql: String = {
+    val training = (1 to KmeansIters).map { i =>
+      s"""${duckAssign(s"c${i - 1}", s"a$i", onlySample = true)},
+         |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '${cfg.splitTrainUpper}'),
+       |ed AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '${cfg.splitTrainUpper}'),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCentroids),
+       |$training,
+       |${duckAssign(s"c$KmeansIters", "ab")},
+       |${duckAssign(s"c$KmeansIters", "ad", src = "ed")},
+       |bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS base_n FROM ab GROUP BY 1),
+       |dn AS (SELECT vec_id % 2 AS wave, cell, CAST(count(*) AS BIGINT) AS delta_n
+       |  FROM ad GROUP BY 1, 2),
+       |cum AS (SELECT wave, cell, delta_n,
+       |    CAST(SUM(delta_n) OVER (PARTITION BY cell ORDER BY wave) AS BIGINT) AS delta_cum
+       |  FROM dn),
+       |wc AS (SELECT wave, CAST(SUM(SUM(delta_n)) OVER (ORDER BY wave) AS BIGINT) AS d_cum_total
+       |  FROM dn GROUP BY wave),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM e)
+       |SELECT c.wave, c.cell, c.delta_n, c.delta_cum,
+       |  coalesce(bc.base_n, 0) AS base_n,
+       |  ${cfg.driftTDen} * w.d_cum_total >= ${cfg.driftTNum} * nb.n_base AS retrain
+       |FROM cum c JOIN wc w USING (wave) LEFT JOIN bc USING (cell) CROSS JOIN nb""".stripMargin
+  }
+
   def q306Sql: String = {
     val points = (1 to cfg.probeCurveMax).map { np =>
       s"""qprobe$np AS (SELECT ia AS query_id, ib AS cell FROM (

@@ -620,4 +620,73 @@ class CurationSpec extends GraftSpec {
     val mins = (0L to 5L).map(got(_)._2)
     assert(mins == mins.sorted, "generalization can only grow groups")
   }
+
+  test("q320 DSIR weights: target-language mass scores high, mixed doc in between, ratios ≤ the scale") {
+    // alpha (bucket 163) carries all the en mass; beta (bucket 176)
+    // none: rm_alpha = 1e6·9 div 11 = 818181, rm_beta = 1e6·1 div 7 =
+    // 142857 — hand-checked against the md5 bucket hash
+    val dir = docsLangSource(
+      (0L, "alpha alpha alpha alpha", "en", "s"),
+      (1L, "alpha alpha alpha alpha", "en", "s"),
+      (2L, "beta beta beta beta", "de", "s"),
+      (3L, "alpha beta alpha beta", "de", "s"))
+    val got = graft.operators.Curation.q320DsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((4L, 3272724L, 818181L)))
+    assert(got(2L) == ((4L, 571428L, 142857L)))
+    assert(got(3L) == ((4L, 1922076L, 480519L)),
+      "the mixed doc must land between the pure target and pure raw docs")
+    // per-bucket target counts are a subset of raw counts, so no
+    // ratio — and no average — can exceed the fixed-point scale
+    got.values.foreach { case (_, _, avg) => assert(avg > 0 && avg <= 1000000L) }
+  }
+
+  test("q321 priority resample: keeps exactly the top-K priorities under the deterministic md5 uniform") {
+    val dir = docsLangSource(
+      (0L, "alpha alpha alpha alpha", "en", "s"),
+      (1L, "alpha alpha alpha alpha", "en", "s"),
+      (2L, "beta beta beta beta", "de", "s"),
+      (3L, "alpha beta alpha beta", "de", "s"))
+    val ops2 = new CurationOps(GraftConfig(ext = GraftExt(dsirSampleK = 2)))
+    val sel = ops2.q321ImportanceResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // recompute every priority in plain Scala: w·2³² div (u32+1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(id: Long): Long = {
+      val hex = md.digest(s"dsir:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val avg = Map(0L -> 818181L, 1L -> 818181L, 2L -> 142857L, 3L -> 480519L)
+    val prio = avg.map { case (id, w) => id -> (w * 4294967296L) / (u32(id) + 1) }
+    val expTop = prio.toSeq.sortBy { case (id, p) => (-p, id) }.take(2).toMap
+    assert(sel == expTop,
+      s"selected set must be the exact top-2 priorities; got $sel expected $expTop")
+    // full-corpus invariant: every kept priority ≥ every dropped one
+    assert(sel.values.min >= (prio -- sel.keys).values.max)
+  }
+
+  test("q323 Kneser-Ney: exact quarters fixed point — a single bigram carries full mass") {
+    // one doc "a b": disc = S div 4, backoff = 3S div 4 — p_kn sums to
+    // exactly the scale (the KN normalization, visible bit-exactly)
+    val dir1 = docs(0L -> "a b")
+    val one = graft.operators.Curation.q323KnBigram(spark, dir1).collect()
+    assert(one.length == 1)
+    assert(one(0).getLong(1) == 1L && one(0).getLong(3) == 1000000L)
+    // "a b a b": p(a,b) = 5S/8 + 3S/16 = 812500, p(b,a) = S/4 + 3S/8 =
+    // 625000; doc mean = (2·812500 + 625000) div 3 = 750000
+    val dir2 = docs(0L -> "a b a b")
+    val two = graft.operators.Curation.q323KnBigram(spark, dir2).collect()
+    assert(two(0).getLong(1) == 3L && two(0).getLong(2) == 2250000L
+      && two(0).getLong(3) == 750000L)
+  }
+
+  test("q323 on real data: every doc mean stays within the probability scale") {
+    val rows = graft.operators.Curation.q323KnBigram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L,
+        s"doc ${r.getLong(0)}: mean p_kn ${r.getLong(3)} outside (0, S]")
+    }
+  }
 }

@@ -896,4 +896,68 @@ class DedupSpec extends GraftSpec {
     assert(got == expected,
       s"edge-free artifact must collapse the walk to the entry points, got $got vs $expected")
   }
+
+  test("q322 soft dedup: weights are exact 1/family_size fixed point and agree with q57's families") {
+    val rows = Dedup.q322SoftDedup(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "soft dedup KEEPS every doc — that's the point")
+    val S = 1000000L
+    rows.foreach { r =>
+      val (sz, w, eff) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // w = S div sz exactly: w·sz ≤ S < (w+1)·sz, and the effective
+      // chars are the doc's chars at that weight
+      assert(w * sz <= S && (w + 1) * sz > S, s"w=$w sz=$sz is not S div sz")
+      assert(eff % w == 0, "eff_chars_micro must be n_chars · w_micro")
+    }
+    // a family's members all carry the family's own weight, and the
+    // family structure IS q57's (same labels, same sizes)
+    val q57 = Dedup.q57DedupFamilies(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    rows.foreach { r =>
+      val (fam, sz) = q57(r.getLong(0))
+      assert(r.getLong(1) == fam && r.getLong(2) == sz,
+        s"doc ${r.getLong(0)}: soft-dedup family disagrees with q57")
+    }
+    assert(rows.exists(_.getLong(3) == S), "singletons must keep full weight")
+    assert(rows.exists(_.getLong(3) < S), "the corpus has real families — some doc must be down-weighted")
+  }
+
+  test("q324 containment is COMPLETE: equals the naive directional all-shared-gram join on real data") {
+    val fast = Dedup.q324ContainmentJoin(spark, sf).select("src_id", "dst_id", "containment")
+    val sh = Dedup.wordGrams(spark, sf)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
+      .agg(count(lit(1)).as("i"))
+    val (tn, td) = (GraftConfig.default.contTNum.toLong, GraftConfig.default.contTDen.toLong)
+    val naive = inter
+      .join(sz.select(col("doc_id").as("src_id"), col("n").as("na")), "src_id")
+      .filter(lit(td) * col("i") >= lit(tn) * col("na"))
+      .select(col("src_id"), col("dst_id"),
+        (col("i").cast("double") / col("na")).as("containment"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0, "threshold too high — the completeness check compared empty sets")
+  }
+
+  test("q324 is DIRECTIONAL: a quoted doc pairs toward its container, never back, and Jaccard misses it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    val words = (1 to 20).map(i => f"w$i%02d")
+    // doc 1 = the first 12 words of doc 2: every gram of 1 is a gram
+    // of 2 (containment 1.0), but 2's grams outnumber 1's 2:1
+    Seq((1L, words.take(12).mkString(" ")),
+        (2L, words.mkString(" ")),
+        (3L, (21 to 40).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q324ContainmentJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only quote→container qualifies; got ${got.keySet}")
+    assert(got((1L, 2L)) == 1.0, "a verbatim prefix quote is fully contained")
+    // the symmetric join CANNOT see this pair: J = 8/16 = 0.5 < 3/5
+    val jac = Dedup.q131SimJoin(spark, dir).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard at the q131 threshold must miss the quote — that asymmetry is q324's reason to exist")
+  }
 }

@@ -172,4 +172,69 @@ class QuantTierSpec extends GraftSpec {
     assert(Similarity.cellsFor(n) == cfg.ivfCentroids,
       s"test corpus n=$n must sit below the cells knee (cfg ${cfg.ivfCentroids})")
   }
+
+  test("q325 streaming drift: ledger reconciles with the static split and the retrain flag is the exact trigger") {
+    val rows = Similarity.q325StreamDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val upper = GraftConfig.default.splitTrainUpper
+    def band(c: org.apache.spark.sql.Column) = substring(md5(c.cast("string")), 1, 2)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nBase = e.filter(band(col("vec_id")) < upper).count()
+    val nDelta = e.filter(band(col("vec_id")) >= upper).count()
+    // every delta arrival lands in the ledger exactly once
+    assert(rows.map(_.getLong(2)).sum == nDelta,
+      "Σ delta_n over (wave, cell) must equal the delta split size")
+    // per-cell cumulative is the running sum of its own waves
+    val byCell = rows.groupBy(_.getLong(1))
+    byCell.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getLong(0))
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getLong(2)
+        assert(r.getLong(3) == run, s"delta_cum must be the running per-cell sum")
+      }
+    }
+    // the retrain flag is the integer trigger on the CUMULATIVE total,
+    // recomputed independently per wave
+    val (tn, td) = (GraftConfig.default.driftTNum.toLong, GraftConfig.default.driftTDen.toLong)
+    val waveTotals = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { r =>
+      val cum = waveTotals.filter(_._1 <= r.getLong(0)).values.sum
+      assert(r.getBoolean(5) == (td * cum >= tn * nBase),
+        s"wave ${r.getLong(0)}: retrain flag must equal the exact trigger")
+    }
+    // the FINAL wave must fire at this corpus (delta/base ≈ 1/3 > 1/4),
+    // so the monitor genuinely reaches its decision
+    val lastWave = rows.map(_.getLong(0)).max
+    assert(rows.filter(_.getLong(0) == lastWave).forall(_.getBoolean(5)),
+      "the full delta must cross the retrain threshold at every test SF")
+  }
+
+  test("q326/q327 filtered ANN: every result carries the label, and pre-filter dominates post-filter") {
+    val L = GraftConfig.default.annFilterLabel
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val res = Similarity.q326FilteredSearch(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(labels(r.getLong(1)) == L, "a filtered search must never surface an ineligible vector")
+      assert(r.getLong(1) != r.getLong(0), "never the query itself")
+    }
+    // per-query ranks are 1..m with no gaps (the top-k contract)
+    res.groupBy(_.getLong(0)).values.foreach { qs =>
+      assert(qs.map(_.getInt(2)).sorted.sameElements(1 to qs.length))
+    }
+    val ab = Similarity.q327FilteredRecall(spark, sf).collect()
+    val byArm = ab.groupBy(_.getString(0)).view
+      .mapValues(rs => rs.map(_.getDouble(3)).sum / rs.length).toMap
+    assert(byArm.keySet == Set("pre", "post"))
+    // the measured decision: at ~10% selectivity the post arm spends
+    // its k slots on mostly-ineligible results — pre must dominate
+    assert(byArm("pre") > byArm("post"),
+      s"pre-filter must beat post-filter at matched budget; got $byArm")
+    // the pre arm IS q326's walk: hits ⊆ its result set per query
+    val preHits = ab.filter(r => r.getString(0) == "pre")
+    assert(preHits.map(_.getLong(2)).sum > 0, "pre arm must land real hits")
+  }
 }

@@ -704,6 +704,51 @@ class TextStreamSpec extends GraftSpec {
       "the exact-verify bound must prune real candidates, not rubber-stamp the key")
   }
 
+  test("q318 audio search: exact L1 ranking — dup first at 0, nudge second at the sample delta, far last") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audsearch").toString
+    Seq((1L, "a" * 64), (2L, "a" * 64), (3L, "a" * 63 + "e"), (4L, "z" * 64))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.q318AudioSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // query 1: its exact copy at l1=0, the 1-char nudge at the exact
+    // energy delta (25953² − 24929², the q308 arithmetic), 'z'*64 last
+    assert(rows((1L, 1)) == ((2L, 0L)))
+    assert(rows((1L, 2)) == ((3L, 52103168L)))
+    assert(rows((1L, 3))._1 == 4L)
+    // search ranking and the q308 dedup boundary agree: everything
+    // inside the near-dup bound out-ranks everything outside it
+    assert(rows((1L, 2))._2 <= 100000000L && rows((1L, 3))._2 > 100000000L)
+    // ties break to the lower doc_id: query 3 sees 1 and 2 at equal l1
+    assert(rows((3L, 1)) == ((1L, 52103168L)) && rows((3L, 2)) == ((2L, 52103168L)))
+  }
+
+  test("q319 video search: temporal order is part of the DISTANCE — a re-cut of the same frames ranks last") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vidsearch").toString
+    Seq((1L, "a" * 64), (2L, "a" * 64), (3L, "a" * 63 + "e"), (4L, "z" * 64),
+        (5L, "0" * 16 + "A" * 16 + "a" * 16 + "q" * 16),
+        (6L, "q" * 16 + "a" * 16 + "A" * 16 + "0" * 16))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byQ = Multimodal.q319VideoSearch(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getLong(3))) }
+    // query 1: copy at 0, nudge at 1 (one pooled slot moved one step)
+    assert(byQ(1L).take(2).toSeq == Seq((2L, 0L), (3L, 1L)))
+    // query 5 vs its re-cut 6: SAME frames as a multiset, but the
+    // frame-ordered fingerprint reads d2 = 4·((48−113)² + (65−97)² +
+    // (97−65)² + (113−48)²) = 41992 — strictly the FARTHEST result,
+    // behind even the unrelated 'a'/'z' clips
+    val q5 = byQ(5L)
+    assert(q5.last == ((6L, 41992L)),
+      s"the re-cut must rank last for its own source; got ${q5.toSeq}")
+    // the 'a' clips sit at the exact pooled distances (doc 3's nudged
+    // slot 15 reads 98, one step CLOSER to fp5's 113 than 97 is)
+    assert(q5.take(3).toSeq == Seq((3L, 14693L), (1L, 14724L), (2L, 14724L)))
+  }
+
   test("q303: exact image top-k ranks the planted neighborhood in d2 order with low-id ties") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("imgknn").toString
