@@ -591,6 +591,8 @@ case class GraftConfig(
   def driftTNum: Int = ext.driftTNum
   def driftTDen: Int = ext.driftTDen
   def annFilterLabel: Int = ext.annFilterLabel
+  def mmrPool: Int = ext.mmrPool
+  def mmrK: Int = ext.mmrK
 }
 
 /** Round-15+ knobs (see [[GraftConfig.ext]] — the flat constructor hit
@@ -648,7 +650,12 @@ case class GraftExt(
     // q326/q327 (attribute-filtered ANN): serve only vectors carrying
     // this label — ~10% selectivity on the test corpora, enough for
     // the pre-vs-post-filter gap to be measurable
-    annFilterLabel: Int = 3)
+    annFilterLabel: Int = 3,
+    // q328 (MMR rerank): diversify the top-mmrK out of a relevance
+    // pool of mmrPool candidates; λ is fixed at 1/2 (exact halves —
+    // the fixed-point discipline needs no knob for it)
+    mmrPool: Int = 15,
+    mmrK: Int = 5)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

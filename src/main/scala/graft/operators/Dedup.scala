@@ -975,6 +975,56 @@ class DedupOps(val cfg: GraftConfig) {
        |FROM inter JOIN sz na ON src_id = na.doc_id
        |WHERE ${cfg.contTDen}*i >= ${cfg.contTNum}*na.n""".stripMargin
 
+  /** q329: QUOTE SCRUB — the doc-level consumer of q324's pair table
+    * (the q57→q13 relationship on the containment axis): a doc is a
+    * QUOTE when it is near-contained in a STRICTLY LARGER doc (more
+    * word-grams), or in an equal-sized doc with a lower id — the
+    * deterministic keeper rule for mutual containment, which at
+    * gram-set equality is exact duplication. Every doc ships with its
+    * verdict and the count of qualifying containers, so the scrub is
+    * reviewable (which docs die, and how redundantly) before anything
+    * is dropped — keeping the container and dropping the quote is the
+    * asymmetric keeper policy Jaccard-family dedup cannot express,
+    * because it never knows which side subsumes which.
+    *
+    * Scale: q324's pair table + one gram-count aggregate + a
+    * broadcast-sized pair join; the per-doc verdict is one grouped
+    * count and a left join back onto the corpus. */
+  def q329QuoteScrub(spark: SparkSession, dir: String): DataFrame = {
+    val sz = wordGrams(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val quotes = q324ContainmentJoin(spark, dir)
+      .join(sz.select(col("doc_id").as("src_id"), col("n").as("ns")), "src_id")
+      .join(sz.select(col("doc_id").as("dst_id"), col("n").as("nd")), "dst_id")
+      .filter(col("nd") > col("ns") ||
+        (col("nd") === col("ns") && col("dst_id") < col("src_id")))
+      .groupBy(col("src_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(quotes, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("n_containers").isNotNull.as("is_quote"))
+  }
+
+  def q329Sql: String =
+    s"""WITH sh AS ($wordGramsSql),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |cont AS (SELECT src_id, dst_id FROM inter
+       |  JOIN sz na ON src_id = na.doc_id
+       |  WHERE ${cfg.contTDen}*i >= ${cfg.contTNum}*na.n),
+       |q AS (SELECT c.src_id AS doc_id, CAST(count(*) AS BIGINT) AS n_containers
+       |  FROM cont c
+       |  JOIN sz ns ON ns.doc_id = c.src_id
+       |  JOIN sz nd ON nd.doc_id = c.dst_id
+       |  WHERE nd.n > ns.n OR (nd.n = ns.n AND c.dst_id < c.src_id)
+       |  GROUP BY c.src_id)
+       |SELECT d.doc_id, coalesce(q.n_containers, 0) AS n_containers,
+       |  q.n_containers IS NOT NULL AS is_quote
+       |FROM documents d LEFT JOIN q USING (doc_id)""".stripMargin
+
   /** Oracle: the naive COMPLETE join — every pair sharing ≥1 gram,
     * exact Jaccard, integer threshold. Any pair with J ≥ t > 0 shares a
     * gram, so this is the semantic spec q131's prefix filter must

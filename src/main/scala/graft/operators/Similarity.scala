@@ -4061,6 +4061,131 @@ class SimilarityOps(val cfg: GraftConfig) {
        |GROUP BY t.query_id""".stripMargin
   }
 
+  /** q328: MMR DIVERSIFIED RERANK — Maximal Marginal Relevance
+    * (Carbonell-Goldstein '98), the result-diversification pass every
+    * retrieval surface eventually adds (a near-dup-heavy corpus fills
+    * all k slots with copies of the same answer — q94's problem
+    * surfacing at SERVE time): from each query's top-${GraftConfig
+    * .default.mmrPool} relevance pool, select ${GraftConfig.default
+    * .mmrK} results greedily, each pick maximizing λ·sim(q,d) −
+    * (1−λ)·max_{s∈selected} sim(d,s) with λ = 1/2 — exact halves, so
+    * the score is two IEEE multiplies and a subtract of
+    * already-identical cosines and both engines rank bit-identically
+    * (ties to the lowest vec_id; the first pick is the plain argmax).
+    * Output one row per (query, rank): the selection order and the
+    * MMR score that won the slot.
+    *
+    * Scale: the pool is a per-query partial top-k off ONE corpus scan
+    * (q40's shape), checkpointed once; everything after is
+    * queries·pool² work on the pool table — bounded by the knobs,
+    * never by the corpus — and the k-step greedy loop is k bounded
+    * joins on that tiny state. */
+  def q328MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    graft.GraftSession.ensureCheckpointDir(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val q = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
+    val wPool = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
+    // one corpus scan builds the pool; eager checkpoint because the
+    // greedy loop below re-reads it once per rank
+    val pool = q.crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("n2"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("simq"))
+      .withColumn("prk", row_number().over(wPool))
+      .filter(col("prk") <= cfg.mmrPool)
+      .localCheckpoint(true)
+    val a = pool.select(col("query_id"), col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val b = pool.select(col("query_id"), col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val sims = a.join(b, Seq("query_id"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("query_id"), col("ida"), col("idb"),
+        Vec.cosineFromParts(Vec.dotN("ea", "eb"), col("na"), col("nb")).as("sim"))
+      .localCheckpoint(true)
+    val cand = pool.select("query_id", "vec_id", "simq")
+    val w1 = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
+    var selected = cand.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("rk"), col("simq").as("mmr_score"))
+    var remaining = cand.join(selected.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id"), "left_anti")
+    for (i <- 2 to cfg.mmrK) {
+      val ms = remaining.select(col("query_id"), col("vec_id"))
+        .join(sims.withColumnRenamed("ida", "vec_id"), Seq("query_id", "vec_id"))
+        .join(selected.select(col("query_id"), col("vec_id").as("idb")), Seq("query_id", "idb"))
+        .groupBy("query_id", "vec_id").agg(max("sim").as("maxsim"))
+      val wI = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("vec_id"))
+      val pick = remaining.join(ms, Seq("query_id", "vec_id"))
+        .withColumn("mmr", lit(0.5) * col("simq") - lit(0.5) * col("maxsim"))
+        .withColumn("r", row_number().over(wI)).filter(col("r") === 1)
+        .select(col("query_id"), col("vec_id"), lit(i).as("rk"), col("mmr").as("mmr_score"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+    }
+    selected
+  }
+
+  /** Oracle: the identical greedy, unrolled — one (maxsim, argmax)
+    * CTE pair per rank, selected-set unions accumulated, every reused
+    * table MATERIALIZED (the q150 inlining lesson). */
+  def q328Sql: String = {
+    val steps = (2 to cfg.mmrK).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT s.query_id, s.ida AS vec_id, max(s.sim) AS maxsim
+         |  FROM sims s JOIN u${i - 1} u ON u.query_id = s.query_id AND u.vec_id = s.idb
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} x
+         |    WHERE x.query_id = s.query_id AND x.vec_id = s.ida)
+         |  GROUP BY s.query_id, s.ida),
+         |s$i AS MATERIALIZED (SELECT query_id, vec_id, $i AS rk, mmr AS mmr_score FROM (
+         |  SELECT query_id, vec_id, mmr,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS r
+         |  FROM (SELECT m.query_id, m.vec_id, 0.5 * p.simq - 0.5 * m.maxsim AS mmr
+         |        FROM m$i m JOIN pool p ON p.query_id = m.query_id AND p.vec_id = m.vec_id))
+         |  WHERE r = 1),
+         |u$i AS MATERIALIZED (SELECT query_id, vec_id FROM u${i - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to cfg.mmrK).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |pairs AS (SELECT query_id, vec_id, qe, embedding AS ve FROM q, embeddings
+       |  WHERE vec_id <> query_id),
+       |ex AS (SELECT query_id, vec_id, unnest(qe) AS a, unnest(ve) AS b FROM pairs),
+       |dots AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ex GROUP BY query_id, vec_id),
+       |pool AS MATERIALIZED (SELECT query_id, vec_id, simq FROM (
+       |  SELECT query_id, vec_id,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS simq,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS prk
+       |  FROM dots) WHERE prk <= ${cfg.mmrPool}),
+       |sp_ex AS (SELECT p1.query_id, p1.vec_id AS ida, p2.vec_id AS idb,
+       |    unnest(e1.embedding) AS a, unnest(e2.embedding) AS b
+       |  FROM pool p1 JOIN pool p2 USING (query_id)
+       |  JOIN embeddings e1 ON e1.vec_id = p1.vec_id
+       |  JOIN embeddings e2 ON e2.vec_id = p2.vec_id
+       |  WHERE p1.vec_id <> p2.vec_id),
+       |sp_d AS (SELECT query_id, ida, idb,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM sp_ex GROUP BY query_id, ida, idb),
+       |sims AS MATERIALIZED (SELECT query_id, ida, idb,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS sim
+       |  FROM sp_d),
+       |s1 AS MATERIALIZED (SELECT query_id, vec_id, 1 AS rk, simq AS mmr_score FROM (
+       |  SELECT query_id, vec_id, simq,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS r
+       |  FROM pool) WHERE r = 1),
+       |u1 AS MATERIALIZED (SELECT query_id, vec_id FROM s1),
+       |$steps
+       |$out""".stripMargin
+  }
+
   /** Static replay: the q188 training chain on the base split, both
     * assignments, waves from the parity that DEFINES the landing. */
   def q325Sql: String = {

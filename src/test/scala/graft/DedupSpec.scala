@@ -960,4 +960,26 @@ class DedupSpec extends GraftSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
       "Jaccard at the q131 threshold must miss the quote — that asymmetry is q324's reason to exist")
   }
+
+  test("q329 quote scrub: the quote dies toward the larger container; mutual containment keeps the lower id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qscrub").toString
+    val words = (1 to 20).map(i => f"w$i%02d")
+    // 1 ⊂ 2 (strictly smaller), 4 ≡ 5 (gram-identical mutual
+    // containment), 3 unrelated
+    Seq((1L, words.take(12).mkString(" ")),
+        (2L, words.mkString(" ")),
+        (3L, (21 to 40).map(i => f"w$i%02d").mkString(" ")),
+        (4L, (41 to 52).map(i => f"w$i%02d").mkString(" ")),
+        (5L, (41 to 52).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q329QuoteScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)), "the strict quote must die toward its container")
+    assert(got(2L) == ((0L, false)), "the container survives")
+    assert(got(3L) == ((0L, false)))
+    assert(got(4L) == ((0L, false)), "mutual containment: the lower id is the keeper")
+    assert(got(5L) == ((1L, true)), "mutual containment: the higher id is the scrubbed copy")
+  }
 }

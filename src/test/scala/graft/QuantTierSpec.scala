@@ -237,4 +237,46 @@ class QuantTierSpec extends GraftSpec {
     val preHits = ab.filter(r => r.getString(0) == "pre")
     assert(preHits.map(_.getLong(2)).sum > 0, "pre arm must land real hits")
   }
+
+  test("q328 MMR: the first pick is the plain argmax, the second pick trades relevance for diversity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    // query 0 along e1; 1/2/3 are near-clones of it, 4 is the diverse
+    // direction: relevance-only top-3 = {1,2,3}, but MMR's second slot
+    // must go to 4 (a clone's marginal score is ~0.5·0.99 − 0.5·1 < 0)
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.11f, 0f, 0f)),
+      (3L, Seq(0.99f, 0.12f, 0f, 0f)),
+      (4L, Seq(0.7f, 0f, 0.7f, 0f)))
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ops = new graft.operators.SimilarityOps(GraftConfig(annQueries = 1,
+      ext = GraftExt(mmrPool = 4, mmrK = 3)))
+    val got = ops.q328MmrRerank(spark, dir).collect()
+      .map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(got(1) == 1L, "rank 1 must be the plain cosine argmax (lowest-id clone)")
+    assert(got(2) == 4L, s"rank 2 must be the diverse vector, not a clone; got $got")
+    assert(Set(2L, 3L).contains(got(3)), "rank 3 falls back to a clone once diversity is spent")
+  }
+
+  test("q328 on real data: k gapless slots per query, rank 1 ≡ brute top-1, scores non-increasing from rank 2") {
+    val rows = Similarity.q328MmrRerank(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    val brute1 = Similarity.q40AnnBrute(spark, sf).collect()
+      .filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).sameElements(1 to GraftConfig.default.mmrK),
+        s"query $q: ranks must be gapless 1..k")
+      assert(sorted.map(_.getLong(1)).distinct.length == sorted.length, "no repeats")
+      assert(sorted.head.getLong(1) == brute1(q),
+        s"query $q: MMR's first pick must be the relevance argmax")
+      val tail = sorted.drop(1).map(_.getDouble(3))
+      assert(tail.zip(tail.drop(1)).forall { case (a, b) => b <= a },
+        s"query $q: marginal scores must be non-increasing from rank 2 (the greedy invariant)")
+    }
+  }
 }
