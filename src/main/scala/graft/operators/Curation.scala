@@ -1591,14 +1591,13 @@ class CurationOps(val cfg: GraftConfig) {
   def q320DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val S = cfg.dsirScale
     val tok = dsirTokens(spark, dir)
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("lang") === cfg.dsirTargetLang)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    // target ⊆ raw per bucket, so rm ≤ S: the per-token ratio is
-    // bounded by the scale and the per-doc sum by S · n_toks — no
-    // overflow path at any corpus size
-    val ratio = raw.join(tgt, Seq("b"), "left")
-      .withColumn("ct0", coalesce(col("ct"), lit(0L)))
+    // raw and target counts in ONE map-combinable pass (a conditional
+    // sum, not a second corpus scan); target ⊆ raw per bucket, so
+    // rm ≤ S: the per-token ratio is bounded by the scale and the
+    // per-doc sum by S · n_toks — no overflow path at any corpus size
+    val ratio = tok.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === cfg.dsirTargetLang, 1L).otherwise(0L)).as("ct0"))
       .select(col("b"), expr(s"($S * (ct0 + 1)) div (cr + 1)").as("rm"))
     tok.join(broadcast(ratio), "b")
       .groupBy("doc_id")

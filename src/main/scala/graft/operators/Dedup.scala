@@ -932,7 +932,26 @@ class DedupOps(val cfg: GraftConfig) {
     * prefix window, candidates an equi-join of rare prefix grams
     * against the gram table; at 100 TB the gram side is the persisted
     * inverted index (q102) and the probe is prefix-sized. */
-  def q324ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q324ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    persistedContainmentPairs(spark, dir)
+
+  /** The containment pair table as a content-keyed build-if-absent
+    * artifact (the knn_cents/famlbl lifecycle): q324 serves it, q329
+    * consumes it — without this, q329 re-paid the whole prefix-filter
+    * join inline (measured 5.2 s at sf0.1 vs q324's 3.9 — the q291
+    * disease, cured the same way). The oracle rebuilds the pairs from
+    * scratch every Verify round, re-proving artifact ≡ recompute. */
+  private[graft] def persistedContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("contain_pairs", dir, spark,
+      Seq("documents.parquet"), s"w=$SimW,t=${cfg.contTNum}/${cfg.contTDen}")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      containmentJoinFresh(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private[graft] def containmentJoinFresh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val CNum = cfg.contTNum
     val CDen = cfg.contTDen

@@ -4076,56 +4076,91 @@ class SimilarityOps(val cfg: GraftConfig) {
     * MMR score that won the slot.
     *
     * Scale: the pool is a per-query partial top-k off ONE corpus scan
-    * (q40's shape), checkpointed once; everything after is
-    * queries·pool² work on the pool table — bounded by the knobs,
-    * never by the corpus — and the k-step greedy loop is k bounded
-    * joins on that tiny state. */
+    * (q40's shape); the greedy then runs PER QUERY inside a single
+    * exchange (groupByKey on query_id + flatMapGroups) — a query's
+    * whole state is pool rows + pool² sims, knob-bounded and
+    * corpus-independent, so at millions of queries the operator is
+    * one shuffle + row-local work, never a k-round join cascade
+    * (measured: the join-cascade formulation paid ~30 tiny shuffle
+    * stages, 8.6 s at sf0.1, for arithmetic worth well under a
+    * second). */
   def q328MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    graft.GraftSession.ensureCheckpointDir(spark)
+    import spark.implicits._
+    val k = cfg.mmrK
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val q = broadcast(e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
     val wPool = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
-    // one corpus scan builds the pool; eager checkpoint because the
-    // greedy loop below re-reads it once per rank
+    // one corpus scan builds the relevance pool (partial top-k)
     val pool = q.crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("n2"),
-        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("simq"))
+      .select(col("query_id"), col("vec_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("simq"),
+        col("embedding"))
       .withColumn("prk", row_number().over(wPool))
       .filter(col("prk") <= cfg.mmrPool)
-      .localCheckpoint(true)
-    val a = pool.select(col("query_id"), col("vec_id").as("ida"),
-      col("embedding").as("ea"), col("n2").as("na"))
-    val b = pool.select(col("query_id"), col("vec_id").as("idb"),
-      col("embedding").as("eb"), col("n2").as("nb"))
-    val sims = a.join(b, Seq("query_id"))
-      .filter(col("ida") =!= col("idb"))
-      .select(col("query_id"), col("ida"), col("idb"),
-        Vec.cosineFromParts(Vec.dotN("ea", "eb"), col("na"), col("nb")).as("sim"))
-      .localCheckpoint(true)
-    val cand = pool.select("query_id", "vec_id", "simq")
-    val w1 = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
-    var selected = cand.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
-      .select(col("query_id"), col("vec_id"), lit(1).as("rk"), col("simq").as("mmr_score"))
-    var remaining = cand.join(selected.select("query_id", "vec_id"),
-      Seq("query_id", "vec_id"), "left_anti")
-    for (i <- 2 to cfg.mmrK) {
-      val ms = remaining.select(col("query_id"), col("vec_id"))
-        .join(sims.withColumnRenamed("ida", "vec_id"), Seq("query_id", "vec_id"))
-        .join(selected.select(col("query_id"), col("vec_id").as("idb")), Seq("query_id", "idb"))
-        .groupBy("query_id", "vec_id").agg(max("sim").as("maxsim"))
-      val wI = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("vec_id"))
-      val pick = remaining.join(ms, Seq("query_id", "vec_id"))
-        .withColumn("mmr", lit(0.5) * col("simq") - lit(0.5) * col("maxsim"))
-        .withColumn("r", row_number().over(wI)).filter(col("r") === 1)
-        .select(col("query_id"), col("vec_id"), lit(i).as("rk"), col("mmr").as("mmr_score"))
-      selected = selected.unionByName(pick)
-      remaining = remaining.join(pick.select("query_id", "vec_id"),
-        Seq("query_id", "vec_id"), "left_anti")
-    }
-    selected
+      .select("query_id", "vec_id", "simq", "embedding")
+      .as[(Long, Long, Double, Array[Float])]
+    // the greedy runs PER QUERY inside one shuffle: a query's state is
+    // pool rows + pool² sims — knob-bounded, so it is row-local work,
+    // not a k-round join cascade (the first cut paid ~30 tiny shuffle
+    // stages for the same arithmetic; at millions of queries this
+    // shape is one exchange + map partitions). The in-group arithmetic
+    // replicates the engine ops EXACTLY: the same fixed-point dot
+    // (floor(x·y·1e13) summed as BIGINT), the same sqrt/division, the
+    // same 0.5·a − 0.5·b — bit-for-bit what the oracle's CTE chain
+    // computes (the FixedPointDotSpec replication discipline).
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(c => (-c._3, c._2))
+      val n = cand.length
+      def dotFx(a: Array[Float], b: Array[Float]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) {
+          s += math.floor(a(i).toDouble * b(i).toDouble * 1e13).toLong; i += 1
+        }
+        s
+      }
+      val norm = cand.map(c => dotFx(c._4, c._4).toDouble)
+      val sim = Array.ofDim[Double](n, n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          if (i != j)
+            sim(i)(j) = dotFx(cand(i)._4, cand(j)._4).toDouble /
+              (math.sqrt(norm(i)) * math.sqrt(norm(j)))
+          j += 1
+        }
+        i += 1
+      }
+      val selected = scala.collection.mutable.ArrayBuffer[Int](0)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)](
+        (qid, cand(0)._2, 1, cand(0)._3))
+      var r = 2
+      while (r <= k && selected.length < n) {
+        var best = -1
+        var bestScore = 0.0
+        var bestId = 0L
+        var c = 0
+        while (c < n) {
+          if (!selected.contains(c)) {
+            var mx = Double.NegativeInfinity
+            selected.foreach(s => if (sim(c)(s) > mx) mx = sim(c)(s))
+            val sc = 0.5 * cand(c)._3 - 0.5 * mx
+            if (best < 0 || sc > bestScore ||
+                (sc == bestScore && cand(c)._2 < bestId)) {
+              best = c; bestScore = sc; bestId = cand(c)._2
+            }
+          }
+          c += 1
+        }
+        selected += best
+        out += ((qid, cand(best)._2, r, bestScore))
+        r += 1
+      }
+      out.iterator
+    }.toDF("query_id", "vec_id", "rk", "mmr_score")
   }
 
   /** Oracle: the identical greedy, unrolled — one (maxsim, argmax)

@@ -961,6 +961,25 @@ class DedupSpec extends GraftSpec {
       "Jaccard at the q131 threshold must miss the quote — that asymmetry is q324's reason to exist")
   }
 
+  test("q324 serves the PERSISTED pair artifact (doctoring it changes the answer)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("containart").toString
+    val words = (1 to 20).map(i => f"w$i%02d")
+    Seq((1L, words.take(12).mkString(" ")), (2L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = Dedup.q324ContainmentJoin(spark, dir).collect()
+    assert(first.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val cfg = GraftConfig.default
+    val path = graft.sources.Scratch.keyedDir("contain_pairs", dir, spark,
+      Seq("documents.parquet"), s"w=${cfg.simJoinWords},t=${cfg.contTNum}/${cfg.contTDen}")
+    Seq((77L, 99L, 0.5)).toDF("src_id", "dst_id", "containment")
+      .write.mode("overwrite").parquet(path)
+    val doctored = Dedup.q324ContainmentJoin(spark, dir).collect()
+    assert(doctored.length == 1 && doctored(0).getLong(0) == 77L,
+      "q324 must READ the artifact, not silently recompute the join")
+  }
+
   test("q329 quote scrub: the quote dies toward the larger container; mutual containment keeps the lower id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qscrub").toString
