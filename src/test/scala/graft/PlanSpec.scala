@@ -623,4 +623,31 @@ class PlanSpec extends GraftSpec {
     assert(windows(p) <= 2 * GraftConfig.default.probeCurveMax,
       "windows must stay on the panel side of every curve point")
   }
+
+  test("q326 filtered search: the label predicate reaches the scan side, corpus never sort-merge-shuffles for it") {
+    val p = plan("q326_filtered_search")
+    // pre-filter means the predicate lands on the assignment scan —
+    // it must appear as a Filter, not be applied after the top-k
+    assert(p.contains(s"= ${GraftConfig.default.annFilterLabel}"),
+      "the label predicate must be in the plan (candidate generation), not post-applied")
+    assert(!p.contains("CartesianProduct"), "no unbounded pair generation")
+    // windows only on the query side: probe rank + final top-k
+    assert(windows(p) == 2, "corpus-keyed windows would be the skew-killer")
+  }
+
+  test("q328 MMR: one exchange to group by query — the greedy is in-group, not a join cascade") {
+    val p = plan("q328_mmr_rerank")
+    assert(p.contains("MapGroups") || p.contains("mapGroups") || p.contains("FlatMapGroups"),
+      "the per-query greedy must run inside flatMapGroups")
+    assert(!p.contains("SortMergeJoin"),
+      "the greedy must not re-join the pool per rank (the retired 30-stage cascade)")
+    // exactly one window: the pool's per-query partial top-k
+    assert(windows(p) == 1, "only the relevance-pool top-k may window")
+  }
+
+  test("q324 serves the pair artifact: a parquet read, not an inline prefix-filter join") {
+    val p = plan("q324_containment_join")
+    assert(!p.contains("SortMergeJoin") && windows(p) == 0,
+      "the serve path must read the persisted pair table, not recompute the join")
+  }
 }
