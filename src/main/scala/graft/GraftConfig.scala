@@ -254,6 +254,12 @@ case class GraftConfig(
     // versions the vacuum keeps readable (time travel's bound — older
     // versions' files are reclaimed)
     cowRetainVersions: Int = 2,
+    // read pin (q333): the lowest version a registered reader still
+    // needs as-of — the vacuum gate keeps every version >= the pin
+    // readable even when the retention window alone would retire it
+    // (with retain=2 on a 4-version chain the window keeps v3/v4; the
+    // pin at 2 is what saves v2, so the gate is exercised, not idle)
+    cowReadPin: Int = 2,
     // IVF probe curve (q306): sweep nprobe from 1 to this bound — past
     // the serving default so the curve shows where recall saturates
     probeCurveMax: Int = 4,

@@ -1578,11 +1578,15 @@ class CurationOps(val cfg: GraftConfig) {
     * paper sums per-feature LOG ratios; this sums the ratios
     * themselves, because `ln` is not correctly-rounded IEEE and the
     * cross-engine hash gate would catch last-ulp drift (the
-    * Ranking.scala PMI rationale) — ranking-equivalent for selection
-    * (both are monotone in "target-like mass per token"), and the
-    * global normalizer (Cr+B)/(Ct+B), shared by every doc, is dropped
-    * for the same reason overflow headroom matters more than an
-    * affine constant.
+    * Ranking.scala PMI rationale). The ratio sum is a deliberate
+    * monotone-PER-TOKEN approximation, not an order-preserving
+    * transform of the paper's score: summing ratios is an arithmetic
+    * mean where the log-sum is a geometric one, so two docs CAN swap
+    * rank when one mixes extreme ratios and the other sits uniformly
+    * in the middle — the trade accepted for integer-exact cross-engine
+    * determinism. The global normalizer (Cr+B)/(Ct+B), shared by every
+    * doc, is dropped for the same reason overflow headroom matters
+    * more than an affine constant.
     *
     * Scale: one explode→groupBy for the ${cfg.dsirBuckets}-row bucket
     * table (map-combinable), broadcast back onto the token stream,
@@ -1709,6 +1713,110 @@ class CurationOps(val cfg: GraftConfig) {
        |  CAST(SUM(p_micro) AS BIGINT) AS kn_sum_micro,
        |  CAST(SUM(p_micro) // count(*) AS BIGINT) AS kn_micro
        |FROM p GROUP BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q334: the end-to-end selection recipe
+  // ---------------------------------------------------------------
+
+  /** q334: SELECTION RECIPE — the round's selection arc composed into
+    * the ONE auditable pipeline row a 100 TB curation run ships with
+    * ("what did the recipe do"): stage 1 scrubs quotes (q329's
+    * containment verdict — docs near-contained in a larger container
+    * drop), stage 2 applies soft-dedup down-weighting to the
+    * survivors (q322's 1/family_size micro weights — nothing drops,
+    * tokens deflate), stage 3 resamples the top-${GraftConfig.default
+    * .dsirSampleK} by DSIR priority with the quality weight DAMPED BY
+    * the duplication weight (effw = dsir_avg·w div S — a doc that is
+    * one of five copies carries a fifth of its quality mass into the
+    * draw, so the recipe cannot fill the budget with a viral family).
+    * Per stage: docs in, kept, dropped, and the EFFECTIVE token mass
+    * (Σ n_toks·w in ${GraftConfig.default.dsirScale}-scale micro) —
+    * every number an exact integer, the audit a data recipe needs to
+    * be reproducible and reviewable before a token is spent on
+    * training.
+    *
+    * Scale: three already-scaled operators (each documented at its
+    * def) + per-stage map-combinable aggregates; the only new state
+    * is the 3-row audit itself. The composition reads the SAME
+    * persisted artifacts (contain_pairs, famlbl) its stages serve
+    * individually — the recipe is a plan over artifacts, not a
+    * re-derivation. */
+  def q334SelectionRecipe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = cfg.dsirScale
+    val K = cfg.dsirSampleK
+    val base = q320DsirWeights(spark, dir)
+      .select("doc_id", "n_toks", "dsir_avg_micro")
+      .join(graft.operators.Dedup.q329QuoteScrub(spark, dir)
+        .select("doc_id", "is_quote"), "doc_id")
+      .join(graft.operators.Dedup.q322SoftDedup(spark, dir)
+        .select("doc_id", "w_micro"), "doc_id")
+    val kept = base.filter(!col("is_quote"))
+    val sel = kept
+      .withColumn("u32",
+        conv(substring(md5(concat(lit("recipe:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("effw", expr(s"(dsir_avg_micro * w_micro) div $S"))
+      .withColumn("priority", expr("(effw * 4294967296) div (u32 + 1)"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(K)
+    def stat(df: DataFrame, wMicro: Boolean): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(if (wMicro) col("n_toks") * col("w_micro")
+                     else col("n_toks") * lit(S)), lit(0L)).as("eff")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nAll, _) = stat(base, wMicro = false)
+    val (nKept, effKept) = stat(kept, wMicro = false)
+    val (_, effSoft) = stat(kept, wMicro = true)
+    val (nSel, effSel) = stat(sel, wMicro = true)
+    Seq(
+      ("1_quote_scrub", nAll, nKept, nAll - nKept, effKept),
+      ("2_soft_dedup", nKept, nKept, 0L, effSoft),
+      ("3_dsir_select", nKept, nSel, nKept - nSel, effSel))
+      .toDF("stage", "n_in", "n_kept", "n_dropped", "eff_toks_micro")
+  }
+
+  /** Oracle: the three stages' CTE chains composed into one statement
+    * (quote verdicts, soft-dedup weights via the recursive family
+    * closure, DSIR weights) — the same audit arithmetic end to end. */
+  def q334Sql: String = {
+    val S = cfg.dsirScale
+    s"""WITH RECURSIVE
+       |${graft.operators.Dedup.quoteFlagCtes},
+       |${graft.operators.Dedup.softDedupWeightCtes},
+       |$dsirWeightCtes,
+       |rbase AS (SELECT ds.doc_id, ds.n_toks, ds.dsir_avg_micro,
+       |    gq.doc_id IS NOT NULL AS is_quote, w.w_micro
+       |  FROM ds LEFT JOIN gquotes gq USING (doc_id)
+       |  JOIN sdw w USING (doc_id)),
+       |rkept AS (SELECT * FROM rbase WHERE NOT is_quote),
+       |rsel AS (SELECT doc_id, n_toks, w_micro FROM (
+       |    SELECT doc_id, n_toks, w_micro,
+       |      (((dsir_avg_micro * w_micro) // $S) * 4294967296) //
+       |        (CAST('0x' || substr(md5('recipe:' || doc_id), 1, 8) AS BIGINT) + 1) AS priority
+       |    FROM rkept)
+       |  ORDER BY priority DESC, doc_id LIMIT ${cfg.dsirSampleK})
+       |SELECT '1_quote_scrub' AS stage,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rbase) AS n_in,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rkept) AS n_kept,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rbase)
+       |    - (SELECT CAST(count(*) AS BIGINT) FROM rkept) AS n_dropped,
+       |  (SELECT CAST(coalesce(sum(n_toks * $S), 0) AS BIGINT) FROM rkept) AS eff_toks_micro
+       |UNION ALL
+       |SELECT '2_soft_dedup',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rkept),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rkept),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(coalesce(sum(n_toks * w_micro), 0) AS BIGINT) FROM rkept)
+       |UNION ALL
+       |SELECT '3_dsir_select',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rkept),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rsel),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rkept)
+       |    - (SELECT CAST(count(*) AS BIGINT) FROM rsel),
+       |  (SELECT CAST(coalesce(sum(n_toks * w_micro), 0) AS BIGINT) FROM rsel)""".stripMargin
   }
 }
 

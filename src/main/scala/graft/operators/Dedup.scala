@@ -970,6 +970,16 @@ class DedupOps(val cfg: GraftConfig) {
         lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
       .select("src_id", "dst_id")
       .distinct()
+    containmentVerify(spark, dir, cand)
+  }
+
+  /** The exact-verification tail shared by the full rebuild and the
+    * delta absorption (q332): candidates → in-row gram-set intersect →
+    * integer cross-multiply threshold → containment fraction. */
+  private def containmentVerify(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val CNum = cfg.contTNum
+    val CDen = cfg.contTDen
     val docArr = wordGramArrays(spark, dir)
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
     cand
@@ -1043,6 +1053,287 @@ class DedupOps(val cfg: GraftConfig) {
        |SELECT d.doc_id, coalesce(q.n_containers, 0) AS n_containers,
        |  q.n_containers IS NOT NULL AS is_quote
        |FROM documents d LEFT JOIN q USING (doc_id)""".stripMargin
+
+  /** The nightly BASE-SPLIT containment state (three content-keyed
+    * build-if-absent artifacts, the knnd_cents lifecycle on the text
+    * axis): the base gram DF table (the global prefix order), the base
+    * gram index with per-gram prefix membership under that order, and
+    * the verified base→base pair table. [[q332ContainmentDelta]]
+    * absorbs an arriving delta against these without touching the
+    * base-side work. */
+  private[graft] def containmentBaseArtifacts(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val CNum = cfg.contTNum
+    val CDen = cfg.contTDen
+    val key = s"w=$SimW,t=$CNum/$CDen,u=${cfg.splitTrainUpper}"
+    def pathOf(tag: String) = graft.sources.Scratch.keyedDir(tag, dir, spark,
+      Seq("documents.parquet"), key)
+    val (dfP, idxP, prP) = (pathOf("cont_base_df"), pathOf("cont_base_idx"),
+      pathOf("cont_base_pairs"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def missing(p: String): Boolean = {
+      val s = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      !s.getFileSystem(hconf).exists(s)
+    }
+    if (missing(dfP) || missing(idxP) || missing(prP)) {
+      val bsh = wordGrams(spark, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < cfg.splitTrainUpper)
+      bsh.groupBy("s").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(dfP)
+      val bdf = spark.read.parquet(dfP)
+      val ranked = bsh.join(bdf, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      ranked.select(col("s"), col("doc_id"), col("n"),
+          (col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1).as("pfx"))
+        .write.mode("overwrite").parquet(idxP)
+      val idx = spark.read.parquet(idxP)
+      val prefix = idx.filter(col("pfx"))
+        .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
+      val grams = idx.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+      val cand = prefix.join(grams,
+          prefix("s") === grams("s") && col("src_id") =!= col("dst_id") &&
+          lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
+        .select("src_id", "dst_id")
+        .distinct()
+      containmentVerify(spark, dir, cand).write.mode("overwrite").parquet(prP)
+    }
+    (spark.read.parquet(dfP), spark.read.parquet(idxP), spark.read.parquet(prP))
+  }
+
+  /** q332: INCREMENTAL CONTAINMENT MAINTENANCE — the q285/q133 delta
+    * discipline applied to q324's axis (and the reference's own
+    * incremental-preprocess story: GenNonContainedReads runs per
+    * ingest [GenNonContainedReads.java]): the corpus splits into the
+    * md5-band BASE (its DF order, prefix index, and verified pair
+    * table persist as nightly artifacts) and an arriving DELTA, and
+    * the delta is absorbed with DELTA-SIZED work: (a) each new doc
+    * ranks its grams under the PERSISTED base DF order (unseen grams
+    * df 0 — rarest-first, still a total order, which is all the
+    * prefix-filter theorem needs) and its prefix probes the base
+    * index ∪ the delta grams; (b) the PERSISTED base prefixes probe
+    * the new docs' grams for the reverse direction (old doc quoted
+    * inside a new one). Both candidate sets end at the same exact
+    * integer verify, so the absorbed table EQUALS the full rebuild
+    * row for row — the oracle rebuilds naively from scratch and the
+    * hash gate proves artifact+delta ≡ rebuild every round. The df
+    * staleness (new docs shift gram frequencies) affects only
+    * candidate COUNT, never the verified pairs: order changes move
+    * grams between prefixes, the verify is order-free.
+    *
+    * Scale: the nightly cost is probes(delta prefixes) +
+    * probes(base prefixes ∩ delta grams) + |delta candidates| exact
+    * verifies — work ∝ the night's batch, never the base corpus; the
+    * base pair table is read, not rebuilt. At 100 TB the base index
+    * is the persisted inverted index a crawl pipeline already
+    * maintains. */
+  def q332ContainmentDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CNum = cfg.contTNum
+    val CDen = cfg.contTDen
+    val (bdf, bidx, bpairs) = containmentBaseArtifacts(spark, dir)
+    val dsh = wordGrams(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) >= cfg.splitTrainUpper)
+    val dn = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dGrams = dsh.join(dn, "doc_id")
+    val ddf = dGrams.join(bdf, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    val dPrefix = ddf
+      .filter(col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
+      .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
+    val allG = bidx.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+      .unionByName(dGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst")))
+    val candA = dPrefix.join(allG,
+        dPrefix("s") === allG("s") && col("src_id") =!= col("dst_id") &&
+        lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
+      .select("src_id", "dst_id")
+      .distinct()
+    val bPrefix = bidx.filter(col("pfx"))
+      .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
+    val dG2 = dGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+    val candB = bPrefix.join(dG2,
+        bPrefix("s") === dG2("s") &&
+        lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
+      .select("src_id", "dst_id")
+      .distinct()
+    bpairs.unionByName(
+      containmentVerify(spark, dir, candA.unionByName(candB)))
+  }
+
+  /** Oracle: the naive full rebuild — q324's complete directional
+    * join over the WHOLE corpus; passing the hash gate proves the
+    * incremental absorption ≡ a from-scratch rebuild. */
+  def q332Sql: String = q324Sql
+
+  /** q335: STREAMING CONTAINMENT INGEST — q332's delta absorption run
+    * as a LIVE STREAM (the q325 pattern on the text axis, closing the
+    * vector/text streaming asymmetry the round-15 verdict named): new
+    * docs land as files in two waves; `foreachBatch` grams each
+    * micro-batch, ranks its prefixes under the PERSISTED base DF
+    * order (fixed across batches — ingestion order cannot change the
+    * prefix theory), probes (a) new prefixes against base index ∪
+    * already-arrived delta grams ∪ the batch itself and (b) base ∪
+    * already-arrived delta prefixes against the new grams, exact-
+    * verifies, and appends the pairs; the batch's grams and prefixes
+    * then join the arrived stores. Every ORDERED pair is verified in
+    * exactly one batch (the direction that sees the later doc), so
+    * the drain equals the static full rebuild row for row and the
+    * SAME naive-rebuild oracle gates both (the q305/q288 twin
+    * discipline).
+    *
+    * Scale: per batch the work is batch-sized probes + candidate
+    * verifies (the q332 bound); the state is the growing delta
+    * gram/prefix store — parquet appends, never a state store; the
+    * base side is the persisted nightly index. Scratch is run-unique
+    * (the q325 rule) and dropped after the drain. */
+  def q335StreamContainment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CNum = cfg.contTNum
+    val CDen = cfg.contTDen
+    val (bdf, bidx, bpairs) = containmentBaseArtifacts(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val landing = graft.sources.Scratch.dir(s"scont_${run}_landing", dir)
+    val ckpt = graft.sources.Scratch.dir(s"scont_${run}_ckpt", dir)
+    val seenG = graft.sources.Scratch.dir(s"scont_${run}_grams", dir)
+    val seenP = graft.sources.Scratch.dir(s"scont_${run}_prefix", dir)
+    val out = graft.sources.Scratch.dir(s"scont_${run}_pairs", dir)
+    try {
+      val delta = Tables.documents(spark, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) >= cfg.splitTrainUpper)
+        .select("doc_id", "text")
+      val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+      Seq(delta.filter(col("doc_id") % 2 === 0), delta.filter(col("doc_id") % 2 === 1))
+        .zipWithIndex.foreach { case (w, i) =>
+          val before =
+            if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+              fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+            else Set.empty[org.apache.hadoop.fs.Path]
+          w.repartition(1).write.mode("append").parquet(landing)
+          fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+            .map(_.getPath).filterNot(before)
+            .filter(_.getName.startsWith("part-"))
+            .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+        }
+      def existsDir(d: String): Boolean = {
+        val s = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
+        s.getFileSystem(conf).exists(s)
+      }
+      val raw = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      val q = raw.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bsh = b
+              .select(col("doc_id"), split(col("text"), " ").as("ws"))
+              .filter(size(col("ws")) >= SimW)
+              .withColumn("g", explode(sequence(lit(1), size(col("ws")) - (SimW - 1))))
+              .select(col("doc_id"),
+                concat_ws(" ", slice(col("ws"), col("g"), lit(SimW))).as("s"))
+              .distinct()
+            val bn = bsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+            val bGrams = bsh.join(bn, "doc_id")
+            val ranked = bGrams.join(bdf, Seq("s"), "left")
+              .withColumn("df", coalesce(col("df"), lit(0L)))
+              .withColumn("rk", row_number().over(
+                Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+            val bPfx = ranked
+              .filter(col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
+              .select(col("s"), col("doc_id"), col("n"))
+            val arrivedG =
+              if (existsDir(seenG)) spark.read.parquet(seenG) else bGrams.limit(0)
+            val arrivedP =
+              if (existsDir(seenP)) spark.read.parquet(seenP)
+              else bPfx.select("s", "doc_id", "n").limit(0)
+            val dstAll = bidx.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+              .unionByName(arrivedG.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst")))
+              .unionByName(bGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst")))
+            val srcNew = bPfx
+              .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
+            val candA = srcNew.join(dstAll,
+                srcNew("s") === dstAll("s") && col("src_id") =!= col("dst_id") &&
+                lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
+              .select("src_id", "dst_id").distinct()
+            val srcOld = bidx.filter(col("pfx")).select(col("s"), col("doc_id"), col("n"))
+              .unionByName(arrivedP)
+              .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
+            val dstNew = bGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+            val candB = srcOld.join(dstNew,
+                srcOld("s") === dstNew("s") &&
+                lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
+              .select("src_id", "dst_id").distinct()
+            containmentVerify(spark, dir, candA.unionByName(candB))
+              .write.mode("append").parquet(out)
+            // only after the pairs land does the batch join the stores
+            bGrams.write.mode("append").parquet(seenG)
+            bPfx.write.mode("append").parquet(seenP)
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed =
+        if (existsDir(out)) spark.read.parquet(out)
+        else bpairs.limit(0)
+      // eager localCheckpoint: the result materializes DISTRIBUTED
+      // (executor blocks, no driver collect) before the finally drops
+      // the run scratch its lineage reads
+      bpairs.unionByName(streamed)
+        .select(col("src_id"), col("dst_id"), col("containment"))
+        .localCheckpoint(true)
+    } finally Seq(landing, ckpt, seenG, seenP, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
+  }
+
+  /** Drain ≡ static rebuild: the same naive complete oracle as
+    * q324/q332 — the stream must converge to the batch table. */
+  def q335Sql: String = q324Sql
+
+  /** g-prefixed quote-verdict CTE chain (q329's logic, names disjoint
+    * from every other fragment) ending at `gquotes(doc_id)` — the docs
+    * that are near-contained in a strictly larger (or equal-size,
+    * lower-id) container. Composable into multi-family oracles
+    * (q334's recipe chains it with the soft-dedup and DSIR chains). */
+  private[operators] def quoteFlagCtes: String =
+    s"""gsh AS MATERIALIZED ($wordGramsSql),
+       |gsz AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY doc_id),
+       |ginter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS i
+       |  FROM gsh a JOIN gsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |gcont AS (SELECT src_id, dst_id FROM ginter
+       |  JOIN gsz na ON src_id = na.doc_id
+       |  WHERE ${cfg.contTDen}*i >= ${cfg.contTNum}*na.n),
+       |gquotes AS (SELECT DISTINCT c.src_id AS doc_id FROM gcont c
+       |  JOIN gsz ns ON ns.doc_id = c.src_id
+       |  JOIN gsz nd ON nd.doc_id = c.dst_id
+       |  WHERE nd.n > ns.n OR (nd.n = ns.n AND c.dst_id < c.src_id))""".stripMargin
+
+  /** The soft-dedup weight chain (q322's logic) ending at
+    * `sdw(doc_id, w_micro)` — REQUIRES the composing statement to open
+    * with WITH RECURSIVE (the family reachability closure). */
+  private[operators] def softDedupWeightCtes: String =
+    s"""$nearDupEdgesSql,
+       |und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM und
+       |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u),
+       |flbl AS (SELECT u AS doc_id, least(u, min(v)) AS family_id FROM reach GROUP BY u),
+       |ffam AS (SELECT d.doc_id, coalesce(l.family_id, d.doc_id) AS family_id
+       |  FROM documents d LEFT JOIN flbl l USING (doc_id)),
+       |ffsz AS (SELECT family_id, CAST(count(*) AS BIGINT) AS family_size
+       |  FROM ffam GROUP BY family_id),
+       |sdw AS (SELECT f.doc_id, ${cfg.dsirScale} // s.family_size AS w_micro
+       |  FROM ffam f JOIN ffsz s USING (family_id))""".stripMargin
 
   /** Oracle: the naive COMPLETE join — every pair sharing ≥1 gram,
     * exact Jaccard, integer threshold. Any pair with J ≥ t > 0 shares a

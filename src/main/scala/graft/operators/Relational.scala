@@ -1545,6 +1545,115 @@ class RelationalOps(val cfg: GraftConfig) {
        |      AND year(l_shipdate) = ${cfg.pendingShipYear}
        |    GROUP BY l_suppkey, l_partkey
        |    HAVING SUM(l_quantity) > ${cfg.pendingQtyMin})""".stripMargin
+
+  /** q336: PROMO REVENUE SHARE — the TPC-H Q14 shape (conditional
+    * share of a windowed fact aggregate): over one ship-date month,
+    * the fraction of discounted revenue coming from promo parts. Both
+    * sums accumulate DECIMAL(24,6) exactly (the dsum rule) and cast
+    * to DOUBLE once; the share is ONE division of two exact doubles —
+    * the same ulp-free shape as q91's divisions, so both engines emit
+    * identical bits. The CASE rides inside the sum, not a second
+    * scan — promo vs total is one pass.
+    *
+    * Scale: shipdate window pushes to the scan, the part dim
+    * broadcasts, the aggregate is one map-combinable row. */
+  def q336PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val from = to_timestamp(lit("1997-03-01"))
+    val until = from + expr("INTERVAL 30 DAYS")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type").startsWith("PROMO"), amount).otherwise(lit(0.0)), 24, 6)
+          .as("promo_revenue"),
+        dsum(amount, 24, 6).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_share"))
+  }
+
+  def q336Sql: String =
+    """SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_share
+      |FROM (SELECT
+      |  CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l_shipdate < TIMESTAMP '1997-03-31')""".stripMargin
+
+  /** q337: PART-SUPPLIER DIVERSITY — the TPC-H Q16 shape (distinct
+    * suppliers per part class, with negative predicates) on this
+    * schema's relationship table: the lineitem fact IS the
+    * part-supplier relationship (a supplier supplies a part iff it
+    * ever shipped it — no partsupp table exists here, the documented
+    * divergence). Per (p_brand, p_type, p_size) over the non-excluded
+    * classes: how many DISTINCT suppliers ever supplied such a part.
+    * The count is an exact integer; no floats anywhere.
+    *
+    * Scale: the exclusions push to the part scan; the distinct rides
+    * (class, suppkey) partial aggregation before the count — the
+    * two-level distinct-aggregate plan Spark generates, no row
+    * explosion; the part dim broadcasts onto the fact. */
+  def q337PartSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val pf = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").startsWith("ECONOMY") &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size"))
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  def q337Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |  AND p_type NOT LIKE 'ECONOMY%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q338: BRACKETED DISCOUNT REVENUE — the TPC-H Q19 shape (a
+    * disjunction of multi-column predicate brackets spanning the fact
+    * AND the dim), adapted to this schema's columns (brand/size/
+    * quantity brackets — no container/shipmode here): revenue from
+    * line items falling in ANY of three (brand, size range, quantity
+    * range) brackets. The revenue is one exact DECIMAL(24,6) sum cast
+    * DOUBLE once.
+    *
+    * Scale: the OR-of-brackets is the classic join-predicate-pushdown
+    * test — the part side prunes to the union of bracket brands/sizes
+    * BEFORE the join (Catalyst extracts the disjunction's common
+    * conjuncts per side), the dim broadcasts, and the bracket test
+    * runs post-join row-local; one map-combinable aggregate row. */
+  def q338BracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val br = (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(br)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+        .as("revenue"))
+  }
+
+  def q338Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

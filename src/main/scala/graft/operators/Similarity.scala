@@ -160,14 +160,35 @@ class SimilarityOps(val cfg: GraftConfig) {
   def q41AnnIvf(spark: SparkSession, dir: String): DataFrame =
     searchWithCentroids(spark, dir, trainIndex(spark, dir))
 
-  /** Train the IVF index: deterministic Lloyd k-means (seeded from the
-    * first $NumCentroids vectors, $KmeansIters exact-mean iterations).
-    * The (cent_id, ce) centroid table IS the entire index state —
-    * corpus cell assignment is recomputable from it in one broadcast
-    * argmax pass — so persisting an index is one small parquet write
-    * ([[saveIndex]]/[[loadIndex]]), the production shape where training
-    * runs once and probe queries run forever after. */
+  /** The trained IVF index, served from the content-keyed `ivf_cents`
+    * artifact (build-if-absent): deterministic Lloyd k-means (seeded
+    * from the first $NumCentroids vectors, $KmeansIters exact-mean
+    * iterations) runs ONCE per (corpus fingerprint, c/ki/tm knobs) and
+    * every consumer — q41's search, the assignment consumers
+    * (q94/q140/q183/q194/q195/q196/q250), the IVF-PQ tier
+    * (q261/q271 + evals), q306's curve, the serving paths — reads the
+    * persisted (cent_id, ce) table. The centroid table IS the entire
+    * index state — corpus cell assignment is recomputable from it in
+    * one broadcast argmax pass — so the artifact is one small parquet
+    * write; parquet round-trips the DOUBLE centroids bit-exactly, so
+    * artifact ≡ retrain (the oracle retrains through the CTE chain
+    * every round, re-proving it). At 100 TB training-per-query is the
+    * difference between an index and a re-index: before this, ~12 call
+    * sites re-ran the full Lloyd chain inline per call. */
   def trainIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("ivf_cents", dir, spark,
+      Seq("embeddings.parquet"), s"c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      trainIndexFresh(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** One full Lloyd training run over the corpus — the artifact
+    * builder behind [[trainIndex]]; callers that need a fresh
+    * non-persisted train (spec plumbing) use this directly. */
+  private[graft] def trainIndexFresh(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     trainIndexOn(emb(spark, dir).withColumn("n2", Vec.norm2N("embedding")))
   }
@@ -1063,12 +1084,13 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   /** q188: INCREMENTAL IVF index maintenance — the q133/q165 nightly-
     * ingest story applied to the index artifact: the index trains on
-    * the BASE split only (the vectors that existed when it was built),
-    * PERSISTS through [[saveIndex]]'s parquet shape and is RELOADED
-    * ([[loadIndex]] — this query is the driver-verified exercise of
-    * the load path), then the arriving DELTA split (content-stable md5
-    * bucket, the q68/q133 membership rule) is assigned against the
-    * loaded centroids WITHOUT retraining. Output is the one-row DRIFT
+    * the BASE split only (the vectors that existed when it was built)
+    * and is SERVED from the shared content-keyed [[persistedBaseCents]]
+    * artifact (the parquet save/load shape [[saveIndex]]/[[loadIndex]]
+    * expose, built once and reloaded by the whole incremental tier),
+    * then the arriving DELTA split (content-stable md5 bucket, the
+    * q68/q133 membership rule) is assigned against the loaded
+    * centroids WITHOUT retraining. Output is the one-row DRIFT
     * eval that decides retraining: base/delta sizes, occupied cells
     * before and after the delta, cells first opened by delta vectors
     * (outlier signal), hottest-cell populations, and the q183 balance
@@ -1091,9 +1113,11 @@ class SimilarityOps(val cfg: GraftConfig) {
       .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
     val base = all.filter(col("bk") < cfg.splitTrainUpper)
     val delta = all.filter(col("bk") >= cfg.splitTrainUpper)
-    val idxPath = graft.sources.Scratch.dir("ivfdelta_idx", dir)
-    trainIndexOn(base).write.mode("overwrite").parquet(idxPath)
-    val cents = loadIndex(spark, idxPath)
+    // the base-trained index is the SHARED content-keyed knnd_cents
+    // artifact (train once nightly, every consumer loads — the same
+    // parquet save/load shape saveIndex/loadIndex expose), not a
+    // per-call retrain-and-overwrite
+    val cents = persistedBaseCents(spark, dir, base)
     val bc = assign(base, cents).groupBy("cell").agg(count(lit(1)).as("n"))
     val dc = assign(delta, cents).groupBy("cell").agg(count(lit(1)).as("n"))
     val mc = bc.unionAll(dc).groupBy("cell").agg(sum(col("n")).as("n"))
@@ -1690,13 +1714,9 @@ class SimilarityOps(val cfg: GraftConfig) {
     val e = emb(spark, dir).withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
     val qv = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-    // exact truth: full-space fixed-point L2 top-k, ties to vec_id
-    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-    val truth = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= TopK)
-      .select("query_id", "vec_id")
+    // exact truth: the persisted full-space fixed-point L2 artifact
+    val truth = persistedL2Truth(spark, dir)
+      .filter(col("rk") <= TopK).select("query_id", "vec_id")
     // ADC: per-subspace lookup (query × codeword, tiny) joined to codes
     val codes = pqEncodeWith(e.select("vec_id", "embedding"), cb)
     val luts = (1 to PqM).map { s =>
@@ -1882,16 +1902,8 @@ class SimilarityOps(val cfg: GraftConfig) {
     * join is queries × k rows; the cost is the two searches it audits. */
   def q262IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = emb(spark, dir)
-      .withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
-    val qv = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-    val truth = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= IvfTopK)
-      .select("query_id", "vec_id")
+    val truth = persistedL2Truth(spark, dir)
+      .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
     val approx = q261IvfPqSearch(spark, dir)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "vec_id"), "left")
@@ -2088,16 +2100,8 @@ class SimilarityOps(val cfg: GraftConfig) {
     * be ~zero — that is a finding, the q223 honesty discipline). */
   def q272IvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = emb(spark, dir)
-      .withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
-    val qv = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-    val truth = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (col("qn2") + col("n2") - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= IvfTopK)
-      .select("query_id", "vec_id")
+    val truth = persistedL2Truth(spark, dir)
+      .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
     val approx = q271IvfPqResidualSearch(spark, dir)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "vec_id"), "left")
@@ -2356,7 +2360,8 @@ class SimilarityOps(val cfg: GraftConfig) {
     * default fixed first-ids entry set). The vector store is always
     * the full corpus: exact scoring of whatever the walk reaches. */
   private[graft] def beamSearchOver(spark: SparkSession, dir: String,
-      edges: DataFrame, entriesPerQuery: Option[DataFrame] = None): DataFrame = {
+      edges: DataFrame, entriesPerQuery: Option[DataFrame] = None,
+      k: Int = TopK): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val qv = broadcast(e.filter(col("vec_id") < NumQueries)
@@ -2398,7 +2403,7 @@ class SimilarityOps(val cfg: GraftConfig) {
       visited = visited.unionByName(score(frontier))
     }
     visited.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select("query_id", "vec_id", "rk", "cosine")
   }
 
@@ -2619,6 +2624,40 @@ class SimilarityOps(val cfg: GraftConfig) {
     spark.read.parquet(path)
   }
 
+  /** The exact full-space fixed-point-L2 truth as a content-keyed
+    * persisted artifact — [[persistedBruteTruth]]'s lifecycle applied
+    * to the L2 metric (the PQ tier's truth: an L2 code is audited
+    * against an L2 truth, the q215 same-metric lesson). Persisted once
+    * at k = max($TopK, $IvfTopK) with the rank kept, so every consumer
+    * (q223 at $TopK, q262/q272 at $IvfTopK) filters the SAME table —
+    * before this each eval re-paid the corpus × query-panel scan
+    * inline per call. d2/rk are exact integers: parquet round-trips
+    * them bit-identically, artifact ≡ recompute (the oracle recomputes
+    * through its CTE chain every round, re-proving it). */
+  private[graft] def persistedL2Truth(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val kMax = math.max(TopK, IvfTopK)
+    val path = graft.sources.Scratch.keyedDir("l2_truth", dir, spark,
+      Seq("embeddings.parquet"), s"nq=$NumQueries,k=$kMax")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val e = emb(spark, dir)
+        .withColumn("n2", expr("vec_dot_fixed(embedding, embedding)"))
+      val qv = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("n2").as("qn2"))
+      val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+      e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("qn2") + col("n2")
+            - lit(2L) * expr("vec_dot_fixed(qe, embedding)")).as("d2"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= kMax)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Per-query |approx ∩ exact-top-k| / k against q40's exhaustive
     * cosine truth — the shared eval tail of q280 and q286. */
   private[graft] def recallVsBrute(spark: SparkSession, dir: String,
@@ -2695,18 +2734,17 @@ class SimilarityOps(val cfg: GraftConfig) {
       base: DataFrame, delta: DataFrame, bAssigned: DataFrame, dProbes: DataFrame,
       cents: DataFrame)
 
-  private[graft] def knnDeltaParts(spark: SparkSession, dir: String): KnnDeltaState = {
-    graft.plans.GraftExtensions.ensureRegistered(spark)
-    val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
-    val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
-    val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
-    // the base-trained centroid table is ITSELF a nightly artifact
-    // (centroid-count rows): the state has many consumers (base/delta
-    // assignment, probes, entry guidance, q290's member union) and an
-    // unpersisted centroid table re-runs the full Lloyd chain per
-    // consumer — measured 19.6 → 13.6 s on q291 at sf0.1 from a
-    // lineage cut alone, further once loaded
+  /** The BASE-SPLIT-trained centroid table as a content-keyed nightly
+    * artifact (centroid-count rows) — shared by the whole incremental
+    * tier (q285/q286/q290/q291 via [[knnDeltaParts]]) and the
+    * streaming drift monitor (q325): the state has many consumers
+    * (base/delta assignment, probes, entry guidance, q290's member
+    * union) and an unpersisted centroid table re-runs the full Lloyd
+    * chain per consumer — measured 19.6 → 13.6 s on q291 at sf0.1
+    * from a lineage cut alone, further once loaded. `base` must be
+    * the cfg.splitTrainUpper md5-band split the key encodes. */
+  private[graft] def persistedBaseCents(spark: SparkSession, dir: String,
+      base: DataFrame): DataFrame = {
     val centsPath = graft.sources.Scratch.keyedDir("knnd_cents", dir, spark,
       Seq("embeddings.parquet"),
       s"c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}")
@@ -2714,7 +2752,16 @@ class SimilarityOps(val cfg: GraftConfig) {
     val cfs = csp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!cfs.exists(csp))
       trainIndexOn(base).write.mode("overwrite").parquet(centsPath)
-    val cents = spark.read.parquet(centsPath)
+    spark.read.parquet(centsPath)
+  }
+
+  private[graft] def knnDeltaParts(spark: SparkSession, dir: String): KnnDeltaState = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+    val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
+    val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
+    val cents = persistedBaseCents(spark, dir, base)
     val bAssigned = assign(base, cents)
     val ckey = s"k=${cfg.knnK},np=${cfg.ivfNprobe},c=$NumCentroids," +
       s"ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}"
@@ -3685,21 +3732,8 @@ class SimilarityOps(val cfg: GraftConfig) {
   // q305: streaming ANN serve; q306: the recall-vs-nprobe curve
   // ---------------------------------------------------------------
 
-  /** The trained IVF centroid table as a content-keyed persisted
-    * artifact — the production lifecycle (train once, probe forever)
-    * that q41 keeps inline for self-containment and the serving
-    * consumers (q305/q306) load. Centroids are DOUBLE arrays: parquet
-    * round-trips them bit-exactly, so artifact ≡ retrain (the oracle
-    * retrains through the CTE chain every round, re-proving it). */
-  private[graft] def persistedIvfIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.sources.Scratch.keyedDir("ivf_cents", dir, spark,
-      Seq("embeddings.parquet"), s"c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod")
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      trainIndex(spark, dir).write.mode("overwrite").parquet(path)
-    loadIndex(spark, path)
-  }
+  // (the persisted `ivf_cents` lifecycle lives in [[trainIndex]]
+  // itself — every consumer, batch and streaming, reads the artifact)
 
   /** q305: STREAMING ANN SERVE — queries as a LIVE STREAM against the
     * persisted IVF index (the online half of the serving story every
@@ -3729,7 +3763,7 @@ class SimilarityOps(val cfg: GraftConfig) {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val cents = persistedIvfIndex(spark, dir)
+    val cents = trainIndex(spark, dir)
     val panel = e.filter(col("vec_id") < NumQueries)
     val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
     Seq(panel.filter(col("vec_id") % 2 === 0), panel.filter(col("vec_id") % 2 === 1))
@@ -3779,7 +3813,7 @@ class SimilarityOps(val cfg: GraftConfig) {
   def q306IvfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-    val cents = persistedIvfIndex(spark, dir)
+    val cents = trainIndex(spark, dir)
     val panel = e.filter(col("vec_id") < NumQueries)
     val truth = persistedBruteTruth(spark, dir)
       .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
@@ -3824,71 +3858,95 @@ class SimilarityOps(val cfg: GraftConfig) {
     * Scale: serving is stateless (nothing enters the state store) —
     * per batch one broadcast-argmax map over the batch + a
     * batch-sized aggregate append; the ledger read is sink-sized
-    * (waves × cells), never corpus-sized. */
+    * (waves × cells), never corpus-sized. The ledger itself persists
+    * content-keyed (build-if-absent — the drift dial is a nightly
+    * artifact its batch consumers poll), the base-trained index is
+    * the SHARED `knnd_cents` artifact (no inline retrain), and the
+    * landing/checkpoint/sink scratch is RUN-UNIQUE (a UUID namespace,
+    * deleted after the drain) so two drivers sharing the scratch
+    * filesystem can never clobber each other's in-flight stream. */
   def q325StreamDrift(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val landing = graft.sources.Scratch.dir("sdrift_landing", dir)
-    val ckpt = graft.sources.Scratch.dir("sdrift_ckpt", dir)
-    val out = graft.sources.Scratch.dir("sdrift_out", dir)
+    val ledgerPath = graft.sources.Scratch.keyedDir("sdrift_ledger", dir, spark,
+      Seq("embeddings.parquet"),
+      s"c=$NumCentroids,ki=$KmeansIters,tm=$TrainMod,u=${cfg.splitTrainUpper}," +
+        s"tn=${cfg.driftTNum},td=${cfg.driftTDen}")
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(landing, ckpt, out).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
+    val lsp = new org.apache.hadoop.fs.Path(ledgerPath, "_SUCCESS")
+    if (!lsp.getFileSystem(conf).exists(lsp)) {
+      val run = java.util.UUID.randomUUID.toString.take(8)
+      val landing = graft.sources.Scratch.dir(s"sdrift_${run}_landing", dir)
+      val ckpt = graft.sources.Scratch.dir(s"sdrift_${run}_ckpt", dir)
+      val out = graft.sources.Scratch.dir(s"sdrift_${run}_out", dir)
+      val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+        .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
+      val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
+      val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
+      val cents = persistedBaseCents(spark, dir, base)
+      val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+      try {
+        Seq(delta.filter(col("vec_id") % 2 === 0), delta.filter(col("vec_id") % 2 === 1))
+          .zipWithIndex.foreach { case (w, i) =>
+            val before =
+              if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+                fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+              else Set.empty[org.apache.hadoop.fs.Path]
+            w.repartition(1).write.mode("append").parquet(landing)
+            fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+              .map(_.getPath).filterNot(before)
+              .filter(_.getName.startsWith("part-"))
+              .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+          }
+        val raw = spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, n2 DOUBLE")
+          .option("pathGlobFilter", "part-*")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = raw.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty)
+              assign(b, cents)
+                .groupBy(pmod(col("vec_id"), lit(2L)).as("wave"), col("cell"))
+                .agg(count(lit(1)).as("n"))
+                .write.mode("append").parquet(out)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        import org.apache.spark.sql.expressions.Window
+        // an EMPTY delta split lands no files → foreachBatch never
+        // writes the sink: the ledger is then the empty frame, not a
+        // schema-inference error on a missing directory
+        val osp = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+        val dn0 =
+          if (osp.getFileSystem(conf).exists(osp)) spark.read.parquet(out)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "wave BIGINT, cell BIGINT, n BIGINT"))
+        val dn = dn0.groupBy("wave", "cell").agg(sum("n").as("delta_n"))
+        val cum = dn.withColumn("delta_cum",
+          sum("delta_n").over(Window.partitionBy("cell").orderBy("wave")))
+        val wc = dn.groupBy("wave").agg(sum("delta_n").as("wn"))
+          .withColumn("d_cum_total", sum("wn").over(Window.orderBy("wave")))
+          .select("wave", "d_cum_total")
+        val bc = assign(base, cents).groupBy("cell").agg(count(lit(1)).as("base_n"))
+        val nb = broadcast(base.agg(count(lit(1)).as("n_base")))
+        cum.join(wc, "wave")
+          .join(bc, Seq("cell"), "left")
+          .crossJoin(nb)
+          .select(col("wave"), col("cell"), col("delta_n"), col("delta_cum"),
+            coalesce(col("base_n"), lit(0L)).as("base_n"),
+            (lit(cfg.driftTDen.toLong) * col("d_cum_total")
+              >= lit(cfg.driftTNum.toLong) * col("n_base")).as("retrain"))
+          .write.mode("overwrite").parquet(ledgerPath)
+      } finally Seq(landing, ckpt, out).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val dfs = p.getFileSystem(conf)
+        if (dfs.exists(p)) dfs.delete(p, true)
+      }
     }
-    val all = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
-      .withColumn("bk", substring(md5(col("vec_id").cast("string")), 1, 2))
-    val base = all.filter(col("bk") < cfg.splitTrainUpper).drop("bk")
-    val delta = all.filter(col("bk") >= cfg.splitTrainUpper).drop("bk")
-    val idxPath = graft.sources.Scratch.dir("sdrift_idx", dir)
-    trainIndexOn(base).write.mode("overwrite").parquet(idxPath)
-    val cents = loadIndex(spark, idxPath)
-    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
-    Seq(delta.filter(col("vec_id") % 2 === 0), delta.filter(col("vec_id") % 2 === 1))
-      .zipWithIndex.foreach { case (w, i) =>
-        val before =
-          if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
-            fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
-          else Set.empty[org.apache.hadoop.fs.Path]
-        w.repartition(1).write.mode("append").parquet(landing)
-        fs.listStatus(new org.apache.hadoop.fs.Path(landing))
-          .map(_.getPath).filterNot(before)
-          .filter(_.getName.startsWith("part-"))
-          .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
-      }
-    val raw = spark.readStream
-      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, n2 DOUBLE")
-      .option("pathGlobFilter", "part-*")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(landing)
-    val q = raw.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
-          assign(b, cents)
-            .groupBy(pmod(col("vec_id"), lit(2L)).as("wave"), col("cell"))
-            .agg(count(lit(1)).as("n"))
-            .write.mode("append").parquet(out)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    import org.apache.spark.sql.expressions.Window
-    val dn = spark.read.parquet(out)
-      .groupBy("wave", "cell").agg(sum("n").as("delta_n"))
-    val cum = dn.withColumn("delta_cum",
-      sum("delta_n").over(Window.partitionBy("cell").orderBy("wave")))
-    val wc = dn.groupBy("wave").agg(sum("delta_n").as("wn"))
-      .withColumn("d_cum_total", sum("wn").over(Window.orderBy("wave")))
-      .select("wave", "d_cum_total")
-    val bc = assign(base, cents).groupBy("cell").agg(count(lit(1)).as("base_n"))
-    val nb = broadcast(base.agg(count(lit(1)).as("n_base")))
-    cum.join(wc, "wave")
-      .join(bc, Seq("cell"), "left")
-      .crossJoin(nb)
-      .select(col("wave"), col("cell"), col("delta_n"), col("delta_cum"),
-        coalesce(col("base_n"), lit(0L)).as("base_n"),
-        (lit(cfg.driftTDen.toLong) * col("d_cum_total")
-          >= lit(cfg.driftTNum.toLong) * col("n_base")).as("retrain"))
+    spark.read.parquet(ledgerPath)
   }
 
   /** q326: ATTRIBUTE-FILTERED ANN SEARCH — top-k restricted to
@@ -3914,7 +3972,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("n2", Vec.norm2N("embedding"))
-    val cents = persistedIvfIndex(spark, dir)
+    val cents = trainIndex(spark, dir)
     val qv = e.filter(col("vec_id") < NumQueries)
     serveAssigned(assign(e, cents).filter(col("label") === cfg.annFilterLabel),
       qv, cents, cfg.ivfNprobe)
@@ -3973,7 +4031,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("n2", Vec.norm2N("embedding"))
-    val cents = persistedIvfIndex(spark, dir)
+    val cents = trainIndex(spark, dir)
     val qv = e.filter(col("vec_id") < NumQueries)
     val assigned = graft.Ck.lazyStage(assign(e, cents), cfg)
     val pre = serveAssigned(assigned.filter(col("label") === L), qv, cents, cfg.ivfNprobe)
@@ -4084,16 +4142,20 @@ class SimilarityOps(val cfg: GraftConfig) {
     * (measured: the join-cascade formulation paid ~30 tiny shuffle
     * stages, 8.6 s at sf0.1, for arithmetic worth well under a
     * second). */
-  def q328MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+  def q328MmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrGreedyOn(spark, exactMmrPool(spark, dir))
+
+  /** The EXACT relevance pool q328 diversifies: per query the
+    * top-${GraftConfig.default.mmrPool} corpus vectors by cosine off
+    * one broadcast-panel corpus scan (q40's shape). */
+  private[graft] def exactMmrPool(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    import spark.implicits._
-    val k = cfg.mmrK
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val q = broadcast(e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
     val wPool = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
     // one corpus scan builds the relevance pool (partial top-k)
-    val pool = q.crossJoin(e)
+    q.crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("simq"),
@@ -4101,6 +4163,15 @@ class SimilarityOps(val cfg: GraftConfig) {
       .withColumn("prk", row_number().over(wPool))
       .filter(col("prk") <= cfg.mmrPool)
       .select("query_id", "vec_id", "simq", "embedding")
+  }
+
+  /** The MMR greedy over an arbitrary (query_id, vec_id, simq,
+    * embedding) relevance pool — q328 feeds it the exact pool, q331
+    * the graph-ANN serving pool. */
+  private[graft] def mmrGreedyOn(spark: SparkSession, poolDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val k = cfg.mmrK
+    val pool = poolDf.select("query_id", "vec_id", "simq", "embedding")
       .as[(Long, Long, Double, Array[Float])]
     // the greedy runs PER QUERY inside one shuffle: a query's state is
     // pool rows + pool² sims — knob-bounded, so it is row-local work,
@@ -4286,6 +4357,356 @@ class SimilarityOps(val cfg: GraftConfig) {
        |$points
        |$rows""".stripMargin
   }
+
+  // ---------- OPQ-style layout ablation (q330) ----------
+
+  /** The balanced-energy DIMENSION PERMUTATION — the transcendental-free
+    * member of the OPQ family (Ge et al. '13 learn a full rotation by
+    * alternating SVD; its standard cheap surrogate reorders dimensions
+    * so each PQ subspace carries comparable variance — a permutation IS
+    * an orthogonal rotation, just one expressible in exact integer
+    * arithmetic, which the cross-engine hash gate requires where an SVD
+    * is not). Per dimension the corpus energy Σ floor(x²·1e13) is an
+    * exact order-free BIGINT; dims rank by (energy desc, dim asc) and
+    * deal SNAKE-wise across the $PqM subspaces (block 0 deals 1..m,
+    * block 1 deals m..1, …) so each subspace receives one dim per
+    * energy block — the greedy balance. Requires PqM | dims (the same
+    * equal-slice contract [[subExpr]] assumes). Output: the packed
+    * one-row 1-based permutation (newpos order → old position). */
+  private[graft] def opqPerm(e: DataFrame): DataFrame = {
+    val en = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1e13) AS BIGINT)")).as("en"))
+    val wE = Window.orderBy(col("en").desc, col("pos"))
+    val d = broadcast(en.agg((max(col("pos")) + 1).cast("long").as("d")))
+    en.withColumn("rnk", row_number().over(wE).cast("long") - 1L)
+      .crossJoin(d)
+      .select(col("pos"),
+        expr(s"IF((rnk div $PqM) % 2 = 0, rnk % $PqM + 1, $PqM - rnk % $PqM)").as("sub"),
+        expr(s"rnk div $PqM").as("blk"), col("d"))
+      .select(expr(s"(sub - 1) * (d div $PqM) + blk + 1").as("newpos"),
+        (col("pos") + 1L).as("oldpos"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(newpos, oldpos))), s -> s.oldpos)")
+        .as("perm"))
+  }
+
+  /** The corpus re-laid-out under [[opqPerm]] — a zero-shuffle map
+    * (the one-row permutation broadcasts; element_at is codegen'd).
+    * Keeps the `embedding` name so every PQ kernel applies unchanged. */
+  private[graft] def opqPermuted(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(opqPerm(e)))
+      .select(col("vec_id"),
+        expr("transform(perm, p -> CAST(element_at(embedding, CAST(p AS INT)) AS DOUBLE))")
+          .as("embedding"))
+
+  /** The PQ codebook trained on the PERMUTED corpus, persisted
+    * content-keyed (the pq_cb lifecycle — the permutation itself is
+    * recomputed on build, one tiny d-row aggregate). */
+  private[graft] def persistedOpqCodebook(spark: SparkSession, dir: String,
+      pe: => DataFrame): DataFrame = {
+    val path = graft.sources.Scratch.keyedDir("opq_cb", dir, spark,
+      Seq("embeddings.parquet"), s"m=$PqM,k=$PqK,i=$PqIters")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) pqTrainOn(pe).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q330: OPQ LAYOUT ABLATION — does an energy-balanced dimension
+    * permutation before sub-quantization buy the IVF-PQ tier recall at
+    * matched budget? (The q294/q317/q327 discipline: a serving-layout
+    * policy ships only with its measured A/B.) Both arms share the
+    * SAME IVF index, probe list, candidate set, code budget
+    * ($PqM×$PqK, $PqIters iters) and the SAME persisted l2_truth; arm
+    * `id` is exactly q261's ADC search (identity layout), arm `opq`
+    * trains and encodes over [[opqPermuted]] — a permutation is
+    * orthogonal, so full-space L2 (the truth) is untouched and ONLY
+    * the subspace decomposition differs, which is the entire OPQ
+    * question. MEASURED at sf0.01: mean recall@$IvfTopK 0.267 id vs
+    * 0.167 opq (n_hit 8 vs 5 of 30) — on this near-isotropic
+    * synthetic corpus the energy profile is flat, the balanced layout
+    * buys nothing, and breaking the natural dimension adjacency
+    * actually COSTS recall, so the identity layout stays q261's
+    * default (the q223 honesty rule: the refinement's value is a
+    * NUMBER, and here the number says don't adopt — the expected
+    * outcome the round-15 verdict predicted for isotropic data). A
+    * corpus with skewed per-dimension energy re-runs this row before
+    * flipping the default; the serve-time cost of either layout is
+    * identical (the permutation is fixed at encode time).
+    *
+    * Scale: one extra d-row aggregate + a zero-shuffle relayout scan
+    * at ENCODE time only; serving cost is bit-identical to q261 (same
+    * LUT sizes, same candidate joins). */
+  def q330OpqAblation(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val pe = opqPermuted(e)
+    val cb = persistedOpqCodebook(spark, dir, pe)
+    val assigned = assign(e, cents).select(col("vec_id"), col("cell"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val probes = probeCells(qv, cents, cfg.ivfNprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = broadcast(probes).join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val codes = pqEncodeWith(pe, cb)
+    val pq = pe.filter(col("vec_id") < NumQueries)
+    val luts = (1 to PqM).map { s =>
+      broadcast(pq.select(col("vec_id").as("query_id"), expr(subExpr(s)).as("qs"))
+        .withColumn("qn2s", expr("vec_dot_fixed(qs, qs)"))
+        .crossJoin(broadcast(cb.filter(col("sub_id") === s)))
+        .select(col("query_id"), col("cent_id").as(s"c$s"),
+          (col("qn2s") + expr("vec_dot_fixed(ce, ce)")
+            - lit(2L) * expr("vec_dot_fixed(qs, ce)")).as(s"d$s")))
+    }
+    val withCodes = cand.join(codes, "vec_id")
+    val oad = luts.zipWithIndex.foldLeft(withCodes) { case (acc, (lut, i)) =>
+      acc.join(lut, Seq("query_id", s"c${i + 1}"))
+    }.select(col("query_id"), col("vec_id"),
+      (1 to PqM).map(s => col(s"d$s")).reduce(_ + _).as("ad2"))
+    val w = Window.partitionBy("query_id").orderBy(col("ad2"), col("vec_id"))
+    val opqTop = oad.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
+    val idTop = q261IvfPqSearch(spark, dir).select("query_id", "vec_id")
+    val truth = persistedL2Truth(spark, dir)
+      .filter(col("rk") <= IvfTopK).select("query_id", "vec_id")
+    def scored(arm: String, hits: DataFrame): DataFrame =
+      truth.join(hits.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(arm).as("arm"), col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / IvfTopK).as("recall"))
+    scored("id", idTop).unionByName(scored("opq", opqTop))
+  }
+
+  def q330Sql: String = {
+    // the permuted-arm PQ chain mirrors pqTrainCtes over pv (the
+    // permuted corpus) with o-prefixed names so it coexists with the
+    // id arm's chain inside one statement
+    val oTraining = (1 to PqM).map { s =>
+      val iters = (1 to PqIters).map { i =>
+        s"""${pqDuckAssign(s, s"oc${s}_${i - 1}", s"oa${s}_$i", src = s"os$s")},
+           |${pqDuckUpdate(s, s"oa${s}_$i", s"oc${s}_$i", src = s"os$s")}""".stripMargin
+      }.mkString(",\n")
+      s"""os$s AS (SELECT vec_id, ${pqSubSqlDuck(s)} AS sub FROM pv),
+         |oc${s}_0 AS (SELECT vec_id AS cent_id,
+         |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM os$s WHERE vec_id < $PqK),
+         |$iters,
+         |${pqDuckAssign(s, s"oc${s}_$PqIters", s"of$s", src = s"os$s")}""".stripMargin
+    }.mkString(",\n")
+    val oCodeJoins = (2 to PqM).map(s => s"JOIN of$s USING (vec_id)").mkString(" ")
+    val oCodeCols = (1 to PqM).map(s => s"of$s.cell AS c$s").mkString(", ")
+    val oLutCtes = (1 to PqM).map { s =>
+      s"""oqs$s AS (SELECT vec_id AS query_id, ${pqSubSqlDuck(s)} AS qs
+         |  FROM pv WHERE vec_id < $NumQueries),
+         |olut${s}_ex AS (SELECT q.query_id, c.cent_id,
+         |    unnest(q.qs) AS a, unnest(c.ce) AS b
+         |  FROM oqs$s q, oc${s}_$PqIters c),
+         |olut$s AS (SELECT query_id, cent_id,
+         |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+         |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+         |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+         |  FROM olut${s}_ex GROUP BY query_id, cent_id)""".stripMargin
+    }.mkString(",\n")
+    val oLutJoins = (1 to PqM).map(s =>
+      s"JOIN olut$s l$s ON l$s.query_id = c.query_id AND l$s.cent_id = x.c$s")
+      .mkString("\n|  ")
+    val oAdSum = (1 to PqM).map(s => s"l$s.d2").mkString(" + ")
+    s"""$ivfPqCtes,
+       |dim AS (SELECT g AS pos,
+       |    SUM(CAST(floor(CAST(embedding[g] AS DOUBLE)*CAST(embedding[g] AS DOUBLE)*1e13) AS BIGINT)) AS en
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) t
+       |  GROUP BY g),
+       |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dim),
+       |prm AS (SELECT pos AS oldpos,
+       |    CASE WHEN (rnk // $PqM) % 2 = 0 THEN (rnk % $PqM) + 1
+       |         ELSE $PqM - (rnk % $PqM) END AS sub,
+       |    rnk // $PqM AS blk
+       |  FROM (SELECT pos, CAST(row_number() OVER (ORDER BY en DESC, pos) AS BIGINT) - 1 AS rnk
+       |        FROM dim)),
+       |perm AS (SELECT (sub - 1) * (d // $PqM) + blk + 1 AS newpos, oldpos FROM prm, dd),
+       |pv AS (SELECT e.vec_id,
+       |    array_agg(CAST(e.embedding[p.oldpos] AS DOUBLE) ORDER BY p.newpos) AS embedding
+       |  FROM e CROSS JOIN perm p GROUP BY e.vec_id),
+       |$oTraining,
+       |ocodesj AS (SELECT of1.vec_id, $oCodeCols FROM of1 $oCodeJoins),
+       |$oLutCtes,
+       |oadx AS (SELECT c.query_id, c.vec_id, CAST($oAdSum AS BIGINT) AS ad2
+       |  FROM cand c JOIN ocodesj x USING (vec_id)
+       |  $oLutJoins),
+       |oadtop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad2, vec_id) AS rk
+       |    FROM oadx) WHERE rk <= $IvfTopK),
+       |tr_ex AS (SELECT q.vec_id AS qid, e2.vec_id AS xid,
+       |    unnest(q.embedding) AS a, unnest(e2.embedding) AS b
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q, embeddings e2
+       |  WHERE e2.vec_id <> q.vec_id),
+       |tr_d AS (SELECT qid, xid,
+       |    SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)*1e13) AS BIGINT))
+       |      + SUM(CAST(floor(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT))
+       |      - 2*SUM(CAST(floor(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)*1e13) AS BIGINT)) AS d2
+       |  FROM tr_ex GROUP BY qid, xid),
+       |truth AS (SELECT qid AS query_id, xid AS vec_id FROM (
+       |    SELECT qid, xid, row_number() OVER (PARTITION BY qid ORDER BY d2, xid) AS rk
+       |    FROM tr_d) WHERE rk <= $IvfTopK)
+       |SELECT 'id' AS arm, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN adtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id
+       |UNION ALL
+       |SELECT 'opq' AS arm, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN oadtop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+  }
+
+  // ---------- MMR over the serving tier (q331) ----------
+
+  /** Prefixed MMR greedy CTE chain over `$poolTbl(query_id, vec_id,
+    * simq)`: pairwise pool sims from the embeddings table, then one
+    * (maxsim, argmax) CTE pair per rank with every reused table
+    * MATERIALIZED (the q150 inlining lesson) — ends at
+    * `${"$"}{p}sel(query_id, vec_id, rk, mmr_score)`. The prefix lets
+    * two pools' greedies coexist in one statement (q331 unrolls the
+    * exact arm AND the serving arm). */
+  private def mmrGreedySqlCtes(p: String, poolTbl: String): String = {
+    val steps = (2 to cfg.mmrK).map { i =>
+      s"""${p}m$i AS MATERIALIZED (SELECT s.query_id, s.ida AS vec_id, max(s.sim) AS maxsim
+         |  FROM ${p}sims s JOIN ${p}u${i - 1} u ON u.query_id = s.query_id AND u.vec_id = s.idb
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}u${i - 1} x
+         |    WHERE x.query_id = s.query_id AND x.vec_id = s.ida)
+         |  GROUP BY s.query_id, s.ida),
+         |${p}s$i AS MATERIALIZED (SELECT query_id, vec_id, $i AS rk, mmr AS mmr_score FROM (
+         |  SELECT query_id, vec_id, mmr,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS r
+         |  FROM (SELECT m.query_id, m.vec_id, 0.5 * p.simq - 0.5 * m.maxsim AS mmr
+         |        FROM ${p}m$i m JOIN $poolTbl p ON p.query_id = m.query_id AND p.vec_id = m.vec_id))
+         |  WHERE r = 1),
+         |${p}u$i AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}u${i - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM ${p}s$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to cfg.mmrK).map(i => s"SELECT * FROM ${p}s$i").mkString("\n  UNION ALL ")
+    s"""${p}sp_ex AS (SELECT p1.query_id, p1.vec_id AS ida, p2.vec_id AS idb,
+       |    unnest(e1.embedding) AS a, unnest(e2.embedding) AS b
+       |  FROM $poolTbl p1 JOIN $poolTbl p2 USING (query_id)
+       |  JOIN embeddings e1 ON e1.vec_id = p1.vec_id
+       |  JOIN embeddings e2 ON e2.vec_id = p2.vec_id
+       |  WHERE p1.vec_id <> p2.vec_id),
+       |${p}sp_d AS (SELECT query_id, ida, idb,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM ${p}sp_ex GROUP BY query_id, ida, idb),
+       |${p}sims AS MATERIALIZED (SELECT query_id, ida, idb,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS sim
+       |  FROM ${p}sp_d),
+       |${p}s1 AS MATERIALIZED (SELECT query_id, vec_id, 1 AS rk, simq AS mmr_score FROM (
+       |  SELECT query_id, vec_id, simq,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS r
+       |  FROM $poolTbl) WHERE r = 1),
+       |${p}u1 AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}s1),
+       |$steps,
+       |${p}sel AS MATERIALIZED ($sel)""".stripMargin
+  }
+
+  /** q331: MMR OVER THE SERVING TIER — q328's scaladoc promises the
+    * diversifier slots behind ANY retrieval head; this is the arm
+    * that proves it on the PRODUCTION pool: the graph-ANN serve
+    * (q279's persisted-graph beam walk, IVF-guided entries) ranks a
+    * top-${GraftConfig.default.mmrPool} pool per query and the SAME
+    * greedy (same λ=1/2 fixed-point arithmetic) diversifies it, A/B'd
+    * against the exact-pool arm at matched pool size and k (the
+    * q294/q317/q327 matched-budget discipline). Per (arm, query):
+    * selection size, overlap with the exact arm's diversified page,
+    * and relevance retention (selected ∩ exact cosine top-$TopK) —
+    * all exact integer counts, no float aggregation. MEASURED at
+    * sf0.01: both arms fill all 50 slots (10 queries × 5); the
+    * serving arm keeps 20/26 of the exact arm's truth hits (77% of
+    * the relevance the exact pool retains, at beam-walk cost instead
+    * of a corpus scan) while agreeing with the exact DIVERSIFIED page
+    * on 22/50 picks — the divergence lives almost entirely in the
+    * diversity slots, where the approximate pool offers different
+    * but equally-far alternatives; the truth-hit retention is the
+    * dial that gates serving MMR, and the page-agreement number is
+    * the honest record of how much the page changes.
+    *
+    * Scale: the serving arm never scans the corpus — pool cost is the
+    * beam walk's (bounded frontier × hops), the greedy is the same
+    * one-exchange groupByKey as q328, and the eval joins are
+    * queries × k. The exact arm exists only as the eval's yardstick. */
+  def q331MmrServing(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir)
+    val edges = persistedKnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val spool = beamSearchOver(spark, dir, edges,
+        Some(ivfGuidedEntries(spark, dir)), k = cfg.mmrPool)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cosine").as("simq"), col("embedding"))
+    val selX = graft.Ck.lazyStage(
+      mmrGreedyOn(spark, exactMmrPool(spark, dir)), cfg)
+    val selS = mmrGreedyOn(spark, spool)
+    val truth = persistedBruteTruth(spark, dir).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("ct"))
+    val xref = selX.select(col("query_id"), col("vec_id"), lit(1L).as("cx"))
+    def armRow(name: String, sel: DataFrame): DataFrame =
+      sel.select("query_id", "vec_id")
+        .join(xref, Seq("query_id", "vec_id"), "left")
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_sel"),
+          sum(coalesce(col("cx"), lit(0L))).as("n_common_exact"),
+          sum(coalesce(col("ct"), lit(0L))).as("n_hit_truth"))
+        .select(lit(name).as("arm"), col("query_id"), col("n_sel"),
+          col("n_common_exact"), col("n_hit_truth"))
+    armRow("exact", selX).unionByName(armRow("serve", selS))
+  }
+
+  def q331Sql: String =
+    s"""$beamWalkCtes,
+       |spool AS MATERIALIZED (SELECT query_id, vec_id, simq FROM (
+       |    SELECT query_id, vec_id, cosine AS simq,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS prk
+       |    FROM vis${cfg.beamHops}) WHERE prk <= ${cfg.mmrPool}),
+       |xpairs AS (SELECT q.vec_id AS query_id, v.vec_id, q.embedding AS qe, v.embedding AS ve
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q, embeddings v
+       |  WHERE v.vec_id <> q.vec_id),
+       |xex AS (SELECT query_id, vec_id, unnest(qe) AS a, unnest(ve) AS b FROM xpairs),
+       |xdots AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM xex GROUP BY query_id, vec_id),
+       |xranked AS (SELECT query_id, vec_id,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS simq,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS prk
+       |  FROM xdots),
+       |xpool AS MATERIALIZED (SELECT query_id, vec_id, simq FROM xranked WHERE prk <= ${cfg.mmrPool}),
+       |mtruth AS (SELECT query_id, vec_id FROM xranked WHERE prk <= $TopK),
+       |${mmrGreedySqlCtes("x", "xpool")},
+       |${mmrGreedySqlCtes("s", "spool")}
+       |SELECT 'exact' AS arm, s.query_id, CAST(count(*) AS BIGINT) AS n_sel,
+       |  CAST(count(x.vec_id) AS BIGINT) AS n_common_exact,
+       |  CAST(count(t.vec_id) AS BIGINT) AS n_hit_truth
+       |FROM xsel s
+       |LEFT JOIN xsel x ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+       |LEFT JOIN mtruth t ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |GROUP BY s.query_id
+       |UNION ALL
+       |SELECT 'serve' AS arm, s.query_id, CAST(count(*) AS BIGINT) AS n_sel,
+       |  CAST(count(x.vec_id) AS BIGINT) AS n_common_exact,
+       |  CAST(count(t.vec_id) AS BIGINT) AS n_hit_truth
+       |FROM ssel s
+       |LEFT JOIN xsel x ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+       |LEFT JOIN mtruth t ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |GROUP BY s.query_id""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

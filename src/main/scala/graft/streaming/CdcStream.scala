@@ -351,6 +351,138 @@ object CdcStream {
         col("o_totalprice"), col("seq").as("last_seq"))
   }
 
+  /** Read the snapshot AS OF version `v` off a CAS chain — the time
+    * travel read the CoW family's immutable versions exist for. Two
+    * failure modes split deliberately: a version that was NEVER
+    * COMMITTED (no marker — asking for the future or a lost race) vs
+    * one that committed but whose DATA WAS VACUUMED (marker without
+    * data — the commit LOG stays complete forever; only data dirs
+    * retire). The second error names the cure: pin the version before
+    * vacuuming. */
+  private[graft] def readAsOf(spark: SparkSession, root: String, v: Int): DataFrame = {
+    import graft.sources.VersionChain
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = VersionChain.latest(fs, root)
+    require(head.exists(_ >= v),
+      s"as-of v$v: never committed on this chain (head: ${head.getOrElse("empty")})")
+    val p = new org.apache.hadoop.fs.Path(VersionChain.dataPath(root, v))
+    require(fs.exists(p),
+      s"as-of v$v: committed but vacuumed — register a read pin >= $v before vacuum")
+    spark.read.parquet(VersionChain.dataPath(root, v))
+  }
+
+  /** Retention vacuum with a READ PIN — the gate that makes vacuum
+    * and time travel coexist: data dirs of versions below
+    * min(head − retain + 1, pin) retire; everything a reader pinned
+    * (and the retention window itself) stays readable. Markers are
+    * never deleted — the commit log is the chain's history and costs
+    * one zero-byte file per version. Returns the vacuumed versions. */
+  private[graft] def vacuumChain(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, retain: Int, pin: Int): Seq[Int] = {
+    import graft.sources.VersionChain
+    VersionChain.latest(fs, root).toSeq.flatMap { head =>
+      val cutoff = math.min(head - retain + 1, pin)
+      (1 until cutoff).flatMap { v =>
+        val p = new org.apache.hadoop.fs.Path(VersionChain.dataPath(root, v))
+        if (fs.exists(p)) { fs.delete(p, true); Some(v) } else None
+      }
+    }
+  }
+
+  /** q333: TIME TRAVEL WITH A RETENTION GATE — the interplay row the
+    * q304+q316 pair sets up: the 4-version chain is rebuilt on the
+    * CAS commit log ([[graft.sources.VersionChain]] — v1 base, v2..v4
+    * one wave each), every version is read AS OF and audited
+    * (replaying the fold to v_n is exactly what the oracle does), a
+    * reader PINS v${GraftConfig.default.cowReadPin} and the vacuum
+    * honors min(head − ${GraftConfig.default.cowRetainVersions} + 1,
+    * pin) — so the pinned version SURVIVES a retention window that
+    * would otherwise retire it, and a version outside both
+    * protections retires. Survivors re-read post-vacuum (intact, not
+    * remembered — q304's discipline); the readable flag is the gate's
+    * contract and hash-fails if vacuum ever deletes a pinned or
+    * in-window version. CdcStreamSpec pins the failure modes:
+    * as-of-vacuumed throws the "register a read pin" error, as-of
+    * beyond head throws "never committed", and retain=1 with the pin
+    * still cannot retire the pinned data.
+    *
+    * Scale: reads are per-version scans of immutable parquet; the
+    * vacuum is |versions| namenode metadata ops; pins are the
+    * reader-coordination contract every production table format
+    * carries (Delta's minReaderVersion-style snapshot retention). */
+  def q333ReadAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.VersionChain
+    val root = graft.sources.Scratch.dir("cow_asof", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    if (fs.exists(rootP)) fs.delete(rootP, true) // deterministic rerun
+    val a0 = s"$root/_attempt_v1"
+    graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
+      .write.parquet(a0)
+    require(VersionChain.commit(fs, root, 1, a0), "empty chain: v1 must commit")
+    changeWaves(spark, dir).zipWithIndex.foreach { case (w, i) =>
+      val att = s"$root/_attempt_v${i + 2}"
+      mergeBatch(readAsOf(spark, root, i + 1), w).write.parquet(att)
+      require(VersionChain.commit(fs, root, i + 2, att), s"v${i + 2} must commit")
+    }
+    val head = VersionChain.latest(fs, root).get
+    // the time-travel audit: every version answers as-of BEFORE vacuum
+    val pre = (1 to head).map { v =>
+      v -> readAsOf(spark, root, v).filter(col("alive")).count()
+    }.toMap
+    val pin = graft.GraftConfig.default.cowReadPin
+    vacuumChain(fs, root, graft.GraftConfig.default.cowRetainVersions, pin)
+    (1 to head).map { v =>
+      val readable = fs.exists(
+        new org.apache.hadoop.fs.Path(VersionChain.dataPath(root, v)))
+      // survivors re-read post-vacuum: intact, not remembered
+      val n = if (readable) readAsOf(spark, root, v).filter(col("alive")).count()
+              else pre(v)
+      (v, n, readable)
+    }.toDF("version", "n_alive", "readable")
+  }
+
+  /** Replay the fold to every v_n + the gate arithmetic as literals. */
+  def q333Sql: String = {
+    def aliveAt(v: Int): String =
+      if (v == 0) "SELECT CAST(count(*) AS BIGINT) FROM orders"
+      else
+        s"""SELECT CAST(count(*) AS BIGINT) FROM (
+           |  SELECT coalesce(l.k, b.o_orderkey) AS key
+           |  FROM (SELECT o_orderkey FROM orders) b
+           |  FULL OUTER JOIN (
+           |    SELECT k, op FROM (
+           |      SELECT ch.k, ch.op, row_number() OVER (PARTITION BY ch.k ORDER BY ch.seq DESC) AS rk
+           |      FROM ch WHERE ch.seq <= $v) WHERE rk = 1) l
+           |  ON l.k = b.o_orderkey
+           |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
+    val retain = graft.GraftConfig.default.cowRetainVersions
+    val pin = graft.GraftConfig.default.cowReadPin
+    val cutoff = math.min(4 - retain + 1, pin)
+    val rows = (1 to 4).map { v =>
+      val readable = v >= cutoff
+      s"SELECT CAST($v AS INT) AS version, (${aliveAt(v - 1)}) AS n_alive, $readable AS readable"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w1 AS (SELECT
+       |    CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k,
+       |    CAST(1 AS BIGINT) AS seq,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+       |         WHEN o_orderkey % 10 = 1 THEN 'U' ELSE 'I' END AS op
+       |  FROM orders WHERE o_orderkey % 10 <= 2),
+       |w2 AS (SELECT o_orderkey AS k, CAST(2 AS BIGINT) AS seq,
+       |    CASE WHEN o_orderkey % 20 IN (4, 5, 11) THEN 'D' ELSE 'U' END AS op
+       |  FROM orders WHERE o_orderkey % 20 <= 5 OR o_orderkey % 20 = 11),
+       |w3 AS (SELECT o_orderkey AS k, CAST(3 AS BIGINT) AS seq, 'U' AS op
+       |  FROM orders WHERE o_orderkey % 40 <= 2),
+       |ch AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+       |$rows""".stripMargin
+  }
+
   /** Serial-order recompute: base + the per-key max-seq winner across
     * BOTH racing batches (waves 1 and 2) — what the chain must hold
     * after conflict detection and rebase. */

@@ -165,4 +165,44 @@ class CdcStreamSpec extends GraftSpec {
     assert(graft.sources.VersionChain.commit(fs, root, 2, a2), "retry at head+1 commits")
     assert(graft.sources.VersionChain.latest(fs, root).contains(2))
   }
+
+  test("q333 vacuum-vs-read-as-of: the pin gates the vacuum; vacuumed and uncommitted reads fail with the named errors") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vasof").toString + "/chain"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 4).foreach { v =>
+      val att = s"$root/_a$v"
+      Seq((v.toLong, s"payload$v")).toDF("id", "v").write.parquet(att)
+      assert(graft.sources.VersionChain.commit(fs, root, v, att))
+    }
+    val pinnedBefore = CdcStream.readAsOf(spark, root, 2).collect().toSeq
+    // retain=1 alone would retire v1..v3; the pin at 2 must save v2 and v3
+    val gone = CdcStream.vacuumChain(fs, root, retain = 1, pin = 2)
+    assert(gone == Seq(1), s"only v1 may retire (pin 2, retain 1), got $gone")
+    assert(CdcStream.readAsOf(spark, root, 2).collect().toSeq == pinnedBefore,
+      "the pinned version must read identically after the vacuum")
+    val exVac = intercept[IllegalArgumentException](CdcStream.readAsOf(spark, root, 1))
+    assert(exVac.getMessage.contains("vacuumed"),
+      s"vacuumed read must name the cure, got: ${exVac.getMessage}")
+    val exFut = intercept[IllegalArgumentException](CdcStream.readAsOf(spark, root, 9))
+    assert(exFut.getMessage.contains("never committed"),
+      s"future read must say never committed, got: ${exFut.getMessage}")
+    // an even harsher retention still cannot retire the pin
+    assert(CdcStream.vacuumChain(fs, root, retain = 0, pin = 2).isEmpty,
+      "nothing below the pin remains; nothing >= the pin may ever retire")
+    assert(CdcStream.readAsOf(spark, root, 2).collect().toSeq == pinnedBefore)
+  }
+
+  test("q333 end-to-end: readable flags follow min(head - retain + 1, pin) and survivors re-read intact") {
+    val out = CdcStream.q333ReadAsOf(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val retain = GraftConfig.default.cowRetainVersions
+    val pin = GraftConfig.default.cowReadPin
+    val cutoff = math.min(4 - retain + 1, pin)
+    (1 to 4).foreach { v =>
+      assert(out(v)._2 == (v >= cutoff), s"v$v readable flag must follow the gate")
+    }
+    assert(out(1)._1 > 0 && out(4)._1 > 0)
+  }
 }

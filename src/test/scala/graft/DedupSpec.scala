@@ -506,6 +506,83 @@ class DedupSpec extends GraftSpec {
       "q222 must encode with the PERSISTED codebook, not retrain")
   }
 
+  test("trainIndex reads the persisted ivf_cents artifact, not a retrain (doctored centroids reroute every consumer)") {
+    import spark.implicits._
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      ivfCentroids = 2, kmeansIters = 1, ivfTrainMod = 1,
+      annQueries = 2, annTopK = 2, ivfTopK = 2, ivfNprobe = 1))
+    ops.trainIndex(spark, dir).collect() // trains + persists ivf_cents
+    // doctor the artifact down to ONE centroid with a sentinel id:
+    // every consumer that reads the artifact must now assign every
+    // vector to cell 7; a consumer that silently retrained would
+    // produce cells 0/1 again
+    val path = graft.sources.Scratch.keyedDir("ivf_cents", dir, spark,
+      Seq("embeddings.parquet"), "c=2,ki=1,tm=1")
+    Seq((7L, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("cent_id", "ce")
+      .write.mode("overwrite").parquet(path)
+    val cells = ops.q94SemanticDedup(spark, dir).collect()
+      .map(_.getAs[Long]("cell")).toSet
+    assert(cells == Set(7L),
+      "q94 (an assign consumer) must read the PERSISTED ivf_cents, not retrain")
+    val searched = ops.q41AnnIvf(spark, dir).collect()
+    assert(searched.nonEmpty && searched.forall(_.getAs[Long]("vec_id") >= 0),
+      "q41 must still serve from the doctored single-cell index")
+  }
+
+  test("q330 reads the persisted OPQ codebook (doctored artifact moves the opq arm, never the id arm)") {
+    import spark.implicits._
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      pqSubspaces = 2, pqCodewords = 8, pqIters = 1,
+      ivfCentroids = 2, kmeansIters = 1, ivfTrainMod = 1,
+      annQueries = 3, annTopK = 2, ivfTopK = 2, ivfNprobe = 2))
+    def armRows(df: org.apache.spark.sql.DataFrame, arm: String) =
+      df.collect().filter(_.getString(0) == arm)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val before = ops.q330OpqAblation(spark, dir)
+    val idBefore = armRows(before, "id")
+    val opqBefore = armRows(before, "opq")
+    // collapse the opq codebook to ONE origin codeword per subspace:
+    // every corpus vector now codes identically, so the opq arm's ADC
+    // ranking degenerates — a silent retrain would reproduce opqBefore
+    val path = graft.sources.Scratch.keyedDir("opq_cb", dir, spark,
+      Seq("embeddings.parquet"), "m=2,k=8,i=1")
+    Seq((0L, Seq(0.0, 0.0), 1), (0L, Seq(0.0, 0.0), 2))
+      .toDF("cent_id", "ce", "sub_id")
+      .write.mode("overwrite").parquet(path)
+    val after = ops.q330OpqAblation(spark, dir)
+    assert(armRows(after, "id") == idBefore,
+      "the id arm shares no state with the opq codebook and must not move")
+    assert(armRows(after, "opq") != opqBefore,
+      "q330 must encode with the PERSISTED opq codebook, not retrain")
+  }
+
+  test("q223/q262-style evals read the persisted l2_truth, not an inline recompute (doctored truth zeroes recall)") {
+    import spark.implicits._
+    val dir = pqDir((0L to 5L).map(i =>
+      i -> Seq(i.toFloat, i + 0.5f, 10f - i, 2f * i)): _*)
+    val ops = new graft.operators.SimilarityOps(GraftConfig(
+      pqSubspaces = 2, pqCodewords = 8, pqIters = 1,
+      annQueries = 3, annTopK = 2, ivfTopK = 2))
+    val before = ops.q223PqRecall(spark, dir).collect()
+    assert(before.forall(_.getAs[Double]("recall") == 1.0),
+      "exact-codebook corpus must give recall 1 before doctoring")
+    // doctor the truth: every query's exact neighbor is vec_id 999,
+    // which no search can ever return → recall must read 0
+    val path = graft.sources.Scratch.keyedDir("l2_truth", dir, spark,
+      Seq("embeddings.parquet"), "nq=3,k=2")
+    (0L to 2L).map(q => (q, 999L, 0L, 1))
+      .toDF("query_id", "vec_id", "d2", "rk")
+      .write.mode("overwrite").parquet(path)
+    val doctored = ops.q223PqRecall(spark, dir).collect()
+    assert(doctored.nonEmpty && doctored.forall(_.getAs[Double]("recall") == 0.0),
+      "q223 must score against the PERSISTED l2_truth, not recompute it inline")
+  }
+
   test("q222/q223 real corpus: codes in range, recall bounded") {
     val m = GraftConfig.default.pqSubspaces
     val k = GraftConfig.default.pqCodewords
@@ -978,6 +1055,34 @@ class DedupSpec extends GraftSpec {
     val doctored = Dedup.q324ContainmentJoin(spark, dir).collect()
     assert(doctored.length == 1 && doctored(0).getLong(0) == 77L,
       "q324 must READ the artifact, not silently recompute the join")
+  }
+
+  test("q332 incremental containment ≡ the full rebuild, row for row (the absorption theorem)") {
+    val inc = Dedup.q332ContainmentDelta(spark, sf).select("src_id", "dst_id", "containment")
+    val full = Dedup.q324ContainmentJoin(spark, sf).select("src_id", "dst_id", "containment")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "delta absorption must equal a from-scratch rebuild exactly")
+    assert(inc.count() > 0, "no pairs at this sf — the equality check is vacuous")
+  }
+
+  test("q332 reads the persisted base pair table (doctored artifact surfaces the sentinel)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("containdelta").toString
+    val words = (1 to 20).map(i => f"w$i%02d")
+    Seq((1L, words.take(12).mkString(" ")), (2L, words.mkString(" ")),
+        (3L, (21 to 40).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.q332ContainmentDelta(spark, dir).collect() // builds the base artifacts
+    val cfg = GraftConfig.default
+    val path = graft.sources.Scratch.keyedDir("cont_base_pairs", dir, spark,
+      Seq("documents.parquet"),
+      s"w=${cfg.simJoinWords},t=${cfg.contTNum}/${cfg.contTDen},u=${cfg.splitTrainUpper}")
+    Seq((777L, 888L, 0.9)).toDF("src_id", "dst_id", "containment")
+      .write.mode("overwrite").parquet(path)
+    val doctored = Dedup.q332ContainmentDelta(spark, dir).collect()
+    assert(doctored.exists(r => r.getLong(0) == 777L && r.getLong(1) == 888L),
+      "q332 must union the PERSISTED base pairs, not recompute the base side")
   }
 
   test("q329 quote scrub: the quote dies toward the larger container; mutual containment keeps the lower id") {

@@ -650,4 +650,26 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin") && windows(p) == 0,
       "the serve path must read the persisted pair table, not recompute the join")
   }
+
+  test("q336/q338: the part dim broadcasts and the fact-side predicates reach the scan") {
+    val p336 = plan("q336_promo_share")
+    assert(p336.contains("BroadcastHashJoin"), "q336's part dim must broadcast")
+    val scan336 = p336.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scan336.contains("l_shipdate"),
+      "the ship-date window must push to the lineitem scan")
+    val p338 = plan("q338_bracket_revenue")
+    assert(p338.contains("BroadcastHashJoin"), "q338's part dim must broadcast")
+    val scan338 = p338.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scan338.contains("p_brand"),
+      "the bracket disjunction's part-side conjuncts must push to the part scan")
+  }
+
+  test("q337: exclusions push to the part scan; the distinct never SortAggregates") {
+    val p = plan("q337_part_classes")
+    assert(p.contains("BroadcastHashJoin"), "q337's pruned part dim must broadcast")
+    val scans = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("p_size"), "the size IN-list must reach the part scan")
+    assert(!p.contains("SortAggregate"),
+      "the distinct-supplier count must stay in hash aggregation")
+  }
 }
