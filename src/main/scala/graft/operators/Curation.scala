@@ -1746,12 +1746,15 @@ class CurationOps(val cfg: GraftConfig) {
     import spark.implicits._
     val S = cfg.dsirScale
     val K = cfg.dsirSampleK
-    val base = q320DsirWeights(spark, dir)
-      .select("doc_id", "n_toks", "dsir_avg_micro")
-      .join(graft.operators.Dedup.q329QuoteScrub(spark, dir)
-        .select("doc_id", "is_quote"), "doc_id")
-      .join(graft.operators.Dedup.q322SoftDedup(spark, dir)
-        .select("doc_id", "w_micro"), "doc_id")
+    // stage-cut: four audit aggregates read this table — without the
+    // cut each would re-run the whole three-operator lineage
+    val base = graft.Ck.lazyStage(
+      q320DsirWeights(spark, dir)
+        .select("doc_id", "n_toks", "dsir_avg_micro")
+        .join(graft.operators.Dedup.q329QuoteScrub(spark, dir)
+          .select("doc_id", "is_quote"), "doc_id")
+        .join(graft.operators.Dedup.q322SoftDedup(spark, dir)
+          .select("doc_id", "w_micro"), "doc_id"), cfg)
     val kept = base.filter(!col("is_quote"))
     val sel = kept
       .withColumn("u32",

@@ -235,7 +235,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     serveAssigned(assign(e, cents), qv, cents, nprobe)
 
   private[graft] def serveAssigned(assigned: DataFrame, qv: DataFrame,
-      cents: DataFrame, nprobe: Int): DataFrame = {
+      cents: DataFrame, nprobe: Int, k: Int = IvfTopK): DataFrame = {
     val queries = probeCells(qv, cents, nprobe)
       .join(qv.select(col("vec_id"), col("embedding").as("qe"), col("n2").as("qn2")), "vec_id")
       .select(col("vec_id").as("query_id"), col("qe"), col("qn2"), col("cell"))
@@ -245,7 +245,7 @@ class SimilarityOps(val cfg: GraftConfig) {
       .select(col("query_id"), col("vec_id"),
         Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= IvfTopK)
+      .filter(col("rk") <= k)
       .select("query_id", "vec_id", "rk", "cosine")
   }
 
@@ -4614,6 +4614,65 @@ class SimilarityOps(val cfg: GraftConfig) {
        |$steps,
        |${p}sel AS MATERIALIZED ($sel)""".stripMargin
   }
+
+  /** q339: THE FULL SERVING PAGE — filter + ANN + diversify composed
+    * end to end, the result surface a production retrieval head
+    * actually returns: q326's PRE-FILTERED candidate walk (label
+    * predicate at candidate generation, persisted IVF index, nprobe
+    * probed cells) ranks a top-${GraftConfig.default.mmrPool}
+    * eligible pool per query, and q328's λ=1/2 fixed-point MMR greedy
+    * diversifies it down to ${GraftConfig.default.mmrK} slots — the
+    * composition answer to "give me k DIVERSE results matching this
+    * tenant/language/freshness filter". Pool sizes are
+    * selectivity-bounded (≈10% of probed-cell members here), so some
+    * queries legitimately fill fewer than k slots — the greedy stops
+    * at the pool, identically in both engines.
+    *
+    * Scale: q326's cell-bounded filtered serve (one pushed predicate
+    * past q41's plan) + q328's one-exchange per-query greedy; nothing
+    * new shuffles — composition is plan reuse, not new machinery. */
+  def q339FilteredMmrPage(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val qv = e.filter(col("vec_id") < NumQueries)
+    val pool = serveAssigned(
+        assign(e, cents).filter(col("label") === cfg.annFilterLabel),
+        qv, cents, cfg.ivfNprobe, k = cfg.mmrPool)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cosine").as("simq"), col("embedding"))
+    mmrGreedyOn(spark, pool)
+  }
+
+  def q339Sql: String =
+    s"""$trainedAssignCtes,
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries)
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT q.query_id, e.embedding AS qe, q.cell
+       |  FROM qprobe q JOIN e ON e.vec_id = q.query_id),
+       |cellpairs AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
+       |  FROM qv JOIN av USING (cell)
+       |  JOIN embeddings lb ON lb.vec_id = av.vec_id
+       |  WHERE av.vec_id <> qv.query_id AND lb.label = ${cfg.annFilterLabel}),
+       |top_ex AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM cellpairs),
+       |top_dots AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM top_ex GROUP BY ia, ib),
+       |fpool AS MATERIALIZED (SELECT query_id, vec_id, simq FROM (
+       |  SELECT ia AS query_id, ib AS vec_id,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS simq,
+       |    row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS prk
+       |  FROM top_dots) WHERE prk <= ${cfg.mmrPool}),
+       |${mmrGreedySqlCtes("f", "fpool")}
+       |SELECT query_id, vec_id, rk, mmr_score FROM fsel""".stripMargin
 
   /** q331: MMR OVER THE SERVING TIER — q328's scaladoc promises the
     * diversifier slots behind ANY retrieval head; this is the arm
