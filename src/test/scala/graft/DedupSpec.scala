@@ -1085,6 +1085,30 @@ class DedupSpec extends GraftSpec {
       "q332 must union the PERSISTED base pairs, not recompute the base side")
   }
 
+  test("q340: a quote whose ONLY container retracts resurrects; one backed by a surviving container stays scrubbed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contretract").toString
+    val words = (1 to 20).map(i => f"w$i%02d")
+    val other = (21 to 40).map(i => f"w$i%02d")
+    // md5-bucket facts (docRetractLower = e0): ids 3 and 5 retract;
+    // 1, 2, 4 survive. doc 1 is quoted ONLY by retracting doc 3 →
+    // resurrects; doc 2 is quoted by surviving doc 4 → stays scrubbed.
+    Seq((1L, words.take(12).mkString(" ")),
+        (3L, words.mkString(" ")),
+        (2L, other.take(12).mkString(" ")),
+        (4L, other.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.q340ContainmentRetract(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"only survivors may appear, got ${out.keySet}")
+    assert(out(1L) == ((0L, false, true)),
+      "doc 1's only container retracted: clean again, flip recorded")
+    assert(out(2L) == ((1L, true, false)),
+      "doc 2's container survives: still a quote, no flip")
+    assert(out(4L) == ((0L, false, false)), "the container itself is untouched")
+  }
+
   test("q329 quote scrub: the quote dies toward the larger container; mutual containment keeps the lower id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qscrub").toString
