@@ -4734,6 +4734,80 @@ class SimilarityOps(val cfg: GraftConfig) {
        |  SELECT ia, ib, cosine, row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
        |  FROM top_cos) WHERE rk <= $IvfTopK""".stripMargin
 
+  /** q343: STREAMING TOMBSTONE INGEST — the delete feed as a LIVE
+    * STREAM (the q325/q335 pattern completing the delete axis:
+    * takedown requests arrive all day, the index retrains nightly):
+    * delete requests (the q341 band) land as files in two waves;
+    * `foreachBatch` appends each micro-batch to the TOMBSTONE LEDGER
+    * (the q249 logical-delete shape — an append-only id set, never an
+    * index rewrite); the drain then serves q41's walk with the ledger
+    * anti-joined at candidate generation. The final ledger equals the
+    * full delete set regardless of batching, so the drain equals
+    * batch q341 row for row and the SAME oracle gates both (the
+    * q305/q288 twin discipline).
+    *
+    * Scale: per batch the work is one batch-sized parquet append —
+    * ledger ingestion is O(requests), serving pays one anti-join of
+    * the assignment scan against the ledger (broadcast at any
+    * plausible takedown volume); the ledger is exactly what q309's
+    * nightly retrain folds in before swapping. Run-unique scratch
+    * (the q325 rule), dropped after the drain. */
+  def q343StreamTombstones(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val landing = graft.sources.Scratch.dir(s"stomb_${run}_landing", dir)
+    val ckpt = graft.sources.Scratch.dir(s"stomb_${run}_ckpt", dir)
+    val ledger = graft.sources.Scratch.dir(s"stomb_${run}_ledger", dir)
+    try {
+      val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+      val cents = trainIndex(spark, dir)
+      val deletes = e.filter(vecTombstoned).select("vec_id")
+      val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+      Seq(deletes.filter(col("vec_id") % 2 === 0), deletes.filter(col("vec_id") % 2 === 1))
+        .zipWithIndex.foreach { case (w, i) =>
+          val before =
+            if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+              fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+            else Set.empty[org.apache.hadoop.fs.Path]
+          w.repartition(1).write.mode("append").parquet(landing)
+          fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+            .map(_.getPath).filterNot(before)
+            .filter(_.getName.startsWith("part-"))
+            .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+        }
+      val raw = spark.readStream
+        .schema("vec_id BIGINT")
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      val q = raw.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(ledger)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val lsp = new org.apache.hadoop.fs.Path(ledger, "_SUCCESS")
+      val tomb =
+        if (lsp.getFileSystem(conf).exists(lsp)) spark.read.parquet(ledger)
+        else deletes.limit(0)
+      val qv = e.filter(col("vec_id") < NumQueries)
+        .join(tomb, Seq("vec_id"), "left_anti")
+      serveAssigned(
+          assign(e, cents).join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+          qv, cents, cfg.ivfNprobe)
+        .localCheckpoint(true)
+    } finally Seq(landing, ckpt, ledger).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
+  }
+
+  /** Drain ≡ batch: the same tombstone-aware serve oracle as q341. */
+  def q343Sql: String = q341Sql
+
   /** q342: TOMBSTONE RECALL A/B — q341's measured answer (the q327
     * discipline on the delete axis): both arms probe the same
     * ${cfg.ivfNprobe} cells and keep $IvfTopK slots; arm `pre`
