@@ -4674,6 +4674,49 @@ class SimilarityOps(val cfg: GraftConfig) {
        |${mmrGreedySqlCtes("f", "fpool")}
        |SELECT query_id, vec_id, rk, mmr_score FROM fsel""".stripMargin
 
+  /** q344: DIVERSIFIED HYBRID PAGE — q110's sparse+dense RRF fusion
+    * fed through q328's MMR greedy, the last composition of the
+    * serving stack (q339 diversified the FILTERED dense page; this
+    * diversifies the HYBRID one — the page a RAG retrieval head
+    * actually returns): the fused top-${GraftConfig.default.rrfTopK}
+    * pool's RRF scores MIN-MAX NORMALIZE within the pool (q277's
+    * order-free-extremes normalization — raw RRF lives on a 1/(k+r)
+    * scale that λ=1/2 would drown against cosine redundancy; a
+    * constant pool normalizes to 1) and the same fixed-point greedy
+    * picks ${GraftConfig.default.mmrK} slots balancing fused
+    * relevance against embedding-space redundancy. Text/vector ids
+    * align by construction (the corpus's embedding table is keyed by
+    * doc id — the q34/q282 convention), so the pairwise-sim machinery
+    * applies unchanged.
+    *
+    * Scale: q110's pool-then-fuse bones (corpus work = one token scan
+    * + one broadcast-query embedding scan) + a pool²-bounded greedy —
+    * the composition adds nothing corpus-sized. */
+  def q344HybridMmr(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val fused = Ranking.q110HybridRrf(spark, dir)
+    val ex = broadcast(fused.agg(min(col("rrf")).as("lo"), max(col("rrf")).as("hi")))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val pool = fused.crossJoin(ex)
+      .select(lit(cfg.hybridQueryVec.toLong).as("query_id"),
+        col("doc_id").as("vec_id"),
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("rrf") - col("lo")) / (col("hi") - col("lo"))).as("simq"))
+      .join(e, "vec_id")
+      .select("query_id", "vec_id", "simq", "embedding")
+    mmrGreedyOn(spark, pool)
+  }
+
+  def q344Sql: String =
+    s"""WITH hf AS (${Ranking.q110Sql}),
+       |hext AS (SELECT min(rrf) AS lo, max(rrf) AS hi FROM hf),
+       |hpool AS MATERIALIZED (SELECT CAST(${cfg.hybridQueryVec} AS BIGINT) AS query_id,
+       |    doc_id AS vec_id,
+       |    CASE WHEN hi = lo THEN 1.0 ELSE (rrf - lo) / (hi - lo) END AS simq
+       |  FROM hf, hext),
+       |${mmrGreedySqlCtes("h", "hpool")}
+       |SELECT query_id, vec_id, rk, mmr_score FROM hsel""".stripMargin
+
   /** The tombstoned (deleted) vector band: the q296/q340 md5
     * retraction rule applied to vec_ids — deletes arrive AFTER the
     * index trained, the realistic serving state. */
