@@ -279,4 +279,19 @@ class QuantTierSpec extends GraftSpec {
         s"query $q: marginal scores must be non-increasing from rank 2 (the greedy invariant)")
     }
   }
+
+  test("q344 hybrid MMR: picks come from the fused pool, rank 1 is the fused argmax at normalized relevance 1") {
+    val pool = graft.operators.Ranking.q110HybridRrf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val top = pool.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    val rows = Similarity.q344HybridMmr(spark, sf).collect().sortBy(_.getInt(2))
+    assert(rows.nonEmpty && rows.map(_.getInt(2)).sameElements(1 to rows.length),
+      "gapless 1..n ranks for the single hybrid query")
+    assert(rows.map(_.getLong(1)).forall(pool.contains),
+      "every diversified pick must come from the fused pool")
+    assert(rows.head.getLong(1) == top,
+      "the first pick is the fused-relevance argmax (normalized simq = 1)")
+    assert(rows.head.getDouble(3) == 1.0,
+      "rank 1's score is the normalized pool maximum")
+  }
 }
