@@ -1719,6 +1719,12 @@ class CurationOps(val cfg: GraftConfig) {
   // q334: the end-to-end selection recipe
   // ---------------------------------------------------------------
 
+  /** The dedup instance q334's stages run under: cfg-matched to this
+    * CurationOps, shared by impl and oracle so both arms see the same
+    * knobs (a default-`Dedup`-companion call here would silently run
+    * a tuned recipe's scrub/soft-dedup stages under default config). */
+  private lazy val recipeDedup = new DedupOps(cfg)
+
   /** q334: SELECTION RECIPE — the round's selection arc composed into
     * the ONE auditable pipeline row a 100 TB curation run ships with
     * ("what did the recipe do"): stage 1 scrubs quotes (q329's
@@ -1746,14 +1752,18 @@ class CurationOps(val cfg: GraftConfig) {
     import spark.implicits._
     val S = cfg.dsirScale
     val K = cfg.dsirSampleK
+    // the scrub and soft-dedup stages run under THIS instance's cfg
+    // (not the default companion's) so a knob-tuned CurationOps
+    // composes knob-matched stages — impl and oracle share recipeDedup
+    val dedup = recipeDedup
     // stage-cut: four audit aggregates read this table — without the
     // cut each would re-run the whole three-operator lineage
     val base = graft.Ck.lazyStage(
       q320DsirWeights(spark, dir)
         .select("doc_id", "n_toks", "dsir_avg_micro")
-        .join(graft.operators.Dedup.q329QuoteScrub(spark, dir)
+        .join(dedup.q329QuoteScrub(spark, dir)
           .select("doc_id", "is_quote"), "doc_id")
-        .join(graft.operators.Dedup.q322SoftDedup(spark, dir)
+        .join(dedup.q322SoftDedup(spark, dir)
           .select("doc_id", "w_micro"), "doc_id"), cfg)
     val kept = base.filter(!col("is_quote"))
     val sel = kept
@@ -1787,8 +1797,8 @@ class CurationOps(val cfg: GraftConfig) {
   def q334Sql: String = {
     val S = cfg.dsirScale
     s"""WITH RECURSIVE
-       |${graft.operators.Dedup.quoteFlagCtes},
-       |${graft.operators.Dedup.softDedupWeightCtes},
+       |${recipeDedup.quoteFlagCtes},
+       |${recipeDedup.softDedupWeightCtes},
        |$dsirWeightCtes,
        |rbase AS (SELECT ds.doc_id, ds.n_toks, ds.dsir_avg_micro,
        |    gq.doc_id IS NOT NULL AS is_quote, w.w_micro

@@ -837,14 +837,25 @@ class DedupOps(val cfg: GraftConfig) {
     * [[wordGrams]]): built with transform/array_distinct HOFs — they
     * run interpreted, but a doc's gram count is its token count, so
     * the row-local cost is trivial next to the join it feeds. */
-  private def wordGramArrays(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Per-doc distinct gram arrays. `only` prunes the doc side to a
+    * given id set BEFORE the gram-array transform runs (broadcast
+    * semi-join on the raw (doc_id, text) projection), so a
+    * candidate-sized verify pays candidate-sized array building — not
+    * a corpus-wide transform (the round-16 advice on q335's per-batch
+    * cost). */
+  private def wordGramArrays(spark: SparkSession, dir: String,
+      only: Option[DataFrame] = None): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pruned = only.fold(base)(ids =>
+      base.join(broadcast(ids.select("doc_id").distinct()), Seq("doc_id"), "left_semi"))
+    pruned
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= SimW)
       .select(col("doc_id"), expr(
         s"""array_distinct(transform(
            |  sequence(1, size(ws) - ${SimW - 1}),
            |  g -> concat_ws(' ', slice(ws, g, $SimW))))""".stripMargin).as("ss"))
+  }
 
   private def wordGramsSql: String =
     s"""SELECT DISTINCT doc_id, array_to_string(ws[g:g+${SimW - 1}], ' ') AS s
@@ -977,10 +988,15 @@ class DedupOps(val cfg: GraftConfig) {
     * delta absorption (q332): candidates → in-row gram-set intersect →
     * integer cross-multiply threshold → containment fraction. */
   private def containmentVerify(spark: SparkSession, dir: String,
-      cand: DataFrame): DataFrame = {
+      cand0: DataFrame): DataFrame = {
     val CNum = cfg.contTNum
     val CDen = cfg.contTDen
-    val docArr = wordGramArrays(spark, dir)
+    // stage the candidates once: the endpoint id set below re-reads
+    // them, and candidate generation must not run twice
+    val cand = graft.Ck.lazyStage(cand0, cfg)
+    val ends = cand.select(col("src_id").as("doc_id"))
+      .unionByName(cand.select(col("dst_id").as("doc_id")))
+    val docArr = wordGramArrays(spark, dir, Some(ends))
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
     cand
       .repartition(cand.sparkSession.sparkContext.defaultParallelism)
@@ -1254,7 +1270,12 @@ class DedupOps(val cfg: GraftConfig) {
     * discipline).
     *
     * Scale: per batch the work is batch-sized probes + candidate
-    * verifies (the q332 bound); the state is the growing delta
+    * verifies (the q332 bound) — the verify's gram-array side is
+    * semi-join-pruned to the batch's candidate ENDPOINTS before the
+    * array transform runs ([[wordGramArrays]]'s `only`), so no batch
+    * pays a corpus-wide gram build (one pruned (doc_id, text) column
+    * scan is the residual corpus touch; at 100 TB that side is the
+    * persisted q102 index instead). State is the growing delta
     * gram/prefix store — parquet appends, never a state store; the
     * base side is the persisted nightly index. Scratch is run-unique
     * (the q325 rule) and dropped after the drain. */

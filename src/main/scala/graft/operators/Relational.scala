@@ -1547,7 +1547,8 @@ class RelationalOps(val cfg: GraftConfig) {
        |    HAVING SUM(l_quantity) > ${cfg.pendingQtyMin})""".stripMargin
 
   /** q336: PROMO REVENUE SHARE — the TPC-H Q14 shape (conditional
-    * share of a windowed fact aggregate): over one ship-date month,
+    * share of a windowed fact aggregate): over one full calendar
+    * ship-date month ([month, month+1) — Q14's exclusive-bound form),
     * the fraction of discounted revenue coming from promo parts. Both
     * sums accumulate DECIMAL(24,6) exactly (the dsum rule) and cast
     * to DOUBLE once; the share is ONE division of two exact doubles —
@@ -1559,7 +1560,7 @@ class RelationalOps(val cfg: GraftConfig) {
     * broadcasts, the aggregate is one map-combinable row. */
   def q336PromoShare(spark: SparkSession, dir: String): DataFrame = {
     val from = to_timestamp(lit("1997-03-01"))
-    val until = from + expr("INTERVAL 30 DAYS")
+    val until = from + expr("INTERVAL 1 MONTH")
     val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
@@ -1582,7 +1583,7 @@ class RelationalOps(val cfg: GraftConfig) {
       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-      |  AND l_shipdate < TIMESTAMP '1997-03-31')""".stripMargin
+      |  AND l_shipdate < TIMESTAMP '1997-04-01')""".stripMargin
 
   /** q337: PART-SUPPLIER DIVERSITY — the TPC-H Q16 shape (distinct
     * suppliers per part class, with negative predicates) on this
