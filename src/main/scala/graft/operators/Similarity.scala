@@ -3188,8 +3188,23 @@ class SimilarityOps(val cfg: GraftConfig) {
     * swap itself is one namenode marker create + one rename; serving
     * cost is q279's bounded beam walk. */
   def q309RetrainSwap(spark: SparkSession, dir: String): DataFrame = {
+    // run-unique chain root (the q325/q335 rule) + eager cut so the
+    // finally can drop the chain; the spec drives [[q309RetrainSwapAt]]
+    // with its own root to inspect the committed versions post-run
+    val root = graft.sources.Scratch.dir(
+      s"knn_vchain_${java.util.UUID.randomUUID.toString.take(8)}", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    try q309RetrainSwapAt(spark, dir, root).localCheckpoint(true)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  private[graft] def q309RetrainSwapAt(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
     import graft.sources.VersionChain
-    val root = graft.sources.Scratch.dir("knn_vchain", dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(conf)
@@ -3753,15 +3768,14 @@ class SimilarityOps(val cfg: GraftConfig) {
     * cost. */
   def q305StreamAnnServe(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val landing = graft.sources.Scratch.dir("annq_landing", dir)
-    val ckpt = graft.sources.Scratch.dir("annq_ckpt", dir)
-    val out = graft.sources.Scratch.dir("annq_out", dir)
+    // run-unique scratch (the q325/q335 rule) + eager cut before the
+    // finally drops the sink this result reads
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val landing = graft.sources.Scratch.dir(s"annq_${run}_landing", dir)
+    val ckpt = graft.sources.Scratch.dir(s"annq_${run}_ckpt", dir)
+    val out = graft.sources.Scratch.dir(s"annq_${run}_out", dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(landing, ckpt, out).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    try {
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val cents = trainIndex(spark, dir)
     val panel = e.filter(col("vec_id") < NumQueries)
@@ -3792,7 +3806,12 @@ class SimilarityOps(val cfg: GraftConfig) {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(out)
+    spark.read.parquet(out).localCheckpoint(true)
+    } finally Seq(landing, ckpt, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
   }
 
   /** q306: the RECALL-vs-NPROBE CURVE — the tuning table every IVF

@@ -116,15 +116,14 @@ object CdcStream {
     * the table itself is the state, which is why the pattern scales
     * to tables no state store could hold. */
   def q300StreamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.sources.Scratch.dir("cdcm_landing", dir)
-    val ckpt = graft.sources.Scratch.dir("cdcm_ckpt", dir)
-    val snapRoot = graft.sources.Scratch.dir("cdcm_snap", dir)
+    // run-unique scratch (the q325/q335 rule): two drivers sharing a
+    // scratch dir must never clobber each other's landing/checkpoint
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val landing = graft.sources.Scratch.dir(s"cdcm_${run}_landing", dir)
+    val ckpt = graft.sources.Scratch.dir(s"cdcm_${run}_ckpt", dir)
+    val snapRoot = graft.sources.Scratch.dir(s"cdcm_${run}_snap", dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(landing, ckpt, snapRoot).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    try {
     // v0: the base snapshot, every row alive at seq 0
     val v0 = s"$snapRoot/v0"
     graft.sources.Tables.orders(spark, dir)
@@ -163,10 +162,18 @@ object CdcStream {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // eager cut: the finally below drops the snapshot files this
+    // lazy read would otherwise re-scan (the q343 discipline)
     spark.read.parquet(cur.get)
       .filter(col("alive"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("seq").as("last_seq"))
+      .localCheckpoint(true)
+    } finally Seq(landing, ckpt, snapRoot).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
   }
 
   def q300Sql: String =
@@ -307,8 +314,23 @@ object CdcStream {
     * re-running the loser's merge once per race — the optimistic trade
     * every table format makes. */
   def q316CowConflict(spark: SparkSession, dir: String): DataFrame = {
+    // run-unique chain root (the q325/q335 rule) + eager cut so the
+    // finally can drop the chain; the spec drives [[q316CowConflictAt]]
+    // with its own root to inspect the chain shape post-run
+    val root = graft.sources.Scratch.dir(
+      s"cow_race_${java.util.UUID.randomUUID.toString.take(8)}", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    try q316CowConflictAt(spark, dir, root).localCheckpoint(true)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  private[graft] def q316CowConflictAt(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
     import graft.sources.VersionChain
-    val root = graft.sources.Scratch.dir("cow_race", dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(conf)
@@ -414,11 +436,14 @@ object CdcStream {
   def q333ReadAsOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.sources.VersionChain
-    val root = graft.sources.Scratch.dir("cow_asof", dir)
+    // run-unique chain root (the q325/q335 rule); the result below is
+    // a local Seq → toDF, so the finally-drop needs no eager cut
+    val root = graft.sources.Scratch.dir(
+      s"cow_asof_${java.util.UUID.randomUUID.toString.take(8)}", dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(conf)
-    if (fs.exists(rootP)) fs.delete(rootP, true) // deterministic rerun
+    try {
     val a0 = s"$root/_attempt_v1"
     graft.sources.Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -445,6 +470,9 @@ object CdcStream {
               else pre(v)
       (v, n, readable)
     }.toDF("version", "n_alive", "readable")
+    } finally {
+      if (fs.exists(rootP)) fs.delete(rootP, true)
+    }
   }
 
   /** Replay the fold to every v_n + the gate arithmetic as literals. */

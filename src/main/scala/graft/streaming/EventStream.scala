@@ -622,15 +622,14 @@ object EventStream {
     * Scale: a passthrough append pipeline — no state store at all;
     * the cost is the data once, whatever the restart count. */
   def q258StreamResume(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val landing = graft.sources.Scratch.dir("resume_landing", dir)
-    val ckpt = graft.sources.Scratch.dir("resume_ckpt", dir)
-    val out = graft.sources.Scratch.dir("resume_out", dir)
+    // run-unique scratch (the q325/q335 rule) + eager cut before the
+    // finally drops the sink this result reads
+    val runTag = java.util.UUID.randomUUID.toString.take(8)
+    val landing = graft.sources.Scratch.dir(s"resume_${runTag}_landing", dir)
+    val ckpt = graft.sources.Scratch.dir(s"resume_${runTag}_ckpt", dir)
+    val out = graft.sources.Scratch.dir(s"resume_${runTag}_out", dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(landing, ckpt, out).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    try {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("b", substring(md5(col("event_id").cast("string")), 1, 2))
@@ -672,6 +671,12 @@ object EventStream {
         sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
       .select(col("event_type"), col("n_events"), col("total_value"),
         lit(resumedRows == n2).as("resumed_only_new"))
+      .localCheckpoint(true)
+    } finally Seq(landing, ckpt, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
   }
 
   def q258Sql: String =

@@ -113,7 +113,10 @@ class CdcStreamSpec extends GraftSpec {
   }
 
   test("q316: conflict-detected rebase ≡ serial apply; the stale merge WOULD have lost A's wave") {
-    val got = CdcStream.q316CowConflict(spark, sf)
+    // spec-owned root (the public q316 runs on run-unique scratch and
+    // drops its chain in a finally — unreachable for shape assertions)
+    val root = java.nio.file.Files.createTempDirectory("cowrace").toString + "/chain"
+    val got = CdcStream.q316CowConflictAt(spark, sf, root)
     // serial recompute: A's wave then B's wave through the same fold
     val base = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -133,7 +136,6 @@ class CdcStreamSpec extends GraftSpec {
     assert(got.filter(col("o_orderkey") >= 10000000L).count() > 0,
       "the rebased head carries A's inserts forward")
     // chain shape: three committed versions, all still readable (time travel)
-    val root = graft.sources.Scratch.dir("cow_race", sf)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(graft.sources.VersionChain.latest(fs, root).contains(3))

@@ -910,11 +910,13 @@ class DedupSpec extends GraftSpec {
   }
 
   test("q309 retrain-and-swap: post-swap serving ≡ q280 bitwise; both versions committed and readable") {
-    val got = Similarity.q309RetrainSwap(spark, sf)
+    // spec-owned root (the public q309 runs on run-unique scratch and
+    // drops its chain in a finally — unreachable for shape assertions)
+    val root = java.nio.file.Files.createTempDirectory("knnvchain").toString + "/chain"
+    val got = Similarity.q309RetrainSwapAt(spark, sf, root)
     val fresh = Similarity.q280GraphAnnRecall(spark, sf)
     assert(got.exceptAll(fresh).isEmpty && fresh.exceptAll(got).isEmpty,
       "serving from the committed head must equal the fresh-trained walk row for row")
-    val root = graft.sources.Scratch.dir("knn_vchain", sf)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(graft.sources.VersionChain.latest(fs, root).contains(2),
