@@ -599,6 +599,8 @@ case class GraftConfig(
   def annFilterLabel: Int = ext.annFilterLabel
   def mmrPool: Int = ext.mmrPool
   def mmrK: Int = ext.mmrK
+  def returnedTopK: Int = ext.returnedTopK
+  def shipBandFastDays: Int = ext.shipBandFastDays
 }
 
 /** Round-15+ knobs (see [[GraftConfig.ext]] — the flat constructor hit
@@ -661,7 +663,13 @@ case class GraftExt(
     // pool of mmrPool candidates; λ is fixed at 1/2 (exact halves —
     // the fixed-point discipline needs no knob for it)
     mmrPool: Int = 15,
-    mmrK: Int = 5)
+    mmrK: Int = 5,
+    // q347 (Q10 returned-item customers): rows surviving the ordered
+    // limit before the dim join-backs
+    returnedTopK: Int = 20,
+    // q348 (Q12 ship-band priority): a line is 'FAST' when it shipped
+    // within this many days of its order (exact epoch-ms comparison)
+    shipBandFastDays: Int = 30)
 
 /** The single shared instance behind every entry-point object
   * (GraphOps/Pipeline/Dedup/…). Sharing matters: a query's Spark side

@@ -1655,6 +1655,181 @@ class RelationalOps(val cfg: GraftConfig) {
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** q345: PRICING SUMMARY — the full TPC-H Q1 canon (q1_agg is the
+    * reduced shape; this is the report): shipdate-cutoff filter, per
+    * (returnflag, linestatus) the quantity/price/discounted/charged
+    * sums — charge = price·(1−disc)·(1+tax), the three-factor product
+    * left-associated identically in both engines — all accumulated in
+    * exact DECIMAL and cast DOUBLE once, plus the three averages as
+    * ONE division each of an exact-decimal-derived double by the exact
+    * group count (the q91 ulp-free shape; never engine avg(), whose
+    * accumulation order is unspecified).
+    *
+    * Scale: one map-combinable hash aggregate over the pushed-filter
+    * scan — |groups| ≤ 6 partials cross the exchange, never the fact;
+    * PlanSpec pins join-free. */
+  def q345PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")),
+          30, 6).as("sum_charge"),
+        dsum(col("l_discount"), 18, 4).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        (col("sum_qty") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price") / col("count_order")).as("avg_price"),
+        (col("sum_disc") / col("count_order")).as("avg_disc"),
+        col("count_order"))
+
+  def q345Sql: String =
+    """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+      |  sum_charge,
+      |  sum_qty / count_order AS avg_qty,
+      |  sum_base_price / count_order AS avg_price,
+      |  sum_disc / count_order AS avg_disc,
+      |  count_order
+      |FROM (SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+      |    count(*) AS count_order
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q346: REVENUE FORECAST — TPC-H Q6 (the single-table what-if agg):
+    * revenue lost if year-window discounts in a ±1-point band around
+    * 6% on sub-24-quantity lines had been dropped — ONE conditional
+    * scan, sum(price·discount) in exact DECIMAL cast DOUBLE once.
+    * The discount band compares the parquet doubles directly (both
+    * engines see identical stored bits; no arithmetic precedes the
+    * compare, so no rounding can diverge).
+    *
+    * Scale: every predicate pushes to the scan (PlanSpec pins
+    * join-free + pushed filters); the aggregate is one partial row
+    * per task. */
+  def q346ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 24, 6).as("revenue"))
+
+  def q346Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q347: RETURNED-ITEM TOP CUSTOMERS — TPC-H Q10, the top-k-then-
+    * enrich classic, planned scale-right: returned-line revenue
+    * aggregates per CUSTOMER KEY first (map-combinable over the
+    * quarter-windowed orders⋈returned-lines join), the top
+    * ${cfg.returnedTopK} plan as TakeOrderedAndProject on (revenue
+    * desc, custkey) — k rows leave the aggregate, and only THEN do
+    * the customer and nation dims join back (broadcast onto k rows;
+    * the canon's group-by-all-customer-columns form drags name/
+    * acctbal/nation through the fact shuffle for customers the LIMIT
+    * will discard). Revenue exact DECIMAL cast DOUBLE once; ties
+    * break on custkey.
+    *
+    * Scale: one big-big join on the natural order key (quarter filter
+    * pushed to the orders scan, returnflag to the fact scan), one
+    * |custkey|-bounded aggregate, a k-row ordered limit, two
+    * broadcast join-backs. */
+  def q347ReturnedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val top = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 24, 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(cfg.returnedTopK)
+    top
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
+  def q347Sql: String =
+    s"""WITH top AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '1996-10-01'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  GROUP BY o_custkey
+       |  ORDER BY revenue DESC, o_custkey LIMIT ${cfg.returnedTopK})
+       |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+       |FROM top JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** q348: SHIP-BAND PRIORITY COUNT — the TPC-H Q12 shape (per
+    * "ship mode", high- vs low-priority line counts over a receipt
+    * year) on this schema: no shipmode/commitdate/receiptdate columns
+    * exist (documented divergence, the q337 rule), so the mode is the
+    * SHIP-LAG BAND — 'FAST' when the line shipped within
+    * ${cfg.shipBandFastDays} days of its order, 'SLOW' otherwise — an
+    * exact integer epoch-MS comparison with NO division (q152's
+    * discipline; a day-floor would hit the Spark-div-vs-DuckDB-floor
+    * divergence on negative lags). Per band, BOTH priority counts
+    * ride ONE conditional
+    * aggregate over ONE pass of the year-windowed join — the Q12
+    * point: never two scans, never a pivot.
+    *
+    * Scale: shipdate window pushes to the fact scan; the only join is
+    * big-big on the natural order key (orders pre-projected to key +
+    * priority); two counts × two bands cross the exchange. */
+  def q348ShipBandPriority(spark: SparkSession, dir: String): DataFrame = {
+    val fastMs = cfg.shipBandFastDays * 86400000L
+    val lagMs = unix_millis(col("l_shipdate").cast("timestamp")) -
+      unix_millis(col("o_orderdate").cast("timestamp"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(when(lagMs <= fastMs, lit("FAST")).otherwise(lit("SLOW"))
+          .as("ship_band"),
+        when(hi, lit(1L)).otherwise(lit(0L)).as("h"),
+        when(hi, lit(0L)).otherwise(lit(1L)).as("l"))
+      .groupBy("ship_band")
+      .agg(sum(col("h")).as("high_line_count"), sum(col("l")).as("low_line_count"))
+  }
+
+  def q348Sql: String =
+    s"""SELECT CASE WHEN epoch_ms(l_shipdate) - epoch_ms(o_orderdate)
+       |         <= ${cfg.shipBandFastDays * 86400000L} THEN 'FAST' ELSE 'SLOW' END AS ship_band,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1""".stripMargin
 }
 
 /** Default-configured instance (see [[graft.GraftConfig]]). */

@@ -672,4 +672,41 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortAggregate"),
       "the distinct-supplier count must stay in hash aggregation")
   }
+
+  test("q345/q346: single-table aggregates — the scans never join, filters reach them") {
+    Seq("q345_pricing_summary", "q346_forecast_revenue").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n is a one-table aggregate — no join belongs in its plan")
+      assert(windows(p) == 0, s"$n must not window")
+      val scans = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+      assert(scans.contains("l_shipdate"),
+        s"$n's ship-date predicate must push to the lineitem scan")
+    }
+  }
+
+  test("q347: the customer top-k plans as TakeOrderedAndProject; dims join back onto k rows") {
+    val p = plan("q347_returned_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the ordered limit must plan as TakeOrderedAndProject — never a full sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "customer/nation must broadcast onto the k survivors")
+    val scans = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("o_orderdate"),
+      "the quarter window must push to the orders scan")
+    assert(scans.contains("l_returnflag"),
+      "the returnflag filter must push to the lineitem scan")
+  }
+
+  test("q348: both priority counts ride ONE aggregate pass — one scan of each table, no pivot") {
+    val p = plan("q348_shipband_priority")
+    // exactly one lineitem scan and one orders scan: the conditional
+    // sums share a single pass (two scans of either = the two-query trap)
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.count(_.contains("lineitem")) == 1, "exactly one lineitem scan")
+    assert(scans.count(_.contains("orders")) == 1, "exactly one orders scan")
+    assert(windows(p) == 0 && !p.contains("Expand"),
+      "two conditional sums need neither windows nor a pivot expand")
+    assert(scans.filter(_.contains("lineitem")).mkString.contains("l_shipdate"),
+      "the ship-year window must push to the lineitem scan")
+  }
 }
