@@ -320,20 +320,31 @@ class SimilarityOps(val cfg: GraftConfig) {
     * at `av` (vec_id, embedding, cell) — one (assign, update) CTE pair
     * per configured Lloyd iteration, so a reconfigured instance keeps a
     * matching oracle. Used by q41 and q94. */
-  private def trainedAssignCtes: String = {
+  private def trainedAssignCtes: String = trainedAssignCtesFor("")
+
+  /** As [[trainedAssignCtes]] but over a restricted corpus: `where`
+    * (a full "WHERE …" clause, or empty) narrows the `e` CTE, and the
+    * seed/sample/assign chain inherits the restriction — q349 trains
+    * its oracle on the tombstone-surviving corpus through this. */
+  private def trainedAssignCtesFor(where: String): String = {
     val training = (1 to KmeansIters).map { i =>
       s"""${duckAssign(s"c${i - 1}", s"a$i", onlySample = true)},
          |${duckUpdate(s"a$i", s"c$i")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings $where),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCentroids),
        |$training,
        |${duckAssign(s"c$KmeansIters", "af")},
        |av AS (SELECT af.vec_id, e.embedding, af.cell FROM af JOIN e USING (vec_id))""".stripMargin
   }
 
-  def q41Sql: String =
-    s"""$trainedAssignCtes,
+  def q41Sql: String = ivfServeSqlOver(trainedAssignCtes)
+
+  /** The probe→score→top-k oracle tail over any trained-assign
+    * preamble ending at (e, af, af_dots, av) — q41 serves the full
+    * corpus through it, q349 the surviving corpus. */
+  private def ivfServeSqlOver(ctes: String): String =
+    s"""$ctes,
        |qprobe AS (SELECT ia AS query_id, ib AS cell FROM (
        |    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY
        |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC, ib) AS rk
@@ -4869,6 +4880,111 @@ class SimilarityOps(val cfg: GraftConfig) {
 
   /** Drain ≡ batch: the same tombstone-aware serve oracle as q341. */
   def q343Sql: String = q341Sql
+
+  /** Ledger compaction at a commit marker: every ledgered id is absent
+    * from the index version that just committed, so the ledger resets
+    * to EMPTY — data files drop, and one zero-byte `_folded_v<v>`
+    * marker records WHICH version folded it (the crash-recovery rule:
+    * a ledger whose fold marker is ≥ the serving head is already
+    * folded; one without must still be anti-joined at serve). Pure
+    * namenode metadata ops, |ledger files|-sized. */
+  private[graft] def resetLedgerAt(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: String, v: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(ledger)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"_folded_v$v"), true).close()
+  }
+
+  /** q349: TOMBSTONE-FOLDING RETRAIN-AND-SWAP — the composition that
+    * closes the nightly delete loop q341/q342/q343 opened (and q309's
+    * scaladoc promised): all day, takedowns append to the q343 ledger
+    * and serving anti-joins it (v1 below IS that state — the full-
+    * corpus-trained centroids the anti-join tier reads); at night the
+    * retrain trains on the SURVIVING corpus (ledger anti-joined out
+    * BEFORE the Lloyd chain ever sees a vector — the corpus the index
+    * SHOULD model, exactly as the reference re-runs its removal
+    * preprocess per ingest so the assembler never sees removed reads:
+    * GenNonContainedReads.java / RedundantRemoval.java), stages the
+    * survivor-trained centroids AND the survivor assignment as v2 on
+    * the CAS chain ([[graft.sources.VersionChain]] — q309's swap
+    * discipline), and AT the commit marker the ledger COMPACTS TO
+    * EMPTY ([[resetLedgerAt]] — its ids are now structurally absent
+    * from the index). Post-swap serving reads the committed head and
+    * DROPS THE ANTI-JOIN: candidate generation walks the persisted
+    * survivor assignment, so deleted vectors cannot surface — not
+    * because a filter caught them but because the index no longer
+    * contains them. Output is the post-swap serve, and the oracle is
+    * THE LEDGER-FREE PLAN: q41's serve trained on the surviving
+    * corpus — proving the fold left zero ledger residue in the plan.
+    *
+    * Scale: the retrain is the nightly q41 train (ledger anti-join is
+    * broadcast-sized at any plausible takedown volume); the swap is
+    * one marker create + rename; the reset is |ledger files| metadata
+    * ops; post-swap serve cost is q41's with the anti-join GONE — the
+    * whole point of paying the fold. */
+  def q349RetrainFold(spark: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val root = graft.sources.Scratch.dir(s"foldchain_$run", dir)
+    val ledger = graft.sources.Scratch.dir(s"fold_${run}_ledger", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    try q349RetrainFoldAt(spark, dir, root, ledger).localCheckpoint(true)
+    finally Seq(root, ledger).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
+  }
+
+  private[graft] def q349RetrainFoldAt(spark: SparkSession, dir: String,
+      root: String, ledger: String): DataFrame = {
+    import graft.sources.VersionChain
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root)))
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
+    // the day's accumulated ledger — two takedown waves, the q343
+    // arrival shape (append-only id set, never an index rewrite)
+    val deletes = e.filter(vecTombstoned).select("vec_id")
+    deletes.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(ledger)
+    deletes.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(ledger)
+    // v1: today's serving state — the full-corpus-trained centroids
+    // the anti-join tier (q341/q343) reads
+    val a1 = s"$root/_attempt_v1"
+    trainIndex(spark, dir).write.parquet(s"$a1/cents")
+    require(VersionChain.commit(fs, root, 1, a1), "empty chain: v1 must commit")
+    // the fold: the retrain's corpus is base MINUS the ledger
+    val led = spark.read.parquet(ledger)
+    val survivors = graft.Ck.lazyStage(
+      e.join(broadcast(led), Seq("vec_id"), "left_anti"), cfg)
+    val a2 = s"$root/_attempt_v2"
+    val cents2 = graft.Ck.lazyStage(trainIndexOn(survivors), cfg)
+    cents2.write.parquet(s"$a2/cents")
+    assign(survivors, cents2).select("vec_id", "cell").write.parquet(s"$a2/assign")
+    // the atomic swap, and the ledger reset AT the commit marker
+    require(VersionChain.commit(fs, root, 2, a2), "single writer: v2 must commit")
+    resetLedgerAt(fs, ledger, 2)
+    // post-swap serve: committed head only — no ledger read, no
+    // anti-join; deleted ids are absent from the persisted assignment
+    val head = VersionChain.latest(fs, root).get
+    val hd = VersionChain.dataPath(root, head)
+    val cents = spark.read.parquet(s"$hd/cents")
+    val asg = spark.read.parquet(s"$hd/assign")
+      .join(e, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .join(spark.read.parquet(s"$hd/assign").select("vec_id"), Seq("vec_id"), "left_semi")
+    serveAssigned(asg, qv, cents, cfg.ivfNprobe)
+  }
+
+  /** The ledger-free plan: q41's serve over the surviving corpus —
+    * training, seeding, sampling, assignment, panel all restricted to
+    * survivors, zero ledger references anywhere in the statement. */
+  def q349Sql: String =
+    ivfServeSqlOver(trainedAssignCtesFor(s"WHERE NOT ($tombSql)"))
 
   /** q342: TOMBSTONE RECALL A/B — q341's measured answer (the q327
     * discipline on the delete axis): both arms probe the same

@@ -933,6 +933,47 @@ class DedupSpec extends GraftSpec {
       "a second v2 commit must lose the CAS")
   }
 
+  test("q349 tombstone fold: ledger resets AT the v2 commit; the committed index carries zero tombstoned ids; serve ≡ the ledger-free plan") {
+    import graft.sources.VersionChain
+    val root = java.nio.file.Files.createTempDirectory("foldchain").toString + "/chain"
+    val ledger = java.nio.file.Files.createTempDirectory("foldledger").toString + "/ledger"
+    val got = Similarity.q349RetrainFoldAt(spark, sf, root, ledger)
+      .localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the reset happened AT the swap: the ledger is empty except the
+    // fold marker, and the marker names the committed version
+    val lf = fs.listStatus(new org.apache.hadoop.fs.Path(ledger)).map(_.getPath.getName)
+    assert(lf.toSet == Set("_folded_v2"),
+      s"post-swap ledger must be empty + marker naming v2, found: ${lf.mkString(",")}")
+    assert(VersionChain.latest(fs, root).contains(2),
+      "the swap commits exactly v1 (pre-fold) and v2 (survivor-trained)")
+    // structural deletion: the committed assignment contains NO
+    // tombstoned id — serving needs no anti-join because the index
+    // itself no longer holds the deleted vectors
+    val tomb = substring(md5(col("vec_id").cast("string")), 1, 2) >=
+      GraftConfig.default.docRetractLower
+    val asg = spark.read.parquet(VersionChain.dataPath(root, 2) + "/assign")
+    assert(asg.filter(tomb).count() == 0,
+      "a tombstoned id inside the committed assignment means the fold failed")
+    assert(asg.count() > 0 && spark.read.parquet(
+        VersionChain.dataPath(root, 2) + "/cents").count() > 0,
+      "v2 must carry both the survivor assignment and the survivor centroids")
+    // post-swap serve ≡ the ledger-free plan recomputed directly:
+    // train/assign/serve on the surviving corpus, no ledger anywhere
+    val ops = Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val survivors = e.filter(!tomb)
+    val cents = ops.trainIndexOn(survivors)
+    val expected = ops.serveAssigned(ops.assign(survivors, cents),
+      survivors.filter(col("vec_id") < ops.NumQueries), cents,
+      GraftConfig.default.ivfNprobe)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "post-swap serving must equal the ledger-free survivor plan row for row")
+  }
+
   test("q317 entry ladder: matched-budget arms, one row per (arm, query), ladder entries obey the descent") {
     val cfg = GraftConfig.default
     val rows = Similarity.q317EntryLadder(spark, sf).collect()
