@@ -1253,6 +1253,140 @@ class DedupOps(val cfg: GraftConfig) {
        |LEFT JOIN qnew qn ON qn.doc_id = s.doc_id
        |LEFT JOIN qold qo ON qo.doc_id = s.doc_id""".stripMargin
 
+  /** q350: STREAMING RETRACTION for the text axis — q340's verdict
+    * flips as a LIVE FEED (the q343 twin discipline applied to
+    * containment, closing the delete-axis asymmetry the round-16
+    * verdict named: deletes streamed for vectors but text retraction
+    * was batch-only): takedown ids land as files in two waves;
+    * `foreachBatch` appends the batch to the RETRACTION LEDGER and
+    * RESTRICTS the versioned qualified-pair state — one anti-join per
+    * endpoint against the (broadcast-tiny) batch ids, written as the
+    * next immutable pair-state version (the q300 CoW discipline on
+    * the pair table) — and emits the batch's FLIP ROWS to an audit
+    * sink: docs whose last container died THIS batch (their q329
+    * scrub verdict just reversed, the re-admission wave an operator
+    * reviews). The drain then computes q340's exact row shape from
+    * the final state + the accumulated ledger, so the drain equals
+    * batch q340 row for row and the SAME two-pass oracle gates both;
+    * DedupSpec additionally pins union(per-batch flips) ∖ ledger ≡
+    * the final resurrected set — the audit trail reconciles with the
+    * end state.
+    *
+    * Scale: per batch the work is two anti-joins + two grouped counts
+    * over the CURRENT pair state (∝ near-dup structure, never the
+    * corpus — exactly q340's bound paid incrementally) + a batch-
+    * sized ledger append; state versions are immutable parquet.
+    * Run-unique scratch (the q325 rule), dropped after the drain. */
+  def q350StreamRetract(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val landing = graft.sources.Scratch.dir(s"sretr_${run}_landing", dir)
+    val ckpt = graft.sources.Scratch.dir(s"sretr_${run}_ckpt", dir)
+    val stateRoot = graft.sources.Scratch.dir(s"sretr_${run}_state", dir)
+    val ledger = graft.sources.Scratch.dir(s"sretr_${run}_ledger", dir)
+    val flips = graft.sources.Scratch.dir(s"sretr_${run}_flips", dir)
+    try {
+      val r = q350DrainAt(spark, dir, landing, ckpt, stateRoot, ledger, flips)
+      r.localCheckpoint(true)
+    } finally Seq(landing, ckpt, stateRoot, ledger, flips).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val dfs = p.getFileSystem(conf)
+      if (dfs.exists(p)) dfs.delete(p, true)
+    }
+  }
+
+  /** The drive behind [[q350StreamRetract]], scratch-parameterized so
+    * the spec can inspect the flip audit + ledger post-drain. */
+  private[graft] def q350DrainAt(spark: SparkSession, dir: String,
+      landing: String, ckpt: String, stateRoot: String, ledger: String,
+      flips: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sz = wordGrams(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // q340's keeper-qualified pair table off the persisted artifact —
+    // the pre-retraction truth, staged once (v0 state AND qold read it)
+    val qualified = graft.Ck.lazyStage(
+      persistedContainmentPairs(spark, dir)
+        .join(sz.select(col("doc_id").as("src_id"), col("n").as("ns")), "src_id")
+        .join(sz.select(col("doc_id").as("dst_id"), col("n").as("nd")), "dst_id")
+        .filter(col("nd") > col("ns") ||
+          (col("nd") === col("ns") && col("dst_id") < col("src_id")))
+        .select("src_id", "dst_id"), cfg)
+    qualified.write.parquet(s"$stateRoot/v0")
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](s"$stateRoot/v0")
+    // takedown feed: the q296/q340 retract band, two arrival waves
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val takedowns = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) >= cfg.docRetractLower)
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    Seq(takedowns.filter(col("doc_id") % 2 === 0),
+        takedowns.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (w, i) =>
+        val before =
+          if (fs.exists(new org.apache.hadoop.fs.Path(landing)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(landing)).map(_.getPath).toSet
+          else Set.empty[org.apache.hadoop.fs.Path]
+        w.repartition(1).write.mode("append").parquet(landing)
+        fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+          .map(_.getPath).filterNot(before)
+          .filter(_.getName.startsWith("part-"))
+          .foreach(f => fs.setTimes(f, 1000L * (i + 1), -1))
+      }
+    val raw = spark.readStream
+      .schema("doc_id BIGINT")
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = raw.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          // ledger first: a crash between append and state write must
+          // leave the ledger ahead of the state, never behind (replay
+          // re-restricts idempotently; a behind ledger would re-admit)
+          b.write.mode("append").parquet(ledger)
+          val ids = broadcast(b.select("doc_id"))
+          val st = spark.read.parquet(cur.get)
+          val next = st
+            .join(ids.select(col("doc_id").as("src_id")), Seq("src_id"), "left_anti")
+            .join(ids.select(col("doc_id").as("dst_id")), Seq("dst_id"), "left_anti")
+          val nextPath = s"$stateRoot/v${id + 1}"
+          next.write.parquet(nextPath)
+          // flip rows: surviving docs whose LAST container died in this
+          // batch — quote verdict reversed, auditable per wave
+          val before = st.groupBy(col("src_id").as("doc_id"))
+            .agg(count(lit(1)).as("nc"))
+          val after = spark.read.parquet(nextPath)
+            .groupBy(col("src_id").as("doc_id"))
+            .agg(count(lit(1)).as("nc"))
+          before.join(after.select(col("doc_id"), lit(1).as("still")),
+              Seq("doc_id"), "left_anti")
+            .join(broadcast(spark.read.parquet(ledger).select("doc_id")
+              .distinct()), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit(id).as("batch"))
+            .write.mode("append").parquet(flips)
+          cur.set(nextPath)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // drain: q340's exact row shape from final state + ledger
+    val led = spark.read.parquet(ledger).select("doc_id").distinct()
+    val surv = docs.join(broadcast(led), Seq("doc_id"), "left_anti")
+    val qold = qualified.groupBy(col("src_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_old"))
+    val qnew = spark.read.parquet(cur.get)
+      .groupBy(col("src_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"))
+    surv.join(qnew, Seq("doc_id"), "left").join(qold, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("n_containers").isNotNull.as("is_quote"),
+        (col("n_old").isNotNull && col("n_containers").isNull).as("resurrected"))
+  }
+
+  /** Drain ≡ batch: the same two-pass retraction oracle as q340. */
+  def q350Sql: String = q340Sql
+
   /** q335: STREAMING CONTAINMENT INGEST — q332's delta absorption run
     * as a LIVE STREAM (the q325 pattern on the text axis, closing the
     * vector/text streaming asymmetry the round-15 verdict named): new

@@ -933,6 +933,32 @@ class DedupSpec extends GraftSpec {
       "a second v2 commit must lose the CAS")
   }
 
+  test("q350 streaming retraction: drain ≡ batch q340; the per-batch flip audit reconciles with the final resurrected set") {
+    val base = java.nio.file.Files.createTempDirectory("sretr").toString
+    val got = Dedup.q350DrainAt(spark, sf, s"$base/landing", s"$base/ckpt",
+      s"$base/state", s"$base/ledger", s"$base/flips").localCheckpoint(true)
+    val batch = Dedup.q340ContainmentRetract(spark, sf)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "the drained retraction must equal batch q340 row for row")
+    // audit-trail reconciliation: every doc the waves resurrected was
+    // announced in exactly the batch its last container died, and docs
+    // later retracted themselves drop out via the ledger subtraction
+    val flips = spark.read.parquet(s"$base/flips")
+    val led = spark.read.parquet(s"$base/ledger").select("doc_id").distinct()
+    val announced = flips.select("doc_id").distinct()
+      .join(led, Seq("doc_id"), "left_anti")
+    val res = got.filter(col("resurrected")).select("doc_id")
+    assert(announced.exceptAll(res).isEmpty && res.exceptAll(announced).isEmpty,
+      "union(per-batch flips) minus the ledger must equal the final resurrected set")
+    assert(flips.select("doc_id").distinct().count() == flips.count(),
+      "a doc's verdict flips at most once — its last container dies in exactly one batch")
+    // the feed really was multi-batch: state advanced past v1
+    val fs = new org.apache.hadoop.fs.Path(s"$base/state")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/state/v2")),
+      "two takedown waves must fold as (at least) two micro-batches")
+  }
+
   test("q349 tombstone fold: ledger resets AT the v2 commit; the committed index carries zero tombstoned ids; serve ≡ the ledger-free plan") {
     import graft.sources.VersionChain
     val root = java.nio.file.Files.createTempDirectory("foldchain").toString + "/chain"
