@@ -659,7 +659,7 @@ object Multimodal {
   /** Shared oracle CTEs: pooled descriptor elements recomputed from
     * character codes — pixel p = 8·py + 2·px + d, byte 3·p + c, each
     * 2×2 block averages pixel offsets {0, 1, 4, 5}. */
-  private def imgElemsCtes: String =
+  private[operators] def imgElemsCtes: String =
     """pad AS (SELECT doc_id, rpad(text, 48, ' ') AS t FROM documents),
       |vals AS (SELECT doc_id, py, px, c,
       |    ascii(substr(t, 3*(8*py + 2*px + d) + c + 1, 1)) AS v

@@ -4747,6 +4747,115 @@ class SimilarityOps(val cfg: GraftConfig) {
        |${mmrGreedySqlCtes("h", "hpool")}
        |SELECT query_id, vec_id, rk, mmr_score FROM hsel""".stripMargin
 
+  /** q351: CROSS-MODAL HYBRID PAGE — the remaining cell of the
+    * hybrid×modality matrix (q110/q344 fuse sparse+dense TEXT; this
+    * fuses ACROSS modality indexes): one query doc retrieves from the
+    * dense text-embedding index (q110's vector arm — cosine top-pool
+    * for the broadcast query embedding) AND from the image-descriptor
+    * index (q303's exact integer squared-L2 kernel over the decoded
+    * thumbnails, the same doc's image as the visual query — ids align
+    * by the corpus's embedding-keyed-by-doc_id convention), the two
+    * ranked pools fuse by RRF (rank-only — the right combiner across
+    * modalities, where cosine and squared-L2 share no scale), and the
+    * fused page diversifies through the q344 tail: pool-local min-max
+    * normalization, then the λ=1/2 fixed-point MMR greedy with
+    * redundancy measured in the shared dense space. A text-only and
+    * an image-only hit can now share one page, ranked comparably —
+    * what "search the corpus, not the modality" means operationally.
+    *
+    * Scale: each arm is one broadcast-query scan + a PoolK-bounded
+    * partial top-k (never a corpus sort); the fuse is a PoolK-row
+    * full-outer; the greedy is q328's knob-bounded groupByKey. The
+    * oracle unrolls BOTH pools (embedding dots + descriptor elements
+    * recomputed from character codes) and the prefixed greedy in one
+    * statement. */
+  def q351CrossModalMmr(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import graft.functions.Vec
+    val PoolK = cfg.rrfPoolK
+    val RrfC = cfg.rrfK
+    val qid = cfg.hybridQueryVec
+    // dense text arm: q110's vector pool
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val tq = broadcast(e.filter(col("vec_id") === qid)
+      .select(col("embedding").as("qe"), col("n2").as("qn2")))
+    val textPool = e.filter(col("vec_id") =!= qid).crossJoin(tq)
+      .select(col("vec_id").as("doc_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(PoolK)
+      .withColumn("trank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+    // image arm: q303's exact integer squared-L2 kernel, same query doc
+    val d = Multimodal.keyedDescriptors(spark, dir)
+      .select(col("doc_id"), col("desc"), col("n2"))
+    val iq = broadcast(d.filter(col("doc_id") === qid)
+      .select(col("desc").as("qd"), col("n2").as("iqn2")))
+    val imgPool = d.filter(col("doc_id") =!= qid).crossJoin(iq)
+      .select(col("doc_id"),
+        (col("iqn2") + col("n2") - lit(2L) * expr("vec_dot_long(qd, desc)")).as("d2"))
+      .orderBy(col("d2"), col("doc_id")).limit(PoolK)
+      .withColumn("irank",
+        row_number().over(Window.orderBy(col("d2"), col("doc_id"))).cast("long"))
+    // RRF across modalities (rank-only — no shared score scale)
+    val rrf =
+      when(col("trank").isNotNull, lit(1.0) / (lit(RrfC) + col("trank"))).otherwise(lit(0.0)) +
+      when(col("irank").isNotNull, lit(1.0) / (lit(RrfC) + col("irank"))).otherwise(lit(0.0))
+    val fused = textPool.select("doc_id", "trank")
+      .join(imgPool.select("doc_id", "irank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(cfg.rrfTopK)
+    // the q344 tail: pool-local min-max, then the fixed-point greedy
+    val ex = broadcast(fused.agg(min(col("rrf")).as("lo"), max(col("rrf")).as("hi")))
+    val pool = fused.crossJoin(ex)
+      .select(lit(qid.toLong).as("query_id"),
+        col("doc_id").as("vec_id"),
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("rrf") - col("lo")) / (col("hi") - col("lo"))).as("simq"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .select("query_id", "vec_id", "simq", "embedding")
+    mmrGreedyOn(spark, pool)
+  }
+
+  def q351Sql: String = {
+    val PoolK = cfg.rrfPoolK
+    val RrfC = cfg.rrfK
+    val qid = cfg.hybridQueryVec
+    s"""WITH ${Multimodal.imgElemsCtes},
+       |tq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
+       |tpairs AS (SELECT vec_id AS doc_id, qe, embedding AS ve FROM embeddings, tq
+       |  WHERE vec_id <> $qid),
+       |tex AS (SELECT doc_id, unnest(qe) AS a, unnest(ve) AS b FROM tpairs),
+       |tdots AS (SELECT doc_id,
+       |    ${Vec.dotDecSqlDuck("a", "b")} AS dot,
+       |    ${Vec.dotDecSqlDuck("a", "a")} AS na,
+       |    ${Vec.dotDecSqlDuck("b", "b")} AS nb
+       |  FROM tex GROUP BY doc_id),
+       |tpool AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS trank
+       |  FROM (SELECT doc_id,
+       |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |    FROM tdots
+       |    ORDER BY cosine DESC, doc_id LIMIT $PoolK)),
+       |iq AS (SELECT idx, v FROM elems WHERE doc_id = $qid),
+       |idd AS (SELECT e.doc_id, CAST(SUM((q.v - e.v) * (q.v - e.v)) AS BIGINT) AS d2
+       |  FROM iq q JOIN elems e ON e.idx = q.idx AND e.doc_id <> $qid
+       |  GROUP BY e.doc_id),
+       |ipool AS (SELECT doc_id, row_number() OVER (ORDER BY d2, doc_id) AS irank
+       |  FROM (SELECT doc_id, d2 FROM idd ORDER BY d2, doc_id LIMIT $PoolK)),
+       |xf AS (SELECT coalesce(t.doc_id, i.doc_id) AS doc_id,
+       |    (CASE WHEN t.trank IS NOT NULL THEN 1.0/($RrfC + t.trank) ELSE 0.0 END)
+       |  + (CASE WHEN i.irank IS NOT NULL THEN 1.0/($RrfC + i.irank) ELSE 0.0 END) AS rrf
+       |  FROM tpool t FULL OUTER JOIN ipool i ON i.doc_id = t.doc_id),
+       |xtop AS (SELECT doc_id, rrf FROM xf ORDER BY rrf DESC, doc_id LIMIT ${cfg.rrfTopK}),
+       |xext AS (SELECT min(rrf) AS lo, max(rrf) AS hi FROM xtop),
+       |xpool AS MATERIALIZED (SELECT CAST($qid AS BIGINT) AS query_id, doc_id AS vec_id,
+       |    CASE WHEN hi = lo THEN 1.0 ELSE (rrf - lo) / (hi - lo) END AS simq
+       |  FROM xtop, xext),
+       |${mmrGreedySqlCtes("x", "xpool")}
+       |SELECT query_id, vec_id, rk, mmr_score FROM xsel""".stripMargin
+  }
+
   /** The tombstoned (deleted) vector band: the q296/q340 md5
     * retraction rule applied to vec_ids — deletes arrive AFTER the
     * index trained, the realistic serving state. */

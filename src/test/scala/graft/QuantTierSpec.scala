@@ -294,4 +294,41 @@ class QuantTierSpec extends GraftSpec {
     assert(rows.head.getDouble(3) == 1.0,
       "rank 1's score is the normalized pool maximum")
   }
+
+  test("q351 cross-modal MMR: gapless page, and the image arm genuinely contributes to the fused pool") {
+    import graft.functions.Vec
+    val cfg = GraftConfig.default
+    val rows = Similarity.q351CrossModalMmr(spark, sf).collect().sortBy(_.getInt(2))
+    assert(rows.nonEmpty && rows.map(_.getInt(2)).sameElements(1 to rows.length),
+      "gapless 1..n ranks for the single cross-modal query")
+    assert(rows.head.getDouble(3) == 1.0,
+      "rank 1's score is the normalized fused-pool maximum")
+    // the two arms recomputed directly (the oracle gates exact values;
+    // this pins the CROSS-MODAL composition: both modality indexes
+    // reach the fused pool, and the image arm adds docs the text arm
+    // alone would never surface)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", Vec.norm2N("embedding"))
+    val tq = e.filter(col("vec_id") === cfg.hybridQueryVec)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val textPool = e.filter(col("vec_id") =!= cfg.hybridQueryVec).crossJoin(broadcast(tq))
+      .select(col("vec_id"),
+        Vec.cosineFromParts(Vec.dotN("qe", "embedding"), col("qn2"), col("n2")).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(cfg.rrfPoolK)
+      .collect().map(_.getLong(0)).toSet
+    val d = graft.operators.Multimodal.keyedDescriptors(spark, sf)
+      .select(col("doc_id"), col("desc"), col("n2"))
+    val iq = d.filter(col("doc_id") === cfg.hybridQueryVec)
+      .select(col("desc").as("qd"), col("n2").as("iqn2"))
+    val imgPool = d.filter(col("doc_id") =!= cfg.hybridQueryVec).crossJoin(broadcast(iq))
+      .select(col("doc_id"),
+        (col("iqn2") + col("n2") - lit(2L) * expr("vec_dot_long(qd, desc)")).as("d2"))
+      .orderBy(col("d2"), col("doc_id")).limit(cfg.rrfPoolK)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(1)).forall(id => textPool(id) || imgPool(id)),
+      "every diversified pick must come from one of the two modality pools")
+    assert((imgPool -- textPool).nonEmpty,
+      "the image index must contribute candidates the text arm alone would not surface — else the cell isn't cross-modal")
+  }
 }
