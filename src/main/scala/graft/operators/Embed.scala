@@ -295,9 +295,9 @@ class EmbedOps(val cfg: GraftConfig) {
     * exactly what the oracle re-checks). This is the shape that embeds
     * a crawler's intake incrementally instead of re-scanning the
     * corpus nightly. */
-  def q288StreamEmbed(spark: SparkSession, dir: String): DataFrame = {
+  def q288StreamEmbed(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Scratch.withRunDir(spark, dir, "embed_stream") { path =>
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val path = graft.sources.Scratch.dir("embed_stream", dir)
     Tables.documents(spark, dir).select("doc_id", "text")
       .write.mode("overwrite").parquet(path)
     val out = spark.readStream
@@ -312,7 +312,7 @@ class EmbedOps(val cfg: GraftConfig) {
       try q.processAllAvailable() finally q.stop()
       spark.table("graft_q288")
     }
-  }
+    }
 
   /** Drained stream ≡ batch embedder by statelessness — the oracle IS
     * q282's. */

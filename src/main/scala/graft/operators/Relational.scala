@@ -717,7 +717,8 @@ class RelationalOps(val cfg: GraftConfig) {
     * discipline). At 100 TB the persisted rollup is the
     * `writeBucketed` case: the merge becomes an exchange-free
     * co-partitioned union-aggregate with cost ∝ |delta|. */
-  def q165IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+  def q165IncrementalAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Scratch.withRunDir(spark, dir, "aggbase") { basePath =>
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"),
         expr("unix_millis(ts) div 86400000").as("day"))
@@ -726,7 +727,6 @@ class RelationalOps(val cfg: GraftConfig) {
       df.groupBy("user_id", "day")
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(25,6)")).as("sum_value"))
-    val basePath = graft.sources.Scratch.dir("aggbase", dir)
     rollup(ev.filter(col("b") < cfg.splitTrainUpper))
       .write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
@@ -737,7 +737,7 @@ class RelationalOps(val cfg: GraftConfig) {
         sum(col("sum_value")).as("sum_value"))
       .select(col("user_id"), col("day"), col("n_events"),
         col("sum_value").cast("double").as("total_value"))
-  }
+    }
 
   def q165Sql: String =
     s"""SELECT user_id, epoch_ms(ts) // 86400000 AS day,

@@ -4235,20 +4235,27 @@ class SimilarityOps(val cfg: GraftConfig) {
         }
         i += 1
       }
-      val selected = scala.collection.mutable.ArrayBuffer[Int](0)
+      // O(pool·k) greedy: boolean membership + a running max-sim-to-
+      // selected per candidate, folded in as each pick lands (the
+      // round-16 nit: `selected.contains` + re-scanning the selected
+      // set was a factor of k slower if mmrK is ever raised)
+      val inSel = new Array[Boolean](n)
+      val maxToSel = Array.fill(n)(Double.NegativeInfinity)
+      inSel(0) = true
+      var t = 0
+      while (t < n) { if (t != 0) maxToSel(t) = sim(t)(0); t += 1 }
+      var nSel = 1
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)](
         (qid, cand(0)._2, 1, cand(0)._3))
       var r = 2
-      while (r <= k && selected.length < n) {
+      while (r <= k && nSel < n) {
         var best = -1
         var bestScore = 0.0
         var bestId = 0L
         var c = 0
         while (c < n) {
-          if (!selected.contains(c)) {
-            var mx = Double.NegativeInfinity
-            selected.foreach(s => if (sim(c)(s) > mx) mx = sim(c)(s))
-            val sc = 0.5 * cand(c)._3 - 0.5 * mx
+          if (!inSel(c)) {
+            val sc = 0.5 * cand(c)._3 - 0.5 * maxToSel(c)
             if (best < 0 || sc > bestScore ||
                 (sc == bestScore && cand(c)._2 < bestId)) {
               best = c; bestScore = sc; bestId = cand(c)._2
@@ -4256,7 +4263,13 @@ class SimilarityOps(val cfg: GraftConfig) {
           }
           c += 1
         }
-        selected += best
+        inSel(best) = true
+        nSel += 1
+        var u = 0
+        while (u < n) {
+          if (!inSel(u) && sim(u)(best) > maxToSel(u)) maxToSel(u) = sim(u)(best)
+          u += 1
+        }
         out += ((qid, cand(best)._2, r, bestScore))
         r += 1
       }

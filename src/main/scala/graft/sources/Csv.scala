@@ -80,13 +80,13 @@ object Csv {
     * projection of `documents`, so the hash gate verifies the
     * quote→write→split→parse cycle is lossless for every text/lang/
     * source string (commas and quotes included) and both integers. */
-  def q161CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val path = Scratch.dir("csv", dir)
-    write(docs, path)
-    read(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
-  }
+  def q161CsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "csv") { path =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      write(docs, path)
+      read(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
+    }
 
   def q161Sql: String = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 }

@@ -44,12 +44,12 @@ object Fasta {
     * split-safe record reader, and return (doc_id, text). The DuckDB
     * oracle is the identity projection of `documents`, so the hash gate
     * verifies losslessness of the full write→split→parse cycle. */
-  def q65FastaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val path = Scratch.dir("fasta", dir)
-    write(docs, path)
-    read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
-  }
+  def q65FastaRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "fasta") { path =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      write(docs, path)
+      read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
+    }
 
   def q65Sql: String = "SELECT doc_id, text FROM documents"
 

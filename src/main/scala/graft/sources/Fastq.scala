@@ -76,12 +76,12 @@ object Fastq {
     * record reader, and return (doc_id, text). The DuckDB oracle is the
     * identity projection of `documents`, so the hash gate verifies the
     * full write→split→resync→parse cycle is lossless. */
-  def q79FastqRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val path = Scratch.dir("fastq", dir)
-    write(docs, path)
-    read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
-  }
+  def q79FastqRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "fastq") { path =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      write(docs, path)
+      read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
+    }
 
   def q79Sql: String = "SELECT doc_id, text FROM documents"
 }

@@ -53,13 +53,13 @@ object Jsonl {
     * identity projection of `documents`, so the hash gate verifies the
     * escape→write→split→parse cycle is lossless for every text/lang/
     * source string and both integer columns. */
-  def q126JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val path = Scratch.dir("jsonl", dir)
-    write(docs, path)
-    read(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
-  }
+  def q126JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "jsonl") { path =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      write(docs, path)
+      read(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
+    }
 
   def q126Sql: String = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
@@ -72,10 +72,10 @@ object Jsonl {
     * are discovered per micro-batch and each splits at line
     * boundaries. The bounded-replay drain equals the batch rollup over
     * the same files, which is what the oracle checks. */
-  def q182StreamJsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+  def q182StreamJsonlIngest(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "jsonl_stream") { path =>
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val path = Scratch.dir("jsonl_stream", dir)
     write(docs, path)
     val agg = spark.readStream
       .schema(docSchema)
@@ -89,7 +89,7 @@ object Jsonl {
       try q.processAllAvailable() finally q.stop()
       spark.table("graft_q182")
     }
-  }
+    }
 
   def q182Sql: String =
     """SELECT lang, count(*) AS n_docs,

@@ -28,10 +28,14 @@ object Layout {
     * write→partition→prune→read cycle loses nothing and leaks nothing
     * across partition boundaries; PlanSpec pins that the filtered scan
     * reads ONLY the selected partition (partition-pruned FileScan). */
-  def q146PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+  def q146PartitionedScan(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "partlang")(q146At(spark, dir, _))
+
+  /** The lazy inner plan (PlanSpec pins the partition-pruned scan on
+    * it — the public wrapper's eager cut hides the plan shape). */
+  private[graft] def q146At(spark: SparkSession, dir: String, path: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val path = Scratch.dir("partlang", dir)
     writePartitioned(docs, path, "lang")
     spark.read.parquet(path)
       .filter(col("lang") === graft.GraftConfig.default.layoutScanLang)
@@ -59,12 +63,16 @@ object Layout {
     * per incident day, total events / distinct users / error count —
     * the oracle recomputes from the flat table, hash-verifying that
     * pruning lost nothing. */
-  def q198DppScan(spark: SparkSession, dir: String): DataFrame = {
+  def q198DppScan(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "partday")(q198At(spark, dir, _))
+
+  /** The lazy inner plan (PlanSpec pins the runtime dynamicpruning
+    * partition filter on it). */
+  private[graft] def q198At(spark: SparkSession, dir: String, path: String): DataFrame = {
     val cfg = graft.GraftConfig.default
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         concat(lit("d"), expr("unix_millis(ts) div 86400000")).as("day"))
-    val path = Scratch.dir("partday", dir)
     writePartitioned(ev, path, "day")
     val part = spark.read.parquet(path)
     val incidents = ev.filter(col("event_type") === "error")
@@ -192,12 +200,16 @@ object Layout {
     * `bins_within_target` (every multi-file bin's input bytes ≤
     * target), `files_not_increased` (per-partition file count never
     * grows). */
-  def q212CompactFiles(spark: SparkSession, dir: String): DataFrame = {
+  def q212CompactFiles(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDirs(spark, dir, "compact_src", "compact_dst") { ps =>
+      q212At(spark, dir, ps(0), ps(1))
+    }
+
+  private[graft] def q212At(spark: SparkSession, dir: String,
+      src: String, dst: String): DataFrame = {
     val cfg = graft.GraftConfig.default
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val src = Scratch.dir("compact_src", dir)
-    val dst = Scratch.dir("compact_dst", dir)
     docs.repartition(cfg.compactFragments)
       .write.mode("overwrite").partitionBy("lang").parquet(src)
     val plans = compactPartitioned(spark, src, dst, cfg.compactTargetBytes)
@@ -286,12 +298,16 @@ object Layout {
     * paths, copy and rewrite, lossless) plus `only_dirty_rewritten`
     * (TRUE by construction: the skip set is exactly the clean
     * partitions). */
-  def q216CompactIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def q216CompactIncremental(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDirs(spark, dir, "inccompact_src", "inccompact_dst") { ps =>
+      q216At(spark, dir, ps(0), ps(1))
+    }
+
+  private[graft] def q216At(spark: SparkSession, dir: String,
+      src: String, dst: String): DataFrame = {
     val cfg = graft.GraftConfig.default
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val src = Scratch.dir("inccompact_src", dir)
-    val dst = Scratch.dir("inccompact_dst", dir)
     val srcRoot = new org.apache.hadoop.fs.Path(src)
     val fs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(srcRoot)) fs.delete(srcRoot, true)
@@ -354,10 +370,12 @@ object Layout {
     * one map-combinable aggregate over the merged scan. The writes
     * are the demonstration fixture — production corpora already have
     * the mixed-generation layout this query reads. */
-  def q220SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+  def q220SchemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "schema_evo")(q220At(spark, dir, _))
+
+  private[graft] def q220At(spark: SparkSession, dir: String, root: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val root = Scratch.dir("schema_evo", dir)
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rootP)) fs.delete(rootP, true)
@@ -423,13 +441,12 @@ object Layout {
     * read lists only selected paths — at 100 TB this is the
     * difference between footer-probing every file of a petabyte
     * table and reading the manifest. */
-  def q230ZoneMap(spark: SparkSession, dir: String): DataFrame = {
+  def q230ZoneMap(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "zonemap")(q230At(spark, dir, _))
+
+  private[graft] def q230At(spark: SparkSession, dir: String, path: String): DataFrame = {
     val cfg = graft.GraftConfig.default
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
-    val path = Scratch.dir("zonemap", dir)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
     li.repartitionByRange(cfg.zoneMapFiles, col("l_orderkey"))
       .write.parquet(path)
     val maxK = li.agg(max("l_orderkey")).head().getLong(0)
@@ -505,16 +522,11 @@ object Layout {
     * DECIMAL, so the publish aggregate never re-reads landed data.
     * `run2_only_new` / `run3_noop` are hash-gated: a double-processed
     * or dropped file would break them or the totals. */
-  def q238LedgerIngest(spark: SparkSession, dir: String): DataFrame = {
-    val landing = Scratch.dir("ledger_landing", dir)
-    val ledger = Scratch.dir("ledger_state", dir)
-    val results = Scratch.dir("ledger_results", dir)
+  def q238LedgerIngest(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDirs(spark, dir,
+        "ledger_landing", "ledger_state", "ledger_results") { ps =>
+    val Seq(landing, ledger, results) = ps
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(landing, ledger, results).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     val cfg = graft.GraftConfig.default
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -548,7 +560,7 @@ object Layout {
         lit(n1 == landed1 && n2 == landed2 && ledgerRows == n1 + n2)
           .as("run2_only_new"),
         lit(n3 == 0).as("run3_noop"))
-  }
+    }
 
   def q238Sql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -580,7 +592,8 @@ object Layout {
     * in any row order. Matched partitions report n_changed = 0 ON THE
     * DIGEST'S AUTHORITY — that leap of faith is the entire economy of
     * the scheme, which is why the corrupted-day gate matters. */
-  def q247MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+  def q247MerkleDiff(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDirs(spark, dir, "merkle_a", "merkle_b") { ps =>
     val base = Tables.events(spark, dir)
       .select(col("event_id"),
         expr("unix_millis(ts) div 86400000").as("d"),
@@ -590,14 +603,7 @@ object Layout {
     val b = base.select(col("event_id"), concat(lit("d"), col("d")).as("day"),
       when(col("d") === dc && col("event_id") % 5 === 0, col("v100") + 100L)
         .otherwise(col("v100")).as("v100"))
-    val pa = Scratch.dir("merkle_a", dir)
-    val pb = Scratch.dir("merkle_b", dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq(pa, pb).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(conf)
-      if (fs.exists(hp)) fs.delete(hp, true)
-    }
+    val Seq(pa, pb) = ps
     // day-hash repartition first: without it every shuffle task writes a
     // sliver into every day directory (32 × days tiny files per replica —
     // measured 12 s at sf0.1; with it, one file per day and ~2 s)
@@ -679,11 +685,17 @@ object Layout {
     * + one build-side-tiny join — no shuffle, no write, no blocking;
     * the rewrite cost moves to compaction where it amortizes with
     * bin-packing. */
-  def q249LogicalDelete(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Scratch.dir("deletion_segments", dir)
+  def q249LogicalDelete(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDirs(spark, dir, "deletion_segments", "deletion_rewrite") { ps =>
+      q249At(spark, dir, ps(0), ps(1))
+    }
+
+  /** The lazy inner plan (PlanSpec pins the broadcast anti-join +
+    * scan shape on it). */
+  private[graft] def q249At(spark: SparkSession, dir: String,
+      seg: String, phys: String): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(seg)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) fs.delete(hp, true)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .repartition(4)
@@ -701,9 +713,6 @@ object Layout {
       segments.join(broadcast(tombstones), Seq("user_id"), "left_anti"),
       "n_events", "total_value")
     // the eventual physical rewrite (what compaction will do) must agree
-    val phys = Scratch.dir("deletion_rewrite", dir)
-    val pp = new org.apache.hadoop.fs.Path(phys)
-    if (fs.exists(pp)) fs.delete(pp, true)
     segments.join(broadcast(tombstones), Seq("user_id"), "left_anti")
       .write.parquet(phys)
     val physical = aggOf(spark.read.parquet(phys), "p_n", "p_total")
@@ -737,17 +746,12 @@ object Layout {
     * as rebuilt metadata — and gates `stats_only_new` (the update
     * touched exactly the fresh files) and `skipped_some` (pruning
     * still engaged). */
-  def q255ZoneMapIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def q255ZoneMapIncremental(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDirs(spark, dir, "zminc_data", "zminc_manifest") { ps =>
+    val Seq(path, manPath) = ps
     val cfg = graft.GraftConfig.default
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
-    val path = Scratch.dir("zminc_data", dir)
-    val manPath = Scratch.dir("zminc_manifest", dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(path, manPath).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     // day 1: the base corpus lands range-clustered; manifest v1 persists
     li.filter(col("l_orderkey") % 10 =!= 0)
       .repartitionByRange(cfg.zoneMapFiles, col("l_orderkey"))

@@ -27,11 +27,8 @@ object Orc {
     * Scale: ORC is a splittable columnar format — the write is one
     * pass, the read plans like any FileScan (pushdown and pruning
     * included); nothing here is single-task. */
-  def q259OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = Scratch.dir("orc_events", dir)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+  def q259OrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "orc_events") { path =>
     Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))

@@ -18,6 +18,31 @@ private[graft] object Scratch {
       graft.GraftConfig.default.scratchDir, s"graft_${tag}_$sane").toString
   }
 
+  /** Run-unique scratch for a delete+rebuild query (the q325/q335
+    * rule: two drivers sharing a scratch filesystem must never clobber
+    * each other's landing/state dirs): a fresh `graft_<tag>_<run>_…`
+    * dir per call, the resulting DataFrame cut EAGERLY (the finally
+    * below drops the files a lazy plan would still need), the dirs
+    * deleted afterward whatever happens. */
+  def withRunDir(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      tag: String)(f: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withRunDirs(spark, dataDir, tag)(ps => f(ps.head))
+
+  def withRunDirs(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      tags: String*)(f: Seq[String] => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val paths = tags.map(t => dir(s"${t}_$run", dataDir))
+    try f(paths).localCheckpoint(true)
+    finally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+  }
+
   private def fp(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -45,12 +45,12 @@ object Sfa {
     * corpus as SFA part files, read back, return (doc_id, text). The
     * DuckDB oracle is the identity projection of `documents`, so the
     * hash gate verifies the write→split→parse cycle is lossless. */
-  def q72SfaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val path = Scratch.dir("sfa", dir)
-    write(docs, path)
-    read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
-  }
+  def q72SfaRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Scratch.withRunDir(spark, dir, "sfa") { path =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      write(docs, path)
+      read(spark, path).select(col("header").cast("long").as("doc_id"), col("text"))
+    }
 
   def q72Sql: String = "SELECT doc_id, text FROM documents"
 }

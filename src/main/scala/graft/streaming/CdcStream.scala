@@ -227,13 +227,12 @@ object CdcStream {
     * listing + deletes, |versions|-sized. The current version is
     * re-read AFTER the vacuum so the emitted head count proves the
     * survivor is intact, not remembered. */
-  def q304SnapshotRetention(spark: SparkSession, dir: String): DataFrame = {
+  def q304SnapshotRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Scratch.withRunDir(spark, dir, "cow_chain") { root =>
     import spark.implicits._
-    val root = graft.sources.Scratch.dir("cow_chain", dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(conf)
-    if (fs.exists(rootP)) fs.delete(rootP, true)
     val base = graft.sources.Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .withColumn("seq", lit(0L)).withColumn("alive", lit(true))
@@ -256,7 +255,7 @@ object CdcStream {
               else preCounts(v)
       (v, n, kept)
     }.toDF("version", "n_alive", "kept")
-  }
+    }
 
   def q304Sql: String = {
     // live count as of version v: base merged with the per-key

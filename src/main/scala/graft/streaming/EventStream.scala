@@ -508,14 +508,13 @@ object EventStream {
     * windows only); the audit join is per-window arithmetic. At 100 TB
     * the same audit runs as a nightly batch-vs-stream reconciliation —
     * this query IS that reconciliation in miniature. */
-  def q243StreamLateAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def q243StreamLateAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Scratch.withRunDir(spark, dir, "late_landing") { landing =>
     val DayMs = 86400000L
     val HourMs = 3600000L
-    val landing = graft.sources.Scratch.dir("late_landing", dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val lp = new org.apache.hadoop.fs.Path(landing)
     val fs = lp.getFileSystem(conf)
-    if (fs.exists(lp)) fs.delete(lp, true)
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("event_type"))
     val anchors = ev.agg(
@@ -592,7 +591,7 @@ object EventStream {
         coalesce(col("ns"), lit(0L)).as("n_stream"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"))
       .withColumn("late_dropped", col("n_batch") - col("n_stream"))
-  }
+    }
 
   def q243Sql: String =
     """WITH cut AS (SELECT (min(epoch_ms(ts)) // 86400000 + 1) * 86400000 AS c FROM events),

@@ -1,14 +1,19 @@
 package graft.tools
 
 /** One-off diagnostics for q243's replay: per-batch input rows and
-  * watermark progression. Usage: runMain graft.tools.LateProbe <sfDir> */
+  * watermark progression over an existing landing directory.
+  * Usage: runMain graft.tools.LateProbe <sfDir> <landingDir>
+  * (q243's landing is run-unique and dropped after the drain — land a
+  * copy with its `land` protocol, or point this at any 4-file dir). */
 object LateProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val spark = graft.GraftSession.get()
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
-    val landing = graft.sources.Scratch.dir("late_landing", dir)
+    require(args.length >= 2,
+      "pass the landing dir: runMain graft.tools.LateProbe <sfDir> <landingDir>")
+    val landing = args(1)
     println(s"LANDING $landing")
     val fs = new org.apache.hadoop.fs.Path(landing)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -10,10 +10,12 @@ class CompactionSpec extends GraftSpec {
   import spark.implicits._
 
   test("q220: merged-schema read null-fills exactly the pre-evolution generation") {
-    val rows = SparkEntry.queries("q220_schema_evolution")(spark, sf).collect()
+    // spec-owned root: the public q220 runs on run-unique scratch and
+    // drops it in a finally — unreachable for layout assertions
+    val root = java.nio.file.Files.createTempDirectory("schemaevo").toString + "/root"
+    val rows = Layout.q220At(spark, sf, root).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("schema_merged")), "unified schema must merge")
-    val root = graft.sources.Scratch.dir("schema_evo", sf)
     // gen=1 files really LACK the column (absent, not null-valued)
     assert(!spark.read.parquet(s"$root/gen=1").columns.contains("source"))
     // the merged scan null-fills source exactly for the old generation
@@ -30,11 +32,11 @@ class CompactionSpec extends GraftSpec {
   }
 
   test("q230: range-clustered files carry disjoint key ranges; the pruned plan skips and loses nothing") {
-    val row = SparkEntry.queries("q230_zone_map")(spark, sf).collect().head
+    val path = java.nio.file.Files.createTempDirectory("zonemap").toString + "/data"
+    val row = Layout.q230At(spark, sf, path).collect().head
     assert(row.getAs[Boolean]("skipped_some"), "a selective predicate must skip files")
-    // the manifest written by the query: ranges must be pairwise disjoint
-    // (range clustering), and re-planning it by hand must under-read
-    val path = graft.sources.Scratch.dir("zonemap", sf)
+    // the manifest over the spec-owned layout: ranges must be pairwise
+    // disjoint (range clustering), and re-planning it by hand must under-read
     val mf = Layout.zoneMap(spark, path, "l_orderkey").sortBy(_._2)
     assert(mf.length > 1)
     mf.sliding(2).foreach { case Array(a, b) =>
@@ -91,13 +93,13 @@ class CompactionSpec extends GraftSpec {
   }
 
   test("q216: incremental compaction byte-copies clean partitions and rewrites only dirty ones") {
-    val rows = SparkEntry.queries("q216_compact_incremental")(spark, sf).collect()
+    val base = java.nio.file.Files.createTempDirectory("inccompact").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    val rows = Layout.q216At(spark, sf, src, dst).collect()
     assert(rows.nonEmpty)
     Seq("lossless", "only_dirty_rewritten").foreach { c =>
       assert(rows.forall(_.getAs[Boolean](c)), s"gate $c must hold on every lang")
     }
-    val src = graft.sources.Scratch.dir("inccompact_src", sf)
-    val dst = graft.sources.Scratch.dir("inccompact_dst", sf)
     val rep = Layout.compactionReport(spark, src, dst).collect()
     val dirty = s"lang=${GraftConfig.default.layoutScanLang}"
     // dirty partition shrank to its planned bin count (< fragment count)
@@ -118,16 +120,16 @@ class CompactionSpec extends GraftSpec {
   }
 
   test("q212: eval gates all TRUE on the real corpus; report shows files shrinking") {
-    val rows = SparkEntry.queries("q212_compact_files")(spark, sf).collect()
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val (csrc, cdst) = (s"$base/src", s"$base/dst")
+    val rows = Layout.q212At(spark, sf, csrc, cdst).collect()
     assert(rows.nonEmpty)
     Seq("lossless", "plan_respected", "bins_within_target", "files_not_increased")
       .foreach { c =>
         assert(rows.forall(_.getAs[Boolean](c)), s"gate $c must hold on every lang")
       }
     val cfgv = GraftConfig.default
-    val rep = Layout.compactionReport(spark,
-      graft.sources.Scratch.dir("compact_src", sf),
-      graft.sources.Scratch.dir("compact_dst", sf)).collect()
+    val rep = Layout.compactionReport(spark, csrc, cdst).collect()
     val byPhase = rep.groupBy(_.getString(0)).view.mapValues(_.length).toMap
     assert(byPhase("after") < byPhase("before"),
       s"compaction must reduce total file count, got $byPhase")

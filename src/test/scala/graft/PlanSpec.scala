@@ -8,6 +8,12 @@ class PlanSpec extends GraftSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  // layout queries whose public form eagerly cuts (run-unique scratch +
+  // cleanup): pin the INNER plan via the At-variant on a spec-owned dir
+  private def layoutPlan(f: String => org.apache.spark.sql.DataFrame): String =
+    f(java.nio.file.Files.createTempDirectory("planspec").toString + "/d")
+      .queryExecution.executedPlan.toString
+
   private def windows(p: String): Int = "\\bWindow\\b".r.findAllIn(p).length
 
   test("per-doc kmer statistics never window over the kmer key (hot-key skew)") {
@@ -289,7 +295,7 @@ class PlanSpec extends GraftSpec {
   }
 
   test("q146 partitioned layout: the lang filter prunes DIRECTORIES, not rows") {
-    val p = plan("q146_partitioned_scan")
+    val p = layoutPlan(graft.sources.Layout.q146At(spark, sf, _))
     assert(p.contains("PartitionFilters: [isnotnull(lang") && p.contains("= en)"),
       "lang predicate must be a partition filter")
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
@@ -463,7 +469,7 @@ class PlanSpec extends GraftSpec {
   }
 
   test("q198 DPP: the partitioned scan carries a runtime dynamicpruning partition filter") {
-    val p = plan("q198_dpp_scan")
+    val p = layoutPlan(graft.sources.Layout.q198At(spark, sf, _))
     assert(p.contains("dynamicpruning"),
       "q198's day-partitioned scan must be pruned by the runtime incident-day set:\n" +
         p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
@@ -550,7 +556,9 @@ class PlanSpec extends GraftSpec {
   }
 
   test("q249 logical delete: the tombstone anti-join broadcasts (reads never shuffle)") {
-    val p = plan("q249_logical_delete")
+    val base = java.nio.file.Files.createTempDirectory("planspec").toString
+    val p = graft.sources.Layout.q249At(spark, sf, s"$base/seg", s"$base/phys")
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "the deletion-vector read must be scan + broadcast anti-join")
     assert(!p.contains("SortMergeJoin"),
