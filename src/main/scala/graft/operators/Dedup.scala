@@ -1463,14 +1463,17 @@ class DedupOps(val cfg: GraftConfig) {
                 concat_ws(" ", slice(col("ws"), col("g"), lit(SimW))).as("s"))
               .distinct()
             val bn = bsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-            val bGrams = bsh.join(bn, "doc_id")
+            // batch-sized lazy cut: bGrams feeds the prefix ranking,
+            // BOTH probe directions and the store append — four
+            // references that would each re-run the gram explode
+            val bGrams = graft.Ck.lazyStage(bsh.join(bn, "doc_id"), cfg)
             val ranked = bGrams.join(bdf, Seq("s"), "left")
               .withColumn("df", coalesce(col("df"), lit(0L)))
               .withColumn("rk", row_number().over(
                 Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-            val bPfx = ranked
+            val bPfx = graft.Ck.lazyStage(ranked
               .filter(col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
-              .select(col("s"), col("doc_id"), col("n"))
+              .select(col("s"), col("doc_id"), col("n")), cfg)
             val arrivedG =
               if (existsDir(seenG)) spark.read.parquet(seenG) else bGrams.limit(0)
             val arrivedP =

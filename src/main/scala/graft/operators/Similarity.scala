@@ -2372,7 +2372,7 @@ class SimilarityOps(val cfg: GraftConfig) {
     * the full corpus: exact scoring of whatever the walk reaches. */
   private[graft] def beamSearchOver(spark: SparkSession, dir: String,
       edges: DataFrame, entriesPerQuery: Option[DataFrame] = None,
-      k: Int = TopK): DataFrame = {
+      k: Int = TopK, hopCuts: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val qv = broadcast(e.filter(col("vec_id") < NumQueries)
@@ -2399,7 +2399,23 @@ class SimilarityOps(val cfg: GraftConfig) {
         .select("vec_id")
       qv.select("query_id").crossJoin(broadcast(entries))
     }
-    var visited = score(ent0)
+    // Per-hop lineage cut (lazy localCheckpoint, compute-once): hop h
+    // references `visited` THREE times (the re-beam window, the
+    // broadcast anti-join, the union), so an uncut loop re-derives the
+    // whole prior walk — entry scoring included — once per reference
+    // per hop (~3^hops plan copies; guide §5's cache-the-reused-subtree
+    // rule). The cut makes each hop's scoring job run exactly once;
+    // the walk's state is entries + hops·beam·k rows per query, so the
+    // checkpointed blocks are tiny. Values are unchanged — the cut is
+    // at union boundaries, and the final ranking reads the same rows.
+    // Measured at sf0.1 (isolated warm): q279 6.2→2.7, q317 13.2→4.8,
+    // q291 8.9→2.2, q294 9.3→5.0; executed plan 10,388 lines / 742
+    // Exchanges → 238 / 4 (plans/r17). hopCuts=false is the spec's
+    // plan-pinning view: the SAME operator composition left uncut so
+    // PlanSpec can grep the hop-join shapes the checkpoints hide.
+    def cut(df: DataFrame): DataFrame =
+      if (hopCuts) graft.Ck.lazyStage(df, cfg) else df
+    var visited = cut(score(ent0))
     for (_ <- 1 to cfg.beamHops) {
       val frontier = beamOf(visited).withColumnRenamed("vec_id", "src")
         .join(edges, "src")
@@ -2411,7 +2427,7 @@ class SimilarityOps(val cfg: GraftConfig) {
         // anti-join plans as SMJ statically (derived sides, no stats)
         .join(broadcast(visited.select("query_id", "vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
-      visited = visited.unionByName(score(frontier))
+      visited = cut(visited.unionByName(score(frontier)))
     }
     visited.withColumn("rk", row_number().over(wB))
       .filter(col("rk") <= k)
@@ -4485,6 +4501,11 @@ class SimilarityOps(val cfg: GraftConfig) {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = emb(spark, dir).withColumn("n2", Vec.norm2N("embedding"))
     val cents = trainIndex(spark, dir)
+    // NOT lineage-cut deliberately (measured 3.8 → 4.4 s with a lazy
+    // cut at sf0.1): the per-subspace LUT arms filter pe to the
+    // NumQueries query rows, and that predicate reaches the parquet
+    // scan only while pe stays a plain plan — materializing the full
+    // permuted corpus costs more than the pruned recomputes save
     val pe = opqPermuted(e)
     val cb = persistedOpqCodebook(spark, dir, pe)
     val assigned = assign(e, cents).select(col("vec_id"), col("cell"))

@@ -570,7 +570,18 @@ class PlanSpec extends GraftSpec {
   }
 
   test("q279 beam search: bounded probe — every hop join broadcasts, corpus never sort-merge-shuffles") {
-    val p = plan("q279_graph_ann")
+    // pin the UNCUT composition (hopCuts=false): the production walk
+    // lineage-cuts each hop (r17 — the final plan is a window over the
+    // last checkpoint), but the per-hop join shapes it executes are
+    // exactly this composition's — the layoutPlan/At-variant idiom
+    import org.apache.spark.sql.functions.col
+    val Sim = graft.operators.Similarity
+    val p = Sim.beamSearchOver(spark, sf,
+      Sim.persistedKnnGraph(spark, sf)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      Some(Sim.ivfGuidedEntries(spark, sf)),
+      hopCuts = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"),
       "a hop join fell back to SMJ — the bounded candidate list must broadcast " +
         "against the corpus scan (the point-lookup shape)")
