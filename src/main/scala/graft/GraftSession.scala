@@ -28,6 +28,12 @@ object GraftSession {
       // byte-small stages (k-mer profiles, levenshtein gates) to few
       // tasks, costing more than the tiny-stage scheduling it saves.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // preferSortMergeJoin stays at the Spark default (true): the r17
+      // A/B (10 shuffle-join queries, isolated warm runs at sf0.1)
+      // measured a wash suite-wise (24.3 s vs 23.9) with one clear
+      // regression (q131 2.65 → 3.45 s — the planner hash-built a
+      // candidate side that sort-merge streams); the operators that
+      // WANT a hash or merge join pin it per-join with hints instead
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
