@@ -35,6 +35,12 @@ object GraftSession {
       // candidate side that sort-merge streams); the operators that
       // WANT a hash or merge join pin it per-join with hints instead
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // constraintPropagation stays ON (the Spark default): the r17
+      // A/B over 10 large-plan queries was noise-level except q335
+      // (7.4 → 5.5 s warm — its per-batch union+join plans pay the
+      // propagation in driver time), but the inferred IsNotNull/
+      // transitive filters it derives are exactly what prunes scans on
+      // a real cluster — dropping it is a local-only win, rejected
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
