@@ -875,6 +875,23 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("beam walk: per-hop lineage cuts change nothing — cut ≡ uncut row for row") {
+    // r17 made beamSearchOver localCheckpoint each hop (compute-once);
+    // the cuts sit at union boundaries, so the visited rows — and the
+    // final ranking over them — must be bit-identical to the uncut plan
+    val edges = Similarity.persistedKnnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("cosine"))).sortBy(t => (t._1, t._3)).toSeq
+    val cut = keyed(Similarity.beamSearchOver(spark, sf, edges,
+      Some(Similarity.ivfGuidedEntries(spark, sf))).collect())
+    val uncut = keyed(Similarity.beamSearchOver(spark, sf, edges,
+      Some(Similarity.ivfGuidedEntries(spark, sf)), hopCuts = false).collect())
+    assert(cut.nonEmpty && cut == uncut,
+      "per-hop checkpoints must not change the walk's results")
+  }
+
   test("q291 reads the PERSISTED recompacted graph (doctored artifact collapses the walk to entries)") {
     val base = GraftConfig.default
     // a distinct knnK keys a PRIVATE artifact set for this test, so
