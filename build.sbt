@@ -39,5 +39,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // A batch analytics runner wants throughput, not pause bounds; G1
   // remains one env var away (SPARK_GC=UseG1GC) and executor JVMs on a
   // real cluster set their own flags.
-  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
+  // SPARK_GC must be a bare +flag collector name from this allowlist —
+  // any other value (e.g. "G1GC" or a multi-flag string) would abort the
+  // forked JVM at startup with an opaque 'Unrecognized VM option', so it
+  // falls back to the default with a warning instead (r17 advice).
+  s"-XX:+${sys.env.get("SPARK_GC") match {
+    case Some(g @ ("UseParallelGC" | "UseG1GC" | "UseZGC" | "UseSerialGC")) => g
+    case Some(bad) =>
+      println(s"[build.sbt] SPARK_GC='$bad' not in {UseParallelGC,UseG1GC,UseZGC,UseSerialGC}; using UseParallelGC")
+      "UseParallelGC"
+    case None => "UseParallelGC"
+  }}",
 )

@@ -17,7 +17,18 @@ object Bench {
     // BENCH_DETAIL.json (round-6 verdict item 9): any residual
     // order-dependent effect now shows up as cross-round variance on
     // different neighbors instead of biasing the same victim every round.
-    val order = scala.util.Random.shuffle(SparkEntry.queries.keys.toList)
+    // Optional subset lane (round-17 verdict item 1): GRAFT_BENCH_QUERIES
+    // is a comma-separated list of query names; when set, only those are
+    // benched (the hero lane: the most expensive queries at a larger SF,
+    // where per-query fixed cost no longer dominates). Unset = full suite,
+    // byte-identical behavior to the driver's invocation.
+    val subset = sys.env.get("GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = subset match {
+      case Some(s) => SparkEntry.queries.keys.toList.filter(s.contains)
+      case None    => SparkEntry.queries.keys.toList
+    }
+    val order = scala.util.Random.shuffle(names)
 
     // Box-state fields (round-13 verdict item 7): the r13 A/B spread on
     // identical code (359.9 vs 426.6 s) was wider than most per-query
@@ -158,7 +169,12 @@ object Bench {
     // artifacts already on disk, so regression sweeps diff files instead
     // of scraping stdout tails; BENCH_DETAIL.json stays as the
     // latest-run alias.
-    val roundN = try {
+    // GRAFT_BENCH_ROUND overrides the inference (round-17 verdict item 7:
+    // the r17 driver's 8-core run already consumed the inferred `_r18`
+    // name, so inference alone would clobber it). 0 = write only the
+    // unnumbered BENCH_DETAIL.json alias.
+    val roundN = sys.env.get("GRAFT_BENCH_ROUND").flatMap(v =>
+      scala.util.Try(v.toInt).toOption).getOrElse(try {
       val dir = java.nio.file.Paths.get(".")
       val re = "BENCH_r(\\d+)\\.json".r
       val seen = java.nio.file.Files.list(dir).iterator()
@@ -168,7 +184,7 @@ object Bench {
         case _ => ()
       }
       mx + 1
-    } catch { case _: Throwable => 0 }
+    } catch { case _: Throwable => 0 })
     val detailJson =
       s"""{"runs":"{runs:[run1,run2(,run3 on a hot box)], load1 at query start, stages:[[tag,sec]...] of run2} per query; reported=min(runs); fresh SparkContext per query","hot_box":$hotBox,"order":$orderJson,"queries":$detail,"sf":"$sfDir"}
 """
@@ -203,6 +219,9 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
     val detailFile = if (roundN > 0) f"BENCH_DETAIL_r$roundN%02d.json" else "BENCH_DETAIL.json"
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"reruns":${thirdRuns.size},"hot_box":$hotBox,"hot_load1_threshold":${f(hotLoad1)},"load1_start":${f(load1Start)},"load1_end":${f(load1)},"detail":"$detailFile","sf":"$sfDir"}""")
+    // "subset" marks a GRAFT_BENCH_QUERIES hero-lane run so its total is
+    // never confused with a full-suite artifact
+    val subsetField = if (subset.isDefined) s""","subset":true""" else ""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"mean":${f(if (ok.isEmpty) 0.0 else total / ok.size)},"queries":$qs,"contam":$contam,"reruns":${thirdRuns.size},"hot_box":$hotBox,"hot_load1_threshold":${f(hotLoad1)},"load1_start":${f(load1Start)},"load1_end":${f(load1)},"detail":"$detailFile","sf":"$sfDir"$subsetField}""")
   }
 }

@@ -82,10 +82,16 @@ private[graft] object Cc {
       // any pointer — only lbl < node rows matter on the lookup side.
       val hop = prop.filter(col("lbl") < col("node"))
         .select(col("node").as("hn"), col("lbl").as("hl"))
-      val next = stageCk(
+      // LAZY cut + frontier count share ONE job (r18, the Pipeline
+      // cutAndCount discipline): the lazy localCheckpoint stores its
+      // blocks during the count's pass, so a round costs one driver
+      // barrier instead of materialize-then-count's two. Reliable mode
+      // stays eager inside lazyStage (a lazy reliable checkpoint would
+      // recompute the round for the write).
+      val next = graft.Ck.lazyStage(
         prop.join(hop, prop("lbl") === hop("hn"), "left")
           .select(col("node"), col("prev"),
-            least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")))
+            least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")), cfg)
       rounds += 1
       frontierN = next.filter(col("lbl") =!= col("prev")).count()
       converged = frontierN == 0

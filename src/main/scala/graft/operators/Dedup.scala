@@ -158,6 +158,7 @@ class DedupOps(val cfg: GraftConfig) {
     * doc instead of one per shingle; candidate fan-out is bounded by the
     * band/rare-shingle generators, never all-pairs. */
   private def verifiedJaccard(arr: DataFrame, cand: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(arr.sparkSession)
     // the per-doc sorted arrays come straight off the scan
     // (shingleArrays) — the old groupBy + collect_list re-shuffled the
     // full exploded shingle table to rebuild rows the scan already had
@@ -177,7 +178,11 @@ class DedupOps(val cfg: GraftConfig) {
       .repartition(cand.sparkSession.sparkContext.defaultParallelism)
       .join(docArr.select(col("doc_id").as("id_a"), col("ss").as("sa"), col("n").as("na")), "id_a")
       .join(docArr.select(col("doc_id").as("id_b"), col("ss").as("sb"), col("n").as("nb")), "id_b")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // native count-only set intersection (r18): identical to
+      // size(array_intersect(sa, sb)) but never materializes the
+      // intersection array — the per-candidate constant this verify
+      // pays millions of times when LSH buckets degenerate (hero lane)
+      .withColumn("i", expr("inter_count(sa, sb)"))
       .select(passthrough :+
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"): _*)
   }
@@ -887,6 +892,7 @@ class DedupOps(val cfg: GraftConfig) {
     * against the naive all-shared-gram join. */
   def q131SimJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     val sh = wordGrams(spark, dir)
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, "s")
@@ -908,7 +914,11 @@ class DedupOps(val cfg: GraftConfig) {
       .repartition(cand.sparkSession.sparkContext.defaultParallelism)
       .join(docArr.select(col("doc_id").as("id_a"), col("ss").as("sa"), col("n").as("na")), "id_a")
       .join(docArr.select(col("doc_id").as("id_b"), col("ss").as("sb"), col("n").as("nb")), "id_b")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // native count-only set intersection (r18): identical to
+      // size(array_intersect(sa, sb)) but never materializes the
+      // intersection array — the per-candidate constant this verify
+      // pays millions of times when LSH buckets degenerate (hero lane)
+      .withColumn("i", expr("inter_count(sa, sb)"))
       .filter(lit(TDen.toLong) * col("i") >= lit(TNum.toLong) * (col("na") + col("nb") - col("i")))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
@@ -989,6 +999,7 @@ class DedupOps(val cfg: GraftConfig) {
     * integer cross-multiply threshold → containment fraction. */
   private def containmentVerify(spark: SparkSession, dir: String,
       cand0: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     val CNum = cfg.contTNum
     val CDen = cfg.contTDen
     // stage the candidates once: the endpoint id set below re-reads
@@ -1002,7 +1013,11 @@ class DedupOps(val cfg: GraftConfig) {
       .repartition(cand.sparkSession.sparkContext.defaultParallelism)
       .join(docArr.select(col("doc_id").as("src_id"), col("ss").as("sa"), col("n").as("na")), "src_id")
       .join(docArr.select(col("doc_id").as("dst_id"), col("ss").as("sb")), "dst_id")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // native count-only set intersection (r18): identical to
+      // size(array_intersect(sa, sb)) but never materializes the
+      // intersection array — the per-candidate constant this verify
+      // pays millions of times when LSH buckets degenerate (hero lane)
+      .withColumn("i", expr("inter_count(sa, sb)"))
       .filter(lit(CDen.toLong) * col("i") >= lit(CNum.toLong) * col("na"))
       .select(col("src_id"), col("dst_id"),
         (col("i").cast("double") / col("na")).as("containment"))
@@ -1153,31 +1168,45 @@ class DedupOps(val cfg: GraftConfig) {
     val dsh = wordGrams(spark, dir)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) >= cfg.splitTrainUpper)
     val dn = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dGrams = dsh.join(dn, "doc_id")
-    val ddf = dGrams.join(bdf, Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-    val dPrefix = ddf
-      .filter(col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
+    // ONE delta-sized lazy cut carrying the pfx flag (r18): dGrams was
+    // referenced three times (prefix ranking, both probe directions),
+    // each re-running the delta gram explode; and the two probe
+    // directions were two separate scans of the corpus-sized base
+    // index. The fused probe below scans bidx ONCE with the broadcast
+    // delta carrying both roles (the q335 shape): role A = delta
+    // prefix × base gram, role B = base prefix × delta gram; ordered
+    // pairs cannot collide across roles, delta-internal pairs come
+    // from the batch-local join. The delta side is the bounded
+    // nightly batch — the same broadcast-sized contract as the probe
+    // tables everywhere else in this file.
+    val dAll = graft.Ck.lazyStage(
+      dsh.join(dn, "doc_id").join(bdf, Seq("s"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .select(col("s"), col("doc_id"), col("n"),
+          (col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
+            .as("pfx")), cfg)
+    val db = dAll.select(col("s"), col("doc_id").as("d_id"),
+      col("n").as("dn"), col("pfx").as("d_pfx"))
+    val bs = bidx.select(col("s"), col("doc_id"), col("n"), col("pfx"))
+    val j = bs.join(broadcast(db), bs("s") === db("s") && (col("d_pfx") || col("pfx")))
+    val roleA = when(col("d_pfx") && lit(CDen) * col("n") >= lit(CNum) * col("dn"),
+      struct(col("d_id").as("src_id"), col("doc_id").as("dst_id")))
+    val roleB = when(col("pfx") && lit(CDen) * col("dn") >= lit(CNum) * col("n"),
+      struct(col("doc_id").as("src_id"), col("d_id").as("dst_id")))
+    val candStore = j
+      .select(explode(filter(array(roleA, roleB), x => x.isNotNull)).as("p"))
+      .select(col("p.src_id").as("src_id"), col("p.dst_id").as("dst_id"))
+    val dSrc = dAll.filter(col("pfx"))
       .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
-    val allG = bidx.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
-      .unionByName(dGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst")))
-    val candA = dPrefix.join(allG,
-        dPrefix("s") === allG("s") && col("src_id") =!= col("dst_id") &&
+    val dDst = dAll.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+    val candDelta = dSrc.join(dDst,
+        dSrc("s") === dDst("s") && col("src_id") =!= col("dst_id") &&
         lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
       .select("src_id", "dst_id")
-      .distinct()
-    val bPrefix = bidx.filter(col("pfx"))
-      .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
-    val dG2 = dGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
-    val candB = bPrefix.join(dG2,
-        bPrefix("s") === dG2("s") &&
-        lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
-      .select("src_id", "dst_id")
-      .distinct()
     bpairs.unionByName(
-      containmentVerify(spark, dir, candA.unionByName(candB)))
+      containmentVerify(spark, dir, candStore.unionByName(candDelta).distinct()))
   }
 
   /** Oracle: the naive full rebuild — q324's complete directional
@@ -1422,8 +1451,11 @@ class DedupOps(val cfg: GraftConfig) {
     val run = java.util.UUID.randomUUID.toString.take(8)
     val landing = graft.sources.Scratch.dir(s"scont_${run}_landing", dir)
     val ckpt = graft.sources.Scratch.dir(s"scont_${run}_ckpt", dir)
-    val seenG = graft.sources.Scratch.dir(s"scont_${run}_grams", dir)
-    val seenP = graft.sources.Scratch.dir(s"scont_${run}_prefix", dir)
+    // ONE pfx-flagged arrived store (r18): the old split grams/prefix
+    // stores made the two probe directions two separate corpus-store
+    // scans and two appends per batch; a boolean flag column carries
+    // the prefix membership the P-store existed for
+    val seen = graft.sources.Scratch.dir(s"scont_${run}_seen", dir)
     val out = graft.sources.Scratch.dir(s"scont_${run}_pairs", dir)
     try {
       val delta = Tables.documents(spark, dir)
@@ -1463,44 +1495,59 @@ class DedupOps(val cfg: GraftConfig) {
                 concat_ws(" ", slice(col("ws"), col("g"), lit(SimW))).as("s"))
               .distinct()
             val bn = bsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-            // batch-sized lazy cut: bGrams feeds the prefix ranking,
-            // BOTH probe directions and the store append — four
-            // references that would each re-run the gram explode
-            val bGrams = graft.Ck.lazyStage(bsh.join(bn, "doc_id"), cfg)
-            val ranked = bGrams.join(bdf, Seq("s"), "left")
-              .withColumn("df", coalesce(col("df"), lit(0L)))
-              .withColumn("rk", row_number().over(
-                Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-            val bPfx = graft.Ck.lazyStage(ranked
-              .filter(col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
-              .select(col("s"), col("doc_id"), col("n")), cfg)
-            val arrivedG =
-              if (existsDir(seenG)) spark.read.parquet(seenG) else bGrams.limit(0)
-            val arrivedP =
-              if (existsDir(seenP)) spark.read.parquet(seenP)
-              else bPfx.select("s", "doc_id", "n").limit(0)
-            val dstAll = bidx.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
-              .unionByName(arrivedG.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst")))
-              .unionByName(bGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst")))
-            val srcNew = bPfx
+            // ONE batch-sized lazy cut carrying the pfx flag (r18): the
+            // old bGrams/bPfx pair fed four references; this table feeds
+            // the fused probe, the batch-internal join and the store
+            // append — the gram explode and the ranking window run once
+            val bAll = graft.Ck.lazyStage(
+              bsh.join(bn, "doc_id").join(bdf, Seq("s"), "left")
+                .withColumn("df", coalesce(col("df"), lit(0L)))
+                .withColumn("rk", row_number().over(
+                  Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+                .select(col("s"), col("doc_id"), col("n"),
+                  (col("rk") <= col("n") - expr(s"($CNum * n + ${CDen - 1}) div $CDen") + 1)
+                    .as("pfx")), cfg)
+            // empty-state fallback built from the SCHEMA, not limit(0)
+            // over the lazily-cut batch (r17 advice: executing that
+            // limit(0) could materialize the whole batch for zero rows)
+            val arrived =
+              if (existsDir(seen)) spark.read.parquet(seen)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bAll.schema)
+            // FUSED probe (r18, guide §2.4 — remove the second scan):
+            // the base index ∪ arrived store is scanned ONCE, with the
+            // broadcast batch carrying BOTH roles — role A (batch
+            // prefix × store gram: new doc quoted in an old one) and
+            // role B (store prefix × batch gram: old doc quoted in a
+            // new one). The old shape ran two store-wide joins per
+            // batch. Ordered pairs cannot collide across roles (A emits
+            // new→old, B old→new), so the explode is union-exact.
+            val store = bidx.select(col("s"), col("doc_id"), col("n"), col("pfx"))
+              .unionByName(arrived)
+            val bb = bAll.select(col("s"), col("doc_id").as("b_id"),
+              col("n").as("bn"), col("pfx").as("b_pfx"))
+            val j = store.join(broadcast(bb),
+              store("s") === bb("s") && (col("b_pfx") || col("pfx")))
+            val roleA = when(col("b_pfx") && lit(CDen) * col("n") >= lit(CNum) * col("bn"),
+              struct(col("b_id").as("src_id"), col("doc_id").as("dst_id")))
+            val roleB = when(col("pfx") && lit(CDen) * col("bn") >= lit(CNum) * col("n"),
+              struct(col("doc_id").as("src_id"), col("b_id").as("dst_id")))
+            val candStore = j
+              .select(explode(filter(array(roleA, roleB), x => x.isNotNull)).as("p"))
+              .select(col("p.src_id").as("src_id"), col("p.dst_id").as("dst_id"))
+            // batch-internal pairs (both endpoints arrived in THIS batch)
+            val bSrc = bAll.filter(col("pfx"))
               .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
-            val candA = srcNew.join(dstAll,
-                srcNew("s") === dstAll("s") && col("src_id") =!= col("dst_id") &&
+            val bDst = bAll.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
+            val candBatch = bSrc.join(bDst,
+                bSrc("s") === bDst("s") && col("src_id") =!= col("dst_id") &&
                 lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
-              .select("src_id", "dst_id").distinct()
-            val srcOld = bidx.filter(col("pfx")).select(col("s"), col("doc_id"), col("n"))
-              .unionByName(arrivedP)
-              .select(col("s"), col("doc_id").as("src_id"), col("n").as("nsrc"))
-            val dstNew = bGrams.select(col("s"), col("doc_id").as("dst_id"), col("n").as("ndst"))
-            val candB = srcOld.join(dstNew,
-                srcOld("s") === dstNew("s") &&
-                lit(CDen) * col("ndst") >= lit(CNum) * col("nsrc"))
-              .select("src_id", "dst_id").distinct()
-            containmentVerify(spark, dir, candA.unionByName(candB))
+              .select("src_id", "dst_id")
+            containmentVerify(spark, dir,
+                candStore.unionByName(candBatch).distinct())
               .write.mode("append").parquet(out)
-            // only after the pairs land does the batch join the stores
-            bGrams.write.mode("append").parquet(seenG)
-            bPfx.write.mode("append").parquet(seenP)
+            // only after the pairs land does the batch join the store
+            bAll.write.mode("append").parquet(seen)
           }
         }
         .start()
@@ -1514,7 +1561,7 @@ class DedupOps(val cfg: GraftConfig) {
       bpairs.unionByName(streamed)
         .select(col("src_id"), col("dst_id"), col("containment"))
         .localCheckpoint(true)
-    } finally Seq(landing, ckpt, seenG, seenP, out).foreach { d =>
+    } finally Seq(landing, ckpt, seen, out).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val dfs = p.getFileSystem(conf)
       if (dfs.exists(p)) dfs.delete(p, true)

@@ -507,12 +507,16 @@ class GraphOpsLib(val cfg: GraftConfig) {
           coalesce(col("pparent"), col("parent")).as("parent"),
           (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
       rounds += 1
+      var ckRound = false
       val mat =
         if (rounds % 4 == 0) {
-          val c = traced(s"chain.round$rounds.ck")(stageCk(stepped)) // lineage truncated →
-          pending.foreach(_.unpersist(false)) // earlier rounds droppable
-          pending = Nil
-          c
+          // LAZY cut (r18): rounds % 4 == 0 implies rounds >= 3, so the
+          // convergence count below always runs and stores the blocks —
+          // the eager cut's standalone materialization job is free.
+          // Earlier rounds' persisted maps are still the cut's LINEAGE
+          // until that count runs, so their unpersist moves below it.
+          ckRound = true
+          traced(s"chain.round$rounds.ck")(graft.Ck.lazyStage(stepped, cfg))
         } else {
           // MEMORY_AND_DISK: the round map is (node, parent, depth) over
           // chain INTERIORS only — a small fraction of the corpus — so it
@@ -537,6 +541,10 @@ class GraphOpsLib(val cfg: GraftConfig) {
         val movers = traced(s"chain.round$rounds.conv")(mat.filter(col("moved")).count())
         converged = movers == 0 || movers == prevMovers
         prevMovers = movers
+      }
+      if (ckRound) { // the conv count materialized the lazy cut — lineage truncated
+        pending.foreach(_.unpersist(false))
+        pending = Nil
       }
       p = mat.drop("moved")
     }

@@ -48,8 +48,8 @@ private[graft] object Scc {
     val spark = edges0.sparkSession
     graft.GraftSession.ensureCheckpointDir(spark)
     def stageCk(df: DataFrame): DataFrame = graft.Ck.stage(df, cfg)
-    var e = stageCk(edges0.select(col("u"), col("v")))
-    var nE = e.count()
+    // lazy cut + count fused into one job (r18, the cutAndCount discipline)
+    var (e, nE) = graft.Ck.sizedStage(edges0.select(col("u"), col("v")), cfg)
     val empty = e.select(col("u").as("node"), col("u").as("scc_id")).limit(0)
     if (nE == 0) return empty
     val cap = math.max(1L,
@@ -67,9 +67,12 @@ private[graft] object Scc {
         dirMinLabels(spark, nodes, e.select(col("v").as("u"), col("u").as("v")), cfg))
       val f = dirMinLabels(spark, nodes, e, cfg)
       val tFb = System.nanoTime()
+      // LAZY cut: fb's blocks materialize inside the `assigned` stage cut
+      // job just below (the first action over fb), so the f/b join pays
+      // no standalone materialization job; um/vm then read cached blocks
       val fb = try bF() match { case b =>
-        stageCk(f.select(col("node"), col("lbl").as("f"))
-          .join(b.select(col("node"), col("lbl").as("b")), "node"))
+        graft.Ck.lazyStage(f.select(col("node"), col("lbl").as("f"))
+          .join(b.select(col("node"), col("lbl").as("b")), "node"), cfg)
       } catch { case t: Throwable => bF.cancelJobs(); throw t }
       if (graphTrace) println(f"GRAPHTRACE scc fbJoin t=${(System.nanoTime() - tFb) / 1e9}%.2f")
       val newA = fb.filter(col("f") === col("b"))
@@ -85,7 +88,8 @@ private[graft] object Scc {
         .filter(col("uf") === col("vf") && col("ub") === col("vb") &&
                 col("uf") =!= col("ub")) // f=b endpoints are assigned — drop their edges
         .select("u", "v")
-      val next = stageCk(pruned)
+      // lazy cut + edge count in ONE job (r18)
+      val next = graft.Ck.lazyStage(pruned, cfg)
       val m = next.count()
       e.unpersist(false); nodes.unpersist(false); fb.unpersist(false)
       e = next
@@ -154,8 +158,10 @@ private[graft] object Scc {
       .select(col("node"), col("node").as("prev"),
         least(col("node"), coalesce(col("m"), col("node"))).as("lbl"))
     // lbl carries (node, prev, lbl): prev = label at round start, so the
-    // frontier is a filter over the just-checkpointed blocks, not a join
-    var lbl = stageCk(lbl0)
+    // frontier is a filter over the just-checkpointed blocks, not a join.
+    // Lazy cut + count fused into one job (r18, the cutAndCount
+    // discipline — reliable mode stays eager inside lazyStage).
+    var lbl = graft.Ck.lazyStage(lbl0, cfg)
     val n = lbl.count()
     val maxRounds = math.max(1L, n).toInt
     var frontierN = -1L // unknown until first counted
@@ -178,10 +184,11 @@ private[graft] object Scc {
       // their id can improve a pointer — identity rows are dead weight
       val hop = prop.filter(col("lbl") < col("node"))
         .select(col("node").as("hn"), col("lbl").as("hl"))
-      val next = stageCk(
+      // lazy cut + frontier count in ONE job per round (r18)
+      val next = graft.Ck.lazyStage(
         prop.join(hop, prop("lbl") === hop("hn"), "left")
           .select(col("node"), col("prev"),
-            least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")))
+            least(col("lbl"), coalesce(col("hl"), col("lbl"))).as("lbl")), cfg)
       rounds += 1
       frontierN = next.filter(col("lbl") =!= col("prev")).count()
       converged = frontierN == 0

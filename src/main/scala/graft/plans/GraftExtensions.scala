@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleSet)
     ext.injectFunction(GraftExtensions.shingleStats)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.interCount)
   }
 }
 
@@ -156,11 +157,27 @@ object GraftExtensions {
       MinHashSig(children(0))
     })
 
+  private val interCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("inter_count"),
+    new ExpressionInfo(classOf[InterCount].getName, "inter_count"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "inter_count",
+            "expectedNum" -> "2 (array<string>, array<string>)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      InterCount(children(0), children(1))
+    })
+
   /** Idempotently register the native functions on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(vecDotFixed, vecDotLong, featHashVec, signBandsLong,
-        shingleSet, shingleStats, minhashSig).foreach { fn =>
+        shingleSet, shingleStats, minhashSig, interCount).foreach { fn =>
       if (!reg.functionExists(fn._1)) {
         reg.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends GraftSpec {
 
+  test("inter_count ≡ size(array_intersect): native verify count parity (r18)") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    // constructed edge cases: empty sides, duplicate inputs (distinct-count
+    // semantics), identical sets, disjoint sets
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x"), Seq.empty[String]),
+      (Seq("a", "a", "b"), Seq("a", "a", "a", "c")),
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("p", "q"), Seq("r", "s"))
+    ).toDF("sa", "sb")
+    val got = rows.select(expr("inter_count(sa, sb)")).as[Long].collect().toSeq
+    val ref = rows.select(size(array_intersect($"sa", $"sb")).cast("long"))
+      .as[Long].collect().toSeq
+    assert(got == ref, s"got=$got ref=$ref")
+    // and over the real corpus' shingle arrays: all pairs agree
+    val arr = Dedup.shingleArrays(spark, sf).limit(60)
+    val diff = arr.as("x").crossJoin(arr.as("y"))
+      .select(col("x.ss").as("sa"), col("y.ss").as("sb"))
+      .filter(expr("inter_count(sa, sb)") =!=
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .count()
+    assert(diff == 0, "native count diverged from array_intersect on corpus arrays")
+  }
+
   test("q31 minhash-LSH finds the planted near-duplicate pairs") {
     val pairs = Dedup.q31MinhashPairs(spark, sf)
     assert(pairs.count() > 0, "corpus contains planted near-dups; LSH must surface some")

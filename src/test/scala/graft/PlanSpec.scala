@@ -592,6 +592,17 @@ class PlanSpec extends GraftSpec {
       "the entry-panel seed cross is expected (queries × beamEntries)")
   }
 
+  test("q279 production plan: the cut walk's final segment never sort-merge-shuffles (r17 advice)") {
+    // the hopCuts=false pin above asserts the hop-join SHAPES; this one
+    // keeps the REGISTERED production query itself asserted, so the
+    // spec and production composition cannot silently drift apart —
+    // post-cuts the final segment is the rank window + vec attach over
+    // the last checkpoint, and nothing in it may fall back to SMJ
+    val p = plan("q279_graph_ann")
+    assert(!p.contains("SortMergeJoin"),
+      "q279's final segment (post-checkpoint ranking) fell back to a sort-merge join")
+  }
+
   test("q282 embedder is a pure scan: zero semantic exchanges, native feat_hash_vec") {
     val p = plan("q282_text_embed")
     assert(semanticExchanges(p) == 0,

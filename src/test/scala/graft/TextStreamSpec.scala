@@ -141,6 +141,20 @@ class TextStreamSpec extends GraftSpec {
     assert(ops.q201BpeTrain(spark, dir2).count() == 0)
   }
 
+  test("q201 incremental corpus state ≡ recompute-from-raw: identical merge trajectory (r18)") {
+    // the r18 optimization materializes the spaced corpus once and
+    // advances it one merge per iteration; this pins it to the
+    // historical recompute-the-full-chain-from-raw-text arm over the
+    // real corpus — same merges, same counts, same order
+    val ops = new graft.operators.TextAnalysisOps(GraftConfig(bpeNumMerges = 6))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inc = ops.bpeTrainDf(spark, docs, incremental = true)
+      .collect().map(_.toSeq).toSeq
+    val ref = ops.bpeTrainDf(spark, docs, incremental = false)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == ref, s"incremental=$inc\nrecompute=$ref")
+  }
+
   test("q201 trains what q167 applies: learned merges feed the apply step round-trip") {
     val trainCfg = GraftConfig(bpeNumMerges = 3)
     val ops = new graft.operators.TextAnalysisOps(trainCfg)
