@@ -115,11 +115,16 @@ class DedupOps(val cfg: GraftConfig) {
     // parquet scan, cheaper than pinning the corpus-shingle table
     val arr = shingleArrays(spark, dir)
     val bands = minhashBands(minhashSig(arr))
+    // per-occurrence verify + post-filter distinct (r18): deduping the
+    // candidate table BEFORE the verify exchanged millions of rows to
+    // save re-verifying the few % of pairs that collide in both bands;
+    // verifying each band hit and deduping the (tiny) surviving pair
+    // set is strictly less data moved. Duplicate rows carry identical
+    // jaccard, so the post-filter distinct returns the same rows.
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    verifiedJaccard(arr, cand).filter(col("jaccard") >= MinhashJ)
+    verifiedJaccard(arr, cand).filter(col("jaccard") >= MinhashJ).distinct()
   }
 
   /** LSH band keys over the long signature: one 64-bit hash per 4-slice
@@ -254,11 +259,13 @@ class DedupOps(val cfg: GraftConfig) {
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf && col("df") >= 2).select("s")
     val idx = sh.join(rare, "s")
+    // per-occurrence verify + post-filter distinct (r18) — see
+    // q31MinhashPairs: same trade, same pair set
     val cand = idx.as("x").join(idx.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    verifiedJaccard(shingleArrays(spark, dir), cand).filter(col("jaccard") >= JaccardJ)
+    verifiedJaccard(shingleArrays(spark, dir), cand)
+      .filter(col("jaccard") >= JaccardJ).distinct()
   }
 
   def q33Sql: String =
@@ -296,17 +303,21 @@ class DedupOps(val cfg: GraftConfig) {
       .withColumn("bks", array((0 until SignBands).map(b =>
         Vec.signBand("embedding", b * SignBandBits, SignBandBits)): _*))
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bk")))
+    // per-occurrence verify + post-filter distinct (r18) — see
+    // q31MinhashPairs: duplicate multi-band candidates carry identical
+    // cosine, so deduping the surviving pairs returns the same rows
+    // without exchanging the full candidate table first
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na2")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb2")), "id_b")
       .select(col("id_a"), col("id_b"),
         Vec.cosineFromParts(Vec.dotN("ea", "eb"), col("na2"), col("nb2")).as("cosine"))
       .filter(col("cosine") >= NearDupCos)
+      .distinct()
   }
 
   /** q58: SimHash hamming-distance near-dup pairs — the pairing half the
@@ -391,15 +402,22 @@ class DedupOps(val cfg: GraftConfig) {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(false).as("mh"), lit(true).as("rare"))
+    // per-OCCURRENCE verify (r18, guide §2.4): the old pre-verify
+    // groupBy(id_a,id_b) dedup exchanged the FULL candidate table (14.2M
+    // rows at the sf1 hero lane, ~6 s) to save re-verifying the ~6% of
+    // pairs both generators emit — a bad trade once inter_count made the
+    // verify itself cheap. Each union row now verifies independently
+    // (the threshold filter was already per-row-correct: an mh row
+    // reduces to jaccard ≥ MinhashJ, a rare row to ≥ JaccardJ, and a
+    // pair survives iff ANY of its rows does — the same pair set), and
+    // the dedup moves AFTER the filter where only true near-dup pairs
+    // remain (thousands, not millions).
     val cand = candMh.unionAll(candRare)
-      .groupBy("id_a", "id_b")
-      .agg(max(col("mh")).as("mh"), max(col("rare")).as("rare"))
-    // the generator flags ride through the verify join — joining back to
-    // cand here re-derived the entire candidate pipeline a second time
     val edges = verifiedJaccard(arr, cand)
       .filter((col("mh") && col("jaccard") >= MinhashJ) ||
               (col("rare") && col("jaccard") >= JaccardJ))
       .select("id_a", "id_b")
+      .distinct()
     (edges, arr)
   }
 
@@ -1744,10 +1762,13 @@ class DedupOps(val cfg: GraftConfig) {
   def q133IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val isBase = substring(md5(col("doc_id").cast("string")), 1, 2) < cfg.splitTrainUpper
     val bands = minhashBands(minhashSig(shingleArrays(spark, dir)))
+    // per-occurrence verify (r18): duplicate (id_a,id_b) candidate rows
+    // produce identical (id_b, jaccard) structs, which the min-struct
+    // `best` aggregate below absorbs — the pre-verify distinct exchanged
+    // the full delta×base candidate table for nothing
     val cand = bands.filter(!isBase).as("x")
       .join(bands.filter(isBase).as("y"), col("x.bk") === col("y.bk"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
     val matches = verifiedJaccard(shingleArrays(spark, dir), cand)
       .filter(col("jaccard") >= MinhashJ)
     val best = matches.groupBy(col("id_a").as("doc_id"))

@@ -572,6 +572,20 @@ class TextAnalysisOps(val cfg: GraftConfig) {
     *
     * incremental=false keeps the historical recompute-from-raw shape
     * (the equivalence test's reference arm). */
+  /** The filtered adjacent-pair count of a spaced-corpus state (column
+    * `s`): the trainer's candidate aggregate, shared by the full count
+    * and the per-iteration delta counts. */
+  private def bpePairCounts(state: DataFrame): DataFrame =
+    state.select(split(trim(col("s")), " ").as("sy"))
+      .select(explode(expr(
+        """zip_with(slice(sy, 1, greatest(size(sy) - 1, 0)),
+          |         slice(sy, 2, greatest(size(sy) - 1, 0)),
+          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l").rlike("^[A-Za-z0-9]+$") && col("r").rlike("^[A-Za-z0-9]+$") &&
+        col("l") =!= col("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("c"))
+
   private[graft] def bpeTrainDf(spark: SparkSession, docs: DataFrame,
       incremental: Boolean): DataFrame = {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -579,31 +593,46 @@ class TextAnalysisOps(val cfg: GraftConfig) {
       .select(explode(split(col("text"), " ")).as("t"))
       .select(expr("concat(' ', regexp_replace(t, '(.)', '$1 '))").as("s"))
     var state: DataFrame = if (incremental) graft.Ck.lazyStage(spaced, cfg) else null
-    var older: DataFrame = null // s_{i-2}: droppable once s_{i-1} is stored
+    // DELTA pair counts (r18, verdict item 8 + guide §2.3 "aggregate
+    // less"): iteration 1 counts pairs over the full s_0 once; from
+    // then on the count table advances by exact integer deltas over
+    // ONLY the rows the newest merge touched. A row changes under the
+    // double-replace iff it contains ' l r ', so
+    //   count_{s_i} = count_{s_{i-1}}
+    //               + Σ_{affected rows} (pairs(new row) − pairs(old row))
+    // — the full-corpus explode + regexp filter + aggregate that
+    // dominated every iteration now runs over the affected fraction.
+    // Counts are integers, the argmax ordering (c DESC, l, r) is a
+    // total order, and a zero row can never win, so the learned merge
+    // sequence is IDENTICAL to the full recount (pinned by the
+    // delta-arm ≡ recompute-arm equivalence test).
+    var cnt: DataFrame =
+      if (incremental) graft.Ck.lazyStage(bpePairCounts(spaced), cfg) else null
+    var olderCnt: DataFrame = null
+    // states materialize one iteration late under delta counting (the
+    // delta that reads s_{i-1} is the first action over it), so keep a
+    // 2-generation window alive and free everything older
+    var pendingStates: List[DataFrame] = if (incremental) List(state) else Nil
     var done = false
     var i = 1
     while (!done && i <= cfg.bpeNumMerges) {
-      val syms =
-        if (incremental) state.select(split(trim(col("s")), " ").as("sy"))
+      val top = (
+        if (incremental) cnt
         else {
           val chain = bpeSpacedExpr(learned.toSeq.map(m => (m._2, m._3)))
-          docs.select(explode(split(col("text"), " ")).as("t"))
-            .select(split(trim(expr(chain)), " ").as("sy"))
-        }
-      val top = syms
-        .select(explode(expr(
-          """zip_with(slice(sy, 1, greatest(size(sy) - 1, 0)),
-            |         slice(sy, 2, greatest(size(sy) - 1, 0)),
-            |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
-        .select(col("p.l").as("l"), col("p.r").as("r"))
-        .filter(col("l").rlike("^[A-Za-z0-9]+$") && col("r").rlike("^[A-Za-z0-9]+$") &&
-          col("l") =!= col("r"))
-        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+          bpePairCounts(docs.select(explode(split(col("text"), " ")).as("t"))
+            .select(trim(expr(chain)).as("s")))
+        })
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
-      // the argmax job above just materialized state (= s_{i-1}) whose
-      // compute read s_{i-2}'s blocks — s_{i-2} is dead now
-      if (older != null) { older.unpersist(false); older = null }
+      // the argmax job materialized cnt_i (and, through its delta, the
+      // state generation the delta read): free the superseded count
+      // table and all but the two newest states
+      if (olderCnt != null) { olderCnt.unpersist(false); olderCnt = null }
+      if (pendingStates.length > 2) {
+        pendingStates.drop(2).foreach(_.unpersist(false))
+        pendingStates = pendingStates.take(2)
+      }
       if (top.isEmpty) done = true
       else {
         val row = top.head
@@ -611,14 +640,24 @@ class TextAnalysisOps(val cfg: GraftConfig) {
         i += 1
         if (incremental && !done && i <= cfg.bpeNumMerges) {
           val (l, r) = (row.getString(0), row.getString(1))
-          older = state
+          val aff = state.filter(col("s").contains(s" $l $r "))
+          val affNew = aff.select(
+            expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')").as("s"))
+          val delta = bpePairCounts(affNew)
+            .unionAll(bpePairCounts(aff).select(col("l"), col("r"), (-col("c")).as("c")))
+          olderCnt = cnt
+          cnt = graft.Ck.lazyStage(cnt.unionAll(delta)
+            .groupBy("l", "r").agg(sum(col("c")).as("c"))
+            .filter(col("c") > 0), cfg)
           state = graft.Ck.lazyStage(state.select(
             expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')").as("s")), cfg)
+          pendingStates = state :: pendingStates
         }
       }
     }
-    if (state != null) state.unpersist(false)
-    if (older != null) older.unpersist(false)
+    pendingStates.foreach(_.unpersist(false))
+    if (cnt != null) cnt.unpersist(false)
+    if (olderCnt != null) olderCnt.unpersist(false)
     import spark.implicits._
     learned.toSeq.toDF("iter", "l_sym", "r_sym", "pair_count")
       .select(col("iter"), col("l_sym"), col("r_sym"),

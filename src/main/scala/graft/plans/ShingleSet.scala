@@ -46,25 +46,46 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object ShingleSet {
-  /** Tight single-pass set build; one call per row from codegen. */
+  /** Tight single-pass set build; one call per row from codegen.
+    *
+    * r18 (guide §1.2 step 2, per-task work): operates on the UTF-8
+    * BYTES directly — code-point starts are the bytes not matching
+    * 10xxxxxx, and each window is a zero-copy `UTF8String.fromBytes`
+    * view over the shared array — instead of the old String round-trip
+    * (one full char[] copy for toString, one char[] copy per window
+    * substring, offsetByCodePoints walks, and a String→UTF8String
+    * re-encode per kept element). Semantics identical: UTF8String
+    * equality/hash is byte equality, which for valid UTF-8 coincides
+    * with the String equality the old path used; window positions still
+    * count CODE POINTS; element order is still first occurrence.
+    * (Supplementary characters are one code POINT = one UTF-8 start
+    * byte here, where String indexing would count two UTF-16 chars —
+    * the old code's codePointCount/offsetByCodePoints handling was
+    * exactly this mapping, so the two agree.) */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val s = text.toString
-    val len = s.length
-    val n = s.codePointCount(0, len)
-    if (n < k) return new GenericArrayData(Array.empty[Any])
-    // code-point start offsets (UTF-16 indices); offs(i) = start of cp i
-    val offs = new Array[Int](n + 1)
+    val bytes = text.getBytes // one copy at most (zero if exactly sized)
+    val len = bytes.length
+    // byte offsets of code-point starts: UTF-8 continuation bytes are
+    // 10xxxxxx; everything else starts a code point
+    val offs = new Array[Int](text.numChars() + 1)
+    var n = 0
     var i = 0
-    var cp = 0
-    while (cp < n) { offs(cp) = i; i = s.offsetByCodePoints(i, 1); cp += 1 }
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(n) = i; n += 1 }
+      i += 1
+    }
+    if (n < k) return new GenericArrayData(Array.empty[Any])
     offs(n) = len
-    val seen = new java.util.LinkedHashSet[String](2 * (n - k + 1))
+    val seen = new java.util.LinkedHashSet[UTF8String](2 * (n - k + 1))
     var g = 0
-    while (g + k <= n) { seen.add(s.substring(offs(g), offs(g + k))); g += 1 }
+    while (g + k <= n) {
+      seen.add(UTF8String.fromBytes(bytes, offs(g), offs(g + k) - offs(g)))
+      g += 1
+    }
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
 }

@@ -92,3 +92,87 @@ object NdeProbe3 {
     spark.stop()
   }
 }
+
+/** Time + explain the full near-dup edge pipeline (q57.pairs) and its
+  * verify stage in isolation. */
+object NdeProbe4 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/herodata/sf1")
+    val spark = graft.GraftSession.get()
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"NDE4 $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    timed("shingleArrays.ck")(
+      graft.operators.Dedup.shingleArrays(spark, dir).localCheckpoint(true)).unpersist(false)
+    (1 to 2).foreach { r =>
+      val e = graft.operators.Dedup.nearDupEdges(spark, dir)
+      timed(s"nearDupEdges.noop.$r")(e.write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}
+
+/** Decompose the HEAD nearDupEdges shape: candidates-only vs +verify. */
+object NdeProbe5 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/herodata/sf1")
+    val spark = graft.GraftSession.get()
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"NDE5 $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val arr = timed("arr.ck")(
+      graft.operators.Dedup.shingleArrays(spark, dir).localCheckpoint(true))
+    val sig = arr.select(col("doc_id"), expr("minhash_sig(ss)").as("sig"))
+    val bands = sig.select(col("doc_id"),
+        xxhash64((0 to 3).map(i => element_at(col("sig"), i + 1)): _*).as("bk"))
+      .unionAll(sig.select(col("doc_id"),
+        xxhash64((4 to 7).map(i => element_at(col("sig"), i + 1)): _*).as("bk")))
+    val candMh = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val par = spark.sparkContext.defaultParallelism
+    (1 to 2).foreach { r =>
+      timed(s"candMh.repart.noop.$r")(candMh.repartition(par)
+        .write.format("noop").mode("overwrite").save())
+    }
+    val docArr = arr.select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
+    val joined = candMh.repartition(par)
+      .join(docArr.select(col("doc_id").as("id_a"), col("ss").as("sa"), col("n").as("na")), "id_a")
+      .join(docArr.select(col("doc_id").as("id_b"), col("ss").as("sb"), col("n").as("nb")), "id_b")
+    (1 to 2).foreach { r =>
+      timed(s"join.only.noop.$r")(joined.select(col("id_a"), col("id_b"), col("na"), col("nb"))
+        .write.format("noop").mode("overwrite").save())
+    }
+    val ver = joined.withColumn("i", expr("inter_count(sa, sb)"))
+      .select(col("id_a"), col("id_b"), col("i"), col("na"), col("nb"))
+    (1 to 2).foreach { r =>
+      timed(s"verify.noop.$r")(ver.write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}
+
+/** q57 tail decomposition: CC + keeper aggregate over prebuilt pairs. */
+object NdeProbe6 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/herodata/sf1")
+    val spark = graft.GraftSession.get()
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"NDE6 $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val pairs = timed("pairs.ck")(
+      graft.operators.Dedup.nearDupEdges(spark, dir).localCheckpoint(true))
+    println("NDE6 nPairs=" + pairs.count())
+    val lbl = timed("cc")(graft.operators.Cc.labels(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")),
+      graft.GraftConfig.default).localCheckpoint(true))
+    println("NDE6 nLbl=" + lbl.count())
+    val full = timed("q57.full")(graft.operators.Dedup.q57DedupFamilies(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

@@ -11,14 +11,28 @@ class DedupSpec extends GraftSpec {
     import spark.implicits._
     // constructed edge cases: empty sides, duplicate inputs (distinct-count
     // semantics), identical sets, disjoint sets
-    val rows = Seq(
+    val rows = (Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
       (Seq.empty[String], Seq("a")),
       (Seq("x"), Seq.empty[String]),
       (Seq("a", "a", "b"), Seq("a", "a", "a", "c")),
       (Seq("a", "b"), Seq("a", "b")),
-      (Seq("p", "q"), Seq("r", "s"))
-    ).toDF("sa", "sb")
+      (Seq("p", "q"), Seq("r", "s")),
+      // r18 packed fast path edges: 7-byte boundary (packable) vs
+      // 8-byte (build-side abort → generic path; probe-side skip),
+      // multibyte UTF-8, empty string, length-distinguished prefixes
+      (Seq("abcdefg", "abcdefgh", "αβ", "x"), Seq("abcdefgh", "αβ", "abcdefg")),
+      (Seq("a", "bb"), Seq("abcdefghij", "a", "bb")),
+      (Seq("abcdefghi", "abcdefg"), Seq("abcdefg", "abcdefghi")),
+      (Seq(""), Seq("", "a")),
+      (Seq("a", "ab", "abc"), Seq("ab", "abcd", "a")),
+      (Seq("αβγδ", "ab"), Seq("αβγδ", "αβγε"))
+    ) ++ Seq(
+      // bulk case exercising table probing/tombstones: overlapping
+      // modular families with duplicates on both sides
+      ((0 until 200).map(i => s"k${i % 37}"), (0 until 300).map(i => s"k${i % 53}")),
+      ((0 until 64).map(i => s"v$i"), (32 until 96).map(i => s"v$i"))
+    )).toDF("sa", "sb")
     val got = rows.select(expr("inter_count(sa, sb)")).as[Long].collect().toSeq
     val ref = rows.select(size(array_intersect($"sa", $"sb")).cast("long"))
       .as[Long].collect().toSeq
