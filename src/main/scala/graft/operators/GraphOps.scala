@@ -507,16 +507,21 @@ class GraphOpsLib(val cfg: GraftConfig) {
           coalesce(col("pparent"), col("parent")).as("parent"),
           (col("pparent").isNotNull && col("pparent") =!= col("parent")).as("moved"))
       rounds += 1
-      var ckRound = false
       val mat =
         if (rounds % 4 == 0) {
-          // LAZY cut (r18): rounds % 4 == 0 implies rounds >= 3, so the
-          // convergence count below always runs and stores the blocks —
-          // the eager cut's standalone materialization job is free.
-          // Earlier rounds' persisted maps are still the cut's LINEAGE
-          // until that count runs, so their unpersist moves below it.
-          ckRound = true
-          traced(s"chain.round$rounds.ck")(graft.Ck.lazyStage(stepped, cfg))
+          // EAGER cut every 4th round. A lazy cut+conv-count fusion was
+          // tried here in r18 and REVERTED: it measured q82 10.4 →
+          // 13.3 s at sf0.1 (subset-bench A/B, 3-run min, hot box) —
+          // q82's 8-phase namespaced union keeps 3 persisted round maps
+          // alive UNDER the fused count (they are the lazy cut's
+          // lineage until it materializes), and the storage pressure
+          // cost more than the saved barrier. q62/q28/q28b were flat
+          // either way; Cc/Scc keep their fused cut+count, where the
+          // round state is a single small table and the A/B favors it.
+          val c = traced(s"chain.round$rounds.ck")(stageCk(stepped)) // lineage truncated →
+          pending.foreach(_.unpersist(false)) // earlier rounds droppable
+          pending = Nil
+          c
         } else {
           // MEMORY_AND_DISK: the round map is (node, parent, depth) over
           // chain INTERIORS only — a small fraction of the corpus — so it
@@ -541,10 +546,6 @@ class GraphOpsLib(val cfg: GraftConfig) {
         val movers = traced(s"chain.round$rounds.conv")(mat.filter(col("moved")).count())
         converged = movers == 0 || movers == prevMovers
         prevMovers = movers
-      }
-      if (ckRound) { // the conv count materialized the lazy cut — lineage truncated
-        pending.foreach(_.unpersist(false))
-        pending = Nil
       }
       p = mat.drop("moved")
     }
